@@ -1,0 +1,97 @@
+"""Indicator pipeline configuration.
+
+Mirrors the semantics of the reference's pydantic
+``GenerateIndicatorsConfig`` (``stockdata/indicators.py:97-143``):
+column-name mapping, the ``momentum_features`` gating list, and the
+indicator periods. Plain dataclass — no pydantic dependency.
+
+Reference quirks preserved intentionally:
+- ``close_column`` (default ``adj_close``) feeds ROCP/RSI/CMO/MACD/PPO
+  and the ``close_price`` output, while ``close_un_adj_col`` (default
+  ``close``) feeds MFI/ULTOSC/STOCHF/ADX/CCI
+  (``indicators.py:112,269,345,362,395,468``).
+- market close bound is **16:30** ET, not 16:00
+  (``stockdata/utils.py:26-36``).
+- ``scale`` / ``skip_na`` / ``interval`` exist in the reference config
+  but are dead there (``indicators.py:134-135,103``); here ``skip_na``
+  actually controls the final ``dropna`` and ``scale`` the ÷100/÷10
+  scaling, defaulting to the reference's effective behavior (both on).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+DEFAULT_MOMENTUM_FEATURES = [
+    "rsi",
+    "mfi",
+    "ultosc",
+    "cmo",
+    "aroonosc",
+    "macd",
+    "ppo",
+    "sok",
+    "adx",
+]
+
+#: Consecutive-row time gaps (seconds) that do NOT break a segment
+#: (``stockdata/indicators.py:41-66``).
+DEFAULT_ALLOWED_GAPS_S = (60, 120, 180)
+
+NS_PER_S = 1_000_000_000
+
+
+@dataclass
+class IndicatorConfig:
+    """Configuration for :func:`~stock_indicators_etl_spark.operators.pipeline.generate_indicators`."""
+
+    # column mapping (indicators.py:106-113)
+    ticker_column: str = "ticker"
+    time_column: str = "window_start"  # int64 epoch-ns
+    close_column: str = "adj_close"  # adjusted close → rocp/rsi/cmo/macd/ppo
+    high_col: str = "high"
+    low_col: str = "low"
+    close_un_adj_col: str = "close"  # unadjusted close → mfi/ultosc/stochf/adx/cci
+    vol_col: str = "volume"
+
+    # which indicator families to compute (indicators.py:119-131)
+    momentum_features: list[str] = field(
+        default_factory=lambda: list(DEFAULT_MOMENTUM_FEATURES)
+    )
+
+    # periods (indicators.py:117,138-143 + TA-Lib 0.4.x defaults)
+    num_prev_rocp: int = 6  # rocp_1..rocp_{n-1}
+    rsi_timeperiod: int = 14
+    mfi_timeperiod: int = 14
+    ultosc_timeperiod1: int = 7
+    ultosc_timeperiod2: int = 14
+    ultosc_timeperiod3: int = 28
+    cmo_timeperiod: int = 14
+    aroonosc_timeperiod: int = 25
+    macd_signal_period: int = 9
+    ppo_fast: int = 12
+    ppo_slow: int = 26
+    stochf_fastk: int = 5
+    stochf_fastd: int = 3
+    adx_timeperiod: int = 14
+    cci_timeperiod: int = 14
+    mom_timeperiod: int = 10
+
+    # time-grid semantics
+    allowed_gaps_s: tuple[int, ...] = DEFAULT_ALLOWED_GAPS_S
+    grid_step_s: int = 60
+    min_segment_rows: int = 2
+
+    # behavior toggles (effective reference behavior: both True)
+    scale: bool = True
+    skip_na: bool = True
+
+    # market session bounds, wall-clock in `tz` (utils.py:26-36; the
+    # 16:30 close is a reference quirk kept for parity)
+    tz: str = "US/Eastern"
+    market_open: str = "09:30:00"
+    market_close: str = "16:30:00"
+
+    @property
+    def step_ns(self) -> int:
+        return self.grid_step_s * NS_PER_S

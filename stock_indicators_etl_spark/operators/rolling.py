@@ -1,0 +1,272 @@
+"""Frame-expressible indicators as native Spark window expressions
+(SURVEY.md §2.5: W5 ROCP, W6 MOM, W8 MFI, W9 ULTOSC, W11 AROONOSC,
+W13 PPO, W14 STOCHF, W16 CCI).
+
+Each function adds indicator column(s) computed over
+``Window.partitionBy(key).orderBy(time)``. Values are **raw TA-Lib
+scale** (0–100 style); the pipeline applies the reference's ÷100/÷10
+output scaling (``stockdata/indicators.py:332,...,485``).
+
+TA-Lib lookback parity: TA-Lib emits NaN for the first ``lookback``
+rows of each series; we null the same rows via per-series
+``row_number`` guards, so outputs align bar-for-bar with the
+reference's TA-Lib 0.4.x calls.
+
+Zero-denominator convention: TA-Lib outputs 0.0 when a denominator is
+0 (STOCHF, CCI) — replicated with explicit ``when`` guards so results
+are engine-independent (no reliance on double ÷0 semantics).
+
+Scale notes: window frames of ≤ 28 rows over series partitions;
+everything stays in whole-stage codegen. One shuffle per distinct
+partition key, shared across all indicator windows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def series_window(
+    key_cols: Sequence[str] = ("ticker",), ws_col: str = "window_start"
+) -> WindowSpec:
+    return Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(ws_col)
+
+
+def _rn(w: WindowSpec) -> Column:
+    return F.row_number().over(w)
+
+
+def _safe_div(num: Column, den: Column, on_zero: float = 0.0) -> Column:
+    return F.when(den == F.lit(0.0), F.lit(on_zero)).otherwise(num / den)
+
+
+def with_rocp(
+    df: DataFrame,
+    close_col: str = "adj_close",
+    ks: Sequence[int] = (1, 2, 3, 4, 5),
+    key_cols: Sequence[str] = ("ticker",),
+    ws_col: str = "window_start",
+    prefix: str = "rocp_",
+) -> DataFrame:
+    """Rate-of-change-percent ``(c - c[-k]) / c[-k]`` for each k (W5).
+
+    Reference: ``stockdata/indicators.py:272-273,314-322`` (TA-Lib
+    ROCP on adj_close, k = 1..5).
+    """
+    w = series_window(key_cols, ws_col)
+    c = F.col(close_col)
+    cols = {}
+    for k in ks:
+        prev = F.lag(c, k).over(w)
+        cols[f"{prefix}{k}"] = _safe_div(c - prev, prev, on_zero=0.0)
+    return df.withColumns(cols)
+
+
+def with_mom(
+    df: DataFrame,
+    close_col: str = "adj_close",
+    n: int = 10,
+    key_cols: Sequence[str] = ("ticker",),
+    ws_col: str = "window_start",
+    out_col: str = "mom",
+) -> DataFrame:
+    """Momentum ``c - c[-n]`` (W6; dead code in the reference,
+    ``stockdata/indicators.py:306-312``)."""
+    w = series_window(key_cols, ws_col)
+    return df.withColumn(out_col, F.col(close_col) - F.lag(close_col, n).over(w))
+
+
+def with_mfi(
+    df: DataFrame,
+    high_col: str = "high",
+    low_col: str = "low",
+    close_col: str = "close",
+    vol_col: str = "volume",
+    n: int = 14,
+    key_cols: Sequence[str] = ("ticker",),
+    ws_col: str = "window_start",
+    out_col: str = "mfi",
+) -> DataFrame:
+    """Money Flow Index on the **unadjusted** close (W8,
+    ``stockdata/indicators.py:278-279,336-351``).
+
+    typical price → signed money flow vs previous typical price →
+    n-bar rolling positive/negative sums. First valid output at the
+    (n+1)-th row of each series (TA-Lib lookback n).
+    """
+    w = series_window(key_cols, ws_col)
+    frame = w.rowsBetween(-(n - 1), 0)
+    tp = (F.col(high_col) + F.col(low_col) + F.col(close_col)) / F.lit(3.0)
+    mf = tp * F.col(vol_col)
+    prev_tp = F.lag(tp, 1).over(w)
+    pos_flow = F.when(prev_tp.isNull(), F.lit(None)).when(tp > prev_tp, mf).otherwise(F.lit(0.0))
+    neg_flow = F.when(prev_tp.isNull(), F.lit(None)).when(tp < prev_tp, mf).otherwise(F.lit(0.0))
+    out = df.withColumn("_pos_f", pos_flow).withColumn("_neg_f", neg_flow)
+    pos = F.sum("_pos_f").over(frame)
+    neg = F.sum("_neg_f").over(frame)
+    valid = _rn(w) > F.lit(n)
+    mfi = F.when(valid, _safe_div(F.lit(100.0) * pos, pos + neg, on_zero=0.0))
+    return out.withColumn(out_col, mfi).drop("_pos_f", "_neg_f")
+
+
+def with_ultosc(
+    df: DataFrame,
+    high_col: str = "high",
+    low_col: str = "low",
+    close_col: str = "close",
+    n1: int = 7,
+    n2: int = 14,
+    n3: int = 28,
+    key_cols: Sequence[str] = ("ticker",),
+    ws_col: str = "window_start",
+    out_col: str = "ultosc",
+) -> DataFrame:
+    """Ultimate Oscillator (W9, ``stockdata/indicators.py:280-281,
+    353-370``): buying-pressure / true-range rolling sums at three
+    horizons, weighted 4/2/1. Unadjusted close. First valid at row
+    n3 + 1 (TA-Lib lookback n3)."""
+    w = series_window(key_cols, ws_col)
+    prev_c = F.lag(close_col, 1).over(w)
+    true_low = F.least(F.col(low_col), prev_c)
+    true_high = F.greatest(F.col(high_col), prev_c)
+    out = (
+        df.withColumn("_bp", F.col(close_col) - true_low)
+        .withColumn("_tr", true_high - true_low)
+    )
+    ratios = []
+    for n in (n1, n2, n3):
+        frame = w.rowsBetween(-(n - 1), 0)
+        ratios.append(_safe_div(F.sum("_bp").over(frame), F.sum("_tr").over(frame)))
+    a1, a2, a3 = ratios
+    valid = _rn(w) > F.lit(n3)
+    ult = F.when(valid, F.lit(100.0) * (F.lit(4.0) * a1 + F.lit(2.0) * a2 + a3) / F.lit(7.0))
+    return out.withColumn(out_col, ult).drop("_bp", "_tr")
+
+
+def with_aroonosc(
+    df: DataFrame,
+    high_col: str = "high",
+    low_col: str = "low",
+    n: int = 25,
+    key_cols: Sequence[str] = ("ticker",),
+    ws_col: str = "window_start",
+    out_col: str = "aroonosc",
+) -> DataFrame:
+    """Aroon Oscillator (W11, ``stockdata/indicators.py:284-285,
+    415-430``): ``100 · (idx_of_high − idx_of_low) / n`` over the
+    trailing n+1 bars. Ties resolve to the most recent bar (TA-Lib's
+    ``>=`` update rule in TA_AROON). First valid at row n + 1.
+
+    argmax-by via lexicographic struct max — portable, deterministic,
+    no UDF.
+    """
+    w = series_window(key_cols, ws_col)
+    frame = w.rowsBetween(-n, 0)
+    out = df.withColumn("_rn", _rn(w))
+    idx_hi = F.max(F.struct(F.col(high_col).alias("v"), F.col("_rn").alias("i"))).over(frame)["i"]
+    idx_lo = F.max(F.struct((-F.col(low_col)).alias("v"), F.col("_rn").alias("i"))).over(frame)["i"]
+    valid = F.col("_rn") > F.lit(n)
+    osc = F.when(valid, F.lit(100.0) * (idx_hi - idx_lo).cast("double") / F.lit(float(n)))
+    return out.withColumn(out_col, osc).drop("_rn")
+
+
+def with_ppo(
+    df: DataFrame,
+    close_col: str = "adj_close",
+    fast: int = 12,
+    slow: int = 26,
+    key_cols: Sequence[str] = ("ticker",),
+    ws_col: str = "window_start",
+    out_col: str = "ppo",
+) -> DataFrame:
+    """Percentage Price Oscillator with **SMA** moving averages (W13):
+    TA-Lib default matype=0 (``stockdata/indicators.py:288-289,
+    447-457``). ``100 · (SMA_fast − SMA_slow) / SMA_slow`` on
+    adj_close. First valid at row slow."""
+    w = series_window(key_cols, ws_col)
+    sma_fast = F.avg(close_col).over(w.rowsBetween(-(fast - 1), 0))
+    sma_slow = F.avg(close_col).over(w.rowsBetween(-(slow - 1), 0))
+    valid = _rn(w) >= F.lit(slow)
+    ppo = F.when(valid, _safe_div(F.lit(100.0) * (sma_fast - sma_slow), sma_slow, on_zero=0.0))
+    return df.withColumn(out_col, ppo)
+
+
+def with_stochf(
+    df: DataFrame,
+    high_col: str = "high",
+    low_col: str = "low",
+    close_col: str = "close",
+    fastk: int = 5,
+    fastd: int = 3,
+    key_cols: Sequence[str] = ("ticker",),
+    ws_col: str = "window_start",
+    k_col: str = "sok",
+    d_col: str = "sod",
+) -> DataFrame:
+    """Fast stochastic %K / %D (W14, ``stockdata/indicators.py:
+    290-293,386-401``), unadjusted close.
+
+    ``%K = 100·(C − LL_fastk)/(HH_fastk − LL_fastk)``;
+    ``%D = SMA_fastd(%K)``. TA-Lib aligns *both* outputs to lookback
+    ``(fastk−1)+(fastd−1)``, so both are null before that row.
+    Zero range → 0 (TA-Lib convention).
+    """
+    w = series_window(key_cols, ws_col)
+    ll = F.min(low_col).over(w.rowsBetween(-(fastk - 1), 0))
+    hh = F.max(high_col).over(w.rowsBetween(-(fastk - 1), 0))
+    raw_k = _safe_div(F.lit(100.0) * (F.col(close_col) - ll), hh - ll, on_zero=0.0)
+    out = df.withColumn("_raw_k", F.when(_rn(w) >= F.lit(fastk), raw_k))
+    sod = F.avg("_raw_k").over(w.rowsBetween(-(fastd - 1), 0))
+    valid = _rn(w) >= F.lit(fastk + fastd - 1)
+    return (
+        out.withColumn(k_col, F.when(valid, F.col("_raw_k")))
+        .withColumn(d_col, F.when(valid, sod))
+        .drop("_raw_k")
+    )
+
+
+def with_cci(
+    df: DataFrame,
+    high_col: str = "high",
+    low_col: str = "low",
+    close_col: str = "close",
+    n: int = 14,
+    key_cols: Sequence[str] = ("ticker",),
+    ws_col: str = "window_start",
+    out_col: str = "cci",
+) -> DataFrame:
+    """Commodity Channel Index (W16; dead code in the reference,
+    ``stockdata/indicators.py:372-384``, kept for completeness).
+
+    ``(tp − SMA_n(tp)) / (0.015 · meandev)`` where ``meandev`` is the
+    mean absolute deviation from the *current* window's SMA — the SMA
+    is fixed per output row, so it is not a plain nested window;
+    computed via ``collect_list`` over the frame + a higher-order
+    ``aggregate`` (still JVM-side, no Python).
+    """
+    w = series_window(key_cols, ws_col)
+    frame = w.rowsBetween(-(n - 1), 0)
+    tp = (F.col(high_col) + F.col(low_col) + F.col(close_col)) / F.lit(3.0)
+    out = df.withColumn("_tp", tp)
+    sma = F.avg("_tp").over(frame)
+    lst = F.collect_list("_tp").over(frame)
+    out = out.withColumn("_sma", sma).withColumn("_lst", lst)
+    meandev = (
+        F.aggregate(
+            F.col("_lst"),
+            F.lit(0.0),
+            lambda acc, x: acc + F.abs(x - F.col("_sma")),
+        )
+        / F.lit(float(n))
+    )
+    valid = _rn(w) >= F.lit(n)
+    cci = F.when(
+        valid,
+        F.when(meandev == F.lit(0.0), F.lit(0.0)).otherwise(
+            (F.col("_tp") - F.col("_sma")) / (F.lit(0.015) * meandev)
+        ),
+    )
+    return out.withColumn(out_col, cci).drop("_tp", "_sma", "_lst")

@@ -1,0 +1,199 @@
+"""Time-grid operators: session filter, segmentation, gap-fill,
+interpolation, regularity check (SURVEY.md §2.5 W0–W4, P7).
+
+All operators are pure DataFrame transformations over
+``Window.partitionBy(key).orderBy(time)`` — no UDFs, no collects —
+so they stay inside whole-stage codegen and scale by partitioning on
+the series key. Time is int64 epoch-nanoseconds throughout (reference
+convention, ``stockdata/utils.py:11``).
+
+Scale notes (100 TB): every window here partitions by the series key
+(ticker / sub_ticker). One hash shuffle on the key amortizes across
+all subsequent window ops with the same key because Spark reuses the
+child's output partitioning. Hot keys are bounded in this domain
+(≤ ~390 rows per ticker-day for 1m bars), so no salting is required;
+for generic event streams, pre-partition by (key, day) first.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+NS_PER_S = 1_000_000_000
+
+
+def market_hours_filter(
+    df: DataFrame,
+    lower_ns: int,
+    upper_ns: int,
+    ws_col: str = "window_start",
+) -> DataFrame:
+    """Half-open time-range predicate ``lower <= ws < upper`` (P7).
+
+    Reference: ``stockdata/indicators.py:171-176`` with bounds from
+    ``stockdata/utils.py:26-36`` (09:30–16:30 ET). Bounds are plain
+    long literals → Parquet predicate pushdown applies.
+    """
+    c = F.col(ws_col)
+    return df.filter((c >= F.lit(lower_ns)) & (c < F.lit(upper_ns)))
+
+
+def segment_series(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("ticker",),
+    ws_col: str = "window_start",
+    allowed_gaps_s: Sequence[int] = (60, 120, 180),
+    min_rows: int = 2,
+    seg_col: str = "segment_id",
+    sub_key_col: str = "sub_ticker",
+) -> DataFrame:
+    """Gaps-and-islands segmentation (W1).
+
+    Reference semantics (``stockdata/indicators.py:41-66,178-194``):
+    a row *starts a new segment* when its gap to the previous row is
+    not in ``allowed_gaps_s``; segments with fewer than ``min_rows``
+    rows are dropped; surviving segments are renumbered consecutively
+    ``0..k`` in time order, and the sub-key is ``f"{key}-{i}"``.
+
+    Implementation: lag → break flag → running sum → windowed count
+    filter → dense_rank renumber. All four windows share
+    ``partitionBy(key)``, so there is exactly one shuffle.
+    """
+    keys = [F.col(k) for k in key_cols]
+    w = Window.partitionBy(*keys).orderBy(ws_col)
+
+    gap_s = (F.col(ws_col) - F.lag(ws_col, 1).over(w)) / F.lit(NS_PER_S)
+    is_break = gap_s.isNotNull() & ~gap_s.isin([float(g) for g in allowed_gaps_s])
+
+    raw_seg = F.sum(is_break.cast("int")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("_raw_seg", raw_seg)
+
+    w_seg = Window.partitionBy(*keys, F.col("_raw_seg"))
+    out = out.withColumn("_seg_n", F.count(F.lit(1)).over(w_seg)).filter(
+        F.col("_seg_n") >= F.lit(min_rows)
+    )
+
+    # renumber surviving segments 0..k per key (indicators.py:186-193)
+    w_rank = Window.partitionBy(*keys).orderBy("_raw_seg")
+    out = out.withColumn(seg_col, (F.dense_rank().over(w_rank) - F.lit(1)).cast("int"))
+    sub = F.concat_ws("-", *[F.col(k).cast("string") for k in key_cols], F.col(seg_col))
+    return out.withColumn(sub_key_col, sub).drop("_raw_seg", "_seg_n")
+
+
+def fill_gaps(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("sub_ticker",),
+    ws_col: str = "window_start",
+    step_ns: int = 60 * NS_PER_S,
+    carry_cols: Sequence[str] = (),
+    synthetic_col: str | None = None,
+) -> DataFrame:
+    """Missing-timestamp fill within a segment (W2).
+
+    Reference (``stockdata/indicators.py:69-94,196-211``): for every
+    observed gap that is a multiple of the step, synthesize the absent
+    rows; synthetic rows carry only the time + key (+ ``carry_cols``,
+    e.g. the parent ticker); all other columns are null.
+
+    Implementation: ``lag`` → ``sequence(prev+step, cur-step, step)``
+    → ``explode`` → ``unionByName(allowMissingColumns=True)``. The
+    generated side is derived from the same partitioning, and at most
+    doubles-ish the data for allowed gaps ≤ 3 steps — no join needed
+    (SURVEY.md J1 union-of-missing form).
+
+    ``synthetic_col``: optional bool marker column name for the
+    generated rows (observed rows get false).
+    """
+    w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(ws_col)
+    prev = F.lag(ws_col, 1).over(w)
+
+    keep = list(dict.fromkeys([*key_cols, *carry_cols]))
+    gaps = (
+        df.withColumn("_prev_ws", prev)
+        .filter(F.col("_prev_ws").isNotNull() & (F.col(ws_col) - F.col("_prev_ws") > F.lit(step_ns)))
+        .select(
+            *keep,
+            F.explode(
+                F.sequence(
+                    F.col("_prev_ws") + F.lit(step_ns),
+                    F.col(ws_col) - F.lit(step_ns),
+                    F.lit(step_ns),
+                )
+            ).alias(ws_col),
+        )
+    )
+    base = df
+    if synthetic_col is not None:
+        base = base.withColumn(synthetic_col, F.lit(False))
+        gaps = gaps.withColumn(synthetic_col, F.lit(True))
+    return base.unionByName(gaps, allowMissingColumns=True)
+
+
+def interpolate_linear(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    key_cols: Sequence[str] = ("sub_ticker",),
+    ws_col: str = "window_start",
+) -> DataFrame:
+    """Per-key linear interpolation of nulls, edges clamped (W4).
+
+    Matches pandas ``interpolate(method="linear",
+    limit_direction="both")`` on a regular grid
+    (``stockdata/indicators.py:151-163,263-264``): interior nulls are
+    time-weighted blends of the nearest non-null neighbors;
+    leading/trailing nulls clamp to the nearest valid value.
+
+    Implementation: ``last(ignorenulls)`` back / ``first(ignorenulls)``
+    forward frames + a distance-weighted blend — two window frames per
+    column, same partitioning, no UDF.
+    """
+    keys = [F.col(k) for k in key_cols]
+    w = Window.partitionBy(*keys).orderBy(ws_col)
+    w_back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ws = F.col(ws_col)
+
+    out = df
+    for c in value_cols:
+        v = F.col(c)
+        ts_if = F.when(v.isNotNull(), ws)
+        prev_v = F.last(v, ignorenulls=True).over(w_back)
+        prev_t = F.last(ts_if, ignorenulls=True).over(w_back)
+        next_v = F.first(v, ignorenulls=True).over(w_fwd)
+        next_t = F.first(ts_if, ignorenulls=True).over(w_fwd)
+        frac = (ws - prev_t).cast("double") / (next_t - prev_t).cast("double")
+        out = out.withColumn(
+            c,
+            F.when(v.isNotNull(), v)
+            .when(prev_v.isNull(), next_v)  # leading-edge clamp
+            .when(next_v.isNull(), prev_v)  # trailing-edge clamp
+            .otherwise(prev_v + (next_v - prev_v) * frac),
+        )
+    return out
+
+
+def regularity_violations(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("sub_ticker",),
+    ws_col: str = "window_start",
+    step_ns: int = 60 * NS_PER_S,
+) -> DataFrame:
+    """Rows whose gap to the previous row ≠ step (W3).
+
+    The reference *constructs but never raises* its regularity
+    ``ValueError`` (``stockdata/indicators.py:25-38,256-261``) — the
+    check is inert. Here it is a real operator returning the violating
+    rows; callers may ``.isEmpty()``-assert (fixing the reference bug)
+    or ignore (bug-compatible).
+    """
+    w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(ws_col)
+    gap = F.col(ws_col) - F.lag(ws_col, 1).over(w)
+    return (
+        df.withColumn("_gap_ns", gap)
+        .filter(F.col("_gap_ns").isNotNull() & (F.col("_gap_ns") != F.lit(step_ns)))
+    )
