@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query: the full indicator feature frame
+(SURVEY.md §2.5 W5–W17) over the sf0.001 ``events`` table mapped to
+bar series (FIXTURES.md §3).
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+from SURVEY.md §2 (+ the §7 extension surface); oracle SQL runs on
+DuckDB over the same parquet. Recursive Wilder/EMA indicators are not
+SQL-expressible → rows-only entries (numeric parity covered by
+tests/test_kernels.py instead).
 """
 
 from __future__ import annotations
@@ -13,26 +17,63 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from stock_indicators_etl_spark.config import IndicatorConfig
+from stock_indicators_etl_spark.operators.pipeline import generate_indicators
+from stock_indicators_etl_spark.queries import (
+    ORACLES,
+    QUERIES,
+    events_as_bars,
+    minute_bars,
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full 20-column indicator frame on sf0.001 events."""
+    bars = events_as_bars(spark, "/root/testdata/sf0.001")
+    return generate_indicators(bars, IndicatorConfig(), assume_regular=True)
+
+
+def _q_indicator_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full grid pipeline (segment → fill → interpolate → indicators)
+    on events bucketed per event_type to a 10-minute grid (dense
+    enough that segments survive the min-2-rows rule); rows-only
+    check (recursive indicators inside)."""
+    step = 600
+    mb = minute_bars(spark, sf_dir, step_s=step, key="event_type").withColumnRenamed(
+        "price", "adj_close"
+    )
+    from pyspark.sql import functions as F
+
+    bars = (
+        mb.withColumn("close", F.col("adj_close"))
+        .withColumn("high", F.col("adj_close") + F.lit(1.0))
+        .withColumn("low", F.col("adj_close") - F.lit(1.0))
+        .withColumn("volume", F.lit(1.0))
+    )
+    cfg = IndicatorConfig(
+        grid_step_s=step, allowed_gaps_s=(step, 2 * step, 3 * step)
+    )
+    return generate_indicators(bars, cfg)
+
+
+def _q_recursive(features: list[str]) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        bars = events_as_bars(spark, sf_dir)
+        cfg = IndicatorConfig(momentum_features=features)
+        return generate_indicators(bars, cfg, assume_regular=True)
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q = dict(QUERIES)
+    q["indicator_pipeline_grid"] = _q_indicator_pipeline
+    q["rsi_wilder"] = _q_recursive(["rsi"])
+    q["cmo_wilder"] = _q_recursive(["cmo"])
+    q["macdfix_hist"] = _q_recursive(["macd"])
+    q["adx_family"] = _q_recursive(["adx"])
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark headline queries (driver contract).
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}``.
+
+Each query is forced end-to-end with a noop-format write (full
+computation, no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from stock_indicators_etl_spark.session import get_spark  # noqa: E402
+
+
+def run() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="bench")
+    queries = entry_mod.queries()
+
+    headline = [
+        "market_hours_filter",
+        "rocp_mom",
+        "segmentation",
+        "gapfill",
+        "interpolate",
+        "mfi",
+        "ultosc",
+        "aroonosc",
+        "ppo",
+        "stochf",
+        "cci",
+        "pricing_summary",
+        "revenue_by_nation",
+        "top_orders_per_segment",
+        "sessionize",
+        "ohlcv_rollup",
+        "rsi_wilder",
+        "adx_family",
+        "indicator_pipeline_grid",
+    ]
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()  # warm (I/O cache, codegen)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    run()

@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Self-check harness mirroring the driver's t2 oracle comparison:
+runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB, then compares row count, column names, and
+order-insensitive values.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            try:
+                df[c] = df[c].astype(str)
+            except Exception:
+                pass
+    df = df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(sdf.columns) != sorted(ddf.columns):
+        problems.append(f"columns: spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}")
+        return problems
+    if len(sdf) != len(ddf):
+        problems.append(f"rowcount: spark={len(sdf)} duck={len(ddf)}")
+    a, b = canon(sdf), canon(ddf)
+    if len(a) == len(b):
+        for c in a.columns:
+            x, y = a[c], b[c]
+            if np.issubdtype(x.dtype, np.floating) or np.issubdtype(y.dtype, np.floating):
+                x = pd.to_numeric(x, errors="coerce")
+                y = pd.to_numeric(y, errors="coerce")
+                bad = ~(np.isclose(x, y, rtol=0, atol=1e-9, equal_nan=True) | (x.isna() & y.isna()))
+            else:
+                bad = ~((x == y) | (x.isna() & y.isna()))
+            if bad.any():
+                i = int(np.argmax(bad.values))
+                problems.append(
+                    f"col {c}: {int(bad.sum())} mismatches, first at sorted-row {i}: "
+                    f"spark={a[c].iloc[i]!r} duck={b[c].iloc[i]!r}"
+                )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from stock_indicators_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="check_oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    n_fail = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        sql = oracles.get(name)
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if sql is None:
+            print(f"ROWS-ONLY {name}: {len(sdf)} rows (no oracle)")
+            continue
+        try:
+            ddf = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            n_fail += 1
+            print(f"FAIL {name} ({len(sdf)} vs {len(ddf)} rows)")
+            for p in problems[:5]:
+                print(f"    {p}")
+        else:
+            print(f"OK   {name} ({len(sdf)} rows)")
+    print(f"\n{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -85,17 +85,29 @@ def prepare_grid(df: DataFrame, cfg: IndicatorConfig, date: str | None = None) -
 
 
 def generate_indicators(
-    df: DataFrame, cfg: IndicatorConfig | None = None, date: str | None = None
+    df: DataFrame,
+    cfg: IndicatorConfig | None = None,
+    date: str | None = None,
+    assume_regular: bool = False,
 ) -> DataFrame:
     """Full reference-parity indicator pipeline (E2).
 
     ``date`` (YYYY-MM-DD): apply the market-hours filter for that day
     (omit for pre-filtered/backtest data).
+
+    ``assume_regular``: skip the time-grid stages (segmentation /
+    gap-fill / interpolation) and treat each ticker's series as one
+    regular segment — for already-gridded or generic ordered series.
     """
     cfg = cfg or IndicatorConfig()
     ws = cfg.time_column
     key = ("sub_ticker",)
-    grid = prepare_grid(df, cfg, date)
+    if assume_regular:
+        grid = df.filter(F.col(cfg.ticker_column).isNotNull()).withColumn(
+            "sub_ticker", F.concat_ws("-", F.col(cfg.ticker_column).cast("string"), F.lit("0"))
+        )
+    else:
+        grid = prepare_grid(df, cfg, date)
 
     feats = list(cfg.momentum_features)
     scale = F.lit(100.0) if cfg.scale else F.lit(1.0)

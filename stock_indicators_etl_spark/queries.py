@@ -1,0 +1,756 @@
+"""Named queries for the driver contract (``__spark_entry__.py``).
+
+Each entry pairs a PySpark DataFrame program with an equivalent ANSI
+SQL string that DuckDB runs on the same parquet tables — the driver
+compares row counts, schemas, and order-insensitive value hashes at
+sf0.01 (SURVEY.md §5 item 1).
+
+Conventions shared by BOTH sides so hashes agree:
+- computed doubles are ``floor((x) * 1000000 + 0.5) / 1000000``;
+- epoch-ns ints via Spark ``unix_micros·1000`` ≡ DuckDB ``epoch_ns``;
+- explicit ``CASE WHEN den = 0 THEN 0`` division guards (no reliance
+  on engine ÷0 semantics);
+- TA-Lib lookback nulls via identical ``row_number`` guards;
+- deterministic tie-breaks on every top-k / argmax.
+
+The ``events`` table stands in for the bar series (FIXTURES.md §3):
+``user_id`` → ticker, ``epoch_ns(ts)`` → window_start, ``value`` →
+price; synthetic OHLCV columns are derived arithmetically so both
+engines see identical inputs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stock_indicators_etl_spark.functions.timefns import market_bounds_ns
+from stock_indicators_etl_spark.operators.rolling import (
+    with_aroonosc,
+    with_cci,
+    with_mfi,
+    with_mom,
+    with_ppo,
+    with_rocp,
+    with_stochf,
+    with_ultosc,
+)
+from stock_indicators_etl_spark.operators.timegrid import (
+    fill_gaps,
+    interpolate_linear,
+    market_hours_filter,
+    segment_series,
+)
+
+NS = 1_000_000_000
+STEP_NS = 60 * NS
+
+
+# Rounding convention: Spark's round() is HALF_UP on exact decimals,
+# DuckDB's differs at half-way doubles — so both sides round via
+# floor(x·10^d + 0.5)/10^d, which is bit-identical for identical x.
+def _rc(c, d: int = 6):
+    p = float(10**d)
+    return F.floor(c * F.lit(p) + F.lit(0.5)) / F.lit(p)
+
+
+def R6(expr: str) -> str:
+    return f"floor(({expr}) * 1000000 + 0.5) / 1000000"
+
+
+def R4(expr: str) -> str:
+    return f"floor(({expr}) * 10000 + 0.5) / 10000"
+
+# ---------------------------------------------------------------------------
+# shared input prep
+# ---------------------------------------------------------------------------
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ns`` = int64 epoch-ns event time.
+
+    The events parquet stores TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` the ``ts`` column arrives
+    as int64 epoch-ns directly (≡ DuckDB ``epoch_ns(ts)``).
+    """
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = dict(e.dtypes)["ts"]
+    # truncate to microsecond precision: DuckDB reads TIMESTAMP_NS
+    # parquet as us-TIMESTAMP, so epoch_ns(ts) is us-truncated there
+    ns = (
+        F.expr("ts DIV 1000") * F.lit(1000)
+        if ts_type == "bigint"
+        else F.unix_micros("ts") * F.lit(1000)
+    )
+    return e.withColumn("ns", ns.cast("long"))
+
+
+def events_as_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → bar-shaped series: key=user_id, ws=epoch-ns(ts),
+    synthetic OHLCV derived from ``value``/``event_id`` (portable
+    arithmetic, identical in the SQL prelude below)."""
+    e = _events(spark, sf_dir)
+    v = F.col("value")
+    return e.select(
+        F.col("user_id").cast("string").alias("ticker"),
+        F.col("ns").alias("window_start"),
+        v.alias("adj_close"),
+        v.alias("close"),
+        (v + F.lit(1.0)).alias("high"),
+        (v - F.lit(1.0)).alias("low"),
+        (F.col("event_id") % F.lit(97) + F.lit(1)).cast("double").alias("volume"),
+    )
+
+
+#: SQL prelude mirroring :func:`events_as_bars` (DuckDB).
+BARS_CTE = """
+bars AS (
+  SELECT CAST(user_id AS VARCHAR) AS ticker,
+         epoch_ns(ts) AS window_start,
+         value AS adj_close,
+         value AS close,
+         value + 1.0 AS high,
+         value - 1.0 AS low,
+         CAST(event_id % 97 + 1 AS DOUBLE) AS volume
+  FROM events
+)
+"""
+
+
+def minute_bars(
+    spark: SparkSession, sf_dir: str, step_s: int = 60, key: str = "user_id"
+) -> DataFrame:
+    """events bucketed to a step grid per key: avg value per bucket
+    (the grid input for segmentation / gap-fill / interpolation)."""
+    e = _events(spark, sf_dir)
+    step = step_s * NS
+    return (
+        e.select(F.col(key).cast("string").alias("ticker"), "ns", "value")
+        .groupBy("ticker", (F.expr(f"ns DIV {step}") * F.lit(step)).alias("window_start"))
+        .agg(_rc(F.avg("value")).alias("price"))
+    )
+
+
+def MINUTE_BARS_CTE(step_s: int = 60) -> str:
+    step = step_s * NS
+    return f"""
+m AS (
+  SELECT CAST(user_id AS VARCHAR) AS ticker,
+         (epoch_ns(ts) // {step}) * {step} AS window_start,
+         {R6('avg(value)')} AS price
+  FROM events
+  GROUP BY 1, 2
+)
+"""
+
+
+def _r6(df: DataFrame, *cols: str) -> DataFrame:
+    return df.withColumns({c: _rc(F.col(c)) for c in cols})
+
+
+# ---------------------------------------------------------------------------
+# P7/F1-F2: market-hours range filter
+# ---------------------------------------------------------------------------
+
+SESSION_DATE = "2024-01-02"
+_LO, _HI = market_bounds_ns(SESSION_DATE)
+
+
+def q_market_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = events_as_bars(spark, sf_dir)
+    return market_hours_filter(bars, _LO, _HI).select(
+        "ticker", "window_start", "adj_close", "volume"
+    )
+
+
+SQL_MARKET_HOURS = f"""
+WITH {BARS_CTE}
+SELECT ticker, window_start, adj_close, volume
+FROM bars WHERE window_start >= {_LO} AND window_start < {_HI}
+"""
+
+# ---------------------------------------------------------------------------
+# W5/W6: ROCP + MOM
+# ---------------------------------------------------------------------------
+
+
+def q_rocp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = with_rocp(events_as_bars(spark, sf_dir), "adj_close", ks=(1, 2, 3, 4, 5))
+    out = with_mom(out, "adj_close", n=10)
+    return _r6(
+        out.select("ticker", "window_start", "rocp_1", "rocp_2", "rocp_3", "rocp_4", "rocp_5", "mom"),
+        "rocp_1", "rocp_2", "rocp_3", "rocp_4", "rocp_5", "mom",
+    )
+
+
+def _rocp_sql_term(k: int) -> str:
+    lagv = f"lag(adj_close, {k}) OVER w"
+    return (
+        f"floor((CASE WHEN {lagv} = 0 THEN 0 ELSE (adj_close - {lagv}) / {lagv} END) * 1000000 + 0.5) / 1000000"
+        f" AS rocp_{k}"
+    )
+
+
+SQL_ROCP = f"""
+WITH {BARS_CTE}
+SELECT ticker, window_start,
+       {", ".join(_rocp_sql_term(k) for k in range(1, 6))},
+       floor((adj_close - lag(adj_close, 10) OVER w) * 1000000 + 0.5) / 1000000 AS mom
+FROM bars
+WINDOW w AS (PARTITION BY ticker ORDER BY window_start)
+"""
+
+# ---------------------------------------------------------------------------
+# W1: segmentation (on the minute grid)
+# ---------------------------------------------------------------------------
+
+
+def q_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return segment_series(
+        minute_bars(spark, sf_dir), key_cols=("ticker",), allowed_gaps_s=(60, 120, 180)
+    ).select("ticker", "window_start", "price", "segment_id", "sub_ticker")
+
+
+SEGMENT_CTES = f"""
+{MINUTE_BARS_CTE()},
+g AS (
+  SELECT *, (window_start - lag(window_start) OVER (PARTITION BY ticker ORDER BY window_start)) / {NS} AS gap_s
+  FROM m
+),
+s AS (
+  SELECT *, sum(CASE WHEN gap_s IS NOT NULL AND gap_s NOT IN (60, 120, 180) THEN 1 ELSE 0 END)
+            OVER (PARTITION BY ticker ORDER BY window_start ROWS UNBOUNDED PRECEDING) AS raw_seg
+  FROM g
+),
+c AS (
+  SELECT *, count(*) OVER (PARTITION BY ticker, raw_seg) AS seg_n FROM s
+),
+seg AS (
+  SELECT ticker, window_start, price,
+         CAST(dense_rank() OVER (PARTITION BY ticker ORDER BY raw_seg) - 1 AS INT) AS segment_id
+  FROM c WHERE seg_n >= 2
+),
+segf AS (
+  SELECT *, concat(ticker, '-', CAST(segment_id AS VARCHAR)) AS sub_ticker FROM seg
+)
+"""
+
+SQL_SEGMENTATION = f"""
+WITH {SEGMENT_CTES}
+SELECT ticker, window_start, price, segment_id, sub_ticker FROM segf
+"""
+
+# ---------------------------------------------------------------------------
+# W2: gap-fill  +  W4: interpolation (on segmented minute grid)
+# ---------------------------------------------------------------------------
+
+
+def _segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return segment_series(
+        minute_bars(spark, sf_dir), key_cols=("ticker",), allowed_gaps_s=(60, 120, 180)
+    )
+
+
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fill_gaps(
+        _segmented(spark, sf_dir),
+        key_cols=("sub_ticker",),
+        carry_cols=("ticker",),
+        synthetic_col="synth",
+    ).select("ticker", "sub_ticker", "window_start", "price", "synth")
+
+
+GAPFILL_CTES = f"""
+{SEGMENT_CTES},
+gf AS (
+  SELECT ticker, sub_ticker, window_start, price, false AS synth FROM segf
+  UNION ALL
+  SELECT ticker, sub_ticker,
+         unnest(generate_series(prev_ws + {STEP_NS}, window_start - {STEP_NS}, {STEP_NS})) AS window_start,
+         NULL AS price, true AS synth
+  FROM (
+    SELECT *, lag(window_start) OVER (PARTITION BY sub_ticker ORDER BY window_start) AS prev_ws
+    FROM segf
+  )
+  WHERE prev_ws IS NOT NULL AND window_start - prev_ws > {STEP_NS}
+)
+"""
+
+SQL_GAPFILL = f"""
+WITH {GAPFILL_CTES}
+SELECT ticker, sub_ticker, window_start, price, synth FROM gf
+"""
+
+
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    filled = fill_gaps(
+        _segmented(spark, sf_dir), key_cols=("sub_ticker",), carry_cols=("ticker",)
+    )
+    out = interpolate_linear(filled, ["price"], key_cols=("sub_ticker",))
+    return _r6(out.select("ticker", "sub_ticker", "window_start", "price"), "price")
+
+
+SQL_INTERPOLATE = f"""
+WITH {GAPFILL_CTES},
+ip AS (
+  SELECT ticker, sub_ticker, window_start, price,
+         last_value(price IGNORE NULLS) OVER (PARTITION BY sub_ticker ORDER BY window_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         last_value(CASE WHEN price IS NOT NULL THEN window_start END IGNORE NULLS)
+             OVER (PARTITION BY sub_ticker ORDER BY window_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+         first_value(price IGNORE NULLS) OVER (PARTITION BY sub_ticker ORDER BY window_start
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(CASE WHEN price IS NOT NULL THEN window_start END IGNORE NULLS)
+             OVER (PARTITION BY sub_ticker ORDER BY window_start
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+  FROM gf
+)
+SELECT ticker, sub_ticker, window_start,
+       floor((CASE WHEN price IS NOT NULL THEN price
+                  WHEN prev_v IS NULL THEN next_v
+                  WHEN next_v IS NULL THEN prev_v
+                  ELSE prev_v + (next_v - prev_v)
+                       * (CAST(window_start - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE))
+             END) * 1000000 + 0.5) / 1000000 AS price
+FROM ip
+"""
+
+# ---------------------------------------------------------------------------
+# W8 MFI / W9 ULTOSC / W11 AROONOSC / W13 PPO / W14 STOCHF / W16 CCI
+# (raw TA-Lib scale, rounded)
+# ---------------------------------------------------------------------------
+
+
+def q_mfi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = with_mfi(events_as_bars(spark, sf_dir), n=14)
+    return _r6(out.select("ticker", "window_start", "mfi"), "mfi")
+
+
+SQL_MFI = f"""
+WITH {BARS_CTE},
+t AS (
+  SELECT ticker, window_start,
+         (high + low + close) / 3.0 AS tp,
+         (high + low + close) / 3.0 * volume AS mf,
+         row_number() OVER w AS rn,
+         lag((high + low + close) / 3.0) OVER w AS prev_tp
+  FROM bars
+  WINDOW w AS (PARTITION BY ticker ORDER BY window_start)
+),
+fl AS (
+  SELECT *,
+         CASE WHEN prev_tp IS NULL THEN NULL WHEN tp > prev_tp THEN mf ELSE 0.0 END AS pos_f,
+         CASE WHEN prev_tp IS NULL THEN NULL WHEN tp < prev_tp THEN mf ELSE 0.0 END AS neg_f
+  FROM t
+),
+sm AS (
+  SELECT ticker, window_start, rn,
+         sum(pos_f) OVER fr AS pos, sum(neg_f) OVER fr AS neg
+  FROM fl
+  WINDOW fr AS (PARTITION BY ticker ORDER BY window_start ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT ticker, window_start,
+       floor((CASE WHEN rn <= 14 THEN NULL
+                  WHEN pos + neg = 0 THEN 0.0
+                  ELSE 100.0 * pos / (pos + neg) END) * 1000000 + 0.5) / 1000000 AS mfi
+FROM sm
+"""
+
+
+def q_ultosc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = with_ultosc(events_as_bars(spark, sf_dir))
+    return _r6(out.select("ticker", "window_start", "ultosc"), "ultosc")
+
+
+SQL_ULTOSC = f"""
+WITH {BARS_CTE},
+t AS (
+  SELECT ticker, window_start, row_number() OVER w AS rn,
+         close - least(low, lag(close) OVER w) AS bp,
+         greatest(high, lag(close) OVER w) - least(low, lag(close) OVER w) AS tr
+  FROM bars
+  WINDOW w AS (PARTITION BY ticker ORDER BY window_start)
+),
+sm AS (
+  SELECT ticker, window_start, rn,
+         sum(bp) OVER f7 AS bp7, sum(tr) OVER f7 AS tr7,
+         sum(bp) OVER f14 AS bp14, sum(tr) OVER f14 AS tr14,
+         sum(bp) OVER f28 AS bp28, sum(tr) OVER f28 AS tr28
+  FROM t
+  WINDOW f7 AS (PARTITION BY ticker ORDER BY window_start ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+         f14 AS (PARTITION BY ticker ORDER BY window_start ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+         f28 AS (PARTITION BY ticker ORDER BY window_start ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+)
+SELECT ticker, window_start,
+       floor((CASE WHEN rn <= 28 THEN NULL ELSE
+         100.0 * (4.0 * (CASE WHEN tr7 = 0 THEN 0 ELSE bp7 / tr7 END)
+                + 2.0 * (CASE WHEN tr14 = 0 THEN 0 ELSE bp14 / tr14 END)
+                + (CASE WHEN tr28 = 0 THEN 0 ELSE bp28 / tr28 END)) / 7.0 END) * 1000000 + 0.5) / 1000000 AS ultosc
+FROM sm
+"""
+
+
+def q_aroonosc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = with_aroonosc(events_as_bars(spark, sf_dir), n=25)
+    return _r6(out.select("ticker", "window_start", "aroonosc"), "aroonosc")
+
+
+SQL_AROONOSC = f"""
+WITH {BARS_CTE},
+t AS (
+  SELECT ticker, window_start, high, low, row_number() OVER w AS rn
+  FROM bars WINDOW w AS (PARTITION BY ticker ORDER BY window_start)
+),
+mx AS (
+  SELECT ticker, window_start, rn,
+         (max(struct_pack(v := high, i := rn)) OVER fr).i AS idx_hi,
+         (max(struct_pack(v := -low, i := rn)) OVER fr).i AS idx_lo
+  FROM t
+  WINDOW fr AS (PARTITION BY ticker ORDER BY window_start ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)
+)
+SELECT ticker, window_start,
+       floor((CASE WHEN rn <= 25 THEN NULL
+             ELSE 100.0 * CAST(idx_hi - idx_lo AS DOUBLE) / 25.0 END) * 1000000 + 0.5) / 1000000 AS aroonosc
+FROM mx
+"""
+
+
+def q_ppo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = with_ppo(events_as_bars(spark, sf_dir))
+    return _r6(out.select("ticker", "window_start", "ppo"), "ppo")
+
+
+SQL_PPO = f"""
+WITH {BARS_CTE},
+t AS (
+  SELECT ticker, window_start, row_number() OVER w AS rn,
+         avg(adj_close) OVER (w ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS sma12,
+         avg(adj_close) OVER (w ROWS BETWEEN 25 PRECEDING AND CURRENT ROW) AS sma26
+  FROM bars WINDOW w AS (PARTITION BY ticker ORDER BY window_start)
+)
+SELECT ticker, window_start,
+       floor((CASE WHEN rn < 26 THEN NULL
+                  WHEN sma26 = 0 THEN 0.0
+                  ELSE 100.0 * (sma12 - sma26) / sma26 END) * 1000000 + 0.5) / 1000000 AS ppo
+FROM t
+"""
+
+
+def q_stochf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = with_stochf(events_as_bars(spark, sf_dir))
+    return _r6(out.select("ticker", "window_start", "sok", "sod"), "sok", "sod")
+
+
+SQL_STOCHF = f"""
+WITH {BARS_CTE},
+t AS (
+  SELECT ticker, window_start, close, row_number() OVER w AS rn,
+         min(low) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS ll,
+         max(high) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS hh
+  FROM bars WINDOW w AS (PARTITION BY ticker ORDER BY window_start)
+),
+k AS (
+  SELECT ticker, window_start, rn,
+         CASE WHEN rn >= 5 THEN
+           CASE WHEN hh - ll = 0 THEN 0.0 ELSE 100.0 * (close - ll) / (hh - ll) END
+         END AS raw_k
+  FROM t
+),
+d AS (
+  SELECT ticker, window_start, rn, raw_k,
+         avg(raw_k) OVER (PARTITION BY ticker ORDER BY window_start
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS sod_raw
+  FROM k
+)
+SELECT ticker, window_start,
+       floor((CASE WHEN rn >= 7 THEN raw_k END) * 1000000 + 0.5) / 1000000 AS sok,
+       floor((CASE WHEN rn >= 7 THEN sod_raw END) * 1000000 + 0.5) / 1000000 AS sod
+FROM d
+"""
+
+
+def q_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = with_cci(events_as_bars(spark, sf_dir), n=14)
+    return _r6(out.select("ticker", "window_start", "cci"), "cci")
+
+
+SQL_CCI = f"""
+WITH {BARS_CTE},
+t AS (
+  SELECT ticker, window_start, (high + low + close) / 3.0 AS tp,
+         row_number() OVER w AS rn
+  FROM bars WINDOW w AS (PARTITION BY ticker ORDER BY window_start)
+),
+a AS (
+  SELECT ticker, window_start, tp, rn,
+         avg(tp) OVER fr AS sma,
+         list(tp) OVER fr AS lst
+  FROM t
+  WINDOW fr AS (PARTITION BY ticker ORDER BY window_start ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+),
+md AS (
+  SELECT ticker, window_start, tp, rn, sma,
+         list_sum(list_transform(lst, x -> abs(x - sma))) / 14.0 AS meandev
+  FROM a
+)
+SELECT ticker, window_start,
+       floor((CASE WHEN rn < 14 THEN NULL
+                  WHEN meandev = 0 THEN 0.0
+                  ELSE (tp - sma) / (0.015 * meandev) END) * 1000000 + 0.5) / 1000000 AS cci
+FROM md
+"""
+
+# ---------------------------------------------------------------------------
+# F4: ISO week functions  +  general engine breadth (agg / join / top-k)
+# ---------------------------------------------------------------------------
+
+
+def q_iso_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.groupBy(
+            F.weekofyear("o_orderdate").alias("iso_week"),
+            F.expr("extract(YEAROFWEEK FROM o_orderdate)").cast("long").alias("iso_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _rc(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
+    )
+
+
+SQL_ISO_WEEK = """
+SELECT week(o_orderdate) AS iso_week,
+       CAST(isoyear(o_orderdate) AS BIGINT) AS iso_year,
+       count(*) AS n_orders,
+       floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS sum_price
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style aggregation over lineitem (scan+filter+agg)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _rc(F.sum("l_quantity"), 4).alias("sum_qty"),
+            _rc(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            _rc(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            _rc(F.avg("l_quantity"), 6).alias("avg_qty"),
+            _rc(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       floor((sum(l_quantity)) * 10000 + 0.5) / 10000 AS sum_qty,
+       floor((sum(l_extendedprice)) * 10000 + 0.5) / 10000 AS sum_base_price,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS sum_disc_price,
+       floor((avg(l_quantity)) * 1000000 + 0.5) / 1000000 AS avg_qty,
+       floor((avg(l_discount)) * 1000000 + 0.5) / 1000000 AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: orders ⋈ customer ⋈ nation ⋈ region with broadcast
+    dims (SURVEY.md J2 analog; nation/region are broadcast-size)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            _rc(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT r_name, n_name,
+       floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k with deterministic tie-break (window rank)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("c_mktsegment", "rk", "o_orderkey", "o_totalprice")
+    )
+
+
+SQL_TOP_ORDERS_PER_SEGMENT = """
+SELECT c_mktsegment, rk, o_orderkey, o_totalprice
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+WHERE rk <= 5
+"""
+
+# ---------------------------------------------------------------------------
+# Sessionization (batch gaps-and-islands; streaming twin in streaming/)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_S = 1800
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ns")
+    out = (
+        e.select("user_id", "ns", "value")
+        .withColumn("prev_ns", F.lag("ns").over(w))
+        .withColumn(
+            "new_sess",
+            (F.col("prev_ns").isNull() | (F.col("ns") - F.col("prev_ns") > SESSION_GAP_S * NS)).cast("int"),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ns").alias("session_start"),
+            F.max("ns").alias("session_end"),
+            _rc(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    return out
+
+
+SQL_SESSIONIZE = f"""
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) AS ns, value FROM events
+),
+g AS (
+  SELECT *, CASE WHEN lag(ns) OVER w IS NULL
+                   OR ns - lag(ns) OVER w > {SESSION_GAP_S * NS} THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ns)
+),
+s AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ns ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ns) AS session_start, max(ns) AS session_end,
+       floor((sum(value)) * 10000 + 0.5) / 10000 AS sum_value
+FROM s GROUP BY user_id, session_id
+"""
+
+# ---------------------------------------------------------------------------
+# Hypertable-style OHLCV rollup (time-bucket aggregation, argmin/argmax)
+# ---------------------------------------------------------------------------
+
+BUCKET_S = 3600
+
+
+def q_ohlcv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    step = BUCKET_S * NS
+    return (
+        e.select("user_id", "ns", "value", "event_id")
+        .groupBy("user_id", (F.expr(f"ns DIV {step}") * F.lit(step)).alias("bucket"))
+        .agg(
+            # (user_id, ts) is unique in events → ns-keyed argmin/argmax
+            # is deterministic without a tie-break
+            F.min_by(F.col("value"), F.col("ns")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by(F.col("value"), F.col("ns")).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            _rc(F.sum("value"), 4).alias("volume"),
+        )
+    )
+
+
+SQL_OHLCV_ROLLUP = f"""
+SELECT user_id,
+       (epoch_ns(ts) // {BUCKET_S * NS}) * {BUCKET_S * NS} AS bucket,
+       arg_min(value, epoch_ns(ts)) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, epoch_ns(ts)) AS close,
+       count(*) AS n,
+       floor((sum(value)) * 10000 + 0.5) / 10000 AS volume
+FROM events
+GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "market_hours_filter": q_market_hours,
+    "rocp_mom": q_rocp,
+    "segmentation": q_segmentation,
+    "gapfill": q_gapfill,
+    "interpolate": q_interpolate,
+    "mfi": q_mfi,
+    "ultosc": q_ultosc,
+    "aroonosc": q_aroonosc,
+    "ppo": q_ppo,
+    "stochf": q_stochf,
+    "cci": q_cci,
+    "iso_week": q_iso_week,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_orders_per_segment": q_top_orders_per_segment,
+    "sessionize": q_sessionize,
+    "ohlcv_rollup": q_ohlcv_rollup,
+}
+
+ORACLES: dict[str, str] = {
+    "market_hours_filter": SQL_MARKET_HOURS,
+    "rocp_mom": SQL_ROCP,
+    "segmentation": SQL_SEGMENTATION,
+    "gapfill": SQL_GAPFILL,
+    "interpolate": SQL_INTERPOLATE,
+    "mfi": SQL_MFI,
+    "ultosc": SQL_ULTOSC,
+    "aroonosc": SQL_AROONOSC,
+    "ppo": SQL_PPO,
+    "stochf": SQL_STOCHF,
+    "cci": SQL_CCI,
+    "iso_week": SQL_ISO_WEEK,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "top_orders_per_segment": SQL_TOP_ORDERS_PER_SEGMENT,
+    "sessionize": SQL_SESSIONIZE,
+    "ohlcv_rollup": SQL_OHLCV_ROLLUP,
+}
