@@ -25,6 +25,7 @@ from stock_indicators_etl_spark.queries import (
     events_as_bars,
     minute_bars,
 )
+from stock_indicators_etl_spark.queries_llm import ORACLES_LLM, QUERIES_LLM
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -67,6 +68,7 @@ def _q_recursive(features: list[str]) -> Callable[[SparkSession, str], DataFrame
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = dict(QUERIES)
+    q.update(QUERIES_LLM)
     q["indicator_pipeline_grid"] = _q_indicator_pipeline
     q["rsi_wilder"] = _q_recursive(["rsi"])
     q["cmo_wilder"] = _q_recursive(["cmo"])
@@ -76,4 +78,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return {**ORACLES, **ORACLES_LLM}

@@ -54,6 +54,16 @@ def run() -> None:
         "rsi_wilder",
         "adx_family",
         "indicator_pipeline_grid",
+        "text_quality",
+        "token_counts",
+        "language_id",
+        "doc_fingerprint",
+        "dedup_exact",
+        "minhash_lsh_candidates",
+        "ngram_jaccard",
+        "simhash",
+        "cosine_topk",
+        "embedding_neardup",
     ]
 
     timings: dict[str, float] = {}

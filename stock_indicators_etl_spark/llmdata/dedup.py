@@ -1,0 +1,222 @@
+"""Deduplication operators over a ``documents``-shaped table.
+
+Five families (BASELINE.json north star), each a pure DataFrame
+program with a DuckDB-portable formulation:
+
+- **exact**: md5-of-normalized-text hash groupBy — one shuffle on the
+  hash, map-side combinable. The 100 TB workhorse.
+- **MinHash + LSH**: word-shingle → per-permutation min hash → banded
+  bucket join. Candidate generation cost is O(docs · bands), pair
+  explosion bounded by bucket sizes (skew-salt hot buckets at scale).
+- **n-gram Jaccard**: exact verification on candidate pairs via a
+  shingle-equijoin (never all-pairs).
+- **SimHash**: 28-bit sign-sum fingerprint; hamming-distance
+  verification over band-blocked candidates.
+- **embedding cosine** near-dup: see ``similarity.py``.
+
+Portable-hash note: Spark ``hash()`` ≠ DuckDB ``hash()``, so all
+hashing goes through md5 — minhashes compare *hex strings*
+(lexicographic min ≡ numeric min on fixed-width hex), and integer
+hashes take the first 7 hex digits (28 bits, exact in a BIGINT in
+both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from stock_indicators_etl_spark.llmdata.text import norm_text, words
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by md5 of normalized text.
+
+    Returns one row per distinct content hash: canonical (min) doc_id,
+    copy count. Survivors = ``n_copies == 1`` plus canonicals.
+    """
+    h = F.md5(norm_text(F.col(text_col)))
+    return (
+        df.select(F.col("doc_id"), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Distinct word k-gram shingles per doc: (doc_id, shingle)."""
+    w = words(F.col(text_col))
+    n = F.size(w)
+    grams = F.when(n < k, F.array(F.concat_ws(" ", w))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(k)),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
+        )
+    )
+    return (
+        df.select("doc_id", F.explode(grams).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", n_hashes: int = 12, k: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature: for permutation i, the minimum of
+    ``md5(i || '|' || shingle)`` over the doc's shingles (hex-string
+    min — portable across engines). Output: doc_id, mh_0..mh_{n-1}.
+    """
+    sh = word_shingles(df, text_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 12,
+    band_size: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: band the signature (n_hashes/band_size
+    bands), bucket-join docs sharing any band key, emit distinct
+    (doc_a < doc_b) pairs.
+
+    Scale path: the join key is (band_idx, band_key) — co-located
+    hash join, no all-pairs. Bucket skew (boilerplate-heavy corpora)
+    → AQE skew-join or per-bucket salting upstream.
+    """
+    sig = minhash_signatures(df, text_col, n_hashes, k)
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.band_key").alias("band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, via shingle equijoin)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.0,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity over word k-gram shingle sets.
+
+    Pairs come from the shingle equijoin (docs sharing ≥1 shingle) —
+    never a cross join; optionally restricted to ``candidates``
+    (doc_a, doc_b), e.g. LSH output. Jaccard = |∩| / (|A|+|B|−|∩|).
+    """
+    sh = word_shingles(df, text_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= F.lit(threshold))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 28  # 7 hex digits of md5 → exact in BIGINT in both engines
+
+
+def _word_hash28(c: Column) -> Column:
+    """Portable 28-bit integer hash: first 7 hex digits of md5."""
+    return F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("long")
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """28-bit SimHash per doc: for each bit, sum ±1 over the doc's
+    distinct words' hashes; bit set iff sum > 0.
+
+    Implemented as explode(words) × explode(bits) → two map-side
+    combinable groupBys — no UDF, no driver loop. At 100 TB the
+    words×bits blow-up is bounded by 28× the token count; fuse with
+    ``F.aggregate`` over a collected word array if the 28× shuffle
+    ever dominates (kept relational here for oracle parity).
+    """
+    toks = (
+        df.select("doc_id", F.explode(words(F.col(text_col))).alias("w"))
+        .distinct()
+        .select("doc_id", _word_hash28(F.col("w")).alias("h"))
+    )
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+        "h",
+    )
+    sums = bits.groupBy("doc_id", "bit").agg(
+        F.sum(
+            F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)
+        ).alias("s")
+    )
+    return sums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )

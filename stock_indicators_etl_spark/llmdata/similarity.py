@@ -1,0 +1,157 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- :func:`cosine_topk` — brute-force exact top-k: broadcast the query
+  set, JVM-side higher-order-function dot products (``zip_with`` +
+  ``aggregate``), per-query window top-k. The correctness baseline.
+- :func:`lsh_bucketed_topk` — random-hyperplane LSH blocking: only
+  candidates sharing a hash bucket are scored. The 100 TB scale path
+  (scoring cost drops from O(Q·N) to O(Q·N/2^bits · collisions)).
+- :func:`embedding_neardup_pairs` — all-pairs-above-threshold via the
+  same LSH blocking (or exact for small N).
+
+All arithmetic in double; summation order is fixed (left fold) so
+results are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product — deterministic summation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "norm") -> DataFrame:
+    v = _as_double(F.col(vec_col))
+    return df.withColumn(out, F.sqrt(_dot(v, v)))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    ``queries``: (qid, vec). The query side is broadcast (small by
+    construction); candidates stream through one scan — no shuffle of
+    the big side until the per-query top-k (combinable window).
+    Deterministic tie-break: (cosine desc, neighbor id asc).
+    """
+    base = with_norm(embeddings, vec_col, "c_norm").select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("c_vec"), "c_norm"
+    )
+    q = with_norm(queries, vec_col, "q_norm").select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec"), "q_norm"
+    )
+    dot = _dot(_as_double(F.col("q_vec")), _as_double(F.col("c_vec")))
+    den = F.col("q_norm") * F.col("c_norm")
+    cos = F.when(den == 0, F.lit(0.0)).otherwise(dot / den)
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("nbr_id"))
+        .withColumn("cosine", cos)
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "rk", "nbr_id", "cosine")
+    )
+
+
+def random_hyperplane_sign_bits(
+    vec_col: str = "embedding", n_planes: int = 8, dim: int = 64
+) -> Column:
+    """LSH bucket id: sign bits against ``n_planes`` deterministic
+    pseudo-random hyperplanes (hash-seeded ±1 components — no stored
+    plane matrix, recomputable everywhere)."""
+    v = _as_double(F.col(vec_col))
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        # ±1 component for (plane p, dim j) from a cheap integer mix
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, j: x
+                * F.when((F.hash(F.lit(p), j) % 2 == 0), F.lit(1.0)).otherwise(F.lit(-1.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(0)
+    return bucket
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: score only candidates in the query's LSH
+    bucket. Trades recall for a 2^n_planes candidate reduction —
+    the scale path when brute force stops fitting."""
+    bucket = random_hyperplane_sign_bits(vec_col, n_planes, dim)
+    base = with_norm(embeddings.withColumn("bucket", bucket), vec_col, "c_norm").select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("c_vec"), "c_norm", "bucket"
+    )
+    q = with_norm(queries.withColumn("bucket", bucket), vec_col, "q_norm").select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec"), "q_norm", "bucket"
+    )
+    dot = _dot(_as_double(F.col("q_vec")), _as_double(F.col("c_vec")))
+    den = F.col("q_norm") * F.col("c_norm")
+    cos = F.when(den == 0, F.lit(0.0)).otherwise(dot / den)
+    scored = (
+        base.join(F.broadcast(q), "bucket")
+        .filter(F.col("qid") != F.col("nbr_id"))
+        .withColumn("cosine", cos)
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "rk", "nbr_id", "cosine")
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (id_a < id_b). Exact
+    all-pairs — use only when N² scoring fits; at scale, block with
+    :func:`random_hyperplane_sign_bits` first (near-dups collide with
+    high probability)."""
+    a = with_norm(embeddings, vec_col, "norm").select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("norm").alias("na")
+    )
+    b = with_norm(embeddings, vec_col, "norm").select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("norm").alias("nb")
+    )
+    dot = _dot(_as_double(F.col("va")), _as_double(F.col("vb")))
+    den = F.col("na") * F.col("nb")
+    cos = F.when(den == 0, F.lit(0.0)).otherwise(dot / den)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,179 @@
+"""Text-analysis operators over a ``documents``-shaped table
+(doc_id, text, lang, source, n_chars).
+
+All native Column expressions (JVM-side, codegen'd) — no Python UDFs.
+Each operator has a DuckDB-portable formulation used by the oracle
+queries; portability notes are inline.
+
+Scale notes: all per-row expressions → embarrassingly parallel, no
+shuffle except ``language_id``'s stopword join (broadcast: the
+stopword table is tiny) and its per-doc argmax (map-side combinable
+groupBy on doc_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# normalization + words
+# ---------------------------------------------------------------------------
+
+
+def norm_text(c: Column) -> Column:
+    """lower + trim + collapse internal whitespace."""
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def words(c: Column) -> Column:
+    """whitespace tokens of normalized text (empty text → empty array)."""
+    n = norm_text(c)
+    return F.when(F.length(n) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(n, " ")
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+STOPWORDS = (
+    "the a an of and to in is it for on with as at by this that".split()
+)
+
+
+def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword quality signals per document.
+
+    Heuristics in the C4/Gopher-rule style: length stats, punctuation
+    and digit density, stopword ratio, mean word length.
+    """
+    t = F.col(text_col)
+    w = words(t)
+    n_chars = F.length(t)
+    n_words = F.size(w)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    nz = F.when(n_words == 0, F.lit(1)).otherwise(n_words)  # div guard
+    nzc = F.when(n_chars == 0, F.lit(1)).otherwise(n_chars)
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        (n_alpha.cast("double") / nzc).alias("alpha_ratio"),
+        (n_digit.cast("double") / nzc).alias("digit_ratio"),
+        (n_punct.cast("double") / nzc).alias("punct_ratio"),
+        (n_stop.cast("double") / nz).alias("stopword_ratio"),
+        (
+            F.when(n_words == 0, F.lit(0.0)).otherwise(
+                F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double") / nz
+            )
+        ).alias("avg_word_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# token counting (whitespace + BPE-ish sub-token regex)
+# ---------------------------------------------------------------------------
+
+#: BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace-token and regex-subtoken counts per document.
+
+    ``n_subtokens`` counts TOKEN_RE matches on normalized text — a
+    cheap proxy for BPE token count (letter runs, digit runs, symbol
+    singletons).
+    """
+    t = F.col(text_col)
+    n = norm_text(t)
+    return df.select(
+        "doc_id",
+        F.size(words(t)).alias("n_ws_tokens"),
+        F.regexp_count(n, F.lit(TOKEN_RE)).alias("n_subtokens"),
+        (F.length(n) - F.length(F.regexp_replace(n, r"[aeiou]", ""))).alias("n_vowels"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language identification (stopword-hit heuristic)
+# ---------------------------------------------------------------------------
+
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": "the and of to in is that it for with".split(),
+    "es": "el la de que y en los del se las".split(),
+    "de": "der die und das den von zu mit ist auf".split(),
+    "fr": "le la les de et des en du que une".split(),
+    "zh": [],  # no-space script: word heuristic inapplicable
+}
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Predict language by stopword hits (n-gram-free heuristic).
+
+    explode(words) ⋈ broadcast(stopword table) → per-(doc, lang) hit
+    count → deterministic argmax (hits desc, lang asc); zero hits →
+    'und' (undetermined). The stopword table is a handful of rows →
+    broadcast join, single shuffle on doc_id for the argmax.
+    """
+    spark = df.sparkSession
+    sw = spark.createDataFrame(
+        [(lang, w) for lang, ws in LANG_STOPWORDS.items() for w in ws],
+        ["sw_lang", "sw_word"],
+    )
+    toks = df.select("doc_id", F.explode(words(F.col(text_col))).alias("w"))
+    hits = (
+        toks.join(F.broadcast(sw), toks.w == sw.sw_word)
+        .groupBy("doc_id", "sw_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("sw_lang").asc())
+    best = (
+        hits.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("sw_lang").alias("pred_lang"), "hits")
+    )
+    return (
+        df.select("doc_id", "lang")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("lang").alias("label_lang"),
+            F.coalesce(F.col("pred_lang"), F.lit("und")).alias("pred_lang"),
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (rolling polynomial hash)
+# ---------------------------------------------------------------------------
+
+FP_MOD = 1_000_000_007
+FP_BASE = 31
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic content fingerprints: md5 of normalized text +
+    a polynomial rolling hash of its code points
+    (h ← (h·31 + codepoint) mod 1e9+7 — portable integer arithmetic,
+    identical in DuckDB via list_reduce).
+    """
+    n = norm_text(F.col(text_col))
+    chars = F.split(n, "")
+    poly = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * F.lit(FP_BASE) + F.ascii(ch)) % F.lit(FP_MOD),
+    )
+    return df.select(
+        "doc_id",
+        F.md5(n).alias("md5_fp"),
+        poly.alias("poly_fp"),
+        F.length(n).alias("norm_len"),
+    )

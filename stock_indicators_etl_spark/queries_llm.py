@@ -1,0 +1,407 @@
+"""LLM-data-pipeline queries + DuckDB oracles (dedup, similarity,
+text analysis) over ``documents`` / ``embeddings``.
+
+Portability conventions as in ``queries.py`` (floor-rounding, md5
+hashing, explicit guards, deterministic tie-breaks). DuckDB-side uses
+list lambdas (``list_transform``/``list_reduce``) where Spark uses
+higher-order functions — same semantics, both JVM/C-native.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stock_indicators_etl_spark.llmdata.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from stock_indicators_etl_spark.llmdata.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    lsh_bucketed_topk,
+)
+from stock_indicators_etl_spark.llmdata.text import (
+    doc_fingerprint,
+    language_id,
+    text_quality,
+    token_counts,
+)
+from stock_indicators_etl_spark.queries import R6, _rc
+
+# DuckDB prelude: normalized text + word array per doc (mirrors
+# text.norm_text / text.words).
+DOCS_CTE = r"""
+d AS (
+  SELECT doc_id, lang, text,
+         regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS n
+  FROM documents
+),
+wd AS (
+  SELECT doc_id, lang, text, n,
+         CASE WHEN length(n) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(n, ' ') END AS ws
+  FROM d
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# text quality
+# ---------------------------------------------------------------------------
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_quality(_docs(spark, sf_dir))
+
+
+STOP_SQL = "['the','a','an','of','and','to','in','is','it','for','on','with','as','at','by','this','that']"
+
+SQL_TEXT_QUALITY = f"""
+WITH {DOCS_CTE}
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(ws) AS n_words,
+       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         / (CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END) AS alpha_ratio,
+       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         / (CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END) AS digit_ratio,
+       CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+         / (CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END) AS punct_ratio,
+       CAST(len(list_filter(ws, x -> list_contains({STOP_SQL}, x))) AS DOUBLE)
+         / (CASE WHEN len(ws) = 0 THEN 1 ELSE len(ws) END) AS stopword_ratio,
+       CASE WHEN len(ws) = 0 THEN 0.0
+            ELSE CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws)
+       END AS avg_word_len
+FROM wd
+"""
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(_docs(spark, sf_dir))
+
+
+SQL_TOKEN_COUNTS = f"""
+WITH {DOCS_CTE}
+SELECT doc_id,
+       len(ws) AS n_ws_tokens,
+       len(regexp_extract_all(n, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_subtokens,
+       length(n) - length(regexp_replace(n, '[aeiou]', '', 'g')) AS n_vowels
+FROM wd
+"""
+
+# ---------------------------------------------------------------------------
+# language id
+# ---------------------------------------------------------------------------
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(_docs(spark, sf_dir))
+
+
+_SW_VALUES = ", ".join(
+    f"('{lang}', '{w}')"
+    for lang, ws in {
+        "en": "the and of to in is that it for with".split(),
+        "es": "el la de que y en los del se las".split(),
+        "de": "der die und das den von zu mit ist auf".split(),
+        "fr": "le la les de et des en du que une".split(),
+    }.items()
+    for w in ws
+)
+
+SQL_LANGUAGE_ID = f"""
+WITH {DOCS_CTE},
+sw(sw_lang, sw_word) AS (VALUES {_SW_VALUES}),
+toks AS (SELECT doc_id, unnest(ws) AS w FROM wd),
+hits AS (
+  SELECT doc_id, sw_lang, count(*) AS hits
+  FROM toks JOIN sw ON w = sw_word
+  GROUP BY doc_id, sw_lang
+),
+best AS (
+  SELECT doc_id, sw_lang AS pred_lang, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, sw_lang ASC) AS rk
+  FROM hits
+)
+SELECT wd.doc_id, wd.lang AS label_lang,
+       coalesce(b.pred_lang, 'und') AS pred_lang,
+       coalesce(b.hits, 0) AS hits
+FROM wd LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON wd.doc_id = b.doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# fingerprints
+# ---------------------------------------------------------------------------
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
+SQL_DOC_FINGERPRINT = f"""
+WITH {DOCS_CTE}
+SELECT doc_id,
+       md5(n) AS md5_fp,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(
+             CASE WHEN length(n) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split(n, '') END,
+             c -> CAST(unicode(c) AS BIGINT))),
+         (a, b) -> (a * 31 + b) % 1000000007) AS poly_fp,
+       length(n) AS norm_len
+FROM wd
+"""
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+SQL_EXACT_DEDUP = f"""
+WITH {DOCS_CTE}
+SELECT md5(n) AS content_hash,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_copies
+FROM wd GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# shingles / minhash / lsh / jaccard
+# ---------------------------------------------------------------------------
+
+SHINGLE_CTES = f"""
+{DOCS_CTE},
+sh0 AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+              ELSE list_transform(generate_series(0, len(ws) - 3),
+                                  i -> array_to_string(list_slice(ws, i + 1, i + 3), ' '))
+         END AS grams
+  FROM wd
+),
+sh AS (
+  SELECT DISTINCT doc_id, g AS shingle
+  FROM (SELECT doc_id, unnest(grams) AS g FROM sh0)
+  WHERE length(g) > 0
+)
+"""
+
+_MH_AGGS = ",\n         ".join(
+    f"min(md5(concat('{i}|', shingle))) AS mh_{i}" for i in range(12)
+)
+
+SIG_CTES = f"""
+{SHINGLE_CTES},
+sig AS (
+  SELECT doc_id,
+         {_MH_AGGS}
+  FROM sh GROUP BY doc_id
+)
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(_docs(spark, sf_dir))
+
+
+SQL_MINHASH_SIGNATURES = f"""
+WITH {SIG_CTES}
+SELECT * FROM sig
+"""
+
+_BAND_SELECTS = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band_idx, concat(mh_{3*b}, '|', mh_{3*b+1}, '|', mh_{3*b+2}) AS band_key FROM sig"
+    for b in range(4)
+)
+
+LSH_CTES = f"""
+{SIG_CTES},
+banded AS (
+{_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_candidates(_docs(spark, sf_dir))
+
+
+SQL_MINHASH_LSH = f"""
+WITH {LSH_CTES}
+SELECT doc_a, doc_b FROM cand
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+    return out.withColumn("jaccard", _rc(F.col("jaccard")))
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {SHINGLE_CTES},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+         CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, n_inter, n_a, n_b, {R6('jaccard')} AS jaccard
+FROM j WHERE jaccard >= 0.2
+"""
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_fingerprints(_docs(spark, sf_dir))
+
+
+SQL_SIMHASH = f"""
+WITH {DOCS_CTE},
+toks AS (SELECT DISTINCT doc_id, unnest(ws) AS w FROM wd),
+h AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 7)) AS BIGINT) AS h FROM toks
+),
+bits AS (
+  SELECT doc_id, h, unnest(generate_series(0, 27)) AS bit FROM h
+),
+s AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM bits GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS simhash
+FROM s GROUP BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# embedding similarity
+# ---------------------------------------------------------------------------
+
+N_QUERIES = 10
+TOPK = 10
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = cosine_topk(emb, q, k=TOPK)
+    return out.withColumn("cosine", _rc(F.col("cosine")))
+
+
+SQL_COSINE_TOPK = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nbr_id,
+         CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+              ELSE list_dot_product(q.v, c.v) / (q.nrm * c.nrm) END AS cosine
+  FROM q JOIN n c ON c.vec_id <> q.vec_id
+),
+rk AS (
+  SELECT qid, nbr_id, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nbr_id ASC) AS rk
+  FROM scored
+)
+SELECT qid, rk, nbr_id, {R6('cosine')} AS cosine FROM rk WHERE rk <= {TOPK}
+"""
+
+NEARDUP_THRESHOLD = 0.45
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = embedding_neardup_pairs(_emb(spark, sf_dir), threshold=NEARDUP_THRESHOLD)
+    return out.withColumn("cosine", _rc(F.col("cosine")))
+
+
+SQL_EMBEDDING_NEARDUP = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {R6('list_dot_product(a.v, b.v) / (a.nrm * b.nrm)')} AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE (CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+            ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END) >= {NEARDUP_THRESHOLD}
+"""
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via random-hyperplane LSH blocking (rows-only:
+    bucket assignment uses Spark's hash mix, not SQL-portable)."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = lsh_bucketed_topk(emb, q, k=TOPK)
+    return out.withColumn("cosine", _rc(F.col("cosine")))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_quality": q_text_quality,
+    "token_counts": q_token_counts,
+    "language_id": q_language_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_exact_dedup,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_candidates": q_minhash_lsh,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash": q_simhash,
+    "cosine_topk": q_cosine_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "lsh_bucketed_topk": q_lsh_topk,
+}
+
+ORACLES_LLM: dict[str, str] = {
+    "text_quality": SQL_TEXT_QUALITY,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "language_id": SQL_LANGUAGE_ID,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "dedup_exact": SQL_EXACT_DEDUP,
+    "minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "minhash_lsh_candidates": SQL_MINHASH_LSH,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "simhash": SQL_SIMHASH,
+    "cosine_topk": SQL_COSINE_TOPK,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    # lsh_bucketed_topk: rows-only (Spark hash mix not SQL-portable)
+}

@@ -1,0 +1,166 @@
+"""Unit tests for the LLM-data operators: known-answer dedup /
+similarity / text-analysis checks on tiny synthetic inputs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from stock_indicators_etl_spark.llmdata.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    word_shingles,
+)
+from stock_indicators_etl_spark.llmdata.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    lsh_bucketed_topk,
+)
+from stock_indicators_etl_spark.llmdata.text import (
+    doc_fingerprint,
+    language_id,
+    text_quality,
+    token_counts,
+)
+
+DOCS = [
+    (0, "The quick brown fox jumps over the lazy dog", "en"),
+    (1, "the quick  brown fox jumps over the lazy dog", "en"),  # ws/case dup of 0
+    (2, "el perro de la casa y el gato de la casa", "es"),
+    (3, "completely different text about spark engines", "en"),
+    (4, "The quick brown fox jumps over the lazy cat", "en"),  # near-dup of 0
+    (5, "", "en"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(DOCS, columns=["doc_id", "text", "lang"])
+    )
+
+
+def test_exact_dedup_normalizes(spark, docs):
+    out = exact_dedup(docs).toPandas()
+    # 0 and 1 collapse (case + whitespace normalization)
+    grp = out[out.n_copies > 1]
+    assert len(grp) == 1
+    assert grp.iloc[0].canonical_doc_id == 0
+    assert grp.iloc[0].n_copies == 2
+    assert len(out) == 5  # 5 distinct contents
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [7], "text": ["two words"]}))
+    sh = word_shingles(df, k=3).toPandas()
+    assert list(sh.shingle) == ["two words"]
+
+
+def test_ngram_jaccard_known_value(spark, docs):
+    out = ngram_jaccard_pairs(docs, k=3).toPandas()
+    pairs = {(r.doc_a, r.doc_b): r for r in out.itertuples()}
+    # docs 0 and 1 identical after norm → jaccard 1.0 on 7 shingles
+    assert pairs[(0, 1)].jaccard == 1.0
+    assert pairs[(0, 1)].n_inter == 7
+    # docs 0 and 4 differ in the last word → only the final shingle
+    # changes: |A∩B| = 6, |A∪B| = 8 → 0.75
+    assert abs(pairs[(0, 4)].jaccard - 0.75) < 1e-12
+    assert pairs[(0, 4)].n_inter == 6
+    assert (3 not in set(out.doc_a) | set(out.doc_b))  # unrelated doc: no shared shingle with 0/1/4? (may share none)
+
+
+def test_minhash_lsh_finds_exact_dup(spark, docs):
+    cand = minhash_lsh_candidates(docs).toPandas()
+    got = set(zip(cand.doc_a, cand.doc_b))
+    assert (0, 1) in got  # identical docs always collide in every band
+
+
+def test_simhash_identical_and_diff(spark, docs):
+    out = simhash_fingerprints(docs).toPandas().set_index("doc_id").simhash
+    assert out[0] == out[1]
+    assert out[0] != out[3]
+    assert 0 <= out[0] < 2**28
+
+
+def test_text_quality_values(spark, docs):
+    out = text_quality(docs).toPandas().set_index("doc_id")
+    r = out.loc[0]
+    assert r.n_words == 9
+    assert r.n_chars == len(DOCS[0][1])
+    assert abs(r.stopword_ratio - 2 / 9) < 1e-12  # 'the' twice (lowercased)
+    e = out.loc[5]
+    assert e.n_words == 0 and e.avg_word_len == 0.0 and e.stopword_ratio == 0.0
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["abc 123 x.y!"]})
+    )
+    out = token_counts(df).toPandas().iloc[0]
+    assert out.n_ws_tokens == 3
+    # subtokens: abc | 123 | x | . | y | !  = 6
+    assert out.n_subtokens == 6
+
+
+def test_language_id_picks_stopword_majority(spark, docs):
+    out = language_id(docs).toPandas().set_index("doc_id")
+    assert out.loc[0].pred_lang == "en"
+    assert out.loc[2].pred_lang == "es"
+    assert out.loc[5].pred_lang == "und"
+
+
+def test_doc_fingerprint_poly_known(spark):
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["ab"]}))
+    out = doc_fingerprint(df).toPandas().iloc[0]
+    # h = ((0*31 + 97) * 31 + 98) % (1e9+7) = 97*31 + 98 = 3105
+    assert out.poly_fp == 3105
+    assert out.norm_len == 2
+
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(len(vecs)), "embedding": [list(map(float, v)) for v in vecs]}
+        )
+    )
+
+
+def test_cosine_topk_exact(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(30, 8))
+    df = _emb_df(spark, vecs)
+    q = df.filter(F.col("vec_id") < 2)
+    out = cosine_topk(df, q, k=3).toPandas()
+    # numpy reference
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = vecs @ vecs.T / np.outer(norms, norms)
+    for qid in (0, 1):
+        order = [i for i in np.argsort(-sims[qid]) if i != qid][:3]
+        got = list(out[out.qid == qid].sort_values("rk").nbr_id)
+        assert got == order
+        np.testing.assert_allclose(
+            list(out[out.qid == qid].sort_values("rk").cosine),
+            sorted(sims[qid][order], reverse=True),
+            rtol=1e-6,
+        )
+
+
+def test_embedding_neardup_threshold(spark):
+    vecs = [[1.0, 0.0], [0.999, 0.01], [0.0, 1.0]]
+    out = embedding_neardup_pairs(_emb_df(spark, vecs), threshold=0.95).toPandas()
+    assert set(zip(out.id_a, out.id_b)) == {(0, 1)}
+
+
+def test_lsh_topk_subset_of_exact(spark):
+    rng = np.random.default_rng(4)
+    vecs = rng.normal(size=(40, 16))
+    df = _emb_df(spark, vecs)
+    q = df.filter(F.col("vec_id") < 3)
+    approx = lsh_bucketed_topk(df, q, k=5, n_planes=4, dim=16).toPandas()
+    # approx results must be real vectors with correct cosines (spot check shape)
+    assert set(approx.qid) <= {0, 1, 2}
+    assert (approx.rk >= 1).all()
