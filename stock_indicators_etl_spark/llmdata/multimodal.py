@@ -1,0 +1,128 @@
+"""Multimodal column plumbing (BASELINE.json north star).
+
+Media travel as opaque ``binary`` columns with typed metadata structs
+— the Spark-side contract a 100 TB multimodal pipeline needs: schema,
+partitioning, Arrow batch shape, and UDF signatures are real and
+tested; the *decode* kernels (image/audio libs are not in this
+container) are stubbed behind ``decoder=`` injection with a
+deterministic fake, and raise ``NotImplementedError`` when a real
+decode is requested.
+
+Scale notes: ``mapInPandas`` streams Arrow batches → bounded memory
+per task regardless of blob sizes; keep blobs ≤ a few MB per row
+(chunk larger media across rows) and set
+``spark.sql.execution.arrow.maxRecordsPerBatch`` down for fat rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+Decoder = Callable[[bytes, str], np.ndarray]
+
+
+def fake_decoder(payload: bytes, kind: str) -> np.ndarray:
+    """Deterministic decode stand-in: FEATURE_DIM floats derived from
+    a byte histogram — stable across runs/engines, no media libs."""
+    if not payload:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
+    return (hist / max(len(arr), 1)).astype(np.float32)
+
+
+def real_decoder(payload: bytes, kind: str) -> np.ndarray:  # pragma: no cover
+    """Real decode path — requires PIL/av/librosa, not present here."""
+    raise NotImplementedError(
+        "media decode libraries are not available in this environment; "
+        "inject a decoder or use fake_decoder"
+    )
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Synthesize a media table from ``documents`` (no binary test
+    data ships with the driver): payload = utf-8 text bytes."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.lit(0).alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def extract_media_features(
+    media: DataFrame, decoder: Decoder = fake_decoder
+) -> DataFrame:
+    """Decode / feature-extract media payloads via Arrow-batched
+    ``mapInPandas`` (schema-stable regardless of decoder)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            feats = []
+            for payload, kind in zip(b["payload"], b["kind"]):
+                raw = bytes(payload) if payload is not None else b""
+                feats.append(
+                    {
+                        "n_bytes": len(raw),
+                        "sha256": hashlib.sha256(raw).hexdigest(),
+                        "features": decoder(raw, kind).tolist(),
+                    }
+                )
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", b["media_id"].values)
+            out.insert(1, "kind", b["kind"].values)
+            yield out
+
+    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Pure-SQL metadata stats (no decode): portable oracle surface."""
+    return media.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.octet_length("payload")).alias("total_bytes"),
+        F.max(F.octet_length("payload")).alias("max_bytes"),
+    )

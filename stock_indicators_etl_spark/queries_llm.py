@@ -363,6 +363,27 @@ WHERE (CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
 """
 
 
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents synthesized into an opaque
+    binary media table → per-kind byte stats (decode path is stubbed;
+    see llmdata/multimodal.py)."""
+    from stock_indicators_etl_spark.llmdata.multimodal import (
+        documents_as_media,
+        media_stats,
+    )
+
+    return media_stats(documents_as_media(_docs(spark, sf_dir)))
+
+
+SQL_MEDIA_STATS = """
+SELECT 'image' AS kind,
+       count(*) AS n,
+       sum(octet_length(encode(text))) AS total_bytes,
+       max(octet_length(encode(text))) AS max_bytes
+FROM documents
+"""
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via random-hyperplane LSH blocking (rows-only:
     bucket assignment uses Spark's hash mix, not SQL-portable)."""
@@ -389,6 +410,7 @@ QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "embedding_neardup": q_embedding_neardup,
     "lsh_bucketed_topk": q_lsh_topk,
+    "media_stats": q_media_stats,
 }
 
 ORACLES_LLM: dict[str, str] = {
@@ -403,5 +425,6 @@ ORACLES_LLM: dict[str, str] = {
     "simhash": SQL_SIMHASH,
     "cosine_topk": SQL_COSINE_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "media_stats": SQL_MEDIA_STATS,
     # lsh_bucketed_topk: rows-only (Spark hash mix not SQL-portable)
 }

@@ -1,0 +1,99 @@
+"""Sources / sinks (SURVEY.md §2.1 S2–S6).
+
+The reference stores gzip parquet one file per (interval, day) in a
+Hive-ish path ``{base}/{interval}/{yyyy}/{mm}/{yyyy-mm-dd}.parquet.gzip``
+(``stockdata/utils.py:61-86``). Spark-side we keep the same *logical*
+layout but as a standard partitioned dataset —
+``{base}/interval=…/year=…/month=…/day=…/…parquet`` — so partition
+**pruning** (the primary 100 TB lever: a day-query opens one
+partition, not the archive) and predicate pushdown come from Catalyst
+for free. A compatibility reader for the reference's literal layout is
+included.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BAR_COLUMNS = [
+    "ticker", "volume", "open", "close", "high", "low", "adj_close", "window_start",
+]
+
+
+def day_path(base: str, interval: str, date_str: str) -> str:
+    """Reference-layout path for one day
+    (``stockdata/utils.py:61-73``): {base}/{interval}/{yyyy}/{mm}/{date}.parquet.gzip."""
+    yyyy, mm, _dd = date_str.split("-")
+    return os.path.join(base, interval, yyyy, mm, f"{date_str}.parquet.gzip")
+
+
+def write_bars_day(
+    df: DataFrame, base: str, interval: str, date_str: str, mode: str = "overwrite"
+) -> None:
+    """Partitioned gzip parquet sink (S4, ``stockdata/utils.py:76-86``).
+
+    Writes under ``interval/year/month/day`` partition columns derived
+    from the job's logical date — dynamic partition overwrite replaces
+    exactly one day (idempotent re-runs, matching the reference's
+    overwrite-one-file behavior).
+    """
+    yyyy, mm, dd = date_str.split("-")
+    (
+        df.withColumn("interval", F.lit(interval))
+        .withColumn("year", F.lit(int(yyyy)))
+        .withColumn("month", F.lit(int(mm)))
+        .withColumn("day", F.lit(date_str))
+        .write.mode(mode)
+        .partitionBy("interval", "year", "month", "day")
+        .option("compression", "gzip")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(base)
+    )
+
+
+def read_bars_day(
+    spark: SparkSession, base: str, interval: str, date_str: str
+) -> DataFrame:
+    """Parquet scan for one logical day (S3,
+    ``data_indicators.py:33-36``), via partition-pruned filters."""
+    yyyy, mm, _ = date_str.split("-")
+    return (
+        spark.read.parquet(base)
+        .filter(
+            (F.col("interval") == interval)
+            & (F.col("year") == int(yyyy))
+            & (F.col("month") == int(mm))
+            & (F.col("day") == date_str)
+        )
+        .drop("interval", "year", "month", "day")
+    )
+
+
+def read_reference_layout_day(
+    spark: SparkSession, base: str, interval: str, date_str: str
+) -> DataFrame:
+    """Compatibility scan of the reference's literal file layout."""
+    return spark.read.parquet(day_path(base, interval, date_str))
+
+
+def read_ticker_csv(
+    spark: SparkSession, path: str, extra: tuple[str, ...] = ("SPY", "VOO")
+) -> DataFrame:
+    """Ticker-universe CSV scan (S2, ``data_download_yahoo.py:20-24``):
+    reads the symbol column and appends the reference's two literal
+    extras."""
+    base = spark.read.csv(path, header=True).select(F.col("Symbol").alias("ticker"))
+    extras = spark.createDataFrame([(t,) for t in extra], ["ticker"])
+    return base.unionByName(extras).distinct()
+
+
+def list_day_files(base: str, interval: str) -> list[str]:
+    """Directory listing utility (S5, ``stockdata/utils.py:39-47``)."""
+    root = os.path.join(base, interval)
+    out: list[str] = []
+    for dirpath, _dirs, files in os.walk(root):
+        out.extend(os.path.join(dirpath, f) for f in files)
+    return sorted(out)
