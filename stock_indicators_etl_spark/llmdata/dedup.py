@@ -72,19 +72,31 @@ def word_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFram
     )
 
 
+#: Double-hashing parameters: one md5 per shingle yields two 56-bit
+#: halves h1/h2 (14 hex digits each — exact in BIGINT in both
+#: engines); permutation i hashes to (h1 + i·h2) mod MH_PRIME.
+#: h1 + 11·h2 < 8.7e17 ≪ 2^63 → no overflow anywhere.
+MH_PRIME = 999_999_999_999_989
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", n_hashes: int = 12, k: int = 3
 ) -> DataFrame:
-    """Per-doc MinHash signature: for permutation i, the minimum of
-    ``md5(i || '|' || shingle)`` over the doc's shingles (hex-string
-    min — portable across engines). Output: doc_id, mh_0..mh_{n-1}.
+    """Per-doc MinHash signature via the classic double-hashing
+    construction: g_i(s) = (h1(s) + i·h2(s)) mod P, one md5 per
+    shingle instead of one per (shingle, permutation) — 12× fewer
+    hash evaluations. Output: doc_id, mh_0..mh_{n-1} (BIGINT).
     """
     sh = word_shingles(df, text_col, k)
+    md = F.md5(F.col("shingle"))
+    h1 = F.conv(F.substring(md, 1, 14), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md, 17, 14), 16, 10).cast("long")
+    hashed = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
+        F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(MH_PRIME)).alias(f"mh_{i}")
         for i in range(n_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_candidates(

