@@ -28,6 +28,45 @@ from pyspark.sql import functions as F
 
 from stock_indicators_etl_spark.llmdata.text import norm_text, words
 
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure at least default-parallelism partitions before a wide
+    fan-out (shingle/token explode multiplies rows ~50×). A small
+    input file arrives as 1-2 splits and would otherwise serialize
+    the whole explode+hash chain on one core; on a many-split 100 TB
+    scan this is a no-op (no shuffle added).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _bucket_pairs(grouped: DataFrame, id_list_col: str = "ids") -> DataFrame:
+    """Expand sorted id-arrays into (doc_a < doc_b) pairs with array
+    higher-order functions — the single-pass alternative to a
+    bucket self-join (which would recompute the bucket lineage for
+    both sides and shuffle it twice). O(b²) per bucket happens inside
+    one codegen'd expression; huge buckets are a skew problem for the
+    self-join formulation too, and should be frequency-capped
+    upstream at scale.
+    """
+    ids = F.array_sort(F.col(id_list_col))
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        grouped.filter(F.size(id_list_col) > 1)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+    )
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -66,7 +105,8 @@ def word_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFram
         )
     )
     return (
-        df.select("doc_id", F.explode(grams).alias("shingle"))
+        _spread(df)
+        .select("doc_id", F.explode(grams).alias("shingle"))
         .filter(F.length("shingle") > 0)
         .distinct()
     )
@@ -110,9 +150,11 @@ def minhash_lsh_candidates(
     bands), bucket-join docs sharing any band key, emit distinct
     (doc_a < doc_b) pairs.
 
-    Scale path: the join key is (band_idx, band_key) — co-located
-    hash join, no all-pairs. Bucket skew (boilerplate-heavy corpora)
-    → AQE skew-join or per-bucket salting upstream.
+    Scale path: one shuffle on (band_idx, band_key) — docs sharing a
+    band collide in a bucket; pairs are expanded inside the bucket
+    (``_bucket_pairs``), never via all-pairs or a second pass over the
+    signature lineage. Bucket skew (boilerplate-heavy corpora) →
+    frequency-cap hot buckets upstream.
     """
     sig = minhash_signatures(df, text_col, n_hashes, k)
     n_bands = n_hashes // band_size
@@ -130,18 +172,10 @@ def minhash_lsh_candidates(
     banded = sig.select("doc_id", F.explode(bands).alias("bk")).select(
         "doc_id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.band_key").alias("band_key")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    buckets = banded.groupBy("band_idx", "band_key").agg(
+        F.collect_set("doc_id").alias("ids")
     )
+    return _bucket_pairs(buckets).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -164,11 +198,10 @@ def ngram_jaccard_pairs(
     """
     sh = word_shingles(df, text_col, k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    posting = sh.groupBy("shingle").agg(F.collect_set("doc_id").alias("ids"))
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        _bucket_pairs(posting)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     if candidates is not None:
@@ -213,7 +246,8 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     ever dominates (kept relational here for oracle parity).
     """
     toks = (
-        df.select("doc_id", F.explode(words(F.col(text_col))).alias("w"))
+        _spread(df)
+        .select("doc_id", F.explode(words(F.col(text_col))).alias("w"))
         .distinct()
         .select("doc_id", _word_hash28(F.col("w")).alias("h"))
     )
