@@ -1,21 +1,31 @@
-"""Recursive indicators over Spark via Arrow-batched grouped-map
+"""Recursive indicators over Spark via Arrow-batched pandas UDFs
 (SURVEY.md §2.8 path 2: W7 RSI, W10 CMO, W12 MACDFIX, W15 ADX).
 
 Wilder/EMA recursions are inherently sequential per series, so they
-cannot be expressed as window frames; one ``applyInPandas`` pass per
-series computes all four families together (one shuffle — and when the
-upstream plan is already hash-partitioned by the same key, none).
+cannot be expressed as window frames. Instead of the textbook
+``groupBy(key).applyInPandas`` (which pays ~ms-scale Arrow plumbing
+per *group* — ruinous with many short series, and whose task count
+gets byte-size-coalesced by AQE even though the stage is
+Python-CPU-bound), this uses the fused pattern:
 
-Scale notes: group size is bounded (one series per group, ≤ a few
-thousand rows for intraday bars), so Arrow batches stay small; the
-kernels are vectorized C-speed (numpy + pandas ewm), not per-row
-Python.
+    repartition(N, key) → sortWithinPartitions(key, ws)
+      → mapInPandas(partition-level compute)
+
+Each task receives whole series as contiguous, time-sorted runs and
+computes every group with plain numpy slicing — one Arrow transfer
+per partition, not per series. N is pinned (explicit repartition), so
+parallelism matches cores rather than shuffle bytes.
+
+Scale notes: a partition must hold its groups in memory; series are
+bounded (≤ a few thousand intraday bars), and N scales freely with
+cluster size because the repartition is on the series key.
 """
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Iterator, Sequence
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -43,6 +53,7 @@ def with_recursive_indicators(
     macd_signal: int = 9,
     adx_n: int = 14,
     features: Sequence[str] = ("rsi", "cmo", "macd", "adx"),
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Append raw (unscaled) recursive indicator columns per series.
 
@@ -53,7 +64,7 @@ def with_recursive_indicators(
     (``stockdata/indicators.py:269,468``).
     """
     features = list(features)
-    out_fields = list(df.schema.fields)
+    keys = list(key_cols)
     wanted: list[str] = []
     if "rsi" in features:
         wanted.append("rsi")
@@ -66,27 +77,44 @@ def with_recursive_indicators(
     if not wanted:
         return df
     schema = T.StructType(
-        out_fields + [T.StructField(c, T.DoubleType(), True) for c in wanted]
+        list(df.schema.fields)
+        + [T.StructField(c, T.DoubleType(), True) for c in wanted]
     )
 
-    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ws_col).reset_index(drop=True)
-        if "rsi" in wanted:
-            pdf["rsi"] = rsi_kernel(pdf[close_col].to_numpy(), rsi_n)
-        if "cmo" in wanted:
-            pdf["cmo"] = cmo_kernel(pdf[close_col].to_numpy(), cmo_n)
-        if "macd_hist" in wanted:
-            _, _, hist = macdfix_kernel(pdf[close_col].to_numpy(), macd_signal)
-            pdf["macd_hist"] = hist
-        if "adx" in wanted:
-            pdi, mdi, adx = adx_kernel(
-                pdf[high_col].to_numpy(),
-                pdf[low_col].to_numpy(),
-                pdf[close_unadj_col].to_numpy(),
-                adx_n,
-            )
-            pdf["adx_di_diff"] = pdi - mdi
-            pdf["adx"] = adx
-        return pdf
+    def compute_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        m = len(pdf)
+        if m == 0:
+            return
+        close = pdf[close_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        if "adx_di_diff" in wanted:
+            high = pdf[high_col].to_numpy(dtype=np.float64, na_value=np.nan)
+            low = pdf[low_col].to_numpy(dtype=np.float64, na_value=np.nan)
+            cun = pdf[close_unadj_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        out = {c: np.full(m, np.nan) for c in wanted}
+        # rows arrive sorted by (keys, ws): every series is one
+        # contiguous, already-time-ordered run — pure numpy slicing.
+        for idx in pdf.groupby(keys, sort=False).indices.values():
+            s = slice(idx[0], idx[-1] + 1)
+            if "rsi" in wanted:
+                out["rsi"][s] = rsi_kernel(close[s], rsi_n)
+            if "cmo" in wanted:
+                out["cmo"][s] = cmo_kernel(close[s], cmo_n)
+            if "macd_hist" in wanted:
+                _, _, hist = macdfix_kernel(close[s], macd_signal)
+                out["macd_hist"][s] = hist
+            if "adx_di_diff" in wanted:
+                pdi, mdi, adx = adx_kernel(high[s], low[s], cun[s], adx_n)
+                out["adx_di_diff"][s] = pdi - mdi
+                out["adx"][s] = adx
+        for c in wanted:
+            pdf[c] = out[c]
+        yield pdf
 
-    return df.groupBy(*key_cols).applyInPandas(compute, schema=schema)
+    sess = df.sparkSession
+    n_parts = num_partitions or int(sess.conf.get("spark.sql.shuffle.partitions"))
+    rep = df.repartition(n_parts, *keys).sortWithinPartitions(*keys, ws_col)
+    return rep.mapInPandas(compute_partition, schema=schema)
