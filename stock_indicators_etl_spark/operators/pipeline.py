@@ -162,6 +162,10 @@ def generate_indicators(
             macd_signal=cfg.macd_signal_period,
             adx_n=cfg.adx_timeperiod,
             features=recursive_feats,
+            # with_rocp's window spec partitionBy(sub_ticker).orderBy(ws)
+            # already ran, so the layout the pandas stage needs exists;
+            # skipping the repartition avoids a second full shuffle.
+            pre_partitioned=True,
         )
 
     # W17 feature assembly: exact reference column order

@@ -54,6 +54,7 @@ def with_recursive_indicators(
     adx_n: int = 14,
     features: Sequence[str] = ("rsi", "cmo", "macd", "adx"),
     num_partitions: int | None = None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Append raw (unscaled) recursive indicator columns per series.
 
@@ -62,6 +63,12 @@ def with_recursive_indicators(
     scaling) and ``adx``. RSI/CMO/MACD read ``close_col``
     (adj_close); ADX reads high/low/``close_unadj_col``
     (``stockdata/indicators.py:269,468``).
+
+    ``pre_partitioned``: caller guarantees the input is already
+    hash-partitioned by ``key_cols`` and sorted by (keys, ws) within
+    partitions — true immediately after any window op with spec
+    ``partitionBy(keys).orderBy(ws)`` — so the repartition+sort here
+    would be a redundant full shuffle and is skipped.
     """
     features = list(features)
     keys = list(key_cols)
@@ -114,7 +121,10 @@ def with_recursive_indicators(
             pdf[c] = out[c]
         yield pdf
 
-    sess = df.sparkSession
-    n_parts = num_partitions or int(sess.conf.get("spark.sql.shuffle.partitions"))
-    rep = df.repartition(n_parts, *keys).sortWithinPartitions(*keys, ws_col)
+    if pre_partitioned:
+        rep = df
+    else:
+        sess = df.sparkSession
+        n_parts = num_partitions or int(sess.conf.get("spark.sql.shuffle.partitions"))
+        rep = df.repartition(n_parts, *keys).sortWithinPartitions(*keys, ws_col)
     return rep.mapInPandas(compute_partition, schema=schema)

@@ -153,8 +153,11 @@ def interpolate_linear(
     running frame over **descending** time — NOT a
     ``currentRow→unboundedFollowing`` frame, which Spark's WindowExec
     recomputes per row (O(n²) per partition; measured 18s vs 1s on a
-    21k-row partition). Two O(n) sorted passes, same partitioning,
-    no UDF.
+    21k-row partition). All columns' same-direction expressions are
+    emitted in ONE batch per direction — interleaving asc/desc per
+    column would plant a re-Sort between every pair (measured: 11 Sort
+    nodes for 6 columns vs 2 here). Two O(n) sorted passes total,
+    same partitioning, no UDF.
     """
     keys = [F.col(k) for k in key_cols]
     w_back = Window.partitionBy(*keys).orderBy(F.col(ws_col).asc()).rowsBetween(
@@ -165,23 +168,30 @@ def interpolate_linear(
     )
     ws = F.col(ws_col)
 
-    out = df
+    back_exprs: dict[str, Column] = {}
+    fwd_exprs: dict[str, Column] = {}
     for c in value_cols:
         v = F.col(c)
         ts_if = F.when(v.isNotNull(), ws)
-        prev_v = F.last(v, ignorenulls=True).over(w_back)
-        prev_t = F.last(ts_if, ignorenulls=True).over(w_back)
-        next_v = F.last(v, ignorenulls=True).over(w_fwd)
-        next_t = F.last(ts_if, ignorenulls=True).over(w_fwd)
+        back_exprs[f"_prev_v_{c}"] = F.last(v, ignorenulls=True).over(w_back)
+        back_exprs[f"_prev_t_{c}"] = F.last(ts_if, ignorenulls=True).over(w_back)
+        fwd_exprs[f"_next_v_{c}"] = F.last(v, ignorenulls=True).over(w_fwd)
+        fwd_exprs[f"_next_t_{c}"] = F.last(ts_if, ignorenulls=True).over(w_fwd)
+    out = df.withColumns(back_exprs).withColumns(fwd_exprs)
+
+    blends: dict[str, Column] = {}
+    for c in value_cols:
+        v = F.col(c)
+        prev_v, prev_t = F.col(f"_prev_v_{c}"), F.col(f"_prev_t_{c}")
+        next_v, next_t = F.col(f"_next_v_{c}"), F.col(f"_next_t_{c}")
         frac = (ws - prev_t).cast("double") / (next_t - prev_t).cast("double")
-        out = out.withColumn(
-            c,
+        blends[c] = (
             F.when(v.isNotNull(), v)
             .when(prev_v.isNull(), next_v)  # leading-edge clamp
             .when(next_v.isNull(), prev_v)  # trailing-edge clamp
-            .otherwise(prev_v + (next_v - prev_v) * frac),
+            .otherwise(prev_v + (next_v - prev_v) * frac)
         )
-    return out
+    return out.withColumns(blends).drop(*back_exprs, *fwd_exprs)
 
 
 def regularity_violations(
