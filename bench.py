@@ -51,6 +51,10 @@ def run() -> None:
         "top_orders_per_segment",
         "sessionize",
         "ohlcv_rollup",
+        "regularity_check",
+        "unpivot_melt",
+        "universe_join",
+        "scalar_timefns",
         "rsi_wilder",
         "adx_family",
         "indicator_pipeline_grid",

@@ -63,6 +63,25 @@ def iso_year(date_col_name: str) -> Column:
     return F.expr(f"extract(YEAROFWEEK FROM {date_col_name})")
 
 
+def date_parts(date_col: Column | str) -> tuple[Column, Column, Column]:
+    """Zero-padded ``(yyyy, mm, dd)`` string parts of a date (F3,
+    ``utils.py:67`` — the reference splits the ISO date string to
+    build partition paths)."""
+    c = F.col(date_col) if isinstance(date_col, str) else date_col
+    return (
+        F.date_format(c, "yyyy"),
+        F.date_format(c, "MM"),
+        F.date_format(c, "dd"),
+    )
+
+
+def next_day(date_col: Column | str) -> Column:
+    """Exclusive end-date arithmetic: date + 1 day (F7,
+    ``data_download_yahoo.py:70-73``)."""
+    c = F.col(date_col) if isinstance(date_col, str) else date_col
+    return F.date_add(c, 1)
+
+
 def normalize_name(name: str) -> str:
     """Column-name normalization (F5, ``data_download_yahoo.py:58``)."""
     return name.lower().replace(" ", "_")

@@ -712,6 +712,151 @@ GROUP BY 1, 2
 """
 
 # ---------------------------------------------------------------------------
+# W3: regularity check (real, not the reference's inert one)
+# ---------------------------------------------------------------------------
+
+
+def q_regularity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-to-previous ≠ 60s violations on the raw minute grid (W3);
+    the reference constructs this check but never raises it
+    (``stockdata/indicators.py:25-38,256-261``) — here it's a real
+    operator returning the violating rows."""
+    from stock_indicators_etl_spark.operators.timegrid import regularity_violations
+
+    out = regularity_violations(
+        minute_bars(spark, sf_dir), key_cols=("ticker",), step_ns=STEP_NS
+    )
+    return out.select(
+        "ticker", "window_start", F.col("_gap_ns").alias("gap_ns")
+    )
+
+
+SQL_REGULARITY_CHECK = f"""
+WITH {MINUTE_BARS_CTE()},
+g AS (
+  SELECT ticker, window_start,
+         window_start - lag(window_start)
+             OVER (PARTITION BY ticker ORDER BY window_start) AS gap_ns
+  FROM m
+)
+SELECT ticker, window_start, gap_ns
+FROM g WHERE gap_ns IS NOT NULL AND gap_ns <> {STEP_NS}
+"""
+
+# ---------------------------------------------------------------------------
+# P4: unpivot / melt (wide OHLCV → long rows)
+# ---------------------------------------------------------------------------
+
+_MELT_FIELDS = ["adj_close", "close", "high", "low", "volume"]
+
+
+def q_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide bar columns → long (ticker, window_start, field, value)
+    rows (P4 — the reference melts yfinance's column-MultiIndex at
+    ``data_download_yahoo.py:27-64``). Native ``stack`` generator:
+    no shuffle, runs inside the scan's codegen stage."""
+    bars = events_as_bars(spark, sf_dir)
+    stack_args = ", ".join(f"'{f}', {f}" for f in _MELT_FIELDS)
+    return bars.select(
+        "ticker",
+        "window_start",
+        F.expr(f"stack({len(_MELT_FIELDS)}, {stack_args}) AS (field, value)"),
+    )
+
+
+SQL_UNPIVOT_MELT = f"""
+WITH {BARS_CTE}
+{" UNION ALL ".join(
+    f"SELECT ticker, window_start, '{f}' AS field, {f} AS value FROM bars"
+    for f in _MELT_FIELDS
+)}
+"""
+
+# ---------------------------------------------------------------------------
+# J2: ticker-universe restriction (broadcast semi join)
+# ---------------------------------------------------------------------------
+
+
+def q_universe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restrict bars to a small ticker universe (J2 — the reference's
+    S&P-500 list × bars). The universe side is broadcast: no shuffle
+    of the big fact side, the standard 100 TB shape for dimension
+    filters. Universe here = every 7th user_id (stands in for the CSV
+    ticker file)."""
+    bars = events_as_bars(spark, sf_dir)
+    universe = (
+        bars.select("ticker")
+        .distinct()
+        .filter(F.col("ticker").cast("long") % 7 == 0)
+    )
+    return (
+        bars.join(F.broadcast(universe), "ticker", "left_semi")
+        .groupBy("ticker")
+        .agg(
+            F.count(F.lit(1)).alias("n_bars"),
+            _rc(F.avg("adj_close")).alias("avg_price"),
+        )
+    )
+
+
+SQL_UNIVERSE_JOIN = f"""
+WITH {BARS_CTE},
+universe AS (
+  SELECT DISTINCT ticker FROM bars WHERE CAST(ticker AS BIGINT) % 7 = 0
+)
+SELECT ticker, count(*) AS n_bars,
+       {R6('avg(adj_close)')} AS avg_price
+FROM bars
+WHERE ticker IN (SELECT ticker FROM universe)
+GROUP BY ticker
+"""
+
+# ---------------------------------------------------------------------------
+# F3/F5/F6/F7: scalar time/string function bundle
+# ---------------------------------------------------------------------------
+
+
+def q_scalar_timefns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function bundle over events: date-string parts (F3),
+    name normalization (F5), 19-digit ns sanity check (F6), next-day
+    exclusive-end arithmetic (F7). All whole-stage-codegen
+    expressions — no UDFs."""
+    from stock_indicators_etl_spark.functions.timefns import (
+        date_parts,
+        next_day,
+        ns_is_19_digits,
+    )
+
+    e = _events(spark, sf_dir)
+    d = F.to_date(F.timestamp_micros(F.expr("ns DIV 1000")))
+    yyyy, mm, dd = date_parts(d)
+    return e.select(
+        "event_id",
+        F.col("ns"),
+        yyyy.alias("yyyy"),
+        mm.alias("mm"),
+        dd.alias("dd"),
+        next_day(d).cast("string").alias("next_day"),
+        ns_is_19_digits(F.col("ns")).alias("ns_ok"),
+        F.lower(F.replace(F.col("event_type"), F.lit("_"), F.lit(" "))).alias(
+            "norm_type"
+        ),
+    )
+
+
+SQL_SCALAR_TIMEFNS = """
+SELECT event_id,
+       (epoch_ns(ts) // 1000) * 1000 AS ns,
+       strftime(CAST(ts AS DATE), '%Y') AS yyyy,
+       strftime(CAST(ts AS DATE), '%m') AS mm,
+       strftime(CAST(ts AS DATE), '%d') AS dd,
+       strftime(CAST(ts AS DATE) + INTERVAL 1 DAY, '%Y-%m-%d') AS next_day,
+       length(CAST((epoch_ns(ts) // 1000) * 1000 AS VARCHAR)) = 19 AS ns_ok,
+       lower(replace(event_type, '_', ' ')) AS norm_type
+FROM events
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -733,6 +878,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders_per_segment": q_top_orders_per_segment,
     "sessionize": q_sessionize,
     "ohlcv_rollup": q_ohlcv_rollup,
+    "regularity_check": q_regularity_check,
+    "unpivot_melt": q_unpivot_melt,
+    "universe_join": q_universe_join,
+    "scalar_timefns": q_scalar_timefns,
 }
 
 ORACLES: dict[str, str] = {
@@ -753,4 +902,8 @@ ORACLES: dict[str, str] = {
     "top_orders_per_segment": SQL_TOP_ORDERS_PER_SEGMENT,
     "sessionize": SQL_SESSIONIZE,
     "ohlcv_rollup": SQL_OHLCV_ROLLUP,
+    "regularity_check": SQL_REGULARITY_CHECK,
+    "unpivot_melt": SQL_UNPIVOT_MELT,
+    "universe_join": SQL_UNIVERSE_JOIN,
+    "scalar_timefns": SQL_SCALAR_TIMEFNS,
 }
