@@ -68,6 +68,7 @@ def run() -> None:
         "simhash",
         "cosine_topk",
         "embedding_neardup",
+        "ivf_topk",
     ]
 
     timings: dict[str, float] = {}

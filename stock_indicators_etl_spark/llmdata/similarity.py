@@ -130,6 +130,111 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: partition vectors into
+    ``n_centroids`` Voronoi cells, score each query only against the
+    cells of its ``n_probe`` nearest centroids.
+
+    The inverted-file structure is the other classic ANN scale path
+    next to LSH (:func:`lsh_bucketed_topk`): candidate count drops to
+    ~``n_probe/n_centroids`` of the corpus, and the cell assignment
+    is one broadcast-BLAS pass (``mapInPandas`` against the
+    driver-collected centroid matrix — centroids are tiny by
+    construction).
+
+    Centroid selection is a deterministic pseudo-random sample (the
+    ``n_centroids`` vectors with smallest ``md5(vec_id)``) — a k-means
+    refinement would slot in here without changing the plan shape.
+    Deterministic output: tie-break (cosine desc, nbr_id asc).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cent_rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    C = np.stack([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1), 1e-12)[:, None]
+    bc = embeddings.sparkSession.sparkContext.broadcast(Cn)
+
+    def assigner(n_top: int):
+        fields = [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(vec_col, T.ArrayType(T.DoubleType())),
+            T.StructField("cells", T.ArrayType(T.IntegerType())),
+        ]
+
+        def run(batches):
+            cn = bc.value
+            for b in batches:
+                if not len(b):
+                    continue
+                v = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+                nrm = np.linalg.norm(v, axis=1)
+                vn = v / np.where(nrm == 0.0, 1.0, nrm)[:, None]
+                sims = vn @ cn.T
+                # n_top nearest centroids, deterministic order
+                order = np.argsort(-sims, axis=1, kind="stable")[:, :n_top]
+                yield pd.DataFrame(
+                    {
+                        id_col: b[id_col].to_numpy(dtype=np.int64),
+                        vec_col: list(v),
+                        "cells": [row.astype(np.int32) for row in order],
+                    }
+                )
+
+        return T.StructType(fields), run
+
+    schema_b, run_b = assigner(1)
+    base = (
+        embeddings.select(id_col, vec_col)
+        .mapInPandas(run_b, schema=schema_b)
+        .select(
+            F.col(id_col).alias("nbr_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.col("cells")[0].alias("cell"),
+        )
+    )
+    schema_q, run_q = assigner(n_probe)
+    q = (
+        queries.select(id_col, vec_col)
+        .mapInPandas(run_q, schema=schema_q)
+        .select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode("cells").alias("cell"),
+        )
+    )
+    dot = _dot(F.col("q_vec"), F.col("c_vec"))
+    qn = F.sqrt(_dot(F.col("q_vec"), F.col("q_vec")))
+    cn_ = F.sqrt(_dot(F.col("c_vec"), F.col("c_vec")))
+    den = qn * cn_
+    cos = F.when(den == 0, F.lit(0.0)).otherwise(dot / den)
+    scored = (
+        base.join(F.broadcast(q), "cell")
+        .filter(F.col("qid") != F.col("nbr_id"))
+        .withColumn("cosine", cos)
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "rk", "nbr_id", "cosine")
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

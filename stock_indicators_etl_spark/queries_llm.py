@@ -392,6 +392,17 @@ FROM documents
 """
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate ANN (rows-only: centroid sampling + BLAS cell
+    assignment are Spark-side; no SQL-portable formulation)."""
+    from stock_indicators_etl_spark.llmdata.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = ivf_topk(emb, q, k=TOPK, n_centroids=16, n_probe=4)
+    return out.withColumn("cosine", _rc(F.col("cosine")))
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via random-hyperplane LSH blocking (rows-only:
     bucket assignment uses Spark's hash mix, not SQL-portable)."""
@@ -418,6 +429,7 @@ QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "embedding_neardup": q_embedding_neardup,
     "lsh_bucketed_topk": q_lsh_topk,
+    "ivf_topk": q_ivf_topk,
     "media_stats": q_media_stats,
 }
 

@@ -164,3 +164,24 @@ def test_lsh_topk_subset_of_exact(spark):
     # approx results must be real vectors with correct cosines (spot check shape)
     assert set(approx.qid) <= {0, 1, 2}
     assert (approx.rk >= 1).all()
+
+
+def test_ivf_topk_recall_and_scores(spark):
+    from stock_indicators_etl_spark.llmdata.similarity import ivf_topk
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(60, 16))
+    df = _emb_df(spark, vecs)
+    q = df.filter(F.col("vec_id") < 3)
+    out = ivf_topk(df, q, k=5, n_centroids=8, n_probe=8).toPandas()
+    # probing ALL cells => exact: must match brute-force top-5
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = vecs @ vecs.T / np.outer(norms, norms)
+    for qid in (0, 1, 2):
+        order = [i for i in np.argsort(-sims[qid]) if i != qid][:5]
+        got = list(out[out.qid == qid].sort_values("rk").nbr_id)
+        assert got == order
+    # partial probing: results are a subset of real vectors, k bounded
+    approx = ivf_topk(df, q, k=5, n_centroids=8, n_probe=2).toPandas()
+    assert set(approx.qid) <= {0, 1, 2}
+    assert approx.groupby("qid").size().max() <= 5
