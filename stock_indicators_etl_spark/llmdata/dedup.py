@@ -145,6 +145,7 @@ def minhash_lsh_candidates(
     n_hashes: int = 12,
     band_size: int = 3,
     k: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: band the signature (n_hashes/band_size
     bands), bucket-join docs sharing any band key, emit distinct
@@ -153,10 +154,21 @@ def minhash_lsh_candidates(
     Scale path: one shuffle on (band_idx, band_key) — docs sharing a
     band collide in a bucket; pairs are expanded inside the bucket
     (``_bucket_pairs``), never via all-pairs or a second pass over the
-    signature lineage. Bucket skew (boilerplate-heavy corpora) →
-    frequency-cap hot buckets upstream.
+    signature lineage. ``max_bucket_size`` drops hot buckets
+    (boilerplate-heavy corpora ⇒ power-law bucket sizes; a bucket of
+    b docs emits b²/2 pairs) — the standard skew guard at corpus
+    scale; ``None`` keeps exact reference semantics.
     """
     sig = minhash_signatures(df, text_col, n_hashes, k)
+    return _banded_candidates(sig, n_hashes, band_size, max_bucket_size)
+
+
+def _banded_candidates(
+    sig: DataFrame,
+    n_hashes: int,
+    band_size: int,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     n_bands = n_hashes // band_size
     bands = F.array(
         *[
@@ -175,6 +187,8 @@ def minhash_lsh_candidates(
     buckets = banded.groupBy("band_idx", "band_key").agg(
         F.collect_set("doc_id").alias("ids")
     )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     return _bucket_pairs(buckets).distinct()
 
 
@@ -189,16 +203,26 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.0,
     candidates: DataFrame | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over word k-gram shingle sets.
 
-    Pairs come from the shingle equijoin (docs sharing ≥1 shingle) —
-    never a cross join; optionally restricted to ``candidates``
-    (doc_a, doc_b), e.g. LSH output. Jaccard = |∩| / (|A|+|B|−|∩|).
+    Pairs come from the shingle posting lists (docs sharing ≥1
+    shingle) — never a cross join; optionally restricted to
+    ``candidates`` (doc_a, doc_b), e.g. LSH output.
+    Jaccard = |∩| / (|A|+|B|−|∩|).
+
+    ``max_doc_freq`` drops shingles appearing in more than that many
+    docs before pair expansion (a shingle shared by d docs emits d²/2
+    pairs — stopword-ish shingles dominate cost at corpus scale and
+    carry no dedup signal). Note this changes |∩| for the surviving
+    pairs; ``None`` = exact.
     """
     sh = word_shingles(df, text_col, k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     posting = sh.groupBy("shingle").agg(F.collect_set("doc_id").alias("ids"))
+    if max_doc_freq is not None:
+        posting = posting.filter(F.size("ids") <= max_doc_freq)
     inter = (
         _bucket_pairs(posting)
         .groupBy("doc_a", "doc_b")

@@ -1,0 +1,102 @@
+"""Plan-shape regression tests.
+
+Correctness tests can't catch a plan that silently degrades (a lost
+pushdown, a broadcast that becomes a shuffle join, a re-sort storm).
+These assert the physical-plan properties DESIGN.md §3-4 claims.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+NS = 1_000_000_000
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def count_nodes(plan: str, name: str) -> int:
+    """Count physical-plan nodes by their detail header '(N) <name>'."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {name}\b", plan, flags=re.M))
+
+
+def test_market_hours_filter_pushes_down_to_scan(spark):
+    from stock_indicators_etl_spark.operators.timegrid import market_hours_filter
+
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    lo, hi = 1_704_100_000 * NS, 1_704_200_000 * NS
+    plan = plan_of(market_hours_filter(e, lo, hi, ws_col="ts"))
+    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts" in plan
+
+
+def test_universe_join_is_broadcast(spark):
+    from stock_indicators_etl_spark.queries import q_universe_join
+
+    plan = plan_of(q_universe_join(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pricing_summary_prunes_columns_and_combines_map_side(spark):
+    from stock_indicators_etl_spark.queries import q_pricing_summary
+
+    plan = plan_of(q_pricing_summary(spark, SF_DIR))
+    # partial + final aggregate (map-side combine before the shuffle)
+    assert plan.count("HashAggregate") >= 2
+    # column pruning reaches the scan: no unused wide columns
+    assert "l_comment" not in plan
+
+
+def test_interpolate_sorts_once_per_direction(spark):
+    from stock_indicators_etl_spark.operators.timegrid import interpolate_linear
+
+    pdf = pd.DataFrame(
+        {
+            "sub_ticker": ["A"] * 4,
+            "window_start": [i * 60 * NS for i in range(4)],
+            "x": [1.0, None, None, 4.0],
+            "y": [None, 2.0, None, None],
+            "z": [1.0, 1.0, None, 1.0],
+        }
+    )
+    df = interpolate_linear(spark.createDataFrame(pdf), ["x", "y", "z"])
+    plan = plan_of(df)
+    # one asc sort + one desc sort regardless of column count
+    assert count_nodes(plan, "Sort") == 2
+
+
+def test_pipeline_has_single_shuffle(spark):
+    from stock_indicators_etl_spark.config import IndicatorConfig
+    from stock_indicators_etl_spark.operators.pipeline import generate_indicators
+
+    pdf = pd.DataFrame(
+        {
+            "ticker": ["A"] * 40,
+            "window_start": [1_704_106_800 * NS + i * 60 * NS for i in range(40)],
+            "adj_close": [100.0 + i for i in range(40)],
+            "close": [100.0 + i for i in range(40)],
+            "high": [101.0 + i for i in range(40)],
+            "low": [99.0 + i for i in range(40)],
+            "volume": [1.0] * 40,
+        }
+    )
+    out = generate_indicators(
+        spark.createDataFrame(pdf), IndicatorConfig(), assume_regular=True
+    )
+    plan = plan_of(out)
+    # one hash-partitioning exchange on sub_ticker feeds every window
+    # AND the pandas stage (pre_partitioned=True adds none)
+    assert count_nodes(plan, "Exchange") == 1
