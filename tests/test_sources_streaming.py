@@ -150,3 +150,56 @@ def test_media_features_plumbing(spark):
 def test_real_decoder_stub_raises():
     with pytest.raises(NotImplementedError):
         real_decoder(b"xx", "image")
+
+
+def test_streaming_rsi_matches_batch_kernel_across_batches(spark, tmp_path):
+    """State must survive micro-batch boundaries: two files processed
+    as separate triggers (maxFilesPerTrigger=1) produce the same RSI
+    as the batch kernel on the concatenated series."""
+    import os
+    import numpy as np
+    from stock_indicators_etl_spark.operators.kernels import rsi_kernel
+    from stock_indicators_etl_spark.streaming.indicators import streaming_rsi
+
+    NS = 1_000_000_000
+    rng = np.random.default_rng(11)
+    closes = {t: 100.0 + np.cumsum(rng.normal(0, 1, 40)) for t in ("A", "B")}
+    pdf = pd.DataFrame(
+        [
+            {"ticker": t, "window_start": (1_704_106_800 + 60 * i) * NS, "adj_close": float(c)}
+            for t, cs in closes.items()
+            for i, c in enumerate(cs)
+        ]
+    )
+    src = tmp_path / "bars_src"
+    src.mkdir()
+    f0, f1 = str(src / "part-000.parquet"), str(src / "part-001.parquet")
+    pdf[pdf.window_start < (1_704_106_800 + 60 * 20) * NS].to_parquet(f0)
+    pdf[pdf.window_start >= (1_704_106_800 + 60 * 20) * NS].to_parquet(f1)
+    os.utime(f0, (1_000_000_000, 1_000_000_000))  # force file order
+    os.utime(f1, (1_000_000_100, 1_000_000_100))
+
+    stream = (
+        spark.readStream.schema("ticker string, window_start bigint, adj_close double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_rsi(stream, n=14)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("srsi")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_srsi"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from srsi").toPandas()
+
+    assert len(got) == 80
+    for t, cs in closes.items():
+        expected = rsi_kernel(np.asarray(cs), 14)
+        g = got[got.ticker == t].sort_values("window_start")
+        np.testing.assert_allclose(
+            g.rsi.to_numpy(dtype=float), expected, rtol=1e-9, equal_nan=True
+        )
