@@ -295,11 +295,10 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     """28-bit SimHash per doc: for each bit, sum ±1 over the doc's
     distinct words' hashes; bit set iff sum > 0.
 
-    Implemented as explode(words) × explode(bits) → two map-side
-    combinable groupBys — no UDF, no driver loop. At 100 TB the
-    words×bits blow-up is bounded by 28× the token count; fuse with
-    ``F.aggregate`` over a collected word array if the 28× shuffle
-    ever dominates (kept relational here for oracle parity).
+    One groupBy over the distinct-token rows with 28 conditional-sum
+    aggregates (one per bit) — no bit explode (a 28× row blow-up) and
+    one shuffle fewer than the relational bits-as-rows shape; every
+    aggregate is map-side combinable.
     """
     toks = (
         _spread(df)
@@ -307,18 +306,17 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
         .distinct()
         .select("doc_id", _word_hash28(F.col("w")).alias("h"))
     )
-    bits = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
-        "h",
-    )
-    sums = bits.groupBy("doc_id", "bit").agg(
+    bit_sums = [
         F.sum(
-            F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)
-        ).alias("s")
-    )
-    return sums.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = toks.groupBy("doc_id").agg(*bit_sums)
+    fingerprint = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"_s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return sums.select("doc_id", fingerprint.alias("simhash"))
