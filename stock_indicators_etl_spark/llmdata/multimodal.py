@@ -119,6 +119,104 @@ def extract_media_features(
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic resize stand-in: nearest-neighbor over the raw
+    byte stream to exactly width·height bytes (a real PIL resize slots
+    into the same signature)."""
+    target = width * height
+    if not payload or target == 0:
+        return b"\x00" * target
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    idx = (np.arange(target) * len(arr)) // target
+    return arr[idx].tobytes()
+
+
+def resize_media(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], bytes] = fake_resize,
+) -> DataFrame:
+    """Resize every payload to (width, height) via Arrow-batched
+    ``mapInPandas``. Plumbing is real (schema, batch shape, binary
+    round-trip); the default kernel is the deterministic stub."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": b["media_id"].values,
+                    "kind": b["kind"].values,
+                    "payload": [
+                        resizer(bytes(p) if p is not None else b"", width, height)
+                        for p in b["payload"]
+                    ],
+                }
+            )
+            out["width"] = np.int32(width)
+            out["height"] = np.int32(height)
+            yield out
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    frame_bytes: int = 64,
+    max_frames: int = 16,
+) -> DataFrame:
+    """Frame-sampling plumbing: one media row fans out to ≤max_frames
+    frame rows at every_ms spacing (a real video demuxer slots in; the
+    stub slices the payload evenly). The 1→N row expansion inside
+    ``mapInPandas`` is the shape a real frame extractor needs — output
+    cardinality independent of input batch boundaries."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload, meta in zip(b["media_id"], b["payload"], b["meta"]):
+                raw = bytes(payload) if payload is not None else b""
+                dur = int(meta["duration_ms"]) if meta is not None else 0
+                n = min(max_frames, max(dur // every_ms, 1) if raw else 0)
+                for i in range(n):
+                    lo = (i * len(raw)) // max(n, 1)
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": i,
+                            "ts_ms": i * every_ms,
+                            "frame": raw[lo : lo + frame_bytes],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "ts_ms", "frame"]
+            )
+
+    return media.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Pure-SQL metadata stats (no decode): portable oracle surface."""
     return media.groupBy("kind").agg(

@@ -203,3 +203,38 @@ def test_streaming_rsi_matches_batch_kernel_across_batches(spark, tmp_path):
         np.testing.assert_allclose(
             g.rsi.to_numpy(dtype=float), expected, rtol=1e-9, equal_nan=True
         )
+
+
+def test_media_resize_and_frame_sampling(spark):
+    import numpy as np
+    from stock_indicators_etl_spark.llmdata.multimodal import (
+        documents_as_media,
+        resize_media,
+        sample_frames,
+    )
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["hello world " * 20, ""]})
+    )
+    media = documents_as_media(docs)
+
+    rz = resize_media(media, 8, 4).toPandas().sort_values("media_id")
+    assert list(rz.width) == [8, 8] and list(rz.height) == [4, 4]
+    assert all(len(p) == 32 for p in rz.payload)  # exactly w*h bytes
+
+    # give rows a duration so the sampler emits multiple frames
+    media_dur = media.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.mime").alias("mime"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.lit(3500).alias("duration_ms"),
+        ),
+    )
+    fr = sample_frames(media_dur, every_ms=1000, frame_bytes=16).toPandas()
+    f1 = fr[fr.media_id == 1]
+    assert list(f1.frame_idx) == [0, 1, 2] and list(f1.ts_ms) == [0, 1000, 2000]
+    assert all(len(f) <= 16 for f in f1.frame)
+    assert len(fr[fr.media_id == 2]) == 0  # empty payload -> no frames
