@@ -65,6 +65,7 @@ def run() -> None:
         "dedup_exact",
         "minhash_lsh_candidates",
         "ngram_jaccard",
+        "dedup_pipeline",
         "simhash",
         "cosine_topk",
         "embedding_neardup",

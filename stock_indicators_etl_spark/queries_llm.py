@@ -291,6 +291,41 @@ SELECT doc_a, doc_b, n_inter, n_a, n_b, {R6('jaccard')} AS jaccard
 FROM j WHERE jaccard >= 0.2
 """
 
+DEDUP_VERIFY_THRESHOLD = 0.5
+
+
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed near-dup pipeline: MinHash-LSH candidate generation →
+    exact n-gram-Jaccard verification (the production two-stage shape:
+    cheap recall stage, exact precision stage on candidates only)."""
+    docs = _docs(spark, sf_dir)
+    cand = minhash_lsh_candidates(docs)
+    out = ngram_jaccard_pairs(
+        docs, threshold=DEDUP_VERIFY_THRESHOLD, candidates=cand
+    )
+    return out.withColumn("jaccard", _rc(F.col("jaccard")))
+
+
+SQL_DEDUP_PIPELINE = f"""
+WITH {LSH_CTES},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+v AS (
+  SELECT i.doc_a, i.doc_b, i.n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+         CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+  FROM inter i
+  JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+)
+SELECT doc_a, doc_b, n_inter, n_a, n_b, {R6('jaccard')} AS jaccard
+FROM v WHERE jaccard >= {DEDUP_VERIFY_THRESHOLD}
+"""
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
@@ -425,6 +460,7 @@ QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_candidates": q_minhash_lsh,
     "ngram_jaccard": q_ngram_jaccard,
+    "dedup_pipeline": q_dedup_pipeline,
     "simhash": q_simhash,
     "cosine_topk": q_cosine_topk,
     "embedding_neardup": q_embedding_neardup,
@@ -442,6 +478,7 @@ ORACLES_LLM: dict[str, str] = {
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "minhash_lsh_candidates": SQL_MINHASH_LSH,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "dedup_pipeline": SQL_DEDUP_PIPELINE,
     "simhash": SQL_SIMHASH,
     "cosine_topk": SQL_COSINE_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
