@@ -146,6 +146,65 @@ def minhash_signatures(
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
+def _bucket_pairs_salted(
+    grouped: DataFrame, id_list_col: str = "ids", chunk: int = 256
+) -> DataFrame:
+    """Skew-salted variant of :func:`_bucket_pairs`: a bucket of b ids
+    emits b²/2 pairs — in the plain form that is ONE task row doing
+    O(b²) work (a straggler for boilerplate-heavy buckets). Here the
+    sorted id array is split into ⌈b/c⌉ chunks and each chunk *pair*
+    becomes its own row before cross-expansion, so a hot bucket's work
+    spreads over (b/c)²/2 parallel rows. Chunks are ordered slices of
+    the sorted array, so cross-chunk pairs satisfy a < b by
+    construction. Same output as :func:`_bucket_pairs`.
+    """
+    ids = F.array_sort(F.col(id_list_col))
+    n_chunks = F.ceil(F.size(ids) / F.lit(chunk)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.slice(ids, i * chunk + F.lit(1), F.lit(chunk)),
+    )
+    # (chunk_i, chunk_j) with i <= j; i == j marks intra-chunk rows
+    chunk_pairs = F.flatten(
+        F.transform(
+            chunks,
+            lambda ca, i: F.transform(
+                F.slice(chunks, i + F.lit(1), F.size(chunks)),
+                lambda cb, j: F.struct(
+                    ca.alias("a"), cb.alias("b"), (j == 0).alias("same")
+                ),
+            ),
+        )
+    )
+    rows = (
+        grouped.filter(F.size(id_list_col) > 1)
+        .select(F.explode(chunk_pairs).alias("cp"))
+        .select(F.col("cp.a").alias("a"), F.col("cp.b").alias("b"), F.col("cp.same").alias("same"))
+    )
+    a = F.col("a")
+    intra = F.flatten(
+        F.transform(
+            a,
+            lambda x, i: F.transform(
+                F.slice(a, i + F.lit(2), F.size(a)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    cross = F.flatten(
+        F.transform(
+            a,
+            lambda x: F.transform(
+                F.col("b"), lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b"))
+            ),
+        )
+    )
+    return (
+        rows.select(F.explode(F.when(F.col("same"), intra).otherwise(cross)).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -153,6 +212,7 @@ def minhash_lsh_candidates(
     band_size: int = 3,
     k: int = 3,
     max_bucket_size: int | None = None,
+    salt_chunk: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: band the signature (n_hashes/band_size
     bands), bucket-join docs sharing any band key, emit distinct
@@ -164,10 +224,13 @@ def minhash_lsh_candidates(
     signature lineage. ``max_bucket_size`` drops hot buckets
     (boilerplate-heavy corpora ⇒ power-law bucket sizes; a bucket of
     b docs emits b²/2 pairs) — the standard skew guard at corpus
-    scale; ``None`` keeps exact reference semantics.
+    scale; ``None`` keeps exact reference semantics. ``salt_chunk``
+    instead *keeps* hot buckets but spreads their pair expansion over
+    (b/chunk)² rows (:func:`_bucket_pairs_salted`) — same output,
+    no stragglers.
     """
     sig = minhash_signatures(df, text_col, n_hashes, k)
-    return _banded_candidates(sig, n_hashes, band_size, max_bucket_size)
+    return _banded_candidates(sig, n_hashes, band_size, max_bucket_size, salt_chunk)
 
 
 def _banded_candidates(
@@ -175,6 +238,7 @@ def _banded_candidates(
     n_hashes: int,
     band_size: int,
     max_bucket_size: int | None = None,
+    salt_chunk: int | None = None,
 ) -> DataFrame:
     n_bands = n_hashes // band_size
     bands = F.array(
@@ -196,6 +260,8 @@ def _banded_candidates(
     )
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    if salt_chunk is not None:
+        return _bucket_pairs_salted(buckets, chunk=salt_chunk).distinct()
     return _bucket_pairs(buckets).distinct()
 
 

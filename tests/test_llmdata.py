@@ -185,3 +185,37 @@ def test_ivf_topk_recall_and_scores(spark):
     approx = ivf_topk(df, q, k=5, n_centroids=8, n_probe=2).toPandas()
     assert set(approx.qid) <= {0, 1, 2}
     assert approx.groupby("qid").size().max() <= 5
+
+
+def test_salted_bucket_pairs_equal_plain(spark):
+    from stock_indicators_etl_spark.llmdata.dedup import (
+        _bucket_pairs,
+        _bucket_pairs_salted,
+        minhash_lsh_candidates,
+    )
+
+    # synthetic hot bucket (17 ids) + small bucket + singleton
+    grouped = spark.createDataFrame(
+        pd.DataFrame(
+            {"ids": [list(range(100, 117)), [5, 3, 9], [42]]}
+        )
+    )
+    plain = {tuple(r) for r in _bucket_pairs(grouped).collect()}
+    for chunk in (3, 4, 16, 100):
+        salted = _bucket_pairs_salted(grouped, chunk=chunk).collect()
+        assert len(salted) == len(plain)  # no dup pairs within a bucket
+        assert {tuple(r) for r in salted} == plain
+
+    # end-to-end: salted LSH output identical to plain on real docs
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(8),
+                "text": ["the quick brown fox jumps over the lazy dog"] * 4
+                + [f"unique text number {i} with different words entirely" for i in range(4)],
+            }
+        )
+    )
+    a = {tuple(r) for r in minhash_lsh_candidates(docs).collect()}
+    b = {tuple(r) for r in minhash_lsh_candidates(docs, salt_chunk=2).collect()}
+    assert a == b and len(a) >= 6  # the 4 identical docs pair up
