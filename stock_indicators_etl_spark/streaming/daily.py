@@ -42,6 +42,8 @@ def run_download(args: argparse.Namespace) -> int:
         tickers = args.tickers.split(",")
     elif args.ticker_csv:
         tickers = [r.ticker for r in read_ticker_csv(spark, args.ticker_csv).collect()]
+    elif args.synthetic:
+        tickers = ["AAPL", "GOOG", "MSFT", "SPY", "VOO"]  # offline default
     else:
         raise SystemExit("need --tickers or --ticker_csv")
     fetch = synthetic_fetch if args.synthetic else yfinance_fetch
