@@ -97,3 +97,28 @@ def list_day_files(base: str, interval: str) -> list[str]:
     for dirpath, _dirs, files in os.walk(root):
         out.extend(os.path.join(dirpath, f) for f in files)
     return sorted(out)
+
+
+def write_bucketed_bars(
+    df: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int = 64,
+    key_col: str = "ticker",
+    ws_col: str = "window_start",
+) -> None:
+    """Bucketed bars table (DESIGN.md §6): co-locate every series'
+    rows in a fixed bucket file, pre-sorted by (key, time).
+
+    A scan of this table reports hash-partitioning on ``key_col`` to
+    Catalyst, so per-series windows, groupBys, and co-bucketed joins
+    run with ZERO shuffle — the structural win for a daily indicator
+    job over a 100 TB archive (asserted in tests/test_plans.py).
+    """
+    (
+        df.write.bucketBy(n_buckets, key_col)
+        .sortBy(key_col, ws_col)
+        .mode("overwrite")
+        .option("path", path)
+        .saveAsTable(table)
+    )

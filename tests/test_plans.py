@@ -100,3 +100,30 @@ def test_pipeline_has_single_shuffle(spark):
     # one hash-partitioning exchange on sub_ticker feeds every window
     # AND the pandas stage (pre_partitioned=True adds none)
     assert count_nodes(plan, "Exchange") == 1
+
+
+def test_bucketed_bars_window_needs_no_shuffle(spark, tmp_path):
+    from stock_indicators_etl_spark.operators.rolling import with_rocp
+    from stock_indicators_etl_spark.sources.io import write_bucketed_bars
+
+    pdf = pd.DataFrame(
+        {
+            "ticker": ["A"] * 30 + ["B"] * 30,
+            "window_start": [1_704_106_800 * NS + i * 60 * NS for i in range(30)] * 2,
+            "adj_close": [100.0 + i for i in range(60)],
+        }
+    )
+    spark.sql("DROP TABLE IF EXISTS bars_bucketed_test")
+    write_bucketed_bars(
+        spark.createDataFrame(pdf),
+        "bars_bucketed_test",
+        str(tmp_path / "bars_bucketed"),
+        n_buckets=4,
+    )
+    out = with_rocp(spark.table("bars_bucketed_test"), "adj_close", ks=(1,))
+    plan = plan_of(out)
+    assert count_nodes(plan, "Exchange") == 0  # bucketing feeds the window
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+    # and the values are still right
+    got = out.filter(F.col("ticker") == "A").orderBy("window_start").toPandas()
+    assert abs(got.rocp_1.iloc[1] - 0.01) < 1e-12
