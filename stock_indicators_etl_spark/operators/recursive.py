@@ -12,12 +12,11 @@ Python-CPU-bound), this uses the fused pattern:
       → mapInPandas(partition-level compute)
 
 Each task receives whole series as contiguous, time-sorted runs and
-computes every group with plain numpy slicing — one Arrow transfer
-per partition, not per series. N is pinned (explicit repartition), so
-parallelism matches cores rather than shuffle bytes.
-
-Scale notes: a partition must hold its groups in memory; series are
-bounded (≤ a few thousand intraday bars), and N scales freely with
+computes every group with plain numpy slicing — Arrow batches stream
+through with only the trailing (possibly batch-straddling) series
+held back, so peak memory is O(batch + longest series), not
+O(partition). N is pinned (explicit repartition), so parallelism
+matches cores rather than shuffle bytes, and scales freely with
 cluster size because the repartition is on the series key.
 """
 
@@ -88,21 +87,15 @@ def with_recursive_indicators(
         + [T.StructField(c, T.DoubleType(), True) for c in wanted]
     )
 
-    def compute_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        chunks = list(batches)
-        if not chunks:
-            return
-        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    def compute_frame(pdf: pd.DataFrame) -> pd.DataFrame:
         m = len(pdf)
-        if m == 0:
-            return
         close = pdf[close_col].to_numpy(dtype=np.float64, na_value=np.nan)
         if "adx_di_diff" in wanted:
             high = pdf[high_col].to_numpy(dtype=np.float64, na_value=np.nan)
             low = pdf[low_col].to_numpy(dtype=np.float64, na_value=np.nan)
             cun = pdf[close_unadj_col].to_numpy(dtype=np.float64, na_value=np.nan)
         out = {c: np.full(m, np.nan) for c in wanted}
-        # rows arrive sorted by (keys, ws): every series is one
+        # rows are sorted by (keys, ws): every series is one
         # contiguous, already-time-ordered run — pure numpy slicing.
         for idx in pdf.groupby(keys, sort=False).indices.values():
             s = slice(idx[0], idx[-1] + 1)
@@ -119,7 +112,32 @@ def with_recursive_indicators(
                 out["adx"][s] = adx
         for c in wanted:
             pdf[c] = out[c]
-        yield pdf
+        return pdf
+
+    def compute_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Stream Arrow batches: a series may straddle batch boundaries,
+        # so hold back the trailing key's rows and process everything
+        # before them. Peak memory is O(batch + longest series), NOT
+        # O(partition) — the property that lets one task own many
+        # series at archive scale.
+        held: pd.DataFrame | None = None
+        for b in batches:
+            if held is not None:
+                b = pd.concat([held, b], ignore_index=True)
+                held = None
+            if len(b) == 0:
+                continue
+            last_key = tuple(b.iloc[-1][k] for k in keys)
+            is_last = np.logical_and.reduce(
+                [(b[k] == v).to_numpy() for k, v in zip(keys, last_key)]
+            )
+            # sorted by key → the last key's rows are a contiguous tail
+            cut = int(len(b) - is_last.sum())
+            if cut > 0:
+                yield compute_frame(b.iloc[:cut].reset_index(drop=True))
+            held = b.iloc[cut:].reset_index(drop=True)
+        if held is not None and len(held):
+            yield compute_frame(held)
 
     if pre_partitioned:
         rep = df

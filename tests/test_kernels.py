@@ -131,3 +131,50 @@ def test_adx_matches_naive():
 @pytest.mark.parametrize("kern", [rsi_kernel, cmo_kernel])
 def test_short_series_all_nan(kern):
     assert np.isnan(kern(X[:10], 14)).all()
+
+
+def test_recursive_streaming_batches_match_single_batch(spark):
+    """Series that straddle Arrow batch boundaries must produce the
+    same output as a single-batch pass (the held-back-tail logic in
+    with_recursive_indicators.compute_partition)."""
+    import numpy as np
+    import pandas as pd
+    from stock_indicators_etl_spark.operators.recursive import (
+        with_recursive_indicators,
+    )
+
+    NS = 1_000_000_000
+    rng = np.random.default_rng(7)
+    rows = []
+    for t in ("A", "B", "C"):
+        for i in range(50):
+            p = 100.0 + rng.normal(0, 1)
+            rows.append(
+                {
+                    "sub_ticker": t,
+                    "window_start": (1_704_106_800 + 60 * i) * NS,
+                    "adj_close": p,
+                    "high": p + 0.1,
+                    "low": p - 0.1,
+                    "close": p,
+                }
+            )
+    df = spark.createDataFrame(pd.DataFrame(rows))
+
+    def run():
+        return (
+            with_recursive_indicators(df, num_partitions=2)
+            .toPandas()
+            .sort_values(["sub_ticker", "window_start"])
+            .reset_index(drop=True)
+        )
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        baseline = run()  # default batches: whole partition in one
+        spark.conf.set(key, "7")  # split every series across many batches
+        tiny = run()
+    finally:
+        spark.conf.set(key, old)
+    pd.testing.assert_frame_equal(baseline, tiny)
