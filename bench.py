@@ -83,6 +83,7 @@ def run() -> None:
         # the HOF-heavy dedup queries); the timed run is steady state
         df.write.mode("overwrite").format("noop").save()
         df.write.mode("overwrite").format("noop").save()
+        spark.sparkContext._jvm.System.gc()  # isolate from prior queries' heap churn
         t0 = time.perf_counter()
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 4)

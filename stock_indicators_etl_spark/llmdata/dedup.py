@@ -328,13 +328,16 @@ def ngram_jaccard_pairs(
             F.col("p.b.n_sh").alias("n_b"),
         )
     )
+    if candidates is not None:
+        # restrict BEFORE the pair shuffle: the candidate set is the
+        # whole point of the two-stage pipeline — only surviving pairs
+        # pay the count aggregation
+        expanded = expanded.join(candidates, ["doc_a", "doc_b"], "left_semi")
     inter = expanded.groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).alias("n_inter"),
         F.first("n_a").alias("n_a"),
         F.first("n_b").alias("n_b"),
     )
-    if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
     out = inter.withColumn(
         "jaccard",
         F.col("n_inter").cast("double")
