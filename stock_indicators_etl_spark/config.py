@@ -92,6 +92,32 @@ class IndicatorConfig:
     market_open: str = "09:30:00"
     market_close: str = "16:30:00"
 
+    def __post_init__(self) -> None:
+        # validation parity with the reference's pydantic config
+        # (indicators.py:97-143): fail fast on nonsense instead of
+        # producing silently-wrong plans
+        known = set(DEFAULT_MOMENTUM_FEATURES)
+        unknown = [f for f in self.momentum_features if f not in known]
+        if unknown:
+            raise ValueError(
+                f"unknown momentum_features {unknown}; valid: {sorted(known)}"
+            )
+        for name in (
+            "num_prev_rocp", "rsi_timeperiod", "mfi_timeperiod",
+            "ultosc_timeperiod1", "ultosc_timeperiod2", "ultosc_timeperiod3",
+            "cmo_timeperiod", "aroonosc_timeperiod", "macd_signal_period",
+            "ppo_fast", "ppo_slow", "stochf_fastk", "stochf_fastd",
+            "adx_timeperiod", "cci_timeperiod", "mom_timeperiod",
+            "grid_step_s", "min_segment_rows",
+        ):
+            if getattr(self, name) < 1:
+                raise ValueError(f"{name} must be >= 1")
+        if any(g % self.grid_step_s for g in self.allowed_gaps_s):
+            raise ValueError(
+                f"allowed_gaps_s {self.allowed_gaps_s} must be multiples of "
+                f"grid_step_s={self.grid_step_s}"
+            )
+
     @property
     def step_ns(self) -> int:
         return self.grid_step_s * NS_PER_S

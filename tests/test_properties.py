@@ -124,3 +124,59 @@ def test_grid_invariants(spark, gaps_s):
     # every kept segment had ≥2 source rows (b), directly on seg
     seg_counts = seg.groupBy("sub_ticker").count().toPandas()
     assert (seg_counts["count"] >= 2).all()
+
+
+# ---------------------------------------------------------------------------
+# config validation + dedup invariants
+# ---------------------------------------------------------------------------
+
+
+def test_config_validation():
+    import pytest
+
+    from stock_indicators_etl_spark.config import IndicatorConfig
+
+    with pytest.raises(ValueError, match="unknown momentum_features"):
+        IndicatorConfig(momentum_features=["rsi", "bogus"])
+    with pytest.raises(ValueError, match="must be >= 1"):
+        IndicatorConfig(rsi_timeperiod=0)
+    with pytest.raises(ValueError, match="multiples of"):
+        IndicatorConfig(grid_step_s=60, allowed_gaps_s=(60, 90))
+    IndicatorConfig()  # defaults valid
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.sampled_from(
+            [
+                "alpha beta gamma delta epsilon zeta",
+                "alpha beta gamma delta epsilon eta",
+                "one two three four five six seven",
+                "completely different words here now",
+            ]
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_jaccard_invariants(spark, texts):
+    import pandas as pd
+
+    from stock_indicators_etl_spark.llmdata.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    out = ngram_jaccard_pairs(docs).toPandas()
+    assert ((out.jaccard >= 0.0) & (out.jaccard <= 1.0)).all()
+    assert (out.doc_a < out.doc_b).all()
+    assert (out.n_inter <= out[["n_a", "n_b"]].min(axis=1)).all()
+    # identical texts ⇒ jaccard exactly 1
+    for _, r in out.iterrows():
+        if texts[int(r.doc_a)] == texts[int(r.doc_b)]:
+            assert r.jaccard == 1.0
