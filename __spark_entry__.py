@@ -28,8 +28,17 @@ from stock_indicators_etl_spark.queries import (
 from stock_indicators_etl_spark.queries_llm import ORACLES_LLM, QUERIES_LLM
 
 
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """The events table stores TIMESTAMP(NANOS), which Spark refuses
+    to read unless ``nanosAsLong`` is on (our ``get_spark`` sets it at
+    build time; a caller-supplied vanilla session needs it set here —
+    it is runtime-settable)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full 20-column indicator frame on sf0.001 events."""
+    _ensure_session_conf(spark)
     bars = events_as_bars(spark, "/root/testdata/sf0.001")
     return generate_indicators(bars, IndicatorConfig(), assume_regular=True)
 
@@ -66,6 +75,16 @@ def _q_recursive(features: list[str]) -> Callable[[SparkSession, str], DataFrame
     return run
 
 
+def _conf_wrapped(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_session_conf(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = dict(QUERIES)
     q.update(QUERIES_LLM)
@@ -74,7 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cmo_wilder"] = _q_recursive(["cmo"])
     q["macdfix_hist"] = _q_recursive(["macd"])
     q["adx_family"] = _q_recursive(["adx"])
-    return q
+    return {name: _conf_wrapped(fn) for name, fn in q.items()}
 
 
 def oracle_sql() -> dict[str, str]:
