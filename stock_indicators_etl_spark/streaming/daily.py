@@ -67,6 +67,68 @@ def run_indicators(args: argparse.Namespace) -> int:
     return 0
 
 
+def run_backfill(args: argparse.Namespace) -> int:
+    """Date-range indicator backfill as ONE distributed job.
+
+    The reference backfills via ≤8 concurrent single-day Airflow runs
+    (``airflow_dag.py:24-26``); here partition pruning selects the
+    [start, end] day range from the archive in one scan and the whole
+    range flows through one ``generate_indicators`` plan. Per-day
+    market-session bounds are computed as Column expressions
+    (``to_utc_timestamp`` of each row's own day), so no driver-side
+    loop over days exists anywhere.
+    """
+    from pyspark.sql import functions as F
+
+    NS = 1_000_000_000
+    spark = get_spark(app_name="backfill_indicators")
+    cfg = IndicatorConfig()
+    bars = (
+        spark.read.parquet(args.src)
+        .filter(F.col("interval") == args.interval)
+        .filter((F.col("day") >= args.start) & (F.col("day") <= args.end))
+    )
+    if bars.isEmpty():
+        print(f"no input in [{args.start}, {args.end}]; skipping")
+        return 0
+    lo = (
+        F.unix_timestamp(
+            F.to_utc_timestamp(F.concat_ws(" ", "day", F.lit(cfg.market_open)), cfg.tz)
+        ).cast("long")
+        * NS
+    )
+    hi = (
+        F.unix_timestamp(
+            F.to_utc_timestamp(F.concat_ws(" ", "day", F.lit(cfg.market_close)), cfg.tz)
+        ).cast("long")
+        * NS
+    )
+    ws = F.col(cfg.time_column)
+    in_session = bars.filter((ws >= lo) & (ws < hi)).drop(
+        "interval", "year", "month", "day"
+    )
+    out = generate_indicators(in_session, cfg)
+    # re-derive each output row's ET day for the partitioned sink
+    day = F.date_format(
+        F.from_utc_timestamp(
+            F.timestamp_micros((ws / F.lit(1000)).cast("long")), cfg.tz
+        ),
+        "yyyy-MM-dd",
+    )
+    (
+        out.withColumn("interval", F.lit(args.interval))
+        .withColumn("day", day)
+        .withColumn("year", F.year("day"))
+        .withColumn("month", F.month("day"))
+        .write.mode("overwrite")
+        .partitionBy("interval", "year", "month", "day")
+        .option("compression", "gzip")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(args.dst)
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="daily")
     sub = p.add_subparsers(dest="job", required=True)
@@ -86,6 +148,14 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--src", required=True)
     i.add_argument("--dst", required=True)
     i.set_defaults(fn=run_indicators)
+
+    b = sub.add_parser("backfill")
+    b.add_argument("--start", required=True)
+    b.add_argument("--end", required=True)
+    b.add_argument("--interval", default="1m")
+    b.add_argument("--src", required=True)
+    b.add_argument("--dst", required=True)
+    b.set_defaults(fn=run_backfill)
 
     args = p.parse_args(argv)
     return args.fn(args)
