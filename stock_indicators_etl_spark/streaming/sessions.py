@@ -49,6 +49,24 @@ def streaming_sessionize(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    subset: list[str] | None = None,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose ``subset`` key was
+    already seen within the watermark horizon
+    (``dropDuplicatesWithinWatermark``). The streaming twin of
+    ``llmdata.dedup.exact_dedup``'s survivor selection — state is
+    bounded by the watermark, so it runs indefinitely; at-least-once
+    sources (file replay, Kafka) become effectively-once downstream.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        subset or ["event_id"]
+    )
+
+
 def streaming_ohlcv_rollup(
     events: DataFrame,
     bucket: str = "1 hour",

@@ -238,3 +238,54 @@ def test_media_resize_and_frame_sampling(spark):
     assert list(f1.frame_idx) == [0, 1, 2] and list(f1.ts_ms) == [0, 1000, 2000]
     assert all(len(f) <= 16 for f in f1.frame)
     assert len(fr[fr.media_id == 2]) == 0  # empty payload -> no frames
+
+
+def test_streaming_dedup(spark, tmp_path):
+    from stock_indicators_etl_spark.streaming.sessions import streaming_dedup
+
+    src = str(tmp_path / "dup_src")
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 1, 3, 2, 1],
+            "ts": pd.to_datetime(["2024-01-01 10:00"] * 6),
+            "value": [1.0, 2.0, 1.0, 3.0, 2.0, 1.0],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("event_id bigint, ts timestamp, value double").parquet(src)
+    out = streaming_dedup(stream, subset=["event_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sdedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sdedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from sdedup").toPandas()
+    assert sorted(got.event_id) == [1, 2, 3]
+
+
+def test_backfill_range_job(spark, tmp_path, monkeypatch):
+    """Two synthetic days -> one backfill job -> per-day partitions."""
+    import stock_indicators_etl_spark.streaming.daily as daily
+    from stock_indicators_etl_spark.sources.yahoo import download_bars, synthetic_fetch
+    from stock_indicators_etl_spark.sources.io import write_bars_day
+
+    base, dst = str(tmp_path / "bars"), str(tmp_path / "feat")
+    for d in ("2024-01-02", "2024-01-03"):
+        bars = download_bars(spark, ["AAPL", "MSFT"], d, "1m", fetch_fn=synthetic_fetch)
+        write_bars_day(bars, base, "1m", d)
+
+    monkeypatch.setattr(daily, "get_spark", lambda **kw: spark)
+    rc = daily.main(
+        ["backfill", "--start", "2024-01-02", "--end", "2024-01-03",
+         "--interval", "1m", "--src", base, "--dst", dst]
+    )
+    assert rc == 0
+    out = spark.read.parquet(dst)
+    days = {str(r.day) for r in out.select("day").distinct().collect()}
+    assert days == {"2024-01-02", "2024-01-03"}
+    per_day = out.groupBy("day").count().toPandas()
+    assert (per_day["count"] > 0).all()
