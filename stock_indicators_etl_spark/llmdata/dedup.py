@@ -89,6 +89,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def dedup_survivors(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The cleaned corpus: keep exactly one doc (min doc_id) per
+    distinct normalized content — the operation a training-data
+    pipeline actually applies. One md5-groupBy shuffle + a semi join
+    on the canonical ids (broadcastable when the duplicate rate is
+    high and the canonical set is small)."""
+    canon = exact_dedup(df, text_col).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    return df.join(canon, "doc_id", "left_semi")
+
+
 # ---------------------------------------------------------------------------
 # shingles + MinHash
 # ---------------------------------------------------------------------------

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stock_indicators_etl_spark.llmdata.dedup import (
+    dedup_survivors,
     exact_dedup,
     minhash_lsh_candidates,
     minhash_signatures,
@@ -291,6 +292,18 @@ SELECT doc_a, doc_b, n_inter, n_a, n_b, {R6('jaccard')} AS jaccard
 FROM j WHERE jaccard >= 0.2
 """
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_survivors(_docs(spark, sf_dir)).select("doc_id", "lang")
+
+
+SQL_DEDUP_SURVIVORS = f"""
+WITH {DOCS_CTE},
+canon AS (SELECT min(doc_id) AS doc_id FROM wd GROUP BY md5(n))
+SELECT d.doc_id, d.lang
+FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM canon)
+"""
+
+
 DEDUP_VERIFY_THRESHOLD = 0.5
 
 
@@ -457,6 +470,7 @@ QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "language_id": q_language_id,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_exact_dedup,
+    "dedup_survivors": q_dedup_survivors,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_candidates": q_minhash_lsh,
     "ngram_jaccard": q_ngram_jaccard,
@@ -475,6 +489,7 @@ ORACLES_LLM: dict[str, str] = {
     "language_id": SQL_LANGUAGE_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_exact": SQL_EXACT_DEDUP,
+    "dedup_survivors": SQL_DEDUP_SURVIVORS,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "minhash_lsh_candidates": SQL_MINHASH_LSH,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
