@@ -6,9 +6,12 @@ bar series (FIXTURES.md §3).
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
 from SURVEY.md §2 (+ the §7 extension surface); oracle SQL runs on
-DuckDB over the same parquet. Recursive Wilder/EMA indicators are not
-SQL-expressible → rows-only entries (numeric parity covered by
-tests/test_kernels.py instead).
+DuckDB over the same parquet. The recursive Wilder/EMA family
+(rsi/cmo/macdfix/adx) is oracle-checked too: DuckDB ``list_reduce``
+lambdas replay the kernels' exact left-fold IEEE sequence, giving
+bit-identical values (see ``queries._wilder_oracle_sql``). Only the
+inherently Spark-specific entries (LSH/IVF ANN bucketing, the
+multi-stage grid pipeline) remain rows-only.
 """
 
 from __future__ import annotations
@@ -68,9 +71,19 @@ def _q_indicator_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_recursive(features: list[str]) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from stock_indicators_etl_spark.queries import _rc
+
         bars = events_as_bars(spark, sf_dir)
         cfg = IndicatorConfig(momentum_features=features)
-        return generate_indicators(bars, cfg, assume_regular=True)
+        out = generate_indicators(bars, cfg, assume_regular=True)
+        # 6dp floor-rounding convention on computed doubles (matches
+        # the DuckDB oracles; harmless for the rows-only entries)
+        skip = {"window_start", "close_price", "ticker"}
+        return out.withColumns(
+            {c: _rc(F.col(c)) for c in out.columns if c not in skip}
+        )
 
     return run
 
@@ -97,4 +110,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**ORACLES, **ORACLES_LLM}
+    from stock_indicators_etl_spark.queries import (
+        SQL_ADX_FAMILY,
+        SQL_CMO_WILDER,
+        SQL_MACDFIX_HIST,
+        SQL_RSI_WILDER,
+    )
+
+    return {
+        **ORACLES,
+        **ORACLES_LLM,
+        "rsi_wilder": SQL_RSI_WILDER,
+        "cmo_wilder": SQL_CMO_WILDER,
+        "macdfix_hist": SQL_MACDFIX_HIST,
+        "adx_family": SQL_ADX_FAMILY,
+    }

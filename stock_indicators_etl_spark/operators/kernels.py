@@ -21,15 +21,34 @@ are invoked per-series inside Arrow-batched ``applyInPandas``.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 
 
 def _seeded_recursion(first: float, rest: np.ndarray, alpha: float) -> np.ndarray:
-    """y[0] = first; y[i] = (1−alpha)·y[i−1] + alpha·rest[i−1]."""
-    buf = np.empty(len(rest) + 1)
-    buf[0] = first
-    buf[1:] = rest
-    return pd.Series(buf).ewm(alpha=alpha, adjust=False).mean().to_numpy()
+    """y[0] = first; y[i] = (1−alpha)·y[i−1] + alpha·rest[i−1].
+
+    Explicit left-fold loop (not pandas ``ewm``) so the exact IEEE
+    operation sequence — ``y·(1−alpha) + x·alpha`` — can be mirrored
+    verbatim by a DuckDB ``list_reduce`` lambda, giving bit-identical
+    oracle values for the recursive indicators. Series are intraday-
+    bounded, so the Python loop is negligible next to Arrow transfer.
+    """
+    a = 1.0 - alpha
+    out = np.empty(len(rest) + 1)
+    y = float(first)
+    out[0] = y
+    for i in range(len(rest)):
+        y = y * a + rest[i] * alpha
+        out[i + 1] = y
+    return out
+
+
+def _lfold_mean(x: np.ndarray) -> float:
+    """Left-fold sum / n — matches SQL ``list_reduce(.., +) / n``
+    exactly (numpy's pairwise summation orders differently)."""
+    s = 0.0
+    for v in x:
+        s = s + v
+    return s / len(x)
 
 
 def _wilder_avgs(x: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
@@ -37,8 +56,8 @@ def _wilder_avgs(x: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
     d = np.diff(x)
     gain = np.maximum(d, 0.0)
     loss = np.maximum(-d, 0.0)
-    seed_g = gain[:n].mean()
-    seed_l = loss[:n].mean()
+    seed_g = _lfold_mean(gain[:n])
+    seed_l = _lfold_mean(loss[:n])
     ag = _seeded_recursion(seed_g, gain[n:], 1.0 / n)
     al = _seeded_recursion(seed_l, loss[n:], 1.0 / n)
     return ag, al
@@ -77,7 +96,7 @@ def _ema_talib(x: np.ndarray, n: int, k: float) -> np.ndarray:
     out = np.full(m, np.nan)
     if m < n:
         return out
-    seed = float(np.mean(x[:n]))
+    seed = _lfold_mean(x[:n])
     out[n - 1 :] = _seeded_recursion(seed, x[n:], k)
     return out
 
@@ -101,7 +120,7 @@ def macdfix_kernel(
     ema_fast = _ema_talib(x, 12, 0.15)
     ema_slow = _ema_talib(x, 26, 0.075)
     macd = ema_fast - ema_slow  # valid from slow_lb
-    sig_seed = float(np.mean(macd[slow_lb : slow_lb + signal_n]))
+    sig_seed = _lfold_mean(macd[slow_lb : slow_lb + signal_n])
     sig = np.full(m, np.nan)
     sig[lookback:] = _seeded_recursion(
         sig_seed, macd[lookback + 1 :], 2.0 / (signal_n + 1.0)
@@ -140,9 +159,9 @@ def adx_kernel(
     tr = np.maximum(h[1:], pc) - np.minimum(l[1:], pc)
 
     # Wilder smoothed sums s[i] = s[i−1] − s[i−1]/n + cur ≡ n·ewm(1/n)
-    s_tr = n * _seeded_recursion(tr[:n].sum() / n, tr[n:], 1.0 / n)
-    s_p = n * _seeded_recursion(pdm[:n].sum() / n, pdm[n:], 1.0 / n)
-    s_m = n * _seeded_recursion(mdm[:n].sum() / n, mdm[n:], 1.0 / n)
+    s_tr = n * _seeded_recursion(_lfold_mean(tr[:n]), tr[n:], 1.0 / n)
+    s_p = n * _seeded_recursion(_lfold_mean(pdm[:n]), pdm[n:], 1.0 / n)
+    s_m = n * _seeded_recursion(_lfold_mean(mdm[:n]), mdm[n:], 1.0 / n)
 
     with np.errstate(divide="ignore", invalid="ignore"):
         p = np.where(s_tr == 0.0, 0.0, 100.0 * s_p / np.where(s_tr == 0.0, 1.0, s_tr))
@@ -153,6 +172,6 @@ def adx_kernel(
     mdi[n:] = q
 
     if m >= 2 * n:
-        seed_adx = float(np.mean(dx[: n]))  # dx[0] ↔ index n → dx[:n] ↔ idx n..2n−1
+        seed_adx = _lfold_mean(dx[:n])  # dx[0] ↔ index n → dx[:n] ↔ idx n..2n−1
         adx[2 * n - 1 :] = _seeded_recursion(seed_adx, dx[n:], 1.0 / n)
     return pdi, mdi, adx

@@ -712,6 +712,242 @@ GROUP BY 1, 2
 """
 
 # ---------------------------------------------------------------------------
+# W7 RSI / W10 CMO: full-pipeline oracle via DuckDB list-lambda
+# recursion (bit-identical to kernels._seeded_recursion's left fold)
+# ---------------------------------------------------------------------------
+
+
+def _wilder_oracle_sql(out_col: str, formula: str, n: int = 14) -> str:
+    """Oracle for the ``momentum_features=[x]`` pipeline on events
+    bars: per-ticker Wilder state via ``list_reduce`` replaying the
+    exact ``y·(1−1/n) + v·(1/n)`` IEEE sequence of the numpy kernel
+    (seeded with a left-fold mean), then ROCP + assembly + dropna.
+    ``formula`` maps the state pair q = [avg_gain, avg_loss] to the
+    indicator value (raw 0-100 scale; scaled ÷100 in assembly).
+    """
+    rocps = ",\n         ".join(_rocp_sql_term(k) for k in range(1, 6))
+    return f"""
+WITH {BARS_CTE},
+g AS (
+  SELECT ticker,
+         list(window_start ORDER BY window_start) AS wss,
+         list(adj_close ORDER BY window_start) AS lst
+  FROM bars GROUP BY ticker
+),
+st AS (
+  SELECT ticker, wss, lst,
+    list_transform(generate_series(1, len(lst)), i ->
+      CASE WHEN i <= {n} THEN NULL ELSE
+        list_reduce(
+          list_prepend(
+            [list_reduce(list_prepend(0.0, list_transform(generate_series(2, {n + 1}), j -> greatest(lst[j] - lst[j-1], 0.0))), (x, y) -> x + y) / {n}.0,
+             list_reduce(list_prepend(0.0, list_transform(generate_series(2, {n + 1}), j -> greatest(lst[j-1] - lst[j], 0.0))), (x, y) -> x + y) / {n}.0],
+            list_transform(generate_series({n + 2}, i), k ->
+              [greatest(lst[k] - lst[k-1], 0.0), greatest(lst[k-1] - lst[k], 0.0)])),
+          (acc, v) -> [acc[1] * (1.0 - 1.0/{n}.0) + v[1] * (1.0/{n}.0),
+                       acc[2] * (1.0 - 1.0/{n}.0) + v[2] * (1.0/{n}.0)])
+      END) AS states
+  FROM g
+),
+r AS (
+  SELECT ticker, wss, lst,
+    list_transform(states, q ->
+      CASE WHEN q IS NULL THEN NULL
+           WHEN q[1] + q[2] = 0 THEN 0.0
+           ELSE {formula} END) AS vals
+  FROM st
+),
+u AS (
+  SELECT ticker, unnest(wss) AS window_start, unnest(lst) AS adj_close,
+         unnest(vals) AS raw_val
+  FROM r
+),
+f AS (
+  SELECT concat(ticker, '-0') AS ticker, window_start,
+         adj_close AS close_price,
+         {rocps},
+         {R6('raw_val / 100.0')} AS {out_col}
+  FROM u
+  WINDOW w AS (PARTITION BY ticker ORDER BY window_start)
+)
+SELECT * FROM f
+WHERE {out_col} IS NOT NULL AND rocp_1 IS NOT NULL AND rocp_2 IS NOT NULL
+  AND rocp_3 IS NOT NULL AND rocp_4 IS NOT NULL AND rocp_5 IS NOT NULL
+"""
+
+
+SQL_RSI_WILDER = _wilder_oracle_sql("rsi", "100.0 * q[1] / (q[1] + q[2])")
+SQL_CMO_WILDER = _wilder_oracle_sql("cmo", "100.0 * (q[1] - q[2]) / (q[1] + q[2])")
+
+
+def _macdfix_oracle_sql() -> str:
+    """Oracle for ``momentum_features=["macd"]``: TA-Lib MACDFIX via
+    the same list-lambda replay — EMA12/EMA26 with fixed multipliers
+    0.15/0.075 (SMA-seeded), EMA9 signal over the macd list, output
+    hist = macd − signal, scaled ÷10 (``indicators.py:432-445``)."""
+    rocps = ",\n         ".join(_rocp_sql_term(k) for k in range(1, 6))
+    ema = (
+        "list_reduce(list_prepend("
+        "list_reduce(list_prepend(0.0, list_transform(generate_series(1, {n}), j -> lst[j])), (x, y) -> x + y) / {n}.0, "
+        "list_transform(generate_series({n1}, i), k -> lst[k])), "
+        "(acc, v) -> acc * (1.0 - {k}) + v * {k})"
+    )
+    ema12 = ema.format(n=12, n1=13, k="0.15")
+    ema26 = ema.format(n=26, n1=27, k="0.075")
+    return f"""
+WITH {BARS_CTE},
+g AS (
+  SELECT ticker,
+         list(window_start ORDER BY window_start) AS wss,
+         list(adj_close ORDER BY window_start) AS lst
+  FROM bars GROUP BY ticker
+),
+m1 AS (
+  SELECT ticker, wss, lst,
+    list_transform(generate_series(1, len(lst)), i ->
+      CASE WHEN i < 26 THEN NULL ELSE {ema12} - {ema26} END) AS macd
+  FROM g
+),
+sg AS (
+  SELECT ticker, wss, lst,
+    list_transform(generate_series(1, len(lst)), i ->
+      CASE WHEN i <= 33 THEN NULL ELSE
+        macd[i] -
+        list_reduce(
+          list_prepend(list_reduce(list_prepend(0.0, list_transform(generate_series(26, 34), j -> macd[j])), (x, y) -> x + y) / 9.0,
+                       list_transform(generate_series(35, i), k -> macd[k])),
+          (acc, v) -> acc * (1.0 - 2.0/(9.0 + 1.0)) + v * (2.0/(9.0 + 1.0)))
+      END) AS hist
+  FROM m1
+),
+u AS (
+  SELECT ticker, unnest(wss) AS window_start, unnest(lst) AS adj_close,
+         unnest(hist) AS raw_hist
+  FROM sg
+),
+f AS (
+  SELECT concat(ticker, '-0') AS ticker, window_start,
+         adj_close AS close_price,
+         {rocps},
+         {R6('raw_hist / 10.0')} AS macd_hist
+  FROM u
+  WINDOW w AS (PARTITION BY ticker ORDER BY window_start)
+)
+SELECT * FROM f
+WHERE macd_hist IS NOT NULL AND rocp_1 IS NOT NULL AND rocp_2 IS NOT NULL
+  AND rocp_3 IS NOT NULL AND rocp_4 IS NOT NULL AND rocp_5 IS NOT NULL
+"""
+
+
+SQL_MACDFIX_HIST = _macdfix_oracle_sql()
+
+
+def _adx_oracle_sql(n: int = 14) -> str:
+    """Oracle for ``momentum_features=["adx"]``: the doubly-recursive
+    ADX family (W15) via two chained list-lambda replays — Wilder
+    state triple [TR, +DM, −DM] → ±DI → DX list → Wilder-mean ADX.
+    Output keeps the reference's name swap: ``adx`` = ADX/100,
+    ``adx_hist`` = (+DI − −DI)/100 (``indicators.py:294-297``)."""
+    rocps = ",\n         ".join(_rocp_sql_term(k) for k in range(1, 6))
+    up = "lh[{j}]-lh[{j}-1]"
+    dn = "ll[{j}-1]-ll[{j}]"
+
+    def pdm(j: str) -> str:
+        u, d = up.format(j=j), dn.format(j=j)
+        return f"CASE WHEN {u} > {d} AND {u} > 0 THEN {u} ELSE 0.0 END"
+
+    def mdm(j: str) -> str:
+        u, d = up.format(j=j), dn.format(j=j)
+        return f"CASE WHEN {d} > {u} AND {d} > 0 THEN {d} ELSE 0.0 END"
+
+    def tr(j: str) -> str:
+        return f"greatest(lh[{j}], lc[{j}-1]) - least(ll[{j}], lc[{j}-1])"
+
+    def seed(expr: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(generate_series(2, {n + 1}), j -> {expr})), (x, y) -> x + y) / {n}.0"
+        )
+
+    return f"""
+WITH {BARS_CTE},
+g AS (
+  SELECT ticker,
+         list(window_start ORDER BY window_start) AS wss,
+         list(adj_close ORDER BY window_start) AS lst,
+         list(high ORDER BY window_start) AS lh,
+         list(low ORDER BY window_start) AS ll,
+         list(close ORDER BY window_start) AS lc
+  FROM bars GROUP BY ticker
+),
+st AS (
+  SELECT ticker, wss, lst,
+    list_transform(generate_series(1, len(lc)), i ->
+      CASE WHEN i <= {n} THEN NULL ELSE
+        list_reduce(
+          list_prepend(
+            [{seed(tr('j'))},
+             {seed(pdm('j'))},
+             {seed(mdm('j'))}],
+            list_transform(generate_series({n + 2}, i), k ->
+              [{tr('k')}, {pdm('k')}, {mdm('k')}])),
+          (acc, v) -> [acc[1] * (1.0 - 1.0/{n}.0) + v[1] * (1.0/{n}.0),
+                       acc[2] * (1.0 - 1.0/{n}.0) + v[2] * (1.0/{n}.0),
+                       acc[3] * (1.0 - 1.0/{n}.0) + v[3] * (1.0/{n}.0)])
+      END) AS states
+  FROM g
+),
+pq AS (
+  SELECT ticker, wss, lst,
+    list_transform(states, q -> CASE WHEN q IS NULL THEN NULL
+      WHEN {n}.0*q[1] = 0 THEN 0.0 ELSE 100.0 * ({n}.0*q[2]) / ({n}.0*q[1]) END) AS pdi,
+    list_transform(states, q -> CASE WHEN q IS NULL THEN NULL
+      WHEN {n}.0*q[1] = 0 THEN 0.0 ELSE 100.0 * ({n}.0*q[3]) / ({n}.0*q[1]) END) AS mdi
+  FROM st
+),
+dxl AS (
+  SELECT ticker, wss, lst, pdi, mdi,
+    list_transform(generate_series(1, len(pdi)), i ->
+      CASE WHEN pdi[i] IS NULL THEN NULL
+           WHEN pdi[i] + mdi[i] = 0 THEN 0.0
+           ELSE 100.0 * abs(pdi[i] - mdi[i]) / (pdi[i] + mdi[i]) END) AS dx
+  FROM pq
+),
+ax AS (
+  SELECT ticker, wss, lst, pdi, mdi,
+    list_transform(generate_series(1, len(pdi)), i ->
+      CASE WHEN i < {2 * n} THEN NULL ELSE
+        list_reduce(
+          list_prepend(list_reduce(list_prepend(0.0, list_transform(generate_series({n + 1}, {2 * n}), j -> dx[j])), (x, y) -> x + y) / {n}.0,
+                       list_transform(generate_series({2 * n + 1}, i), k -> dx[k])),
+          (acc, v) -> acc * (1.0 - 1.0/{n}.0) + v * (1.0/{n}.0))
+      END) AS adxl
+  FROM dxl
+),
+u AS (
+  SELECT ticker, unnest(wss) AS window_start, unnest(lst) AS adj_close,
+         unnest(adxl) AS raw_adx,
+         unnest(pdi) AS raw_pdi, unnest(mdi) AS raw_mdi
+  FROM ax
+),
+f AS (
+  SELECT concat(ticker, '-0') AS ticker, window_start,
+         adj_close AS close_price,
+         {rocps},
+         {R6('raw_adx / 100.0')} AS adx,
+         {R6('(raw_pdi - raw_mdi) / 100.0')} AS adx_hist
+  FROM u
+  WINDOW w AS (PARTITION BY ticker ORDER BY window_start)
+)
+SELECT * FROM f
+WHERE adx IS NOT NULL AND adx_hist IS NOT NULL AND rocp_1 IS NOT NULL
+  AND rocp_2 IS NOT NULL AND rocp_3 IS NOT NULL AND rocp_4 IS NOT NULL
+  AND rocp_5 IS NOT NULL
+"""
+
+
+SQL_ADX_FAMILY = _adx_oracle_sql()
+
+# ---------------------------------------------------------------------------
 # W3: regularity check (real, not the reference's inert one)
 # ---------------------------------------------------------------------------
 
