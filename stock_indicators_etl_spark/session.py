@@ -49,6 +49,9 @@ def get_spark(
         # read TIMESTAMP(NANOS) parquet as int64 epoch-ns (our native
         # time representation; Spark has no ns timestamp type)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # many-query sessions (bench/oracle sweeps) compile hundreds of
+        # distinct codegen units; the default 100-entry cache thrashes
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )
