@@ -58,6 +58,7 @@ def run() -> None:
         "rsi_wilder",
         "adx_family",
         "indicator_pipeline_grid",
+        "pipeline_wilder",
         "text_quality",
         "token_counts",
         "language_id",

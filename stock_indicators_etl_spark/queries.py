@@ -948,6 +948,262 @@ WHERE adx IS NOT NULL AND adx_hist IS NOT NULL AND rocp_1 IS NOT NULL
 SQL_ADX_FAMILY = _adx_oracle_sql()
 
 # ---------------------------------------------------------------------------
+# Composed full-pipeline oracle: grid stages + the recursive family
+# (segmentation and gap-fill are integer-exact, interpolation is a
+# single shared IEEE expression, and the Wilder/EMA recursions replay
+# bit-identically — so the ENTIRE pipeline hash-compares)
+# ---------------------------------------------------------------------------
+
+PW_STEP_S = 600
+PW_STEP_NS = PW_STEP_S * NS
+
+
+def q_pipeline_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline (segment → gap-fill → interpolate → indicators →
+    assembly → dropna) on the 10-minute event_type grid, restricted to
+    the recursive families — every stage of which is bit-reproducible
+    in the DuckDB oracle."""
+    from stock_indicators_etl_spark.config import IndicatorConfig
+    from stock_indicators_etl_spark.operators.pipeline import generate_indicators
+
+    mb = minute_bars(spark, sf_dir, step_s=PW_STEP_S, key="event_type").withColumnRenamed(
+        "price", "adj_close"
+    )
+    bars = (
+        mb.withColumn("close", F.col("adj_close"))
+        .withColumn("high", F.col("adj_close") + F.lit(1.0))
+        .withColumn("low", F.col("adj_close") - F.lit(1.0))
+        .withColumn("volume", F.lit(1.0))
+    )
+    cfg = IndicatorConfig(
+        grid_step_s=PW_STEP_S,
+        allowed_gaps_s=(PW_STEP_S, 2 * PW_STEP_S, 3 * PW_STEP_S),
+        momentum_features=["rsi", "cmo", "macd", "adx"],
+    )
+    out = generate_indicators(bars, cfg)
+    skip = {"window_start", "close_price", "ticker"}
+    return out.withColumns(
+        {c: _rc(F.col(c)) for c in out.columns if c not in skip}
+    )
+
+
+def _interp_sql(c: str) -> str:
+    """Linear-interpolation blend for column ``c`` (mirrors
+    ``timegrid.interpolate_linear``'s expression exactly)."""
+    pv = f"last_value({c} IGNORE NULLS) OVER wb"
+    nv = f"first_value({c} IGNORE NULLS) OVER wf"
+    pt = f"last_value(CASE WHEN {c} IS NOT NULL THEN window_start END IGNORE NULLS) OVER wb"
+    nt = f"first_value(CASE WHEN {c} IS NOT NULL THEN window_start END IGNORE NULLS) OVER wf"
+    return (
+        f"CASE WHEN {c} IS NOT NULL THEN {c} "
+        f"WHEN {pv} IS NULL THEN {nv} "
+        f"WHEN {nv} IS NULL THEN {pv} "
+        f"ELSE {pv} + ({nv} - {pv}) * (CAST(window_start - {pt} AS DOUBLE) / CAST({nt} - {pt} AS DOUBLE)) END"
+    )
+
+
+def _pipeline_wilder_oracle_sql(n: int = 14) -> str:
+    step = PW_STEP_NS
+    gaps = f"({PW_STEP_S}, {2 * PW_STEP_S}, {3 * PW_STEP_S})"
+    rocps = ",\n         ".join(_rocp_sql_term(k) for k in range(1, 6))
+
+    # --- recursive-state lambda templates (same shapes as the
+    # single-feature oracles, over per-sub_ticker interpolated lists)
+    def lfsum(items: str) -> str:
+        return f"list_reduce(list_prepend(0.0, {items}), (x, y) -> x + y)"
+
+    wilder_states = f"""
+    list_transform(generate_series(1, len(lst)), i ->
+      CASE WHEN i <= {n} THEN NULL ELSE
+        list_reduce(
+          list_prepend(
+            [{lfsum(f'list_transform(generate_series(2, {n + 1}), j -> greatest(lst[j] - lst[j-1], 0.0))')} / {n}.0,
+             {lfsum(f'list_transform(generate_series(2, {n + 1}), j -> greatest(lst[j-1] - lst[j], 0.0))')} / {n}.0],
+            list_transform(generate_series({n + 2}, i), k ->
+              [greatest(lst[k] - lst[k-1], 0.0), greatest(lst[k-1] - lst[k], 0.0)])),
+          (acc, v) -> [acc[1] * (1.0 - 1.0/{n}.0) + v[1] * (1.0/{n}.0),
+                       acc[2] * (1.0 - 1.0/{n}.0) + v[2] * (1.0/{n}.0)])
+      END)"""
+
+    ema = (
+        "list_reduce(list_prepend("
+        + lfsum("list_transform(generate_series(1, {nn}), j -> lst[j])")
+        + " / {nn}.0, list_transform(generate_series({n1}, i), k -> lst[k])), "
+        "(acc, v) -> acc * (1.0 - {kk}) + v * {kk})"
+    )
+    ema12 = ema.format(nn=12, n1=13, kk="0.15")
+    ema26 = ema.format(nn=26, n1=27, kk="0.075")
+    macd_list = f"""
+    list_transform(generate_series(1, len(lst)), i ->
+      CASE WHEN i < 26 THEN NULL ELSE {ema12} - {ema26} END)"""
+    hist_list = f"""
+    list_transform(generate_series(1, len(lst)), i ->
+      CASE WHEN i <= 33 THEN NULL ELSE
+        macd[i] -
+        list_reduce(
+          list_prepend({lfsum('list_transform(generate_series(26, 34), j -> macd[j])')} / 9.0,
+                       list_transform(generate_series(35, i), k -> macd[k])),
+          (acc, v) -> acc * (1.0 - 2.0/(9.0 + 1.0)) + v * (2.0/(9.0 + 1.0)))
+      END)"""
+
+    up = "lh[{j}]-lh[{j}-1]"
+    dn = "ll[{j}-1]-ll[{j}]"
+
+    def pdm(j: str) -> str:
+        u, d = up.format(j=j), dn.format(j=j)
+        return f"CASE WHEN {u} > {d} AND {u} > 0 THEN {u} ELSE 0.0 END"
+
+    def mdm(j: str) -> str:
+        u, d = up.format(j=j), dn.format(j=j)
+        return f"CASE WHEN {d} > {u} AND {d} > 0 THEN {d} ELSE 0.0 END"
+
+    def tr(j: str) -> str:
+        return f"greatest(lh[{j}], lc[{j}-1]) - least(ll[{j}], lc[{j}-1])"
+
+    adx_states = f"""
+    list_transform(generate_series(1, len(lc)), i ->
+      CASE WHEN i <= {n} THEN NULL ELSE
+        list_reduce(
+          list_prepend(
+            [{lfsum(f"list_transform(generate_series(2, {n + 1}), j -> {tr('j')})")} / {n}.0,
+             {lfsum(f"list_transform(generate_series(2, {n + 1}), j -> {pdm('j')})")} / {n}.0,
+             {lfsum(f"list_transform(generate_series(2, {n + 1}), j -> {mdm('j')})")} / {n}.0],
+            list_transform(generate_series({n + 2}, i), k ->
+              [{tr('k')}, {pdm('k')}, {mdm('k')}])),
+          (acc, v) -> [acc[1] * (1.0 - 1.0/{n}.0) + v[1] * (1.0/{n}.0),
+                       acc[2] * (1.0 - 1.0/{n}.0) + v[2] * (1.0/{n}.0),
+                       acc[3] * (1.0 - 1.0/{n}.0) + v[3] * (1.0/{n}.0)])
+      END)"""
+
+    adx_list = f"""
+    list_transform(generate_series(1, len(pdi)), i ->
+      CASE WHEN i < {2 * n} THEN NULL ELSE
+        list_reduce(
+          list_prepend({lfsum(f'list_transform(generate_series({n + 1}, {2 * n}), j -> dx[j])')} / {n}.0,
+                       list_transform(generate_series({2 * n + 1}, i), k -> dx[k])),
+          (acc, v) -> acc * (1.0 - 1.0/{n}.0) + v * (1.0/{n}.0))
+      END)"""
+
+    return f"""
+WITH m AS (
+  SELECT CAST(event_type AS VARCHAR) AS ticker,
+         (epoch_ns(ts) // {step}) * {step} AS window_start,
+         {R6('avg(value)')} AS price
+  FROM events GROUP BY 1, 2
+),
+b AS (
+  SELECT ticker, window_start, price AS adj_close, price AS close,
+         price + 1.0 AS high, price - 1.0 AS low
+  FROM m
+),
+gseg AS (
+  SELECT *, (window_start - lag(window_start)
+             OVER (PARTITION BY ticker ORDER BY window_start)) / {NS} AS gap_s
+  FROM b
+),
+s1 AS (
+  SELECT *, sum(CASE WHEN gap_s IS NOT NULL AND gap_s NOT IN {gaps} THEN 1 ELSE 0 END)
+            OVER (PARTITION BY ticker ORDER BY window_start ROWS UNBOUNDED PRECEDING) AS raw_seg
+  FROM gseg
+),
+c1 AS (SELECT *, count(*) OVER (PARTITION BY ticker, raw_seg) AS seg_n FROM s1),
+segf AS (
+  SELECT *, concat(ticker, '-', CAST(dense_rank()
+            OVER (PARTITION BY ticker ORDER BY raw_seg) - 1 AS VARCHAR)) AS sub_ticker
+  FROM (SELECT * FROM c1 WHERE seg_n >= 2)
+),
+gf AS (
+  SELECT sub_ticker, window_start, adj_close, close, high, low FROM segf
+  UNION ALL
+  SELECT sub_ticker,
+         unnest(generate_series(prev_ws + {step}, window_start - {step}, {step})) AS window_start,
+         NULL, NULL, NULL, NULL
+  FROM (
+    SELECT sub_ticker, window_start,
+           lag(window_start) OVER (PARTITION BY sub_ticker ORDER BY window_start) AS prev_ws
+    FROM segf
+  )
+  WHERE prev_ws IS NOT NULL AND window_start - prev_ws > {step}
+),
+ip AS (
+  SELECT sub_ticker, window_start,
+         {_interp_sql('adj_close')} AS adj_close,
+         {_interp_sql('close')} AS close,
+         {_interp_sql('high')} AS high,
+         {_interp_sql('low')} AS low
+  FROM gf
+  WINDOW wb AS (PARTITION BY sub_ticker ORDER BY window_start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY sub_ticker ORDER BY window_start
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+lists AS (
+  SELECT sub_ticker,
+         list(window_start ORDER BY window_start) AS wss,
+         list(adj_close ORDER BY window_start) AS lst,
+         list(high ORDER BY window_start) AS lh,
+         list(low ORDER BY window_start) AS ll,
+         list(close ORDER BY window_start) AS lc
+  FROM ip GROUP BY sub_ticker
+),
+wst AS (SELECT *, {wilder_states} AS wstates FROM lists),
+mc AS (SELECT *, {macd_list} AS macd FROM wst),
+hl AS (SELECT *, {hist_list} AS hist FROM mc),
+ast AS (SELECT *, {adx_states} AS astates FROM hl),
+pq AS (
+  SELECT *,
+    list_transform(astates, q -> CASE WHEN q IS NULL THEN NULL
+      WHEN {n}.0*q[1] = 0 THEN 0.0 ELSE 100.0 * ({n}.0*q[2]) / ({n}.0*q[1]) END) AS pdi,
+    list_transform(astates, q -> CASE WHEN q IS NULL THEN NULL
+      WHEN {n}.0*q[1] = 0 THEN 0.0 ELSE 100.0 * ({n}.0*q[3]) / ({n}.0*q[1]) END) AS mdi
+  FROM ast
+),
+dxl AS (
+  SELECT *,
+    list_transform(generate_series(1, len(pdi)), i ->
+      CASE WHEN pdi[i] IS NULL THEN NULL
+           WHEN pdi[i] + mdi[i] = 0 THEN 0.0
+           ELSE 100.0 * abs(pdi[i] - mdi[i]) / (pdi[i] + mdi[i]) END) AS dx
+  FROM pq
+),
+ax AS (SELECT *, {adx_list} AS adxl FROM dxl),
+u AS (
+  SELECT sub_ticker AS ticker,
+         unnest(wss) AS window_start,
+         unnest(lst) AS adj_close,
+         unnest(list_transform(wstates, q ->
+           CASE WHEN q IS NULL THEN NULL WHEN q[1] + q[2] = 0 THEN 0.0
+                ELSE 100.0 * q[1] / (q[1] + q[2]) END)) AS raw_rsi,
+         unnest(list_transform(wstates, q ->
+           CASE WHEN q IS NULL THEN NULL WHEN q[1] + q[2] = 0 THEN 0.0
+                ELSE 100.0 * (q[1] - q[2]) / (q[1] + q[2]) END)) AS raw_cmo,
+         unnest(hist) AS raw_hist,
+         unnest(adxl) AS raw_adx,
+         unnest(pdi) AS raw_pdi, unnest(mdi) AS raw_mdi
+  FROM ax
+),
+f AS (
+  SELECT ticker, window_start, adj_close AS close_price,
+         {rocps},
+         {R6('raw_rsi / 100.0')} AS rsi,
+         {R6('raw_cmo / 100.0')} AS cmo,
+         {R6('raw_hist / 10.0')} AS macd_hist,
+         {R6('raw_adx / 100.0')} AS adx,
+         {R6('(raw_pdi - raw_mdi) / 100.0')} AS adx_hist
+  FROM u
+  WINDOW w AS (PARTITION BY ticker ORDER BY window_start)
+)
+SELECT * FROM f
+WHERE rsi IS NOT NULL AND cmo IS NOT NULL AND macd_hist IS NOT NULL
+  AND adx IS NOT NULL AND adx_hist IS NOT NULL AND rocp_1 IS NOT NULL
+  AND rocp_2 IS NOT NULL AND rocp_3 IS NOT NULL AND rocp_4 IS NOT NULL
+  AND rocp_5 IS NOT NULL
+"""
+
+
+SQL_PIPELINE_WILDER = _pipeline_wilder_oracle_sql()
+
+# ---------------------------------------------------------------------------
 # W3: regularity check (real, not the reference's inert one)
 # ---------------------------------------------------------------------------
 
@@ -1115,6 +1371,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "ohlcv_rollup": q_ohlcv_rollup,
     "regularity_check": q_regularity_check,
+    "pipeline_wilder": q_pipeline_wilder,
     "unpivot_melt": q_unpivot_melt,
     "universe_join": q_universe_join,
     "scalar_timefns": q_scalar_timefns,
@@ -1139,6 +1396,7 @@ ORACLES: dict[str, str] = {
     "sessionize": SQL_SESSIONIZE,
     "ohlcv_rollup": SQL_OHLCV_ROLLUP,
     "regularity_check": SQL_REGULARITY_CHECK,
+    "pipeline_wilder": SQL_PIPELINE_WILDER,
     "unpivot_melt": SQL_UNPIVOT_MELT,
     "universe_join": SQL_UNIVERSE_JOIN,
     "scalar_timefns": SQL_SCALAR_TIMEFNS,
