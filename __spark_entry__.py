@@ -66,7 +66,13 @@ def _q_indicator_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = IndicatorConfig(
         grid_step_s=step, allowed_gaps_s=(step, 2 * step, 3 * step)
     )
-    return generate_indicators(bars, cfg)
+    out = generate_indicators(bars, cfg)
+    from stock_indicators_etl_spark.queries import _rc
+
+    skip = {"window_start", "close_price", "ticker"}
+    return out.withColumns(
+        {c: _rc(F.col(c)) for c in out.columns if c not in skip}
+    )
 
 
 def _q_recursive(features: list[str]) -> Callable[[SparkSession, str], DataFrame]:
@@ -113,6 +119,7 @@ def oracle_sql() -> dict[str, str]:
     from stock_indicators_etl_spark.queries import (
         SQL_ADX_FAMILY,
         SQL_CMO_WILDER,
+        SQL_INDICATOR_PIPELINE_GRID,
         SQL_MACDFIX_HIST,
         SQL_RSI_WILDER,
     )
@@ -124,4 +131,5 @@ def oracle_sql() -> dict[str, str]:
         "cmo_wilder": SQL_CMO_WILDER,
         "macdfix_hist": SQL_MACDFIX_HIST,
         "adx_family": SQL_ADX_FAMILY,
+        "indicator_pipeline_grid": SQL_INDICATOR_PIPELINE_GRID,
     }

@@ -1002,7 +1002,11 @@ def _interp_sql(c: str) -> str:
     )
 
 
-def _pipeline_wilder_oracle_sql(n: int = 14) -> str:
+def _pipeline_wilder_oracle_sql(n: int = 14, full: bool = False) -> str:
+    """``full=False``: recursive families only. ``full=True``: the
+    whole default 9-feature pipeline — the rolling indicators (MFI /
+    ULTOSC / AROONOSC / PPO / STOCHF) are added as window functions
+    over the interpolated grid and joined to the recursion outputs."""
     step = PW_STEP_NS
     gaps = f"({PW_STEP_S}, {2 * PW_STEP_S}, {3 * PW_STEP_S})"
     rocps = ",\n         ".join(_rocp_sql_term(k) for k in range(1, 6))
@@ -1084,6 +1088,84 @@ def _pipeline_wilder_oracle_sql(n: int = 14) -> str:
           (acc, v) -> acc * (1.0 - 1.0/{n}.0) + v * (1.0/{n}.0))
       END)"""
 
+    vol_b = ", 1.0 AS volume" if full else ""
+    vol_gf_obs = ", volume" if full else ""
+    vol_gf_gap = ", NULL" if full else ""
+    vol_ip = f", {_interp_sql('volume')} AS volume" if full else ""
+
+    roll_ctes = ""
+    roll_join = ""
+    roll_cols = ""
+    roll_where = ""
+    if full:
+        roll_ctes = """
+r0 AS (
+  SELECT sub_ticker, window_start, adj_close, close, high, low, volume,
+         row_number() OVER w AS rn,
+         (high + low + close) / 3.0 AS tp,
+         lag((high + low + close) / 3.0) OVER w AS prev_tp,
+         lag(close) OVER w AS prev_c
+  FROM ip
+  WINDOW w AS (PARTITION BY sub_ticker ORDER BY window_start)
+),
+r1 AS (
+  SELECT *,
+         CASE WHEN prev_tp IS NULL THEN NULL WHEN tp > prev_tp THEN tp * volume ELSE 0.0 END AS pos_f,
+         CASE WHEN prev_tp IS NULL THEN NULL WHEN tp < prev_tp THEN tp * volume ELSE 0.0 END AS neg_f,
+         close - least(low, prev_c) AS bp,
+         greatest(high, prev_c) - least(low, prev_c) AS tr_
+  FROM r0
+),
+r2 AS (
+  SELECT sub_ticker, window_start, rn, close,
+         sum(pos_f) OVER fr14 AS pos14, sum(neg_f) OVER fr14 AS neg14,
+         sum(bp) OVER fr7 AS bp7, sum(tr_) OVER fr7 AS tr7,
+         sum(bp) OVER fr14 AS bp14, sum(tr_) OVER fr14 AS tr14,
+         sum(bp) OVER fr28 AS bp28, sum(tr_) OVER fr28 AS tr28,
+         (max(struct_pack(v := high, i := rn)) OVER fr26).i AS idx_hi,
+         (max(struct_pack(v := -low, i := rn)) OVER fr26).i AS idx_lo,
+         avg(adj_close) OVER fr12 AS sma12,
+         avg(adj_close) OVER fr26 AS sma26,
+         min(low) OVER fr5 AS ll5, max(high) OVER fr5 AS hh5
+  FROM r1
+  WINDOW fr5 AS (PARTITION BY sub_ticker ORDER BY window_start ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         fr7 AS (PARTITION BY sub_ticker ORDER BY window_start ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+         fr12 AS (PARTITION BY sub_ticker ORDER BY window_start ROWS BETWEEN 11 PRECEDING AND CURRENT ROW),
+         fr14 AS (PARTITION BY sub_ticker ORDER BY window_start ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+         fr26 AS (PARTITION BY sub_ticker ORDER BY window_start ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+         fr28 AS (PARTITION BY sub_ticker ORDER BY window_start ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+),
+r3 AS (
+  SELECT sub_ticker, window_start, rn,
+    CASE WHEN rn > 14 THEN (CASE WHEN pos14 + neg14 = 0 THEN 0.0 ELSE 100.0 * pos14 / (pos14 + neg14) END) END AS raw_mfi,
+    CASE WHEN rn > 28 THEN 100.0 * (4.0 * (CASE WHEN tr7 = 0 THEN 0.0 ELSE bp7 / tr7 END)
+                                  + 2.0 * (CASE WHEN tr14 = 0 THEN 0.0 ELSE bp14 / tr14 END)
+                                  + (CASE WHEN tr28 = 0 THEN 0.0 ELSE bp28 / tr28 END)) / 7.0 END AS raw_ultosc,
+    CASE WHEN rn > 25 THEN 100.0 * CAST(idx_hi - idx_lo AS DOUBLE) / 25.0 END AS raw_aroon,
+    CASE WHEN rn >= 26 THEN (CASE WHEN sma26 = 0 THEN 0.0 ELSE 100.0 * (sma12 - sma26) / sma26 END) END AS raw_ppo,
+    CASE WHEN rn >= 5 THEN (CASE WHEN hh5 - ll5 = 0 THEN 0.0 ELSE 100.0 * (close - ll5) / (hh5 - ll5) END) END AS raw_k
+  FROM r2
+),
+roll AS (
+  SELECT sub_ticker, window_start, raw_mfi, raw_ultosc, raw_aroon, raw_ppo,
+         CASE WHEN rn >= 7 THEN raw_k END AS raw_sok,
+         CASE WHEN rn >= 7 THEN avg(raw_k) OVER (PARTITION BY sub_ticker ORDER BY window_start
+                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) END AS raw_sod
+  FROM r3
+),"""
+        roll_join = "JOIN roll ON roll.sub_ticker = u.ticker AND roll.window_start = u.window_start"
+        roll_cols = f""",
+         {R6('raw_mfi / 100.0')} AS mfi,
+         {R6('raw_ultosc / 100.0')} AS ultosc,
+         {R6('raw_aroon / 100.0')} AS aroonosc,
+         {R6('raw_ppo / 100.0')} AS ppo,
+         {R6('raw_sok / 100.0')} AS sok,
+         {R6('(raw_sok - raw_sod) / 100.0')} AS sok_hist"""
+        roll_where = (
+            " AND mfi IS NOT NULL AND ultosc IS NOT NULL AND aroonosc IS NOT NULL"
+            " AND ppo IS NOT NULL AND sok IS NOT NULL AND sok_hist IS NOT NULL"
+        )
+
     return f"""
 WITH m AS (
   SELECT CAST(event_type AS VARCHAR) AS ticker,
@@ -1093,7 +1175,7 @@ WITH m AS (
 ),
 b AS (
   SELECT ticker, window_start, price AS adj_close, price AS close,
-         price + 1.0 AS high, price - 1.0 AS low
+         price + 1.0 AS high, price - 1.0 AS low{vol_b}
   FROM m
 ),
 gseg AS (
@@ -1113,11 +1195,11 @@ segf AS (
   FROM (SELECT * FROM c1 WHERE seg_n >= 2)
 ),
 gf AS (
-  SELECT sub_ticker, window_start, adj_close, close, high, low FROM segf
+  SELECT sub_ticker, window_start, adj_close, close, high, low{vol_gf_obs} FROM segf
   UNION ALL
   SELECT sub_ticker,
          unnest(generate_series(prev_ws + {step}, window_start - {step}, {step})) AS window_start,
-         NULL, NULL, NULL, NULL
+         NULL, NULL, NULL, NULL{vol_gf_gap}
   FROM (
     SELECT sub_ticker, window_start,
            lag(window_start) OVER (PARTITION BY sub_ticker ORDER BY window_start) AS prev_ws
@@ -1130,13 +1212,13 @@ ip AS (
          {_interp_sql('adj_close')} AS adj_close,
          {_interp_sql('close')} AS close,
          {_interp_sql('high')} AS high,
-         {_interp_sql('low')} AS low
+         {_interp_sql('low')} AS low{vol_ip}
   FROM gf
   WINDOW wb AS (PARTITION BY sub_ticker ORDER BY window_start
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
          wf AS (PARTITION BY sub_ticker ORDER BY window_start
                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-),
+),{roll_ctes}
 lists AS (
   SELECT sub_ticker,
          list(window_start ORDER BY window_start) AS wss,
@@ -1183,25 +1265,26 @@ u AS (
   FROM ax
 ),
 f AS (
-  SELECT ticker, window_start, adj_close AS close_price,
+  SELECT ticker, u.window_start AS window_start, adj_close AS close_price,
          {rocps},
          {R6('raw_rsi / 100.0')} AS rsi,
          {R6('raw_cmo / 100.0')} AS cmo,
          {R6('raw_hist / 10.0')} AS macd_hist,
          {R6('raw_adx / 100.0')} AS adx,
-         {R6('(raw_pdi - raw_mdi) / 100.0')} AS adx_hist
-  FROM u
-  WINDOW w AS (PARTITION BY ticker ORDER BY window_start)
+         {R6('(raw_pdi - raw_mdi) / 100.0')} AS adx_hist{roll_cols}
+  FROM u {roll_join}
+  WINDOW w AS (PARTITION BY ticker ORDER BY u.window_start)
 )
 SELECT * FROM f
 WHERE rsi IS NOT NULL AND cmo IS NOT NULL AND macd_hist IS NOT NULL
   AND adx IS NOT NULL AND adx_hist IS NOT NULL AND rocp_1 IS NOT NULL
   AND rocp_2 IS NOT NULL AND rocp_3 IS NOT NULL AND rocp_4 IS NOT NULL
-  AND rocp_5 IS NOT NULL
+  AND rocp_5 IS NOT NULL{roll_where}
 """
 
 
 SQL_PIPELINE_WILDER = _pipeline_wilder_oracle_sql()
+SQL_INDICATOR_PIPELINE_GRID = _pipeline_wilder_oracle_sql(full=True)
 
 # ---------------------------------------------------------------------------
 # W3: regularity check (real, not the reference's inert one)
