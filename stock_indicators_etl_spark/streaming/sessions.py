@@ -28,9 +28,15 @@ def streaming_sessionize(
 ) -> DataFrame:
     """Session-window aggregation over an event stream.
 
-    Streaming twin of ``queries.q_sessionize`` (same 30-minute gap
+    Streaming twin of ``queries.q_sessionize`` (30-minute gap
     semantics, expressed with ``session_window`` + watermark instead
     of gaps-and-islands lag arithmetic).
+
+    Boundary note: an event spaced EXACTLY ``gap`` after its
+    predecessor merges in BOTH twins — the batch break condition is
+    strict (``delta > gap``) and ``session_window`` likewise merges a
+    session whose extent *touches* the next event's start. Pinned by
+    ``test_session_gap_boundary_semantics``.
     """
     return (
         events.withWatermark(ts_col, watermark)

@@ -289,3 +289,49 @@ def test_backfill_range_job(spark, tmp_path, monkeypatch):
     assert days == {"2024-01-02", "2024-01-03"}
     per_day = out.groupBy("day").count().toPandas()
     assert (per_day["count"] > 0).all()
+
+
+def test_session_gap_boundary_semantics(spark, tmp_path):
+    """An event exactly `gap` after its predecessor MERGES in both
+    twins: the batch break condition is strict (`delta > gap`) and
+    session_window merges sessions that touch at the boundary."""
+    from stock_indicators_etl_spark.queries import q_sessionize
+    from stock_indicators_etl_spark.streaming.sessions import streaming_sessionize
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "user_id": [7, 7],
+            "event_type": ["a", "a"],
+            "value": [1.0, 1.0],
+            # exactly 30 minutes apart
+            "ts": pd.to_datetime(["2024-01-01 10:00:00", "2024-01-01 10:30:00"]),
+        }
+    )
+    src = str(tmp_path / "boundary_src")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+
+    # batch twin reads {sf_dir}/events.parquet — point it at our file
+    events_dir = tmp_path / "evdir"
+    events_dir.mkdir()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(events_dir / "events.parquet")
+    )
+    batch = q_sessionize(spark, str(events_dir)).toPandas()
+    assert len(batch) == 1 and batch.iloc[0].n_events == 2  # merged
+
+    stream = spark.readStream.schema(
+        "event_id bigint, user_id bigint, event_type string, value double, ts timestamp"
+    ).parquet(src)
+    out = streaming_sessionize(stream, gap="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sboundary")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from sboundary").toPandas()
+    assert len(got) == 1 and got.iloc[0].n_events == 2  # merged, same as batch
