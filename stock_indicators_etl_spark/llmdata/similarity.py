@@ -71,23 +71,35 @@ def cosine_topk(
     )
 
 
+def hyperplane_matrix(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic ±1 hyperplane components from md5 parity of
+    ``"{plane}_{dim}"`` — engine-independent (the same constants are
+    embedded as literals in the DuckDB oracle), no stored state."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"{p}_{j}".encode()).digest()[0] % 2 == 0 else -1.0
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def random_hyperplane_sign_bits(
     vec_col: str = "embedding", n_planes: int = 8, dim: int = 64
 ) -> Column:
-    """LSH bucket id: sign bits against ``n_planes`` deterministic
-    pseudo-random hyperplanes (hash-seeded ±1 components — no stored
-    plane matrix, recomputable everywhere)."""
+    """LSH bucket id: sign bits of left-fold dot products against the
+    deterministic md5-parity hyperplanes — every operation is
+    bit-reproducible in SQL, so LSH bucketing itself is
+    oracle-checkable."""
     v = _as_double(F.col(vec_col))
+    planes = hyperplane_matrix(n_planes, dim)
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        # ±1 component for (plane p, dim j) from a cheap integer mix
+        w = F.array(*[F.lit(x) for x in planes[p]])
         proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, j: x
-                * F.when((F.hash(F.lit(p), j) % 2 == 0), F.lit(1.0)).otherwise(F.lit(-1.0)),
-            ),
+            F.zip_with(v, w, lambda x, c: x * c),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

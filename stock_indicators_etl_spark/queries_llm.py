@@ -452,12 +452,54 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN via random-hyperplane LSH blocking (rows-only:
-    bucket assignment uses Spark's hash mix, not SQL-portable)."""
+    """Approximate ANN via random-hyperplane LSH blocking. Oracle-
+    checkable: the md5-parity hyperplanes are shared literals and
+    every projection/cosine is a left fold both engines replay
+    bit-identically."""
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < N_QUERIES)
     out = lsh_bucketed_topk(emb, q, k=TOPK)
     return out.withColumn("cosine", _rc(F.col("cosine")))
+
+
+def _lsh_topk_oracle_sql(n_planes: int = 8, dim: int = 64) -> str:
+    from stock_indicators_etl_spark.llmdata.similarity import hyperplane_matrix
+
+    planes = hyperplane_matrix(n_planes, dim)
+    # per-plane projection: explicit left-assoc 64-term sum — same
+    # IEEE sequence as Spark's F.aggregate left fold seeded with 0.0
+    projs = []
+    for p in range(n_planes):
+        terms = " + ".join(
+            f"v[{j + 1}] * {planes[p][j]:.1f}" for j in range(dim)
+        )
+        projs.append(f"CASE WHEN 0.0 + {terms} > 0 THEN {1 << p} ELSE 0 END")
+    bucket = " + ".join(projs)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, {dim}), i -> v[i] * v[i])), (a, b) -> a + b)) AS nrm,
+         CAST({bucket} AS BIGINT) AS bucket
+  FROM e
+),
+q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nbr_id,
+         CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+              ELSE list_reduce(list_prepend(0.0, list_transform(generate_series(1, {dim}), i -> q.v[i] * c.v[i])), (a, b) -> a + b) / (q.nrm * c.nrm) END AS cosine
+  FROM q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+),
+rk AS (
+  SELECT qid, nbr_id, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nbr_id ASC) AS rk
+  FROM scored
+)
+SELECT qid, rk, nbr_id, {R6('cosine')} AS cosine FROM rk WHERE rk <= {TOPK}
+"""
+
+
+SQL_LSH_TOPK = _lsh_topk_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -498,5 +540,6 @@ ORACLES_LLM: dict[str, str] = {
     "cosine_topk": SQL_COSINE_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "media_stats": SQL_MEDIA_STATS,
-    # lsh_bucketed_topk: rows-only (Spark hash mix not SQL-portable)
+    "lsh_bucketed_topk": SQL_LSH_TOPK,
+    # ivf_topk: rows-only (BLAS centroid assignment has no bit-exact SQL twin)
 }
