@@ -24,41 +24,67 @@ TABLES = [
 ]
 
 
+def _render(v) -> str:
+    """Canonical string rendering of one cell, repr-faithful to its dtype.
+
+    The driver hashes rendered values after sorting columns by name, so
+    a float that differs in the last ulp, or an int that arrives as a
+    float/object (e.g. DuckDB HUGEINT widening), must render differently
+    here too. repr() of a numpy/python scalar keeps full precision and
+    distinguishes ``1`` from ``1.0`` from ``Decimal('1')``.
+    """
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float) and np.isnan(v):
+        return "<NaN>"
+    try:
+        if pd.isna(v):
+            return "<NULL>"
+    except (TypeError, ValueError):
+        pass  # arrays / lists
+    if isinstance(v, (np.ndarray, list, tuple)):
+        return "[" + ",".join(_render(x) for x in v) + "]"
+    if isinstance(v, (np.floating, float)):
+        return repr(float(v))
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return f"i:{int(v)}"
+    if isinstance(v, (np.bool_, bool)):
+        return f"b:{bool(v)}"
+    if isinstance(v, bytes):
+        return "x:" + v.hex()
+    return "s:" + str(v)
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1).copy()
-    for c in df.columns:
-        if df[c].dtype == object:
-            try:
-                df[c] = df[c].astype(str)
-            except Exception:
-                pass
-    df = df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
-    return df
+    """Sort columns by name, render every cell canonically, sort rows."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = pd.DataFrame({c: df[c].map(_render) for c in df.columns})
+    return out.sort_values(by=list(out.columns)).reset_index(drop=True)
 
 
 def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
+    """Bit-exact, dtype-aware compare mirroring the driver's value-hash.
+
+    No float tolerance and no dtype coercion: a BIGINT-vs-HUGEINT sum or
+    a last-ulp float divergence fails here exactly as it fails the
+    driver's hash (VERDICT r1 item 2).
+    """
     problems = []
     if sorted(sdf.columns) != sorted(ddf.columns):
         problems.append(f"columns: spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}")
         return problems
     if len(sdf) != len(ddf):
         problems.append(f"rowcount: spark={len(sdf)} duck={len(ddf)}")
+        return problems
     a, b = canon(sdf), canon(ddf)
-    if len(a) == len(b):
-        for c in a.columns:
-            x, y = a[c], b[c]
-            if np.issubdtype(x.dtype, np.floating) or np.issubdtype(y.dtype, np.floating):
-                x = pd.to_numeric(x, errors="coerce")
-                y = pd.to_numeric(y, errors="coerce")
-                bad = ~(np.isclose(x, y, rtol=0, atol=1e-9, equal_nan=True) | (x.isna() & y.isna()))
-            else:
-                bad = ~((x == y) | (x.isna() & y.isna()))
-            if bad.any():
-                i = int(np.argmax(bad.values))
-                problems.append(
-                    f"col {c}: {int(bad.sum())} mismatches, first at sorted-row {i}: "
-                    f"spark={a[c].iloc[i]!r} duck={b[c].iloc[i]!r}"
-                )
+    for c in a.columns:
+        bad = (a[c] != b[c]).values
+        if bad.any():
+            i = int(np.argmax(bad))
+            problems.append(
+                f"col {c}: {int(bad.sum())} mismatches, first at sorted-row {i}: "
+                f"spark={a[c].iloc[i]!r} duck={b[c].iloc[i]!r}"
+            )
     return problems
 
 

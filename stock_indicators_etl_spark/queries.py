@@ -647,7 +647,18 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.min("ns").alias("session_start"),
             F.max("ns").alias("session_end"),
-            _rc(F.sum("value"), 4).alias("sum_value"),
+            # Order-deterministic float sum: shuffle-order F.sum differs
+            # from DuckDB's sequential sum by ulps, which flips the 4dp
+            # quantization when a session sum lands on a rounding
+            # boundary (VERDICT r1 #1). Fold in ns order on both sides.
+            _rc(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct(F.col("ns"), F.col("value")))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["value"],
+                ),
+                4,
+            ).alias("sum_value"),
         )
     )
     return out
@@ -663,12 +674,15 @@ g AS (
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ns)
 ),
 s AS (
-  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ns ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  -- CAST: DuckDB's window sum over ints widens to HUGEINT (→ float64
+  -- in pandas); Spark emits BIGINT (VERDICT r1 #2 applies here too)
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ns ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
   FROM g
 )
 SELECT user_id, session_id, count(*) AS n_events,
        min(ns) AS session_start, max(ns) AS session_end,
-       floor((sum(value)) * 10000 + 0.5) / 10000 AS sum_value
+       floor(list_reduce(list_prepend(0.0, list(value ORDER BY ns)), (x, y) -> x + y)
+             * 10000 + 0.5) / 10000 AS sum_value
 FROM s GROUP BY user_id, session_id
 """
 
@@ -693,7 +707,16 @@ def q_ohlcv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("value").alias("low"),
             F.max_by(F.col("value"), F.col("ns")).alias("close"),
             F.count(F.lit(1)).alias("n"),
-            _rc(F.sum("value"), 4).alias("volume"),
+            # ns-ordered fold, not F.sum: same rounding-boundary hazard
+            # as sessionize (see q_sessionize).
+            _rc(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct(F.col("ns"), F.col("value")))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["value"],
+                ),
+                4,
+            ).alias("volume"),
         )
     )
 
@@ -706,7 +729,8 @@ SELECT user_id,
        min(value) AS low,
        arg_max(value, epoch_ns(ts)) AS close,
        count(*) AS n,
-       floor((sum(value)) * 10000 + 0.5) / 10000 AS volume
+       floor(list_reduce(list_prepend(0.0, list(value ORDER BY epoch_ns(ts))), (x, y) -> x + y)
+             * 10000 + 0.5) / 10000 AS volume
 FROM events
 GROUP BY 1, 2
 """

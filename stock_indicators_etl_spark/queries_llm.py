@@ -363,7 +363,9 @@ s AS (
   FROM bits GROUP BY doc_id, bit
 )
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS simhash
+       -- CAST: DuckDB widens integer sum() to HUGEINT; Spark emits
+       -- BIGINT, and the driver hash sees the rendering (VERDICT r1 #2)
+       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
 FROM s GROUP BY doc_id
 """
 
@@ -434,7 +436,8 @@ def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MEDIA_STATS = """
 SELECT 'image' AS kind,
        count(*) AS n,
-       sum(octet_length(encode(text))) AS total_bytes,
+       -- CAST: kill DuckDB's HUGEINT sum widening (VERDICT r1 #2)
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        max(octet_length(encode(text))) AS max_bytes
 FROM documents
 """
