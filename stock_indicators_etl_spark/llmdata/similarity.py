@@ -162,72 +162,65 @@ def ivf_topk(
     driver-collected centroid matrix — centroids are tiny by
     construction).
 
-    Centroid selection is a deterministic pseudo-random sample (the
-    ``n_centroids`` vectors with smallest ``md5(vec_id)``) — a k-means
-    refinement would slot in here without changing the plan shape.
-    Deterministic output: tie-break (cosine desc, nbr_id asc).
-    """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
+    Centroid selection is a deterministic pseudo-random sample: the
+    ``n_centroids`` vectors with the smallest ``(md5(vec_id), vec_id)``.
+    Catalyst compiles the ``orderBy().limit(n)`` into
+    ``TakeOrderedAndProject`` — per-partition top-n, driver merge of
+    n·parts rows — NOT a global sort (plan-asserted in tests). The
+    collect itself is ``n_centroids`` rows, which is tiny by design;
+    a k-means refinement would slot in without changing the plan.
 
+    Cell assignment and scoring are left-fold Column expressions (the
+    same IEEE sequence as ``list_reduce`` in the DuckDB oracle), so
+    the whole operator is bit-reproducible and hash-checkable — the
+    centroids are embedded as double literals after the one tiny
+    collect. Deterministic output: tie-break (cosine desc, nbr_id
+    asc); centroid ties resolve to the lowest cell index on both
+    engines.
+    """
     cent_rows = (
-        embeddings.select(id_col, vec_col)
+        embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_centroids)
         .collect()
     )
-    C = np.stack([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
-    Cn = C / np.maximum(np.linalg.norm(C, axis=1), 1e-12)[:, None]
-    bc = embeddings.sparkSession.sparkContext.broadcast(Cn)
+    cents = [list(r["v"]) for r in cent_rows]
 
-    def assigner(n_top: int):
-        fields = [
-            T.StructField(id_col, T.LongType()),
-            T.StructField(vec_col, T.ArrayType(T.DoubleType())),
-            T.StructField("cells", T.ArrayType(T.IntegerType())),
+    def _cent_cos(v_norm: Column, vec: Column, c: list[float]) -> Column:
+        """cosine(vec, centroid c) with the exact left-fold order the
+        oracle replays; zero-norm guard mirrors the SQL CASE."""
+        cv = F.array(*[F.lit(x) for x in c])
+        c_norm = F.sqrt(_dot(cv, cv))
+        den = v_norm * c_norm
+        return F.when(den == 0, F.lit(0.0)).otherwise(_dot(vec, cv) / den)
+
+    def _with_cells(df: DataFrame, n_top: int, id_out: str, vec_out: str) -> DataFrame:
+        v = _as_double(F.col(vec_col))
+        out = df.select(
+            F.col(id_col).alias(id_out), v.alias(vec_out), F.sqrt(_dot(v, v)).alias("_nrm")
+        )
+        sims = [
+            _cent_cos(F.col("_nrm"), F.col(vec_out), c).alias(f"_s{j}")
+            for j, c in enumerate(cents)
         ]
-
-        def run(batches):
-            cn = bc.value
-            for b in batches:
-                if not len(b):
-                    continue
-                v = np.stack(b[vec_col].to_numpy()).astype(np.float64)
-                nrm = np.linalg.norm(v, axis=1)
-                vn = v / np.where(nrm == 0.0, 1.0, nrm)[:, None]
-                sims = vn @ cn.T
-                # n_top nearest centroids, deterministic order
-                order = np.argsort(-sims, axis=1, kind="stable")[:, :n_top]
-                yield pd.DataFrame(
-                    {
-                        id_col: b[id_col].to_numpy(dtype=np.int64),
-                        vec_col: list(v),
-                        "cells": [row.astype(np.int32) for row in order],
-                    }
-                )
-
-        return T.StructType(fields), run
-
-    schema_b, run_b = assigner(1)
-    base = (
-        embeddings.select(id_col, vec_col)
-        .mapInPandas(run_b, schema=schema_b)
-        .select(
-            F.col(id_col).alias("nbr_id"),
-            F.col(vec_col).alias("c_vec"),
-            F.col("cells")[0].alias("cell"),
+        out = out.select("*", *sims)
+        # top-n_top cells per row without any row expansion or shuffle:
+        # sort an inline array of (-sim, j) structs — negation is IEEE-
+        # exact, so ordering matches (sim DESC, j ASC) bit-for-bit
+        pairs = F.array(
+            *[
+                F.struct((-F.col(f"_s{j}")).alias("negs"), F.lit(j).alias("j"))
+                for j in range(len(cents))
+            ]
         )
+        cells = F.transform(F.slice(F.sort_array(pairs), 1, n_top), lambda s: s["j"])
+        return out.select(id_out, vec_out, cells.alias("cells"))
+
+    base = _with_cells(embeddings, 1, "nbr_id", "c_vec").select(
+        "nbr_id", "c_vec", F.col("cells")[0].alias("cell")
     )
-    schema_q, run_q = assigner(n_probe)
-    q = (
-        queries.select(id_col, vec_col)
-        .mapInPandas(run_q, schema=schema_q)
-        .select(
-            F.col(id_col).alias("qid"),
-            F.col(vec_col).alias("q_vec"),
-            F.explode("cells").alias("cell"),
-        )
+    q = _with_cells(queries, n_probe, "qid", "q_vec").select(
+        "qid", "q_vec", F.explode("cells").alias("cell")
     )
     dot = _dot(F.col("q_vec"), F.col("c_vec"))
     qn = F.sqrt(_dot(F.col("q_vec"), F.col("q_vec")))

@@ -443,15 +443,79 @@ FROM documents
 """
 
 
+IVF_N_CENTROIDS = 16
+IVF_N_PROBE = 4
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate ANN (rows-only: centroid sampling + BLAS cell
-    assignment are Spark-side; no SQL-portable formulation)."""
+    """IVF approximate ANN. Fully oracle-checkable: centroid choice is
+    the ``n_centroids`` smallest ``(md5(vec_id), vec_id)`` (same order
+    both engines), and cell assignment + scoring are left-fold
+    expressions that DuckDB replays bit-identically."""
     from stock_indicators_etl_spark.llmdata.similarity import ivf_topk
 
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < N_QUERIES)
-    out = ivf_topk(emb, q, k=TOPK, n_centroids=16, n_probe=4)
+    out = ivf_topk(emb, q, k=TOPK, n_centroids=IVF_N_CENTROIDS, n_probe=IVF_N_PROBE)
     return out.withColumn("cosine", _rc(F.col("cosine")))
+
+
+def _ivf_topk_oracle_sql(
+    n_centroids: int = IVF_N_CENTROIDS, n_probe: int = IVF_N_PROBE, dim: int = 64
+) -> str:
+    """DuckDB twin of :func:`~..llmdata.similarity.ivf_topk`: derives
+    the same centroids from the data (no literals needed), assigns
+    each vector to its nearest centroid and each query to its
+    ``n_probe`` nearest (ties → lowest cell index), then scores within
+    probed cells. Every dot product is the same 0.0-seeded left fold."""
+
+    def lf_dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {dim}), "
+            f"i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+        )
+
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt({lf_dot('v', 'v')}) AS nrm FROM e),
+cent AS (
+  SELECT v AS cv, nrm AS cnrm,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+  FROM n
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {n_centroids}
+),
+sims AS (
+  SELECT n.vec_id, n.v, n.nrm, cent.j,
+         CASE WHEN n.nrm * cent.cnrm = 0 THEN 0.0
+              ELSE {lf_dot('n.v', 'cent.cv')} / (n.nrm * cent.cnrm) END AS sim
+  FROM n CROSS JOIN cent
+),
+base AS (
+  SELECT vec_id AS nbr_id, v AS c_vec, nrm AS c_nrm, j AS cell
+  FROM sims
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, j ASC) = 1
+),
+qprobe AS (
+  SELECT vec_id AS qid, v AS q_vec, nrm AS q_nrm, j AS cell
+  FROM sims WHERE vec_id < {N_QUERIES}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, j ASC) <= {n_probe}
+),
+scored AS (
+  SELECT q.qid, b.nbr_id,
+         CASE WHEN q.q_nrm * b.c_nrm = 0 THEN 0.0
+              ELSE {lf_dot('q.q_vec', 'b.c_vec')} / (q.q_nrm * b.c_nrm) END AS cosine
+  FROM qprobe q JOIN base b ON b.cell = q.cell AND b.nbr_id <> q.qid
+),
+rk AS (
+  SELECT qid, nbr_id, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nbr_id ASC) AS rk
+  FROM scored
+)
+SELECT qid, rk, nbr_id, {R6('cosine')} AS cosine FROM rk WHERE rk <= {TOPK}
+"""
+
+
+SQL_IVF_TOPK = _ivf_topk_oracle_sql()
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -544,5 +608,5 @@ ORACLES_LLM: dict[str, str] = {
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "media_stats": SQL_MEDIA_STATS,
     "lsh_bucketed_topk": SQL_LSH_TOPK,
-    # ivf_topk: rows-only (BLAS centroid assignment has no bit-exact SQL twin)
+    "ivf_topk": SQL_IVF_TOPK,
 }

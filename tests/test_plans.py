@@ -102,6 +102,33 @@ def test_pipeline_has_single_shuffle(spark):
     assert count_nodes(plan, "Exchange") == 1
 
 
+def test_ivf_centroid_selection_has_no_global_sort(spark):
+    """Centroid sampling must compile to TakeOrderedAndProject
+    (per-partition top-n + driver merge), never Exchange + global Sort
+    (VERDICT r1 #6)."""
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    sel = (
+        e.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(16)
+    )
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_ivf_topk_no_python_stage_and_broadcast_probe(spark):
+    """ivf_topk is pure Column expressions (no mapInPandas / Arrow
+    stage) and the probed query side joins via broadcast."""
+    from stock_indicators_etl_spark.llmdata.similarity import ivf_topk
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 4)
+    plan = plan_of(ivf_topk(e, q, k=5, n_centroids=4, n_probe=2))
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_bucketed_bars_window_needs_no_shuffle(spark, tmp_path):
     from stock_indicators_etl_spark.operators.rolling import with_rocp
     from stock_indicators_etl_spark.sources.io import write_bucketed_bars
