@@ -84,6 +84,10 @@ def run() -> None:
         # the HOF-heavy dedup queries); the timed run is steady state
         df.write.mode("overwrite").format("noop").save()
         df.write.mode("overwrite").format("noop").save()
+        # drop persisted intermediates (e.g. dedup_pipeline's candidate
+        # cache) so the timed run measures one full cold execution of
+        # the plan, not a cache replay of the warm runs
+        spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()  # isolate from prior queries' heap churn
         t0 = time.perf_counter()
         df.write.mode("overwrite").format("noop").save()

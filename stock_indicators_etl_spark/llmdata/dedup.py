@@ -137,6 +137,13 @@ def word_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFram
 #: h1 + 11·h2 < 8.7e17 ≪ 2^63 → no overflow anywhere.
 MH_PRIME = 999_999_999_999_989
 
+#: Documented scale default for :func:`ngram_jaccard_pairs`'s
+#: ``max_doc_freq`` on boilerplate-heavy corpora: a shingle shared by
+#: d docs emits d²/2 pairs and carries no dedup signal once d is
+#: large. Oracle queries pass ``None`` (exact reference semantics);
+#: production pipelines at 100 TB should not.
+SCALE_MAX_DOC_FREQ = 64
+
 
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", n_hashes: int = 12, k: int = 3
@@ -301,14 +308,68 @@ def ngram_jaccard_pairs(
     docs before pair expansion (a shingle shared by d docs emits d²/2
     pairs — stopword-ish shingles dominate cost at corpus scale and
     carry no dedup signal). Note this changes |∩| for the surviving
-    pairs; ``None`` = exact.
+    pairs; ``None`` = exact. At corpus scale set it
+    (:data:`SCALE_MAX_DOC_FREQ` is the documented default) — the
+    property test plants a hot shingle and shows the unbounded form is
+    quadratic in its doc frequency.
 
-    Plan shape: each doc's shingle count rides along inside the
-    posting lists as a struct payload, so set sizes need no separate
-    joins (and no second pass over the shingle lineage) — two
-    shuffles, zero joins.
+    Plan shapes:
+
+    - ``candidates=None`` (exact all-pairs-sharing-a-shingle): each
+      doc's shingle count rides along inside the posting lists as a
+      struct payload, so set sizes need no separate joins — two
+      shuffles, zero joins.
+    - with ``candidates``: the corpus is semi-joined down to candidate
+      docs *before* shingling, then the candidate pairs broadcast-join
+      per-doc shingle sets and |∩| is an ``array_intersect`` — the
+      pair explosion (Σ_s d_s² over the full corpus) never happens.
+      Candidate doc sets are tiny by construction (LSH output), so
+      total work is O(candidate docs · shingles/doc). ``candidates``
+      is persisted here (it is consumed by three operators; without
+      pinning, its LSH lineage would recompute each time). This path
+      is always exact — ``max_doc_freq`` does not apply (there is no
+      posting-list expansion to cap).
     """
     from pyspark.sql import Window
+
+    if candidates is not None:
+        candidates = candidates.select("doc_a", "doc_b").persist()
+        cand_docs = (
+            candidates.select(F.col("doc_a").alias("doc_id"))
+            .union(candidates.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        # restrict BEFORE the shingle fan-out: only candidate docs pay
+        # the explode+distinct (the full-corpus fan-out already ran
+        # once, inside LSH candidate generation)
+        doc_sets = (
+            word_shingles(df.join(F.broadcast(cand_docs), "doc_id", "left_semi"), text_col, k)
+            .groupBy("doc_id")
+            .agg(F.array_sort(F.collect_set("shingle")).alias("sh_set"))
+        )
+        a = doc_sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sa"))
+        b = doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sb"))
+        out = (
+            a.join(F.broadcast(candidates), "doc_a")
+            .join(b, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.size(F.array_intersect("sa", "sb")).alias("n_inter"),
+                F.size("sa").alias("n_a"),
+                F.size("sb").alias("n_b"),
+            )
+            .filter(F.col("n_inter") > 0)  # posting-list form never emits 0-∩ pairs
+            .withColumn(
+                "jaccard",
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+            )
+            .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
+        )
+        if threshold > 0:
+            out = out.filter(F.col("jaccard") >= F.lit(threshold))
+        return out
 
     sh = word_shingles(df, text_col, k)
     shs = sh.withColumn(
@@ -340,11 +401,6 @@ def ngram_jaccard_pairs(
             F.col("p.b.n_sh").alias("n_b"),
         )
     )
-    if candidates is not None:
-        # restrict BEFORE the pair shuffle: the candidate set is the
-        # whole point of the two-stage pipeline — only surviving pairs
-        # pay the count aggregation
-        expanded = expanded.join(candidates, ["doc_a", "doc_b"], "left_semi")
     inter = expanded.groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).alias("n_inter"),
         F.first("n_a").alias("n_a"),

@@ -410,15 +410,54 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cosine", _rc(F.col("cosine")))
 
 
-SQL_EMBEDDING_NEARDUP = f"""
+def _embedding_neardup_oracle_sql(
+    n_planes: int = 8, band_size: int = 2, dim: int = 64
+) -> str:
+    """DuckDB twin of the banded-LSH near-dup default: identical
+    md5-parity hyperplanes as literals, identical per-band sign
+    buckets (0.0-seeded left-assoc projections), pair is a candidate
+    iff it collides in any band, scored with the same left-fold
+    cosine."""
+    from stock_indicators_etl_spark.llmdata.similarity import hyperplane_matrix
+
+    planes = hyperplane_matrix(n_planes, dim)
+    n_bands = n_planes // band_size
+    band_exprs = []
+    for b in range(n_bands):
+        bits = []
+        for j in range(band_size):
+            terms = " + ".join(
+                f"v[{i + 1}] * {planes[b * band_size + j][i]:.1f}" for i in range(dim)
+            )
+            bits.append(f"CASE WHEN 0.0 + {terms} > 0 THEN {1 << j} ELSE 0 END")
+        band_exprs.append(f"CAST({' + '.join(bits)} AS BIGINT) AS bk_{b}")
+    bands_sel = ",\n         ".join(band_exprs)
+    collide = " OR ".join(f"a.bk_{b} = b.bk_{b}" for b in range(n_bands))
+    lf_dot = (
+        f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {dim}), "
+        f"i -> na.v[i] * nb.v[i])), (x, y) -> x + y)"
+    )
+    return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       {R6('list_dot_product(a.v, b.v) / (a.nrm * b.nrm)')} AS cosine
-FROM n a JOIN n b ON a.vec_id < b.vec_id
-WHERE (CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
-            ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END) >= {NEARDUP_THRESHOLD}
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, {dim}), i -> v[i] * v[i])), (x, y) -> x + y)) AS nrm,
+         {bands_sel}
+  FROM e
+),
+p AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM n a JOIN n b ON a.vec_id < b.vec_id AND ({collide})
+)
+SELECT p.id_a, p.id_b,
+       {R6('CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0 ELSE ' + lf_dot + ' / (na.nrm * nb.nrm) END')} AS cosine
+FROM p JOIN n na ON na.vec_id = p.id_a JOIN n nb ON nb.vec_id = p.id_b
+WHERE (CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+            ELSE {lf_dot} / (na.nrm * nb.nrm) END) >= {NEARDUP_THRESHOLD}
 """
+
+
+SQL_EMBEDDING_NEARDUP = _embedding_neardup_oracle_sql()
 
 
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -219,3 +219,48 @@ def test_salted_bucket_pairs_equal_plain(spark):
     a = {tuple(r) for r in minhash_lsh_candidates(docs).collect()}
     b = {tuple(r) for r in minhash_lsh_candidates(docs, salt_chunk=2).collect()}
     assert a == b and len(a) >= 6  # the 4 identical docs pair up
+
+
+def test_skew_guards_bound_pair_counts(spark):
+    """Planted hot shingle: without guards the pair count is quadratic
+    in its doc frequency; max_doc_freq (Jaccard) and max_bucket_size
+    (LSH) bound it — the documented scale defaults (SCALE_MAX_DOC_FREQ)."""
+    from stock_indicators_etl_spark.llmdata.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    n_hot = 30
+    # every doc shares one boilerplate sentence (the hot shingle source)
+    # but is otherwise unique
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(n_hot),
+                "text": [
+                    f"copyright acme corp all rights reserved document {i} body {i * 7} tail"
+                    for i in range(n_hot)
+                ],
+            }
+        )
+    )
+    unbounded = ngram_jaccard_pairs(docs, k=3).count()
+    # the shared 3-gram shingles pair every doc with every other:
+    # quadratic blow-up from boilerplate alone
+    assert unbounded == n_hot * (n_hot - 1) / 2
+    capped = ngram_jaccard_pairs(docs, k=3, max_doc_freq=5).count()
+    assert capped == 0  # hot postings dropped before any pair expansion
+
+    # LSH side: near-identical docs all land in one bucket; the bucket
+    # cap drops it instead of emitting b²/2 pairs
+    dup_docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(20),
+                "text": ["the quick brown fox jumps over the lazy dog again"] * 20,
+            }
+        )
+    )
+    full = minhash_lsh_candidates(dup_docs).count()
+    assert full == 20 * 19 / 2
+    assert minhash_lsh_candidates(dup_docs, max_bucket_size=10).count() == 0
