@@ -117,7 +117,13 @@ def macdfix_kernel(
     lookback = slow_lb + signal_n - 1
     if m <= lookback:
         return nan3
-    ema_fast = _ema_talib(x, 12, 0.15)
+    # TA-Lib's TA_INT_MACD requests BOTH EMAs starting at the slow
+    # lookback, and TA_INT_EMA (classic-compat) seeds at the requested
+    # start: EMA12 seeds at index 25 as SMA(x[14:26]) — NOT at index
+    # 11 as a standalone EMA12 would. Both recursions start at x[26].
+    fast_seed = _lfold_mean(x[slow_lb - 12 + 1 : slow_lb + 1])
+    ema_fast = np.full(m, np.nan)
+    ema_fast[slow_lb:] = _seeded_recursion(fast_seed, x[slow_lb + 1 :], 0.15)
     ema_slow = _ema_talib(x, 26, 0.075)
     macd = ema_fast - ema_slow  # valid from slow_lb
     sig_seed = _lfold_mean(macd[slow_lb : slow_lb + signal_n])

@@ -44,10 +44,20 @@ from stock_indicators_etl_spark.operators.timegrid import (
 )
 
 
-def prepare_grid(df: DataFrame, cfg: IndicatorConfig, date: str | None = None) -> DataFrame:
+def prepare_grid(
+    df: DataFrame,
+    cfg: IndicatorConfig,
+    date: str | None = None,
+    extra_segment_keys: tuple[str, ...] = (),
+) -> DataFrame:
     """Filter → segment → gap-fill → interpolate: the 60s-regular grid
     per sub-ticker, all values non-null (reference
-    ``indicators.py:213-264``)."""
+    ``indicators.py:213-264``).
+
+    ``extra_segment_keys``: additional columns in the segmentation
+    partition key (and thus the sub_ticker label) — multi-day jobs
+    pass a derived day column so segment numbering restarts per day,
+    matching a sequence of single-day runs (ADVICE r1)."""
     tick, ws = cfg.ticker_column, cfg.time_column
     df = df.filter(F.col(tick).isNotNull())  # P6, data_indicators.py:49-50
     if date is not None:
@@ -55,7 +65,7 @@ def prepare_grid(df: DataFrame, cfg: IndicatorConfig, date: str | None = None) -
         df = market_hours_filter(df, lo, hi, ws)
     df = segment_series(
         df,
-        key_cols=(tick,),
+        key_cols=(tick, *extra_segment_keys),
         ws_col=ws,
         allowed_gaps_s=cfg.allowed_gaps_s,
         min_rows=cfg.min_segment_rows,
@@ -89,6 +99,7 @@ def generate_indicators(
     cfg: IndicatorConfig | None = None,
     date: str | None = None,
     assume_regular: bool = False,
+    extra_segment_keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """Full reference-parity indicator pipeline (E2).
 
@@ -98,6 +109,9 @@ def generate_indicators(
     ``assume_regular``: skip the time-grid stages (segmentation /
     gap-fill / interpolation) and treat each ticker's series as one
     regular segment — for already-gridded or generic ordered series.
+
+    ``extra_segment_keys``: see :func:`prepare_grid` — day-scoped
+    segment numbering for multi-day (backfill) inputs.
     """
     cfg = cfg or IndicatorConfig()
     ws = cfg.time_column
@@ -107,7 +121,7 @@ def generate_indicators(
             "sub_ticker", F.concat_ws("-", F.col(cfg.ticker_column).cast("string"), F.lit("0"))
         )
     else:
-        grid = prepare_grid(df, cfg, date)
+        grid = prepare_grid(df, cfg, date, extra_segment_keys)
 
     feats = list(cfg.momentum_features)
     scale = F.lit(100.0) if cfg.scale else F.lit(1.0)
@@ -149,6 +163,14 @@ def generate_indicators(
         )
     recursive_feats = [f for f in ("rsi", "cmo", "macd", "adx") if f in feats]
     if recursive_feats:
+        # the pandas stage may only skip its repartition if some window
+        # expression actually installed the partitionBy(sub_ticker)
+        # .orderBy(ws) layout: with num_prev_rocp=1 with_rocp is a
+        # no-op, and with no frame features the input partitioning is
+        # arbitrary — silently wrong recursion order (ADVICE r1)
+        window_ran = cfg.num_prev_rocp > 1 or any(
+            f in feats for f in ("mfi", "ultosc", "aroonosc", "ppo", "sok")
+        )
         out = with_recursive_indicators(
             out,
             close_col=cfg.close_column,
@@ -162,10 +184,9 @@ def generate_indicators(
             macd_signal=cfg.macd_signal_period,
             adx_n=cfg.adx_timeperiod,
             features=recursive_feats,
-            # with_rocp's window spec partitionBy(sub_ticker).orderBy(ws)
-            # already ran, so the layout the pandas stage needs exists;
-            # skipping the repartition avoids a second full shuffle.
-            pre_partitioned=True,
+            # skipping the repartition avoids a second full shuffle,
+            # but only when a window op above actually ran
+            pre_partitioned=window_ran,
         )
 
     # W17 feature assembly: exact reference column order

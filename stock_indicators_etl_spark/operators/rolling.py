@@ -108,7 +108,13 @@ def with_mfi(
     pos = F.sum("_pos_f").over(frame)
     neg = F.sum("_neg_f").over(frame)
     valid = _rn(w) > F.lit(n)
-    mfi = F.when(valid, _safe_div(F.lit(100.0) * pos, pos + neg, on_zero=0.0))
+    # TA-Lib outputs 0 whenever posSumMF + negSumMF < 1.0 (not just
+    # == 0): tiny total money flow is treated as no-signal (ADVICE r1)
+    total = pos + neg
+    mfi = F.when(
+        valid,
+        F.when(total < F.lit(1.0), F.lit(0.0)).otherwise(F.lit(100.0) * pos / total),
+    )
     return out.withColumn(out_col, mfi).drop("_pos_f", "_neg_f")
 
 
@@ -156,12 +162,20 @@ def with_aroonosc(
     out_col: str = "aroonosc",
 ) -> DataFrame:
     """Aroon Oscillator (W11, ``stockdata/indicators.py:284-285,
-    415-430``): ``100 · (idx_of_high − idx_of_low) / n`` over the
-    trailing n+1 bars. Ties resolve to the most recent bar (TA-Lib's
-    ``>=`` update rule in TA_AROON). First valid at row n + 1.
+    415-430``): ``100 · (idx_of_high − idx_of_lo) / n`` over the
+    trailing n+1 bars. First valid at row n + 1.
 
     argmax-by via lexicographic struct max — portable, deterministic,
     no UDF.
+
+    **Known deviation from TA-Lib on exact ties**: this resolves every
+    high/low tie to the most recent bar. TA-Lib's TA_AROON tie rule is
+    path-dependent — the steady-state update uses ``>=`` (most recent
+    wins) but the rescan after the old extreme leaves the window uses
+    strict ``>`` (earliest wins) — which is not expressible as a
+    per-row argmax. With cent-quantized prices or flat gap-fill
+    stretches, tied extremes inside the 26-bar window can therefore
+    differ from ``talib.AROONOSC``. Untied inputs match exactly.
     """
     w = series_window(key_cols, ws_col)
     frame = w.rowsBetween(-n, 0)

@@ -354,7 +354,7 @@ sm AS (
 )
 SELECT ticker, window_start,
        floor((CASE WHEN rn <= 14 THEN NULL
-                  WHEN pos + neg = 0 THEN 0.0
+                  WHEN pos + neg < 1.0 THEN 0.0
                   ELSE 100.0 * pos / (pos + neg) END) * 1000000 + 0.5) / 1000000 AS mfi
 FROM sm
 """
@@ -808,16 +808,21 @@ def _macdfix_oracle_sql() -> str:
     """Oracle for ``momentum_features=["macd"]``: TA-Lib MACDFIX via
     the same list-lambda replay — EMA12/EMA26 with fixed multipliers
     0.15/0.075 (SMA-seeded), EMA9 signal over the macd list, output
-    hist = macd − signal, scaled ÷10 (``indicators.py:432-445``)."""
+    hist = macd − signal, scaled ÷10 (``indicators.py:432-445``).
+
+    Both EMAs are requested at the slow lookback (TA_INT_MACD): each
+    seeds at 1-indexed position 26 with the SMA of its trailing
+    window — EMA12 over lst[15..26], EMA26 over lst[1..26] — and both
+    recursions start at lst[27] (ADVICE r1 high)."""
     rocps = ",\n         ".join(_rocp_sql_term(k) for k in range(1, 6))
     ema = (
         "list_reduce(list_prepend("
-        "list_reduce(list_prepend(0.0, list_transform(generate_series(1, {n}), j -> lst[j])), (x, y) -> x + y) / {n}.0, "
-        "list_transform(generate_series({n1}, i), k -> lst[k])), "
+        "list_reduce(list_prepend(0.0, list_transform(generate_series({j0}, 26), j -> lst[j])), (x, y) -> x + y) / {n}.0, "
+        "list_transform(generate_series(27, i), k -> lst[k])), "
         "(acc, v) -> acc * (1.0 - {k}) + v * {k})"
     )
-    ema12 = ema.format(n=12, n1=13, k="0.15")
-    ema26 = ema.format(n=26, n1=27, k="0.075")
+    ema12 = ema.format(j0=15, n=12, k="0.15")
+    ema26 = ema.format(j0=1, n=26, k="0.075")
     return f"""
 WITH {BARS_CTE},
 g AS (
@@ -1053,14 +1058,16 @@ def _pipeline_wilder_oracle_sql(n: int = 14, full: bool = False) -> str:
                        acc[2] * (1.0 - 1.0/{n}.0) + v[2] * (1.0/{n}.0)])
       END)"""
 
+    # both EMAs seed at position 26 with their trailing-window SMA and
+    # recurse from lst[27] — TA_INT_MACD semantics (ADVICE r1 high)
     ema = (
         "list_reduce(list_prepend("
-        + lfsum("list_transform(generate_series(1, {nn}), j -> lst[j])")
-        + " / {nn}.0, list_transform(generate_series({n1}, i), k -> lst[k])), "
+        + lfsum("list_transform(generate_series({j0}, 26), j -> lst[j])")
+        + " / {nn}.0, list_transform(generate_series(27, i), k -> lst[k])), "
         "(acc, v) -> acc * (1.0 - {kk}) + v * {kk})"
     )
-    ema12 = ema.format(nn=12, n1=13, kk="0.15")
-    ema26 = ema.format(nn=26, n1=27, kk="0.075")
+    ema12 = ema.format(j0=15, nn=12, kk="0.15")
+    ema26 = ema.format(j0=1, nn=26, kk="0.075")
     macd_list = f"""
     list_transform(generate_series(1, len(lst)), i ->
       CASE WHEN i < 26 THEN NULL ELSE {ema12} - {ema26} END)"""
@@ -1161,7 +1168,7 @@ r2 AS (
 ),
 r3 AS (
   SELECT sub_ticker, window_start, rn,
-    CASE WHEN rn > 14 THEN (CASE WHEN pos14 + neg14 = 0 THEN 0.0 ELSE 100.0 * pos14 / (pos14 + neg14) END) END AS raw_mfi,
+    CASE WHEN rn > 14 THEN (CASE WHEN pos14 + neg14 < 1.0 THEN 0.0 ELSE 100.0 * pos14 / (pos14 + neg14) END) END AS raw_mfi,
     CASE WHEN rn > 28 THEN 100.0 * (4.0 * (CASE WHEN tr7 = 0 THEN 0.0 ELSE bp7 / tr7 END)
                                   + 2.0 * (CASE WHEN tr14 = 0 THEN 0.0 ELSE bp14 / tr14 END)
                                   + (CASE WHEN tr28 = 0 THEN 0.0 ELSE bp28 / tr28 END)) / 7.0 END AS raw_ultosc,

@@ -104,10 +104,24 @@ def run_backfill(args: argparse.Namespace) -> int:
         * NS
     )
     ws = F.col(cfg.time_column)
-    in_session = bars.filter((ws >= lo) & (ws < hi)).drop(
-        "interval", "year", "month", "day"
+    # each row's ET day: segmentation partitions on it so segment
+    # renumbering restarts per (ticker, day) — the labels a sequence
+    # of single-day runs would produce (ADVICE r1). The day rides
+    # inside sub_ticker ("AAPL-2024-01-02-3") through the pipeline so
+    # series stay day-scoped everywhere, then the infix is stripped
+    # from the output label ("AAPL-3").
+    et_day = F.date_format(
+        F.from_utc_timestamp(
+            F.timestamp_micros((ws / F.lit(1000)).cast("long")), cfg.tz
+        ),
+        "yyyy-MM-dd",
     )
-    out = generate_indicators(in_session, cfg)
+    in_session = (
+        bars.filter((ws >= lo) & (ws < hi))
+        .drop("interval", "year", "month", "day")
+        .withColumn("_et_day", et_day)
+    )
+    out = generate_indicators(in_session, cfg, extra_segment_keys=("_et_day",))
     # re-derive each output row's ET day for the partitioned sink
     day = F.date_format(
         F.from_utc_timestamp(
@@ -116,7 +130,11 @@ def run_backfill(args: argparse.Namespace) -> int:
         "yyyy-MM-dd",
     )
     (
-        out.withColumn("interval", F.lit(args.interval))
+        out.withColumn(
+            "ticker",
+            F.regexp_replace(F.col("ticker"), r"-\d{4}-\d{2}-\d{2}-(\d+)$", "-$1"),
+        )
+        .withColumn("interval", F.lit(args.interval))
         .withColumn("day", day)
         .withColumn("year", F.year("day"))
         .withColumn("month", F.month("day"))
@@ -129,14 +147,43 @@ def run_backfill(args: argparse.Namespace) -> int:
     return 0
 
 
+def _load_dotenv(path: str = ".env") -> None:
+    """Minimal ``.env`` loader (reference parity: both reference jobs
+    call ``dotenv.load_dotenv()`` before reading their base paths,
+    ``data_indicators.py:13-17``, ``data_download_yahoo.py:12-16``).
+    Existing environment wins; no third-party dependency."""
+    import os
+
+    try:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#") or "=" not in line:
+                    continue
+                k, _, v = line.partition("=")
+                os.environ.setdefault(k.strip(), v.strip().strip("'\""))
+    except OSError:
+        pass
+
+
 def main(argv: list[str] | None = None) -> int:
+    import os
+
+    # S6 env-config source: flags win, else YAHOO_BASE (bars archive)
+    # and INDICATOR_BASE (features sink) — the same variables the
+    # reference reads, so a scheduler exporting env instead of argv
+    # is drop-in.
+    _load_dotenv()
+    yahoo_base = os.environ.get("YAHOO_BASE")
+    indicator_base = os.environ.get("INDICATOR_BASE")
+
     p = argparse.ArgumentParser(prog="daily")
     sub = p.add_subparsers(dest="job", required=True)
 
     d = sub.add_parser("download")
     d.add_argument("--execution_date", required=True)
     d.add_argument("--interval", default="1m")
-    d.add_argument("--base", required=True)
+    d.add_argument("--base", default=yahoo_base, required=yahoo_base is None)
     d.add_argument("--tickers", default=None)
     d.add_argument("--ticker_csv", default=None)
     d.add_argument("--synthetic", action="store_true")
@@ -145,16 +192,16 @@ def main(argv: list[str] | None = None) -> int:
     i = sub.add_parser("indicators")
     i.add_argument("--execution_date", required=True)
     i.add_argument("--interval", default="1m")
-    i.add_argument("--src", required=True)
-    i.add_argument("--dst", required=True)
+    i.add_argument("--src", default=yahoo_base, required=yahoo_base is None)
+    i.add_argument("--dst", default=indicator_base, required=indicator_base is None)
     i.set_defaults(fn=run_indicators)
 
     b = sub.add_parser("backfill")
     b.add_argument("--start", required=True)
     b.add_argument("--end", required=True)
     b.add_argument("--interval", default="1m")
-    b.add_argument("--src", required=True)
-    b.add_argument("--dst", required=True)
+    b.add_argument("--src", default=yahoo_base, required=yahoo_base is None)
+    b.add_argument("--dst", default=indicator_base, required=indicator_base is None)
     b.set_defaults(fn=run_backfill)
 
     args = p.parse_args(argv)

@@ -72,7 +72,12 @@ def test_cmo_matches_naive():
 
 
 def test_macdfix_matches_naive():
-    ema12 = naive_ema(X, 12, 0.15, 11)
+    # TA_INT_MACD requests both EMAs at the slow lookback: EMA12 seeds
+    # at index 25 with SMA(X[14:26]) (not at 11 as a standalone EMA12)
+    ema12 = np.full(len(X), np.nan)
+    ema12[25] = np.mean(X[14:26])
+    for i in range(26, len(X)):
+        ema12[i] = (X[i] - ema12[i - 1]) * 0.15 + ema12[i - 1]
     ema26 = naive_ema(X, 26, 0.075, 25)
     macd = ema12 - ema26
     sig = np.full(len(X), np.nan)

@@ -167,3 +167,28 @@ def test_full_pipeline_matches_pandas_reference(spark):
             atol=1e-9,
             err_msg=col,
         )
+
+
+def test_recursive_only_no_rocp_still_correct(spark):
+    """num_prev_rocp=1 + no frame features means NO window expression
+    runs before the recursive pandas stage — the pre_partitioned
+    shortcut must not be taken, or RSI is computed over arbitrary
+    partition order (ADVICE r1)."""
+    from stock_indicators_etl_spark.operators.kernels import rsi_kernel
+
+    pdf = make_bars(tickers=("AAPL", "MSFT", "GOOG", "AMZN"), n=60)
+    cfg = IndicatorConfig(momentum_features=["rsi"], num_prev_rocp=1)
+    got = (
+        generate_indicators(spark.createDataFrame(pdf), cfg, assume_regular=True)
+        .toPandas()
+        .sort_values(["ticker", "window_start"])
+        .reset_index(drop=True)
+    )
+    for ticker, g in pdf.groupby("ticker"):
+        ac = g.sort_values("window_start").adj_close.to_numpy(dtype=float)
+        exp = rsi_kernel(ac, 14) / 100.0
+        sub = got[got.ticker == f"{ticker}-0"]
+        mask = ~np.isnan(exp)
+        np.testing.assert_allclose(
+            sub.rsi.to_numpy(), exp[mask], rtol=1e-9, atol=1e-9, err_msg=ticker
+        )

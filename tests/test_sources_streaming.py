@@ -200,8 +200,10 @@ def test_streaming_rsi_matches_batch_kernel_across_batches(spark, tmp_path):
     for t, cs in closes.items():
         expected = rsi_kernel(np.asarray(cs), 14)
         g = got[got.ticker == t].sort_values("window_start")
+        # bit-exact: the streaming path replays the batch kernel's own
+        # recursion once seeded, so there is no tolerance to grant
         np.testing.assert_allclose(
-            g.rsi.to_numpy(dtype=float), expected, rtol=1e-9, equal_nan=True
+            g.rsi.to_numpy(dtype=float), expected, rtol=0, atol=0, equal_nan=True
         )
 
 
@@ -290,6 +292,29 @@ def test_backfill_range_job(spark, tmp_path, monkeypatch):
     per_day = out.groupBy("day").count().toPandas()
     assert (per_day["count"] > 0).all()
 
+    # drop-in comparability (ADVICE r1): the backfilled day-2
+    # partition must be byte-comparable with a single-day run —
+    # segment numbering restarts per day, so labels are 'AAPL-0',
+    # never the range-wide 'AAPL-1' a cross-day dense_rank produces
+    dst2 = str(tmp_path / "feat_oneday")
+    rc = daily.main(
+        ["indicators", "--execution_date", "2024-01-03",
+         "--interval", "1m", "--src", base, "--dst", dst2]
+    )
+    assert rc == 0
+    import pandas as pd
+
+    one = (
+        spark.read.parquet(dst2).drop("interval", "year", "month", "day")
+        .toPandas().sort_values(["ticker", "window_start"]).reset_index(drop=True)
+    )
+    bf = (
+        out.filter(F.col("day") == "2024-01-03")
+        .drop("interval", "year", "month", "day")
+        .toPandas().sort_values(["ticker", "window_start"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(bf[one.columns], one)
+
 
 def test_session_gap_boundary_semantics(spark, tmp_path):
     """An event exactly `gap` after its predecessor MERGES in both
@@ -335,3 +360,20 @@ def test_session_gap_boundary_semantics(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("select * from sboundary").toPandas()
     assert len(got) == 1 and got.iloc[0].n_events == 2  # merged, same as batch
+
+
+def test_env_config_source_no_path_flags(spark, tmp_path, monkeypatch):
+    """S6: YAHOO_BASE / INDICATOR_BASE env vars stand in for
+    --base/--src/--dst (reference dotenv contract)."""
+    import stock_indicators_etl_spark.streaming.daily as daily
+
+    base, dst = str(tmp_path / "bars"), str(tmp_path / "feat")
+    monkeypatch.setenv("YAHOO_BASE", base)
+    monkeypatch.setenv("INDICATOR_BASE", dst)
+    monkeypatch.setattr(daily, "get_spark", lambda **kw: spark)
+    assert daily.main(
+        ["download", "--execution_date", "2024-01-02", "--synthetic"]
+    ) == 0
+    assert daily.main(["indicators", "--execution_date", "2024-01-02"]) == 0
+    out = spark.read.parquet(dst)
+    assert out.count() > 0
