@@ -79,6 +79,43 @@ def read_reference_layout_day(
     return spark.read.parquet(day_path(base, interval, date_str))
 
 
+def write_reference_layout_day(
+    df: DataFrame, base: str, interval: str, date_str: str
+) -> str:
+    """Compatibility sink producing the reference's literal layout:
+    ONE gzip parquet file at
+    ``{base}/{interval}/{yyyy}/{mm}/{date}.parquet.gzip``
+    (``stockdata/utils.py:61-86``) — so outputs round-trip with the
+    original pandas tool (``pd.read_parquet`` on the exact path).
+
+    A single file per day is the reference's contract, not a scale
+    path: the day is coalesced to one partition and the lone part
+    file renamed onto the target. Use :func:`write_bars_day` (the
+    partitioned dataset) for everything except interop. Returns the
+    written path.
+    """
+    import glob
+    import shutil
+    import tempfile
+
+    target = day_path(base, interval, date_str)
+    parent = os.path.dirname(target)
+    os.makedirs(parent, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=parent, prefix="._ref_day_tmp_")
+    try:
+        (
+            df.coalesce(1)
+            .write.mode("overwrite")
+            .option("compression", "gzip")
+            .parquet(tmp)
+        )
+        part = glob.glob(os.path.join(tmp, "part-*.parquet*"))[0]
+        os.replace(part, target)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return target
+
+
 def read_ticker_csv(
     spark: SparkSession, path: str, extra: tuple[str, ...] = ("SPY", "VOO")
 ) -> DataFrame:

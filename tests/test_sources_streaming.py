@@ -377,3 +377,32 @@ def test_env_config_source_no_path_flags(spark, tmp_path, monkeypatch):
     assert daily.main(["indicators", "--execution_date", "2024-01-02"]) == 0
     out = spark.read.parquet(dst)
     assert out.count() > 0
+
+
+def test_reference_layout_roundtrip(spark, tmp_path):
+    """write_reference_layout_day produces the literal single-file
+    layout the reference tool reads and writes — pandas and the
+    compatibility reader both round-trip it."""
+    from stock_indicators_etl_spark.sources.io import (
+        read_reference_layout_day,
+        write_reference_layout_day,
+    )
+
+    base = str(tmp_path / "refbase")
+    pdf = pd.DataFrame(
+        {"ticker": ["A", "B"], "close": [1.5, 2.5], "window_start": [1, 2]}
+    )
+    path = write_reference_layout_day(
+        spark.createDataFrame(pdf), base, "1m", "2024-01-02"
+    )
+    assert path.endswith("/1m/2024/01/2024-01-02.parquet.gzip")
+    import os
+
+    assert os.path.isfile(path)  # a single file, not a directory
+    via_pandas = pd.read_parquet(path).sort_values("ticker").reset_index(drop=True)
+    pd.testing.assert_frame_equal(via_pandas, pdf)
+    got = read_reference_layout_day(spark, base, "1m", "2024-01-02")
+    assert got.count() == 2
+    # idempotent overwrite
+    write_reference_layout_day(spark.createDataFrame(pdf), base, "1m", "2024-01-02")
+    assert read_reference_layout_day(spark, base, "1m", "2024-01-02").count() == 2
