@@ -178,6 +178,8 @@ def ivf_topk(
     asc); centroid ties resolve to the lowest cell index on both
     engines.
     """
+    import math
+
     cent_rows = (
         embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
@@ -186,22 +188,35 @@ def ivf_topk(
     )
     cents = [list(r["v"]) for r in cent_rows]
 
-    def _cent_cos(v_norm: Column, vec: Column, c: list[float]) -> Column:
+    def _lfold_norm(c: list[float]) -> float:
+        # driver-side replay of sqrt(left-fold Σ c[i]²): Python floats
+        # are IEEE doubles and math.sqrt is correctly rounded, so this
+        # equals the per-row Column fold bit-for-bit — centroid norms
+        # are constants and must not be re-folded N·16 times
+        s = 0.0
+        for x in c:
+            s = s + x * x
+        return math.sqrt(s)
+
+    cent_norms = [_lfold_norm(c) for c in cents]
+
+    def _cent_cos(v_norm: Column, vec: Column, c: list[float], c_norm: float) -> Column:
         """cosine(vec, centroid c) with the exact left-fold order the
         oracle replays; zero-norm guard mirrors the SQL CASE."""
         cv = F.array(*[F.lit(x) for x in c])
-        c_norm = F.sqrt(_dot(cv, cv))
-        den = v_norm * c_norm
+        den = v_norm * F.lit(c_norm)
         return F.when(den == 0, F.lit(0.0)).otherwise(_dot(vec, cv) / den)
 
-    def _with_cells(df: DataFrame, n_top: int, id_out: str, vec_out: str) -> DataFrame:
+    def _with_cells(
+        df: DataFrame, n_top: int, id_out: str, vec_out: str, nrm_out: str
+    ) -> DataFrame:
         v = _as_double(F.col(vec_col))
         out = df.select(
-            F.col(id_col).alias(id_out), v.alias(vec_out), F.sqrt(_dot(v, v)).alias("_nrm")
+            F.col(id_col).alias(id_out), v.alias(vec_out), F.sqrt(_dot(v, v)).alias(nrm_out)
         )
         sims = [
-            _cent_cos(F.col("_nrm"), F.col(vec_out), c).alias(f"_s{j}")
-            for j, c in enumerate(cents)
+            _cent_cos(F.col(nrm_out), F.col(vec_out), c, cn).alias(f"_s{j}")
+            for j, (c, cn) in enumerate(zip(cents, cent_norms))
         ]
         out = out.select("*", *sims)
         # top-n_top cells per row without any row expansion or shuffle:
@@ -214,18 +229,18 @@ def ivf_topk(
             ]
         )
         cells = F.transform(F.slice(F.sort_array(pairs), 1, n_top), lambda s: s["j"])
-        return out.select(id_out, vec_out, cells.alias("cells"))
+        return out.select(id_out, vec_out, nrm_out, cells.alias("cells"))
 
-    base = _with_cells(embeddings, 1, "nbr_id", "c_vec").select(
-        "nbr_id", "c_vec", F.col("cells")[0].alias("cell")
+    base = _with_cells(embeddings, 1, "nbr_id", "c_vec", "c_nrm").select(
+        "nbr_id", "c_vec", "c_nrm", F.col("cells")[0].alias("cell")
     )
-    q = _with_cells(queries, n_probe, "qid", "q_vec").select(
-        "qid", "q_vec", F.explode("cells").alias("cell")
+    q = _with_cells(queries, n_probe, "qid", "q_vec", "q_nrm").select(
+        "qid", "q_vec", "q_nrm", F.explode("cells").alias("cell")
     )
+    # norms ride through the join — computed once per vector upstream,
+    # not re-folded per candidate pair
     dot = _dot(F.col("q_vec"), F.col("c_vec"))
-    qn = F.sqrt(_dot(F.col("q_vec"), F.col("q_vec")))
-    cn_ = F.sqrt(_dot(F.col("c_vec"), F.col("c_vec")))
-    den = qn * cn_
+    den = F.col("q_nrm") * F.col("c_nrm")
     cos = F.when(den == 0, F.lit(0.0)).otherwise(dot / den)
     scored = (
         base.join(F.broadcast(q), "cell")
@@ -298,20 +313,25 @@ def embedding_neardup_pairs(
     """
     if method == "lsh":
         buckets = band_sign_buckets(vec_col, n_planes, band_size, dim)
-        n = with_norm(embeddings, vec_col, "nrm").select(
+        # one row per (vector, band): BOTH sides of the candidate
+        # self-join share this exact subplan, so Catalyst's
+        # ReuseExchange computes the hyperplane projections and the
+        # (band, bucket) shuffle once — not once per band per side
+        banded = embeddings.select(
             F.col(id_col).alias("vid"),
-            _as_double(F.col(vec_col)).alias("v"),
-            "nrm",
-            *[b.alias(f"bk_{i}") for i, b in enumerate(buckets)],
+            F.posexplode(F.array(*buckets)).alias("band", "bk"),
         )
-        pairs: DataFrame | None = None
-        for i in range(len(buckets)):
-            a = n.select(F.col("vid").alias("id_a"), F.col(f"bk_{i}").alias("bk"))
-            b = n.select(F.col("vid").alias("id_b"), F.col(f"bk_{i}").alias("bk"))
-            p = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-            pairs = p if pairs is None else pairs.unionByName(p)
-        assert pairs is not None
-        pairs = pairs.distinct()
+        a = banded.select(F.col("vid").alias("id_a"), "band", "bk")
+        b = banded.select(F.col("vid").alias("id_b"), "band", "bk")
+        pairs = (
+            a.join(b, ["band", "bk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        n = with_norm(embeddings, vec_col, "nrm").select(
+            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"), "nrm"
+        )
         va = n.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
         vb = n.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
         dot = _dot(F.col("va"), F.col("vb"))
