@@ -106,14 +106,23 @@ def dedup_survivors(df: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def word_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
-    """Distinct word k-gram shingles per doc: (doc_id, shingle).
+def word_shingles(
+    df: DataFrame, text_col: str = "text", k: int = 3, distinct: bool = True
+) -> DataFrame:
+    """Word k-gram shingles per doc: (doc_id, shingle).
 
-    Dedup via ``distinct()`` (one shuffle). Measured note: deduping
-    per-doc with ``array_distinct``+``filter`` HOFs *before* the
-    explode looks shuffle-free on paper but ran 2-7× slower here (the
-    nested HOF chain leaves whole-stage codegen); the relational
-    formulation stays codegen'd end-to-end.
+    ``distinct=True`` (set semantics, required for Jaccard) dedups via
+    ``distinct()`` (one shuffle). Measured note: deduping per-doc with
+    ``array_distinct``+``filter`` HOFs *before* the explode looks
+    shuffle-free on paper but ran 2-7× slower here (the nested HOF
+    chain leaves whole-stage codegen); the relational formulation
+    stays codegen'd end-to-end.
+
+    ``distinct=False`` skips that shuffle entirely — correct for any
+    duplicate-insensitive consumer (MinHash takes a per-doc *min* over
+    shingle hashes, so multiset vs set is indistinguishable), and the
+    biggest single saving in the LSH path: the exploded stream is ~50×
+    the corpus and never needs to shuffle at full width.
     """
     w = words(F.col(text_col))
     n = F.size(w)
@@ -123,12 +132,12 @@ def word_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFram
             lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
         )
     )
-    return (
+    out = (
         _spread(df)
         .select("doc_id", F.explode(grams).alias("shingle"))
         .filter(F.length("shingle") > 0)
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 #: Double-hashing parameters: one md5 per shingle yields two 56-bit
@@ -153,7 +162,10 @@ def minhash_signatures(
     shingle instead of one per (shingle, permutation) — 12× fewer
     hash evaluations. Output: doc_id, mh_0..mh_{n-1} (BIGINT).
     """
-    sh = word_shingles(df, text_col, k)
+    # duplicate shingles cannot change a min — skip the full-width
+    # distinct() shuffle of the 50× exploded stream; the only shuffle
+    # left in signature-building is the map-side-combined groupBy
+    sh = word_shingles(df, text_col, k, distinct=False)
     md = F.md5(F.col("shingle"))
     h1 = F.conv(F.substring(md, 1, 14), 16, 10).cast("long")
     h2 = F.conv(F.substring(md, 17, 14), 16, 10).cast("long")
@@ -315,10 +327,14 @@ def ngram_jaccard_pairs(
 
     Plan shapes:
 
-    - ``candidates=None`` (exact all-pairs-sharing-a-shingle): each
-      doc's shingle count rides along inside the posting lists as a
-      struct payload, so set sizes need no separate joins — two
-      shuffles, zero joins.
+    - ``candidates=None`` (exact all-pairs-sharing-a-shingle): the
+      per-doc shingle *set* is built with one map-side-deduped
+      ``collect_set`` (``_spread`` keeps each doc in one partition, so
+      the partial aggregate dedups before the shuffle and the full-
+      width exploded stream never shuffles); each doc's set size then
+      rides along inside the posting lists as a struct payload, so
+      sizes need no separate joins — three narrow shuffles, zero
+      joins, no window.
     - with ``candidates``: the corpus is semi-joined down to candidate
       docs *before* shingling, then the candidate pairs broadcast-join
       per-doc shingle sets and |∩| is an ``array_intersect`` — the
@@ -330,8 +346,6 @@ def ngram_jaccard_pairs(
       is always exact — ``max_doc_freq`` does not apply (there is no
       posting-list expansion to cap).
     """
-    from pyspark.sql import Window
-
     if candidates is not None:
         candidates = candidates.select("doc_a", "doc_b").persist()
         cand_docs = (
@@ -371,9 +385,13 @@ def ngram_jaccard_pairs(
             out = out.filter(F.col("jaccard") >= F.lit(threshold))
         return out
 
-    sh = word_shingles(df, text_col, k)
-    shs = sh.withColumn(
-        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    doc_sets = (
+        word_shingles(df, text_col, k, distinct=False)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh_set"))
+    )
+    shs = doc_sets.select(
+        "doc_id", F.size("sh_set").alias("n_sh"), F.explode("sh_set").alias("shingle")
     )
     posting = shs.groupBy("shingle").agg(
         F.collect_set(F.struct("doc_id", "n_sh")).alias("ids")
