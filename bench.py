@@ -67,11 +67,20 @@ def run() -> None:
         "minhash_lsh_candidates",
         "ngram_jaccard",
         "dedup_pipeline",
+        "neardup_components",
         "simhash",
         "cosine_topk",
         "embedding_neardup",
         "ivf_topk",
     ]
+
+    # queries that do REAL work eagerly at DataFrame-construction time
+    # (connected components' fixpoint loop, IVF's centroid-sample
+    # collect): the timed section must rebuild them or that work is
+    # silently excluded. Plain lazy queries reuse the prebuilt handle —
+    # rebuilding those would only add Catalyst re-analysis noise
+    # (~0.2-1 s/query of schema resolution the warm runs already paid).
+    eager_construction = {"neardup_components", "neardup_survivors", "ivf_topk"}
 
     timings: dict[str, float] = {}
     for name in headline:
@@ -88,8 +97,17 @@ def run() -> None:
         # cache) so the timed run measures one full cold execution of
         # the plan, not a cache replay of the warm runs
         spark.catalog.clearCache()
+        # release Python-side DataFrame refs so the ContextCleaner can
+        # purge checkpointed/broadcast blocks from earlier queries —
+        # accumulated blocks otherwise inflate later timings via GC
+        # pressure (measured multi-second swings on this suite)
+        import gc as _gc
+
+        _gc.collect()
         spark.sparkContext._jvm.System.gc()  # isolate from prior queries' heap churn
         t0 = time.perf_counter()
+        if name in eager_construction:
+            df = fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 

@@ -13,6 +13,10 @@ program with a DuckDB-portable formulation:
 - **SimHash**: 28-bit sign-sum fingerprint; hamming-distance
   verification over band-blocked candidates.
 - **embedding cosine** near-dup: see ``similarity.py``.
+- **connected components** over verified near-dup pairs
+  (:func:`connected_components`): min-label propagation to a unique
+  fixpoint — the step that turns pairwise matches into dedup groups
+  and survivors.
 
 Portable-hash note: Spark ``hash()`` ≠ DuckDB ``hash()``, so all
 hashing goes through md5 — minhashes compare *hex strings*
@@ -451,14 +455,20 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     distinct words' hashes; bit set iff sum > 0.
 
     One groupBy over the distinct-token rows with 28 conditional-sum
-    aggregates (one per bit) — no bit explode (a 28× row blow-up) and
-    one shuffle fewer than the relational bits-as-rows shape; every
-    aggregate is map-side combinable.
+    aggregates (one per bit) — no bit explode (a 28× row blow-up).
+    Token dedup is a map-side ``collect_set`` per doc (``_spread``
+    keeps a doc in one partition, so the partial aggregate dedups
+    before the shuffle and the exploded token stream never shuffles at
+    full width); the explode after it preserves the doc_id hash
+    partitioning, so the bit-sum groupBy adds NO second exchange —
+    one narrow shuffle end-to-end.
     """
     toks = (
         _spread(df)
         .select("doc_id", F.explode(words(F.col(text_col))).alias("w"))
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("w").alias("ws"))
+        .select("doc_id", F.explode("ws").alias("w"))
         .select("doc_id", _word_hash28(F.col("w")).alias("h"))
     )
     bit_sums = [
@@ -475,3 +485,93 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         fingerprint = term if fingerprint is None else fingerprint + term
     return sums.select("doc_id", fingerprint.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# connected components (near-dup groups -> survivors)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by min-label propagation: every vertex
+    ends up labeled with the smallest ``id`` in its component — the
+    canonical form of "group near-duplicates, keep one".
+
+    Output: (``id_col``, ``component``). Vertices with no edges are
+    their own singleton component. The fixpoint is unique, so the
+    result is deterministic regardless of execution order (and
+    SQL-replayable with a recursive CTE).
+
+    Scale shape: each round is one broadcast-or-shuffle equi-join of
+    the (small, by near-dup construction) edge list against the label
+    table plus one map-side-combinable min-groupBy — O(V + E) work per
+    round, rounds bounded by the largest component's diameter (dedup
+    components are clique-ish, so typically 2-3). Labels are
+    ``localCheckpoint``-ed each round to truncate the iterative
+    lineage (standard Spark practice for fixpoint loops; use
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` on a
+    real cluster for fault tolerance). The driver-side loop holds no
+    data — each round's convergence probe is a limit-1 anti-join, not
+    a collect. For graphs with long chains at extreme scale, switch to
+    the large-star/small-star formulation (Kiveris et al., O(log²)
+    rounds) — same output contract.
+    """
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("_s"), F.col(src_col).alias("_d"))
+    )
+    # pin the edge list before iterating: it is joined once per round,
+    # and an unpinned edge lineage (e.g. the whole LSH→Jaccard verify
+    # chain) would recompute in EVERY round
+    e = e.localCheckpoint(eager=True)
+    labels = vertices.select(F.col(id_col).alias("_id"), F.col(id_col).alias("component"))
+    for _ in range(max_iter):
+        msgs = (
+            e.join(labels, e["_s"] == labels["_id"])
+            .select(F.col("_d").alias("_id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("_id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.join(labels, ["_id", "component"], "left_anti").limit(1)
+        stable = changed.isEmpty()
+        labels = new_labels
+        if stable:
+            break
+    return labels.select(F.col("_id").alias(id_col), "component")
+
+
+def neardup_components(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n_hashes: int = 12,
+    band_size: int = 3,
+    k: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """End-to-end near-dup grouping: MinHash-LSH candidates →
+    exact-Jaccard verification → connected components over the
+    surviving pairs, for EVERY doc (non-duplicates are singletons).
+
+    Output: (doc_id, component) where component = min doc_id of the
+    group — the production dedup pipeline's final mapping.
+    """
+    cand = minhash_lsh_candidates(
+        df, text_col, n_hashes, band_size, k, max_bucket_size=max_bucket_size
+    )
+    pairs = ngram_jaccard_pairs(
+        df, text_col, k, threshold=threshold, candidates=cand
+    ).select("doc_a", "doc_b")
+    return connected_components(pairs, df.select("doc_id"))

@@ -1,0 +1,69 @@
+"""Deterministic sampling for training-data pipelines.
+
+``df.sample()`` is seed-and-partitioning dependent — re-running it on
+a repartitioned 100 TB corpus yields a different subset, which poisons
+reproducibility and incremental joins against previously-sampled data.
+These operators key every decision off a content-stable hash of the
+row id instead:
+
+- :func:`hash_sample` — Bernoulli sampling by md5-uniform threshold.
+  Scan-local (no shuffle, pushes nothing but a filter), stable under
+  repartitioning, composable across runs (the same row is always in
+  or out for a given rate).
+- :func:`stratified_sample` — exact top-n per stratum by hash order —
+  balanced class quotas (e.g. per-language caps) with one shuffle on
+  the stratum key.
+
+Hashing convention matches the dedup family (md5 hex → BIGINT via the
+first 14 hex digits = 56 bits, exact in both Spark and DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: 2^56 — the hash domain of a 14-hex-digit md5 prefix.
+HASH_DOMAIN = 1 << 56
+
+
+def _id_hash56(id_col: Column) -> Column:
+    """56-bit uniform hash of an id, identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(id_col.cast("string")), 1, 14), 16, 10).cast("long")
+
+
+def hash_sample(df: DataFrame, rate: float, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose id-hash falls
+    below ``rate`` of the hash domain.
+
+    The comparison is exact integer arithmetic (hash < ⌊rate·2^56⌋),
+    so both engines agree bit-for-bit and the sample is a pure filter
+    — no shuffle, no state, stable across runs and repartitioning.
+    """
+    threshold = int(rate * HASH_DOMAIN)
+    return df.filter(_id_hash56(F.col(id_col)) < F.lit(threshold))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    n_per_stratum: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact per-stratum quota: the ``n_per_stratum`` rows with the
+    smallest ``(id_hash, id)`` in each stratum — a deterministic
+    "uniform n per class" draw.
+
+    One shuffle on the stratum key; the rank is a combinable window
+    (each partition pre-sorts its stratum slice). Skewed strata cost
+    what any per-key top-n costs — at extreme skew, pre-filter with
+    :func:`hash_sample` at a safe over-sampling rate first, then rank
+    the survivors.
+    """
+    h = _id_hash56(F.col(id_col))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )

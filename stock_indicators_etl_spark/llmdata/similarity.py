@@ -97,7 +97,9 @@ def random_hyperplane_sign_bits(
     planes = hyperplane_matrix(n_planes, dim)
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        w = F.array(*[F.lit(x) for x in planes[p]])
+        # single-call array literal: per-element F.lit would cost a
+        # py4j round-trip each (dim x planes of them at plan-build time)
+        w = F.lit(planes[p])
         proj = F.aggregate(
             F.zip_with(v, w, lambda x, c: x * c),
             F.lit(0.0),
@@ -158,9 +160,8 @@ def ivf_topk(
     The inverted-file structure is the other classic ANN scale path
     next to LSH (:func:`lsh_bucketed_topk`): candidate count drops to
     ~``n_probe/n_centroids`` of the corpus, and the cell assignment
-    is one broadcast-BLAS pass (``mapInPandas`` against the
-    driver-collected centroid matrix — centroids are tiny by
-    construction).
+    is one scan-local pass of per-centroid Column expressions — no
+    Python stage, no row expansion, no shuffle before the probe join.
 
     Centroid selection is a deterministic pseudo-random sample: the
     ``n_centroids`` vectors with the smallest ``(md5(vec_id), vec_id)``.
@@ -187,6 +188,11 @@ def ivf_topk(
         .collect()
     )
     cents = [list(r["v"]) for r in cent_rows]
+    # literal Columns are immutable expression trees — build each
+    # centroid array literal ONCE and share it between the corpus and
+    # query assignment passes (py4j literal construction is ~35 ms per
+    # 64-float array; rebuilding per pass doubles plan-build latency)
+    cent_lits = [F.lit(c) for c in cents]
 
     def _lfold_norm(c: list[float]) -> float:
         # driver-side replay of sqrt(left-fold Σ c[i]²): Python floats
@@ -200,36 +206,46 @@ def ivf_topk(
 
     cent_norms = [_lfold_norm(c) for c in cents]
 
-    def _cent_cos(v_norm: Column, vec: Column, c: list[float], c_norm: float) -> Column:
-        """cosine(vec, centroid c) with the exact left-fold order the
+    def _cent_cos(v_norm: Column, vec: Column, cv: Column, c_norm: float) -> Column:
+        """cosine(vec, centroid cv) with the exact left-fold order the
         oracle replays; zero-norm guard mirrors the SQL CASE."""
-        cv = F.array(*[F.lit(x) for x in c])
         den = v_norm * F.lit(c_norm)
         return F.when(den == 0, F.lit(0.0)).otherwise(_dot(vec, cv) / den)
 
-    def _with_cells(
-        df: DataFrame, n_top: int, id_out: str, vec_out: str, nrm_out: str
-    ) -> DataFrame:
-        v = _as_double(F.col(vec_col))
-        out = df.select(
-            F.col(id_col).alias(id_out), v.alias(vec_out), F.sqrt(_dot(v, v)).alias(nrm_out)
-        )
-        sims = [
-            _cent_cos(F.col(nrm_out), F.col(vec_out), c, cn).alias(f"_s{j}")
-            for j, (c, cn) in enumerate(zip(cents, cent_norms))
-        ]
-        out = out.select("*", *sims)
-        # top-n_top cells per row without any row expansion or shuffle:
-        # sort an inline array of (-sim, j) structs — negation is IEEE-
-        # exact, so ordering matches (sim DESC, j ASC) bit-for-bit
-        pairs = F.array(
+    # the sims / sorted-pairs expression trees are built ONCE over
+    # fixed internal names and shared by the corpus and query passes —
+    # Column objects are immutable, and rebuilding this ~2k-node tree
+    # per pass dominates plan-construction latency via py4j
+    v = _as_double(F.col(vec_col))
+    sims = [
+        _cent_cos(F.col("_nrm"), F.col("_v"), cv, cn).alias(f"_s{j}")
+        for j, (cv, cn) in enumerate(zip(cent_lits, cent_norms))
+    ]
+    # top-n cells per row without any row expansion or shuffle: sort
+    # an inline array of (-sim, j) structs — negation is IEEE-exact,
+    # so ordering matches (sim DESC, j ASC) bit-for-bit
+    sorted_pairs = F.sort_array(
+        F.array(
             *[
                 F.struct((-F.col(f"_s{j}")).alias("negs"), F.lit(j).alias("j"))
                 for j in range(len(cents))
             ]
         )
-        cells = F.transform(F.slice(F.sort_array(pairs), 1, n_top), lambda s: s["j"])
-        return out.select(id_out, vec_out, nrm_out, cells.alias("cells"))
+    )
+
+    def _with_cells(
+        df: DataFrame, n_top: int, id_out: str, vec_out: str, nrm_out: str
+    ) -> DataFrame:
+        out = df.select(
+            F.col(id_col).alias("_id"), v.alias("_v"), F.sqrt(_dot(v, v)).alias("_nrm")
+        ).select("*", *sims)
+        cells = F.transform(F.slice(sorted_pairs, 1, n_top), lambda s: s["j"])
+        return out.select(
+            F.col("_id").alias(id_out),
+            F.col("_v").alias(vec_out),
+            F.col("_nrm").alias(nrm_out),
+            cells.alias("cells"),
+        )
 
     base = _with_cells(embeddings, 1, "nbr_id", "c_vec", "c_nrm").select(
         "nbr_id", "c_vec", "c_nrm", F.col("cells")[0].alias("cell")
@@ -273,7 +289,7 @@ def band_sign_buckets(
     for b in range(n_planes // band_size):
         bucket = F.lit(0).cast("long")
         for j in range(band_size):
-            w = F.array(*[F.lit(x) for x in planes[b * band_size + j]])
+            w = F.lit(planes[b * band_size + j])  # single-call array literal
             proj = F.aggregate(
                 F.zip_with(v, w, lambda x, c: x * c), F.lit(0.0), lambda acc, x: acc + x
             )

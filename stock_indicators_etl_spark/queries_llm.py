@@ -340,6 +340,117 @@ FROM v WHERE jaccard >= {DEDUP_VERIFY_THRESHOLD}
 """
 
 # ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+SAMPLE_RATE = 0.25
+STRATUM_N = 40
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sample — pure integer-hash filter,
+    identical row set in both engines."""
+    from stock_indicators_etl_spark.llmdata.sampling import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), SAMPLE_RATE).select("doc_id", "lang")
+
+
+SQL_HASH_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+      < {int(SAMPLE_RATE * (1 << 56))}
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota draw: smallest (id_hash, id) per stratum."""
+    from stock_indicators_etl_spark.llmdata.sampling import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), "lang", STRATUM_N).select(
+        "doc_id", "lang"
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) AS hk
+  FROM documents
+)
+SELECT doc_id, lang FROM h
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) <= {STRATUM_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# near-dup connected components + survivors
+# ---------------------------------------------------------------------------
+
+
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH → Jaccard-verified pairs → connected components: every doc
+    mapped to its dedup group's min doc_id (singletons included).
+    Iterative min-label propagation on the Spark side; the oracle is a
+    recursive CTE reaching the same unique fixpoint."""
+    from stock_indicators_etl_spark.llmdata.dedup import neardup_components
+
+    return neardup_components(
+        _docs(spark, sf_dir), threshold=DEDUP_VERIFY_THRESHOLD
+    )
+
+
+_CC_EDGE_CTES = f"""
+{LSH_CTES},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE)
+        >= {DEDUP_VERIFY_THRESHOLD}
+),
+e AS (SELECT doc_a AS s, doc_b AS d FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+reach(id, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, r.lab FROM reach r JOIN e ON e.s = r.id
+)"""
+
+SQL_NEARDUP_COMPONENTS = f"""
+WITH RECURSIVE {_CC_EDGE_CTES}
+SELECT id AS doc_id, min(lab) AS component FROM reach GROUP BY id
+"""
+
+
+def q_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup-cleaned corpus: one canonical doc (the component's
+    min doc_id) per dedup group — what a training-data pipeline ships
+    downstream."""
+    from stock_indicators_etl_spark.llmdata.dedup import neardup_components
+
+    docs = _docs(spark, sf_dir)
+    comps = neardup_components(docs, threshold=DEDUP_VERIFY_THRESHOLD)
+    canon = comps.filter(F.col("doc_id") == F.col("component")).select("doc_id")
+    return docs.join(canon, "doc_id", "left_semi").select("doc_id", "lang")
+
+
+SQL_NEARDUP_SURVIVORS = f"""
+WITH RECURSIVE {_CC_EDGE_CTES},
+comp AS (SELECT id AS doc_id, min(lab) AS component FROM reach GROUP BY id)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+WHERE c.doc_id = c.component
+"""
+
+
+# ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
 
@@ -623,6 +734,10 @@ QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_candidates": q_minhash_lsh,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_pipeline": q_dedup_pipeline,
+    "hash_sample": q_hash_sample,
+    "stratified_sample": q_stratified_sample,
+    "neardup_components": q_neardup_components,
+    "neardup_survivors": q_neardup_survivors,
     "simhash": q_simhash,
     "cosine_topk": q_cosine_topk,
     "embedding_neardup": q_embedding_neardup,
@@ -642,6 +757,10 @@ ORACLES_LLM: dict[str, str] = {
     "minhash_lsh_candidates": SQL_MINHASH_LSH,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_pipeline": SQL_DEDUP_PIPELINE,
+    "hash_sample": SQL_HASH_SAMPLE,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "neardup_components": SQL_NEARDUP_COMPONENTS,
+    "neardup_survivors": SQL_NEARDUP_SURVIVORS,
     "simhash": SQL_SIMHASH,
     "cosine_topk": SQL_COSINE_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,

@@ -264,3 +264,74 @@ def test_skew_guards_bound_pair_counts(spark):
     full = minhash_lsh_candidates(dup_docs).count()
     assert full == 20 * 19 / 2
     assert minhash_lsh_candidates(dup_docs, max_bucket_size=10).count() == 0
+
+
+def test_connected_components_shapes(spark):
+    """Chain, triangle, singleton, and two-component graphs all reach
+    the unique min-label fixpoint."""
+    from stock_indicators_etl_spark.llmdata.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [1, 2, 10, 11, 10], "doc_b": [2, 3, 11, 12, 12]})
+    )
+    verts = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2, 3, 10, 11, 12, 99]}))
+    got = {
+        r.doc_id: r.component
+        for r in connected_components(edges, verts).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_neardup_components_end_to_end(spark):
+    from stock_indicators_etl_spark.llmdata.dedup import neardup_components
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog tonight",
+                    "the quick brown fox jumps over the lazy dog tonight",
+                    "the quick brown fox jumps over the lazy dog yesterday",
+                    "completely unrelated text about spark query planning",
+                ],
+            }
+        )
+    )
+    got = {r.doc_id: r.component for r in neardup_components(docs, threshold=0.5).collect()}
+    # 0/1/2 collapse into one group (transitively), 3 is a singleton
+    assert got[0] == 0 and got[1] == 0 and got[2] == 0 and got[3] == 3
+
+
+def test_hash_sample_deterministic_under_repartitioning(spark):
+    from stock_indicators_etl_spark.llmdata.sampling import hash_sample
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(1000), "text": ["x"] * 1000})
+    )
+    a = {r.doc_id for r in hash_sample(docs, 0.3).collect()}
+    b = {r.doc_id for r in hash_sample(docs.repartition(7), 0.3).collect()}
+    assert a == b  # partitioning-independent membership
+    assert 200 < len(a) < 400  # ~30% of 1000
+    # monotone: raising the rate only adds rows
+    c = {r.doc_id for r in hash_sample(docs, 0.6).collect()}
+    assert a <= c
+
+
+def test_stratified_sample_exact_quota(spark):
+    from stock_indicators_etl_spark.llmdata.sampling import stratified_sample
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(300),
+                "lang": ["en"] * 200 + ["de"] * 97 + ["fr"] * 3,
+            }
+        )
+    )
+    got = stratified_sample(docs, "lang", 10).toPandas()
+    counts = got.groupby("lang").size().to_dict()
+    assert counts == {"en": 10, "de": 10, "fr": 3}  # short strata keep all
+    # deterministic draw
+    again = stratified_sample(docs, "lang", 10).toPandas()
+    assert set(got.doc_id) == set(again.doc_id)
