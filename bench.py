@@ -64,6 +64,7 @@ def run() -> None:
         "language_id",
         "doc_fingerprint",
         "dedup_exact",
+        "corpus_prep",
         "minhash_lsh_candidates",
         "ngram_jaccard",
         "dedup_pipeline",

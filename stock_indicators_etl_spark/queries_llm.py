@@ -383,6 +383,68 @@ QUALIFY row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) <= {STRATUM_N}
 
 
 # ---------------------------------------------------------------------------
+# composed corpus-prep pipeline (quality -> sample -> dedup -> budget)
+# ---------------------------------------------------------------------------
+
+PREP_MIN_WORDS = 30
+PREP_MIN_ALPHA = 0.7
+PREP_SAMPLE_RATE = 0.5
+
+
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data prep path, composed from proven
+    operators: quality gates (length + alpha density) → deterministic
+    hash sample → exact-dedup survivors → per-language doc/token
+    budget. Every stage is scan-local or one combinable shuffle; the
+    final rollup is the only aggregation wider than a doc."""
+    from stock_indicators_etl_spark.llmdata.dedup import dedup_survivors
+    from stock_indicators_etl_spark.llmdata.sampling import hash_sample
+    from stock_indicators_etl_spark.llmdata.text import text_quality, token_counts
+
+    docs = _docs(spark, sf_dir)
+    quality = text_quality(docs).filter(
+        (F.col("n_words") >= PREP_MIN_WORDS)
+        & (F.col("alpha_ratio") >= PREP_MIN_ALPHA)
+    )
+    kept = docs.join(quality.select("doc_id"), "doc_id", "left_semi")
+    sampled = hash_sample(kept, PREP_SAMPLE_RATE)
+    survivors = dedup_survivors(sampled)
+    toks = token_counts(survivors)
+    return (
+        survivors.select("doc_id", "lang")
+        .join(toks.select("doc_id", "n_subtokens"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_subtokens").alias("total_subtokens"),
+        )
+    )
+
+
+SQL_CORPUS_PREP = f"""
+WITH {DOCS_CTE},
+q AS (
+  SELECT doc_id FROM wd
+  WHERE len(ws) >= {PREP_MIN_WORDS}
+    AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        / (CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END) >= {PREP_MIN_ALPHA}
+),
+sampled AS (
+  SELECT wd.* FROM wd JOIN q USING (doc_id)
+  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+        < {int(PREP_SAMPLE_RATE * (1 << 56))}
+),
+canon AS (SELECT min(doc_id) AS doc_id FROM sampled GROUP BY md5(n)),
+surv AS (SELECT s.* FROM sampled s JOIN canon c USING (doc_id))
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(n, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT)
+         AS total_subtokens
+FROM surv GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # near-dup connected components + survivors
 # ---------------------------------------------------------------------------
 
@@ -736,6 +798,7 @@ QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_pipeline": q_dedup_pipeline,
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
+    "corpus_prep": q_corpus_prep,
     "neardup_components": q_neardup_components,
     "neardup_survivors": q_neardup_survivors,
     "simhash": q_simhash,
@@ -759,6 +822,7 @@ ORACLES_LLM: dict[str, str] = {
     "dedup_pipeline": SQL_DEDUP_PIPELINE,
     "hash_sample": SQL_HASH_SAMPLE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "corpus_prep": SQL_CORPUS_PREP,
     "neardup_components": SQL_NEARDUP_COMPONENTS,
     "neardup_survivors": SQL_NEARDUP_SURVIVORS,
     "simhash": SQL_SIMHASH,
