@@ -6,12 +6,13 @@ bar series (FIXTURES.md §3).
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
 from SURVEY.md §2 (+ the §7 extension surface); oracle SQL runs on
-DuckDB over the same parquet. The recursive Wilder/EMA family
-(rsi/cmo/macdfix/adx) is oracle-checked too: DuckDB ``list_reduce``
-lambdas replay the kernels' exact left-fold IEEE sequence, giving
-bit-identical values (see ``queries._wilder_oracle_sql``). Only the
-inherently Spark-specific entries (LSH/IVF ANN bucketing, the
-multi-stage grid pipeline) remain rows-only.
+DuckDB over the same parquet. EVERY query has an oracle — including
+the recursive Wilder/EMA family (DuckDB ``list_reduce`` lambdas
+replay the kernels' exact left-fold IEEE sequence; see
+``queries._wilder_oracle_sql``), the LSH/IVF ANN operators (shared
+md5-parity hyperplane literals + left-fold projections), the
+multi-stage grid pipeline, and the near-dup connected components
+(recursive CTE to the same fixpoint) — all bit-identical.
 """
 
 from __future__ import annotations
@@ -49,8 +50,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def _q_indicator_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full grid pipeline (segment → fill → interpolate → indicators)
     on events bucketed per event_type to a 10-minute grid (dense
-    enough that segments survive the min-2-rows rule); rows-only
-    check (recursive indicators inside)."""
+    enough that segments survive the min-2-rows rule); hash-checked
+    end-to-end against a full DuckDB list-lambda replay."""
     step = 600
     mb = minute_bars(spark, sf_dir, step_s=step, key="event_type").withColumnRenamed(
         "price", "adj_close"
@@ -85,7 +86,7 @@ def _q_recursive(features: list[str]) -> Callable[[SparkSession, str], DataFrame
         cfg = IndicatorConfig(momentum_features=features)
         out = generate_indicators(bars, cfg, assume_regular=True)
         # 6dp floor-rounding convention on computed doubles (matches
-        # the DuckDB oracles; harmless for the rows-only entries)
+        # the DuckDB oracles)
         skip = {"window_start", "close_price", "ticker"}
         return out.withColumns(
             {c: _rc(F.col(c)) for c in out.columns if c not in skip}

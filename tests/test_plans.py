@@ -154,3 +154,42 @@ def test_bucketed_bars_window_needs_no_shuffle(spark, tmp_path):
     # and the values are still right
     got = out.filter(F.col("ticker") == "A").orderBy("window_start").toPandas()
     assert abs(got.rocp_1.iloc[1] - 0.01) < 1e-12
+
+
+def test_hash_sample_is_scan_local(spark):
+    """Deterministic sampling must compile to a pure filter over the
+    scan — no Exchange, no window, no Python stage."""
+    from stock_indicators_etl_spark.llmdata.sampling import hash_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(hash_sample(docs, 0.25))
+    assert count_nodes(plan, "Exchange") == 0
+    assert "ArrowEvalPython" not in plan and "Window" not in plan
+
+
+def test_simhash_single_narrow_shuffle(spark):
+    """SimHash: map-side collect_set dedup + partitioning-preserving
+    explode means exactly ONE hash exchange (the doc groupBy); the
+    bit-sum groupBy must not add a second one."""
+    from stock_indicators_etl_spark.llmdata.dedup import simhash_fingerprints
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(simhash_fingerprints(docs))
+    import re
+
+    # formatted mode lists each Exchange's partitioning on its own
+    # Arguments line; _spread's RoundRobin fan-out is allowed, but
+    # exactly one hashpartitioning may exist
+    hash_exchanges = len(re.findall(r"^Arguments: hashpartitioning", plan, flags=re.M))
+    assert hash_exchanges == 1
+
+
+def test_embedding_neardup_no_cartesian(spark):
+    """Banded-LSH near-dup must block via equi-joins — an OR-of-bands
+    join condition would compile to a nested-loop cartesian."""
+    from stock_indicators_etl_spark.llmdata.similarity import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = plan_of(embedding_neardup_pairs(emb, threshold=0.5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
