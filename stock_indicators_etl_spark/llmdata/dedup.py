@@ -533,22 +533,29 @@ def connected_components(
     # chain) would recompute in EVERY round
     e = e.localCheckpoint(eager=True)
     labels = vertices.select(F.col(id_col).alias("_id"), F.col(id_col).alias("component"))
+    prev_sum = None
     for _ in range(max_iter):
         msgs = (
             e.join(labels, e["_s"] == labels["_id"])
             .select(F.col("_d").alias("_id"), "component")
         )
-        new_labels = (
+        labels = (
             labels.unionByName(msgs)
             .groupBy("_id")
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.join(labels, ["_id", "component"], "left_anti").limit(1)
-        stable = changed.isEmpty()
-        labels = new_labels
-        if stable:
+        # convergence probe: labels only ever DECREASE, so the label
+        # checksum strictly drops until the fixpoint — one single-row
+        # aggregation over checkpointed data per round, instead of an
+        # anti-join (which would shuffle both sides every round).
+        # decimal(38) keeps the sum exact for any realistic id range.
+        cur_sum = labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("_id").alias(id_col), "component")
 
 
