@@ -180,3 +180,85 @@ def test_jaccard_invariants(spark, texts):
     for _, r in out.iterrows():
         if texts[int(r.doc_a)] == texts[int(r.doc_b)]:
             assert r.jaccard == 1.0
+
+
+# ---------------------------------------------------------------------------
+# connected-components + interpolation properties
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda p: p[0] != p[1]),
+        min_size=0,
+        max_size=20,
+    )
+)
+def test_connected_components_partition_invariants(spark, raw_edges):
+    """For any edge list: (1) both endpoints of every edge share a
+    component; (2) each component label is the min id of its member
+    set; (3) every vertex appears exactly once."""
+    from stock_indicators_etl_spark.llmdata.dedup import connected_components
+
+    edges_pd = pd.DataFrame(
+        {
+            "doc_a": [min(a, b) for a, b in raw_edges],
+            "doc_b": [max(a, b) for a, b in raw_edges],
+        }
+    )
+    edges = spark.createDataFrame(edges_pd, schema="doc_a long, doc_b long")
+    verts = spark.createDataFrame(pd.DataFrame({"doc_id": range(15)}))
+    comp = {
+        r.doc_id: r.component
+        for r in connected_components(edges, verts).collect()
+    }
+    assert sorted(comp) == list(range(15))  # (3) exactly once each
+    for a, b in raw_edges:
+        assert comp[a] == comp[b]  # (1)
+    groups: dict[int, list[int]] = {}
+    for v, c in comp.items():
+        groups.setdefault(c, []).append(v)
+    for c, members in groups.items():
+        assert c == min(members)  # (2)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.floats(-1e6, 1e6, allow_nan=False)),
+        min_size=2,
+        max_size=30,
+    ).filter(lambda xs: any(x is not None for x in xs))
+)
+def test_interpolation_matches_numpy(spark, values):
+    """interpolate_linear == np.interp with edge clamping, for any
+    null pattern with ≥1 known value."""
+    from stock_indicators_etl_spark.operators.timegrid import interpolate_linear
+
+    pdf = pd.DataFrame(
+        {
+            "sub_ticker": ["T"] * len(values),
+            "window_start": [i * 60 * NS for i in range(len(values))],
+            "x": [float(v) if v is not None else None for v in values],
+        }
+    )
+    got = (
+        interpolate_linear(spark.createDataFrame(pdf), ["x"], key_cols=("sub_ticker",))
+        .toPandas()
+        .sort_values("window_start")["x"]
+        .to_numpy()
+    )
+    xs = np.arange(len(values), dtype=float)
+    known = np.array([i for i, v in enumerate(values) if v is not None], dtype=float)
+    kv = np.array([v for v in values if v is not None], dtype=float)
+    expected = np.interp(xs, known, kv)  # np.interp clamps edges
+    np.testing.assert_allclose(got, expected, rtol=1e-9, atol=1e-9)
