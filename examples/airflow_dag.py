@@ -35,12 +35,14 @@ CLI = "python -m stock_indicators_etl_spark.streaming.daily"
 if DAG is not None:  # pragma: no cover - exercised only under Airflow
     with DAG(
         dag_id="stock_indicators_etl_spark_daily",
-        schedule="0 22 * * 1-5",  # weekday evenings, after market close
+        # reference cadence: weekdays 9:30 AM, processing the previous
+        # day's logical date ({{ ds }}) — airflow_dag.py:22-23
+        schedule="30 9 * * 1-5",
         start_date=datetime(2024, 1, 1),
         catchup=True,
         max_active_runs=8,
         default_args={
-            "retries": 2,
+            "retries": 3,
             "retry_delay": timedelta(minutes=5),
         },
     ) as dag:
