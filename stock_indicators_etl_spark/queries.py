@@ -651,6 +651,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             # from DuckDB's sequential sum by ulps, which flips the 4dp
             # quantization when a session sum lands on a rounding
             # boundary (VERDICT r1 #1). Fold in ns order on both sides.
+            # Production note: plain F.sum keeps map-side combine and is
+            # the right default when bit-reproducibility isn't required;
+            # this fold exists for oracle parity (sessions are bounded,
+            # so the collect_list is too).
             _rc(
                 F.aggregate(
                     F.array_sort(F.collect_list(F.struct(F.col("ns"), F.col("value")))),

@@ -335,3 +335,22 @@ def test_stratified_sample_exact_quota(spark):
     # deterministic draw
     again = stratified_sample(docs, "lang", 10).toPandas()
     assert set(got.doc_id) == set(again.doc_id)
+
+
+def test_embedding_neardup_methods_agree(spark):
+    """The three methods compute the same pairs when LSH blocking
+    loses nothing (identical/near-identical vectors collide in every
+    band): exact 'sql', opt-in 'blas' (small inputs), default 'lsh'."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(12, 64))
+    vecs = np.vstack([base, base[:3] + rng.normal(0, 1e-4, (3, 64))])
+    df = _emb_df(spark, vecs)
+
+    def pairs(method):
+        out = embedding_neardup_pairs(df, threshold=0.999, method=method, dim=64)
+        return {(r.id_a, r.id_b) for r in out.collect()}
+
+    exact_sql = pairs("sql")
+    assert exact_sql == {(0, 12), (1, 13), (2, 14)}
+    assert pairs("blas") == exact_sql
+    assert pairs("lsh") == exact_sql  # near-identical vectors collide
