@@ -64,6 +64,9 @@ def run() -> None:
         "language_id",
         "doc_fingerprint",
         "dedup_exact",
+        "redact_pii",
+        "repetition_score",
+        "ngram_containment",
         "corpus_prep",
         "minhash_lsh_candidates",
         "ngram_jaccard",

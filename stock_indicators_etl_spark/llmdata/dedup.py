@@ -488,6 +488,53 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram containment)
+# ---------------------------------------------------------------------------
+
+
+def ngram_containment(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Contamination check of a training corpus against an evaluation
+    benchmark: for each (doc, benchmark example) pair sharing ≥1 word
+    k-gram, ``containment = |S(doc) ∩ S(bench)| / |S(bench)|`` — the
+    fraction of the benchmark example present in the doc. Docs with
+    high containment against any eval example must be dropped before
+    training (decontamination).
+
+    Plan shape: the benchmark side is small by construction (eval
+    sets), so its shingle table and sizes are broadcast — the corpus
+    shingle stream joins them scan-side, and the only shuffle is the
+    map-side-combined (doc, bench) count. Never a corpus self-join.
+    """
+    doc_sh = word_shingles(df, text_col, k)
+    b_sh = word_shingles(benchmark, text_col, k).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    sizes = b_sh.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_bench"))
+    common = (
+        doc_sh.join(F.broadcast(b_sh), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(F.broadcast(sizes), "bench_id")
+        .withColumn(
+            "containment",
+            F.col("n_common").cast("double") / F.col("n_bench").cast("double"),
+        )
+        .select("doc_id", "bench_id", "n_common", "n_bench", "containment")
+    )
+    if threshold > 0:
+        out = out.filter(F.col("containment") >= F.lit(threshold))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # connected components (near-dup groups -> survivors)
 # ---------------------------------------------------------------------------
 

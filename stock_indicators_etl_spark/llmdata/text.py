@@ -177,3 +177,85 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         poly.alias("poly_fp"),
         F.length(n).alias("norm_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (scrubbing pass for training corpora)
+# ---------------------------------------------------------------------------
+
+#: Deliberately conservative, portable patterns (a Java/POSIX-safe
+#: subset: no lookaround, no backrefs). Order matters: email before
+#: phone before bare digit runs, so earlier classes aren't chewed up.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"(\+?[0-9]{1,2}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+    (r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    (r"[0-9]{13,19}", "<NUMBER>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub PII-shaped substrings with typed placeholders — the
+    standard pre-training redaction pass.
+
+    One chained ``regexp_replace`` per class, fixed order — a pure
+    scan-local projection: no shuffle, no UDF, fusable with any
+    downstream op. ``n_markers`` counts placed markers (cheap QA
+    signal: a corpus whose redaction rate jumps deserves a look
+    before training on it).
+    """
+    t = F.col(text_col)
+    red = t
+    for pat, tag in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, tag)
+    marker_re = "<(EMAIL|PHONE|IP|NUMBER)>"
+    return df.select(
+        "doc_id",
+        red.alias("redacted"),
+        F.regexp_count(red, F.lit(marker_re)).alias("n_markers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# intra-document repetition (Gopher-style quality rule)
+# ---------------------------------------------------------------------------
+
+
+def repetition_score(df: DataFrame, text_col: str = "text", k: int = 2) -> DataFrame:
+    """Fraction of a document's word k-grams taken by its single most
+    frequent k-gram — the Gopher-family repetition signal (templated
+    or looping text scores high, natural prose low).
+
+    Pure per-row array processing: k-grams, per-distinct-gram counts
+    via HOF filters, max — no explode, no shuffle; the work stays
+    inside one codegen'd projection. O(d·g) per doc where d = distinct
+    grams — fine for documents, not for books (switch to an explode +
+    groupBy formulation past ~10⁴ grams/doc).
+    """
+    w = words(F.col(text_col))
+    n = F.size(w)
+    grams = F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(k)),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
+        )
+    )
+    distinct = F.array_distinct(grams)
+    max_count = F.when(F.size(distinct) == 0, F.lit(0)).otherwise(
+        F.array_max(
+            F.transform(
+                distinct,
+                lambda g: F.size(F.filter(grams, lambda x: x == g)),
+            )
+        )
+    )
+    total = F.size(grams)
+    return df.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        total.alias("n_grams"),
+        max_count.alias("top_gram_count"),
+        F.when(total <= 0, F.lit(0.0))
+        .otherwise(max_count.cast("double") / total.cast("double"))
+        .alias("repetition_ratio"),
+    )

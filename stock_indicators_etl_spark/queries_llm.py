@@ -340,6 +340,104 @@ FROM v WHERE jaccard >= {DEDUP_VERIFY_THRESHOLD}
 """
 
 # ---------------------------------------------------------------------------
+# PII redaction / repetition / decontamination
+# ---------------------------------------------------------------------------
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_indicators_etl_spark.llmdata.text import redact_pii
+
+    return redact_pii(_docs(spark, sf_dir))
+
+
+# DuckDB regex dialect (RE2): same patterns, same fixed order.
+SQL_REDACT_PII = r"""
+WITH r AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '(\+?[0-9]{1,2}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
+             '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+           '[0-9]{13,19}', '<NUMBER>', 'g') AS redacted
+  FROM documents
+)
+SELECT doc_id, redacted,
+       len(regexp_extract_all(redacted, '<(EMAIL|PHONE|IP|NUMBER)>')) AS n_markers
+FROM r
+"""
+
+
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_indicators_etl_spark.llmdata.text import repetition_score
+
+    out = repetition_score(_docs(spark, sf_dir))
+    return out.withColumn("repetition_ratio", _rc(F.col("repetition_ratio")))
+
+
+SQL_REPETITION = f"""
+WITH {DOCS_CTE},
+g AS (
+  SELECT doc_id, len(ws) AS n_words,
+         CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(generate_series(0, len(ws) - 2),
+                                  i -> array_to_string(list_slice(ws, i + 1, i + 2), ' '))
+         END AS grams
+  FROM wd
+),
+c AS (
+  SELECT doc_id, n_words, grams, len(grams) AS n_grams,
+         CASE WHEN len(list_distinct(grams)) = 0 THEN 0 ELSE
+           list_max(list_transform(list_distinct(grams),
+                                   d -> len(list_filter(grams, x -> x = d))))
+         END AS top_gram_count
+  FROM g
+)
+SELECT doc_id, n_words, n_grams, top_gram_count,
+       {R6('CASE WHEN n_grams <= 0 THEN 0.0 ELSE CAST(top_gram_count AS DOUBLE) / CAST(n_grams AS DOUBLE) END')} AS repetition_ratio
+FROM c
+"""
+
+DECONTAM_BENCH_RATE = 0.02
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: containment of every doc against a
+    deterministic 'benchmark' subset (hash_sample of the corpus —
+    stands in for an eval set), self-pairs excluded."""
+    from stock_indicators_etl_spark.llmdata.dedup import ngram_containment
+    from stock_indicators_etl_spark.llmdata.sampling import hash_sample
+
+    docs = _docs(spark, sf_dir)
+    bench = hash_sample(docs, DECONTAM_BENCH_RATE)
+    out = ngram_containment(docs, bench).filter(F.col("doc_id") != F.col("bench_id"))
+    return out.withColumn("containment", _rc(F.col("containment")))
+
+
+SQL_NGRAM_CONTAINMENT = f"""
+WITH {SHINGLE_CTES},
+bench_ids AS (
+  SELECT doc_id FROM documents
+  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+        < {int(DECONTAM_BENCH_RATE * (1 << 56))}
+),
+b AS (SELECT sh.doc_id AS bench_id, shingle FROM sh JOIN bench_ids ON sh.doc_id = bench_ids.doc_id),
+sizes AS (SELECT bench_id, count(*) AS n_bench FROM b GROUP BY bench_id),
+common AS (
+  SELECT sh.doc_id, b.bench_id, count(*) AS n_common
+  FROM sh JOIN b USING (shingle)
+  GROUP BY 1, 2
+)
+SELECT c.doc_id, c.bench_id, c.n_common, s.n_bench,
+       {R6('CAST(c.n_common AS DOUBLE) / CAST(s.n_bench AS DOUBLE)')} AS containment
+FROM common c JOIN sizes s USING (bench_id)
+WHERE c.doc_id <> c.bench_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # deterministic sampling
 # ---------------------------------------------------------------------------
 
@@ -799,6 +897,9 @@ QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
     "corpus_prep": q_corpus_prep,
+    "redact_pii": q_redact_pii,
+    "repetition_score": q_repetition_score,
+    "ngram_containment": q_ngram_containment,
     "neardup_components": q_neardup_components,
     "neardup_survivors": q_neardup_survivors,
     "simhash": q_simhash,
@@ -823,6 +924,9 @@ ORACLES_LLM: dict[str, str] = {
     "hash_sample": SQL_HASH_SAMPLE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "corpus_prep": SQL_CORPUS_PREP,
+    "redact_pii": SQL_REDACT_PII,
+    "repetition_score": SQL_REPETITION,
+    "ngram_containment": SQL_NGRAM_CONTAINMENT,
     "neardup_components": SQL_NEARDUP_COMPONENTS,
     "neardup_survivors": SQL_NEARDUP_SURVIVORS,
     "simhash": SQL_SIMHASH,

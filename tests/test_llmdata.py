@@ -354,3 +354,74 @@ def test_embedding_neardup_methods_agree(spark):
     assert exact_sql == {(0, 12), (1, 13), (2, 14)}
     assert pairs("blas") == exact_sql
     assert pairs("lsh") == exact_sql  # near-identical vectors collide
+
+
+def test_redact_pii_classes(spark):
+    from stock_indicators_etl_spark.llmdata.text import redact_pii
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3, 4],
+                "text": [
+                    "contact me at jane.doe+x@example.co.uk today",
+                    "call +1 (555) 123-4567 or 555 987 6543 now",
+                    "server at 192.168.0.1 responded",
+                    "card 4111111111111111 was declined",
+                    "nothing sensitive here",
+                ],
+            }
+        )
+    )
+    got = redact_pii(docs).toPandas().set_index("doc_id")
+    assert "<EMAIL>" in got.loc[0].redacted and "@" not in got.loc[0].redacted
+    assert got.loc[1].redacted.count("<PHONE>") == 2
+    assert "<IP>" in got.loc[2].redacted
+    assert "<NUMBER>" in got.loc[3].redacted
+    assert got.loc[4].redacted == "nothing sensitive here"
+    assert got.loc[4].n_markers == 0 and got.loc[1].n_markers == 2
+
+
+def test_repetition_score_extremes(spark):
+    from stock_indicators_etl_spark.llmdata.text import repetition_score
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "spam ham " * 20,             # one bigram dominates
+                    "a b c d e f g h i j",        # all bigrams unique
+                    "single",                      # too short for bigrams
+                ],
+            }
+        )
+    )
+    got = repetition_score(docs).toPandas().set_index("doc_id")
+    assert got.loc[0].repetition_ratio > 0.4
+    assert abs(got.loc[1].repetition_ratio - 1.0 / 9.0) < 1e-9
+    assert got.loc[2].n_grams == 0 and got.loc[2].repetition_ratio == 0.0
+
+
+def test_ngram_containment_detects_contamination(spark):
+    from stock_indicators_etl_spark.llmdata.dedup import ngram_containment
+
+    bench = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100], "text": ["the quick brown fox jumps high"]})
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": [
+                    # contains the full benchmark example verbatim
+                    "prefix words the quick brown fox jumps high suffix words",
+                    "entirely unrelated content about query planning",
+                ],
+            }
+        )
+    )
+    got = ngram_containment(docs, bench).toPandas()
+    row = got[(got.doc_id == 0) & (got.bench_id == 100)].iloc[0]
+    assert row.containment == 1.0  # fully contained -> must be dropped
+    assert got[(got.doc_id == 1)].empty  # no shared shingles, no row
