@@ -128,7 +128,13 @@ def word_shingles(
     biggest single saving in the LSH path: the exploded stream is ~50×
     the corpus and never needs to shuffle at full width.
     """
-    w = words(F.col(text_col))
+    # materialize the words array BEFORE gram construction: lambda
+    # bodies get no common-subexpression elimination, so slicing
+    # `words(text)` directly re-runs the normalize+split regex per
+    # gram index — O(words²) regex work per doc (measured ~7x on the
+    # shingle projection at sf0.1)
+    pre = _spread(df).select("doc_id", words(F.col(text_col)).alias("_w"))
+    w = F.col("_w")
     n = F.size(w)
     grams = F.when(n < k, F.array(F.concat_ws(" ", w))).otherwise(
         F.transform(
@@ -137,8 +143,7 @@ def word_shingles(
         )
     )
     out = (
-        _spread(df)
-        .select("doc_id", F.explode(grams).alias("shingle"))
+        pre.select("doc_id", F.explode(grams).alias("shingle"))
         .filter(F.length("shingle") > 0)
     )
     return out.distinct() if distinct else out
@@ -506,18 +511,37 @@ def ngram_containment(
     high containment against any eval example must be dropped before
     training (decontamination).
 
-    Plan shape: the benchmark side is small by construction (eval
-    sets), so its shingle table and sizes are broadcast — the corpus
-    shingle stream joins them scan-side, and the only shuffle is the
-    map-side-combined (doc, bench) count. Never a corpus self-join.
+    Plan shape: shingles are reduced to 56-bit md5 hashes before any
+    shuffle or join (identical hashing in the oracle, so counts agree
+    even on the astronomically-unlikely collision); the corpus side
+    dedups per doc with a map-side ``collect_set`` (no full-width
+    distinct of the exploded strings). The benchmark side is small by
+    construction (eval sets), so its hashed shingle table and sizes
+    are broadcast — the corpus stream joins them scan-side, and the
+    only wide-ish shuffle is the map-side-combined (doc, bench)
+    count. Never a corpus self-join.
     """
-    doc_sh = word_shingles(df, text_col, k)
-    b_sh = word_shingles(benchmark, text_col, k).select(
-        F.col("doc_id").alias("bench_id"), "shingle"
+
+    def h56(c: Column) -> Column:
+        return F.conv(F.substring(F.md5(c), 1, 14), 16, 10).cast("long")
+
+    doc_sh = (
+        word_shingles(df, text_col, k, distinct=False)
+        .select("doc_id", h56(F.col("shingle")).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("hs"))
+        .select("doc_id", F.explode("hs").alias("h"))
     )
-    sizes = b_sh.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_bench"))
+    b_sets = (
+        word_shingles(benchmark, text_col, k, distinct=False)
+        .select(F.col("doc_id").alias("bench_id"), h56(F.col("shingle")).alias("h"))
+        .groupBy("bench_id")
+        .agg(F.collect_set("h").alias("hs"))
+    )
+    sizes = b_sets.select("bench_id", F.size("hs").cast("long").alias("n_bench"))
+    b_sh = b_sets.select("bench_id", F.explode("hs").alias("h"))
     common = (
-        doc_sh.join(F.broadcast(b_sh), "shingle")
+        doc_sh.join(F.broadcast(b_sh), "h")
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

@@ -418,16 +418,21 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_NGRAM_CONTAINMENT = f"""
 WITH {SHINGLE_CTES},
+shh AS (
+  SELECT DISTINCT doc_id,
+         CAST(concat('0x', substr(md5(shingle), 1, 14)) AS BIGINT) AS h
+  FROM sh
+),
 bench_ids AS (
   SELECT doc_id FROM documents
   WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
         < {int(DECONTAM_BENCH_RATE * (1 << 56))}
 ),
-b AS (SELECT sh.doc_id AS bench_id, shingle FROM sh JOIN bench_ids ON sh.doc_id = bench_ids.doc_id),
-sizes AS (SELECT bench_id, count(*) AS n_bench FROM b GROUP BY bench_id),
+b AS (SELECT shh.doc_id AS bench_id, h FROM shh JOIN bench_ids ON shh.doc_id = bench_ids.doc_id),
+sizes AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS n_bench FROM b GROUP BY bench_id),
 common AS (
-  SELECT sh.doc_id, b.bench_id, count(*) AS n_common
-  FROM sh JOIN b USING (shingle)
+  SELECT shh.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_common
+  FROM shh JOIN b USING (h)
   GROUP BY 1, 2
 )
 SELECT c.doc_id, c.bench_id, c.n_common, s.n_bench,

@@ -406,3 +406,55 @@ def test_reference_layout_roundtrip(spark, tmp_path):
     # idempotent overwrite
     write_reference_layout_day(spark.createDataFrame(pdf), base, "1m", "2024-01-02")
     assert read_reference_layout_day(spark, base, "1m", "2024-01-02").count() == 2
+
+
+def test_stateless_corpus_ops_run_on_streams(spark, tmp_path):
+    """The scan-local corpus operators (PII redaction, quality gates,
+    deterministic hash sampling) are pure Column projections, so the
+    SAME functions run unchanged on a readStream — streaming corpus
+    prep needs no separate implementation. Results must equal the
+    batch run on identical input."""
+    from stock_indicators_etl_spark.llmdata.sampling import hash_sample
+    from stock_indicators_etl_spark.llmdata.text import redact_pii
+
+    src = str(tmp_path / "docs_src")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": [
+                f"doc {i} reach me at user{i}@example.com or 555 123 456{i % 10}"
+                for i in range(40)
+            ],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+
+    def prep(df):
+        return redact_pii(hash_sample(df, 0.5))
+
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    q = (
+        prep(stream)
+        .writeStream.format("memory")
+        .queryName("scorpus")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_scorpus"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("select * from scorpus")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    batch = (
+        prep(spark.read.parquet(src))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, batch)
+    assert (got.n_markers >= 2).all()  # email + phone both scrubbed
