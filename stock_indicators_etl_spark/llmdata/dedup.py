@@ -580,19 +580,21 @@ def connected_components(
     result is deterministic regardless of execution order (and
     SQL-replayable with a recursive CTE).
 
-    Scale shape: each round is one broadcast-or-shuffle equi-join of
-    the (small, by near-dup construction) edge list against the label
-    table plus one map-side-combinable min-groupBy — O(V + E) work per
-    round, rounds bounded by the largest component's diameter (dedup
+    Scale shape: only the subgraph actually touched by edges iterates
+    — vertices with no edges are singleton components by definition
+    and never enter the loop, so per-round cost is O(E), independent
+    of corpus size (a near-dup edge set is a sliver of the corpus).
+    Each round is one equi-join of the pinned edge list against the
+    active label table plus one map-side-combinable min-groupBy,
+    rounds bounded by the largest component's diameter (dedup
     components are clique-ish, so typically 2-3). Labels are
     ``localCheckpoint``-ed each round to truncate the iterative
-    lineage (standard Spark practice for fixpoint loops; use
-    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` on a
-    real cluster for fault tolerance). The driver-side loop holds no
-    data — each round's convergence probe is a limit-1 anti-join, not
-    a collect. For graphs with long chains at extreme scale, switch to
-    the large-star/small-star formulation (Kiveris et al., O(log²)
-    rounds) — same output contract.
+    lineage (use ``setCheckpointDir`` + ``checkpoint()`` on a real
+    cluster for fault tolerance). The driver-side loop holds no data —
+    the convergence probe is a one-row checksum aggregate (labels only
+    decrease, so an unchanged exact sum IS the fixpoint). For graphs
+    with long chains at extreme scale, switch to large-star/small-star
+    (Kiveris et al., O(log²) rounds) — same output contract.
     """
     e = edges.select(
         F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
@@ -603,7 +605,10 @@ def connected_components(
     # and an unpinned edge lineage (e.g. the whole LSH→Jaccard verify
     # chain) would recompute in EVERY round
     e = e.localCheckpoint(eager=True)
-    labels = vertices.select(F.col(id_col).alias("_id"), F.col(id_col).alias("component"))
+    # iterate ONLY over edge endpoints; everything else is a singleton
+    labels = e.select(F.col("_s").alias("_id")).distinct().select(
+        "_id", F.col("_id").alias("component")
+    )
     prev_sum = None
     for _ in range(max_iter):
         msgs = (
@@ -627,7 +632,14 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return labels.select(F.col("_id").alias(id_col), "component")
+    v = vertices.select(F.col(id_col).alias("_id"))
+    return (
+        v.join(labels, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("component"), F.col("_id")).alias("component"),
+        )
+    )
 
 
 def neardup_components(
