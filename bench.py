@@ -66,6 +66,7 @@ def run() -> None:
         "dedup_exact",
         "redact_pii",
         "repetition_score",
+        "token_shards",
         "ngram_containment",
         "corpus_prep",
         "minhash_lsh_candidates",

@@ -67,3 +67,41 @@ def stratified_sample(
         .filter(F.col("_rk") <= n_per_stratum)
         .drop("_rk")
     )
+
+
+def token_shards(
+    df: DataFrame,
+    tokens_df: DataFrame,
+    budget: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_subtokens",
+) -> DataFrame:
+    """Pack documents into training shards of ~``budget`` tokens each,
+    per stratum: docs are laid out in deterministic (id_hash, id)
+    order and a doc lands in the shard containing its first token —
+    ``shard_id = (running_total_before_doc) div budget``.
+
+    ``tokens_df``: (id, token count) — e.g. ``text.token_counts``
+    output. The layout order is content-stable (same hash family as
+    :func:`hash_sample`), so re-running on a grown corpus only
+    appends/perturbs locally rather than reshuffling every shard.
+
+    One shuffle on the stratum key; the running sum is a combinable
+    window. Strata are independent, so a skewed giant stratum can be
+    split upstream (e.g. sub-stratify by hash prefix) without touching
+    this operator.
+    """
+    j = df.select(id_col, strata_col).join(
+        tokens_df.select(id_col, tokens_col), id_col
+    )
+    h = _id_hash56(F.col(id_col))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    cum_before = F.sum(tokens_col).over(w) - F.col(tokens_col)
+    return j.select(
+        id_col,
+        strata_col,
+        tokens_col,
+        # integer-exact both engines: running-total DIV budget
+        (cum_before / F.lit(budget)).cast("long").alias("shard_id"),
+    )

@@ -400,6 +400,36 @@ SELECT doc_id, n_words, n_grams, top_gram_count,
 FROM c
 """
 
+SHARD_BUDGET = 2000
+
+
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget shard assignment (training-shard
+    packing): deterministic hash-order layout, running-total DIV
+    budget."""
+    from stock_indicators_etl_spark.llmdata.sampling import token_shards
+    from stock_indicators_etl_spark.llmdata.text import token_counts
+
+    docs = _docs(spark, sf_dir)
+    return token_shards(docs, token_counts(docs), SHARD_BUDGET)
+
+
+SQL_TOKEN_SHARDS = f"""
+WITH {DOCS_CTE},
+t AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(n, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_subtokens,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) AS hk
+  FROM wd
+)
+SELECT doc_id, lang, n_subtokens,
+       CAST((sum(n_subtokens) OVER (PARTITION BY lang ORDER BY hk, doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_subtokens)
+            // {SHARD_BUDGET} AS BIGINT) AS shard_id
+FROM t
+"""
+
+
 DECONTAM_BENCH_RATE = 0.02
 
 
@@ -905,6 +935,7 @@ QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redact_pii": q_redact_pii,
     "repetition_score": q_repetition_score,
     "ngram_containment": q_ngram_containment,
+    "token_shards": q_token_shards,
     "neardup_components": q_neardup_components,
     "neardup_survivors": q_neardup_survivors,
     "simhash": q_simhash,
@@ -932,6 +963,7 @@ ORACLES_LLM: dict[str, str] = {
     "redact_pii": SQL_REDACT_PII,
     "repetition_score": SQL_REPETITION,
     "ngram_containment": SQL_NGRAM_CONTAINMENT,
+    "token_shards": SQL_TOKEN_SHARDS,
     "neardup_components": SQL_NEARDUP_COMPONENTS,
     "neardup_survivors": SQL_NEARDUP_SURVIVORS,
     "simhash": SQL_SIMHASH,

@@ -425,3 +425,33 @@ def test_ngram_containment_detects_contamination(spark):
     row = got[(got.doc_id == 0) & (got.bench_id == 100)].iloc[0]
     assert row.containment == 1.0  # fully contained -> must be dropped
     assert got[(got.doc_id == 1)].empty  # no shared shingles, no row
+
+
+def test_token_shards_budget_and_determinism(spark):
+    from stock_indicators_etl_spark.llmdata.sampling import token_shards
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(100),
+                "lang": ["en"] * 60 + ["de"] * 40,
+                "text": ["irrelevant"] * 100,
+            }
+        )
+    )
+    toks = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(100), "n_subtokens": [50] * 100})
+    )
+    got = token_shards(docs, toks, budget=200).toPandas()
+    # 50-token docs, 200 budget -> exactly 4 docs per shard within a lang
+    sizes = got.groupby(["lang", "shard_id"]).size()
+    assert (sizes == 4).all()
+    # shards are contiguous 0..k and sum ~budget tokens
+    for lang, g in got.groupby("lang"):
+        assert sorted(g.shard_id.unique()) == list(range(len(g) // 4))
+        assert (g.groupby("shard_id").n_subtokens.sum() == 200).all()
+    # deterministic across runs / repartitioning
+    again = token_shards(docs.repartition(7), toks, budget=200).toPandas()
+    a = got.sort_values("doc_id").reset_index(drop=True)
+    b = again.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
