@@ -188,11 +188,6 @@ def ivf_topk(
         .collect()
     )
     cents = [list(r["v"]) for r in cent_rows]
-    # literal Columns are immutable expression trees — build each
-    # centroid array literal ONCE and share it between the corpus and
-    # query assignment passes (py4j literal construction is ~35 ms per
-    # 64-float array; rebuilding per pass doubles plan-build latency)
-    cent_lits = [F.lit(c) for c in cents]
 
     def _lfold_norm(c: list[float]) -> float:
         # driver-side replay of sqrt(left-fold Σ c[i]²): Python floats
@@ -204,32 +199,27 @@ def ivf_topk(
             s = s + x * x
         return math.sqrt(s)
 
-    cent_norms = [_lfold_norm(c) for c in cents]
-
-    def _cent_cos(v_norm: Column, vec: Column, cv: Column, c_norm: float) -> Column:
-        """cosine(vec, centroid cv) with the exact left-fold order the
-        oracle replays; zero-norm guard mirrors the SQL CASE."""
-        den = v_norm * F.lit(c_norm)
-        return F.when(den == 0, F.lit(0.0)).otherwise(_dot(vec, cv) / den)
-
-    # the sims / sorted-pairs expression trees are built ONCE over
-    # fixed internal names and shared by the corpus and query passes —
-    # Column objects are immutable, and rebuilding this ~2k-node tree
-    # per pass dominates plan-construction latency via py4j
+    # ONE 2D literal + ONE norm-array literal + ONE lambda tree for
+    # all centroids: building 16 separate zip_with/aggregate trees per
+    # pass cost ~2 s of py4j round-trips at plan-build time. The inner
+    # fold is element-for-element the same IEEE sequence the oracle
+    # replays; the (-sim, j) struct sort gives (sim DESC, j ASC)
+    # bit-exactly (negation is IEEE-exact).
+    CENT = F.lit(cents)
+    CENT_NORMS = F.lit([_lfold_norm(c) for c in cents])
     v = _as_double(F.col(vec_col))
-    sims = [
-        _cent_cos(F.col("_nrm"), F.col("_v"), cv, cn).alias(f"_s{j}")
-        for j, (cv, cn) in enumerate(zip(cent_lits, cent_norms))
-    ]
-    # top-n cells per row without any row expansion or shuffle: sort
-    # an inline array of (-sim, j) structs — negation is IEEE-exact,
-    # so ordering matches (sim DESC, j ASC) bit-for-bit
     sorted_pairs = F.sort_array(
-        F.array(
-            *[
-                F.struct((-F.col(f"_s{j}")).alias("negs"), F.lit(j).alias("j"))
-                for j in range(len(cents))
-            ]
+        F.transform(
+            F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+            lambda j: F.struct(
+                (
+                    -F.when(F.col("_nrm") * F.element_at(CENT_NORMS, j + 1) == 0, F.lit(0.0)).otherwise(
+                        _dot(F.col("_v"), F.element_at(CENT, j + 1))
+                        / (F.col("_nrm") * F.element_at(CENT_NORMS, j + 1))
+                    )
+                ).alias("negs"),
+                j.alias("j"),
+            ),
         )
     )
 
@@ -238,7 +228,7 @@ def ivf_topk(
     ) -> DataFrame:
         out = df.select(
             F.col(id_col).alias("_id"), v.alias("_v"), F.sqrt(_dot(v, v)).alias("_nrm")
-        ).select("*", *sims)
+        )
         cells = F.transform(F.slice(sorted_pairs, 1, n_top), lambda s: s["j"])
         return out.select(
             F.col("_id").alias(id_out),
