@@ -71,6 +71,15 @@ def _bucket_pairs(grouped: DataFrame, id_list_col: str = "ids") -> DataFrame:
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
     )
 
+def _h56(c: Column) -> Column:
+    """Portable 56-bit shingle hash (first 14 md5 hex digits — exact
+    in BIGINT in both engines). The Jaccard/containment family
+    shuffles and joins these 8-byte keys instead of ~20-char shingle
+    strings; both engines hash identically, so even the
+    astronomically-unlikely collision changes both sides equally."""
+    return F.conv(F.substring(F.md5(c), 1, 14), 16, 10).cast("long")
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -366,9 +375,13 @@ def ngram_jaccard_pairs(
         # the explode+distinct (the full-corpus fan-out already ran
         # once, inside LSH candidate generation)
         doc_sets = (
-            word_shingles(df.join(F.broadcast(cand_docs), "doc_id", "left_semi"), text_col, k)
+            word_shingles(
+                df.join(F.broadcast(cand_docs), "doc_id", "left_semi"),
+                text_col, k, distinct=False,
+            )
+            .select("doc_id", _h56(F.col("shingle")).alias("h"))
             .groupBy("doc_id")
-            .agg(F.array_sort(F.collect_set("shingle")).alias("sh_set"))
+            .agg(F.collect_set("h").alias("sh_set"))
         )
         a = doc_sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sa"))
         b = doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sb"))
@@ -396,13 +409,14 @@ def ngram_jaccard_pairs(
 
     doc_sets = (
         word_shingles(df, text_col, k, distinct=False)
+        .select("doc_id", _h56(F.col("shingle")).alias("h"))
         .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("sh_set"))
+        .agg(F.collect_set("h").alias("sh_set"))
     )
     shs = doc_sets.select(
-        "doc_id", F.size("sh_set").alias("n_sh"), F.explode("sh_set").alias("shingle")
+        "doc_id", F.size("sh_set").alias("n_sh"), F.explode("sh_set").alias("h")
     )
-    posting = shs.groupBy("shingle").agg(
+    posting = shs.groupBy("h").agg(
         F.collect_set(F.struct("doc_id", "n_sh")).alias("ids")
     )
     if max_doc_freq is not None:
@@ -522,19 +536,16 @@ def ngram_containment(
     count. Never a corpus self-join.
     """
 
-    def h56(c: Column) -> Column:
-        return F.conv(F.substring(F.md5(c), 1, 14), 16, 10).cast("long")
-
     doc_sh = (
         word_shingles(df, text_col, k, distinct=False)
-        .select("doc_id", h56(F.col("shingle")).alias("h"))
+        .select("doc_id", _h56(F.col("shingle")).alias("h"))
         .groupBy("doc_id")
         .agg(F.collect_set("h").alias("hs"))
         .select("doc_id", F.explode("hs").alias("h"))
     )
     b_sets = (
         word_shingles(benchmark, text_col, k, distinct=False)
-        .select(F.col("doc_id").alias("bench_id"), h56(F.col("shingle")).alias("h"))
+        .select(F.col("doc_id").alias("bench_id"), _h56(F.col("shingle")).alias("h"))
         .groupBy("bench_id")
         .agg(F.collect_set("h").alias("hs"))
     )

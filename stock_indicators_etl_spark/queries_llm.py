@@ -275,10 +275,15 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_NGRAM_JACCARD = f"""
 WITH {SHINGLE_CTES},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shh AS (
+  SELECT DISTINCT doc_id,
+         CAST(concat('0x', substr(md5(shingle), 1, 14)) AS BIGINT) AS h
+  FROM sh
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 j AS (
@@ -321,10 +326,15 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_PIPELINE = f"""
 WITH {LSH_CTES},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shh AS (
+  SELECT DISTINCT doc_id,
+         CAST(concat('0x', substr(md5(shingle), 1, 14)) AS BIGINT) AS h
+  FROM sh
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 v AS (
@@ -596,10 +606,15 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CC_EDGE_CTES = f"""
 {LSH_CTES},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shh AS (
+  SELECT DISTINCT doc_id,
+         CAST(concat('0x', substr(md5(shingle), 1, 14)) AS BIGINT) AS h
+  FROM sh
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 p AS (
