@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from stock_indicators_etl_spark.llmdata.hashing import h56 as _h56
 from stock_indicators_etl_spark.llmdata.text import norm_text, words
 
 
@@ -70,15 +71,6 @@ def _bucket_pairs(grouped: DataFrame, id_list_col: str = "ids") -> DataFrame:
         .select(F.explode(pairs).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
     )
-
-def _h56(c: Column) -> Column:
-    """Portable 56-bit shingle hash (first 14 md5 hex digits — exact
-    in BIGINT in both engines). The Jaccard/containment family
-    shuffles and joins these 8-byte keys instead of ~20-char shingle
-    strings; both engines hash identically, so even the
-    astronomically-unlikely collision changes both sides equally."""
-    return F.conv(F.substring(F.md5(c), 1, 14), 16, 10).cast("long")
-
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -365,6 +357,18 @@ def ngram_jaccard_pairs(
       posting-list expansion to cap).
     """
     if candidates is not None:
+        if max_doc_freq is not None:
+            # the candidate path has no posting-list expansion to cap;
+            # silently returning exact values for a caller who asked
+            # for capped semantics would be a behavior trap
+            raise ValueError(
+                "max_doc_freq only applies to the posting-list (candidates=None) "
+                "path; the candidate path is always exact"
+            )
+        # persisted because three operators consume it (cand_docs twice
+        # + the broadcast join); the registration lives as long as the
+        # plan — long-lived sessions invoking the pipeline repeatedly
+        # should clearCache() between invocations (bench.py does)
         candidates = candidates.select("doc_a", "doc_b").persist()
         cand_docs = (
             candidates.select(F.col("doc_a").alias("doc_id"))
@@ -621,6 +625,7 @@ def connected_components(
         "_id", F.col("_id").alias("component")
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         msgs = (
             e.join(labels, e["_s"] == labels["_id"])
@@ -641,8 +646,19 @@ def connected_components(
             F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # returning mid-propagation labels would silently split real
+        # components (duplicate "canonical" docs downstream) — fail
+        # loudly instead; chains longer than max_iter need a bigger
+        # budget or the large-star/small-star formulation
+        raise RuntimeError(
+            f"connected_components did not reach the fixpoint within "
+            f"max_iter={max_iter} rounds (component diameter exceeds the "
+            f"budget); raise max_iter or use an O(log^2)-round variant"
+        )
     v = vertices.select(F.col(id_col).alias("_id"))
     return (
         v.join(labels, "_id", "left")

@@ -23,13 +23,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-#: 2^56 — the hash domain of a 14-hex-digit md5 prefix.
-HASH_DOMAIN = 1 << 56
+from stock_indicators_etl_spark.llmdata.hashing import HASH_DOMAIN, h56
 
 
 def _id_hash56(id_col: Column) -> Column:
-    """56-bit uniform hash of an id, identical in Spark and DuckDB."""
-    return F.conv(F.substring(F.md5(id_col.cast("string")), 1, 14), 16, 10).cast("long")
+    """56-bit uniform hash of an id (shared llmdata convention)."""
+    return h56(id_col.cast("string"))
 
 
 def hash_sample(df: DataFrame, rate: float, id_col: str = "doc_id") -> DataFrame:
@@ -102,6 +101,8 @@ def token_shards(
         id_col,
         strata_col,
         tokens_col,
-        # integer-exact both engines: running-total DIV budget
+        # double divide + truncate == integer DIV for non-negative
+        # running totals below 2^53 tokens per stratum (a 100 T-token
+        # corpus is ~1e14 — inside that); matches the oracle's `//`
         (cum_before / F.lit(budget)).cast("long").alias("shard_id"),
     )

@@ -92,21 +92,9 @@ def random_hyperplane_sign_bits(
     """LSH bucket id: sign bits of left-fold dot products against the
     deterministic md5-parity hyperplanes — every operation is
     bit-reproducible in SQL, so LSH bucketing itself is
-    oracle-checkable."""
-    v = _as_double(F.col(vec_col))
-    planes = hyperplane_matrix(n_planes, dim)
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        # single-call array literal: per-element F.lit would cost a
-        # py4j round-trip each (dim x planes of them at plan-build time)
-        w = F.lit(planes[p])
-        proj = F.aggregate(
-            F.zip_with(v, w, lambda x, c: x * c),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(0)
-    return bucket
+    oracle-checkable. The single-band case of
+    :func:`band_sign_buckets` (one shared projection loop)."""
+    return band_sign_buckets(vec_col, n_planes, band_size=n_planes, dim=dim)[0]
 
 
 def lsh_bucketed_topk(

@@ -127,6 +127,11 @@ def generate_indicators(
     scale = F.lit(100.0) if cfg.scale else F.lit(1.0)
     macd_scale = F.lit(10.0) if cfg.scale else F.lit(1.0)
 
+    # tracked at each dispatch site (not a parallel feature list):
+    # True iff some window expression actually installed the
+    # partitionBy(sub_ticker).orderBy(ws) layout the recursive pandas
+    # stage may rely on
+    window_ran = cfg.num_prev_rocp > 1
     out = with_rocp(
         grid,
         close_col=cfg.close_column,
@@ -135,27 +140,32 @@ def generate_indicators(
         ws_col=ws,
     )
     if "mfi" in feats:
+        window_ran = True
         out = with_mfi(
             out, cfg.high_col, cfg.low_col, cfg.close_un_adj_col, cfg.vol_col,
             n=cfg.mfi_timeperiod, key_cols=key, ws_col=ws, out_col="_mfi_raw",
         )
     if "ultosc" in feats:
+        window_ran = True
         out = with_ultosc(
             out, cfg.high_col, cfg.low_col, cfg.close_un_adj_col,
             n1=cfg.ultosc_timeperiod1, n2=cfg.ultosc_timeperiod2,
             n3=cfg.ultosc_timeperiod3, key_cols=key, ws_col=ws, out_col="_ultosc_raw",
         )
     if "aroonosc" in feats:
+        window_ran = True
         out = with_aroonosc(
             out, cfg.high_col, cfg.low_col, n=cfg.aroonosc_timeperiod,
             key_cols=key, ws_col=ws, out_col="_aroonosc_raw",
         )
     if "ppo" in feats:
+        window_ran = True
         out = with_ppo(
             out, cfg.close_column, fast=cfg.ppo_fast, slow=cfg.ppo_slow,
             key_cols=key, ws_col=ws, out_col="_ppo_raw",
         )
     if "sok" in feats:
+        window_ran = True
         out = with_stochf(
             out, cfg.high_col, cfg.low_col, cfg.close_un_adj_col,
             fastk=cfg.stochf_fastk, fastd=cfg.stochf_fastd,
@@ -163,14 +173,6 @@ def generate_indicators(
         )
     recursive_feats = [f for f in ("rsi", "cmo", "macd", "adx") if f in feats]
     if recursive_feats:
-        # the pandas stage may only skip its repartition if some window
-        # expression actually installed the partitionBy(sub_ticker)
-        # .orderBy(ws) layout: with num_prev_rocp=1 with_rocp is a
-        # no-op, and with no frame features the input partitioning is
-        # arbitrary — silently wrong recursion order (ADVICE r1)
-        window_ran = cfg.num_prev_rocp > 1 or any(
-            f in feats for f in ("mfi", "ultosc", "aroonosc", "ppo", "sok")
-        )
         out = with_recursive_indicators(
             out,
             close_col=cfg.close_column,

@@ -685,7 +685,10 @@ s AS (
 )
 SELECT user_id, session_id, count(*) AS n_events,
        min(ns) AS session_start, max(ns) AS session_end,
-       floor(list_reduce(list_prepend(0.0, list(value ORDER BY ns)), (x, y) -> x + y)
+       -- ORDER BY ns, value: Spark folds array_sort(struct(ns, value)),
+       -- so ns-ties must break on value here too or tie order is
+       -- engine-unspecified (latent ulp hazard)
+       floor(list_reduce(list_prepend(0.0, list(value ORDER BY ns, value)), (x, y) -> x + y)
              * 10000 + 0.5) / 10000 AS sum_value
 FROM s GROUP BY user_id, session_id
 """
@@ -733,7 +736,7 @@ SELECT user_id,
        min(value) AS low,
        arg_max(value, epoch_ns(ts)) AS close,
        count(*) AS n,
-       floor(list_reduce(list_prepend(0.0, list(value ORDER BY epoch_ns(ts))), (x, y) -> x + y)
+       floor(list_reduce(list_prepend(0.0, list(value ORDER BY epoch_ns(ts), value)), (x, y) -> x + y)
              * 10000 + 0.5) / 10000 AS volume
 FROM events
 GROUP BY 1, 2

@@ -455,3 +455,15 @@ def test_token_shards_budget_and_determinism(spark):
     a = got.sort_values("doc_id").reset_index(drop=True)
     b = again.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_connected_components_raises_on_unconverged(spark):
+    import pytest as _pytest
+    from stock_indicators_etl_spark.llmdata.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [0, 1, 2], "doc_b": [1, 2, 3]})
+    )
+    verts = spark.createDataFrame(pd.DataFrame({"doc_id": [0, 1, 2, 3]}))
+    with _pytest.raises(RuntimeError, match="did not reach the fixpoint"):
+        connected_components(edges, verts, max_iter=1)
