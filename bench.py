@@ -23,6 +23,28 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from stock_indicators_etl_spark.session import get_spark  # noqa: E402
 
+# queries that must be rebuilt inside the timed section: ones with
+# eager construction work (connected components' fixpoint loop, IVF's
+# centroid-sample collect) — a prebuilt handle would exclude that work
+# — and ones whose plan persists an intermediate (dedup_pipeline's
+# candidates): clearCache drops the persist registration, so a reused
+# handle would recompute the candidate lineage once per consumer
+# instead of caching it. Shared with scripts/scaling_sweep.py (ADVICE
+# r2: the sweep's EAGER set had drifted from this one).
+EAGER_CONSTRUCTION = frozenset(
+    {"neardup_components", "neardup_survivors", "ivf_topk", "dedup_pipeline"}
+)
+
+# HOF-heavy queries that need a second warm run for JIT tiering
+# (measured 2-4x on the dedup family).
+HEAVY_WARM = frozenset(
+    {"minhash_lsh_candidates", "ngram_jaccard", "ngram_jaccard_capped",
+     "dedup_pipeline", "neardup_components", "neardup_survivors", "simhash",
+     "embedding_neardup", "ivf_topk", "indicator_pipeline_grid",
+     "pipeline_wilder", "recursive_family", "ngram_containment",
+     "repetition_score", "corpus_prep"}
+)
+
 
 def run() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -34,63 +56,10 @@ def run() -> None:
     spark = get_spark(app_name="bench")
     queries = entry_mod.queries()
 
-    headline = [
-        "market_hours_filter",
-        "rocp_mom",
-        "segmentation",
-        "gapfill",
-        "interpolate",
-        "mfi",
-        "ultosc",
-        "aroonosc",
-        "ppo",
-        "stochf",
-        "cci",
-        "pricing_summary",
-        "revenue_by_nation",
-        "top_orders_per_segment",
-        "sessionize",
-        "ohlcv_rollup",
-        "regularity_check",
-        "unpivot_melt",
-        "universe_join",
-        "scalar_timefns",
-        "rsi_wilder",
-        "adx_family",
-        "indicator_pipeline_grid",
-        "pipeline_wilder",
-        "text_quality",
-        "token_counts",
-        "language_id",
-        "doc_fingerprint",
-        "dedup_exact",
-        "redact_pii",
-        "repetition_score",
-        "token_shards",
-        "ngram_containment",
-        "corpus_prep",
-        "minhash_lsh_candidates",
-        "ngram_jaccard",
-        "dedup_pipeline",
-        "neardup_components",
-        "simhash",
-        "cosine_topk",
-        "embedding_neardup",
-        "ivf_topk",
-    ]
-
-    # queries that must be rebuilt inside the timed section: ones with
-    # eager construction work (connected components' fixpoint loop,
-    # IVF's centroid-sample collect) — a prebuilt handle would exclude
-    # that work — and ones whose plan persists an intermediate
-    # (dedup_pipeline's candidates): clearCache drops the persist
-    # registration, so a reused handle would recompute the candidate
-    # lineage once per consumer instead of caching it. Plain lazy
-    # queries reuse the prebuilt handle — rebuilding those only adds
-    # Catalyst re-analysis noise the warm runs already paid.
-    eager_construction = {
-        "neardup_components", "neardup_survivors", "ivf_topk", "dedup_pipeline",
-    }
+    # bench EVERY driver query (VERDICT r2 #4: cover the whole green
+    # surface) — the registry itself is the headline list, so a new
+    # queries() entry is automatically benchmarked.
+    headline = list(queries)
 
     timings: dict[str, float] = {}
     for name in headline:
@@ -99,17 +68,10 @@ def run() -> None:
             continue
         df = fn(spark, sf_dir)
         # warm runs: the first pays I/O cache + codegen; HOF-heavy
-        # queries get a second so the JIT finishes tiering (measured
-        # 2-4x on the dedup family). One warm suffices elsewhere and
-        # keeps total suite wall time bounded.
-        heavy = name in {
-            "minhash_lsh_candidates", "ngram_jaccard", "dedup_pipeline",
-            "neardup_components", "simhash", "embedding_neardup",
-            "ivf_topk", "indicator_pipeline_grid", "pipeline_wilder",
-            "ngram_containment", "repetition_score",
-        }
+        # queries get a second so the JIT finishes tiering. One warm
+        # suffices elsewhere and keeps total suite wall time bounded.
         df.write.mode("overwrite").format("noop").save()
-        if heavy:
+        if name in HEAVY_WARM:
             df.write.mode("overwrite").format("noop").save()
         # steady state = MIN of two timed runs: single-run timings on
         # this 37-query single-JVM suite swing multi-second on GC /
@@ -130,7 +92,7 @@ def run() -> None:
             _gc.collect()
             spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
-            if name in eager_construction:
+            if name in EAGER_CONSTRUCTION:
                 df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             dt = time.perf_counter() - t0

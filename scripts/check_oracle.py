@@ -4,7 +4,10 @@ runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
 on DuckDB, then compares row count, column names, and
 order-insensitive values.
 
-Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+Usage: python scripts/check_oracle.py [--extras] [sf_dir] [query ...]
+
+``--extras`` also checks ``extra_queries()`` — locally-verified
+variants kept off the driver registry (it records at most 50).
 """
 
 from __future__ import annotations
@@ -89,8 +92,10 @@ def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--extras"]
+    extras = "--extras" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entry_mod
     from stock_indicators_etl_spark.session import get_spark
@@ -104,6 +109,9 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if extras:
+        queries.update(entry_mod.extra_queries())
+        oracles.update(entry_mod.extra_oracle_sql())
     n_fail = 0
     for name, fn in queries.items():
         if only and name not in only:
