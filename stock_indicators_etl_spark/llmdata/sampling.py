@@ -75,6 +75,7 @@ def token_shards(
     strata_col: str = "lang",
     id_col: str = "doc_id",
     tokens_col: str = "n_subtokens",
+    missing: str = "drop",
 ) -> DataFrame:
     """Pack documents into training shards of ~``budget`` tokens each,
     per stratum: docs are laid out in deterministic (id_hash, id)
@@ -86,14 +87,40 @@ def token_shards(
     :func:`hash_sample`), so re-running on a grown corpus only
     appends/perturbs locally rather than reshuffling every shard.
 
+    ``missing`` sets the contract for docs in ``df`` absent from
+    ``tokens_df`` (ADVICE r2: the silent inner join could quietly
+    shrink shards on a partial tokens table):
+
+    - ``"drop"`` (default): inner join — such docs are excluded.
+    - ``"zero"``: keep them with a token count of 0 (they consume no
+      budget but land in a shard).
+    - ``"error"``: raise ``ValueError`` if any doc lacks a count (one
+      extra anti-join count job at call time — eager, use in batch
+      pipelines, not lazy query composition).
+
     One shuffle on the stratum key; the running sum is a combinable
     window. Strata are independent, so a skewed giant stratum can be
     split upstream (e.g. sub-stratify by hash prefix) without touching
     this operator.
     """
-    j = df.select(id_col, strata_col).join(
-        tokens_df.select(id_col, tokens_col), id_col
-    )
+    if missing not in ("drop", "zero", "error"):
+        raise ValueError(f"missing must be drop|zero|error, got {missing!r}")
+    toks = tokens_df.select(id_col, tokens_col)
+    if missing == "error":
+        n_missing = df.select(id_col).join(toks, id_col, "left_anti").count()
+        if n_missing:
+            raise ValueError(
+                f"token_shards: {n_missing} docs have no token count in "
+                f"tokens_df (pass missing='drop' or 'zero' to accept)"
+            )
+    if missing == "zero":
+        j = (
+            df.select(id_col, strata_col)
+            .join(toks, id_col, "left")
+            .withColumn(tokens_col, F.coalesce(F.col(tokens_col), F.lit(0)))
+        )
+    else:
+        j = df.select(id_col, strata_col).join(toks, id_col)
     h = _id_hash56(F.col(id_col))
     w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
     cum_before = F.sum(tokens_col).over(w) - F.col(tokens_col)

