@@ -86,6 +86,16 @@ class IndicatorConfig:
     scale: bool = True
     skip_na: bool = True
 
+    # AROONOSC tie semantics: False (default) = frame-expressible
+    # argmax (most recent tied extreme wins — pure window expression,
+    # no Python stage); True = TA-Lib's exact path-dependent walk
+    # (strict rescan / non-strict incremental update; see
+    # ``operators.kernels.aroonosc_talib_kernel``), computed in the
+    # fused per-series pandas stage alongside the Wilder family. The
+    # two differ only when an extreme value is exactly tied inside the
+    # trailing window (cent-quantized prices, flat gap-fill stretches).
+    strict_talib_ties: bool = False
+
     # market session bounds, wall-clock in `tz` (utils.py:26-36; the
     # 16:30 close is a reference quirk kept for parity)
     tz: str = "US/Eastern"

@@ -348,14 +348,19 @@ def ngram_jaccard_pairs(
 
     Plan shapes:
 
-    - ``candidates=None`` (exact all-pairs-sharing-a-shingle): the
-      per-doc shingle *set* is built with one map-side-deduped
-      ``collect_set`` (``_spread`` keeps each doc in one partition, so
-      the partial aggregate dedups before the shuffle and the full-
-      width exploded stream never shuffles); each doc's set size then
-      rides along inside the posting lists as a struct payload, so
-      sizes need no separate joins — three narrow shuffles, zero
-      joins, no window.
+    - ``candidates=None`` (exact all-pairs-sharing-a-shingle): posting
+      lists are built DIRECTLY from the hashed (doc_id, h) stream with
+      one ``groupBy(h).collect_set(doc_id)`` — collect_set dedups the
+      multiset for free, so no per-doc set-building shuffle precedes it
+      (that second full-width exchange was the r2 plan's cost hump;
+      VERDICT r2 #3). Set sizes are recovered from the posting lists
+      themselves (explode of already-deduped ids + a map-side-
+      combinable count — the exchange under both aggregates is shared
+      via ReuseExchange, so the shingle stream is hashed and shuffled
+      once) and joined back onto the pair counts; the sizes table is
+      one small row per doc, so AQE turns those joins into broadcasts
+      at any realistic scale, and falls back to shuffle joins on a
+      billion-doc corpus where a broadcast would not fit.
     - with ``candidates``: the corpus is semi-joined down to candidate
       docs *before* shingling, then the candidate pairs broadcast-join
       per-doc shingle sets and |∩| is an ``array_intersect`` — the
@@ -422,51 +427,42 @@ def ngram_jaccard_pairs(
             out = out.filter(F.col("jaccard") >= F.lit(threshold))
         return out
 
-    doc_sets = (
-        word_shingles(df, text_col, k, distinct=False)
-        .select("doc_id", _h56(F.col("shingle")).alias("h"))
+    stream = word_shingles(df, text_col, k, distinct=False).select(
+        "doc_id", _h56(F.col("shingle")).alias("h")
+    )
+    posting = stream.groupBy("h").agg(F.collect_set("doc_id").alias("ids"))
+    # n_sh(doc) = number of posting lists containing the doc — computed
+    # BEFORE the doc-freq cap (sizes stay exact; the cap restricts only
+    # which shingles contribute to |∩|, mirroring the capped oracle).
+    # Both this aggregate and `posting` sit on the same groupBy(h)
+    # exchange, so the full-width shingle stream shuffles exactly once.
+    sizes = (
+        posting.select(F.explode("ids").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(F.collect_set("h").alias("sh_set"))
+        .agg(F.count(F.lit(1)).alias("n_sh"))
     )
-    shs = doc_sets.select(
-        "doc_id", F.size("sh_set").alias("n_sh"), F.explode("sh_set").alias("h")
-    )
-    posting = shs.groupBy("h").agg(
-        F.collect_set(F.struct("doc_id", "n_sh")).alias("ids")
-    )
+    capped = posting
     if max_doc_freq is not None:
-        posting = posting.filter(F.size("ids") <= max_doc_freq)
-    # array_sort on structs orders by doc_id (first field) → a < b
-    ids = F.array_sort(F.col("ids"))
-    pairs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
+        capped = capped.filter(F.size("ids") <= max_doc_freq)
+    pair_counts = _bucket_pairs(capped).groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_inter")
+    )
+    out = (
+        pair_counts.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
         )
-    )
-    expanded = (
-        posting.filter(F.size("ids") > 1)
-        .select(F.explode(pairs).alias("p"))
-        .select(
-            F.col("p.a.doc_id").alias("doc_a"),
-            F.col("p.a.n_sh").alias("n_a"),
-            F.col("p.b.doc_id").alias("doc_b"),
-            F.col("p.b.n_sh").alias("n_b"),
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
         )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
     )
-    inter = expanded.groupBy("doc_a", "doc_b").agg(
-        F.count(F.lit(1)).alias("n_inter"),
-        F.first("n_a").alias("n_a"),
-        F.first("n_b").alias("n_b"),
-    )
-    out = inter.withColumn(
-        "jaccard",
-        F.col("n_inter").cast("double")
-        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-    ).select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
     if threshold > 0:
         out = out.filter(F.col("jaccard") >= F.lit(threshold))
     return out

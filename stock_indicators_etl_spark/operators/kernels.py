@@ -137,6 +137,68 @@ def macdfix_kernel(
     return macd_out, sig, hist
 
 
+def aroonosc_talib_kernel(
+    high: np.ndarray, low: np.ndarray, n: int = 25
+) -> np.ndarray:
+    """AROONOSC with TA-Lib's exact path-dependent tie rule (W11,
+    reference ``stockdata/indicators.py:415-430`` → TA_AROONOSC).
+
+    TA-Lib tracks the running extreme index incrementally as the
+    window slides: a new bar *replaces* a tied extreme (``>=`` /
+    ``<=`` — most recent wins), but when the current extreme falls out
+    of the window the rescan keeps the *earliest* tied bar (strict
+    ``>`` / ``<``). The retained index therefore depends on the path
+    the window took — not expressible as a per-row argmax, which is
+    why the frame-expressible default
+    (:func:`~stock_indicators_etl_spark.operators.rolling.with_aroonosc`)
+    resolves every tie to the most recent bar instead. On untied
+    inputs the two agree exactly (property-tested).
+
+    Output: ``100·(highest_idx − lowest_idx)/n``, first valid at
+    index ``n`` — identical alignment and scaling to the default.
+    """
+    h = np.asarray(high, dtype=np.float64)
+    lo = np.asarray(low, dtype=np.float64)
+    m = len(h)
+    out = np.full(m, np.nan)
+    if m <= n:
+        return out
+    factor = 100.0 / n
+    lowest_idx = -1
+    highest_idx = -1
+    lowest = 0.0
+    highest = 0.0
+    trailing = 0
+    for today in range(n, m):
+        tmp = lo[today]
+        if lowest_idx < trailing:
+            lowest_idx = trailing
+            lowest = lo[trailing]
+            for i in range(trailing + 1, today + 1):
+                t = lo[i]
+                if t < lowest:  # strict: earliest tie survives a rescan
+                    lowest_idx = i
+                    lowest = t
+        elif tmp <= lowest:  # non-strict: newest tie replaces
+            lowest_idx = today
+            lowest = tmp
+        tmp = h[today]
+        if highest_idx < trailing:
+            highest_idx = trailing
+            highest = h[trailing]
+            for i in range(trailing + 1, today + 1):
+                t = h[i]
+                if t > highest:
+                    highest_idx = i
+                    highest = t
+        elif tmp >= highest:
+            highest_idx = today
+            highest = tmp
+        out[today] = factor * (highest_idx - lowest_idx)
+        trailing += 1
+    return out
+
+
 def adx_kernel(
     high: np.ndarray, low: np.ndarray, close: np.ndarray, n: int = 14
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -152,7 +152,7 @@ def generate_indicators(
             n1=cfg.ultosc_timeperiod1, n2=cfg.ultosc_timeperiod2,
             n3=cfg.ultosc_timeperiod3, key_cols=key, ws_col=ws, out_col="_ultosc_raw",
         )
-    if "aroonosc" in feats:
+    if "aroonosc" in feats and not cfg.strict_talib_ties:
         window_ran = True
         out = with_aroonosc(
             out, cfg.high_col, cfg.low_col, n=cfg.aroonosc_timeperiod,
@@ -172,6 +172,12 @@ def generate_indicators(
             key_cols=key, ws_col=ws, k_col="_sok_raw", d_col="_sod_raw",
         )
     recursive_feats = [f for f in ("rsi", "cmo", "macd", "adx") if f in feats]
+    if cfg.strict_talib_ties and "aroonosc" in feats:
+        # TA-Lib's path-dependent tie rule is a sequential per-series
+        # scan — ride the same fused pandas stage as the Wilder family
+        # (zero extra shuffles; the stage already receives whole
+        # time-sorted series)
+        recursive_feats.append("aroonosc")
     if recursive_feats:
         out = with_recursive_indicators(
             out,
@@ -185,6 +191,7 @@ def generate_indicators(
             cmo_n=cfg.cmo_timeperiod,
             macd_signal=cfg.macd_signal_period,
             adx_n=cfg.adx_timeperiod,
+            aroonosc_n=cfg.aroonosc_timeperiod,
             features=recursive_feats,
             # skipping the repartition avoids a second full shuffle,
             # but only when a window op above actually ran
@@ -209,7 +216,8 @@ def generate_indicators(
         elif f == "cmo":
             cols.append((F.col("cmo") / scale).alias("cmo"))
         elif f == "aroonosc":
-            cols.append((F.col("_aroonosc_raw") / scale).alias("aroonosc"))
+            src = "aroonosc_strict" if cfg.strict_talib_ties else "_aroonosc_raw"
+            cols.append((F.col(src) / scale).alias("aroonosc"))
         elif f == "macd":
             cols.append((F.col("macd_hist") / macd_scale).alias("macd_hist"))
         elif f == "ppo":

@@ -31,12 +31,13 @@ from pyspark.sql import types as T
 
 from stock_indicators_etl_spark.operators.kernels import (
     adx_kernel,
+    aroonosc_talib_kernel,
     cmo_kernel,
     macdfix_kernel,
     rsi_kernel,
 )
 
-RECURSIVE_COLS = ["rsi", "cmo", "macd_hist", "adx_di_diff", "adx"]
+RECURSIVE_COLS = ["rsi", "cmo", "macd_hist", "adx_di_diff", "adx", "aroonosc_strict"]
 
 
 def with_recursive_indicators(
@@ -51,6 +52,7 @@ def with_recursive_indicators(
     cmo_n: int = 14,
     macd_signal: int = 9,
     adx_n: int = 14,
+    aroonosc_n: int = 25,
     features: Sequence[str] = ("rsi", "cmo", "macd", "adx"),
     num_partitions: int | None = None,
     pre_partitioned: bool = False,
@@ -62,6 +64,13 @@ def with_recursive_indicators(
     scaling) and ``adx``. RSI/CMO/MACD read ``close_col``
     (adj_close); ADX reads high/low/``close_unadj_col``
     (``stockdata/indicators.py:269,468``).
+
+    ``"aroonosc"`` in ``features`` additionally emits
+    ``aroonosc_strict`` — AROONOSC under TA-Lib's path-dependent tie
+    rule (:func:`~stock_indicators_etl_spark.operators.kernels.aroonosc_talib_kernel`),
+    a sequential per-series scan like the Wilder family. The
+    frame-expressible default lives in ``rolling.with_aroonosc``;
+    this variant is selected by ``IndicatorConfig.strict_talib_ties``.
 
     ``pre_partitioned``: caller guarantees the input is already
     hash-partitioned by ``key_cols`` and sorted by (keys, ws) within
@@ -80,6 +89,8 @@ def with_recursive_indicators(
         wanted.append("macd_hist")
     if "adx" in features:
         wanted += ["adx_di_diff", "adx"]
+    if "aroonosc" in features:
+        wanted.append("aroonosc_strict")
     if not wanted:
         return df
     schema = T.StructType(
@@ -90,9 +101,10 @@ def with_recursive_indicators(
     def compute_frame(pdf: pd.DataFrame) -> pd.DataFrame:
         m = len(pdf)
         close = pdf[close_col].to_numpy(dtype=np.float64, na_value=np.nan)
-        if "adx_di_diff" in wanted:
+        if "adx_di_diff" in wanted or "aroonosc_strict" in wanted:
             high = pdf[high_col].to_numpy(dtype=np.float64, na_value=np.nan)
             low = pdf[low_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        if "adx_di_diff" in wanted:
             cun = pdf[close_unadj_col].to_numpy(dtype=np.float64, na_value=np.nan)
         out = {c: np.full(m, np.nan) for c in wanted}
         # rows are sorted by (keys, ws): every series is one
@@ -110,6 +122,10 @@ def with_recursive_indicators(
                 pdi, mdi, adx = adx_kernel(high[s], low[s], cun[s], adx_n)
                 out["adx_di_diff"][s] = pdi - mdi
                 out["adx"][s] = adx
+            if "aroonosc_strict" in wanted:
+                out["aroonosc_strict"][s] = aroonosc_talib_kernel(
+                    high[s], low[s], aroonosc_n
+                )
         for c in wanted:
             pdf[c] = out[c]
         return pdf

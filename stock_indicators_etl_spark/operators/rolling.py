@@ -168,14 +168,17 @@ def with_aroonosc(
     argmax-by via lexicographic struct max — portable, deterministic,
     no UDF.
 
-    **Known deviation from TA-Lib on exact ties**: this resolves every
-    high/low tie to the most recent bar. TA-Lib's TA_AROON tie rule is
-    path-dependent — the steady-state update uses ``>=`` (most recent
-    wins) but the rescan after the old extreme leaves the window uses
-    strict ``>`` (earliest wins) — which is not expressible as a
-    per-row argmax. With cent-quantized prices or flat gap-fill
-    stretches, tied extremes inside the 26-bar window can therefore
-    differ from ``talib.AROONOSC``. Untied inputs match exactly.
+    **Tie semantics**: this resolves every high/low tie to the most
+    recent bar. TA-Lib's TA_AROON tie rule is path-dependent — the
+    steady-state update uses ``>=`` (most recent wins) but the rescan
+    after the old extreme leaves the window uses strict ``>`` (earliest
+    wins) — which is not expressible as a per-row argmax. Untied
+    inputs match TA-Lib exactly (property-tested); for strict tie
+    parity on tied inputs (cent-quantized prices, flat gap-fill
+    stretches) set ``IndicatorConfig.strict_talib_ties=True``, which
+    routes AROONOSC through the sequential
+    :func:`~stock_indicators_etl_spark.operators.kernels.aroonosc_talib_kernel`
+    in the fused pandas stage instead.
     """
     w = series_window(key_cols, ws_col)
     frame = w.rowsBetween(-n, 0)

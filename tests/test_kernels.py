@@ -183,3 +183,129 @@ def test_recursive_streaming_batches_match_single_batch(spark):
     finally:
         spark.conf.set(key, old)
     pd.testing.assert_frame_equal(baseline, tiny)
+
+
+# ---------------------------------------------------------------------------
+# AROONOSC strict TA-Lib tie parity (VERDICT r2 #5)
+# ---------------------------------------------------------------------------
+
+def _frame_aroonosc(high, low, n):
+    """The frame-expressible default's semantics (most recent tied
+    extreme wins), re-derived naively: per-row argmax/argmin over the
+    trailing n+1 bars, ties to the latest index."""
+    m = len(high)
+    out = np.full(m, np.nan)
+    for today in range(n, m):
+        w_hi = high[today - n : today + 1]
+        w_lo = low[today - n : today + 1]
+        # last occurrence of the extreme
+        idx_hi = today - n + (len(w_hi) - 1 - int(np.argmax(w_hi[::-1])))
+        idx_lo = today - n + (len(w_lo) - 1 - int(np.argmin(w_lo[::-1])))
+        out[today] = 100.0 * (idx_hi - idx_lo) / n
+    return out
+
+
+def test_aroonosc_strict_rescan_keeps_earliest_tie():
+    # n=3, lows [1,2,1,3,3]: the rescan at today=3 scans 0..3 with a
+    # STRICT compare, so the idx-2 retest of the low 1 does NOT
+    # displace idx 0 -> lowest_idx=0. After idx 0 leaves the window
+    # (today=4), the rescan over 1..4 finds the idx-2 low.
+    from stock_indicators_etl_spark.operators.kernels import aroonosc_talib_kernel
+
+    lows = np.array([1.0, 2.0, 1.0, 3.0, 3.0])
+    highs = np.array([10.0, 11.0, 12.0, 13.0, 14.0])  # untied, rising
+    got = aroonosc_talib_kernel(highs, lows, 3)
+    assert np.isnan(got[:3]).all()
+    np.testing.assert_allclose(got[3:], [100.0 * 3 / 3, 100.0 * 2 / 3])
+    # the frame default resolves the today=3 tie to the most recent bar
+    frame = _frame_aroonosc(highs, lows, 3)
+    np.testing.assert_allclose(frame[3:], [100.0 * 1 / 3, 100.0 * 2 / 3])
+    assert got[3] != frame[3]  # the documented divergence, pinned
+
+
+def test_aroonosc_strict_incremental_replaces_tie():
+    # n=3, highs [3,2,9,9,9]: today=3's rescan keeps idx 2 (strict),
+    # but today=4's INCREMENTAL update sees 9 >= 9 and replaces with
+    # idx 4 (most recent wins in steady state).
+    from stock_indicators_etl_spark.operators.kernels import aroonosc_talib_kernel
+
+    highs = np.array([3.0, 2.0, 9.0, 9.0, 9.0])
+    lows = np.array([10.0, 9.0, 8.0, 7.0, 6.0])  # untied, falling
+    got = aroonosc_talib_kernel(highs, lows, 3)
+    np.testing.assert_allclose(got[3:], [100.0 * (2 - 3) / 3, 100.0 * (4 - 4) / 3])
+
+
+def test_aroonosc_strict_matches_frame_on_untied_inputs():
+    from stock_indicators_etl_spark.operators.kernels import aroonosc_talib_kernel
+
+    # continuous random walk: ties have measure zero
+    np.testing.assert_allclose(
+        aroonosc_talib_kernel(H, L, 25)[25:], _frame_aroonosc(H, L, 25)[25:]
+    )
+
+
+def test_aroonosc_strict_short_series_and_bounds():
+    from stock_indicators_etl_spark.operators.kernels import aroonosc_talib_kernel
+
+    assert np.isnan(aroonosc_talib_kernel(H[:25], L[:25], 25)).all()
+    v = aroonosc_talib_kernel(H, L, 25)[25:]
+    assert (np.abs(v) <= 100.0).all()
+
+
+def test_strict_ties_pipeline_routes_through_pandas_stage(spark):
+    """End-to-end: generate_indicators(strict_talib_ties=True) equals
+    the kernel applied per series; the flat stretch plants real ties."""
+    import pandas as pd
+
+    from stock_indicators_etl_spark.config import IndicatorConfig
+    from stock_indicators_etl_spark.operators.kernels import aroonosc_talib_kernel
+    from stock_indicators_etl_spark.operators.pipeline import generate_indicators
+
+    NS = 1_000_000_000
+    rng = np.random.default_rng(11)
+    rows = []
+    for t in ("A", "B"):
+        for i in range(60):
+            # quantized to 0.5 -> plenty of exact tied extremes
+            p = round(2 * (100.0 + rng.normal(0, 1))) / 2
+            rows.append(
+                {
+                    "ticker": t,
+                    "window_start": (1_704_106_800 + 60 * i) * NS,
+                    "adj_close": p,
+                    "high": p + 0.5,
+                    "low": p - 0.5,
+                    "close": p,
+                    "volume": 1.0,
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    df = spark.createDataFrame(pdf)
+    cfg = IndicatorConfig(
+        momentum_features=["aroonosc"], strict_talib_ties=True, skip_na=False
+    )
+    out = (
+        generate_indicators(df, cfg, assume_regular=True)
+        .toPandas()
+        .sort_values(["ticker", "window_start"])
+        .reset_index(drop=True)
+    )
+    for t in ("A", "B"):
+        sub = pdf[pdf.ticker == t].reset_index(drop=True)
+        want = aroonosc_talib_kernel(
+            sub.high.to_numpy(), sub.low.to_numpy(), 25
+        ) / 100.0  # cfg.scale
+        got = out[out.ticker == f"{t}-0"]["aroonosc"].to_numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-12, equal_nan=True)
+    # sanity: on this tied fixture strict must actually differ from the
+    # frame default somewhere, or the test proves nothing
+    cfg_frame = IndicatorConfig(momentum_features=["aroonosc"], skip_na=False)
+    out_frame = (
+        generate_indicators(df, cfg_frame, assume_regular=True)
+        .toPandas()
+        .sort_values(["ticker", "window_start"])
+        .reset_index(drop=True)
+    )
+    a, b = out["aroonosc"].to_numpy(), out_frame["aroonosc"].to_numpy()
+    both = ~np.isnan(a) & ~np.isnan(b)
+    assert (a[both] != b[both]).any()
