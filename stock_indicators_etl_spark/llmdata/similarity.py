@@ -187,49 +187,64 @@ def ivf_topk(
             s = s + x * x
         return math.sqrt(s)
 
-    # ONE 2D literal + ONE norm-array literal + ONE lambda tree for
-    # all centroids: building 16 separate zip_with/aggregate trees per
-    # pass cost ~2 s of py4j round-trips at plan-build time. The inner
+    # ONE lambda tree for all centroids, with the centroid matrix as
+    # an array of 16 one-call numpy-array Literals: ``F.lit`` on a 2D
+    # Python list recurses into ~1100 py4j calls (~1 s of plan-build
+    # time, measured), while ``F.lit(ndarray)`` ships each row as a
+    # single Literal and ``F.array`` of Literals is free. The inner
     # fold is element-for-element the same IEEE sequence the oracle
-    # replays; the (-sim, j) struct sort gives (sim DESC, j ASC)
-    # bit-exactly (negation is IEEE-exact).
-    CENT = F.lit(cents)
-    CENT_NORMS = F.lit([_lfold_norm(c) for c in cents])
+    # replays; the (-sim, j) struct compare gives (sim DESC, j ASC)
+    # bit-exactly (negation is IEEE-exact). Rejected after measurement
+    # (VERDICT r2 #6 attempts): fully unrolling the 16×64 assignment
+    # arithmetic (4k-node tree, 11 MiB task binaries, 3× slower) and
+    # inlining the centroids as parsed-SQL array literals
+    # (ConstantFolding does not reach inside lambda bodies — the
+    # 1024-element array was rebuilt per row×centroid, 7× slower).
+    import numpy as np
+
+    CENT = F.array(*[F.lit(np.asarray(c, dtype=np.float64)) for c in cents])
+    CENT_NORMS = F.lit(np.asarray([_lfold_norm(c) for c in cents], dtype=np.float64))
     v = _as_double(F.col(vec_col))
-    sorted_pairs = F.sort_array(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(len(cents) - 1)),
-            lambda j: F.struct(
-                (
-                    -F.when(F.col("_nrm") * F.element_at(CENT_NORMS, j + 1) == 0, F.lit(0.0)).otherwise(
-                        _dot(F.col("_v"), F.element_at(CENT, j + 1))
-                        / (F.col("_nrm") * F.element_at(CENT_NORMS, j + 1))
-                    )
-                ).alias("negs"),
-                j.alias("j"),
-            ),
-        )
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+        lambda j: F.struct(
+            (
+                -F.when(F.col("_nrm") * F.element_at(CENT_NORMS, j + 1) == 0, F.lit(0.0)).otherwise(
+                    _dot(F.col("_v"), F.element_at(CENT, j + 1))
+                    / (F.col("_nrm") * F.element_at(CENT_NORMS, j + 1))
+                )
+            ).alias("negs"),
+            j.alias("j"),
+        ),
     )
 
-    def _with_cells(
-        df: DataFrame, n_top: int, id_out: str, vec_out: str, nrm_out: str
-    ) -> DataFrame:
+    def _with_vecs(df: DataFrame, id_out: str, vec_out: str, nrm_out: str) -> DataFrame:
         out = df.select(
             F.col(id_col).alias("_id"), v.alias("_v"), F.sqrt(_dot(v, v)).alias("_nrm")
         )
-        cells = F.transform(F.slice(sorted_pairs, 1, n_top), lambda s: s["j"])
         return out.select(
             F.col("_id").alias(id_out),
             F.col("_v").alias(vec_out),
             F.col("_nrm").alias(nrm_out),
-            cells.alias("cells"),
+            pairs.alias("_pairs"),
         )
 
-    base = _with_cells(embeddings, 1, "nbr_id", "c_vec", "c_nrm").select(
-        "nbr_id", "c_vec", "c_nrm", F.col("cells")[0].alias("cell")
+    # base side needs only the argmin cell: array_min is a single scan
+    # over the 16 structs (lexicographic struct min ≡ cosine DESC,
+    # j ASC — identical to sort-then-first), so the per-row sort runs
+    # only on the tiny n_probe query side (VERDICT r2 #6)
+    base = _with_vecs(embeddings, "nbr_id", "c_vec", "c_nrm").select(
+        "nbr_id", "c_vec", "c_nrm", F.array_min("_pairs")["j"].alias("cell")
     )
-    q = _with_cells(queries, n_probe, "qid", "q_vec", "q_nrm").select(
-        "qid", "q_vec", "q_nrm", F.explode("cells").alias("cell")
+    q = _with_vecs(queries, "qid", "q_vec", "q_nrm").select(
+        "qid",
+        "q_vec",
+        "q_nrm",
+        F.explode(
+            F.transform(
+                F.slice(F.sort_array(F.col("_pairs")), 1, n_probe), lambda s: s["j"]
+            )
+        ).alias("cell"),
     )
     # norms ride through the join — computed once per vector upstream,
     # not re-folded per candidate pair
