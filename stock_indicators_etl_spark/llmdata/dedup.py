@@ -585,6 +585,89 @@ def ngram_containment(
 # ---------------------------------------------------------------------------
 
 
+def _edge_checksum(df: DataFrame, cols: tuple[str, str]) -> object:
+    """Type-agnostic one-row probe: sum of xxhash64 over the rows.
+    Equal sums across rounds ⇒ unchanged set up to a ~2^-64 collision
+    (the iteration is deterministic and monotone, so no oscillation).
+    decimal(38,0) accumulator — a plain long sum would overflow;
+    coalesce(0) keeps an empty set at a stable non-NULL checksum."""
+    a, b = cols
+    return df.agg(
+        F.coalesce(
+            F.sum(F.xxhash64(F.col(a), F.col(b)).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("s")
+    ).collect()[0]["s"]
+
+
+def _cc_star_labels(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): the
+    O(log² n)-round alternative to min-label propagation for graphs
+    with long chains, where per-round cost stays O(E) but the round
+    count is poly-log in the component diameter instead of linear.
+
+    ``edges``: canonical undirected pairs (u > v, no self-loops,
+    distinct). Returns (_id, component) for every edge endpoint,
+    component = min id of the connected component.
+
+    Each round is two window-aggregate passes (one shuffle each):
+
+    - **large-star** attaches every neighbor larger than ``a`` to
+      ``min(Γ(a) ∪ {a})`` — halves long chains by pointer doubling;
+    - **small-star** re-orients to (u > v) and attaches each small
+      neighbor plus ``u`` itself to the neighborhood minimum.
+
+    At the fixpoint the edge set IS the answer: a star per component
+    centered on its minimum. The potential function in the paper
+    decreases monotonically, so an unchanged edge checksum means the
+    fixpoint, not an oscillation.
+    """
+    from pyspark.sql import Window
+
+    edges = edges.localCheckpoint(eager=True)
+    prev = None
+    converged = False
+    for _ in range(max_iter):
+        # large-star over the bidirectional view
+        bi = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+            edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        )
+        m = F.least(F.col("a"), F.min("b").over(Window.partitionBy("a")))
+        ls = (
+            bi.withColumn("m", m)
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on the (u > v)-oriented result
+        m2 = F.min("v").over(Window.partitionBy("u"))
+        sp = ls.withColumn("m", m2)
+        edges = (
+            sp.select(F.col("v").alias("x"), F.col("m"))
+            .unionByName(sp.select(F.col("u").alias("x"), F.col("m")))
+            .filter(F.col("x") != F.col("m"))
+            .select(F.greatest("x", "m").alias("u"), F.least("x", "m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _edge_checksum(edges, ("u", "v"))
+        if prev is not None and cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(method='star') did not reach the fixpoint "
+            f"within max_iter={max_iter} rounds; raise max_iter"
+        )
+    # star edges: (leaf u → center v); centers label themselves
+    return edges.select(F.col("u").alias("_id"), F.col("v").alias("component")).unionByName(
+        edges.select(F.col("v").alias("_id"), F.col("v").alias("component"))
+    ).distinct()
+
+
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame,
@@ -592,6 +675,7 @@ def connected_components(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iter: int = 50,
+    method: str = "label",
 ) -> DataFrame:
     """Connected components by min-label propagation: every vertex
     ends up labeled with the smallest ``id`` in its component — the
@@ -616,10 +700,32 @@ def connected_components(
     the convergence probe is a one-row type-agnostic checksum
     aggregate (sum of xxhash64 over the label rows; the id set is
     fixed across rounds, so an unchanged sum means unchanged labels up
-    to a ~2^-64 collision). For graphs
-    with long chains at extreme scale, switch to large-star/small-star
-    (Kiveris et al., O(log²) rounds) — same output contract.
+    to a ~2^-64 collision).
+
+    ``method="star"`` switches to large-star/small-star
+    (:func:`_cc_star_labels`, Kiveris et al.) — O(log²) rounds instead
+    of O(diameter), the right trade for long-chain graphs at extreme
+    scale; identical output contract (property-tested equal on random
+    graphs). Default stays min-label: near-dup components are
+    clique-ish (diameter 2-3), where the simpler per-round plan wins.
     """
+    if method not in ("label", "star"):
+        raise ValueError(f"method must be 'label' or 'star', got {method!r}")
+    if method == "star":
+        canon = (
+            edges.select(
+                F.greatest(F.col(src_col), F.col(dst_col)).alias("u"),
+                F.least(F.col(src_col), F.col(dst_col)).alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        labels = _cc_star_labels(canon, max_iter)
+        v = vertices.select(F.col(id_col).alias("_id"))
+        return v.join(labels, "_id", "left").select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("component"), F.col("_id")).alias("component"),
+        )
     e = edges.select(
         F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
     ).unionByName(
@@ -704,6 +810,7 @@ def neardup_components(
     k: int = 3,
     max_bucket_size: int | None = SCALE_MAX_BUCKET_SIZE,
     salt_chunk: int | None = None,
+    cc_method: str = "label",
 ) -> DataFrame:
     """End-to-end near-dup grouping: MinHash-LSH candidates →
     exact-Jaccard verification → connected components over the
@@ -728,4 +835,4 @@ def neardup_components(
     pairs = ngram_jaccard_pairs(
         df, text_col, k, threshold=threshold, candidates=cand
     ).select("doc_a", "doc_b")
-    return connected_components(pairs, df.select("doc_id"))
+    return connected_components(pairs, df.select("doc_id"), method=cc_method)
