@@ -137,11 +137,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Single-feature recursive variants, NOT registered with the
     driver (its report caps at 50 entries) but still bit-exact-checked
     locally via ``scripts/check_oracle.py --extras``."""
+    from stock_indicators_etl_spark.queries import q_asof_join
+
     q = {
         "rsi_wilder": _q_recursive(["rsi"]),
         "cmo_wilder": _q_recursive(["cmo"]),
         "macdfix_hist": _q_recursive(["macd"]),
         "adx_family": _q_recursive(["adx"]),
+        "asof_join": q_asof_join,
     }
     return {name: _conf_wrapped(fn) for name, fn in q.items()}
 
@@ -149,6 +152,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def extra_oracle_sql() -> dict[str, str]:
     from stock_indicators_etl_spark.queries import (
         SQL_ADX_FAMILY,
+        SQL_ASOF_JOIN,
         SQL_CMO_WILDER,
         SQL_MACDFIX_HIST,
         SQL_RSI_WILDER,
@@ -159,4 +163,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "cmo_wilder": SQL_CMO_WILDER,
         "macdfix_hist": SQL_MACDFIX_HIST,
         "adx_family": SQL_ADX_FAMILY,
+        "asof_join": SQL_ASOF_JOIN,
     }

@@ -1626,6 +1626,69 @@ FROM events
 """
 
 # ---------------------------------------------------------------------------
+# as-of join (operators/asof.py; driver-registry extras — the external
+# report caps at 50 entries, so this is checked via
+# `scripts/check_oracle.py --extras` like the recursive singles)
+# ---------------------------------------------------------------------------
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every event joined to the most recent sparse snapshot at or
+    before it: snapshots are per-(ticker, 10-min bucket) max-value
+    rows, kept only for every 3rd bucket so matches genuinely reach
+    backward across buckets and early rows are left-join NULLs. The
+    oracle replays it with DuckDB's native ASOF LEFT JOIN — an
+    independent implementation of the same semantics (inclusive
+    ``l.ts >= r.ts``)."""
+    from stock_indicators_etl_spark.operators.asof import asof_join
+
+    B = 600 * NS
+    e = _events(spark, sf_dir)
+    left = e.select(
+        F.col("user_id").cast("string").alias("ticker"),
+        F.col("ns").alias("window_start"),
+        F.col("value"),
+    )
+    snap = (
+        left.withColumn("bucket", F.expr(f"window_start DIV {B}"))
+        .filter(F.col("bucket") % 3 == 0)
+        .groupBy("ticker", "bucket")
+        .agg(F.max("value").alias("snap_val"))
+        .select("ticker", (F.col("bucket") * B).alias("window_start"), "snap_val")
+    )
+    out = asof_join(left, snap, on="window_start", by=("ticker",), value_cols=["snap_val"])
+    return out.select(
+        "ticker",
+        "window_start",
+        _rc(F.col("value")).alias("value"),
+        "window_start_r",
+        _rc(F.col("snap_val_r")).alias("snap_val"),
+    )
+
+
+SQL_ASOF_JOIN = f"""
+WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) AS ticker,
+         epoch_ns(ts) AS window_start,
+         value
+  FROM events
+),
+snap AS (
+  SELECT ticker,
+         bucket * {600 * NS} AS window_start,
+         max(value) AS snap_val
+  FROM (SELECT ticker, window_start // {600 * NS} AS bucket, value FROM ev)
+  WHERE bucket % 3 = 0
+  GROUP BY 1, 2
+)
+SELECT l.ticker, l.window_start, {R6('l.value')} AS value,
+       s.window_start AS window_start_r, {R6('s.snap_val')} AS snap_val
+FROM ev l ASOF LEFT JOIN snap s
+  ON l.ticker = s.ticker AND l.window_start >= s.window_start
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
