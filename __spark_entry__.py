@@ -137,7 +137,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Single-feature recursive variants, NOT registered with the
     driver (its report caps at 50 entries) but still bit-exact-checked
     locally via ``scripts/check_oracle.py --extras``."""
-    from stock_indicators_etl_spark.queries import q_asof_join
+    from stock_indicators_etl_spark.queries import q_asof_join, q_interval_join
 
     q = {
         "rsi_wilder": _q_recursive(["rsi"]),
@@ -145,6 +145,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "macdfix_hist": _q_recursive(["macd"]),
         "adx_family": _q_recursive(["adx"]),
         "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
     }
     return {name: _conf_wrapped(fn) for name, fn in q.items()}
 
@@ -154,6 +155,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_ADX_FAMILY,
         SQL_ASOF_JOIN,
         SQL_CMO_WILDER,
+        SQL_INTERVAL_JOIN,
         SQL_MACDFIX_HIST,
         SQL_RSI_WILDER,
     )
@@ -164,4 +166,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "macdfix_hist": SQL_MACDFIX_HIST,
         "adx_family": SQL_ADX_FAMILY,
         "asof_join": SQL_ASOF_JOIN,
+        "interval_join": SQL_INTERVAL_JOIN,
     }

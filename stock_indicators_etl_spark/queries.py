@@ -1688,6 +1688,59 @@ FROM ev l ASOF LEFT JOIN snap s
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every event joined to the sampled intervals containing it:
+    every 50th event opens an interval of 1-7 grid steps. The Spark
+    side is the binned equi-join (`operators/interval.py`); the oracle
+    is DuckDB's plain inequality join — same semantics, independent
+    plan."""
+    from stock_indicators_etl_spark.operators.interval import interval_join
+
+    B = 600 * NS
+    e = _events(spark, sf_dir)
+    pts = e.select(
+        F.col("user_id").cast("string").alias("ticker"),
+        F.col("ns").alias("window_start"),
+        F.col("value"),
+    )
+    iv = e.filter(F.col("event_id") % 50 == 0).select(
+        F.col("user_id").cast("string").alias("ticker"),
+        F.col("ns").alias("iv_start"),
+        (F.col("ns") + (F.col("event_id") % 7 + 1) * F.lit(B)).alias("iv_end"),
+        F.col("event_id").alias("ival_id"),
+    )
+    out = interval_join(
+        pts, iv, on="window_start", start_col="iv_start", end_col="iv_end",
+        by=("ticker",), bucket_width=B,
+    )
+    return out.select(
+        "ticker", "window_start", _rc(F.col("value")).alias("value"),
+        "iv_start", "iv_end", "ival_id",
+    )
+
+
+SQL_INTERVAL_JOIN = f"""
+WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) AS ticker,
+         epoch_ns(ts) AS window_start,
+         value, event_id
+  FROM events
+),
+iv AS (
+  SELECT ticker,
+         window_start AS iv_start,
+         window_start + (event_id % 7 + 1) * {600 * NS} AS iv_end,
+         event_id AS ival_id
+  FROM ev WHERE event_id % 50 = 0
+)
+SELECT p.ticker, p.window_start, {R6('p.value')} AS value,
+       i.iv_start, i.iv_end, i.ival_id
+FROM ev p JOIN iv i
+  ON p.ticker = i.ticker
+ AND p.window_start >= i.iv_start AND p.window_start < i.iv_end
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
