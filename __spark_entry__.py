@@ -138,6 +138,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver (its report caps at 50 entries) but still bit-exact-checked
     locally via ``scripts/check_oracle.py --extras``."""
     from stock_indicators_etl_spark.queries import q_asof_join, q_interval_join
+    from stock_indicators_etl_spark.queries_llm import q_length_quantiles
 
     q = {
         "rsi_wilder": _q_recursive(["rsi"]),
@@ -146,6 +147,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adx_family": _q_recursive(["adx"]),
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
+        "length_quantiles": q_length_quantiles,
     }
     return {name: _conf_wrapped(fn) for name, fn in q.items()}
 
@@ -159,6 +161,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_MACDFIX_HIST,
         SQL_RSI_WILDER,
     )
+    from stock_indicators_etl_spark.queries_llm import SQL_LENGTH_QUANTILES
 
     return {
         "rsi_wilder": SQL_RSI_WILDER,
@@ -167,4 +170,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "adx_family": SQL_ADX_FAMILY,
         "asof_join": SQL_ASOF_JOIN,
         "interval_join": SQL_INTERVAL_JOIN,
+        "length_quantiles": SQL_LENGTH_QUANTILES,
     }

@@ -980,6 +980,50 @@ SQL_LSH_TOPK = _lsh_topk_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
+# exact quantiles (driver-registry extras — the report caps at 50)
+# ---------------------------------------------------------------------------
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact length quantiles — the sort-based aggregate
+    family (Spark SQL ``percentile`` ≡ DuckDB ``quantile_cont``, both
+    linear interpolation at rank (n−1)·q). The corpus-profiling query
+    every data pipeline runs before setting quality thresholds."""
+    d = _docs(spark, sf_dir)
+    n = F.length("text").cast("double")
+    out = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("percentile(CAST(length(text) AS DOUBLE), 0.25)").alias("_p25"),
+        F.expr("percentile(CAST(length(text) AS DOUBLE), 0.5)").alias("_p50"),
+        F.expr("percentile(CAST(length(text) AS DOUBLE), 0.75)").alias("_p75"),
+        F.min(n).alias("min_len"),
+        F.max(n).alias("max_len"),
+    )
+    return out.select(
+        "lang",
+        "n_docs",
+        _rc(F.col("_p25")).alias("p25"),
+        _rc(F.col("_p50")).alias("p50"),
+        _rc(F.col("_p75")).alias("p75"),
+        "min_len",
+        "max_len",
+    )
+
+
+SQL_LENGTH_QUANTILES = f"""
+SELECT lang,
+       count(*) AS n_docs,
+       {R6('quantile_cont(CAST(length(text) AS DOUBLE), 0.25)')} AS p25,
+       {R6('quantile_cont(CAST(length(text) AS DOUBLE), 0.5)')} AS p50,
+       {R6('quantile_cont(CAST(length(text) AS DOUBLE), 0.75)')} AS p75,
+       min(CAST(length(text) AS DOUBLE)) AS min_len,
+       max(CAST(length(text) AS DOUBLE)) AS max_len
+FROM documents
+GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
