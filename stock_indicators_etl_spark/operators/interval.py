@@ -87,9 +87,13 @@ def interval_join(
     if how == "inner":
         return pts.join(ivals, [*keys, "_bucket"]).filter(contained).drop("_bucket")
     # left: match on an internal row id so duplicate point rows keep
-    # their own output rows (the id never leaves this function)
+    # their own output rows (the id never leaves this function). The
+    # id is generated once and PINNED via persist: it is partition-
+    # order-dependent, and the two consumers below (match input and
+    # left side) must see identical ids even when the caller's plan
+    # contains a nondeterministically-ordered shuffle.
     ival_cols = [c for c in intervals.columns if c not in keys]
-    pts = pts.withColumn("_pid", F.monotonically_increasing_id())
+    pts = pts.withColumn("_pid", F.monotonically_increasing_id()).persist()
     matched = (
         pts.join(ivals, [*keys, "_bucket"])
         .filter(contained)
