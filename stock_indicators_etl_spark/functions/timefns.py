@@ -40,13 +40,22 @@ def market_bounds_ns(
     )
 
 
-def epoch_ns(ts_col: Column | str) -> Column:
-    """TimestampType column → int64 epoch nanoseconds.
+def epoch_ns(ts_col: Column | str, is_ntz: bool = False) -> Column:
+    """Timestamp column → int64 epoch nanoseconds.
 
     Spark timestamps carry microsecond precision, so this is exact.
+    Pass ``is_ntz=True`` for TIMESTAMP_NTZ columns (``unix_micros``
+    rejects them); the NTZ-to-NTZ ``timestamp_diff`` form is
+    session-timezone independent, matching DuckDB's ``epoch_ns`` of
+    the same naive value.
     """
     c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
-    return (F.unix_micros(c) * F.lit(1000)).cast("long")
+    if is_ntz:
+        ntz_epoch = F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00"))
+        us = F.timestamp_diff("MICROSECOND", ntz_epoch, c)
+    else:
+        us = F.unix_micros(c)
+    return (us * F.lit(1000)).cast("long")
 
 
 def iso_week(date_col: Column | str) -> Column:

@@ -35,9 +35,23 @@ def market_hours_filter(
 
     Reference: ``stockdata/indicators.py:171-176`` with bounds from
     ``stockdata/utils.py:26-36`` (09:30–16:30 ET). Bounds are plain
-    long literals → Parquet predicate pushdown applies.
+    literals → Parquet predicate pushdown applies. If ``ws_col`` is a
+    timestamp (LTZ or NTZ) rather than int64 epoch-ns, the ns bounds
+    are converted to matching timestamp literals so the predicate
+    still pushes down to the scan as a timestamp range.
     """
     c = F.col(ws_col)
+    dt = dict(df.dtypes).get(ws_col, "bigint")
+    if dt in ("timestamp", "timestamp_ntz"):
+        if dt == "timestamp_ntz":
+            # naive-UTC wall-time bounds, independent of session tz
+            ntz_epoch = F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00"))
+            lo = F.timestamp_add("MICROSECOND", F.lit(lower_ns // 1000), ntz_epoch)
+            hi = F.timestamp_add("MICROSECOND", F.lit(upper_ns // 1000), ntz_epoch)
+        else:
+            lo = F.timestamp_micros(F.lit(lower_ns // 1000))
+            hi = F.timestamp_micros(F.lit(upper_ns // 1000))
+        return df.filter((c >= lo) & (c < hi))
     return df.filter((c >= F.lit(lower_ns)) & (c < F.lit(upper_ns)))
 
 

@@ -71,19 +71,29 @@ def R4(expr: str) -> str:
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ns`` = int64 epoch-ns event time.
 
-    The events parquet stores TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` the ``ts`` column arrives
-    as int64 epoch-ns directly (≡ DuckDB ``epoch_ns(ts)``).
+    Handles every ``ts`` physical type the testdata has shipped with:
+
+    - int64 (TIMESTAMP(NANOS) parquet read under
+      ``spark.sql.legacy.parquet.nanosAsLong``): epoch-ns directly,
+      truncated to µs (DuckDB reads TIMESTAMP_NS parquet as
+      µs-TIMESTAMP, so its ``epoch_ns(ts)`` is µs-truncated too);
+    - TIMESTAMP_NTZ (µs parquet, isAdjustedToUTC=false — Spark 4's
+      ``inferTimestampNTZ`` default): ``timestampdiff`` from the NTZ
+      epoch, which is session-timezone independent and equals DuckDB's
+      ``epoch_ns`` of the same naive value;
+    - TIMESTAMP (LTZ): ``unix_micros``, also tz-independent.
     """
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(e.dtypes)["ts"]
-    # truncate to microsecond precision: DuckDB reads TIMESTAMP_NS
-    # parquet as us-TIMESTAMP, so epoch_ns(ts) is us-truncated there
-    ns = (
-        F.expr("ts DIV 1000") * F.lit(1000)
-        if ts_type == "bigint"
-        else F.unix_micros("ts") * F.lit(1000)
-    )
+    if ts_type == "bigint":
+        ns = F.expr("ts DIV 1000") * F.lit(1000)
+    elif ts_type == "timestamp_ntz":
+        ns = (
+            F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+            * F.lit(1000)
+        )
+    else:
+        ns = F.unix_micros("ts") * F.lit(1000)
     return e.withColumn("ns", ns.cast("long"))
 
 
@@ -1597,7 +1607,11 @@ def q_scalar_timefns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _events(spark, sf_dir)
-    d = F.to_date(F.timestamp_micros(F.expr("ns DIV 1000")))
+    # NTZ-based date: session-timezone independent, matches DuckDB's
+    # CAST(ts AS DATE) on the naive stored value.
+    d = F.to_date(
+        F.expr("timestampadd(MICROSECOND, ns DIV 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')")
+    )
     yyyy, mm, dd = date_parts(d)
     return e.select(
         "event_id",
