@@ -138,7 +138,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver (its report caps at 50 entries) but still bit-exact-checked
     locally via ``scripts/check_oracle.py --extras``."""
     from stock_indicators_etl_spark.queries import q_asof_join, q_interval_join
-    from stock_indicators_etl_spark.queries_llm import q_length_quantiles
+    from stock_indicators_etl_spark.queries_llm import (
+        q_bm25_topk,
+        q_chunk_documents,
+        q_length_quantiles,
+    )
 
     q = {
         "rsi_wilder": _q_recursive(["rsi"]),
@@ -148,6 +152,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "length_quantiles": q_length_quantiles,
+        "bm25_topk": q_bm25_topk,
+        "chunk_documents": q_chunk_documents,
     }
     return {name: _conf_wrapped(fn) for name, fn in q.items()}
 
@@ -161,7 +167,11 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_MACDFIX_HIST,
         SQL_RSI_WILDER,
     )
-    from stock_indicators_etl_spark.queries_llm import SQL_LENGTH_QUANTILES
+    from stock_indicators_etl_spark.queries_llm import (
+        SQL_BM25_TOPK,
+        SQL_CHUNK_DOCUMENTS,
+        SQL_LENGTH_QUANTILES,
+    )
 
     return {
         "rsi_wilder": SQL_RSI_WILDER,
@@ -171,4 +181,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "asof_join": SQL_ASOF_JOIN,
         "interval_join": SQL_INTERVAL_JOIN,
         "length_quantiles": SQL_LENGTH_QUANTILES,
+        "bm25_topk": SQL_BM25_TOPK,
+        "chunk_documents": SQL_CHUNK_DOCUMENTS,
     }

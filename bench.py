@@ -58,7 +58,18 @@ def run() -> None:
 
     # bench EVERY driver query (VERDICT r2 #4: cover the whole green
     # surface) — the registry itself is the headline list, so a new
-    # queries() entry is automatically benchmarked.
+    # queries() entry is automatically benchmarked. The extras
+    # registry (oracle-checked via check_oracle.py --extras; kept off
+    # the driver's 50-entry report) is benchmarked too, EXCEPT the
+    # four single-feature recursive variants whose kernels already run
+    # inside recursive_family — re-timing subsets of the same fused
+    # mapInPandas stage would quadruple suite time without measuring
+    # new work.
+    if hasattr(entry_mod, "extra_queries"):
+        _dup_kernels = {"rsi_wilder", "cmo_wilder", "macdfix_hist", "adx_family"}
+        for _name, _fn in entry_mod.extra_queries().items():
+            if _name not in queries and _name not in _dup_kernels:
+                queries[_name] = _fn
     headline = list(queries)
 
     timings: dict[str, float] = {}

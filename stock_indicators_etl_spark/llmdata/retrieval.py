@@ -1,0 +1,201 @@
+"""Lexical retrieval + context packing for training-data pipelines.
+
+- :func:`bm25_topk` — BM25-ranked top-k document retrieval for a set
+  of queries, built as an inverted-index (term-postings) join — the
+  lexical complement to the embedding ANN operators in
+  :mod:`.similarity`. No per-row Python anywhere; one wide shuffle.
+- :func:`chunk_documents` — split each document's token stream into
+  fixed-size overlapping windows (training-context packing: long
+  documents become model-context-sized chunks with ``stride`` overlap
+  so no boundary information is lost). Pure generator expressions —
+  embarrassingly parallel, zero shuffles.
+
+Scale notes (100 TB):
+
+- ``bm25_topk``'s only full-width shuffle is the ``groupBy(doc_id,
+  term)`` term-frequency aggregate, which is map-side combinable; the
+  per-doc length rides through that same shuffle as a ``max``
+  aggregate instead of requiring a second exchange or window. The
+  query-term table and the per-term idf table are broadcast (queries
+  are small by construction; idf rows = query vocabulary only, because
+  idf is joined after the postings are semi-joined down to query
+  terms). Corpus-wide stats (N, avgdl) are a one-row aggregate.
+- The final per-query ranking partitions by query id. With few
+  queries and a huge corpus that is a skew point — the same shape as
+  :func:`..similarity.cosine_topk` — so for production fan-out use
+  many queries per job (the partition count scales with |Q|), or cut
+  candidates first with ``min_score``.
+- ``chunk_documents`` never shuffles: chunking is per-row
+  ``sequence``/``explode``  — scan-local, so it inherits the input's
+  partitioning and parallelism.
+
+Cross-engine determinism (driver oracle contract): per-(query, doc)
+score sums run as a left fold over term-sorted contribution lists
+(``aggregate(sort_array(collect_list(...)))`` ≡ DuckDB
+``list_reduce(list(... ORDER BY term))``), so IEEE summation order is
+pinned. idf values are quantized to 6dp *before* scoring because JVM
+``Math.log`` and libm ``ln`` can differ by 1 ulp (measured ~2% of
+inputs); every other operation is exact-field IEEE arithmetic on
+identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from stock_indicators_etl_spark.llmdata.text import norm_text, words
+
+#: BM25 free parameters (Robertson/Sparck-Jones defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _r6(c):
+    """6dp round-half-up, the repo-wide cross-engine float convention."""
+    return F.floor(c * F.lit(1_000_000.0) + F.lit(0.5)) / F.lit(1_000_000.0)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """Top-k BM25-scored documents per query (Lucene-style idf).
+
+    ``score(q, d) = Σ_{t ∈ q∩d} idf(t) · tf·(k1+1) /
+    (tf + k1·(1−b + b·dl/avgdl))`` with
+    ``idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)`` (always ≥ 0).
+
+    Plan: one map-side-combinable ``groupBy(doc_id, term)`` builds the
+    postings (tf) with the doc length carried through as ``max(dl)``;
+    postings are then broadcast-semi-joined to the query terms, scored
+    with broadcast idf, folded per (query, doc) in term order, and
+    ranked per query with a deterministic (score desc, doc_id asc)
+    tie-break. Tokenization is :func:`..text.words` (lower + trim +
+    whitespace split) — the same convention every text operator here
+    uses.
+    """
+    ws = words(F.col(text_col))
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(ws).alias("dl"),
+        F.explode(ws).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+
+    stats = docs.select(F.size(words(F.col(text_col))).alias("nw")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nw").alias("total_tokens"),
+    )
+
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(words(F.col(query_text_col)))).alias("term"),
+    )
+
+    # df(t) over the full corpus, restricted to query vocabulary before
+    # the idf math so the broadcast side stays |query vocab|-sized.
+    dft = (
+        tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("dft"))
+    )
+    idf = dft.crossJoin(F.broadcast(stats)).select(
+        "term",
+        _r6(
+            F.log(
+                (F.col("n_docs") - F.col("dft") + F.lit(0.5))
+                / (F.col("dft") + F.lit(0.5))
+                + F.lit(1.0)
+            )
+        ).alias("idf"),
+    )
+
+    contrib = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "avgdl",
+            F.col("total_tokens").cast("double") / F.col("n_docs").cast("double"),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        _r6(
+            F.expr(
+                "aggregate(sort_array(collect_list(struct(term, contrib))), "
+                "cast(0.0 as double), (acc, x) -> acc + x.contrib)"
+            )
+        ).alias("score")
+    )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "doc_id", "score")
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunks per document.
+
+    Chunk ``i`` covers tokens ``[i·stride, i·stride + chunk_tokens)``
+    for every start offset ``< n_tokens`` (so trailing tokens always
+    appear in at least one chunk; with ``stride < chunk_tokens``
+    consecutive chunks overlap by ``chunk_tokens − stride`` tokens).
+    Emits the chunk's token count and an md5 fingerprint of its
+    re-joined text rather than the text itself — rows stay narrow, and
+    the fingerprint is what downstream chunk-level dedup keys on.
+
+    Scan-local per-row expressions only (``sequence`` + ``explode`` +
+    ``slice``): no shuffle, no UDF.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    ws = words(F.col(text_col))
+    n = F.size(ws)
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - F.lit(1), F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        ws.alias("ws"),
+        n.alias("n_tokens_doc"),
+        F.explode(starts).alias("start"),
+    )
+    chunk = F.slice(F.col("ws"), F.col("start") + F.lit(1), F.lit(chunk_tokens))
+    return exploded.select(
+        "doc_id",
+        (F.col("start") / F.lit(stride)).cast("int").alias("chunk_id"),
+        F.col("start").cast("long").alias("start"),
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )

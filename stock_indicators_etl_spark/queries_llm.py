@@ -1024,6 +1024,129 @@ GROUP BY lang
 
 
 # ---------------------------------------------------------------------------
+# lexical retrieval + context packing (llmdata/retrieval.py; extras —
+# the driver report caps at 50 entries, so these are checked via
+# `scripts/check_oracle.py --extras` like the recursive singles)
+# ---------------------------------------------------------------------------
+
+BM25_TOPK = 10
+BM25_NQ = 3  # docs with doc_id < BM25_NQ serve as the query set
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval: the first three documents act as
+    queries against the whole corpus (inverted-index join; see
+    :func:`..llmdata.retrieval.bm25_topk` for the plan shape)."""
+    from stock_indicators_etl_spark.llmdata.retrieval import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id") < BM25_NQ).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25_topk(docs, queries, k=BM25_TOPK)
+
+
+# The oracle replays the identical semantics: same tokenization CTE,
+# idf quantized to 6dp before scoring (JVM log vs libm ln differ by
+# 1 ulp on ~2% of inputs), per-(query, doc) sum as a term-ordered left
+# fold, rank by (score desc, doc_id asc). Constants are formatted from
+# the same Python doubles the Spark plan embeds, so both engines parse
+# bit-identical literals.
+def _sql_bm25_topk() -> str:
+    from stock_indicators_etl_spark.llmdata.retrieval import BM25_B, BM25_K1
+
+    k1p1 = repr(BM25_K1 + 1.0)
+    k1 = repr(BM25_K1)
+    one_minus_b = repr(1.0 - BM25_B)
+    b = repr(BM25_B)
+    return f"""
+WITH {DOCS_CTE},
+toks AS (
+  SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM wd
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+  FROM toks GROUP BY doc_id, term
+),
+stats AS (
+  SELECT count(*) AS n_docs,
+         sum(len(ws)) AS total_tokens,
+         CAST(sum(len(ws)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM wd
+),
+qterms AS (
+  SELECT doc_id AS query_id, unnest(list_distinct(ws)) AS term
+  FROM wd WHERE doc_id < {BM25_NQ}
+),
+dft AS (
+  SELECT term, count(*) AS dft FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY term
+),
+idf AS (
+  SELECT term,
+         {R6('ln((n_docs - dft + 0.5) / (dft + 0.5) + 1.0)')} AS idf
+  FROM dft, stats
+),
+contrib AS (
+  SELECT q.query_id, t.doc_id, t.term,
+         i.idf * (t.tf * {k1p1})
+           / (t.tf + {k1} * ({one_minus_b} + {b} * t.dl / s.avgdl)) AS contrib
+  FROM tf t
+  JOIN qterms q USING (term)
+  JOIN idf i USING (term)
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT query_id, doc_id,
+         {R6('list_reduce(list_prepend(0.0, list(contrib ORDER BY term)), (x, y) -> x + y)')} AS score
+  FROM contrib GROUP BY query_id, doc_id
+),
+rk AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, rk, doc_id, score FROM rk WHERE rk <= {BM25_TOPK}
+"""
+
+
+SQL_BM25_TOPK = _sql_bm25_topk()
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window context packing: every document split into
+    64-token chunks at stride 48 (16-token overlap), emitting the
+    chunk fingerprint — zero-shuffle scan-local generators."""
+    from stock_indicators_etl_spark.llmdata.retrieval import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=CHUNK_TOKENS, stride=CHUNK_STRIDE
+    )
+
+
+SQL_CHUNK_DOCUMENTS = f"""
+WITH {DOCS_CTE},
+st AS (
+  SELECT doc_id, ws,
+         unnest(CASE WHEN len(ws) > 0
+                     THEN generate_series(0, len(ws) - 1, {CHUNK_STRIDE})
+                     ELSE [] END) AS start
+  FROM wd
+)
+SELECT doc_id,
+       CAST(start // {CHUNK_STRIDE} AS INT) AS chunk_id,
+       start,
+       CAST(len(list_slice(ws, start + 1, start + {CHUNK_TOKENS})) AS INT) AS n_tokens,
+       md5(array_to_string(list_slice(ws, start + 1, start + {CHUNK_TOKENS}), ' ')) AS chunk_hash
+FROM st
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 

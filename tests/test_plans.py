@@ -193,3 +193,31 @@ def test_embedding_neardup_no_cartesian(spark):
     plan = plan_of(embedding_neardup_pairs(emb, threshold=0.5))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_documents_is_scan_local(spark):
+    """Context packing must compile to per-row generators over the
+    scan — no Exchange, no Window, no Python stage."""
+    from stock_indicators_etl_spark.llmdata.retrieval import chunk_documents
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(chunk_documents(docs))
+    assert count_nodes(plan, "Exchange") == 0
+    assert "ArrowEvalPython" not in plan and "Window" not in plan
+
+
+def test_bm25_broadcasts_query_side(spark):
+    """BM25's inverted-index joins must broadcast the query-term and
+    idf tables (never shuffle the postings for them), and never fall
+    back to a nested-loop join."""
+    from stock_indicators_etl_spark.llmdata.retrieval import bm25_topk
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    plan = plan_of(bm25_topk(docs, queries))
+    assert count_nodes(plan, "BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

@@ -1,0 +1,124 @@
+"""Unit tests for lexical retrieval + context packing
+(`llmdata/retrieval.py`): BM25 known-answer vs a plain-Python
+replica, chunk coverage/overlap invariants."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from stock_indicators_etl_spark.llmdata.retrieval import (
+    BM25_B,
+    BM25_K1,
+    bm25_topk,
+    chunk_documents,
+)
+
+DOCS = [
+    (0, "spark shuffles data across the cluster"),
+    (1, "spark broadcasts small tables to every executor"),
+    (2, "the cluster schedules tasks on executors"),
+    (3, "data skew makes one task slow"),
+    (4, "completely unrelated words about cooking pasta"),
+    (5, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+
+
+def _py_bm25(query_terms: set[str], k1=BM25_K1, b=BM25_B) -> dict[int, float]:
+    """Reference BM25 over DOCS with the module's exact conventions."""
+    toks = {d: t.lower().split() for d, t in DOCS}
+    n_docs = len(DOCS)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    dft: dict[str, int] = {}
+    for t in toks.values():
+        for term in set(t):
+            dft[term] = dft.get(term, 0) + 1
+    scores: dict[int, float] = {}
+    for d, t in toks.items():
+        s = 0.0
+        # term-sorted order, matching the operator's sorted left fold
+        for term in sorted(set(t) & query_terms):
+            tf = t.count(term)
+            idf = math.log((n_docs - dft[term] + 0.5) / (dft[term] + 0.5) + 1.0)
+            idf = math.floor(idf * 1e6 + 0.5) / 1e6
+            s += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * len(t) / avgdl)
+            )
+        if s > 0:
+            scores[d] = math.floor(s * 1e6 + 0.5) / 1e6
+    return scores
+
+
+def test_bm25_matches_python_replica(spark, docs):
+    queries = spark.createDataFrame(
+        pd.DataFrame({"query_id": [100], "text": ["spark cluster data"]})
+    )
+    out = bm25_topk(docs, queries, k=10).toPandas()
+    expect = _py_bm25({"spark", "cluster", "data"})
+    got = {r.doc_id: r.score for r in out.itertuples()}
+    assert got == pytest.approx(expect, abs=2e-6)
+    # ranking: score desc, doc_id asc
+    ranked = out.sort_values("rk")
+    assert list(ranked.score) == sorted(ranked.score, reverse=True)
+
+
+def test_bm25_self_retrieval_ranks_self_first(spark, docs):
+    queries = docs.filter("doc_id = 1").selectExpr("doc_id as query_id", "text")
+    out = bm25_topk(docs, queries, k=3).toPandas()
+    assert out[out.rk == 1].iloc[0].doc_id == 1
+
+
+def test_bm25_empty_query_and_no_match(spark, docs):
+    queries = spark.createDataFrame(
+        pd.DataFrame({"query_id": [7, 8], "text": ["", "zzz qqq"]})
+    )
+    out = bm25_topk(docs, queries, k=5).toPandas()
+    assert len(out) == 0  # no overlapping terms → no rows
+
+
+def test_chunks_cover_all_tokens_with_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": [text]}))
+    out = (
+        chunk_documents(df, chunk_tokens=10, stride=6)
+        .toPandas()
+        .sort_values("chunk_id")
+    )
+    # starts at 0, 6, 12, 18, 24 (< 25 tokens)
+    assert list(out.start) == [0, 6, 12, 18, 24]
+    assert list(out.n_tokens) == [10, 10, 10, 7, 1]
+    # consecutive chunks overlap by chunk_tokens - stride = 4
+    assert out.iloc[0].n_tokens + out.iloc[1].start - out.iloc[1].n_tokens <= 10
+
+
+def test_chunk_short_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["just three tokens", ""]})
+    )
+    out = chunk_documents(df, chunk_tokens=64, stride=48).toPandas()
+    assert len(out) == 1  # empty doc emits nothing
+    r = out.iloc[0]
+    assert (r.doc_id, r.chunk_id, r.start, r.n_tokens) == (0, 0, 0, 3)
+
+
+def test_chunk_hash_keys_dedup(spark):
+    # identical chunk content → identical fingerprint across docs
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["a b c", "a b c"]})
+    )
+    out = chunk_documents(df, chunk_tokens=8, stride=8).toPandas()
+    assert out.chunk_hash.nunique() == 1
+
+
+def test_chunk_rejects_bad_params(spark, docs):
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, stride=-1)
