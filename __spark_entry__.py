@@ -141,6 +141,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from stock_indicators_etl_spark.queries_llm import (
         q_bm25_topk,
         q_chunk_documents,
+        q_kmeans,
         q_length_quantiles,
     )
 
@@ -154,6 +155,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,
         "bm25_topk": q_bm25_topk,
         "chunk_documents": q_chunk_documents,
+        "kmeans": q_kmeans,
     }
     return {name: _conf_wrapped(fn) for name, fn in q.items()}
 
@@ -170,6 +172,7 @@ def extra_oracle_sql() -> dict[str, str]:
     from stock_indicators_etl_spark.queries_llm import (
         SQL_BM25_TOPK,
         SQL_CHUNK_DOCUMENTS,
+        SQL_KMEANS,
         SQL_LENGTH_QUANTILES,
     )
 
@@ -183,4 +186,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "length_quantiles": SQL_LENGTH_QUANTILES,
         "bm25_topk": SQL_BM25_TOPK,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
+        "kmeans": SQL_KMEANS,
     }

@@ -1,0 +1,195 @@
+"""DataFrame-native k-means (Lloyd) over an embedding column.
+
+Semantic clustering is the backbone of modern training-data curation
+(cluster-based diversity sampling, SemDeDup-style within-cluster
+near-dedup, domain balancing); this implements it with the same
+Spark-first discipline as the ANN operators in :mod:`.similarity`:
+
+- **assignment** is one scan-local pass: the k×d centroid matrix is
+  embedded as array literals (one ``F.lit`` per centroid row — the
+  IVF lesson: 2-D ``F.lit`` recursion costs ~1 s of py4j plan-build)
+  and each row evaluates a single ``transform``/``array_min`` lambda
+  tree. No shuffle, no row expansion, no Python stage.
+- **update** (centroid recomputation) is a ``posexplode`` to
+  (cluster, dim, value) rows and one map-side-combinable
+  ``groupBy(cluster, dim)``; the result is k·d rows collected to the
+  driver (bounded by design, like IVF's centroid sample) and embedded
+  as the next iteration's literals. Per-iteration cost at 100 TB:
+  one combinable shuffle of d·N narrow rows; the driver only ever
+  holds k·d doubles.
+
+Determinism / oracle contract: init is the k vectors with the
+smallest ids (``TakeOrderedAndProject``, not a global sort); L2² runs
+as a left fold in index order; with ``exact_update=True`` the
+centroid sums fold in vec_id order (``aggregate(sort_array(
+collect_list(...)))`` ≡ DuckDB ``list_reduce(list(val ORDER BY
+vec_id))``), making every iteration — and therefore the final
+assignment — bit-identical to the pure-SQL replay. The default
+``exact_update=False`` uses plain ``sum()`` (order-free partial
+aggregation, the 100 TB path); means differ from the exact path only
+by IEEE summation order. Empty clusters keep their previous centroid.
+Ties (equal distance) resolve to the lowest cluster index.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from stock_indicators_etl_spark.llmdata.similarity import _as_double
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Left-fold squared L2 distance — deterministic summation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exact_update: bool = False,
+) -> DataFrame:
+    """Lloyd k-means: ``iters`` assign→update rounds from a
+    deterministic first-``k``-ids init, returning the assignment
+    under the final centroids as ``(vec_id, cluster, dist2)``.
+    """
+    import numpy as np
+
+    if k <= 0 or iters < 0:
+        raise ValueError("k must be positive and iters non-negative")
+
+    init_rows = (
+        embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+        .orderBy(F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    cents: list[list[float]] = [list(r["v"]) for r in init_rows]
+
+    def _assigned(cents: list[list[float]]) -> DataFrame:
+        CENT = F.array(*[F.lit(np.asarray(c, dtype=np.float64)) for c in cents])
+        pairs = F.transform(
+            F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+            lambda j: F.struct(
+                _l2sq(F.col("_v"), F.element_at(CENT, j + 1)).alias("d"),
+                j.alias("j"),
+            ),
+        )
+        best = F.array_min(pairs)
+        return embeddings.select(
+            F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("_v")
+        ).select(
+            "vec_id",
+            "_v",
+            best["j"].alias("cluster"),
+            best["d"].alias("dist2"),
+        )
+
+    for _ in range(iters):
+        a = _assigned(cents)
+        expl = a.select(
+            "vec_id", "cluster", F.posexplode("_v").alias("dim", "val")
+        )
+        if exact_update:
+            s = F.expr(
+                "aggregate(sort_array(collect_list(struct(vec_id, val))), "
+                "cast(0.0 as double), (acc, x) -> acc + x.val)"
+            )
+        else:
+            s = F.sum("val")
+        upd = (
+            expl.groupBy("cluster", "dim")
+            .agg(s.alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        means: dict[tuple[int, int], float] = {
+            (r["cluster"], r["dim"]): r["s"] / float(r["cnt"]) for r in upd
+        }
+        cents = [
+            [means.get((j, d), cents[j][d]) for d in range(len(cents[j]))]
+            for j in range(len(cents))
+        ]
+
+    return _assigned(cents).select("vec_id", "cluster", "dist2")
+
+
+def kmeans_centroid_stats(assignments: DataFrame) -> DataFrame:
+    """Cluster sizes + mean within-cluster distance (curation signal:
+    tight clusters → near-dup candidates, huge loose clusters →
+    boilerplate). One combinable shuffle."""
+    return assignments.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dist2").alias("mean_dist2"),
+    )
+
+
+def sql_kmeans_oracle(
+    k: int = 8, iters: int = 2, dim: int = 64, r6=None
+) -> str:
+    """DuckDB replay of :func:`kmeans_assign` with
+    ``exact_update=True``: identical init, fold orders, tie-breaks and
+    empty-cluster rule, unrolled per iteration as CTE chains."""
+    d2 = (
+        "list_reduce(list_prepend(0.0, list_transform(generate_series(1, {dim}), "
+        "i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))), (x, y) -> x + y)"
+    ).format(dim=dim)
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})
+)""",
+    ]
+    for t in range(1, iters + 2):
+        prev = f"c{t - 1}"
+        parts.append(
+            f"""s{t} AS (
+  SELECT e.vec_id, c.cl, {d2} AS d2 FROM e CROSS JOIN {prev} c
+)"""
+        )
+        parts.append(
+            f"""a{t} AS (
+  SELECT vec_id, cl, d2 FROM (
+    SELECT vec_id, cl, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) AS rn
+    FROM s{t}) WHERE rn = 1
+)"""
+        )
+        if t == iters + 1:
+            break  # final assignment — no further update
+        parts.append(
+            f"""u{t} AS (
+  SELECT cl, i,
+         list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)), (x, y) -> x + y) AS s,
+         count(*) AS cnt
+  FROM (SELECT vec_id, cl, i, v[i] AS val
+        FROM (SELECT a.vec_id, a.cl, e.v, unnest(generate_series(1, {dim})) AS i
+              FROM a{t} a JOIN e USING (vec_id)))
+  GROUP BY cl, i
+)"""
+        )
+        parts.append(
+            f"""c{t} AS (
+  SELECT g.cl, list(COALESCE(u.s / CAST(u.cnt AS DOUBLE), g.pvv) ORDER BY g.i) AS v
+  FROM (SELECT cl, i, pv[i] AS pvv
+        FROM (SELECT cl, v AS pv, unnest(generate_series(1, {dim})) AS i FROM {prev})) g
+  LEFT JOIN u{t} u ON u.cl = g.cl AND u.i = g.i
+  GROUP BY g.cl
+)"""
+        )
+    score = r6("d2") if r6 else "d2"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vec_id, CAST(cl AS INT) AS cluster, {score} AS dist2 "
+        f"FROM a{iters + 1}"
+    )

@@ -1145,6 +1145,31 @@ SELECT doc_id,
 FROM st
 """
 
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means assignments over the embeddings table
+    (``exact_update=True`` so the iteration is bit-replayable by the
+    pure-SQL oracle; production default is the order-free ``sum()``
+    update — see :mod:`..llmdata.clustering`)."""
+    from stock_indicators_etl_spark.llmdata.clustering import kmeans_assign
+
+    out = kmeans_assign(
+        _emb(spark, sf_dir), k=KMEANS_K, iters=KMEANS_ITERS, exact_update=True
+    )
+    return out.withColumn("dist2", _rc(F.col("dist2")))
+
+
+def _sql_kmeans() -> str:
+    from stock_indicators_etl_spark.llmdata.clustering import sql_kmeans_oracle
+
+    return sql_kmeans_oracle(k=KMEANS_K, iters=KMEANS_ITERS, dim=64, r6=R6)
+
+
+SQL_KMEANS = _sql_kmeans()
+
 
 # ---------------------------------------------------------------------------
 # registry

@@ -1,0 +1,102 @@
+"""Unit tests for DataFrame-native Lloyd k-means
+(`llmdata/clustering.py`): known-answer on a separable toy set,
+determinism of init/ties, empty-cluster rule."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from stock_indicators_etl_spark.llmdata.clustering import (
+    kmeans_assign,
+    kmeans_centroid_stats,
+)
+
+# two tight groups on a line: {0.0, 0.1, 0.2} and {10.0, 10.1, 10.2}
+VECS = [
+    (0, [0.0, 0.0]),
+    (1, [0.1, 0.0]),
+    (2, [0.2, 0.0]),
+    (3, [10.0, 0.0]),
+    (4, [10.1, 0.0]),
+    (5, [10.2, 0.0]),
+]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(VECS, columns=["vec_id", "embedding"])
+    )
+
+
+def test_two_well_separated_clusters(spark, emb):
+    out = kmeans_assign(emb, k=2, iters=3).toPandas().set_index("vec_id")
+    # init = vecs 0 and 1 (both in the left group); after updates the
+    # centroids must split the two groups cleanly
+    left = {out.loc[i].cluster for i in (0, 1, 2)}
+    right = {out.loc[i].cluster for i in (3, 4, 5)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+    # members of a tight cluster sit near its centroid
+    assert out.loc[4].dist2 < 0.1
+
+
+def test_zero_iters_assigns_to_init_vectors(spark, emb):
+    out = kmeans_assign(emb, k=2, iters=0).toPandas().set_index("vec_id")
+    # centroids are exactly vectors 0 and 1; vec 0 must land on
+    # cluster 0 with dist 0, vec 1 on cluster 1 with dist 0
+    assert out.loc[0].cluster == 0 and out.loc[0].dist2 == 0.0
+    assert out.loc[1].cluster == 1 and out.loc[1].dist2 == 0.0
+    # vec 2 at 0.2 is nearer c1 (0.1 away) than c0 (0.2 away)
+    assert out.loc[2].cluster == 1
+
+
+def test_exact_tie_breaks_to_lower_cluster_index(spark):
+    # a vector exactly midway between the two init centroids must land
+    # on the lower cluster index
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, [0.0]), (1, [1.0]), (2, [0.5])],
+            columns=["vec_id", "embedding"],
+        )
+    )
+    out = kmeans_assign(df, k=2, iters=0).toPandas().set_index("vec_id")
+    assert out.loc[2].cluster == 0
+
+
+def test_exact_update_matches_plain_sum_on_small_data(spark, emb):
+    a = kmeans_assign(emb, k=2, iters=2, exact_update=True).toPandas()
+    b = kmeans_assign(emb, k=2, iters=2, exact_update=False).toPandas()
+    # on 6 tiny vectors both summation orders give identical clusters
+    assert a.sort_values("vec_id").cluster.tolist() == b.sort_values(
+        "vec_id"
+    ).cluster.tolist()
+
+
+def test_empty_cluster_keeps_previous_centroid(spark):
+    # k=2 init on vecs 0,1 (identical!) → every point nearer c0 (tie →
+    # lower index), cluster 1 empties; its centroid must stay put, not
+    # NaN out, and the run must still complete
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, [0.0]), (1, [0.0]), (2, [5.0])],
+            columns=["vec_id", "embedding"],
+        )
+    )
+    out = kmeans_assign(df, k=2, iters=2).toPandas()
+    assert not out.dist2.isna().any()
+    assert len(out) == 3
+
+
+def test_centroid_stats(spark, emb):
+    a = kmeans_assign(emb, k=2, iters=3)
+    stats = kmeans_centroid_stats(a).toPandas().set_index("cluster")
+    assert stats.n.sum() == 6
+    assert (stats.n == 3).all()
+
+
+def test_rejects_bad_params(spark, emb):
+    with pytest.raises(ValueError):
+        kmeans_assign(emb, k=0)
+    with pytest.raises(ValueError):
+        kmeans_assign(emb, iters=-1)
