@@ -82,11 +82,23 @@ def bm25_topk(
     whitespace split) — the same convention every text operator here
     uses.
     """
-    ws = words(F.col(text_col))
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(ws).alias("dl"),
-        F.explode(ws).alias("term"),
+    # materialize the words array BEFORE the explode (DESIGN §4.11: no
+    # CSE around generators/lambdas — exploding `words(text)` directly
+    # re-runs the normalize+split regex per emitted token, measured
+    # ~8× on this projection at sf0.1) and fan the scan out first (a
+    # single-file local read arrives as one partition; at cluster
+    # scale the source is already partitioned and the repartition is a
+    # no-op branch, not a plan change)
+    pre = docs.select(
+        F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("_w")
+    )
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if pre.rdd.getNumPartitions() < target:
+        pre = pre.repartition(target)
+    toks = pre.select(
+        "doc_id",
+        F.size(F.col("_w")).alias("dl"),
+        F.explode(F.col("_w")).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
