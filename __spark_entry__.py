@@ -143,6 +143,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_chunk_documents,
         q_kmeans,
         q_length_quantiles,
+        q_semantic_neardup,
     )
 
     q = {
@@ -156,6 +157,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "chunk_documents": q_chunk_documents,
         "kmeans": q_kmeans,
+        "semantic_neardup": q_semantic_neardup,
     }
     return {name: _conf_wrapped(fn) for name, fn in q.items()}
 
@@ -174,6 +176,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_CHUNK_DOCUMENTS,
         SQL_KMEANS,
         SQL_LENGTH_QUANTILES,
+        SQL_SEMANTIC_NEARDUP,
     )
 
     return {
@@ -187,4 +190,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "bm25_topk": SQL_BM25_TOPK,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "kmeans": SQL_KMEANS,
+        "semantic_neardup": SQL_SEMANTIC_NEARDUP,
     }

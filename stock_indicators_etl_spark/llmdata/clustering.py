@@ -122,6 +122,75 @@ def kmeans_assign(
     return _assigned(cents).select("vec_id", "cluster", "dist2")
 
 
+def semantic_neardup_pairs(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exact_update: bool = False,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicates: k-means partitions the
+    corpus, then cosine similarity is computed ONLY within clusters —
+    the all-pairs O(N²) drops to Σ|cluster|², and the cluster self-join
+    is an equi-join on the cluster id (shuffle-hash/SMJ on a key, never
+    a cartesian).
+
+    At 100 TB the knob is ``k``: cluster size ~N/k bounds the per-key
+    pair fan-out, and ``max_cluster_size`` hard-caps it (oversized
+    clusters — boilerplate sinks — are dropped from pairing, the same
+    guard discipline as LSH's ``max_bucket_size``). Output:
+    ``(cluster, vec_a, vec_b, cosine)`` with ``vec_a < vec_b``,
+    deterministic and oracle-replayable when ``exact_update=True``.
+    """
+    assign = kmeans_assign(
+        embeddings,
+        k=k,
+        iters=iters,
+        vec_col=vec_col,
+        id_col=id_col,
+        exact_update=exact_update,
+    ).select("vec_id", "cluster")
+    if max_cluster_size is not None:
+        sizes = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("_n"))
+        assign = (
+            assign.join(F.broadcast(sizes), "cluster")
+            .filter(F.col("_n") <= max_cluster_size)
+            .drop("_n")
+        )
+    v = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    from stock_indicators_etl_spark.llmdata.similarity import _dot
+
+    side = assign.join(v, "vec_id").select(
+        "cluster", "vec_id", "_v", F.sqrt(_dot(F.col("_v"), F.col("_v"))).alias("_n")
+    )
+    a = side.select(
+        "cluster",
+        F.col("vec_id").alias("vec_a"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = side.select(
+        "cluster",
+        F.col("vec_id").alias("vec_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    pairs = a.join(b, "cluster").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = F.when(F.col("_na") * F.col("_nb") == 0, F.lit(0.0)).otherwise(
+        _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    )
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("cluster", "vec_a", "vec_b", "cosine")
+    )
+
+
 def kmeans_centroid_stats(assignments: DataFrame) -> DataFrame:
     """Cluster sizes + mean within-cluster distance (curation signal:
     tight clusters → near-dup candidates, huge loose clusters →
@@ -138,6 +207,54 @@ def sql_kmeans_oracle(
     """DuckDB replay of :func:`kmeans_assign` with
     ``exact_update=True``: identical init, fold orders, tie-breaks and
     empty-cluster rule, unrolled per iteration as CTE chains."""
+    parts, final = _kmeans_ctes(k, iters, dim)
+    score = r6("d2") if r6 else "d2"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vec_id, CAST(cl AS INT) AS cluster, {score} AS dist2 "
+        f"FROM {final}"
+    )
+
+
+def sql_semantic_neardup_oracle(
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    threshold: float = 0.7,
+    r6=None,
+) -> str:
+    """DuckDB replay of :func:`semantic_neardup_pairs` with
+    ``exact_update=True``: the k-means CTE chain, then a within-cluster
+    self-join scored with the same left-fold cosine as the
+    ``cosine_topk`` oracle."""
+    parts, final = _kmeans_ctes(k, iters, dim)
+    parts.append(
+        "nv AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)"
+    )
+    parts.append(
+        f"""p AS (
+  SELECT x.cl AS cluster, x.vec_id AS vec_a, y.vec_id AS vec_b,
+         CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+              ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END AS cosine
+  FROM {final} x
+  JOIN {final} y ON x.cl = y.cl AND x.vec_id < y.vec_id
+  JOIN nv a ON a.vec_id = x.vec_id
+  JOIN nv b ON b.vec_id = y.vec_id
+)"""
+    )
+    score = r6("cosine") if r6 else "cosine"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT CAST(cluster AS INT) AS cluster, vec_a, vec_b, {score} AS cosine "
+        f"FROM p WHERE cosine >= {threshold!r}"
+    )
+
+
+def _kmeans_ctes(k: int, iters: int, dim: int) -> tuple[list[str], str]:
+    """The shared Lloyd CTE chain; returns (parts, final-assignment
+    CTE name)."""
     d2 = (
         "list_reduce(list_prepend(0.0, list_transform(generate_series(1, {dim}), "
         "i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))), (x, y) -> x + y)"
@@ -186,10 +303,4 @@ def sql_kmeans_oracle(
   GROUP BY g.cl
 )"""
         )
-    score = r6("d2") if r6 else "d2"
-    return (
-        "WITH "
-        + ",\n".join(parts)
-        + f"\nSELECT vec_id, CAST(cl AS INT) AS cluster, {score} AS dist2 "
-        f"FROM a{iters + 1}"
-    )
+    return parts, f"a{iters + 1}"

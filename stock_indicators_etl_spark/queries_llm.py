@@ -1170,6 +1170,37 @@ def _sql_kmeans() -> str:
 
 SQL_KMEANS = _sql_kmeans()
 
+SEMDEDUP_THRESHOLD = 0.45
+
+
+def q_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup composition: k-means partition → within-cluster cosine
+    pairs above threshold (``exact_update=True`` for the oracle; the
+    production path uses order-free updates + ``max_cluster_size``)."""
+    from stock_indicators_etl_spark.llmdata.clustering import semantic_neardup_pairs
+
+    out = semantic_neardup_pairs(
+        _emb(spark, sf_dir),
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        threshold=SEMDEDUP_THRESHOLD,
+        exact_update=True,
+    )
+    return out.withColumn("cosine", _rc(F.col("cosine")))
+
+
+def _sql_semantic_neardup() -> str:
+    from stock_indicators_etl_spark.llmdata.clustering import (
+        sql_semantic_neardup_oracle,
+    )
+
+    return sql_semantic_neardup_oracle(
+        k=KMEANS_K, iters=KMEANS_ITERS, dim=64, threshold=SEMDEDUP_THRESHOLD, r6=R6
+    )
+
+
+SQL_SEMANTIC_NEARDUP = _sql_semantic_neardup()
+
 
 # ---------------------------------------------------------------------------
 # registry

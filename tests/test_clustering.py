@@ -100,3 +100,49 @@ def test_rejects_bad_params(spark, emb):
         kmeans_assign(emb, k=0)
     with pytest.raises(ValueError):
         kmeans_assign(emb, iters=-1)
+
+
+def test_semantic_neardup_blocks_by_cluster(spark):
+    from stock_indicators_etl_spark.llmdata.clustering import (
+        semantic_neardup_pairs,
+    )
+
+    # two tight groups; near-identical vectors inside each group
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (0, [1.0, 0.0]),
+                (1, [0.999, 0.01]),   # ~dup of 0
+                (2, [0.0, 1.0]),
+                (3, [0.01, 0.999]),   # ~dup of 2
+            ],
+            columns=["vec_id", "embedding"],
+        )
+    )
+    out = semantic_neardup_pairs(df, k=2, iters=2, threshold=0.9).toPandas()
+    got = {(r.vec_a, r.vec_b) for r in out.itertuples()}
+    # within-cluster near-dups found; the cross-cluster orthogonal
+    # pairs are never even scored
+    assert got == {(0, 1), (2, 3)}
+    assert (out.cosine > 0.99).all()
+
+
+def test_semantic_neardup_max_cluster_size_drops_big_clusters(spark):
+    from stock_indicators_etl_spark.llmdata.clustering import (
+        semantic_neardup_pairs,
+    )
+
+    # all six vectors collapse into one cluster of 4 + one of 2; a cap
+    # of 3 must drop the big cluster's pairs entirely
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, [0.0 + i * 1e-3, 1.0]) for i in range(4)]
+            + [(10, [100.0, 0.0]), (11, [100.0, 0.001])],
+            columns=["vec_id", "embedding"],
+        )
+    )
+    out = semantic_neardup_pairs(
+        df, k=2, iters=2, threshold=0.5, max_cluster_size=3
+    ).toPandas()
+    assert set(out.vec_a) <= {10}
+    assert set(out.vec_b) <= {11}
