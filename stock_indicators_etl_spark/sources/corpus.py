@@ -1,0 +1,94 @@
+"""Document-corpus sources/sinks (JSONL + sharded parquet).
+
+LLM training corpora interchange as JSON-Lines (one document object
+per line, gzip-friendly, append-only); this module reads them into
+the same ``documents`` schema the parquet testdata uses, with the
+malformed-line accounting a 100 TB crawl ingest needs, and writes
+curated corpora back out as shard-partitioned parquet.
+
+Scale notes:
+
+- JSON-Lines is line-splittable, so Spark parallelizes a single huge
+  file by byte ranges — no repartition needed after the scan (unlike
+  small local parquet). With an explicit schema the reader does ONE
+  pass (schema inference would scan twice) and prunes unused fields
+  at parse time.
+- ``PERMISSIVE`` mode + ``columnNameOfCorruptRecord`` keeps bad lines
+  as rows instead of failing the job: at crawl scale some fraction of
+  lines is always truncated/mis-encoded, and dropping them silently
+  (``DROPMALFORMED``) hides data loss — the reader surfaces the count
+  so the pipeline can alert on it.
+- The sharded sink partitions by a bounded ``shard`` column (e.g.
+  from :func:`..llmdata.sampling.token_shards`), giving downstream
+  training jobs one directory per shard and bounded files per task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: documents-table schema (TESTDATA.md) + corrupt-record capture.
+DOCUMENTS_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str = DOCUMENTS_SCHEMA,
+    keep_corrupt: bool = False,
+) -> DataFrame:
+    """JSONL corpus scan with malformed-line capture.
+
+    Returns well-formed rows in the given schema; with
+    ``keep_corrupt=True`` the raw text of malformed lines is kept in
+    ``_corrupt_record`` (NULL for good rows) so callers can count,
+    sample, or quarantine them instead of losing them silently.
+    """
+    df = (
+        spark.read.schema(f"{schema}, {CORRUPT_COL} string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+    if keep_corrupt:
+        return df
+    return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+
+
+def corrupt_line_count(spark: SparkSession, path: str) -> int:
+    """Number of malformed lines in a JSONL corpus (ingest QA gate).
+
+    Spark refuses queries whose referenced columns are ONLY the
+    internal corrupt-record column
+    (``UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN``) — the
+    documented remedy is to cache the parsed result first, which is
+    what this does (and unpersists after).
+    """
+    df = read_documents_jsonl(spark, path, keep_corrupt=True).cache()
+    try:
+        return df.filter(F.col(CORRUPT_COL).isNotNull()).count()
+    finally:
+        df.unpersist()
+
+
+def write_corpus_shards(
+    df: DataFrame,
+    base: str,
+    shard_col: str = "shard",
+    mode: str = "overwrite",
+    compression: str = "zstd",
+) -> None:
+    """Shard-partitioned parquet sink for curated corpora:
+    ``{base}/shard=N/part-*.parquet``; pair with
+    :func:`..llmdata.sampling.token_shards` for token-budget shards."""
+    (
+        df.write.mode(mode)
+        .partitionBy(shard_col)
+        .option("compression", compression)
+        .parquet(base)
+    )

@@ -1,0 +1,80 @@
+"""JSONL corpus source + sharded parquet sink round trips
+(`sources/corpus.py`)."""
+
+from __future__ import annotations
+
+import json
+
+from stock_indicators_etl_spark.sources.corpus import (
+    corrupt_line_count,
+    read_documents_jsonl,
+    write_corpus_shards,
+)
+
+
+def _write_jsonl(path, rows, junk_lines=()):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+        for j in junk_lines:
+            f.write(j + "\n")
+
+
+def test_jsonl_reads_well_formed_rows(spark, tmp_path):
+    p = str(tmp_path / "docs.jsonl")
+    rows = [
+        {"doc_id": 1, "text": "hello world", "lang": "en", "source": "s0", "n_chars": 11},
+        {"doc_id": 2, "text": "hola", "lang": "es", "source": "s1", "n_chars": 4},
+    ]
+    _write_jsonl(p, rows)
+    out = read_documents_jsonl(spark, p).toPandas().sort_values("doc_id")
+    assert list(out.doc_id) == [1, 2]
+    assert list(out.columns) == ["doc_id", "text", "lang", "source", "n_chars"]
+    assert out.iloc[0].text == "hello world"
+
+
+def test_jsonl_malformed_lines_are_counted_not_dropped_silently(spark, tmp_path):
+    p = str(tmp_path / "bad.jsonl")
+    rows = [{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}]
+    _write_jsonl(p, rows, junk_lines=['{"doc_id": 2, "text": trunca', "not json at all"])
+    assert corrupt_line_count(spark, p) == 2
+    good = read_documents_jsonl(spark, p).toPandas()
+    assert list(good.doc_id) == [1]
+    kept = read_documents_jsonl(spark, p, keep_corrupt=True).toPandas()
+    assert len(kept) == 3
+    assert kept._corrupt_record.notna().sum() == 2
+
+
+def test_type_mismatch_rows_are_corrupt(spark, tmp_path):
+    p = str(tmp_path / "types.jsonl")
+    _write_jsonl(
+        p,
+        [
+            {"doc_id": "not-a-number", "text": "x", "lang": "en", "source": "s", "n_chars": 1},
+            {"doc_id": 7, "text": "y", "lang": "en", "source": "s", "n_chars": 1},
+        ],
+    )
+    assert corrupt_line_count(spark, p) == 1
+    assert list(read_documents_jsonl(spark, p).toPandas().doc_id) == [7]
+
+
+def test_shard_sink_round_trip_partitions_by_shard(spark, tmp_path):
+    import pandas as pd
+
+    base = str(tmp_path / "shards")
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3, 4], "text": list("abcd"), "shard": [0, 0, 1, 1]}
+        )
+    )
+    write_corpus_shards(df, base)
+    import os
+
+    assert sorted(
+        d for d in os.listdir(base) if d.startswith("shard=")
+    ) == ["shard=0", "shard=1"]
+    back = spark.read.parquet(base)
+    assert back.count() == 4
+    # partition pruning: a shard filter reads one directory
+    plan = back.filter("shard = 1")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or back.filter("shard = 1").count() == 2
