@@ -31,29 +31,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from stock_indicators_etl_spark.llmdata.hashing import h56 as _h56
-from stock_indicators_etl_spark.llmdata.text import norm_text, words
+from stock_indicators_etl_spark.llmdata.text import norm_text, spread, words
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Ensure enough parallelism before a wide fan-out (shingle/token
-    explode multiplies rows ~50×). A small input file arrives as 1-2
-    splits and would otherwise serialize the whole explode+hash chain
-    on one core; a many-split 100 TB scan must NOT pay a full-corpus
-    shuffle here.
-
-    The split estimate is ``df.inputFiles()`` — a pure plan walk
-    (``df.rdd.getNumPartitions()`` would materialize an RDD conversion
-    at every plan build; VERDICT r2 minor #3). Files are a lower bound
-    on scan splits (a multi-block file yields several), so the
-    heuristic can only over-spread near the boundary — and any corpus
-    big enough for the repartition to hurt has far more files than
-    local cores. Non-file sources (in-memory test frames) report no
-    files and spread defensively.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if len(df.inputFiles()) < target:
-        return df.repartition(target)
-    return df
+_spread = spread  # shared fan-out heuristic (llmdata.text.spread)
 
 
 def _bucket_pairs(grouped: DataFrame, id_list_col: str = "ids") -> DataFrame:

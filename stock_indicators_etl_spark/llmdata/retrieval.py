@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from stock_indicators_etl_spark.llmdata.text import norm_text, words
+from stock_indicators_etl_spark.llmdata.text import norm_text, spread, words
 
 #: BM25 free parameters (Robertson/Sparck-Jones defaults).
 BM25_K1 = 1.2
@@ -89,12 +89,9 @@ def bm25_topk(
     # single-file local read arrives as one partition; at cluster
     # scale the source is already partitioned and the repartition is a
     # no-op branch, not a plan change)
-    pre = docs.select(
+    pre = spread(docs).select(
         F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("_w")
     )
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    if pre.rdd.getNumPartitions() < target:
-        pre = pre.repartition(target)
     toks = pre.select(
         "doc_id",
         F.size(F.col("_w")).alias("dl"),
