@@ -76,6 +76,49 @@ def corrupt_line_count(spark: SparkSession, path: str) -> int:
         df.unpersist()
 
 
+def stream_documents_jsonl(
+    spark: SparkSession, path: str, schema: str = DOCUMENTS_SCHEMA
+) -> DataFrame:
+    """Streaming JSONL corpus source (Structured Streaming file
+    source): new files under ``path`` become micro-batches;
+    ``trigger(availableNow=True)`` reproduces a batch ingest exactly.
+    Malformed lines parse to all-NULL rows under the explicit schema
+    and are dropped by the ``doc_id IS NOT NULL`` gate in
+    :func:`streaming_corpus_ingest`."""
+    return spark.readStream.schema(schema).json(path)
+
+
+def streaming_corpus_ingest(
+    docs: DataFrame,
+    min_words: int = 5,
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming ingest gate: drop unparseable rows, enforce a minimum
+    word count, fingerprint the normalized content, and deduplicate on
+    it — the streaming twin of the ``corpus_prep`` batch front end.
+
+    Dedup state: with ``ts_col`` (e.g. a crawl fetch timestamp) the
+    stream watermarks and uses ``dropDuplicatesWithinWatermark`` so
+    state is bounded and the job runs indefinitely; without one it
+    falls back to ``dropDuplicates`` on the fingerprint, whose state
+    grows with distinct-content count — fine for
+    ``availableNow`` backfills, documented as unbounded for true
+    always-on streams.
+    """
+    from stock_indicators_etl_spark.llmdata.text import norm_text, words
+
+    gated = docs.filter(F.col("doc_id").isNotNull()).withColumn(
+        "content_md5", F.md5(norm_text(F.col("text")))
+    )
+    gated = gated.filter(F.size(words(F.col("text"))) >= min_words)
+    if ts_col is not None:
+        return gated.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["content_md5"]
+        )
+    return gated.dropDuplicates(["content_md5"])
+
+
 def write_corpus_shards(
     df: DataFrame,
     base: str,

@@ -78,3 +78,40 @@ def test_shard_sink_round_trip_partitions_by_shard(spark, tmp_path):
     # partition pruning: a shard filter reads one directory
     plan = back.filter("shard = 1")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or back.filter("shard = 1").count() == 2
+
+
+def test_streaming_corpus_ingest_gates_and_dedups(spark, tmp_path):
+    from stock_indicators_etl_spark.sources.corpus import (
+        stream_documents_jsonl,
+        streaming_corpus_ingest,
+    )
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    rows = [
+        # well-formed, above min_words
+        {"doc_id": 1, "text": "one two three four five six", "lang": "en",
+         "source": "s", "n_chars": 27},
+        # exact content dup of doc 1 (normalization collapses case/ws)
+        {"doc_id": 2, "text": "ONE  two three four five six", "lang": "en",
+         "source": "s", "n_chars": 28},
+        # too short -> gated out
+        {"doc_id": 3, "text": "tiny", "lang": "en", "source": "s", "n_chars": 4},
+    ]
+    _write_jsonl(str(src / "a.jsonl"), rows, junk_lines=["{broken"])
+
+    stream = stream_documents_jsonl(spark, str(src))
+    out = streaming_corpus_ingest(stream, min_words=5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("scorpus")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.table("scorpus").toPandas()
+    # one survivor for the duplicated content, short + broken dropped
+    assert len(got) == 1
+    assert got.iloc[0].doc_id in (1, 2)
+    assert got.iloc[0].content_md5 is not None
