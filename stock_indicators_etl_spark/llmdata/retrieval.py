@@ -189,6 +189,11 @@ def chunk_documents(
     """
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
+    if stride > chunk_tokens:
+        # a stride wider than the window leaves inter-chunk token gaps,
+        # silently violating the every-token-covered guarantee the
+        # property test pins (found by hypothesis: chunk=1, stride=2)
+        raise ValueError("stride must be <= chunk_tokens (full coverage)")
     ws = words(F.col(text_col))
     n = F.size(ws)
     starts = F.when(

@@ -262,3 +262,96 @@ def test_interpolation_matches_numpy(spark, values):
     kv = np.array([v for v in values if v is not None], dtype=float)
     expected = np.interp(xs, known, kv)  # np.interp clamps edges
     np.testing.assert_allclose(got, expected, rtol=1e-9, atol=1e-9)
+
+
+texts_chunk = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab c"),  # forces ws-collapse paths
+        min_size=0,
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts_chunk, st.integers(1, 8), st.integers(1, 8))
+def test_chunking_covers_every_token_exactly(spark, texts, chunk_tokens, stride):
+    """Every token index of every doc appears in ≥1 chunk; chunk
+    starts are exactly the stride grid below n_tokens; and token
+    counts per chunk are the slice sizes — for ANY (chunk, stride)."""
+    from stock_indicators_etl_spark.llmdata.retrieval import chunk_documents
+    from stock_indicators_etl_spark.llmdata.text import words
+    from pyspark.sql import functions as F
+
+    stride = min(stride, chunk_tokens)  # coverage contract: stride <= chunk
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    n_tokens = {
+        r.doc_id: r.n
+        for r in df.select("doc_id", F.size(words(F.col("text"))).alias("n")).collect()
+    }
+    out = chunk_documents(df, chunk_tokens=chunk_tokens, stride=stride).toPandas()
+    for doc_id, n in n_tokens.items():
+        starts = sorted(out[out.doc_id == doc_id].start)
+        assert starts == list(range(0, n, stride))
+        covered = set()
+        for r in out[out.doc_id == doc_id].itertuples():
+            assert r.n_tokens == min(chunk_tokens, n - r.start)
+            covered.update(range(r.start, r.start + r.n_tokens))
+        assert covered == set(range(n))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-5, max_value=5, allow_nan=False, width=32),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=2,
+        max_size=12,
+        unique_by=tuple,
+    ),
+    st.integers(1, 4),
+)
+def test_kmeans_assignment_is_nearest_final_centroid(spark, vecs, k):
+    """The returned (cluster, dist2) is the argmin over the FINAL
+    centroids: recompute centroids in numpy with the same Lloyd steps
+    and verify every row's assignment is optimal among them."""
+    from stock_indicators_etl_spark.llmdata.clustering import kmeans_assign
+
+    k = min(k, len(vecs))
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(len(vecs)), "embedding": vecs})
+    )
+    out = (
+        kmeans_assign(df, k=k, iters=2, exact_update=True)
+        .toPandas()
+        .set_index("vec_id")
+    )
+    # numpy replay of the same deterministic Lloyd schedule
+    X = np.array(vecs, dtype=np.float64)
+    cents = X[:k].copy()
+    for _ in range(2):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # numpy argmin = first minimal = lowest j
+        for j in range(k):
+            if (assign == j).any():
+                cents[j] = X[assign == j].mean(axis=0)
+    d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    for i in range(len(vecs)):
+        got = out.loc[i]
+        # optimality vs the numpy-final centroids, allowing fp slack
+        assert got.dist2 <= d[i].min() + 1e-9

@@ -122,3 +122,8 @@ def test_chunk_rejects_bad_params(spark, docs):
         chunk_documents(docs, chunk_tokens=0)
     with pytest.raises(ValueError):
         chunk_documents(docs, stride=-1)
+
+
+def test_chunk_rejects_gapping_stride(spark, docs):
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, stride=8)
