@@ -66,8 +66,13 @@ def bm25_topk(
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
     query_text_col: str = "text",
+    min_score: float | None = None,
 ) -> DataFrame:
     """Top-k BM25-scored documents per query (Lucene-style idf).
+
+    ``min_score`` prunes candidates BEFORE the per-query ranking — at
+    scale the ranking window partitions by query id, so cutting the
+    candidate stream first is the lever against few-queries skew.
 
     ``score(q, d) = Σ_{t ∈ q∩d} idf(t) · tf·(k1+1) /
     (tf + k1·(1−b + b·dl/avgdl))`` with
@@ -156,6 +161,9 @@ def bm25_topk(
             )
         ).alias("score")
     )
+
+    if min_score is not None:
+        scored = scored.filter(F.col("score") >= F.lit(min_score))
 
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()

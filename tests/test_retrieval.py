@@ -127,3 +127,15 @@ def test_chunk_rejects_bad_params(spark, docs):
 def test_chunk_rejects_gapping_stride(spark, docs):
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, stride=8)
+
+
+def test_bm25_min_score_prunes_before_ranking(spark, docs):
+    queries = spark.createDataFrame(
+        pd.DataFrame({"query_id": [100], "text": ["spark cluster data"]})
+    )
+    full = bm25_topk(docs, queries, k=10).toPandas()
+    cut = full.score.median()
+    pruned = bm25_topk(docs, queries, k=10, min_score=cut).toPandas()
+    assert set(pruned.doc_id) == set(full[full.score >= cut].doc_id)
+    # ranks are recomputed on the pruned stream: contiguous from 1
+    assert sorted(pruned.rk) == list(range(1, len(pruned) + 1))
