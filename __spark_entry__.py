@@ -33,10 +33,14 @@ from stock_indicators_etl_spark.queries_llm import ORACLES_LLM, QUERIES_LLM
 
 
 def _ensure_session_conf(spark: SparkSession) -> None:
-    """The events table stores TIMESTAMP(NANOS), which Spark refuses
-    to read unless ``nanosAsLong`` is on (our ``get_spark`` sets it at
-    build time; a caller-supplied vanilla session needs it set here —
-    it is runtime-settable)."""
+    """Tolerate the events table's physical timestamp-type drift
+    (DESIGN §4.15): some testdata generations store TIMESTAMP(NANOS),
+    which Spark refuses to read unless ``nanosAsLong`` is on (then
+    ``ts`` arrives as int64 epoch-ns); newer generations store µs and
+    arrive as TIMESTAMP_NTZ, which this conf does not affect.
+    ``queries._events`` branches on the resulting dtype. Our
+    ``get_spark`` sets the conf at build time; a caller-supplied
+    vanilla session needs it set here — it is runtime-settable."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 

@@ -191,6 +191,40 @@ def semantic_neardup_pairs(
     )
 
 
+def semantic_survivors(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """The SemDeDup survivor set: group semantic near-dup pairs into
+    connected components (min-label propagation, the same engine as
+    the n-gram near-dup path) and keep the minimum-id member of each
+    group. Vectors with no near-dup survive trivially."""
+    from stock_indicators_etl_spark.llmdata.dedup import connected_components
+
+    pairs = semantic_neardup_pairs(
+        embeddings,
+        k=k,
+        iters=iters,
+        threshold=threshold,
+        vec_col=vec_col,
+        id_col=id_col,
+        max_cluster_size=max_cluster_size,
+    ).select("vec_a", "vec_b")
+    vertices = embeddings.select(F.col(id_col).alias("vec_id"))
+    comp = connected_components(
+        pairs, vertices, id_col="vec_id", src_col="vec_a", dst_col="vec_b"
+    )
+    keep = comp.filter(F.col("vec_id") == F.col("component")).select("vec_id")
+    return embeddings.join(
+        keep.withColumnRenamed("vec_id", id_col), id_col, "left_semi"
+    )
+
+
 def kmeans_centroid_stats(assignments: DataFrame) -> DataFrame:
     """Cluster sizes + mean within-cluster distance (curation signal:
     tight clusters → near-dup candidates, huge loose clusters →

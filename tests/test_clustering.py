@@ -146,3 +146,22 @@ def test_semantic_neardup_max_cluster_size_drops_big_clusters(spark):
     ).toPandas()
     assert set(out.vec_a) <= {10}
     assert set(out.vec_b) <= {11}
+
+
+def test_semantic_survivors_keep_min_per_group(spark):
+    from stock_indicators_etl_spark.llmdata.clustering import semantic_survivors
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (0, [1.0, 0.0]),
+                (1, [0.999, 0.01]),   # ~dup of 0 → dropped
+                (2, [0.0, 1.0]),
+                (3, [0.01, 0.999]),   # ~dup of 2 → dropped
+                (4, [-1.0, -1.0]),    # no near-dup → survives
+            ],
+            columns=["vec_id", "embedding"],
+        )
+    )
+    out = semantic_survivors(df, k=2, iters=2, threshold=0.9).toPandas()
+    assert sorted(out.vec_id) == [0, 2, 4]
