@@ -49,15 +49,21 @@ def read_documents_jsonl(
     ``_corrupt_record`` (NULL for good rows) so callers can count,
     sample, or quarantine them instead of losing them silently.
     """
-    df = (
-        spark.read.schema(f"{schema}, {CORRUPT_COL} string")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
-    )
     if keep_corrupt:
-        return df
-    return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+        return (
+            spark.read.schema(f"{schema}, {CORRUPT_COL} string")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+            .json(path)
+        )
+    # default path: no corrupt column in the schema at all — malformed
+    # lines parse to all-NULL rows and are dropped by the required-key
+    # gate. Filtering on a REAL column sidesteps Spark's
+    # corrupt-column-only query restriction for every downstream shape
+    # (including bare count()), and the scan never retains raw line
+    # text it would immediately throw away.
+    df = spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+    return df.filter(F.col("doc_id").isNotNull())
 
 
 def corrupt_line_count(spark: SparkSession, path: str) -> int:

@@ -115,3 +115,45 @@ def test_streaming_corpus_ingest_gates_and_dedups(spark, tmp_path):
     assert len(got) == 1
     assert got.iloc[0].doc_id in (1, 2)
     assert got.iloc[0].content_md5 is not None
+
+
+def test_corpus_pipeline_end_to_end(spark, tmp_path):
+    """The examples/corpus_pipeline.py curation chain on synthetic
+    JSONL: ingest -> quality -> exact+near dedup -> shards."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    from corpus_pipeline import curate
+
+    body = " ".join(f"tok{i}" for i in range(40))
+    alt = " ".join(f"tok{i}" for i in range(39)) + " other"
+    rows = [
+        {"doc_id": 1, "text": body, "lang": "en", "source": "s", "n_chars": len(body)},
+        # exact dup of 1 (normalization)
+        {"doc_id": 2, "text": body.upper(), "lang": "en", "source": "s",
+         "n_chars": len(body)},
+        # near dup of 1 (39/41 shingles shared)
+        {"doc_id": 3, "text": alt, "lang": "en", "source": "s", "n_chars": len(alt)},
+        # too short
+        {"doc_id": 4, "text": "short doc", "lang": "en", "source": "s", "n_chars": 9},
+        # repetitive
+        {"doc_id": 5, "text": "spam " * 40, "lang": "en", "source": "s", "n_chars": 200},
+        # distinct survivor
+        {"doc_id": 6, "text": " ".join(f"w{i}" for i in range(45)), "lang": "fr",
+         "source": "s", "n_chars": 100},
+    ]
+    src = str(tmp_path / "corpus.jsonl")
+    _write_jsonl(src, rows, junk_lines=["{bad line"])
+    out_dir = str(tmp_path / "out")
+
+    counts = curate(spark, src, out_dir, token_budget=64, min_words=30)
+    assert counts["malformed_lines"] == 1
+    assert counts["ingested"] == 6
+    assert counts["after_quality"] == 4          # 4 too short, 5 repetitive
+    assert counts["after_exact_dedup"] == 3      # 2 collapses into 1
+    assert counts["after_near_dedup"] == 2       # 3 collapses into 1
+    assert counts["shipped"] == 2
+    back = spark.read.parquet(out_dir).toPandas()
+    assert sorted(back.doc_id) == [1, 6]
+    assert set(back.columns) >= {"doc_id", "text", "lang", "shard"}
