@@ -148,6 +148,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_kmeans,
         q_length_quantiles,
         q_semantic_neardup,
+        q_unigram_surprisal,
     )
 
     q = {
@@ -162,6 +163,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "kmeans": q_kmeans,
         "semantic_neardup": q_semantic_neardup,
+        "unigram_surprisal": q_unigram_surprisal,
     }
     return {name: _conf_wrapped(fn) for name, fn in q.items()}
 
@@ -181,6 +183,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_KMEANS,
         SQL_LENGTH_QUANTILES,
         SQL_SEMANTIC_NEARDUP,
+        SQL_UNIGRAM_SURPRISAL,
     )
 
     return {
@@ -195,4 +198,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "kmeans": SQL_KMEANS,
         "semantic_neardup": SQL_SEMANTIC_NEARDUP,
+        "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
     }

@@ -175,6 +175,62 @@ def bm25_topk(
     )
 
 
+def unigram_surprisal(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mean unigram surprisal per document: ``−mean_t ln p(t)`` over
+    the doc's token occurrences, with ``p`` the corpus unigram
+    distribution — the information-theoretic quality signal
+    (templated/boilerplate text scores low, rare-token soup scores
+    high; CCNet-style pipelines threshold on exactly this, with a
+    real LM in place of the unigram model).
+
+    Plan: the same single map-side-combinable ``groupBy(doc_id,
+    term)`` as BM25, a vocabulary-sized term-count aggregate joined
+    back per term (broadcast under AQE at realistic vocab sizes), and
+    a term-sorted left fold for the per-doc sum — deterministic and
+    oracle-replayable. Per-term surprisal is quantized to 6dp before
+    the tf-weighted fold (JVM vs libm ``ln``, 1-ulp).
+    """
+    pre = spread(docs).select(
+        F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("_w")
+    )
+    toks = pre.select(
+        "doc_id",
+        F.size(F.col("_w")).alias("dl"),
+        F.explode(F.col("_w")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
+    total = counts.agg(F.sum("ct").alias("total_tokens"))
+    surp = counts.crossJoin(F.broadcast(total)).select(
+        "term",
+        _r6(
+            -F.log(F.col("ct").cast("double") / F.col("total_tokens").cast("double"))
+        ).alias("s"),
+    )
+    return (
+        tf.join(F.broadcast(surp), "term")
+        .withColumn("ws", F.col("tf") * F.col("s"))
+        .groupBy("doc_id", "dl")
+        .agg(
+            F.expr(
+                "aggregate(sort_array(collect_list(struct(term, ws))), "
+                "cast(0.0 as double), (acc, x) -> acc + x.ws)"
+            ).alias("_sum")
+        )
+        .select(
+            "doc_id",
+            F.col("dl").alias("n_tokens"),
+            _r6(F.col("_sum") / F.col("dl").cast("double")).alias("mean_surprisal"),
+        )
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_tokens: int = 64,

@@ -1145,6 +1145,41 @@ SELECT doc_id,
 FROM st
 """
 
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram surprisal per document (CCNet-style LM-quality
+    proxy over the corpus unigram distribution)."""
+    from stock_indicators_etl_spark.llmdata.retrieval import unigram_surprisal
+
+    return unigram_surprisal(_docs(spark, sf_dir))
+
+
+SQL_UNIGRAM_SURPRISAL = f"""
+WITH {DOCS_CTE},
+toks AS (
+  SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM wd
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+  FROM toks GROUP BY doc_id, term
+),
+counts AS (SELECT term, sum(tf) AS ct FROM tf GROUP BY term),
+tot AS (SELECT sum(ct) AS total_tokens FROM counts),
+surp AS (
+  SELECT term,
+         {R6('-ln(CAST(ct AS DOUBLE) / CAST(total_tokens AS DOUBLE))')} AS s
+  FROM counts, tot
+),
+folded AS (
+  SELECT doc_id, dl,
+         list_reduce(list_prepend(0.0, list(tf * s ORDER BY term)), (x, y) -> x + y) AS ssum
+  FROM tf JOIN surp USING (term)
+  GROUP BY doc_id, dl
+)
+SELECT doc_id, CAST(dl AS INT) AS n_tokens,
+       {R6('ssum / CAST(dl AS DOUBLE)')} AS mean_surprisal
+FROM folded
+"""
+
 KMEANS_K = 8
 KMEANS_ITERS = 2
 

@@ -139,3 +139,23 @@ def test_bm25_min_score_prunes_before_ranking(spark, docs):
     assert set(pruned.doc_id) == set(full[full.score >= cut].doc_id)
     # ranks are recomputed on the pruned stream: contiguous from 1
     assert sorted(pruned.rk) == list(range(1, len(pruned) + 1))
+
+
+def test_unigram_surprisal_known_answer(spark):
+    from stock_indicators_etl_spark.llmdata.retrieval import unigram_surprisal
+
+    # corpus: "a a a b" → p(a)=3/4, p(b)=1/4
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["a a a", "b"]})
+    )
+    out = unigram_surprisal(df).toPandas().set_index("doc_id")
+
+    def q6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    s_a, s_b = q6(-math.log(3 / 4)), q6(-math.log(1 / 4))
+    assert out.loc[0].n_tokens == 3
+    assert out.loc[0].mean_surprisal == pytest.approx(q6(3 * s_a / 3), abs=1e-9)
+    assert out.loc[1].mean_surprisal == pytest.approx(q6(s_b), abs=1e-9)
+    # the common-token doc is less surprising than the rare-token doc
+    assert out.loc[0].mean_surprisal < out.loc[1].mean_surprisal
