@@ -50,6 +50,44 @@ def _l2sq(a: Column, b: Column) -> Column:
     )
 
 
+def assign_with_centroids(
+    df: DataFrame,
+    cents: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Nearest-centroid assignment against a FIXED centroid matrix —
+    the serving-path half of k-means. Scan-local (one
+    ``transform``/``array_min`` lambda tree over centroid literals, no
+    shuffle, no Python stage), so it composes with batch scans AND
+    Structured Streaming sources unchanged: fit centroids in batch
+    with :func:`kmeans_assign`, then assign arriving vectors online.
+    Ties resolve to the lowest cluster index."""
+    import numpy as np
+
+    if not cents:
+        raise ValueError("cents must be non-empty")
+    CENT = F.array(*[F.lit(np.asarray(c, dtype=np.float64)) for c in cents])
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+        lambda j: F.struct(
+            _l2sq(F.col("_v"), F.element_at(CENT, j + 1)).alias("d"),
+            j.alias("j"),
+        ),
+    )
+    best = F.array_min(pairs)
+    out = df.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("_v")
+    ).select(
+        "vec_id",
+        "_v",
+        best["j"].alias("cluster"),
+        best["d"].alias("dist2"),
+    )
+    return out if keep_vec else out.drop("_v")
+
+
 def kmeans_assign(
     embeddings: DataFrame,
     k: int = 8,
@@ -76,22 +114,8 @@ def kmeans_assign(
     cents: list[list[float]] = [list(r["v"]) for r in init_rows]
 
     def _assigned(cents: list[list[float]]) -> DataFrame:
-        CENT = F.array(*[F.lit(np.asarray(c, dtype=np.float64)) for c in cents])
-        pairs = F.transform(
-            F.sequence(F.lit(0), F.lit(len(cents) - 1)),
-            lambda j: F.struct(
-                _l2sq(F.col("_v"), F.element_at(CENT, j + 1)).alias("d"),
-                j.alias("j"),
-            ),
-        )
-        best = F.array_min(pairs)
-        return embeddings.select(
-            F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("_v")
-        ).select(
-            "vec_id",
-            "_v",
-            best["j"].alias("cluster"),
-            best["d"].alias("dist2"),
+        return assign_with_centroids(
+            embeddings, cents, vec_col=vec_col, id_col=id_col, keep_vec=True
         )
 
     for _ in range(iters):

@@ -165,3 +165,45 @@ def test_semantic_survivors_keep_min_per_group(spark):
     )
     out = semantic_survivors(df, k=2, iters=2, threshold=0.9).toPandas()
     assert sorted(out.vec_id) == [0, 2, 4]
+
+
+def test_assign_with_centroids_streams(spark, tmp_path):
+    """Batch-fit → streaming-assign: the fixed-centroid assignment is
+    scan-local, so it runs unchanged on a Structured Streaming source."""
+    from stock_indicators_etl_spark.llmdata.clustering import (
+        assign_with_centroids,
+        kmeans_assign,
+    )
+
+    batch = spark.createDataFrame(
+        pd.DataFrame(VECS, columns=["vec_id", "embedding"])
+    )
+    # fit on batch (k=2 separable groups), extract the final centroids
+    # by reusing the deterministic schedule
+    fit = kmeans_assign(batch, k=2, iters=3).toPandas()
+    # recover centroids as the mean of each cluster's members
+    import numpy as np
+
+    X = np.array([v for _, v in VECS])
+    cents = [
+        X[[i for i, r in fit.iterrows() if r.cluster == j]].mean(axis=0).tolist()
+        for j in sorted(fit.cluster.unique())
+    ]
+
+    src = str(tmp_path / "stream_vecs")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("vec_id long, embedding array<double>").parquet(src)
+    out = assign_with_centroids(stream, cents)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sassign")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.table("sassign").toPandas().set_index("vec_id")
+    assert len(got) == 6
+    left = {got.loc[i].cluster for i in (0, 1, 2)}
+    right = {got.loc[i].cluster for i in (3, 4, 5)}
+    assert len(left) == 1 and len(right) == 1 and left != right
