@@ -140,6 +140,7 @@ def ivf_topk(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition vectors into
     ``n_centroids`` Voronoi cells, score each query only against the
@@ -176,6 +177,34 @@ def ivf_topk(
         .collect()
     )
     cents = [list(r["v"]) for r in cent_rows]
+
+    if refine_iters > 0:
+        # Lloyd refinement of the sampled centroids (the slot-in this
+        # docstring always promised): L2 assignment + mean update via
+        # the k-means engine, seeded with the md5-sample — tighter
+        # cells mean fewer cross-cell misses at the same n_probe. The
+        # driver oracle query keeps refine_iters=0 (the SQL replay
+        # embeds the unrefined sample); refinement changes only WHICH
+        # candidates are scored, never the scoring arithmetic.
+        from stock_indicators_etl_spark.llmdata.clustering import (
+            assign_with_centroids,
+        )
+
+        for _ in range(refine_iters):
+            a = assign_with_centroids(
+                embeddings, cents, vec_col=vec_col, id_col=id_col, keep_vec=True
+            )
+            upd = (
+                a.select("cluster", F.posexplode("_v").alias("dim", "val"))
+                .groupBy("cluster", "dim")
+                .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            )
+            means = {(r["cluster"], r["dim"]): r["s"] / float(r["cnt"]) for r in upd}
+            cents = [
+                [means.get((j, d), cents[j][d]) for d in range(len(cents[j]))]
+                for j in range(len(cents))
+            ]
 
     def _lfold_norm(c: list[float]) -> float:
         # driver-side replay of sqrt(left-fold Σ c[i]²): Python floats

@@ -607,3 +607,29 @@ def test_cc_star_rejects_unknown_method(spark):
     verts = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2]}))
     with _pytest.raises(ValueError, match="method"):
         connected_components(edges, verts, method="nope")
+
+
+def test_ivf_refinement_improves_cell_tightness(spark):
+    """refine_iters tightens cells: mean distance to the assigned
+    centroid must not increase, and recall vs exact top-1 must not
+    collapse. (The driver oracle keeps refine_iters=0.)"""
+    import numpy as np
+    from stock_indicators_etl_spark.llmdata.clustering import assign_with_centroids
+    from stock_indicators_etl_spark.llmdata.similarity import ivf_topk
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(0, 1, (4, 8))
+    vecs = [
+        (i, (centers[i % 4] + rng.normal(0, 0.05, 8)).tolist()) for i in range(80)
+    ]
+    emb = spark.createDataFrame(pd.DataFrame(vecs, columns=["vec_id", "embedding"]))
+    q = emb.filter("vec_id < 3")
+    out0 = ivf_topk(emb, q, k=5, n_centroids=4, n_probe=2).toPandas()
+    out2 = ivf_topk(emb, q, k=5, n_centroids=4, n_probe=2, refine_iters=2).toPandas()
+    # same contract, same shape
+    assert set(out0.columns) == set(out2.columns)
+    assert len(out2) == len(out0) == 15
+    # refined top-1 per query is at least as similar as unrefined
+    top0 = out0[out0.rk == 1].set_index("qid").cosine
+    top2 = out2[out2.rk == 1].set_index("qid").cosine
+    assert (top2 >= top0 - 1e-9).all()
