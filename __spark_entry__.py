@@ -141,7 +141,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Single-feature recursive variants, NOT registered with the
     driver (its report caps at 50 entries) but still bit-exact-checked
     locally via ``scripts/check_oracle.py --extras``."""
-    from stock_indicators_etl_spark.queries import q_asof_join, q_interval_join
+    from stock_indicators_etl_spark.queries import (
+        q_asof_join,
+        q_funnel,
+        q_interval_join,
+    )
     from stock_indicators_etl_spark.queries_llm import (
         q_bm25_topk,
         q_chunk_documents,
@@ -158,6 +162,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adx_family": _q_recursive(["adx"]),
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
+        "funnel": q_funnel,
         "length_quantiles": q_length_quantiles,
         "bm25_topk": q_bm25_topk,
         "chunk_documents": q_chunk_documents,
@@ -173,6 +178,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_ADX_FAMILY,
         SQL_ASOF_JOIN,
         SQL_CMO_WILDER,
+        SQL_FUNNEL,
         SQL_INTERVAL_JOIN,
         SQL_MACDFIX_HIST,
         SQL_RSI_WILDER,
@@ -193,6 +199,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "adx_family": SQL_ADX_FAMILY,
         "asof_join": SQL_ASOF_JOIN,
         "interval_join": SQL_INTERVAL_JOIN,
+        "funnel": SQL_FUNNEL,
         "length_quantiles": SQL_LENGTH_QUANTILES,
         "bm25_topk": SQL_BM25_TOPK,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,

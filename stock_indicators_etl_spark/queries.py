@@ -1756,6 +1756,54 @@ FROM ev p JOIN iv i
 
 
 # ---------------------------------------------------------------------------
+# funnel analysis (operators/funnel.py; driver-registry extra)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WITHIN_NS = 2 * 86_400 * NS  # 2 days
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest strict-order view→click→purchase funnel per user with
+    a 2-day completion bound (chained conditional-min plan; see
+    :mod:`..operators.funnel`)."""
+    from stock_indicators_etl_spark.operators.funnel import funnel_conversions
+
+    return funnel_conversions(
+        _events(spark, sf_dir), steps=FUNNEL_STEPS, within_ns=FUNNEL_WITHIN_NS
+    )
+
+
+SQL_FUNNEL = f"""
+WITH e AS (
+  SELECT user_id, event_type, (epoch_ns(ts) // 1000) * 1000 AS ns FROM events
+),
+f0 AS (
+  SELECT user_id, min(ns) AS t_0 FROM e
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+n1 AS (
+  SELECT e.user_id, min(e.ns) AS t_1
+  FROM e JOIN f0 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ns > f0.t_0
+  GROUP BY e.user_id
+),
+f1 AS (SELECT f0.user_id, t_0, t_1 FROM f0 LEFT JOIN n1 USING (user_id)),
+n2 AS (
+  SELECT e.user_id, min(e.ns) AS t_2
+  FROM e JOIN f1 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ns > f1.t_1
+  GROUP BY e.user_id
+),
+f2 AS (SELECT f1.user_id, t_0, t_1, t_2 FROM f1 LEFT JOIN n2 USING (user_id))
+SELECT user_id, t_0, t_1, t_2,
+       COALESCE(t_2 IS NOT NULL AND (t_2 - t_0) <= {FUNNEL_WITHIN_NS}, FALSE) AS converted,
+       CASE WHEN t_2 IS NOT NULL THEN t_2 - t_0 END AS duration_ns
+FROM f2
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
