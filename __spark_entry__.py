@@ -145,6 +145,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_asof_join,
         q_funnel,
         q_interval_join,
+        q_retention,
     )
     from stock_indicators_etl_spark.queries_llm import (
         q_bm25_topk,
@@ -163,6 +164,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "funnel": q_funnel,
+        "retention": q_retention,
         "length_quantiles": q_length_quantiles,
         "bm25_topk": q_bm25_topk,
         "chunk_documents": q_chunk_documents,
@@ -180,6 +182,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_CMO_WILDER,
         SQL_FUNNEL,
         SQL_INTERVAL_JOIN,
+        SQL_RETENTION,
         SQL_MACDFIX_HIST,
         SQL_RSI_WILDER,
     )
@@ -200,6 +203,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "asof_join": SQL_ASOF_JOIN,
         "interval_join": SQL_INTERVAL_JOIN,
         "funnel": SQL_FUNNEL,
+        "retention": SQL_RETENTION,
         "length_quantiles": SQL_LENGTH_QUANTILES,
         "bm25_topk": SQL_BM25_TOPK,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,

@@ -32,6 +32,46 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def retention_cohorts(
+    events: DataFrame,
+    bucket_ns: int,
+    max_offset: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ns",
+) -> DataFrame:
+    """Cohort retention: users are cohorted by the bucket of their
+    FIRST event; for each (cohort, offset) the output counts distinct
+    users active ``offset`` buckets after their cohort bucket
+    (offset 0 = the cohort size itself).
+
+    Plan: one combinable per-user ``min`` (first-seen), one distinct
+    (user, bucket) activity aggregate — both map-side combined on the
+    user key so the exchange is shared — then a count per (cohort,
+    offset); distinct users per pair is exact (the (user, bucket)
+    stream is already distinct, so the final count never double
+    counts without needing a count-distinct). Nothing holds more
+    than one row per (user, active-bucket). 100 TB: combinable all
+    the way down; bucket arithmetic is scan-local integer division.
+    """
+    if bucket_ns <= 0:
+        raise ValueError("bucket_ns must be positive")
+    # integer DIV, not float divide-and-truncate: epoch-ns (~1.7e18)
+    # is far beyond double's 2^53 exact-integer range
+    b = F.expr(f"{ts_col} DIV {bucket_ns}")
+    per_user = events.select(
+        F.col(user_col).alias("user_id"), b.alias("bucket")
+    ).distinct()
+    first = per_user.groupBy("user_id").agg(F.min("bucket").alias("cohort"))
+    joined = per_user.join(first, "user_id").select(
+        "cohort", (F.col("bucket") - F.col("cohort")).alias("offset"), "user_id"
+    )
+    if max_offset is not None:
+        joined = joined.filter(F.col("offset") <= max_offset)
+    return joined.groupBy("cohort", "offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
 def funnel_conversions(
     events: DataFrame,
     steps: Sequence[str],

@@ -1803,6 +1803,30 @@ FROM f2
 """
 
 
+RETENTION_BUCKET_NS = 7 * 86_400 * NS  # weekly cohorts
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over events (first-seen week × offset →
+    distinct active users)."""
+    from stock_indicators_etl_spark.operators.funnel import retention_cohorts
+
+    return retention_cohorts(_events(spark, sf_dir), bucket_ns=RETENTION_BUCKET_NS)
+
+
+SQL_RETENTION = f"""
+WITH e AS (
+  SELECT DISTINCT user_id,
+         ((epoch_ns(ts) // 1000) * 1000) // {RETENTION_BUCKET_NS} AS bucket
+  FROM events
+),
+f AS (SELECT user_id, min(bucket) AS cohort FROM e GROUP BY user_id)
+SELECT f.cohort, e.bucket - f.cohort AS "offset", count(*) AS n_users
+FROM e JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

@@ -89,3 +89,46 @@ def test_rejects_single_step(spark):
     ev = _events(spark, [(1, "view", NS)])
     with pytest.raises(ValueError):
         funnel_conversions(ev, ("view",))
+
+
+def test_retention_cohorts_known_answer(spark):
+    from stock_indicators_etl_spark.operators.funnel import retention_cohorts
+
+    # buckets of 10s: u1 active buckets {0,1,2}, u2 {1,2}, u3 {2}
+    ev = _events(
+        spark,
+        [
+            (1, "view", 1 * NS), (1, "view", 12 * NS), (1, "view", 25 * NS),
+            (2, "view", 15 * NS), (2, "view", 27 * NS), (2, "view", 28 * NS),
+            (3, "view", 22 * NS),
+        ],
+    )
+    out = retention_cohorts(ev, bucket_ns=10 * NS).toPandas()
+    got = {(r.cohort, r.offset): r.n_users for r in out.itertuples()}
+    assert got == {
+        (0, 0): 1, (0, 1): 1, (0, 2): 1,   # u1
+        (1, 0): 1, (1, 1): 1,              # u2
+        (2, 0): 1,                         # u3
+    }
+
+
+def test_retention_max_offset_and_dedup_within_bucket(spark):
+    from stock_indicators_etl_spark.operators.funnel import retention_cohorts
+
+    ev = _events(
+        spark,
+        [(1, "view", 1), (1, "click", 2), (1, "view", 21 * NS)],  # 2 events in bucket 0
+    )
+    out = retention_cohorts(ev, bucket_ns=10 * NS, max_offset=1).toPandas()
+    got = {(r.cohort, r.offset): r.n_users for r in out.itertuples()}
+    assert got == {(0, 0): 1}  # bucket-0 dup collapsed; offset 2 filtered
+
+
+def test_retention_rejects_bad_bucket(spark):
+    from stock_indicators_etl_spark.operators.funnel import retention_cohorts
+
+    ev = _events(spark, [(1, "view", 1)])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        retention_cohorts(ev, bucket_ns=0)
