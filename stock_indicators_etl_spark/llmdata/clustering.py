@@ -155,6 +155,7 @@ def semantic_neardup_pairs(
     id_col: str = "vec_id",
     exact_update: bool = False,
     max_cluster_size: int | None = None,
+    target_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicates: k-means partitions the
     corpus, then cosine similarity is computed ONLY within clusters —
@@ -163,12 +164,22 @@ def semantic_neardup_pairs(
     a cartesian).
 
     At 100 TB the knob is ``k``: cluster size ~N/k bounds the per-key
-    pair fan-out, and ``max_cluster_size`` hard-caps it (oversized
-    clusters — boilerplate sinks — are dropped from pairing, the same
+    pair fan-out. ``target_cluster_size`` sets k from the data
+    (``k = max(k, ceil(N / target))`` — one count job at build time)
+    so the within-cluster work stays ~N·target instead of N²/k as the
+    corpus grows; ``max_cluster_size`` additionally hard-caps skewed
+    clusters (boilerplate sinks — dropped from pairing, the same
     guard discipline as LSH's ``max_bucket_size``). Output:
     ``(cluster, vec_a, vec_b, cosine)`` with ``vec_a < vec_b``,
-    deterministic and oracle-replayable when ``exact_update=True``.
+    deterministic and oracle-replayable when ``exact_update=True``
+    (the oracle uses fixed k — leave ``target_cluster_size`` unset
+    there).
     """
+    if target_cluster_size is not None:
+        if target_cluster_size <= 0:
+            raise ValueError("target_cluster_size must be positive")
+        n = embeddings.count()
+        k = max(k, -(-n // target_cluster_size))
     assign = kmeans_assign(
         embeddings,
         k=k,

@@ -207,3 +207,31 @@ def test_assign_with_centroids_streams(spark, tmp_path):
     left = {got.loc[i].cluster for i in (0, 1, 2)}
     right = {got.loc[i].cluster for i in (3, 4, 5)}
     assert len(left) == 1 and len(right) == 1 and left != right
+
+
+def test_semantic_neardup_target_cluster_size_scales_k(spark):
+    from stock_indicators_etl_spark.llmdata.clustering import (
+        semantic_neardup_pairs,
+    )
+
+    # 12 vectors, target cluster size 3 → k = ceil(12/3) = 4 clusters;
+    # with k=1 requested the auto-k must override it and still find
+    # the planted near-dup pair (they stay co-clustered: identical)
+    rows = [(i, [float(i // 3), float(i % 3)]) for i in range(11)]
+    rows.append((11, [float(11 // 3), float(11 % 3) + 1e-4]))  # ~dup of 11//3 group
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    out = semantic_neardup_pairs(
+        df, k=1, iters=2, threshold=0.999999, target_cluster_size=3
+    ).toPandas()
+    # near-identical pair(s) found; nothing pairs across distant vectors
+    assert len(out) >= 1
+    assert ((out.vec_b - out.vec_a).abs() <= 3).all()
+
+
+def test_semantic_neardup_rejects_bad_target(spark, emb):
+    from stock_indicators_etl_spark.llmdata.clustering import (
+        semantic_neardup_pairs,
+    )
+
+    with pytest.raises(ValueError):
+        semantic_neardup_pairs(emb, target_cluster_size=0)
