@@ -146,6 +146,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_funnel,
         q_interval_join,
         q_retention,
+        q_shipping_priority,
     )
     from stock_indicators_etl_spark.queries_llm import (
         q_bm25_topk,
@@ -165,6 +166,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "funnel": q_funnel,
         "retention": q_retention,
+        "shipping_priority": q_shipping_priority,
         "length_quantiles": q_length_quantiles,
         "bm25_topk": q_bm25_topk,
         "chunk_documents": q_chunk_documents,
@@ -182,9 +184,10 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_CMO_WILDER,
         SQL_FUNNEL,
         SQL_INTERVAL_JOIN,
-        SQL_RETENTION,
         SQL_MACDFIX_HIST,
+        SQL_RETENTION,
         SQL_RSI_WILDER,
+        SQL_SHIPPING_PRIORITY,
     )
     from stock_indicators_etl_spark.queries_llm import (
         SQL_BM25_TOPK,
@@ -204,6 +207,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "interval_join": SQL_INTERVAL_JOIN,
         "funnel": SQL_FUNNEL,
         "retention": SQL_RETENTION,
+        "shipping_priority": SQL_SHIPPING_PRIORITY,
         "length_quantiles": SQL_LENGTH_QUANTILES,
         "bm25_topk": SQL_BM25_TOPK,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,

@@ -1803,6 +1803,78 @@ FROM f2
 """
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: two BIG-table joins (customer ⋈ orders ⋈
+    lineitem — none broadcastable at scale, so the planner's
+    SMJ/shuffle-hash choice and AQE sizing actually matter), segment +
+    date filters pushed to all three scans, top-10 orders by revenue.
+
+    The revenue sum folds in ``l_linenumber`` order (the repo's
+    sorted-fold idiom) so Spark and DuckDB produce bit-identical
+    doubles — an order-free float ``sum()`` would rank-flip near ties.
+    """
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < "1998-06-01"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > "1998-06-01"
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("v"),
+        )
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        _rc(
+            F.expr(
+                "aggregate(sort_array(collect_list(struct(l_linenumber, v))), "
+                "cast(0.0 as double), (acc, x) -> acc + x.v)"
+            ),
+            4,
+        ).alias("revenue")
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("rk", "l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+SQL_SHIPPING_PRIORITY = f"""
+WITH j AS (
+  SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+         l_linenumber, l_extendedprice * (1.0 - l_discount) AS v
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < '1998-06-01'
+    AND l_shipdate > '1998-06-01'
+),
+agg AS (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         {R4('list_reduce(list_prepend(0.0, list(v ORDER BY l_linenumber)), (x, y) -> x + y)')} AS revenue
+  FROM j GROUP BY 1, 2, 3
+),
+rk AS (
+  SELECT *, row_number() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS rk
+  FROM agg
+)
+SELECT rk, l_orderkey, revenue, o_orderdate, o_orderpriority
+FROM rk WHERE rk <= 10
+"""
+
+
 RETENTION_BUCKET_NS = 7 * 86_400 * NS  # weekly cohorts
 
 

@@ -221,3 +221,15 @@ def test_bm25_broadcasts_query_side(spark):
     assert count_nodes(plan, "BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_shipping_priority_pushes_filters_to_all_scans(spark):
+    """Q3-shape: segment/date predicates must reach all three parquet
+    scans; the big-big joins must not degenerate to nested loops."""
+    from stock_indicators_etl_spark.queries import q_shipping_priority
+
+    plan = plan_of(q_shipping_priority(spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+    assert plan.count("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate") == 1
+    assert plan.count("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
