@@ -32,7 +32,17 @@ from stock_indicators_etl_spark.session import get_spark  # noqa: E402
 # instead of caching it. Shared with scripts/scaling_sweep.py (ADVICE
 # r2: the sweep's EAGER set had drifted from this one).
 EAGER_CONSTRUCTION = frozenset(
-    {"neardup_components", "neardup_survivors", "ivf_topk", "dedup_pipeline"}
+    {
+        "neardup_components",
+        "neardup_survivors",
+        "ivf_topk",
+        "dedup_pipeline",
+        # the Lloyd iteration collects per-round centroid updates at
+        # construction — that IS the operator's work and must sit
+        # inside the timed section
+        "kmeans",
+        "semantic_neardup",
+    }
 )
 
 # HOF-heavy queries that need a second warm run for JIT tiering
