@@ -132,3 +132,70 @@ def test_retention_rejects_bad_bucket(spark):
 
     with _pytest.raises(ValueError):
         retention_cohorts(ev, bucket_ns=0)
+
+
+def test_streaming_funnel_matches_batch_across_micro_batches(spark, tmp_path):
+    """Cross-micro-batch parity: the stateful streaming funnel emits
+    exactly the batch operator's converted rows, with identical step
+    times, even when the chain completes in a later micro-batch."""
+    import os
+
+    from stock_indicators_etl_spark.streaming.funnel import streaming_funnel
+
+    rows = [
+        # u1 completes across the batch seam (purchase in file 2)
+        (1, "view", 10 * NS), (1, "click", 20 * NS),
+        # u2 completes within file 1
+        (2, "view", 5 * NS), (2, "click", 6 * NS), (2, "purchase", 7 * NS),
+        # u3 never completes
+        (3, "view", 8 * NS),
+        # u4 completes but too slowly for the bound
+        (4, "view", 0), (4, "click", NS),
+    ]
+    rows2 = [
+        (1, "purchase", 30 * NS),
+        (3, "click", 9 * NS),
+        (4, "purchase", 100 * NS),
+    ]
+    pdf1 = pd.DataFrame(rows, columns=["user_id", "event_type", "ns"])
+    pdf2 = pd.DataFrame(rows2, columns=["user_id", "event_type", "ns"])
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    f0, f1 = str(src / "p0.parquet"), str(src / "p1.parquet")
+    pdf1.to_parquet(f0)
+    pdf2.to_parquet(f1)
+    os.utime(f0, (1_000_000_000, 1_000_000_000))
+    os.utime(f1, (1_000_000_100, 1_000_000_100))
+
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, ns long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_funnel(
+        stream, ("view", "click", "purchase"), within_ns=50 * NS
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sfunnel")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sf"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from sfunnel").toPandas().set_index("user_id")
+
+    # batch twin on the union
+    both = spark.createDataFrame(pd.concat([pdf1, pdf2], ignore_index=True))
+    batch = (
+        funnel_conversions(both, ("view", "click", "purchase"), within_ns=50 * NS)
+        .toPandas()
+        .set_index("user_id")
+    )
+    conv = batch[batch.converted]
+    assert sorted(got.index) == sorted(conv.index) == [1, 2]
+    for u in (1, 2):
+        assert got.loc[u].t_0 == conv.loc[u].t_0
+        assert got.loc[u].t_2 == conv.loc[u].t_2
+        assert got.loc[u].duration_ns == conv.loc[u].duration_ns
