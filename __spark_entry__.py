@@ -146,6 +146,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_funnel,
         q_interval_join,
         q_retention,
+        q_rollup_aggregate,
         q_shipping_priority,
     )
     from stock_indicators_etl_spark.queries_llm import (
@@ -167,6 +168,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "retention": q_retention,
         "shipping_priority": q_shipping_priority,
+        "rollup_aggregate": q_rollup_aggregate,
         "length_quantiles": q_length_quantiles,
         "bm25_topk": q_bm25_topk,
         "chunk_documents": q_chunk_documents,
@@ -186,6 +188,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_INTERVAL_JOIN,
         SQL_MACDFIX_HIST,
         SQL_RETENTION,
+        SQL_ROLLUP_AGGREGATE,
         SQL_RSI_WILDER,
         SQL_SHIPPING_PRIORITY,
     )
@@ -208,6 +211,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "funnel": SQL_FUNNEL,
         "retention": SQL_RETENTION,
         "shipping_priority": SQL_SHIPPING_PRIORITY,
+        "rollup_aggregate": SQL_ROLLUP_AGGREGATE,
         "length_quantiles": SQL_LENGTH_QUANTILES,
         "bm25_topk": SQL_BM25_TOPK,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,

@@ -1875,6 +1875,33 @@ FROM rk WHERE rk <= 10
 """
 
 
+def q_rollup_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP over lineitem: per (returnflag, linestatus),
+    per returnflag subtotal, and grand total in ONE pass — Spark's
+    ``rollup`` expands to grouping sets that Catalyst evaluates with a
+    single shuffle (each input row feeds all its grouping sets via the
+    Expand operator), vs three separate aggregations. ``l_quantity``
+    is integral, so double sums are order-exact in both engines with
+    no fold pinning needed."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+SQL_ROLLUP_AGGREGATE = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 RETENTION_BUCKET_NS = 7 * 86_400 * NS  # weekly cohorts
 
 
