@@ -233,3 +233,17 @@ def test_shipping_priority_pushes_filters_to_all_scans(spark):
     assert plan.count("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate") == 1
     assert plan.count("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate") == 1
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rollup_is_one_expand_one_shuffle(spark):
+    """ROLLUP must evaluate all grouping levels in a single pass: one
+    Expand node feeding one hash exchange — not one aggregation per
+    level."""
+    from stock_indicators_etl_spark.queries import q_rollup_aggregate
+
+    plan = plan_of(q_rollup_aggregate(spark, SF_DIR))
+    assert count_nodes(plan, "Expand") == 1
+    import re
+
+    hash_exchanges = len(re.findall(r"^Arguments: hashpartitioning", plan, flags=re.M))
+    assert hash_exchanges == 1
