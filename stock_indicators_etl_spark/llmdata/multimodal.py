@@ -69,11 +69,118 @@ def fake_decoder(payload: bytes, kind: str) -> np.ndarray:
     return (hist / max(len(arr), 1)).astype(np.float32)
 
 
-def real_decoder(payload: bytes, kind: str) -> np.ndarray:  # pragma: no cover
-    """Real decode path — requires PIL/av/librosa, not present here."""
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Pure-numpy decode of binary PPM/PGM (P6/P5, maxval ≤ 255) to a
+    (H, W, 3) / (H, W) uint8 array — real pixel decoding, no codec
+    libs (the formats are uncompressed header + raw bytes)."""
+    if payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    # header tokens: magic, width, height, maxval; '#' comments legal
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(payload):
+        c = payload[i : i + 1]
+        if c == b"#":
+            i = payload.index(b"\n", i) + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    i += 1  # single whitespace after maxval
+    ch = 3 if payload[:2] == b"P6" else 1
+    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=i)
+    return arr.reshape((h, w, 3)) if ch == 3 else arr.reshape((h, w))
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Pure-numpy decode of uncompressed 24-bit BMP (BI_RGB) to
+    (H, W, 3) uint8 RGB — handles the bottom-up row order and 4-byte
+    row padding the format mandates."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    flipped = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return img[::-1] if flipped else img
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Dispatch on magic bytes: PPM/PGM and uncompressed BMP decode
+    for real (pure numpy); compressed formats (PNG/JPEG/…) raise —
+    those genuinely need codec libs this container lacks."""
+    if payload[:2] in (b"P6", b"P5"):
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        "compressed image formats need codec libraries not present in this "
+        "environment; PPM/PGM/uncompressed-BMP decode natively"
+    )
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(H, W, 3) or (H, W) uint8 → binary PPM/PGM bytes."""
+    if img.ndim == 3:
+        h, w, _ = img.shape
+        return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+    h, w = img.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def image_decoder(payload: bytes, kind: str) -> np.ndarray:
+    """REAL feature extractor for decodable images: decode to pixels,
+    then a FEATURE_DIM-bin normalized luminance histogram (ITU-R 601
+    weights). Same signature/shape as :func:`fake_decoder`, so it
+    drops into :func:`extract_media_features` unchanged."""
+    img = decode_image(payload)
+    if img.ndim == 3:
+        lum = (
+            0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+        )
+    else:
+        lum = img.astype(np.float64)
+    hist, _ = np.histogram(lum, bins=FEATURE_DIM, range=(0, 256))
+    return (hist / max(lum.size, 1)).astype(np.float32)
+
+
+def image_resize(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize for decodable images: decode →
+    index-sample rows/cols → re-encode PPM/PGM. Same signature as
+    :func:`fake_resize` (drops into :func:`resize_media`)."""
+    img = decode_image(payload)
+    h, w = img.shape[:2]
+    ri = (np.arange(height) * h) // height
+    ci = (np.arange(width) * w) // width
+    return encode_ppm(img[ri][:, ci])
+
+
+def real_decoder(payload: bytes, kind: str) -> np.ndarray:
+    """Codec-library decode path for COMPRESSED formats — PIL/av/
+    librosa are not present here. Decodable uncompressed images go
+    through :func:`image_decoder` for real."""
+    if kind == "image" and payload[:2] in (b"P6", b"P5", b"BM"):
+        return image_decoder(payload, kind)
     raise NotImplementedError(
         "media decode libraries are not available in this environment; "
-        "inject a decoder or use fake_decoder"
+        "inject a decoder, or use image_decoder for PPM/PGM/BMP payloads"
     )
 
 

@@ -633,3 +633,121 @@ def test_ivf_refinement_improves_cell_tightness(spark):
     top0 = out0[out0.rk == 1].set_index("qid").cosine
     top2 = out2[out2.rk == 1].set_index("qid").cosine
     assert (top2 >= top0 - 1e-9).all()
+
+
+def test_ppm_roundtrip_and_real_decode(spark):
+    import numpy as np
+    from stock_indicators_etl_spark.llmdata.multimodal import (
+        decode_image,
+        encode_ppm,
+        image_decoder,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (6, 4, 3), dtype=np.uint8)
+    payload = encode_ppm(img)
+    back = decode_image(payload)
+    assert (back == img).all()
+    # grayscale PGM too
+    g = rng.integers(0, 256, (3, 5), dtype=np.uint8)
+    assert (decode_image(encode_ppm(g)) == g).all()
+    # features: normalized luminance histogram sums to 1
+    f = image_decoder(payload, "image")
+    assert len(f) == 16 and abs(float(f.sum()) - 1.0) < 1e-6
+
+
+def test_ppm_header_comments_are_skipped():
+    import numpy as np
+    from stock_indicators_etl_spark.llmdata.multimodal import decode_image
+
+    img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    payload = b"P6\n# a comment\n2 2\n# another\n255\n" + img.tobytes()
+    assert (decode_image(payload) == img).all()
+
+
+def test_bmp_decode_padding_and_flip():
+    import numpy as np
+    from stock_indicators_etl_spark.llmdata.multimodal import decode_bmp
+
+    # 3x2 RGB image, hand-built 24-bit BMP (bottom-up, stride padded to 12)
+    img = np.array(
+        [[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+         [[10, 20, 30], [40, 50, 60], [70, 80, 90]]],
+        dtype=np.uint8,
+    )
+    w, h = 3, 2
+    stride = (w * 3 + 3) & ~3
+    px = bytearray()
+    for row in img[::-1]:          # bottom-up
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes([b, g, r])   # BGR
+        line += b"\x00" * (stride - len(line))
+        px += line
+    header = (
+        b"BM" + (54 + len(px)).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(px).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    assert (decode_bmp(bytes(header + px)) == img).all()
+
+
+def test_real_resize_nearest_neighbor():
+    import numpy as np
+    from stock_indicators_etl_spark.llmdata.multimodal import (
+        decode_image,
+        encode_ppm,
+        image_resize,
+    )
+
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    out = decode_image(image_resize(encode_ppm(img), 2, 2))
+    # nearest-neighbor picks rows/cols 0 and 2
+    assert (out == img[[0, 2]][:, [0, 2]]).all()
+
+
+def test_compressed_formats_still_raise():
+    import pytest
+    from stock_indicators_etl_spark.llmdata.multimodal import (
+        decode_image,
+        real_decoder,
+    )
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    with pytest.raises(NotImplementedError):
+        decode_image(png)
+    with pytest.raises(NotImplementedError):
+        real_decoder(png, "image")
+
+
+def test_real_decoder_through_spark_pipeline(spark):
+    import numpy as np
+    import pandas as pd
+    from stock_indicators_etl_spark.llmdata.multimodal import (
+        MEDIA_SCHEMA,
+        encode_ppm,
+        extract_media_features,
+        image_resize,
+        real_decoder,
+        resize_media,
+    )
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (int(i), "image", bytearray(encode_ppm(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8))),
+         {"mime": "image/x-portable-pixmap", "width": 8, "height": 8, "duration_ms": 0})
+        for i in range(4)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_media_features(media, decoder=real_decoder).toPandas()
+    assert len(feats) == 4
+    assert all(abs(sum(f) - 1.0) < 1e-5 for f in feats.features)
+    resized = resize_media(media, 4, 4, resizer=image_resize).toPandas()
+    from stock_indicators_etl_spark.llmdata.multimodal import decode_image
+
+    for p in resized.payload:
+        assert decode_image(bytes(p)).shape == (4, 4, 3)
