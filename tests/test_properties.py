@@ -355,3 +355,90 @@ def test_kmeans_assignment_is_nearest_final_centroid(spark, vecs, k):
         got = out.loc[i]
         # optimality vs the numpy-final centroids, allowing fp slack
         assert got.dist2 <= d[i].min() + 1e-9
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 4),                      # user
+            st.sampled_from(["a", "b", "c", "x"]),  # type (x = noise)
+            st.integers(0, 50),                     # ts (seconds)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_funnel_matches_python_replay(spark, evs):
+    """funnel_conversions == a brute-force greedy replay for ANY event
+    soup (duplicate timestamps, noise types, interleaved users)."""
+    from stock_indicators_etl_spark.operators.funnel import funnel_conversions
+
+    pdf = pd.DataFrame(evs, columns=["user_id", "event_type", "ns"])
+    pdf["ns"] = pdf["ns"] * NS
+    out = (
+        funnel_conversions(
+            spark.createDataFrame(pdf), ("a", "b", "c"), within_ns=20 * NS
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+
+    # python reference: t0 = min ts(a); t_i = min ts(step_i) > t_{i-1}
+    expect = {}
+    for u in sorted(pdf.user_id.unique()):
+        g = pdf[pdf.user_id == u]
+        a_ts = g[g.event_type == "a"].ns
+        if a_ts.empty:
+            continue
+        t = [a_ts.min()]
+        for s in ("b", "c"):
+            nxt = g[(g.event_type == s) & (g.ns > t[-1])].ns
+            t.append(nxt.min() if not nxt.empty else None)
+        conv = t[2] is not None and (t[2] - t[0]) <= 20 * NS
+        expect[u] = (t[0], t[1], t[2], conv)
+
+    assert sorted(out.index) == sorted(expect)
+    for u, (t0, t1, t2, conv) in expect.items():
+        r = out.loc[u]
+        assert r.t_0 == t0
+        assert (pd.isna(r.t_1) and t1 is None) or r.t_1 == t1
+        assert (pd.isna(r.t_2) and t2 is None) or r.t_2 == t2
+        assert bool(r.converted) == conv
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 5), st.integers(0, 99)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_retention_matches_python_replay(spark, evs):
+    from stock_indicators_etl_spark.operators.funnel import retention_cohorts
+
+    pdf = pd.DataFrame(evs, columns=["user_id", "ns"])
+    pdf["event_type"] = "e"
+    pdf["ns"] = pdf["ns"] * NS
+    out = retention_cohorts(
+        spark.createDataFrame(pdf), bucket_ns=10 * NS
+    ).toPandas()
+    got = {(r.cohort, r.offset): r.n_users for r in out.itertuples()}
+
+    expect: dict = {}
+    for u in pdf.user_id.unique():
+        buckets = sorted({ns // (10 * NS) for ns in pdf[pdf.user_id == u].ns})
+        c = buckets[0]
+        for b in buckets:
+            key = (c, b - c)
+            expect[key] = expect.get(key, 0) + 1
+    assert got == expect
