@@ -52,7 +52,8 @@ HEAVY_WARM = frozenset(
      "dedup_pipeline", "neardup_components", "neardup_survivors", "simhash",
      "embedding_neardup", "ivf_topk", "indicator_pipeline_grid",
      "pipeline_wilder", "recursive_family", "ngram_containment",
-     "repetition_score", "corpus_prep"}
+     "repetition_score", "corpus_prep", "semantic_neardup", "kmeans",
+     "bm25_topk", "unigram_surprisal", "shipping_priority"}
 )
 
 
