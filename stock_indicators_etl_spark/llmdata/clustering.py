@@ -3,20 +3,41 @@
 Semantic clustering is the backbone of modern training-data curation
 (cluster-based diversity sampling, SemDeDup-style within-cluster
 near-dedup, domain balancing); this implements it with the same
-Spark-first discipline as the ANN operators in :mod:`.similarity`:
+Spark-first discipline as the ANN operators in :mod:`.similarity`.
 
-- **assignment** is one scan-local pass: the k×d centroid matrix is
-  embedded as array literals (one ``F.lit`` per centroid row — the
-  IVF lesson: 2-D ``F.lit`` recursion costs ~1 s of py4j plan-build)
-  and each row evaluates a single ``transform``/``array_min`` lambda
-  tree. No shuffle, no row expansion, no Python stage.
-- **update** (centroid recomputation) is a ``posexplode`` to
-  (cluster, dim, value) rows and one map-side-combinable
-  ``groupBy(cluster, dim)``; the result is k·d rows collected to the
-  driver (bounded by design, like IVF's centroid sample) and embedded
-  as the next iteration's literals. Per-iteration cost at 100 TB:
-  one combinable shuffle of d·N narrow rows; the driver only ever
-  holds k·d doubles.
+Three execution methods, one semantics (``method=`` on
+:func:`kmeans_assign` / :func:`semantic_neardup_pairs`):
+
+- ``"literal"`` (default; the small-k oracle path): assignment is one
+  scan-local pass — the k×d centroid matrix is embedded as array
+  literals and each row evaluates a single ``transform``/``array_min``
+  lambda tree (no shuffle, no Python stage). The update collects the
+  k·d per-(cluster, dim) sums to the driver and re-embeds the means
+  as the next iteration's literals. Plan size and driver state are
+  O(k·d) — fine to k ~ 10², the bit-exact DuckDB-replayable default.
+- ``"join"`` (DataFrame-resident; the driver-free scale path):
+  centroids live as a ``(cluster, cent array<double>)`` DataFrame,
+  ``localCheckpoint``-pinned each round. Assignment is a broadcast
+  nested-loop join (big side never shuffled at full width until the
+  per-row argmin groupBy, which partial-aggregates k→1 map-side) and
+  the update is a pure ``groupBy`` back into a k-row DataFrame — no
+  iteration moves centroid data through the driver and the plan stays
+  O(1) in k. Bit-identical to ``"literal"`` (same fold orders, same
+  ``min(struct(d, j))`` tie-break, same empty-cluster rule).
+- ``"arrow"`` (big-k path, k ~ 10³–10⁵): assignment is a
+  ``mapInPandas`` stage reading the centroid matrix from a Spark
+  broadcast variable — per-batch numpy block-matmul argmin, the MLlib
+  pattern — and the update ships per-batch per-cluster partial sums
+  (one narrow combinable shuffle), so the driver holds exactly one
+  k×d float64 matrix per iteration (k=10⁵·d=64 ≈ 50 MB) and the plan
+  never embeds a literal. Distances use the ``|x|²−2x·c+|c|²`` form:
+  assignments agree with the fold paths except on exact FP ties
+  (property-tested equal on real data); dist2 agrees to ~1 ulp.
+
+Beyond broadcastable k·d (k ~ 10⁶ · d ~ 10³): shard the centroid
+matrix and run :func:`assign_with_centroids_arrow` once per shard with
+a running min — or cluster the centroids themselves and assign
+two-level (IVF over centroids). DESIGN.md §6 records the regime table.
 
 Determinism / oracle contract: init is the k vectors with the
 smallest ids (``TakeOrderedAndProject``, not a global sort); L2² runs
@@ -35,7 +56,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from stock_indicators_etl_spark.llmdata.similarity import _as_double
@@ -88,6 +109,216 @@ def assign_with_centroids(
     return out if keep_vec else out.drop("_v")
 
 
+def _update_sum_expr(exact_update: bool) -> Column:
+    """The per-(cluster, dim) centroid-sum aggregate, shared by every
+    method: vec_id-ordered fold when ``exact_update`` (oracle-exact),
+    plain combinable ``sum`` otherwise (the 100 TB default)."""
+    if exact_update:
+        return F.expr(
+            "aggregate(sort_array(collect_list(struct(vec_id, val))), "
+            "cast(0.0 as double), (acc, x) -> acc + x.val)"
+        )
+    return F.sum("val")
+
+
+def _init_centroids_df(
+    vecs: DataFrame, k: int
+) -> DataFrame:
+    """Deterministic first-``k``-ids init as a ``(cluster, cent)``
+    DataFrame — ``TakeOrderedAndProject`` for the k rows, then a
+    row_number over those k rows only (single tiny partition)."""
+    w = Window.orderBy(F.col("vec_id"))
+    return (
+        vecs.orderBy("vec_id")
+        .limit(k)
+        .select((F.row_number().over(w) - 1).alias("cluster"), F.col("_v").alias("cent"))
+    )
+
+
+def _kmeans_join(
+    vecs: DataFrame,
+    k: int,
+    iters: int,
+    exact_update: bool,
+) -> DataFrame:
+    """DataFrame-resident Lloyd rounds: centroids never leave the
+    executors. Per iteration: one broadcast nested-loop expansion
+    (pipelined, never materialized at N×k width), one argmin groupBy
+    whose partial aggregation collapses the k candidates per vec_id
+    map-side, one narrow (cluster, dim) sum shuffle, and a k-row
+    ``localCheckpoint`` to pin the new centroids and truncate lineage.
+    """
+    cents = _init_centroids_df(vecs, k).localCheckpoint()
+
+    def _assigned(cents_df: DataFrame) -> DataFrame:
+        j = vecs.crossJoin(F.broadcast(cents_df))
+        pair = F.struct(
+            _l2sq(F.col("_v"), F.col("cent")).alias("d"),
+            F.col("cluster").alias("j"),
+        )
+        return (
+            j.select("vec_id", "_v", pair.alias("p"))
+            .groupBy("vec_id")
+            .agg(F.min("p").alias("m"), F.first("_v").alias("_v"))
+            .select(
+                "vec_id",
+                F.col("m.j").alias("cluster"),
+                F.col("m.d").alias("dist2"),
+                "_v",
+            )
+        )
+
+    for _ in range(iters):
+        a = _assigned(cents)
+        expl = a.select("vec_id", "cluster", F.posexplode("_v").alias("dim", "val"))
+        means = (
+            expl.groupBy("cluster", "dim")
+            .agg(_update_sum_expr(exact_update).alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .select(
+                "cluster", "dim", (F.col("s") / F.col("cnt").cast("double")).alias("m")
+            )
+        )
+        new = (
+            means.groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("pairs"))
+            .select("cluster", F.transform("pairs", lambda p: p["m"]).alias("cent_new"))
+        )
+        # empty clusters keep their previous centroid (same rule as the
+        # literal path's per-dim fallback — a non-empty cluster always
+        # has every dim present, so per-cluster coalesce is equivalent)
+        cents = (
+            cents.join(new, "cluster", "left")
+            .select("cluster", F.coalesce("cent_new", "cent").alias("cent"))
+            .localCheckpoint()
+        )
+
+    return _assigned(cents).select("vec_id", "cluster", "dist2")
+
+
+def _nearest_block(X, C, block: int = 256):
+    """Block-matmul nearest centroid: running (argmin, min) over
+    centroid blocks; strict ``<`` keeps the lowest cluster index on
+    ties (numpy argmin already picks the first within a block)."""
+    import numpy as np
+
+    n = X.shape[0]
+    best_d = np.full(n, np.inf)
+    best_j = np.zeros(n, dtype=np.int64)
+    x2 = (X * X).sum(axis=1)
+    for s in range(0, C.shape[0], block):
+        Cb = C[s : s + block]
+        d = x2[:, None] - 2.0 * (X @ Cb.T) + (Cb * Cb).sum(axis=1)[None, :]
+        jb = d.argmin(axis=1)
+        db = d[np.arange(n), jb]
+        upd = db < best_d
+        best_d[upd] = db[upd]
+        best_j[upd] = jb[upd] + s
+    return best_j, np.maximum(best_d, 0.0)
+
+
+def assign_with_centroids_arrow(
+    df: DataFrame,
+    cents,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Big-k serving-path assignment: the k×d centroid matrix travels
+    as a Spark broadcast variable (torrent-distributed once per
+    executor, never in the plan) and each Arrow batch runs a numpy
+    block-matmul argmin. Scan-local — no shuffle, no join; composes
+    with streaming sources like :func:`assign_with_centroids`."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(cents, dtype=np.float64)
+    if C.ndim != 2 or C.shape[0] == 0:
+        raise ValueError("cents must be a non-empty k x d matrix")
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(C)
+
+    def _assign(batches):
+        Cl = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["_v"].to_numpy())
+            j, d = _nearest_block(X, Cl)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cluster": j.astype("int32"), "dist2": d}
+            )
+
+    vecs = df.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    id_type = vecs.schema["vec_id"].dataType.simpleString()
+    return vecs.mapInPandas(
+        _assign, schema=f"vec_id {id_type}, cluster int, dist2 double"
+    )
+
+
+def _kmeans_arrow(
+    vecs: DataFrame,
+    k: int,
+    iters: int,
+) -> DataFrame:
+    """Big-k Lloyd rounds (the MLlib pattern): per iteration the
+    driver holds exactly one k×d float64 matrix (broadcast variable),
+    the update is per-batch numpy partial sums — each task emits at
+    most k rows of ``(cluster, [cnt, sum_0..sum_{d-1}])`` — reduced by
+    one narrow combinable shuffle and a bounded k·(d+1)-row collect.
+    ``exact_update`` is not offered here: big-k is by definition
+    outside the oracle regime, and partial sums are order-free."""
+    import numpy as np
+    import pandas as pd
+
+    spark = vecs.sparkSession
+    init = vecs.orderBy("vec_id").limit(k).collect()
+    C = np.asarray([list(r["_v"]) for r in init], dtype=np.float64)
+    kk, dim = C.shape
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(C)
+
+        def _partials(batches):
+            Cl = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(pdf["_v"].to_numpy())
+                j, _ = _nearest_block(X, Cl)
+                present = np.unique(j)
+                sums = np.zeros((len(present), Cl.shape[1] + 1))
+                for i, cl in enumerate(present):
+                    m = j == cl
+                    sums[i, 0] = m.sum()
+                    sums[i, 1:] = X[m].sum(axis=0)
+                yield pd.DataFrame(
+                    {"cluster": present.astype("int32"), "s": list(sums)}
+                )
+
+        upd = (
+            vecs.mapInPandas(_partials, schema="cluster int, s array<double>")
+            .select("cluster", F.posexplode("s").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("val").alias("v"))
+            .collect()
+        )
+        bc.destroy()
+        cnt = np.zeros(kk)
+        sums = np.zeros((kk, dim))
+        for r in upd:
+            if r["dim"] == 0:
+                cnt[r["cluster"]] = r["v"]
+            else:
+                sums[r["cluster"], r["dim"] - 1] = r["v"]
+        nonempty = cnt > 0
+        C = np.where(nonempty[:, None], sums / np.maximum(cnt, 1.0)[:, None], C)
+
+    return assign_with_centroids_arrow(
+        vecs.withColumnRenamed("_v", "embedding"), C, vec_col="embedding"
+    )
+
+
 def kmeans_assign(
     embeddings: DataFrame,
     k: int = 8,
@@ -95,23 +326,37 @@ def kmeans_assign(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     exact_update: bool = False,
+    method: str = "literal",
 ) -> DataFrame:
     """Lloyd k-means: ``iters`` assign→update rounds from a
     deterministic first-``k``-ids init, returning the assignment
     under the final centroids as ``(vec_id, cluster, dist2)``.
-    """
-    import numpy as np
 
+    ``method`` picks the execution strategy (identical semantics, see
+    module docstring): ``"literal"`` (oracle default, k ~ 10²),
+    ``"join"`` (DataFrame-resident centroids, driver-free, O(1) plan),
+    ``"arrow"`` (broadcast-variable numpy, k ~ 10³–10⁵).
+    """
     if k <= 0 or iters < 0:
         raise ValueError("k must be positive and iters non-negative")
+    if method not in ("literal", "join", "arrow"):
+        raise ValueError(f"unknown kmeans method: {method!r}")
 
-    init_rows = (
-        embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-        .orderBy(F.col(id_col))
-        .limit(k)
-        .collect()
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("_v")
     )
-    cents: list[list[float]] = [list(r["v"]) for r in init_rows]
+    if method == "join":
+        return _kmeans_join(vecs, k, iters, exact_update)
+    if method == "arrow":
+        if exact_update:
+            raise ValueError(
+                "exact_update is a small-k oracle feature; use method='literal' "
+                "or 'join' (big-k partial sums are order-free by design)"
+            )
+        return _kmeans_arrow(vecs, k, iters)
+
+    init_rows = vecs.orderBy(F.col("vec_id")).limit(k).collect()
+    cents: list[list[float]] = [list(r["_v"]) for r in init_rows]
 
     def _assigned(cents: list[list[float]]) -> DataFrame:
         return assign_with_centroids(
@@ -123,16 +368,9 @@ def kmeans_assign(
         expl = a.select(
             "vec_id", "cluster", F.posexplode("_v").alias("dim", "val")
         )
-        if exact_update:
-            s = F.expr(
-                "aggregate(sort_array(collect_list(struct(vec_id, val))), "
-                "cast(0.0 as double), (acc, x) -> acc + x.val)"
-            )
-        else:
-            s = F.sum("val")
         upd = (
             expl.groupBy("cluster", "dim")
-            .agg(s.alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .agg(_update_sum_expr(exact_update).alias("s"), F.count(F.lit(1)).alias("cnt"))
             .collect()
         )
         means: dict[tuple[int, int], float] = {
@@ -156,6 +394,8 @@ def semantic_neardup_pairs(
     exact_update: bool = False,
     max_cluster_size: int | None = None,
     target_cluster_size: int | None = None,
+    n_vectors: int | None = None,
+    method: str = "literal",
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicates: k-means partitions the
     corpus, then cosine similarity is computed ONLY within clusters —
@@ -165,20 +405,29 @@ def semantic_neardup_pairs(
 
     At 100 TB the knob is ``k``: cluster size ~N/k bounds the per-key
     pair fan-out. ``target_cluster_size`` sets k from the data
-    (``k = max(k, ceil(N / target))`` — one count job at build time)
-    so the within-cluster work stays ~N·target instead of N²/k as the
-    corpus grows; ``max_cluster_size`` additionally hard-caps skewed
-    clusters (boilerplate sinks — dropped from pairing, the same
-    guard discipline as LSH's ``max_bucket_size``). Output:
-    ``(cluster, vec_a, vec_b, cosine)`` with ``vec_a < vec_b``,
-    deterministic and oracle-replayable when ``exact_update=True``
-    (the oracle uses fixed k — leave ``target_cluster_size`` unset
-    there).
+    (``k = max(k, ceil(N / target))``) so the within-cluster work
+    stays ~N·target instead of N²/k as the corpus grows;
+    ``max_cluster_size`` additionally hard-caps skewed clusters
+    (boilerplate sinks — dropped from pairing, the same guard
+    discipline as LSH's ``max_bucket_size``). ``method`` picks the
+    k-means execution strategy (see :func:`kmeans_assign`) — at
+    SemDeDup-realistic k (N/target at crawl scale) use ``"arrow"``.
+    Output: ``(cluster, vec_a, vec_b, cosine)`` with
+    ``vec_a < vec_b``, deterministic and oracle-replayable when
+    ``exact_update=True`` (the oracle uses fixed k — leave
+    ``target_cluster_size`` unset there).
+
+    NOTE (lazy-composition contract): ``target_cluster_size`` without
+    ``n_vectors`` runs one eager ``count()`` Spark job at
+    plan-construction time to size k (same documented-eager discipline
+    as ``token_shards(missing='error')``). Callers composing plans
+    without executing — or who already know the corpus size — should
+    pass ``n_vectors`` to keep construction fully lazy.
     """
     if target_cluster_size is not None:
         if target_cluster_size <= 0:
             raise ValueError("target_cluster_size must be positive")
-        n = embeddings.count()
+        n = embeddings.count() if n_vectors is None else n_vectors
         k = max(k, -(-n // target_cluster_size))
     assign = kmeans_assign(
         embeddings,
@@ -187,6 +436,7 @@ def semantic_neardup_pairs(
         vec_col=vec_col,
         id_col=id_col,
         exact_update=exact_update,
+        method=method,
     ).select("vec_id", "cluster")
     if max_cluster_size is not None:
         sizes = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("_n"))
@@ -234,6 +484,7 @@ def semantic_survivors(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_cluster_size: int | None = None,
+    method: str = "literal",
 ) -> DataFrame:
     """The SemDeDup survivor set: group semantic near-dup pairs into
     connected components (min-label propagation, the same engine as
@@ -249,6 +500,7 @@ def semantic_survivors(
         vec_col=vec_col,
         id_col=id_col,
         max_cluster_size=max_cluster_size,
+        method=method,
     ).select("vec_a", "vec_b")
     vertices = embeddings.select(F.col(id_col).alias("vec_id"))
     comp = connected_components(
