@@ -3,10 +3,12 @@
 Media travel as opaque ``binary`` columns with typed metadata structs
 — the Spark-side contract a 100 TB multimodal pipeline needs: schema,
 partitioning, Arrow batch shape, and UDF signatures are real and
-tested; the *decode* kernels (image/audio libs are not in this
-container) are stubbed behind ``decoder=`` injection with a
-deterministic fake, and raise ``NotImplementedError`` when a real
-decode is requested.
+tested. Image decode is REAL for PPM/PGM, uncompressed BMP, and PNG
+(stdlib ``zlib`` inflate + the five row filters in numpy — no codec
+libs needed); JPEG/audio/video genuinely need codec libraries this
+container lacks, so those paths stay behind ``decoder=`` injection
+with a deterministic fake and raise ``NotImplementedError`` when a
+real codec decode is requested.
 
 Scale notes: ``mapInPandas`` streams Arrow batches → bounded memory
 per task regardless of blob sizes; keep blobs ≤ a few MB per row
@@ -96,6 +98,10 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     i += 1  # single whitespace after maxval
     ch = 3 if payload[:2] == b"P6" else 1
     arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=i)
+    if maxval != 255:
+        # normalize to full 8-bit range so downstream histograms are
+        # comparable across maxval encodings (ADVICE r5)
+        arr = np.rint(arr.astype(np.float64) * (255.0 / maxval)).astype(np.uint8)
     return arr.reshape((h, w, 3)) if ch == 3 else arr.reshape((h, w))
 
 
@@ -122,17 +128,189 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return img[::-1] if flipped else img
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(payload: bytes):
+    """Iterate (type, data) over PNG chunks; stops at IEND."""
+    i = len(PNG_SIG)
+    while i + 8 <= len(payload):
+        ln = int.from_bytes(payload[i : i + 4], "big")
+        typ = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + ln]
+        yield typ, data
+        if typ == b"IEND":
+            return
+        i += 12 + ln  # length + type + data + crc
+
+
+def _png_defilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
+    """Invert the five PNG row filters (spec §9: None/Sub/Up/Average/
+    Paeth). Each scanline is ``1 + w*ch`` bytes, the first byte the
+    filter type. Sub inverts as a per-lane cumulative sum; Up as a
+    vectorized add of the prior reconstructed row; Average/Paeth walk
+    pixels left→right with ``ch``-wide numpy lanes (their recurrences
+    are inherently sequential along the row)."""
+    stride = 1 + w * ch
+    rows = raw[: h * stride].reshape(h, stride)
+    out = np.zeros((h, w * ch), dtype=np.int64)
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        f = int(rows[y, 0])
+        line = rows[y, 1:].astype(np.int64)
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub
+            rec = np.cumsum(line.reshape(w, ch), axis=0).reshape(-1) % 256
+        elif f == 2:  # Up
+            rec = (line + prev) % 256
+        elif f == 3:  # Average
+            rec = np.zeros(w * ch, dtype=np.int64)
+            left = np.zeros(ch, dtype=np.int64)
+            for x in range(w):
+                s = slice(x * ch, (x + 1) * ch)
+                left = (line[s] + (left + prev[s]) // 2) % 256
+                rec[s] = left
+        elif f == 4:  # Paeth
+            rec = np.zeros(w * ch, dtype=np.int64)
+            left = np.zeros(ch, dtype=np.int64)
+            ul = np.zeros(ch, dtype=np.int64)
+            for x in range(w):
+                s = slice(x * ch, (x + 1) * ch)
+                up = prev[s]
+                p = left + up - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+                )
+                left = (line[s] + pred) % 256
+                rec[s] = left
+                ul = up
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec
+        prev = rec
+    return out.astype(np.uint8).reshape(h, w, ch)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode: zlib-inflate the IDAT stream, invert
+    the per-row filters in numpy. Supports 8-bit depth, color types
+    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
+    non-interlaced — the common corpus-image shapes. Returns (H, W)
+    for gray, else (H, W, channels) uint8."""
+    import zlib
+
+    if payload[: len(PNG_SIG)] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    plte = None
+    idat = b""
+    for typ, data in _png_chunks(payload):
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat += data
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, _comp, _filt, interlace = ihdr[8:13]
+    if depth != 8:
+        raise NotImplementedError("only 8-bit PNG supported")
+    if interlace != 0:
+        raise NotImplementedError("interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {color} not supported")
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    img = _png_defilter(raw, h, w, channels)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        return pal[img.reshape(h, w)]
+    return img.reshape(h, w) if channels == 1 else img
+
+
+def encode_png(img: np.ndarray, row_filters=None) -> bytes:
+    """Minimal PNG encoder (stdlib zlib + crc32): 8-bit gray / gray+
+    alpha / RGB / RGBA, non-interlaced. ``row_filters`` (int or per-row
+    list, default 0) applies that forward filter to each scanline — the
+    round-trip fixture generator for every :func:`decode_png` filter
+    branch."""
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    if row_filters is None:
+        row_filters = [0] * h
+    elif isinstance(row_filters, int):
+        row_filters = [row_filters] * h
+    a = img.astype(np.int64)
+    flat = a.reshape(h, w * ch)
+    scan = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        f = row_filters[y]
+        cur = flat[y]
+        left = np.concatenate([np.zeros(ch, dtype=np.int64), cur[:-ch]]) if w * ch > ch else np.zeros(w * ch, dtype=np.int64)
+        upleft = np.concatenate([np.zeros(ch, dtype=np.int64), prev[:-ch]]) if w * ch > ch else np.zeros(w * ch, dtype=np.int64)
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = (cur - left) % 256
+        elif f == 2:
+            filt = (cur - prev) % 256
+        elif f == 3:
+            filt = (cur - (left + prev) // 2) % 256
+        elif f == 4:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = (cur - pred) % 256
+        else:
+            raise ValueError(f"bad filter {f}")
+        scan.append(f)
+        scan.extend(filt.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(typ + data) & 0xFFFFFFFF
+        return len(data).to_bytes(4, "big") + typ + data + crc.to_bytes(4, "big")
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, color, 0, 0, 0])
+    )
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Dispatch on magic bytes: PPM/PGM and uncompressed BMP decode
-    for real (pure numpy); compressed formats (PNG/JPEG/…) raise —
-    those genuinely need codec libs this container lacks."""
+    """Dispatch on magic bytes: PPM/PGM, uncompressed BMP, and PNG
+    (stdlib zlib inflate + numpy defilter) decode for real; JPEG/video
+    raise — those genuinely need codec libs this container lacks."""
     if payload[:2] in (b"P6", b"P5"):
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[: len(PNG_SIG)] == PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "compressed image formats need codec libraries not present in this "
-        "environment; PPM/PGM/uncompressed-BMP decode natively"
+        "JPEG/video decode needs codec libraries not present in this "
+        "environment; PPM/PGM/uncompressed-BMP/PNG decode natively"
     )
 
 
@@ -151,10 +329,12 @@ def image_decoder(payload: bytes, kind: str) -> np.ndarray:
     weights). Same signature/shape as :func:`fake_decoder`, so it
     drops into :func:`extract_media_features` unchanged."""
     img = decode_image(payload)
-    if img.ndim == 3:
+    if img.ndim == 3 and img.shape[2] >= 3:  # RGB / RGBA (alpha ignored)
         lum = (
             0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
         )
+    elif img.ndim == 3:  # gray+alpha
+        lum = img[..., 0].astype(np.float64)
     else:
         lum = img.astype(np.float64)
     hist, _ = np.histogram(lum, bins=FEATURE_DIM, range=(0, 256))
@@ -173,14 +353,19 @@ def image_resize(payload: bytes, width: int, height: int) -> bytes:
 
 
 def real_decoder(payload: bytes, kind: str) -> np.ndarray:
-    """Codec-library decode path for COMPRESSED formats — PIL/av/
-    librosa are not present here. Decodable uncompressed images go
-    through :func:`image_decoder` for real."""
-    if kind == "image" and payload[:2] in (b"P6", b"P5", b"BM"):
+    """Codec-library decode path for formats needing external codecs —
+    JPEG/audio/video (PIL/av/librosa are not present here). Decodable
+    images (PPM/PGM/BMP/PNG) go through :func:`image_decoder` for
+    real."""
+    if kind == "image" and (
+        payload[:2] in (b"P6", b"P5", b"BM")
+        or payload[: len(PNG_SIG)] == PNG_SIG
+    ):
         return image_decoder(payload, kind)
     raise NotImplementedError(
-        "media decode libraries are not available in this environment; "
-        "inject a decoder, or use image_decoder for PPM/PGM/BMP payloads"
+        "JPEG/audio/video decode libraries are not available in this "
+        "environment; inject a decoder, or use image_decoder for "
+        "PPM/PGM/BMP/PNG payloads"
     )
 
 

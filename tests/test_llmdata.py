@@ -710,18 +710,115 @@ def test_real_resize_nearest_neighbor():
     assert (out == img[[0, 2]][:, [0, 2]]).all()
 
 
-def test_compressed_formats_still_raise():
+def test_codec_formats_still_raise():
     import pytest
     from stock_indicators_etl_spark.llmdata.multimodal import (
         decode_image,
         real_decoder,
     )
 
-    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16
     with pytest.raises(NotImplementedError):
-        decode_image(png)
+        decode_image(jpeg)
     with pytest.raises(NotImplementedError):
-        real_decoder(png, "image")
+        real_decoder(jpeg, "image")
+    with pytest.raises(NotImplementedError):
+        real_decoder(b"anything", "audio")
+
+
+def test_png_roundtrip_all_filters():
+    """decode_png inverts every PNG row filter (None/Sub/Up/Average/
+    Paeth) for gray, gray+alpha, RGB and RGBA — fixtures generated by
+    the in-repo encoder applying each forward filter."""
+    import numpy as np
+    from stock_indicators_etl_spark.llmdata.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    for ch in (1, 2, 3, 4):
+        img = rng.integers(0, 256, (13, 7, ch), dtype=np.uint8)
+        exp = img[:, :, 0] if ch == 1 else img
+        src = img.squeeze(-1) if ch == 1 else img
+        for f in range(5):
+            assert np.array_equal(decode_png(encode_png(src, row_filters=f)), exp), (ch, f)
+        mixed = [i % 5 for i in range(13)]
+        assert np.array_equal(decode_png(encode_png(src, row_filters=mixed)), exp)
+
+
+def test_png_palette_decode():
+    import zlib
+
+    import numpy as np
+    from stock_indicators_etl_spark.llmdata.multimodal import PNG_SIG, decode_png
+
+    def chunk(t, d):
+        return (
+            len(d).to_bytes(4, "big") + t + d
+            + (zlib.crc32(t + d) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (5, 9), dtype=np.uint8)
+    ihdr = (9).to_bytes(4, "big") + (5).to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+    scan = bytearray()
+    for y in range(5):
+        scan.append(0)
+        scan.extend(idx[y].tobytes())
+    png = (
+        PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(bytes(scan))) + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), pal[idx])
+
+
+def test_png_unsupported_shapes_raise():
+    import numpy as np
+    import pytest
+    from stock_indicators_etl_spark.llmdata.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = encode_png(img)
+    # 16-bit depth
+    bad_depth = bytearray(good)
+    bad_depth[8 + 8 + 8] = 16  # IHDR depth byte
+    with pytest.raises((NotImplementedError, ValueError)):
+        decode_png(bytes(bad_depth))
+    with pytest.raises(ValueError):
+        decode_png(b"nope")
+
+
+def test_png_through_feature_and_resize_paths():
+    import numpy as np
+    from stock_indicators_etl_spark.llmdata.multimodal import (
+        decode_image,
+        encode_png,
+        image_decoder,
+        image_resize,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    png = encode_png(img, row_filters=4)
+    f = image_decoder(png, "image")
+    assert len(f) == 16 and abs(float(f.sum()) - 1.0) < 1e-6
+    out = decode_image(image_resize(png, 8, 8))
+    assert out.shape == (8, 8, 3)
+    assert np.array_equal(out, img[::2][:, ::2])
+
+
+def test_ppm_maxval_rescales_to_full_range():
+    """ADVICE r5: a PPM with maxval<255 must normalize so histogram
+    features are comparable across maxval encodings."""
+    from stock_indicators_etl_spark.llmdata.multimodal import decode_ppm
+
+    ppm = b"P5\n4 1\n15\n" + bytes([0, 5, 10, 15])
+    assert decode_ppm(ppm).tolist() == [[0, 85, 170, 255]]
 
 
 def test_real_decoder_through_spark_pipeline(spark):
