@@ -109,6 +109,67 @@ def _conf_wrapped(
     return run
 
 
+# Registry rotation (VERDICT r5 #3): the driver records at most 50
+# queries, so the newest / most failure-prone operators sit in the
+# hard CORRECTNESS signal while long-stable trivial entries rotate to
+# the locally-checked extras (scripts/check_oracle.py --extras runs
+# BOTH sets bit-exact every round — nothing loses oracle coverage).
+ROTATED_OUT = (
+    "iso_week",
+    "hash_sample",
+    "scalar_timefns",
+    "unpivot_melt",
+    "media_stats",
+    "token_counts",
+)
+ROTATED_IN = (
+    "funnel",
+    "retention",
+    "asof_join",
+    "interval_join",
+    "bm25_topk",
+    "kmeans",
+)
+
+
+def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from stock_indicators_etl_spark.queries import (
+        q_asof_join,
+        q_funnel,
+        q_interval_join,
+        q_retention,
+    )
+    from stock_indicators_etl_spark.queries_llm import q_bm25_topk, q_kmeans
+
+    return {
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
+        "bm25_topk": q_bm25_topk,
+        "kmeans": q_kmeans,
+    }
+
+
+def _rotated_in_oracles() -> dict[str, str]:
+    from stock_indicators_etl_spark.queries import (
+        SQL_ASOF_JOIN,
+        SQL_FUNNEL,
+        SQL_INTERVAL_JOIN,
+        SQL_RETENTION,
+    )
+    from stock_indicators_etl_spark.queries_llm import SQL_BM25_TOPK, SQL_KMEANS
+
+    return {
+        "funnel": SQL_FUNNEL,
+        "retention": SQL_RETENTION,
+        "asof_join": SQL_ASOF_JOIN,
+        "interval_join": SQL_INTERVAL_JOIN,
+        "bm25_topk": SQL_BM25_TOPK,
+        "kmeans": SQL_KMEANS,
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = dict(QUERIES)
     q.update(QUERIES_LLM)
@@ -120,6 +181,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # feature variants remain bit-exact-checkable via
     # ``extra_queries()`` / ``scripts/check_oracle.py --extras``.
     q["recursive_family"] = _q_recursive(["rsi", "cmo", "macd", "adx"])
+    for name in ROTATED_OUT:
+        q.pop(name)
+    q.update(_rotated_in_queries())
     return {name: _conf_wrapped(fn) for name, fn in q.items()}
 
 
@@ -129,93 +193,83 @@ def oracle_sql() -> dict[str, str]:
         SQL_RECURSIVE_FAMILY,
     )
 
-    return {
+    o = {
         **ORACLES,
         **ORACLES_LLM,
         "recursive_family": SQL_RECURSIVE_FAMILY,
         "indicator_pipeline_grid": SQL_INDICATOR_PIPELINE_GRID,
     }
+    for name in ROTATED_OUT:
+        o.pop(name)
+    o.update(_rotated_in_oracles())
+    return o
 
 
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Single-feature recursive variants, NOT registered with the
-    driver (its report caps at 50 entries) but still bit-exact-checked
-    locally via ``scripts/check_oracle.py --extras``."""
+    """Queries NOT registered with the driver (its report caps at 50
+    entries) but still bit-exact-checked locally via
+    ``scripts/check_oracle.py --extras``: single-feature recursive
+    variants, the newer extension operators not yet rotated in, and
+    the long-stable entries rotated out (VERDICT r5 #3)."""
     from stock_indicators_etl_spark.queries import (
-        q_asof_join,
-        q_funnel,
-        q_interval_join,
-        q_retention,
         q_rollup_aggregate,
         q_shipping_priority,
     )
     from stock_indicators_etl_spark.queries_llm import (
-        q_bm25_topk,
         q_chunk_documents,
-        q_kmeans,
         q_length_quantiles,
         q_semantic_neardup,
         q_unigram_surprisal,
     )
 
-    q = {
+    base = dict(QUERIES)
+    base.update(QUERIES_LLM)
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "rsi_wilder": _q_recursive(["rsi"]),
         "cmo_wilder": _q_recursive(["cmo"]),
         "macdfix_hist": _q_recursive(["macd"]),
         "adx_family": _q_recursive(["adx"]),
-        "asof_join": q_asof_join,
-        "interval_join": q_interval_join,
-        "funnel": q_funnel,
-        "retention": q_retention,
         "shipping_priority": q_shipping_priority,
         "rollup_aggregate": q_rollup_aggregate,
         "length_quantiles": q_length_quantiles,
-        "bm25_topk": q_bm25_topk,
         "chunk_documents": q_chunk_documents,
-        "kmeans": q_kmeans,
         "semantic_neardup": q_semantic_neardup,
         "unigram_surprisal": q_unigram_surprisal,
     }
+    for name in ROTATED_OUT:
+        q[name] = base[name]
     return {name: _conf_wrapped(fn) for name, fn in q.items()}
 
 
 def extra_oracle_sql() -> dict[str, str]:
     from stock_indicators_etl_spark.queries import (
         SQL_ADX_FAMILY,
-        SQL_ASOF_JOIN,
         SQL_CMO_WILDER,
-        SQL_FUNNEL,
-        SQL_INTERVAL_JOIN,
         SQL_MACDFIX_HIST,
-        SQL_RETENTION,
         SQL_ROLLUP_AGGREGATE,
         SQL_RSI_WILDER,
         SQL_SHIPPING_PRIORITY,
     )
     from stock_indicators_etl_spark.queries_llm import (
-        SQL_BM25_TOPK,
         SQL_CHUNK_DOCUMENTS,
-        SQL_KMEANS,
         SQL_LENGTH_QUANTILES,
         SQL_SEMANTIC_NEARDUP,
         SQL_UNIGRAM_SURPRISAL,
     )
 
-    return {
+    o = {
         "rsi_wilder": SQL_RSI_WILDER,
         "cmo_wilder": SQL_CMO_WILDER,
         "macdfix_hist": SQL_MACDFIX_HIST,
         "adx_family": SQL_ADX_FAMILY,
-        "asof_join": SQL_ASOF_JOIN,
-        "interval_join": SQL_INTERVAL_JOIN,
-        "funnel": SQL_FUNNEL,
-        "retention": SQL_RETENTION,
         "shipping_priority": SQL_SHIPPING_PRIORITY,
         "rollup_aggregate": SQL_ROLLUP_AGGREGATE,
         "length_quantiles": SQL_LENGTH_QUANTILES,
-        "bm25_topk": SQL_BM25_TOPK,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
-        "kmeans": SQL_KMEANS,
         "semantic_neardup": SQL_SEMANTIC_NEARDUP,
         "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
     }
+    base = {**ORACLES, **ORACLES_LLM}
+    for name in ROTATED_OUT:
+        o[name] = base[name]
+    return o
