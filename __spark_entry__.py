@@ -217,6 +217,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     from stock_indicators_etl_spark.queries_llm import (
         q_chunk_documents,
+        q_dedup_incremental,
         q_length_quantiles,
         q_semantic_neardup,
         q_unigram_surprisal,
@@ -235,6 +236,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "semantic_neardup": q_semantic_neardup,
         "unigram_surprisal": q_unigram_surprisal,
+        "dedup_incremental": q_dedup_incremental,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -252,6 +254,7 @@ def extra_oracle_sql() -> dict[str, str]:
     )
     from stock_indicators_etl_spark.queries_llm import (
         SQL_CHUNK_DOCUMENTS,
+        SQL_DEDUP_INCREMENTAL,
         SQL_LENGTH_QUANTILES,
         SQL_SEMANTIC_NEARDUP,
         SQL_UNIGRAM_SURPRISAL,
@@ -268,6 +271,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "semantic_neardup": SQL_SEMANTIC_NEARDUP,
         "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
+        "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

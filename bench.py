@@ -42,6 +42,9 @@ EAGER_CONSTRUCTION = frozenset(
         # inside the timed section
         "kmeans",
         "semantic_neardup",
+        # builds a temp index + runs two shard increments at
+        # construction — that IS the operator's work
+        "dedup_incremental",
     }
 )
 
@@ -53,7 +56,8 @@ HEAVY_WARM = frozenset(
      "embedding_neardup", "ivf_topk", "indicator_pipeline_grid",
      "pipeline_wilder", "recursive_family", "ngram_containment",
      "repetition_score", "corpus_prep", "semantic_neardup", "kmeans",
-     "bm25_topk", "unigram_surprisal", "shipping_priority"}
+     "bm25_topk", "unigram_surprisal", "shipping_priority",
+     "dedup_incremental"}
 )
 
 

@@ -275,13 +275,10 @@ def minhash_lsh_candidates(
     return _banded_candidates(sig, n_hashes, band_size, max_bucket_size, salt_chunk)
 
 
-def _banded_candidates(
-    sig: DataFrame,
-    n_hashes: int,
-    band_size: int,
-    max_bucket_size: int | None = None,
-    salt_chunk: int | None = None,
-) -> DataFrame:
+def band_rows(sig: DataFrame, n_hashes: int, band_size: int) -> DataFrame:
+    """Signature → one (doc_id, band_idx, band_key) row per band —
+    the LSH bucketing key stream, also the persisted layout of the
+    incremental dedup index (:mod:`.dedup_index`)."""
     n_bands = n_hashes // band_size
     bands = F.array(
         *[
@@ -294,9 +291,19 @@ def _banded_candidates(
             for b in range(n_bands)
         ]
     )
-    banded = sig.select("doc_id", F.explode(bands).alias("bk")).select(
+    return sig.select("doc_id", F.explode(bands).alias("bk")).select(
         "doc_id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.band_key").alias("band_key")
     )
+
+
+def _banded_candidates(
+    sig: DataFrame,
+    n_hashes: int,
+    band_size: int,
+    max_bucket_size: int | None = None,
+    salt_chunk: int | None = None,
+) -> DataFrame:
+    banded = band_rows(sig, n_hashes, band_size)
     buckets = banded.groupBy("band_idx", "band_key").agg(
         F.collect_set("doc_id").alias("ids")
     )

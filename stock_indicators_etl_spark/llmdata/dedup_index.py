@@ -1,0 +1,257 @@
+"""Incremental near-dedup against a persisted MinHash index.
+
+The production need at crawl scale: "dedup the NEW shard against the
+existing 100 TB corpus without recomputing the corpus" — every crawl
+append should cost O(new shard + collisions), not O(corpus).
+
+Index layout (parquet, append-only — no rewrite of old data ever):
+
+- ``<index>/bands``    — (doc_id, band_idx, band_key): the LSH
+  bucketing stream (:func:`..dedup.band_rows`). New shards APPEND.
+- ``<index>/shingles`` — (doc_id, sh_set array<bigint>): each doc's
+  distinct 56-bit shingle hashes, so exact Jaccard verification of a
+  (new, old) candidate never re-reads or re-shingles old text.
+
+The running component mapping (doc_id → component) is a DataFrame the
+caller persists wherever the pipeline keeps state (it changes every
+increment, so it is NOT part of the append-only index).
+
+Increment algorithm (:func:`dedup_increment`):
+
+1. band the new docs; candidates = new-bands ⋈ (old ∪ new) bands on
+   (band_idx, band_key) — an equi-join, so every candidate pair
+   touches ≥1 new doc and old docs never pair with each other (any
+   old-old collision already existed in a previous run: banding is
+   deterministic).
+2. exact-Jaccard-verify candidates from the stored shingle sets
+   (``array_intersect`` on a broadcast pair list — the same
+   candidate-restricted plan as :func:`..dedup.ngram_jaccard_pairs`).
+3. merge via the QUOTIENT graph: old endpoints contract to their
+   prior component label, then connected components runs over (new
+   ids ∪ touched labels) only — the fixpoint never revisits the old
+   corpus. Because component labels are group-minimum doc_ids and min
+   is associative, the merged labels equal the one-shot labels on the
+   union (property-tested shard-by-shard in
+   ``tests/test_dedup_index.py``).
+
+Scale shape per increment: one shuffle of the new shard's bands, one
+equi-join against the stored band stream (AQE broadcasts the new side
+when small), Jaccard work proportional to collisions, CC on the
+touched subgraph. Nothing scans old text; nothing rewrites old index
+rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stock_indicators_etl_spark.llmdata.dedup import (
+    band_rows,
+    connected_components,
+    minhash_signatures,
+    word_shingles,
+)
+from stock_indicators_etl_spark.llmdata.hashing import h56
+
+
+def _shingle_sets(
+    df: DataFrame, text_col: str, k: int
+) -> DataFrame:
+    """(doc_id, sh_set): each doc's distinct hashed shingles."""
+    return (
+        word_shingles(df, text_col, k, distinct=False)
+        .select("doc_id", h56(F.col("shingle")).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("sh_set"))
+    )
+
+
+def _index_exists(spark: SparkSession, index_path: str) -> bool:
+    hpath = spark._jvm.org.apache.hadoop.fs.Path(index_path + "/bands")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def write_index_shard(
+    docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    n_hashes: int = 12,
+    band_size: int = 3,
+    k: int = 3,
+    mode: str = "append",
+) -> None:
+    """Append one shard's bands + shingle sets to the index. The two
+    writes share the shingle scan only up to Spark's action boundary —
+    at scale, run them in one job server-side or accept two scans of
+    the NEW shard (never of the corpus)."""
+    sig = minhash_signatures(docs, text_col, n_hashes, k)
+    band_rows(sig, n_hashes, band_size).write.mode(mode).parquet(
+        index_path + "/bands"
+    )
+    _shingle_sets(docs, text_col, k).write.mode(mode).parquet(
+        index_path + "/shingles"
+    )
+
+
+def _verify_pairs(
+    doc_sets: DataFrame, candidates: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over stored shingle sets for the candidate pairs
+    (same plan as the candidate-restricted ngram_jaccard_pairs)."""
+    a = doc_sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sa"))
+    b = doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sb"))
+    return (
+        a.join(F.broadcast(candidates), "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sa", "sb")).alias("n_inter"),
+            F.size("sa").alias("n_a"),
+            F.size("sb").alias("n_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b")
+    )
+
+
+def dedup_increment(
+    new_docs: DataFrame,
+    index_path: str,
+    prev_components: DataFrame | None = None,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n_hashes: int = 12,
+    band_size: int = 3,
+    k: int = 3,
+    max_bucket_size: int | None = None,
+    append: bool = True,
+) -> DataFrame:
+    """Dedup a new crawl shard against the persisted index and return
+    the UPDATED full component mapping (doc_id, component) — old docs
+    re-labeled only where a new doc bridged their groups.
+
+    ``prev_components`` is the mapping returned by the previous
+    increment (None/empty for the first shard). ``append=True`` also
+    appends the new shard's bands + shingle sets to the index so the
+    next increment sees them.
+
+    ``max_bucket_size`` caps pair expansion per (band, key) bucket
+    measured over the UNION stream, same guard as the one-shot
+    pipeline. NOTE the monotonicity caveat: a bucket that grows past
+    the cap only as later shards arrive will have contributed pairs
+    in earlier increments (merges are never undone) — incremental
+    output with a finite cap can therefore keep groups the one-shot
+    run would drop. Exact shard-order-independent equivalence with
+    the one-shot pipeline holds for ``max_bucket_size=None`` (the
+    tested contract) or whenever no bucket ever exceeds the cap.
+    """
+    spark = new_docs.sparkSession
+    sig = minhash_signatures(new_docs, text_col, n_hashes, k)
+    new_bands = band_rows(sig, n_hashes, band_size)
+    new_sets = _shingle_sets(new_docs, text_col, k)
+
+    if _index_exists(spark, index_path):
+        old_bands = spark.read.parquet(index_path + "/bands")
+        old_sets = spark.read.parquet(index_path + "/shingles")
+        all_bands = old_bands.unionByName(new_bands)
+        all_sets = old_sets.unionByName(new_sets)
+    else:
+        all_bands = new_bands
+        all_sets = new_sets
+
+    if max_bucket_size is not None:
+        sizes = all_bands.groupBy("band_idx", "band_key").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        all_bands = (
+            all_bands.join(sizes, ["band_idx", "band_key"])
+            .filter(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
+
+    # every candidate touches >=1 new doc; orient and dedup
+    cand = (
+        new_bands.select("band_idx", "band_key", F.col("doc_id").alias("_new"))
+        .join(all_bands, ["band_idx", "band_key"])
+        .filter(F.col("doc_id") != F.col("_new"))
+        .select(
+            F.least("_new", "doc_id").alias("doc_a"),
+            F.greatest("_new", "doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .persist()
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    doc_sets = all_sets.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    edges = _verify_pairs(doc_sets, cand, threshold)
+
+    # quotient: contract old endpoints to their prior component label
+    new_ids = new_docs.select("doc_id")
+    if prev_components is None:
+        prev_components = spark.createDataFrame(
+            [], "doc_id long, component long"
+        )
+    lab = prev_components.select(
+        F.col("doc_id").alias("_d"), F.col("component").alias("_l")
+    )
+    q_edges = (
+        edges.join(lab.withColumnRenamed("_d", "doc_a"), "doc_a", "left")
+        .withColumn("la", F.coalesce("_l", F.col("doc_a")))
+        .drop("_l")
+        .join(lab.withColumnRenamed("_d", "doc_b"), "doc_b", "left")
+        .withColumn("lb", F.coalesce("_l", F.col("doc_b")))
+        .select(
+            F.least("la", "lb").alias("doc_a"),
+            F.greatest("la", "lb").alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+    q_vertices = (
+        q_edges.select(F.col("doc_a").alias("doc_id"))
+        .union(q_edges.select(F.col("doc_b").alias("doc_id")))
+        .union(new_ids)
+        .distinct()
+    )
+    q_comp = connected_components(q_edges, q_vertices).select(
+        F.col("doc_id").alias("_l"), F.col("component").alias("_c")
+    )
+
+    # old docs: component = q_comp[prior label] if touched else prior
+    old_out = (
+        prev_components.join(
+            q_comp, prev_components["component"] == q_comp["_l"], "left"
+        )
+        .select(
+            prev_components["doc_id"],
+            F.coalesce("_c", prev_components["component"]).alias("component"),
+        )
+    )
+    # new docs: every new id is a quotient vertex
+    new_out = new_ids.join(q_comp, new_ids["doc_id"] == q_comp["_l"]).select(
+        new_ids["doc_id"], F.col("_c").alias("component")
+    )
+    out = old_out.unionByName(new_out)
+
+    if append:
+        # pin the result BEFORE mutating the index it lazily reads —
+        # a re-listed scan after the append would double-count the new
+        # shard's bands (harmless for correctness after distinct, but
+        # nondeterministic in cost); the mapping is O(corpus) narrow
+        # rows the caller persists anyway
+        out = out.localCheckpoint()
+        new_bands.write.mode("append").parquet(index_path + "/bands")
+        new_sets.write.mode("append").parquet(index_path + "/shingles")
+    return out

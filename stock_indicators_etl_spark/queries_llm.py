@@ -710,6 +710,34 @@ WHERE c.doc_id = c.component
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a persisted MinHash index
+    (`llmdata/dedup_index.py`): the corpus arrives as two shards (even
+    then odd doc_ids); each increment appends bands + shingle sets to
+    a fresh temp index and merges via the quotient graph. The final
+    mapping must equal the one-shot pipeline — so the oracle IS
+    ``SQL_NEARDUP_COMPONENTS``. EAGER at construction: builds the
+    index and runs both increments (the increments are the operator's
+    work; bench times them via EAGER_CONSTRUCTION)."""
+    import tempfile
+
+    from stock_indicators_etl_spark.llmdata.dedup_index import dedup_increment
+
+    docs = _docs(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="spark_dedup_idx_")
+    c1 = dedup_increment(
+        docs.filter(F.col("doc_id") % 2 == 0), idx, None,
+        threshold=DEDUP_VERIFY_THRESHOLD, max_bucket_size=None,
+    )
+    return dedup_increment(
+        docs.filter(F.col("doc_id") % 2 == 1), idx, c1,
+        threshold=DEDUP_VERIFY_THRESHOLD, max_bucket_size=None,
+    )
+
+
+SQL_DEDUP_INCREMENTAL = SQL_NEARDUP_COMPONENTS
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
