@@ -69,17 +69,46 @@ def read_documents_jsonl(
 def corrupt_line_count(spark: SparkSession, path: str) -> int:
     """Number of malformed lines in a JSONL corpus (ingest QA gate).
 
-    Spark refuses queries whose referenced columns are ONLY the
-    internal corrupt-record column
-    (``UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN``) — the
-    documented remedy is to cache the parsed result first, which is
-    what this does (and unpersists after).
+    Thin wrapper over :func:`ingest_qa_counts` (one aggregate pass,
+    no cache — see there for why).
     """
-    df = read_documents_jsonl(spark, path, keep_corrupt=True).cache()
-    try:
-        return df.filter(F.col(CORRUPT_COL).isNotNull()).count()
-    finally:
-        df.unpersist()
+    return ingest_qa_counts(spark, path)["malformed"]
+
+
+def ingest_qa_counts(spark: SparkSession, path: str) -> dict[str, int]:
+    """Full ingest QA accounting for a JSONL corpus, in ONE pass.
+
+    Every line lands in exactly one bucket, so the three counts sum to
+    the corpus line count — nothing is silently lost:
+
+    - ``ingested``: parseable AND has a ``doc_id`` (what the default
+      :func:`read_documents_jsonl` path returns);
+    - ``malformed``: unparseable lines (captured in the corrupt-record
+      column);
+    - ``missing_key``: parseable JSON but ``doc_id`` is null/absent —
+      rows the default path drops that are NOT malformed. Counting
+      them separately closes the gap where dropped-but-parseable rows
+      appeared in neither metric.
+
+    Implementation note: Spark refuses queries whose referenced
+    columns are ONLY the internal corrupt-record column
+    (``UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN``); this
+    aggregate also references ``doc_id``, so it runs as a single
+    uncached scan — at crawl scale that matters: no full-corpus
+    ``cache()``, one job, three counters from the same map-side pass.
+    """
+    df = read_documents_jsonl(spark, path, keep_corrupt=True)
+    bad = F.col(CORRUPT_COL).isNotNull()
+    row = df.agg(
+        F.count(F.when(~bad & F.col("doc_id").isNotNull(), 1)).alias("ingested"),
+        F.count(F.when(bad, 1)).alias("malformed"),
+        F.count(F.when(~bad & F.col("doc_id").isNull(), 1)).alias("missing_key"),
+    ).collect()[0]
+    return {
+        "ingested": int(row["ingested"]),
+        "malformed": int(row["malformed"]),
+        "missing_key": int(row["missing_key"]),
+    }
 
 
 def stream_documents_jsonl(

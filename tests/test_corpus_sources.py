@@ -7,6 +7,7 @@ import json
 
 from stock_indicators_etl_spark.sources.corpus import (
     corrupt_line_count,
+    ingest_qa_counts,
     read_documents_jsonl,
     write_corpus_shards,
 )
@@ -43,6 +44,26 @@ def test_jsonl_malformed_lines_are_counted_not_dropped_silently(spark, tmp_path)
     kept = read_documents_jsonl(spark, p, keep_corrupt=True).toPandas()
     assert len(kept) == 3
     assert kept._corrupt_record.notna().sum() == 2
+
+
+def test_ingest_qa_counts_partition_every_line(spark, tmp_path):
+    """ingested + malformed + missing_key == line count: parseable
+    rows with a null/absent doc_id (dropped by the default reader)
+    show up as missing_key, not in neither bucket (ADVICE r5)."""
+    p = str(tmp_path / "qa.jsonl")
+    rows = [
+        {"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2},
+        {"doc_id": 2, "text": "ok2", "lang": "en", "source": "s", "n_chars": 3},
+        # parseable but no doc_id — NOT corrupt, but dropped by default
+        {"text": "orphan", "lang": "en", "source": "s", "n_chars": 6},
+        {"doc_id": None, "text": "null-key", "lang": "en", "source": "s", "n_chars": 8},
+    ]
+    _write_jsonl(p, rows, junk_lines=["not json at all", '{"doc_id": 9, "text": trunc'])
+    counts = ingest_qa_counts(spark, p)
+    assert counts == {"ingested": 2, "malformed": 2, "missing_key": 2}
+    assert sum(counts.values()) == 6
+    # the default reader's output matches the ingested count
+    assert read_documents_jsonl(spark, p).count() == counts["ingested"]
 
 
 def test_type_mismatch_rows_are_corrupt(spark, tmp_path):
