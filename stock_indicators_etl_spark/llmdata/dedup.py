@@ -188,17 +188,15 @@ def minhash_signatures(
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def _bucket_pairs_salted(
+def _salted_chunk_rows(
     grouped: DataFrame, id_list_col: str = "ids", chunk: int = 256
 ) -> DataFrame:
-    """Skew-salted variant of :func:`_bucket_pairs`: a bucket of b ids
-    emits b²/2 pairs — in the plain form that is ONE task row doing
-    O(b²) work (a straggler for boilerplate-heavy buckets). Here the
-    sorted id array is split into ⌈b/c⌉ chunks and each chunk *pair*
-    becomes its own row before cross-expansion, so a hot bucket's work
-    spreads over (b/c)²/2 parallel rows. Chunks are ordered slices of
-    the sorted array, so cross-chunk pairs satisfy a < b by
-    construction. Same output as :func:`_bucket_pairs`.
+    """The salted pre-expansion layout: each bucket's sorted id array
+    split into ⌈b/c⌉ ordered chunks, one ROW per chunk pair (i ≤ j,
+    ``same`` marks i == j). Exposed separately from
+    :func:`_bucket_pairs_salted` so the per-task work bound — every
+    row carries ≤ ``chunk`` ids per side, i.e. ≤ c² pair work — is
+    directly assertable in tests.
     """
     ids = F.array_sort(F.col(id_list_col))
     n_chunks = F.ceil(F.size(ids) / F.lit(chunk)).cast("int")
@@ -218,11 +216,26 @@ def _bucket_pairs_salted(
             ),
         )
     )
-    rows = (
+    return (
         grouped.filter(F.size(id_list_col) > 1)
         .select(F.explode(chunk_pairs).alias("cp"))
         .select(F.col("cp.a").alias("a"), F.col("cp.b").alias("b"), F.col("cp.same").alias("same"))
     )
+
+
+def _bucket_pairs_salted(
+    grouped: DataFrame, id_list_col: str = "ids", chunk: int = 256
+) -> DataFrame:
+    """Skew-salted variant of :func:`_bucket_pairs`: a bucket of b ids
+    emits b²/2 pairs — in the plain form that is ONE task row doing
+    O(b²) work (a straggler for boilerplate-heavy buckets). Here the
+    sorted id array is split into ⌈b/c⌉ chunks and each chunk *pair*
+    becomes its own row before cross-expansion, so a hot bucket's work
+    spreads over (b/c)²/2 parallel rows. Chunks are ordered slices of
+    the sorted array, so cross-chunk pairs satisfy a < b by
+    construction. Same output as :func:`_bucket_pairs`.
+    """
+    rows = _salted_chunk_rows(grouped, id_list_col, chunk)
     a = F.col("a")
     intra = F.flatten(
         F.transform(
