@@ -218,9 +218,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from stock_indicators_etl_spark.queries_llm import (
         q_chunk_documents,
         q_dedup_incremental,
+        q_leakage_split,
         q_length_quantiles,
         q_semantic_neardup,
+        q_span_dedup,
         q_unigram_surprisal,
+        q_weighted_sample,
     )
 
     base = dict(QUERIES)
@@ -237,6 +240,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_neardup": q_semantic_neardup,
         "unigram_surprisal": q_unigram_surprisal,
         "dedup_incremental": q_dedup_incremental,
+        "span_dedup": q_span_dedup,
+        "weighted_sample": q_weighted_sample,
+        "leakage_split": q_leakage_split,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -255,9 +261,12 @@ def extra_oracle_sql() -> dict[str, str]:
     from stock_indicators_etl_spark.queries_llm import (
         SQL_CHUNK_DOCUMENTS,
         SQL_DEDUP_INCREMENTAL,
+        SQL_LEAKAGE_SPLIT,
         SQL_LENGTH_QUANTILES,
         SQL_SEMANTIC_NEARDUP,
+        SQL_SPAN_DEDUP,
         SQL_UNIGRAM_SURPRISAL,
+        SQL_WEIGHTED_SAMPLE,
     )
 
     o = {
@@ -272,6 +281,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "semantic_neardup": SQL_SEMANTIC_NEARDUP,
         "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+        "span_dedup": SQL_SPAN_DEDUP,
+        "weighted_sample": SQL_WEIGHTED_SAMPLE,
+        "leakage_split": SQL_LEAKAGE_SPLIT,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -45,6 +45,8 @@ EAGER_CONSTRUCTION = frozenset(
         # builds a temp index + runs two shard increments at
         # construction — that IS the operator's work
         "dedup_incremental",
+        # runs the near-dup components fixpoint at construction
+        "leakage_split",
     }
 )
 

@@ -27,7 +27,7 @@ both engines).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from stock_indicators_etl_spark.llmdata.hashing import h56 as _h56
@@ -94,6 +94,98 @@ def dedup_survivors(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("canonical_doc_id").alias("doc_id")
     )
     return df.join(canon, "doc_id", "left_semi")
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_words: int = 16,
+    sep: str | None = None,
+) -> DataFrame:
+    """C4-style repeated-span removal WITHIN documents across the
+    corpus: segment each document into spans, drop every span whose
+    exact normalized content already occurred earlier in the corpus
+    (first occurrence by ``(doc_id, position)`` wins), and reassemble
+    the cleaned text — the treatment C4 applies to repeated
+    three-sentence windows and boilerplate lines, at span granularity.
+
+    ``sep``: a regex to split on (newline for paragraph mode, a
+    sentence regex for sentence mode). ``None`` segments the
+    normalized word stream into fixed ``block_words``-word blocks —
+    the deterministic fallback for corpora without structural
+    separators (e.g. the testdata documents, which have no newlines).
+
+    Scale shape: one ``posexplode`` to ~n_words/block rows, then ONE
+    shuffle on the 16-byte span hash (a window ``row_number`` — the
+    span text itself never shuffles beyond its own row), and a
+    groupBy on ``doc_id`` to reassemble. No joins, no iteration; the
+    keep-first rule is a per-hash min, so map-side combining applies
+    to the rank's sort. Skew: a boilerplate span repeated across 30%
+    of the corpus lands one hot hash key whose rows are (id, pos)
+    pairs only — bounded bytes per row, and only the single winning
+    row survives the rank.
+
+    Output: ``(doc_id, clean_text, n_spans, n_spans_kept)`` for every
+    input doc (docs whose spans were all dropped keep an empty
+    ``clean_text``).
+    """
+    if sep is not None:
+        spans = F.filter(
+            F.transform(F.split(F.col(text_col), sep), lambda s: norm_text(s)),
+            lambda s: F.length(s) > 0,
+        )
+    else:
+        ws = words(F.col(text_col))
+        n_blocks = F.ceil(F.size(ws) / F.lit(block_words)).cast("int")
+        spans = F.when(F.size(ws) == 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n_blocks - F.lit(1)),
+                lambda i: F.array_join(
+                    F.slice(ws, i * block_words + F.lit(1), block_words), " "
+                ),
+            )
+        )
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(spans).alias("pos", "span"),
+    ).withColumn("h", F.md5(F.col("span")))
+    w = Window.partitionBy("h").orderBy("doc_id", "pos")
+    kept = exploded.withColumn("_rk", F.row_number().over(w))
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count(F.when(F.col("_rk") == 1, 1)).alias("n_spans_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_rk") == 1,
+                                F.struct(F.col("pos"), F.col("span")),
+                            )
+                        )
+                    ),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    # docs with zero spans (empty text) never exploded — restore them
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce(F.col("n_spans_kept"), F.lit(0))
+            .cast("bigint")
+            .alias("n_spans_kept"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

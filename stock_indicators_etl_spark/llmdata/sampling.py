@@ -133,3 +133,77 @@ def token_shards(
         # corpus is ~1e14 — inside that); matches the oracle's `//`
         (cum_before / F.lit(budget)).cast("long").alias("shard_id"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-Res): each row gets key ``ln(u) / w`` with
+    ``u`` a content-stable uniform from the id hash and ``w`` its
+    positive weight; the ``n`` LARGEST keys are the sample — exactly
+    the distribution of sequential weighted draws without replacement.
+
+    Why this shape at scale: the key is a scan-local expression (no
+    shuffle, no state, no RNG), and top-n-by-key is a combinable
+    TakeOrdered — each partition keeps its local n, the driver merges
+    heaps. Re-running on a grown corpus preserves every prior row's
+    key, so the sample only changes where the data did (same
+    reproducibility contract as :func:`hash_sample`).
+
+    Zero/negative weights are excluded (a zero-weight row can never
+    be drawn). ``u`` is centered off 0 (``(h + 0.5) / 2^56``) so
+    ``ln`` never sees 0.
+    """
+    u = (_id_hash56(F.col(id_col)) + F.lit(0.5)) / F.lit(float(HASH_DOMAIN))
+    w = F.col(weight_col).cast("double")
+    key = F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .limit(n)
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    components: DataFrame,
+    fractions: tuple[float, float] = (0.8, 0.1),
+    id_col: str = "doc_id",
+    component_col: str = "component",
+) -> DataFrame:
+    """Train/val/test assignment that can never leak near-duplicates
+    across splits: the split decision hashes the dedup COMPONENT (e.g.
+    :func:`..dedup.neardup_components` output), so every member of a
+    duplicate group lands in the same split — a doc-level hash split
+    would put two near-identical docs in train and test and quietly
+    inflate eval numbers.
+
+    ``fractions`` = (train, val); test gets the remainder. The
+    assignment is the same exact-integer hash-threshold arithmetic as
+    :func:`hash_sample` (bit-identical across engines, stable under
+    repartitioning and corpus growth — a component keeps its split
+    forever unless dedup merges it into another, which is exactly
+    when its members must move together anyway).
+
+    One equi-join on the id (both sides can be bucketed on it at
+    scale); the split itself is a scan-local expression.
+    """
+    f_train, f_val = fractions
+    if not (0 < f_train and 0 <= f_val and f_train + f_val <= 1):
+        raise ValueError(f"bad fractions {fractions!r}")
+    t1 = int(f_train * HASH_DOMAIN)
+    t2 = int((f_train + f_val) * HASH_DOMAIN)
+    h = _id_hash56(F.col(component_col))
+    split = (
+        F.when(h < t1, F.lit("train"))
+        .when(h < t2, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.join(
+        components.select(id_col, component_col), id_col
+    ).withColumn("split", split)

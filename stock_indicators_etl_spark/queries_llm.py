@@ -1266,6 +1266,140 @@ SQL_SEMANTIC_NEARDUP = _sql_semantic_neardup()
 
 
 # ---------------------------------------------------------------------------
+# span dedup (C4-style repeated-block removal)
+# ---------------------------------------------------------------------------
+
+SPAN_BLOCK_WORDS = 16
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated-span removal with text reconstruction:
+    every 16-word block that already occurred earlier (by (doc_id,
+    pos)) is dropped, documents are reassembled from their surviving
+    blocks. The oracle replays the same segmentation + keep-first
+    window in DuckDB."""
+    from stock_indicators_etl_spark.llmdata.dedup import span_dedup
+
+    return span_dedup(_docs(spark, sf_dir), block_words=SPAN_BLOCK_WORDS)
+
+
+SQL_SPAN_DEDUP = f"""
+WITH {DOCS_CTE},
+nb AS (
+  SELECT doc_id, ws, CAST(ceil(len(ws) / {SPAN_BLOCK_WORDS}.0) AS INT) AS n
+  FROM wd WHERE len(ws) > 0
+),
+blk AS (
+  SELECT doc_id,
+         unnest(generate_series(0, n - 1)) AS pos,
+         unnest(list_transform(generate_series(0, n - 1),
+                i -> array_to_string(list_slice(ws, i * {SPAN_BLOCK_WORDS} + 1,
+                                                i * {SPAN_BLOCK_WORDS} + {SPAN_BLOCK_WORDS}), ' '))) AS span
+  FROM nb
+),
+rk AS (
+  SELECT doc_id, pos, span,
+         row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, pos) AS rk
+  FROM blk
+),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n_spans,
+         count(*) FILTER (WHERE rk = 1) AS n_spans_kept,
+         coalesce(string_agg(span, ' ' ORDER BY pos) FILTER (WHERE rk = 1), '') AS clean_text
+  FROM rk GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       coalesce(a.n_spans, 0) AS n_spans,
+       coalesce(a.n_spans_kept, 0) AS n_spans_kept
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling (Efraimidis–Spirakis, token-weighted)
+# ---------------------------------------------------------------------------
+
+WSAMPLE_N = 100
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted sampling without replacement: 100 docs drawn
+    with probability proportional to word count, via deterministic
+    hash-uniform exponential keys (scan-local, combinable top-n)."""
+    from stock_indicators_etl_spark.llmdata.sampling import weighted_sample
+    from stock_indicators_etl_spark.llmdata.text import words
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "n_words", F.size(words(F.col("text")))
+    )
+    out = weighted_sample(docs, "n_words", WSAMPLE_N)
+    return out.select(
+        "doc_id", "n_words", _rc(F.col("sample_key")).alias("sample_key")
+    )
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH {DOCS_CTE},
+k AS (
+  SELECT doc_id, len(ws) AS n_words,
+         ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) + 0.5)
+            / 72057594037927936.0) / len(ws) AS key
+  FROM wd WHERE len(ws) > 0
+)
+SELECT doc_id, n_words, {R6('key')} AS sample_key
+FROM k ORDER BY key DESC, doc_id LIMIT {WSAMPLE_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe train/val/test split
+# ---------------------------------------------------------------------------
+
+SPLIT_FRACS = (0.8, 0.1)
+
+
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware split: the split decision hashes the dedup
+    component, so duplicate groups never straddle train/test. The
+    oracle re-derives the same components (recursive CTE) and applies
+    the same exact-integer hash thresholds."""
+    from stock_indicators_etl_spark.llmdata.dedup import neardup_components
+    from stock_indicators_etl_spark.llmdata.sampling import leakage_safe_split
+
+    docs = _docs(spark, sf_dir)
+    comps = neardup_components(docs, threshold=DEDUP_VERIFY_THRESHOLD)
+    return leakage_safe_split(
+        docs.select("doc_id", "lang"), comps, fractions=SPLIT_FRACS
+    ).select("doc_id", "lang", "component", "split")
+
+
+def _sql_leakage_split() -> str:
+    from stock_indicators_etl_spark.llmdata.hashing import HASH_DOMAIN
+
+    t1 = int(SPLIT_FRACS[0] * HASH_DOMAIN)
+    t2 = int((SPLIT_FRACS[0] + SPLIT_FRACS[1]) * HASH_DOMAIN)
+    return f"""
+WITH RECURSIVE {_CC_EDGE_CTES},
+comp AS (SELECT id AS doc_id, min(lab) AS component FROM reach GROUP BY id),
+s AS (
+  SELECT doc_id, component,
+         CAST(concat('0x', substr(md5(CAST(component AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+  FROM comp
+)
+SELECT d.doc_id, d.lang, s.component,
+       CASE WHEN s.h < {t1} THEN 'train'
+            WHEN s.h < {t2} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents d JOIN s ON d.doc_id = s.doc_id
+"""
+
+
+SQL_LEAKAGE_SPLIT = _sql_leakage_split()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 

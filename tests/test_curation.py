@@ -1,0 +1,162 @@
+"""Corpus-curation operators: span dedup, weighted sampling,
+leakage-safe splits (`llmdata/dedup.span_dedup`,
+`llmdata/sampling.weighted_sample` / `leakage_safe_split`)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from stock_indicators_etl_spark.llmdata.dedup import span_dedup
+from stock_indicators_etl_spark.llmdata.sampling import (
+    leakage_safe_split,
+    weighted_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+BLOCK = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen"
+
+
+class TestSpanDedup:
+    def test_repeated_block_removed_from_later_doc(self, spark):
+        unique = "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda mu nu xi omicron pi"
+        docs = _docs(spark, [(1, f"{BLOCK} {unique}"), (2, f"{BLOCK} {unique}")])
+        out = {r.doc_id: r for r in span_dedup(docs, block_words=16).collect()}
+        # doc 1 (first occurrence) keeps everything
+        assert out[1].clean_text == f"{BLOCK} {unique}"
+        assert out[1].n_spans == 2 and out[1].n_spans_kept == 2
+        # doc 2's both blocks already occurred -> fully emptied
+        assert out[2].clean_text == "" and out[2].n_spans_kept == 0
+
+    def test_unique_doc_reassembles_to_normalized_text(self, spark):
+        txt = "  The Quick   Brown fox JUMPS over the lazy dog again and again today  "
+        docs = _docs(spark, [(7, txt)])
+        out = span_dedup(docs, block_words=5).collect()[0]
+        norm = " ".join(txt.lower().split())
+        assert out.clean_text == norm
+        assert out.n_spans == out.n_spans_kept == 3  # 13 words / 5
+
+    def test_empty_doc_survives_with_empty_clean_text(self, spark):
+        docs = _docs(spark, [(1, ""), (2, "   "), (3, "hello world")])
+        out = {r.doc_id: r for r in span_dedup(docs).collect()}
+        assert out[1].clean_text == "" and out[1].n_spans == 0
+        assert out[2].clean_text == "" and out[2].n_spans == 0
+        assert out[3].clean_text == "hello world"
+
+    def test_intra_document_repeats_collapse(self, spark):
+        # same block twice INSIDE one doc: second occurrence dropped
+        docs = _docs(spark, [(1, f"{BLOCK} {BLOCK}")])
+        out = span_dedup(docs, block_words=16).collect()[0]
+        assert out.clean_text == BLOCK
+        assert out.n_spans == 2 and out.n_spans_kept == 1
+
+    def test_paragraph_mode_with_separator(self, spark):
+        docs = _docs(
+            spark,
+            [
+                (1, "first paragraph here\nshared boilerplate footer"),
+                (2, "different opening text\nshared boilerplate footer"),
+            ],
+        )
+        out = {
+            r.doc_id: r for r in span_dedup(docs, sep="\n").collect()
+        }
+        assert out[1].clean_text == "first paragraph here shared boilerplate footer"
+        assert out[2].clean_text == "different opening text"
+        assert out[2].n_spans == 2 and out[2].n_spans_kept == 1
+
+
+class TestWeightedSample:
+    def _weighted(self, spark, weights):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": range(len(weights)), "w": weights}
+            )
+        )
+
+    def test_deterministic_across_runs(self, spark):
+        df = self._weighted(spark, [1.0] * 50)
+        a = [r.doc_id for r in weighted_sample(df, "w", 10).collect()]
+        b = [r.doc_id for r in weighted_sample(df, "w", 10).collect()]
+        assert a == b and len(a) == 10
+
+    def test_zero_and_negative_weights_never_drawn(self, spark):
+        df = self._weighted(spark, [0.0, -1.0] + [1.0] * 10)
+        got = {r.doc_id for r in weighted_sample(df, "w", 12).collect()}
+        assert got == set(range(2, 12))
+
+    def test_dominant_weight_always_selected(self, spark):
+        # key = ln(u)/w -> a astronomically heavy row's key ~ 0⁻ beats
+        # every unit-weight row regardless of hash draw
+        df = self._weighted(spark, [1.0] * 99 + [1e12])
+        top = weighted_sample(df, "w", 1).collect()[0]
+        assert top.doc_id == 99
+
+    def test_n_exceeding_population_returns_all_positive(self, spark):
+        df = self._weighted(spark, [0.0, 2.0, 3.0])
+        got = {r.doc_id for r in weighted_sample(df, "w", 100).collect()}
+        assert got == {1, 2}
+
+
+class TestLeakageSafeSplit:
+    def _comps(self, spark, mapping):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                [(k, v) for k, v in mapping.items()],
+                columns=["doc_id", "component"],
+            )
+        )
+
+    def test_component_members_share_split(self, spark):
+        # 100 docs in 10 components of 10
+        mapping = {i: (i // 10) * 10 for i in range(100)}
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(100)})
+        )
+        out = leakage_safe_split(docs, self._comps(spark, mapping)).collect()
+        by_comp: dict[int, set[str]] = {}
+        for r in out:
+            by_comp.setdefault(r.component, set()).add(r.split)
+        assert len(out) == 100
+        assert all(len(s) == 1 for s in by_comp.values())
+
+    def test_fractions_roughly_respected(self, spark):
+        n = 2000  # singleton components
+        docs = spark.createDataFrame(pd.DataFrame({"doc_id": range(n)}))
+        comps = self._comps(spark, {i: i for i in range(n)})
+        out = leakage_safe_split(docs, comps, fractions=(0.8, 0.1))
+        counts = {
+            r["split"]: r["n"]
+            for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+        assert abs(counts["train"] / n - 0.8) < 0.05
+        assert abs(counts.get("val", 0) / n - 0.1) < 0.03
+        assert abs(counts.get("test", 0) / n - 0.1) < 0.03
+
+    def test_bad_fractions_raise(self, spark):
+        docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1]}))
+        comps = self._comps(spark, {1: 1})
+        with pytest.raises(ValueError):
+            leakage_safe_split(docs, comps, fractions=(0.9, 0.2))
+
+    def test_split_stable_under_corpus_growth(self, spark):
+        # adding new docs must not move an existing component's split
+        docs1 = spark.createDataFrame(pd.DataFrame({"doc_id": range(50)}))
+        comps1 = self._comps(spark, {i: i for i in range(50)})
+        first = {
+            r.doc_id: r.split
+            for r in leakage_safe_split(docs1, comps1).collect()
+        }
+        docs2 = spark.createDataFrame(pd.DataFrame({"doc_id": range(100)}))
+        comps2 = self._comps(spark, {i: i for i in range(100)})
+        second = {
+            r.doc_id: r.split
+            for r in leakage_safe_split(docs2, comps2).collect()
+        }
+        assert all(second[i] == first[i] for i in range(50))
