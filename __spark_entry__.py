@@ -218,6 +218,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from stock_indicators_etl_spark.queries_llm import (
         q_chunk_documents,
         q_dedup_incremental,
+        q_embedding_neardup_scaled,
         q_leakage_split,
         q_length_quantiles,
         q_semantic_neardup,
@@ -243,6 +244,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "weighted_sample": q_weighted_sample,
         "leakage_split": q_leakage_split,
+        "embedding_neardup_scaled": q_embedding_neardup_scaled,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -261,6 +263,7 @@ def extra_oracle_sql() -> dict[str, str]:
     from stock_indicators_etl_spark.queries_llm import (
         SQL_CHUNK_DOCUMENTS,
         SQL_DEDUP_INCREMENTAL,
+        SQL_EMBEDDING_NEARDUP_SCALED,
         SQL_LEAKAGE_SPLIT,
         SQL_LENGTH_QUANTILES,
         SQL_SEMANTIC_NEARDUP,
@@ -284,6 +287,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "span_dedup": SQL_SPAN_DEDUP,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "leakage_split": SQL_LEAKAGE_SPLIT,
+        "embedding_neardup_scaled": SQL_EMBEDDING_NEARDUP_SCALED,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

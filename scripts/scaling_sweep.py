@@ -34,11 +34,18 @@ SFS = [
 #: sf1 cell (the rest would be a misleading flat line).
 SF1_DIR = str(Path(__file__).resolve().parent.parent / "testdata_sf1")
 
-#: queries that read documents/embeddings — the only ones sf1 upscales
+#: queries that read documents/embeddings — the only ones sf1 upscales.
+#: `ngram_jaccard` (uncapped) is deliberately absent: exact all-pairs
+#: Jaccard is O(Σ d²) over posting lists by definition, and the sf1
+#: fixture's ~40-word vocabulary makes that a ~3-billion-row pair
+#: stream — the capped variant (`ngram_jaccard_capped`, the documented
+#: scale default) is what gets measured at this decade. Probing the
+#: uncapped form at sf1 is what exposed the mis-broadcast pair-stream
+#: OOM fixed in dedup.ngram_jaccard_pairs.
 SF1_QUERIES = {
-    "dedup_exact", "minhash_lsh_candidates", "ngram_jaccard",
+    "dedup_exact", "minhash_lsh_candidates",
     "dedup_pipeline", "neardup_components", "cosine_topk",
-    "embedding_neardup", "ivf_topk", "corpus_prep",
+    "embedding_neardup_scaled", "ivf_topk", "corpus_prep",
     "ngram_jaccard_capped", "bm25_topk", "chunk_documents",
     "kmeans", "semantic_neardup", "unigram_surprisal",
 }
@@ -54,7 +61,8 @@ QUERIES = [
     "dedup_pipeline",         # two-stage composition
     "neardup_components",     # iterative fixpoint
     "cosine_topk",            # broadcast scan scoring
-    "embedding_neardup",      # banded LSH self-join
+    "embedding_neardup",      # banded LSH self-join (4-bucket default blocking)
+    "embedding_neardup_scaled",  # corpus-sized blocking — the sf1-decade variant
     "ivf_topk",               # cell assignment + probe join
     "corpus_prep",            # composed filter/sample/dedup/rollup
     "ngram_jaccard_capped",   # posting lists with the scale cap ON

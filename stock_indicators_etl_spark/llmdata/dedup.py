@@ -549,13 +549,24 @@ def ngram_jaccard_pairs(
     pair_counts = _bucket_pairs(capped).groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).alias("n_inter")
     )
+    # the sizes side is the EXPLICIT broadcast: Spark's size estimate
+    # for the HOF-derived pair stream is garbage (it inherits the tiny
+    # posting-aggregate estimate), and on an upscaled corpus the
+    # planner picked BuildLeft on the ~Σd² pair stream — a guaranteed
+    # driver OOM the sf1 decade caught. sizes is one small row per doc
+    # (broadcastable to ~10⁸ docs); beyond that, drop the hint and the
+    # pair stream pays its two shuffles honestly.
     out = (
         pair_counts.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+            ),
             "doc_a",
         )
         .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+            ),
             "doc_b",
         )
         .withColumn(

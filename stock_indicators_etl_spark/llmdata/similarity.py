@@ -320,6 +320,43 @@ def band_sign_buckets(
     return out
 
 
+def recommended_lsh_blocking(
+    n_vectors: int,
+    threshold: float = 0.9,
+    target_bucket: int = 256,
+    target_recall: float = 0.95,
+) -> tuple[int, int]:
+    """``(n_planes, band_size)`` sized to the corpus, for
+    :func:`embedding_neardup_pairs`.
+
+    The candidate-pair cost of banded sign-LSH is
+    ``Σ_buckets b²/2 ≈ bands · N²/2^band_size`` — a FIXED
+    ``band_size`` means the bucket space stops subdividing while N
+    grows, and the blocking degrades to quadratic (the 8-plane/band-2
+    default has only 4 buckets per band: fine at 10³ vectors, N²/4 at
+    10⁵+ — the sf1 decade measured exactly that cliff). This helper
+    restores the invariant that matters at 100 TB: expected bucket
+    size stays ~``target_bucket`` regardless of N
+    (``band_size = log2(N / target_bucket)``), and the number of
+    bands is then chosen so recall at ``threshold`` still meets
+    ``target_recall`` under the standard OR-amplification model
+    ``recall = 1 − (1 − p^band_size)^bands`` with
+    ``p = 1 − arccos(threshold)/π``.
+    """
+    import math
+
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    band_size = max(2, math.ceil(math.log2(max(2, n_vectors / target_bucket))))
+    p = 1.0 - math.acos(threshold) / math.pi
+    miss = 1.0 - p**band_size
+    if miss <= 0:
+        bands = 1
+    else:
+        bands = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(miss)))
+    return bands * band_size, band_size
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

@@ -858,6 +858,32 @@ WHERE (CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
 
 SQL_EMBEDDING_NEARDUP = _embedding_neardup_oracle_sql()
 
+# scale-tuned blocking: recommended_lsh_blocking(20_000) — the sf1
+# corpus size — frozen as literals so the query (and its oracle) stay
+# deterministic. The (8, 2) default above has only 4 buckets per band
+# (Σb² ≈ N²/4 — fine at the driver SFs, a measured cliff at sf1);
+# this variant keeps expected bucket size ~constant instead.
+EMBED_SCALED_PLANES = 56
+EMBED_SCALED_BAND = 7
+
+
+def q_embedding_neardup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with corpus-sized LSH blocking (56 planes /
+    band 7 = 8 bands × 128 buckets, from ``recommended_lsh_blocking``)
+    — the variant the sf1 decade measures; same oracle construction."""
+    out = embedding_neardup_pairs(
+        _emb(spark, sf_dir),
+        threshold=NEARDUP_THRESHOLD,
+        n_planes=EMBED_SCALED_PLANES,
+        band_size=EMBED_SCALED_BAND,
+    )
+    return out.withColumn("cosine", _rc(F.col("cosine")))
+
+
+SQL_EMBEDDING_NEARDUP_SCALED = _embedding_neardup_oracle_sql(
+    n_planes=EMBED_SCALED_PLANES, band_size=EMBED_SCALED_BAND
+)
+
 
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: documents synthesized into an opaque

@@ -160,3 +160,44 @@ class TestLeakageSafeSplit:
             for r in leakage_safe_split(docs2, comps2).collect()
         }
         assert all(second[i] == first[i] for i in range(50))
+
+
+class TestRecommendedLshBlocking:
+    def test_bucket_space_scales_with_corpus(self):
+        from stock_indicators_etl_spark.llmdata.similarity import (
+            recommended_lsh_blocking,
+        )
+
+        small = recommended_lsh_blocking(200)
+        mid = recommended_lsh_blocking(20_000)
+        big = recommended_lsh_blocking(10**9)
+        # band_size (log2 of bucket count) grows with N...
+        assert small[1] < mid[1] < big[1]
+        # ...keeping expected bucket size ~target regardless of N
+        for n, (_, bs) in ((200, small), (20_000, mid), (10**9, big)):
+            assert n / (1 << bs) <= 256 * 2
+
+    def test_recall_model_met(self):
+        import math
+
+        from stock_indicators_etl_spark.llmdata.similarity import (
+            recommended_lsh_blocking,
+        )
+
+        for n in (1000, 10**6, 10**9):
+            for thr in (0.8, 0.9, 0.95):
+                planes, bs = recommended_lsh_blocking(n, threshold=thr)
+                bands = planes // bs
+                p = 1 - math.acos(thr) / math.pi
+                recall = 1 - (1 - p**bs) ** bands
+                assert recall >= 0.95 - 1e-9, (n, thr, planes, bs, recall)
+
+    def test_invalid_threshold_raises(self):
+        import pytest as _pytest
+
+        from stock_indicators_etl_spark.llmdata.similarity import (
+            recommended_lsh_blocking,
+        )
+
+        with _pytest.raises(ValueError):
+            recommended_lsh_blocking(1000, threshold=1.5)
