@@ -221,6 +221,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_embedding_neardup_scaled,
         q_leakage_split,
         q_length_quantiles,
+        q_pq_topk,
         q_semantic_neardup,
         q_span_dedup,
         q_unigram_surprisal,
@@ -245,6 +246,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "leakage_split": q_leakage_split,
         "embedding_neardup_scaled": q_embedding_neardup_scaled,
+        "pq_topk": q_pq_topk,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -266,6 +268,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_EMBEDDING_NEARDUP_SCALED,
         SQL_LEAKAGE_SPLIT,
         SQL_LENGTH_QUANTILES,
+        SQL_PQ_TOPK,
         SQL_SEMANTIC_NEARDUP,
         SQL_SPAN_DEDUP,
         SQL_UNIGRAM_SURPRISAL,
@@ -288,6 +291,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "leakage_split": SQL_LEAKAGE_SPLIT,
         "embedding_neardup_scaled": SQL_EMBEDDING_NEARDUP_SCALED,
+        "pq_topk": SQL_PQ_TOPK,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -45,7 +45,7 @@ SF1_DIR = str(Path(__file__).resolve().parent.parent / "testdata_sf1")
 SF1_QUERIES = {
     "dedup_exact", "minhash_lsh_candidates",
     "dedup_pipeline", "neardup_components", "cosine_topk",
-    "embedding_neardup_scaled", "ivf_topk", "corpus_prep",
+    "embedding_neardup_scaled", "ivf_topk", "pq_topk", "corpus_prep",
     "ngram_jaccard_capped", "bm25_topk", "chunk_documents",
     "kmeans", "semantic_neardup", "unigram_surprisal",
 }
@@ -64,6 +64,7 @@ QUERIES = [
     "embedding_neardup",      # banded LSH self-join (4-bucket default blocking)
     "embedding_neardup_scaled",  # corpus-sized blocking — the sf1-decade variant
     "ivf_topk",               # cell assignment + probe join
+    "pq_topk",                # product quantization, ADC lookup scoring
     "corpus_prep",            # composed filter/sample/dedup/rollup
     "ngram_jaccard_capped",   # posting lists with the scale cap ON
     "bm25_topk",              # inverted-index retrieval join (extra)

@@ -475,3 +475,167 @@ def embedding_neardup_pairs(
             )
 
     return embeddings.select(id_col, vec_col).mapInPandas(run, schema=schema)
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization approximate top-k (ADC scoring).
+
+    The third classic ANN scale path next to LSH and IVF: each vector
+    is split into ``m`` subspaces and every subspace is quantized to
+    its nearest of ``ksub`` codebook entries, so a base vector is
+    carried through the join as ``m`` small codes (8 bytes here vs
+    512 for the raw doubles — the 100 TB story is that the corpus side
+    of the scoring join shuffles/caches CODES, never vectors). Scoring
+    is asymmetric distance computation: the query precomputes an
+    ``m × ksub`` lookup table of subspace dot products ONCE (on the
+    tiny broadcast side), and each candidate costs ``m`` array lookups
+    + adds instead of a ``dim``-wide dot product.
+
+    Codebooks are the same deterministic sample rule as
+    :func:`ivf_topk`'s centroids — the ``ksub`` vectors with smallest
+    ``(md5(vec_id), vec_id)``, one ``TakeOrderedAndProject`` + a
+    ksub-row collect — with subspace ``s``'s codebook being those
+    vectors' ``s``-th slices. Every fold (encode argmin, codebook
+    norms, LUT, ADC sum) is a left-fold Column expression the DuckDB
+    oracle replays bit-identically; ties in the encode argmin resolve
+    to the lowest code index on both engines.
+
+    Output: ``(qid, rk, nbr_id, approx_cosine)`` — approximate cosine
+    = ADC dot / (query norm × RECONSTRUCTED base norm).
+    """
+    import numpy as np
+
+    samp_rows = (
+        embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(ksub)
+        .collect()
+    )
+    samp = [list(r["v"]) for r in samp_rows]
+    dim = len(samp[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    # driver-side replay of the left-fold subspace norm²: Python
+    # floats are IEEE doubles, so this equals the Column fold
+    # bit-for-bit (same argument as ivf_topk's _lfold_norm)
+    cbn2 = [
+        [
+            _py_lfold_sum(samp[j][s * sub + t] * samp[j][s * sub + t] for t in range(sub))
+            for j in range(ksub)
+        ]
+        for s in range(m)
+    ]
+
+    SAMP = F.array(*[F.lit(np.asarray(c, dtype=np.float64)) for c in samp])
+    CBN2 = F.array(*[F.lit(np.asarray(row, dtype=np.float64)) for row in cbn2])
+
+    v = _as_double(F.col(vec_col))
+
+    def _d2(vcol, s, j):
+        # Σ_t (v[s·sub+t] − cb[j][s·sub+t])² — left fold, t = 1..sub
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(sub)),
+            F.lit(0.0),
+            lambda acc, t: acc
+            + (
+                F.element_at(vcol, s * sub + t)
+                - F.element_at(F.element_at(SAMP, j + 1), s * sub + t)
+            )
+            * (
+                F.element_at(vcol, s * sub + t)
+                - F.element_at(F.element_at(SAMP, j + 1), s * sub + t)
+            ),
+        )
+
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(ksub - 1)),
+                lambda j: F.struct(_d2(F.col("_v"), s, j).alias("d"), j.alias("j")),
+            )
+        )["j"],
+    )
+    # reconstructed norm: √(Σ_s ‖cb[s][code_s]‖²) — the norm PQ can
+    # actually know for a base vector it only stores codes for
+    rnrm = F.sqrt(
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(m)),
+            F.lit(0.0),
+            lambda acc, si: acc
+            + F.element_at(
+                F.element_at(CBN2, si), F.element_at(F.col("codes"), si) + 1
+            ),
+        )
+    )
+    base = (
+        embeddings.select(F.col(id_col).alias("nbr_id"), v.alias("_v"))
+        .withColumn("codes", codes)
+        .withColumn("rnrm", rnrm)
+        # vectors DROPPED here: the scoring join sees 8 codes + 1 norm
+        .select("nbr_id", "codes", "rnrm")
+    )
+
+    # per-query LUT: lut[s][j] = Σ_t q[s·sub+t]·cb[j][s·sub+t]
+    qlut = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.transform(
+            F.sequence(F.lit(0), F.lit(ksub - 1)),
+            lambda j: F.aggregate(
+                F.sequence(F.lit(1), F.lit(sub)),
+                F.lit(0.0),
+                lambda acc, t: acc
+                + F.element_at(F.col("_qv"), s * sub + t)
+                * F.element_at(F.element_at(SAMP, j + 1), s * sub + t),
+            ),
+        ),
+    )
+    q = (
+        queries.select(F.col(id_col).alias("qid"), v.alias("_qv"))
+        .withColumn("qnrm", F.sqrt(_dot(F.col("_qv"), F.col("_qv"))))
+        .withColumn("qlut", qlut)
+        .select("qid", "qnrm", "qlut")
+    )
+
+    adc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0.0),
+        lambda acc, si: acc
+        + F.element_at(
+            F.element_at(F.col("qlut"), si), F.element_at(F.col("codes"), si) + 1
+        ),
+    )
+    den = F.col("qnrm") * F.col("rnrm")
+    score = F.when(den == 0, F.lit(0.0)).otherwise(adc / den)
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("nbr_id"))
+        .withColumn("approx_cosine", score)
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("approx_cosine").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "rk", "nbr_id", "approx_cosine")
+    )
+
+
+def _py_lfold_sum(xs) -> float:
+    """Driver-side left-fold sum seeded at 0.0 (IEEE-identical to the
+    Column/list_reduce folds)."""
+    s = 0.0
+    for x in xs:
+        s = s + x
+    return s

@@ -1034,6 +1034,106 @@ SQL_LSH_TOPK = _lsh_topk_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
+# product quantization ANN (ADC)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8
+PQ_KSUB = 16
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-k: base vectors carried as 8 codes + a
+    reconstructed norm (32× smaller than raw doubles), queries score
+    via m table lookups per candidate. Oracle-checkable: codebooks are
+    the same smallest-(md5, id) sample both engines derive, and every
+    fold (encode argmin, LUT, ADC sum, norms) is left-assoc in both."""
+    from stock_indicators_etl_spark.llmdata.similarity import pq_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = pq_topk(emb, q, k=TOPK, m=PQ_M, ksub=PQ_KSUB)
+    return out.withColumn("approx_cosine", _rc(F.col("approx_cosine")))
+
+
+def _pq_topk_oracle_sql(m: int = PQ_M, ksub: int = PQ_KSUB, dim: int = 64) -> str:
+    """DuckDB twin of :func:`~..llmdata.similarity.pq_topk`. The
+    codebook is derived in SQL from the same sample; encode ties go to
+    the lowest code via list_indexof-of-list_min (first occurrence);
+    all folds are 0.0-seeded left reductions in the same index order
+    as the Spark Column expressions."""
+    sub = dim // m
+
+    def lfold(body: str, lo: int, hi: int, var: str = "t") -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(generate_series({lo}, {hi}), "
+            f"{var} -> {body})), (x, y) -> x + y)"
+        )
+
+    d2_list = (
+        f"list_transform(generate_series(0, {ksub - 1}), j -> "
+        + lfold(
+            f"(e.v[s * {sub} + t] - cb.cbs[j + 1][s * {sub} + t])"
+            f" * (e.v[s * {sub} + t] - cb.cbs[j + 1][s * {sub} + t])",
+            1,
+            sub,
+        )
+        + ")"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+samp AS (
+  SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS j
+  FROM e
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {ksub}
+),
+cb AS (SELECT list(v ORDER BY j) AS cbs FROM samp),
+cbn AS (
+  SELECT list_transform(generate_series(0, {m - 1}), s ->
+           list_transform(generate_series(0, {ksub - 1}), j ->
+             {lfold(f"cb.cbs[j + 1][s * {sub} + t] * cb.cbs[j + 1][s * {sub} + t]", 1, sub)})) AS n2
+  FROM cb
+),
+enc AS (
+  SELECT e.vec_id,
+         list_transform(generate_series(0, {m - 1}), s ->
+           CAST(list_indexof({d2_list}, list_min({d2_list})) - 1 AS BIGINT)) AS codes
+  FROM e, cb
+),
+base AS (
+  SELECT enc.vec_id AS nbr_id, enc.codes,
+         sqrt({lfold("cbn.n2[si][enc.codes[si] + 1]", 1, m, "si")}) AS rnrm
+  FROM enc, cbn
+),
+q AS (
+  SELECT e.vec_id AS qid, e.v AS qv,
+         sqrt({lfold("e.v[t] * e.v[t]", 1, dim)}) AS qnrm,
+         list_transform(generate_series(0, {m - 1}), s ->
+           list_transform(generate_series(0, {ksub - 1}), j ->
+             {lfold(f"e.v[s * {sub} + t] * cb.cbs[j + 1][s * {sub} + t]", 1, sub)})) AS qlut
+  FROM e, cb
+  WHERE e.vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.qid, b.nbr_id,
+         CASE WHEN q.qnrm * b.rnrm = 0 THEN 0.0
+              ELSE {lfold("q.qlut[si][b.codes[si] + 1]", 1, m, "si")} / (q.qnrm * b.rnrm)
+         END AS approx_cosine
+  FROM q CROSS JOIN base b
+  WHERE b.nbr_id <> q.qid
+),
+rk AS (
+  SELECT qid, nbr_id, approx_cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY approx_cosine DESC, nbr_id ASC) AS rk
+  FROM scored
+)
+SELECT qid, rk, nbr_id, {R6('approx_cosine')} AS approx_cosine FROM rk WHERE rk <= {TOPK}
+"""
+
+
+SQL_PQ_TOPK = _pq_topk_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
 # exact quantiles (driver-registry extras — the report caps at 50)
 # ---------------------------------------------------------------------------
 

@@ -201,3 +201,108 @@ class TestRecommendedLshBlocking:
 
         with _pytest.raises(ValueError):
             recommended_lsh_blocking(1000, threshold=1.5)
+
+
+class TestPqTopk:
+    def _emb(self, spark, n=24, dim=16, seed=3):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        mat = rng.normal(size=(n, dim)).round(3)
+        return (
+            spark.createDataFrame(
+                pd.DataFrame(
+                    {"vec_id": range(n), "embedding": [list(map(float, r)) for r in mat]}
+                )
+            ),
+            mat,
+        )
+
+    def _replica(self, mat, qids, k, m, ksub):
+        """Brute-force python replay of pq_topk's exact algorithm."""
+        import hashlib
+
+        import numpy as np
+
+        n, dim = mat.shape
+        sub = dim // m
+        order = sorted(range(n), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        samp = [mat[i] for i in order[:ksub]]
+        out = []
+        codes = np.zeros((n, m), dtype=int)
+        for i in range(n):
+            for s in range(m):
+                d2 = [
+                    float(np.sum((mat[i, s * sub:(s + 1) * sub] - c[s * sub:(s + 1) * sub]) ** 2))
+                    for c in samp
+                ]
+                codes[i, s] = int(np.argmin(d2))  # argmin -> first min = lowest j
+        for qid in qids:
+            qv = mat[qid]
+            qnrm = float(np.linalg.norm(qv))
+            scored = []
+            for i in range(n):
+                if i == qid:
+                    continue
+                rec = np.concatenate(
+                    [samp[codes[i, s]][s * sub:(s + 1) * sub] for s in range(m)]
+                )
+                rnrm = float(np.linalg.norm(rec))
+                adc = float(np.dot(qv, rec))
+                scored.append((adc / (qnrm * rnrm) if qnrm * rnrm else 0.0, i))
+            scored.sort(key=lambda t: (-t[0], t[1]))
+            for rk, (cos, i) in enumerate(scored[:k], 1):
+                out.append((qid, rk, i, cos))
+        return out
+
+    def test_matches_python_replica(self, spark):
+        from stock_indicators_etl_spark.llmdata.similarity import pq_topk
+
+        emb, mat = self._emb(spark)
+        q = emb.filter(F.col("vec_id") < 3)
+        got = sorted(
+            (r.qid, r.rk, r.nbr_id, r.approx_cosine)
+            for r in pq_topk(emb, q, k=5, m=4, ksub=4).collect()
+        )
+        want = sorted(self._replica(mat, [0, 1, 2], k=5, m=4, ksub=4))
+        assert [(a, b, c) for a, b, c, _ in got] == [(a, b, c) for a, b, c, _ in want]
+        for (_, _, _, g), (_, _, _, w) in zip(got, want):
+            assert abs(g - w) < 1e-9
+
+    def test_exact_when_vectors_are_codebook_entries(self, spark):
+        """Vectors drawn FROM the sampled codebook reconstruct exactly,
+        so PQ ranking equals exact cosine ranking."""
+        import numpy as np
+
+        from stock_indicators_etl_spark.llmdata.similarity import (
+            cosine_topk,
+            pq_topk,
+        )
+
+        rng = np.random.default_rng(7)
+        protos = rng.normal(size=(4, 8)).round(2)
+        # 16 vectors cycling over 4 prototypes: any 4+ sample covers
+        # duplicates of each, and every vector hits a zero-distance code
+        mat = np.stack([protos[i % 4] for i in range(16)])
+        emb = spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": range(16), "embedding": [list(map(float, r)) for r in mat]}
+            )
+        )
+        q = emb.filter(F.col("vec_id") < 2)
+        got = {
+            (r.qid, r.rk): (r.nbr_id, round(r.approx_cosine, 9))
+            for r in pq_topk(emb, q, k=4, m=2, ksub=16).collect()
+        }
+        exact = {
+            (r.qid, r.rk): (r.nbr_id, round(r.cosine, 9))
+            for r in cosine_topk(emb, q, k=4).collect()
+        }
+        assert got == exact
+
+    def test_dim_not_divisible_raises(self, spark):
+        from stock_indicators_etl_spark.llmdata.similarity import pq_topk
+
+        emb, _ = self._emb(spark, dim=10)
+        with pytest.raises(ValueError):
+            pq_topk(emb, emb.limit(1), m=4)
