@@ -138,6 +138,73 @@ def test_streaming_corpus_ingest_gates_and_dedups(spark, tmp_path):
     assert got.iloc[0].content_md5 is not None
 
 
+def test_streaming_ingest_watermark_evicts_dedup_state(spark, tmp_path):
+    """DESIGN §6 promise: with an event-time column the content-dedup
+    state is WATERMARK-BOUNDED, not grow-forever. Three micro-batches
+    (maxFilesPerTrigger=1) of the SAME content:
+
+    - batch 1 (docs 1, 2): two copies 5 min apart → within the 10-min
+      watermark, deduped to one survivor;
+    - batch 2 (doc 3, 2 h later): state evicts only at batch END, so
+      the entry is still present during this batch and the copy is
+      deduped — but afterwards the advanced watermark passes the
+      entry's expiry and it is EVICTED;
+    - batch 3 (doc 4): the entry survives Spark's end-of-previous-
+      batch bookkeeping one batch longer in the dedup check, so this
+      copy is still dropped while the store empties;
+    - batch 4 (doc 5): state is empty → the same content is
+      RE-ADMITTED.
+
+    An unbounded dropDuplicates would emit exactly one row ever; the
+    re-admission in the last batch is the observable proof of
+    eviction.
+    """
+    import os
+    import time
+
+    from stock_indicators_etl_spark.sources.corpus import (
+        DOCUMENTS_SCHEMA,
+        streaming_corpus_ingest,
+    )
+
+    schema = f"{DOCUMENTS_SCHEMA}, fetch_ts timestamp"
+    body = "the same syndicated article body repeated across the crawl"
+
+    def doc(i, ts):
+        return {"doc_id": i, "text": body, "lang": "en", "source": "s",
+                "n_chars": len(body), "fetch_ts": ts}
+
+    src = tmp_path / "wm_src"
+    src.mkdir()
+    _write_jsonl(str(src / "a.jsonl"),
+                 [doc(1, "2024-01-01 10:00:00"), doc(2, "2024-01-01 10:05:00")])
+    _write_jsonl(str(src / "b.jsonl"), [doc(3, "2024-01-01 12:00:00")])
+    _write_jsonl(str(src / "c.jsonl"), [doc(4, "2024-01-01 12:30:00")])
+    _write_jsonl(str(src / "d.jsonl"), [doc(5, "2024-01-01 12:45:00")])
+    now = time.time()
+    for i, f in enumerate(("a.jsonl", "b.jsonl", "c.jsonl", "d.jsonl")):
+        os.utime(src / f, (now + i, now + i))  # file-source batch order
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(
+        str(src)
+    )
+    out = streaming_corpus_ingest(
+        stream, min_words=5, ts_col="fetch_ts", watermark="10 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wmcorpus")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("wmcorpus").toPandas().sort_values("doc_id")
+    # batch-1 survivor + the post-eviction re-admission; docs 2-4
+    # deduped while the state entry was alive
+    assert list(got.doc_id) == [1, 5], list(got.doc_id)
+
+
 def test_corpus_pipeline_end_to_end(spark, tmp_path):
     """The examples/corpus_pipeline.py curation chain on synthetic
     JSONL: ingest -> quality -> exact+near dedup -> shards."""
