@@ -219,11 +219,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_chunk_documents,
         q_dedup_incremental,
         q_embedding_neardup_scaled,
+        q_frequent_ngrams,
         q_leakage_split,
         q_length_quantiles,
         q_pq_topk,
         q_semantic_neardup,
         q_span_dedup,
+        q_tfidf_keywords,
         q_unigram_surprisal,
         q_weighted_sample,
     )
@@ -247,6 +249,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_split": q_leakage_split,
         "embedding_neardup_scaled": q_embedding_neardup_scaled,
         "pq_topk": q_pq_topk,
+        "frequent_ngrams": q_frequent_ngrams,
+        "tfidf_keywords": q_tfidf_keywords,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -266,11 +270,13 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_CHUNK_DOCUMENTS,
         SQL_DEDUP_INCREMENTAL,
         SQL_EMBEDDING_NEARDUP_SCALED,
+        SQL_FREQUENT_NGRAMS,
         SQL_LEAKAGE_SPLIT,
         SQL_LENGTH_QUANTILES,
         SQL_PQ_TOPK,
         SQL_SEMANTIC_NEARDUP,
         SQL_SPAN_DEDUP,
+        SQL_TFIDF_KEYWORDS,
         SQL_UNIGRAM_SURPRISAL,
         SQL_WEIGHTED_SAMPLE,
     )
@@ -292,6 +298,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "leakage_split": SQL_LEAKAGE_SPLIT,
         "embedding_neardup_scaled": SQL_EMBEDDING_NEARDUP_SCALED,
         "pq_topk": SQL_PQ_TOPK,
+        "frequent_ngrams": SQL_FREQUENT_NGRAMS,
+        "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

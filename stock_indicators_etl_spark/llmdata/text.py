@@ -286,3 +286,87 @@ def repetition_score(df: DataFrame, text_col: str = "text", k: int = 2) -> DataF
         .otherwise(F.col("top_gram_count").cast("double") / F.col("n_grams").cast("double"))
         .alias("repetition_ratio"),
     )
+
+
+def frequent_ngrams(
+    df: DataFrame, n: int = 3, top: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide most frequent word n-grams — the boilerplate
+    discovery pass: its output is what you feed into
+    :func:`..dedup.span_dedup` separators, ``max_doc_freq`` choices,
+    and template-filter rules. Returns the ``top`` n-grams by
+    occurrence count with their document frequency.
+
+    Plan: one scan-local gram expansion (docs shorter than ``n``
+    contribute nothing), ONE map-side-combinable shuffle on the gram
+    for both aggregates, and a combinable global top-n
+    (``TakeOrderedAndProject`` — per-partition heads, driver merge of
+    ``top``·parts rows, never a global sort). Deterministic tie-break
+    (count desc, gram asc).
+    """
+    pre = spread(df).select("doc_id", words(F.col(text_col)).alias("_w"))
+    w = F.col("_w")
+    sz = F.size(w)
+    grams = F.when(sz < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), sz - F.lit(n)),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+        )
+    )
+    return (
+        pre.select("doc_id", F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(top)
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame, top: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document keyword extraction: the ``top`` terms by
+    tf·idf with ``idf = ln((N+1)/(df+1))`` (smoothed). The classic
+    corpus-statistics summary a curation pipeline attaches to every
+    document (topic tagging, near-dup explanation, cluster labeling).
+
+    Plan: one ``groupBy(doc, term)`` tf shuffle (map-side combinable),
+    a vocabulary-sized df aggregate on the same exchange, the corpus
+    count N as a 1-row broadcast cross join, and a per-doc window
+    top-n. The per-term idf is quantized to 6dp BEFORE the tf multiply
+    (same discipline as unigram surprisal: JVM vs libm ``ln`` differ
+    in the last ulp; quantizing makes equal (tf, df) pairs EXACTLY
+    equal so the (score desc, term asc) tie-break is engine-stable).
+    """
+    pre = spread(df).select(
+        F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("_w")
+    )
+    toks = pre.select("doc_id", F.explode("_w").alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    p = float(10**6)
+    idf_q = (
+        F.floor(
+            F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+            * F.lit(p)
+            + F.lit(0.5)
+        )
+        / F.lit(p)
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * idf_q)
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= top)
+        .select("doc_id", "rk", "term", "tf", "df", "score")
+    )

@@ -1392,6 +1392,66 @@ SQL_SEMANTIC_NEARDUP = _sql_semantic_neardup()
 
 
 # ---------------------------------------------------------------------------
+# corpus statistics: frequent n-grams + per-doc tf-idf keywords
+# ---------------------------------------------------------------------------
+
+FREQ_NGRAM_N = 3
+FREQ_NGRAM_TOP = 20
+TFIDF_TOP = 5
+
+
+def q_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus 3-grams with doc frequency — the boilerplate
+    discovery pass (one combinable shuffle + TakeOrderedAndProject)."""
+    from stock_indicators_etl_spark.llmdata.text import frequent_ngrams
+
+    return frequent_ngrams(_docs(spark, sf_dir), n=FREQ_NGRAM_N, top=FREQ_NGRAM_TOP)
+
+
+SQL_FREQUENT_NGRAMS = f"""
+WITH {DOCS_CTE},
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(0, len(ws) - {FREQ_NGRAM_N}), i ->
+            array_to_string(list_slice(ws, i + 1, i + {FREQ_NGRAM_N}), ' '))) AS ngram
+  FROM wd WHERE len(ws) >= {FREQ_NGRAM_N}
+)
+SELECT ngram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM g GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram ASC
+LIMIT {FREQ_NGRAM_TOP}
+"""
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tf·idf terms per doc; per-term idf quantized to 6dp
+    before the multiply so the ranking tie-break is engine-stable."""
+    from stock_indicators_etl_spark.llmdata.text import tfidf_keywords
+
+    return tfidf_keywords(_docs(spark, sf_dir), top=TFIDF_TOP)
+
+
+SQL_TFIDF_KEYWORDS = f"""
+WITH {DOCS_CTE},
+t AS (SELECT doc_id, unnest(ws) AS term FROM wd),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nn AS (SELECT count(*) AS n_docs FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         tf.tf * (floor(ln((nn.n_docs + 1.0) / (dfreq.df + 1.0)) * 1000000 + 0.5) / 1000000) AS score
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nn
+),
+r AS (
+  SELECT doc_id, term, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+  FROM s
+)
+SELECT doc_id, rk, term, tf, df, score FROM r WHERE rk <= {TFIDF_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
 # span dedup (C4-style repeated-block removal)
 # ---------------------------------------------------------------------------
 

@@ -306,3 +306,46 @@ class TestPqTopk:
         emb, _ = self._emb(spark, dim=10)
         with pytest.raises(ValueError):
             pq_topk(emb, emb.limit(1), m=4)
+
+
+class TestCorpusStats:
+    def test_frequent_ngrams_known_answer(self, spark):
+        from stock_indicators_etl_spark.llmdata.text import frequent_ngrams
+
+        docs = _docs(
+            spark,
+            [
+                (1, "all rights reserved here"),
+                (2, "all rights reserved there"),
+                (3, "something else entirely now"),
+            ],
+        )
+        out = frequent_ngrams(docs, n=3, top=2).collect()
+        assert (out[0].ngram, out[0].n_occurrences, out[0].n_docs) == (
+            "all rights reserved", 2, 2,
+        )
+        # rank 2 resolves ties by gram asc
+        assert out[1].n_occurrences == 1
+
+    def test_frequent_ngrams_short_docs_contribute_nothing(self, spark):
+        from stock_indicators_etl_spark.llmdata.text import frequent_ngrams
+
+        docs = _docs(spark, [(1, "two words"), (2, "")])
+        assert frequent_ngrams(docs, n=3, top=5).count() == 0
+
+    def test_tfidf_rare_term_outranks_common(self, spark):
+        from stock_indicators_etl_spark.llmdata.text import tfidf_keywords
+
+        docs = _docs(
+            spark,
+            [
+                (1, "common common common zebra"),
+                (2, "common filler text"),
+                (3, "common other words"),
+            ],
+        )
+        out = {r.doc_id: r for r in tfidf_keywords(docs, top=1).collect()}
+        # "common" appears in every doc -> idf ln(4/4)=0; "zebra" is
+        # unique -> positive idf, wins despite tf 1 vs 3
+        assert out[1].term == "zebra" and out[1].df == 1
+        assert out[1].score > 0
