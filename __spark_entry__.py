@@ -224,6 +224,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_length_quantiles,
         q_pq_topk,
         q_semantic_neardup,
+        q_semantic_neardup_scaled,
         q_span_dedup,
         q_tfidf_keywords,
         q_unigram_surprisal,
@@ -249,6 +250,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_split": q_leakage_split,
         "embedding_neardup_scaled": q_embedding_neardup_scaled,
         "pq_topk": q_pq_topk,
+        "semantic_neardup_scaled": q_semantic_neardup_scaled,
         "frequent_ngrams": q_frequent_ngrams,
         "tfidf_keywords": q_tfidf_keywords,
     }
@@ -275,6 +277,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_LENGTH_QUANTILES,
         SQL_PQ_TOPK,
         SQL_SEMANTIC_NEARDUP,
+        SQL_SEMANTIC_NEARDUP_SCALED,
         SQL_SPAN_DEDUP,
         SQL_TFIDF_KEYWORDS,
         SQL_UNIGRAM_SURPRISAL,
@@ -298,6 +301,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "leakage_split": SQL_LEAKAGE_SPLIT,
         "embedding_neardup_scaled": SQL_EMBEDDING_NEARDUP_SCALED,
         "pq_topk": SQL_PQ_TOPK,
+        "semantic_neardup_scaled": SQL_SEMANTIC_NEARDUP_SCALED,
         "frequent_ngrams": SQL_FREQUENT_NGRAMS,
         "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     }

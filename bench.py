@@ -42,6 +42,7 @@ EAGER_CONSTRUCTION = frozenset(
         # inside the timed section
         "kmeans",
         "semantic_neardup",
+        "semantic_neardup_scaled",
         # builds a temp index + runs two shard increments at
         # construction — that IS the operator's work
         "dedup_incremental",

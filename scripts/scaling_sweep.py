@@ -47,7 +47,7 @@ SF1_QUERIES = {
     "dedup_pipeline", "neardup_components", "cosine_topk",
     "embedding_neardup_scaled", "ivf_topk", "pq_topk", "corpus_prep",
     "ngram_jaccard_capped", "bm25_topk", "chunk_documents",
-    "kmeans", "semantic_neardup", "unigram_surprisal",
+    "kmeans", "semantic_neardup_scaled", "unigram_surprisal",
 }
 
 # one representative per plan family
@@ -71,6 +71,7 @@ QUERIES = [
     "chunk_documents",        # scan-local generator expansion (extra)
     "kmeans",                 # iterative assign/update w/ driver literals (extra)
     "semantic_neardup",       # kmeans blocking + within-cluster cosine (extra)
+    "semantic_neardup_scaled",  # auto-k SemDeDup — cluster size pinned, the sf1 variant
     "unigram_surprisal",      # corpus-unigram LM quality proxy (extra)
     "funnel",                 # ordered-sequence conditional-min chain (extra)
     "retention",              # cohort retention, combinable distinct aggs (extra)

@@ -1390,6 +1390,49 @@ def _sql_semantic_neardup() -> str:
 
 SQL_SEMANTIC_NEARDUP = _sql_semantic_neardup()
 
+# auto-k variant: fixed k means clusters grow as N/k and the
+# within-cluster pair work grows ~N²/k — measurably superlinear at
+# the sf1 decade. target_cluster_size keeps cluster size ~constant
+# (k = ⌈N/target⌉), which is the SemDeDup scale contract. The oracle
+# runs at sf0.01 (500 vectors), where ⌈500/50⌉ = 10 — frozen below so
+# the SQL replays the exact same k the Spark query derives there.
+SEM_TARGET_CLUSTER = 50
+_SEM_SCALED_K_SF001 = 10
+
+
+def q_semantic_neardup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with auto-k (cluster size pinned at ~50 regardless of
+    corpus size). EAGER: sizes k from an embeddings.count() at
+    construction."""
+    from stock_indicators_etl_spark.llmdata.clustering import semantic_neardup_pairs
+
+    out = semantic_neardup_pairs(
+        _emb(spark, sf_dir),
+        k=1,
+        iters=KMEANS_ITERS,
+        threshold=SEMDEDUP_THRESHOLD,
+        exact_update=True,
+        target_cluster_size=SEM_TARGET_CLUSTER,
+    )
+    return out.withColumn("cosine", _rc(F.col("cosine")))
+
+
+def _sql_semantic_neardup_scaled() -> str:
+    from stock_indicators_etl_spark.llmdata.clustering import (
+        sql_semantic_neardup_oracle,
+    )
+
+    return sql_semantic_neardup_oracle(
+        k=_SEM_SCALED_K_SF001,
+        iters=KMEANS_ITERS,
+        dim=64,
+        threshold=SEMDEDUP_THRESHOLD,
+        r6=R6,
+    )
+
+
+SQL_SEMANTIC_NEARDUP_SCALED = _sql_semantic_neardup_scaled()
+
 
 # ---------------------------------------------------------------------------
 # corpus statistics: frequent n-grams + per-doc tf-idf keywords
