@@ -247,3 +247,86 @@ def test_rollup_is_one_expand_one_shuffle(spark):
 
     hash_exchanges = len(re.findall(r"^Arguments: hashpartitioning", plan, flags=re.M))
     assert hash_exchanges == 1
+
+
+def test_span_dedup_one_hash_shuffle_no_joins_before_rebuild(spark):
+    """span_dedup's keep-first pass must be ONE shuffle on the span
+    hash (a window rank), plus the doc_id rebuild aggregation and the
+    final restore join — never a join or Python stage in the dedup
+    path itself."""
+    from stock_indicators_etl_spark.llmdata.dedup import span_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(span_dedup(docs))
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # dedup path: hash-partition exchange for the window + one for the
+    # doc_id groupBy + the left-join restore; nothing quadratic
+    assert count_nodes(plan, "Window") == 1
+
+
+def test_pq_topk_join_carries_codes_not_vectors(spark):
+    """The PQ scale claim: the corpus side of the scoring join ships
+    codes + a reconstructed norm, never the embedding array. The
+    query side (with its LUT) is the broadcast."""
+    from stock_indicators_etl_spark.llmdata.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 2)
+    plan = plan_of(pq_topk(emb, q, k=3))
+    # the base-side projection feeding the join carries codes + rnrm,
+    # never the embedding array
+    proj_lines = [
+        ln for ln in plan.splitlines() if "codes" in ln and "rnrm" in ln
+    ]
+    assert proj_lines, "no codes+rnrm projection found"
+    assert not any("embedding" in ln for ln in proj_lines)
+    # and the query side (the LUT) is what gets broadcast
+    assert "BroadcastExchange" in plan
+
+
+def test_weighted_sample_is_combinable_top_n(spark):
+    """Top-n by sample key must compile to TakeOrderedAndProject
+    (per-partition heads + driver merge), never a global Sort."""
+    from stock_indicators_etl_spark.llmdata.sampling import weighted_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "w", F.length("text").cast("double")
+    )
+    plan = plan_of(weighted_sample(docs, "w", 10))
+    assert "TakeOrderedAndProject" in plan
+    assert count_nodes(plan, "Sort") == 0
+
+
+def test_frequent_ngrams_combinable_top_n(spark):
+    from stock_indicators_etl_spark.llmdata.text import frequent_ngrams
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(frequent_ngrams(docs))
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_jaccard_sizes_join_broadcasts_sizes_side(spark):
+    """The sf1 OOM regression guard: both sizes joins onto the pair
+    stream must be BroadcastHashJoins whose BUILD side is the sizes
+    aggregate — the mis-estimated pair stream must never be built."""
+    from stock_indicators_etl_spark.llmdata.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(ngram_jaccard_pairs(docs, threshold=0.2))
+    import re
+
+    joins = re.findall(
+        r"^\(\d+\) BroadcastHashJoin.*$", plan, flags=re.M
+    )
+    assert len(joins) >= 2
+    # every BroadcastExchange's Input must be a sizes aggregate
+    # (n_a / n_b), never the pair-count stream (n_inter)
+    bx_inputs = re.findall(
+        r"\(\d+\) BroadcastExchange\nInput \[\d+\]: \[(.*?)\]", plan
+    )
+    assert bx_inputs
+    for cols in bx_inputs:
+        assert "n_a#" in cols or "n_b#" in cols, cols
+        assert "n_inter" not in cols, cols
