@@ -4,12 +4,16 @@
 Chains the engine's LLM-data operators the way a production curation
 job would, JSONL in → sharded parquet out:
 
-1. ingest    — JSONL scan, explicit schema, malformed-line QA count
+1. ingest    — JSONL scan, explicit schema, one-pass QA counts
+               (ingested / malformed / missing_key — nothing lost)
 2. quality   — word-count / repetition / language gates
 3. dedup     — exact (content md5) survivors, then MinHash-LSH →
                Jaccard-verified near-dup components, keep min-id
-4. chunk     — overlapping token windows (optional, for long docs)
+4. split     — leakage-safe train/val/test: the split hashes the
+               near-dup COMPONENT, so duplicate groups never
+               straddle splits
 5. shard     — per-language token-budget shards → partitioned parquet
+               (split column carried through)
 
 Every stage is a lazy DataFrame transformation: the whole pipeline is
 ONE Spark job graph with two wide shuffle families (dedup's hash
@@ -43,24 +47,30 @@ def curate(
         dedup_survivors,
         neardup_components,
     )
-    from stock_indicators_etl_spark.llmdata.sampling import token_shards
+    from stock_indicators_etl_spark.llmdata.sampling import (
+        leakage_safe_split,
+        token_shards,
+    )
     from stock_indicators_etl_spark.llmdata.text import (
         repetition_score,
         token_counts,
         words,
     )
     from stock_indicators_etl_spark.sources.corpus import (
-        corrupt_line_count,
+        ingest_qa_counts,
         read_documents_jsonl,
         write_corpus_shards,
     )
 
     counts: dict[str, int] = {}
 
-    # 1. ingest (+ QA: malformed lines are counted, not silently lost)
-    counts["malformed_lines"] = corrupt_line_count(spark, src)
+    # 1. ingest (+ QA: one aggregate pass partitions every input line
+    # into ingested / malformed / missing_key — nothing silently lost)
+    qa = ingest_qa_counts(spark, src)
+    counts["malformed_lines"] = qa["malformed"]
+    counts["missing_key_lines"] = qa["missing_key"]
     docs = read_documents_jsonl(spark, src)
-    counts["ingested"] = docs.count()
+    counts["ingested"] = qa["ingested"]
 
     # 2. quality gates: length + repetition
     docs = docs.filter(F.size(words(F.col("text"))) >= min_words)
@@ -82,7 +92,12 @@ def curate(
     docs = docs.join(canon, "doc_id", "left_semi")
     counts["after_near_dedup"] = docs.count()
 
-    # 4-5. token counts → per-language token-budget shards → sink
+    # 4. leakage-safe split: hash the dedup component (survivors are
+    # their group's min id = their component label), so if a later
+    # crawl re-introduces a near-dup it lands in the SAME split
+    docs = leakage_safe_split(docs, comps)
+
+    # 5. token counts → per-language token-budget shards → sink
     toks = token_counts(docs).select("doc_id", "n_subtokens")
     sharded = token_shards(docs, toks, budget=token_budget)
     out: DataFrame = docs.join(

@@ -237,6 +237,7 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
 
     counts = curate(spark, src, out_dir, token_budget=64, min_words=30)
     assert counts["malformed_lines"] == 1
+    assert counts["missing_key_lines"] == 0
     assert counts["ingested"] == 6
     assert counts["after_quality"] == 4          # 4 too short, 5 repetitive
     assert counts["after_exact_dedup"] == 3      # 2 collapses into 1
@@ -244,4 +245,5 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
     assert counts["shipped"] == 2
     back = spark.read.parquet(out_dir).toPandas()
     assert sorted(back.doc_id) == [1, 6]
-    assert set(back.columns) >= {"doc_id", "text", "lang", "shard"}
+    assert set(back.columns) >= {"doc_id", "text", "lang", "shard", "split"}
+    assert set(back.split) <= {"train", "val", "test"}
