@@ -442,3 +442,58 @@ def test_retention_matches_python_replay(spark, evs):
             key = (c, b - c)
             expect[key] = expect.get(key, 0) + 1
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# span_dedup vs a pure-python replica (random corpora)
+# ---------------------------------------------------------------------------
+
+_corpora = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]),
+        min_size=0,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _span_dedup_replica(texts: list[str], block: int):
+    """Keep-first repeated-block removal, reference implementation."""
+    seen: set[str] = set()
+    out = []
+    for i, t in enumerate(texts):
+        ws = t.lower().split()
+        blocks = [
+            " ".join(ws[j * block:(j + 1) * block])
+            for j in range((len(ws) + block - 1) // block)
+        ]
+        kept = []
+        for b in blocks:
+            if b not in seen:
+                seen.add(b)
+                kept.append(b)
+        out.append((i, " ".join(kept), len(blocks), len(kept)))
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_corpora, st.sampled_from([2, 3, 5]))
+def test_span_dedup_matches_python_replica(spark, word_lists, block):
+    from stock_indicators_etl_spark.llmdata.dedup import span_dedup
+
+    texts = [" ".join(wl) for wl in word_lists]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_spans, r.n_spans_kept)
+        for r in span_dedup(docs, block_words=block).collect()
+    }
+    for i, clean, n, kept in _span_dedup_replica(texts, block):
+        assert got[i] == (clean, n, kept), (i, texts, block)
