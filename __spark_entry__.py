@@ -220,6 +220,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_dedup_incremental,
         q_embedding_neardup_scaled,
         q_frequent_ngrams,
+        q_ivfpq_topk,
         q_leakage_split,
         q_length_quantiles,
         q_pq_topk,
@@ -250,6 +251,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_split": q_leakage_split,
         "embedding_neardup_scaled": q_embedding_neardup_scaled,
         "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         "semantic_neardup_scaled": q_semantic_neardup_scaled,
         "frequent_ngrams": q_frequent_ngrams,
         "tfidf_keywords": q_tfidf_keywords,
@@ -273,6 +275,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_DEDUP_INCREMENTAL,
         SQL_EMBEDDING_NEARDUP_SCALED,
         SQL_FREQUENT_NGRAMS,
+        SQL_IVFPQ_TOPK,
         SQL_LEAKAGE_SPLIT,
         SQL_LENGTH_QUANTILES,
         SQL_PQ_TOPK,
@@ -301,6 +304,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "leakage_split": SQL_LEAKAGE_SPLIT,
         "embedding_neardup_scaled": SQL_EMBEDDING_NEARDUP_SCALED,
         "pq_topk": SQL_PQ_TOPK,
+        "ivfpq_topk": SQL_IVFPQ_TOPK,
         "semantic_neardup_scaled": SQL_SEMANTIC_NEARDUP_SCALED,
         "frequent_ngrams": SQL_FREQUENT_NGRAMS,
         "tfidf_keywords": SQL_TFIDF_KEYWORDS,

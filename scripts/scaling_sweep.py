@@ -45,7 +45,7 @@ SF1_DIR = str(Path(__file__).resolve().parent.parent / "testdata_sf1")
 SF1_QUERIES = {
     "dedup_exact", "minhash_lsh_candidates",
     "dedup_pipeline", "neardup_components", "cosine_topk",
-    "embedding_neardup_scaled", "ivf_topk", "pq_topk", "corpus_prep",
+    "embedding_neardup_scaled", "ivf_topk", "pq_topk", "ivfpq_topk", "corpus_prep",
     "ngram_jaccard_capped", "bm25_topk", "chunk_documents",
     "kmeans", "semantic_neardup_scaled", "unigram_surprisal",
 }
@@ -65,6 +65,7 @@ QUERIES = [
     "embedding_neardup_scaled",  # corpus-sized blocking — the sf1-decade variant
     "ivf_topk",               # cell assignment + probe join
     "pq_topk",                # product quantization, ADC lookup scoring
+    "ivfpq_topk",             # IVF cells + PQ codes — the composed index shape
     "corpus_prep",            # composed filter/sample/dedup/rollup
     "ngram_jaccard_capped",   # posting lists with the scale cap ON
     "bm25_topk",              # inverted-index retrieval join (extra)

@@ -639,3 +639,194 @@ def _py_lfold_sum(xs) -> float:
     for x in xs:
         s = s + x
     return s
+
+
+def _sample_vectors(
+    embeddings: DataFrame, n: int, vec_col: str, id_col: str
+) -> list[list[float]]:
+    """The shared deterministic sample: the ``n`` vectors with
+    smallest ``(md5(vec_id), vec_id)`` — TakeOrderedAndProject + an
+    n-row collect (IVF centroids, PQ codebooks, k-means seeds)."""
+    rows = (
+        embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n)
+        .collect()
+    )
+    return [list(r["v"]) for r in rows]
+
+
+def _centroid_sim_pairs(cents: list[list[float]]):
+    """The IVF cell-selection expression: per-centroid ``struct(-sim,
+    j)`` over columns ``_v`` / ``_nrm`` (argmin of the struct ≡ cosine
+    DESC, j ASC). Same IEEE folds as :func:`ivf_topk`'s inline form."""
+    import math
+
+    import numpy as np
+
+    def _lf_norm(c: list[float]) -> float:
+        s = 0.0
+        for x in c:
+            s = s + x * x
+        return math.sqrt(s)
+
+    CENT = F.array(*[F.lit(np.asarray(c, dtype=np.float64)) for c in cents])
+    CENT_NORMS = F.lit(
+        np.asarray([_lf_norm(c) for c in cents], dtype=np.float64)
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+        lambda j: F.struct(
+            (
+                -F.when(
+                    F.col("_nrm") * F.element_at(CENT_NORMS, j + 1) == 0, F.lit(0.0)
+                ).otherwise(
+                    _dot(F.col("_v"), F.element_at(CENT, j + 1))
+                    / (F.col("_nrm") * F.element_at(CENT_NORMS, j + 1))
+                )
+            ).alias("negs"),
+            j.alias("j"),
+        ),
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF + PQ composition — the production ANN index shape (what
+    FAISS calls IVFPQ): coarse Voronoi cells prune candidates to
+    ~``n_probe/n_centroids`` of the corpus, and the surviving
+    candidates are scored from PQ codes via the query's ADC lookup
+    table. Both reductions stack: the scoring join is an equi-join on
+    the cell id whose corpus side carries ``m`` codes + one norm —
+    at 100 TB the index (cells + codes) is ~1/32 the corpus and the
+    raw vectors are touched exactly once, at build time.
+
+    Same determinism contract as :func:`ivf_topk` and :func:`pq_topk`
+    (shared sample rule, left-fold arithmetic, lowest-index ties), so
+    the whole composition is oracle-replayable.
+    Output: ``(qid, rk, nbr_id, approx_cosine)``.
+    """
+    import numpy as np
+
+    cents = _sample_vectors(embeddings, n_centroids, vec_col, id_col)
+    samp = _sample_vectors(embeddings, ksub, vec_col, id_col)
+    dim = len(samp[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    cbn2 = [
+        [
+            _py_lfold_sum(samp[j][s * sub + t] * samp[j][s * sub + t] for t in range(sub))
+            for j in range(ksub)
+        ]
+        for s in range(m)
+    ]
+    SAMP = F.array(*[F.lit(np.asarray(c, dtype=np.float64)) for c in samp])
+    CBN2 = F.array(*[F.lit(np.asarray(row, dtype=np.float64)) for row in cbn2])
+    pairs = _centroid_sim_pairs(cents)
+    v = _as_double(F.col(vec_col))
+
+    def _d2(s, j):
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(sub)),
+            F.lit(0.0),
+            lambda acc, t: acc
+            + (
+                F.element_at(F.col("_v"), s * sub + t)
+                - F.element_at(F.element_at(SAMP, j + 1), s * sub + t)
+            )
+            * (
+                F.element_at(F.col("_v"), s * sub + t)
+                - F.element_at(F.element_at(SAMP, j + 1), s * sub + t)
+            ),
+        )
+
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(ksub - 1)),
+                lambda j: F.struct(_d2(s, j).alias("d"), j.alias("j")),
+            )
+        )["j"],
+    )
+    rnrm = F.sqrt(
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(m)),
+            F.lit(0.0),
+            lambda acc, si: acc
+            + F.element_at(
+                F.element_at(CBN2, si), F.element_at(F.col("codes"), si) + 1
+            ),
+        )
+    )
+    base = (
+        embeddings.select(F.col(id_col).alias("nbr_id"), v.alias("_v"))
+        .withColumn("_nrm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+        .withColumn("cell", F.array_min(pairs)["j"])
+        .withColumn("codes", codes)
+        .withColumn("rnrm", rnrm)
+        # the index rows: cell + codes + norm, vectors dropped
+        .select("nbr_id", "cell", "codes", "rnrm")
+    )
+
+    qlut = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.transform(
+            F.sequence(F.lit(0), F.lit(ksub - 1)),
+            lambda j: F.aggregate(
+                F.sequence(F.lit(1), F.lit(sub)),
+                F.lit(0.0),
+                lambda acc, t: acc
+                + F.element_at(F.col("_v"), s * sub + t)
+                * F.element_at(F.element_at(SAMP, j + 1), s * sub + t),
+            ),
+        ),
+    )
+    q = (
+        queries.select(F.col(id_col).alias("qid"), v.alias("_v"))
+        .withColumn("_nrm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+        .withColumn("qlut", qlut)
+        .withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.slice(F.sort_array(pairs), 1, n_probe), lambda s: s["j"]
+                )
+            ),
+        )
+        .select("qid", F.col("_nrm").alias("qnrm"), "qlut", "cell")
+    )
+
+    adc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0.0),
+        lambda acc, si: acc
+        + F.element_at(
+            F.element_at(F.col("qlut"), si), F.element_at(F.col("codes"), si) + 1
+        ),
+    )
+    den = F.col("qnrm") * F.col("rnrm")
+    score = F.when(den == 0, F.lit(0.0)).otherwise(adc / den)
+    scored = (
+        base.join(F.broadcast(q), "cell")
+        .filter(F.col("qid") != F.col("nbr_id"))
+        .withColumn("approx_cosine", score)
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("approx_cosine").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "rk", "nbr_id", "approx_cosine")
+    )

@@ -1133,6 +1133,130 @@ SELECT qid, rk, nbr_id, {R6('approx_cosine')} AS approx_cosine FROM rk WHERE rk 
 SQL_PQ_TOPK = _pq_topk_oracle_sql()
 
 
+IVFPQ_N_CENTROIDS = 16
+IVFPQ_N_PROBE = 4
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composition: coarse cells prune candidates, PQ codes +
+    ADC lookups score them — the FAISS-IVFPQ shape, fully
+    oracle-replayable (shared sample rule, left folds, lowest-index
+    ties in both reductions)."""
+    from stock_indicators_etl_spark.llmdata.similarity import ivfpq_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = ivfpq_topk(
+        emb, q, k=TOPK, n_centroids=IVFPQ_N_CENTROIDS, n_probe=IVFPQ_N_PROBE,
+        m=PQ_M, ksub=PQ_KSUB,
+    )
+    return out.withColumn("approx_cosine", _rc(F.col("approx_cosine")))
+
+
+def _ivfpq_topk_oracle_sql(
+    n_centroids: int = IVFPQ_N_CENTROIDS,
+    n_probe: int = IVFPQ_N_PROBE,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`~..llmdata.similarity.ivfpq_topk`: the
+    IVF cell CTEs (identical to the ivf_topk oracle) gate a PQ/ADC
+    scoring pass (identical to the pq_topk oracle), joined on the
+    cell instead of a cross join."""
+    sub = dim // m
+
+    def lfold(body: str, lo: int, hi: int, var: str = "t") -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(generate_series({lo}, {hi}), "
+            f"{var} -> {body})), (x, y) -> x + y)"
+        )
+
+    lf_dot_cent = lfold("n.v[t] * cent.cv[t]", 1, dim)
+    d2_list = (
+        f"list_transform(generate_series(0, {ksub - 1}), j -> "
+        + lfold(
+            f"(e.v[s * {sub} + t] - cb.cbs[j + 1][s * {sub} + t])"
+            f" * (e.v[s * {sub} + t] - cb.cbs[j + 1][s * {sub} + t])",
+            1,
+            sub,
+        )
+        + ")"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt({lfold("v[t] * v[t]", 1, dim)}) AS nrm FROM e),
+cent AS (
+  SELECT v AS cv, sqrt({lfold("v[t] * v[t]", 1, dim)}) AS cnrm,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+  FROM e
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {n_centroids}
+),
+sims AS (
+  SELECT n.vec_id, n.nrm, cent.j,
+         CASE WHEN n.nrm * cent.cnrm = 0 THEN 0.0
+              ELSE {lf_dot_cent} / (n.nrm * cent.cnrm) END AS sim
+  FROM n CROSS JOIN cent
+),
+cells AS (
+  SELECT vec_id, j AS cell FROM sims
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, j ASC) = 1
+),
+qcells AS (
+  SELECT vec_id AS qid, j AS cell FROM sims WHERE vec_id < {N_QUERIES}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, j ASC) <= {n_probe}
+),
+samp AS (
+  SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS j
+  FROM e
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {ksub}
+),
+cb AS (SELECT list(v ORDER BY j) AS cbs FROM samp),
+cbn AS (
+  SELECT list_transform(generate_series(0, {m - 1}), s ->
+           list_transform(generate_series(0, {ksub - 1}), j ->
+             {lfold(f"cb.cbs[j + 1][s * {sub} + t] * cb.cbs[j + 1][s * {sub} + t]", 1, sub)})) AS n2
+  FROM cb
+),
+enc AS (
+  SELECT e.vec_id,
+         list_transform(generate_series(0, {m - 1}), s ->
+           CAST(list_indexof({d2_list}, list_min({d2_list})) - 1 AS BIGINT)) AS codes
+  FROM e, cb
+),
+base AS (
+  SELECT enc.vec_id AS nbr_id, cells.cell, enc.codes,
+         sqrt({lfold("cbn.n2[si][enc.codes[si] + 1]", 1, m, "si")}) AS rnrm
+  FROM enc JOIN cells ON cells.vec_id = enc.vec_id, cbn
+),
+q AS (
+  SELECT e.vec_id AS qid, n.nrm AS qnrm,
+         list_transform(generate_series(0, {m - 1}), s ->
+           list_transform(generate_series(0, {ksub - 1}), j ->
+             {lfold(f"e.v[s * {sub} + t] * cb.cbs[j + 1][s * {sub} + t]", 1, sub)})) AS qlut
+  FROM e JOIN n ON n.vec_id = e.vec_id, cb
+  WHERE e.vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.qid, b.nbr_id,
+         CASE WHEN q.qnrm * b.rnrm = 0 THEN 0.0
+              ELSE {lfold("q.qlut[si][b.codes[si] + 1]", 1, m, "si")} / (q.qnrm * b.rnrm)
+         END AS approx_cosine
+  FROM q JOIN qcells ON qcells.qid = q.qid
+         JOIN base b ON b.cell = qcells.cell AND b.nbr_id <> q.qid
+),
+rk AS (
+  SELECT qid, nbr_id, approx_cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY approx_cosine DESC, nbr_id ASC) AS rk
+  FROM scored
+)
+SELECT qid, rk, nbr_id, {R6('approx_cosine')} AS approx_cosine FROM rk WHERE rk <= {TOPK}
+"""
+
+
+SQL_IVFPQ_TOPK = _ivfpq_topk_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # exact quantiles (driver-registry extras — the report caps at 50)
 # ---------------------------------------------------------------------------

@@ -349,3 +349,57 @@ class TestCorpusStats:
         # unique -> positive idf, wins despite tf 1 vs 3
         assert out[1].term == "zebra" and out[1].df == 1
         assert out[1].score > 0
+
+
+class TestIvfPqTopk:
+    def test_probe_all_cells_equals_pq(self, spark):
+        """With n_probe = n_centroids the cell gate admits every
+        candidate, so IVFPQ must reduce exactly to PQ/ADC."""
+        import numpy as np
+
+        from stock_indicators_etl_spark.llmdata.similarity import (
+            ivfpq_topk,
+            pq_topk,
+        )
+
+        rng = np.random.default_rng(5)
+        mat = rng.normal(size=(30, 16)).round(3)
+        emb = spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": range(30), "embedding": [list(map(float, r)) for r in mat]}
+            )
+        )
+        q = emb.filter(F.col("vec_id") < 3)
+        full = {
+            (r.qid, r.rk): (r.nbr_id, round(r.approx_cosine, 9))
+            for r in ivfpq_topk(
+                emb, q, k=5, n_centroids=4, n_probe=4, m=4, ksub=4
+            ).collect()
+        }
+        pq = {
+            (r.qid, r.rk): (r.nbr_id, round(r.approx_cosine, 9))
+            for r in pq_topk(emb, q, k=5, m=4, ksub=4).collect()
+        }
+        assert full == pq
+
+    def test_pruning_reduces_candidates_but_keeps_output_shape(self, spark):
+        import numpy as np
+
+        from stock_indicators_etl_spark.llmdata.similarity import ivfpq_topk
+
+        rng = np.random.default_rng(9)
+        mat = rng.normal(size=(40, 16)).round(3)
+        emb = spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": range(40), "embedding": [list(map(float, r)) for r in mat]}
+            )
+        )
+        q = emb.filter(F.col("vec_id") < 2)
+        out = ivfpq_topk(emb, q, k=5, n_centroids=8, n_probe=2, m=4, ksub=4)
+        rows = out.collect()
+        assert set(out.columns) == {"qid", "rk", "nbr_id", "approx_cosine"}
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.qid, []).append(r.rk)
+        for rks in by_q.values():
+            assert sorted(rks) == list(range(1, len(rks) + 1))
