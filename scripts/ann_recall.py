@@ -43,43 +43,69 @@ def main() -> int:
         lsh_bucketed_topk,
         pq_topk,
     )
+    from stock_indicators_etl_spark.llmdata.similarity import ivfpq_topk as _ivfpq
     from stock_indicators_etl_spark.session import get_spark
 
     spark = get_spark(app_name="ann_recall")
+
+    def _suite(emb, q, title):
+        exact = _topk_sets(cosine_topk(emb, q, k=k).collect(), "nbr_id", k)
+        candidates = {
+            "lsh_bucketed_topk (8 planes)": lambda: lsh_bucketed_topk(emb, q, k=k),
+            "ivf_topk (16 cells, probe 4)": lambda: ivf_topk(emb, q, k=k),
+            "ivf_topk (refine_iters=2)": lambda: ivf_topk(emb, q, k=k, refine_iters=2),
+            "pq_topk (m=8, ksub=16)": lambda: pq_topk(emb, q, k=k),
+            "pq_topk (m=4, ksub=64)": lambda: pq_topk(emb, q, k=k, m=4, ksub=64),
+            "ivfpq_topk (16 cells, probe 4)": lambda: _ivfpq(emb, q, k=k),
+            "pq_topk + rerank 100": lambda: pq_topk(emb, q, k=k, rerank=100),
+            "ivfpq_topk + rerank 100": lambda: _ivfpq(emb, q, k=k, rerank=100),
+        }
+        lines = [
+            f"### {title}",
+            "",
+            "| path | recall@k | full-k coverage |",
+            "|---|---|---|",
+        ]
+        for name, make in candidates.items():
+            approx = _topk_sets(make().collect(), "nbr_id", k)
+            recalls = [
+                len(approx.get(qid, set()) & exact[qid]) / max(1, len(exact[qid]))
+                for qid in exact
+            ]
+            recall = sum(recalls) / len(recalls)
+            full = sum(1 for s in approx.values() if len(s) >= k) / max(
+                1, len(exact)
+            )
+            lines.append(f"| {name} | {recall:.3f} | {full:.0%} of queries |")
+        return lines
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < n_queries)
 
-    exact = _topk_sets(
-        cosine_topk(emb, q, k=k).collect(), "nbr_id", k
+    # clustered fixture: 64-dim, 20 tight clusters — the geometry real
+    # text/image embeddings have (the parquet fixture is ~isotropic
+    # noise, the worst case for every pruning index)
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(20, 64))
+    mat = np.stack(
+        [centers[i % 20] + 0.05 * rng.normal(size=64) for i in range(2000)]
+    ).round(4)
+    clustered = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(2000), "embedding": [list(map(float, r)) for r in mat]}
+        )
     )
+    cq = clustered.filter(F.col("vec_id") < n_queries)
 
-    candidates = {
-        "lsh_bucketed_topk (8 planes)": lambda: lsh_bucketed_topk(emb, q, k=k),
-        "ivf_topk (16 cells, probe 4)": lambda: ivf_topk(emb, q, k=k),
-        "ivf_topk (refine_iters=2)": lambda: ivf_topk(emb, q, k=k, refine_iters=2),
-        "pq_topk (m=8, ksub=16)": lambda: pq_topk(emb, q, k=k),
-        "pq_topk (m=4, ksub=64)": lambda: pq_topk(emb, q, k=k, m=4, ksub=64),
-    }
-
-    lines = [
-        f"ANN recall@{k} vs exact cosine — {sf_dir}, {n_queries} queries",
-        "",
-        "| path | recall@k | mean candidates scored |",
-        "|---|---|---|",
-    ]
-    for name, make in candidates.items():
-        rows = make().collect()
-        approx = _topk_sets(rows, "nbr_id", k)
-        recalls = [
-            len(approx.get(qid, set()) & exact[qid]) / max(1, len(exact[qid]))
-            for qid in exact
-        ]
-        recall = sum(recalls) / len(recalls)
-        # candidates scored ≈ rows returned per query is capped at k;
-        # report coverage (queries with a full top-k) as the proxy
-        full = sum(1 for s in approx.values() if len(s) >= k) / max(1, len(exact))
-        lines.append(f"| {name} | {recall:.3f} | full-k for {full:.0%} of queries |")
-    out = "\n".join(lines)
+    out = "\n".join(
+        [f"ANN recall@{k}, {n_queries} queries", ""]
+        + _suite(emb, q, f"isotropic fixture ({sf_dir})")
+        + [""]
+        + _suite(clustered, cq, "clustered fixture (20 tight clusters)")
+    )
     print(out)
     return 0
 

@@ -485,6 +485,7 @@ def pq_topk(
     ksub: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    rerank: int | None = None,
 ) -> DataFrame:
     """Product-quantization approximate top-k (ADC scoring).
 
@@ -510,6 +511,15 @@ def pq_topk(
 
     Output: ``(qid, rk, nbr_id, approx_cosine)`` — approximate cosine
     = ADC dot / (query norm × RECONSTRUCTED base norm).
+
+    ``rerank``: two-stage retrieval (the standard production shape).
+    PQ codes cannot rank WITHIN a quantization cell — same-cluster
+    vectors share codes, so their ADC scores tie and recall@k
+    collapses to ~k/cluster size (measured in
+    ``scripts/ann_recall.py``). With ``rerank=R``, ADC produces an
+    R-candidate shortlist per query and only those R rows join back
+    to their raw vectors for an exact cosine — O(Q·R·dim) exact work
+    instead of O(Q·N·dim), with the corpus scan still code-only.
     """
     import numpy as np
 
@@ -625,10 +635,45 @@ def pq_topk(
     w = Window.partitionBy("qid").orderBy(
         F.col("approx_cosine").desc(), F.col("nbr_id").asc()
     )
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    if rerank is not None:
+        shortlist = ranked.filter(F.col("rk") <= rerank).select("qid", "nbr_id")
+        return _exact_rerank(shortlist, embeddings, queries, k, vec_col, id_col)
+    return ranked.filter(F.col("rk") <= k).select(
+        "qid", "rk", "nbr_id", "approx_cosine"
+    )
+
+
+def _exact_rerank(
+    shortlist: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Stage two of two-stage retrieval: exact cosine restricted to a
+    ``(qid, nbr_id)`` shortlist. The raw vectors are touched only for
+    the shortlist rows (an equi-join on the id — at scale both sides
+    hash on nbr_id, no scan-wide vector movement); queries broadcast.
+    Output: ``(qid, rk, nbr_id, cosine)`` — exact values."""
+    base = with_norm(embeddings, vec_col, "c_norm").select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("c_vec"), "c_norm"
+    )
+    q = with_norm(queries, vec_col, "q_norm").select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec"), "q_norm"
+    )
+    dot = _dot(_as_double(F.col("q_vec")), _as_double(F.col("c_vec")))
+    den = F.col("q_norm") * F.col("c_norm")
+    cos = F.when(den == 0, F.lit(0.0)).otherwise(dot / den)
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        shortlist.join(base, "nbr_id")
+        .join(F.broadcast(q), "qid")
+        .withColumn("cosine", cos)
+        .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("qid", "rk", "nbr_id", "approx_cosine")
+        .select("qid", "rk", "nbr_id", "cosine")
     )
 
 
@@ -700,6 +745,7 @@ def ivfpq_topk(
     ksub: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    rerank: int | None = None,
 ) -> DataFrame:
     """IVF + PQ composition — the production ANN index shape (what
     FAISS calls IVFPQ): coarse Voronoi cells prune candidates to
@@ -713,7 +759,9 @@ def ivfpq_topk(
     Same determinism contract as :func:`ivf_topk` and :func:`pq_topk`
     (shared sample rule, left-fold arithmetic, lowest-index ties), so
     the whole composition is oracle-replayable.
-    Output: ``(qid, rk, nbr_id, approx_cosine)``.
+    Output: ``(qid, rk, nbr_id, approx_cosine)``; with ``rerank=R``
+    the ADC shortlist is exact-rescored (see :func:`pq_topk`) and the
+    output is ``(qid, rk, nbr_id, cosine)``.
     """
     import numpy as np
 
@@ -825,8 +873,10 @@ def ivfpq_topk(
     w = Window.partitionBy("qid").orderBy(
         F.col("approx_cosine").desc(), F.col("nbr_id").asc()
     )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("qid", "rk", "nbr_id", "approx_cosine")
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    if rerank is not None:
+        shortlist = ranked.filter(F.col("rk") <= rerank).select("qid", "nbr_id")
+        return _exact_rerank(shortlist, embeddings, queries, k, vec_col, id_col)
+    return ranked.filter(F.col("rk") <= k).select(
+        "qid", "rk", "nbr_id", "approx_cosine"
     )

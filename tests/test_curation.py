@@ -403,3 +403,70 @@ class TestIvfPqTopk:
             by_q.setdefault(r.qid, []).append(r.rk)
         for rks in by_q.values():
             assert sorted(rks) == list(range(1, len(rks) + 1))
+
+
+class TestPqRerank:
+    def test_rerank_full_shortlist_equals_exact(self, spark):
+        """rerank with a corpus-wide shortlist must reproduce exact
+        cosine top-k bit-for-bit (stage two IS exact scoring)."""
+        import numpy as np
+
+        from stock_indicators_etl_spark.llmdata.similarity import (
+            cosine_topk,
+            pq_topk,
+        )
+
+        rng = np.random.default_rng(11)
+        mat = rng.normal(size=(30, 16)).round(3)
+        emb = spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": range(30), "embedding": [list(map(float, r)) for r in mat]}
+            )
+        )
+        q = emb.filter(F.col("vec_id") < 3)
+        two_stage = {
+            (r.qid, r.rk): (r.nbr_id, round(r.cosine, 9))
+            for r in pq_topk(emb, q, k=5, m=4, ksub=4, rerank=29).collect()
+        }
+        exact = {
+            (r.qid, r.rk): (r.nbr_id, round(r.cosine, 9))
+            for r in cosine_topk(emb, q, k=5).collect()
+        }
+        assert two_stage == exact
+
+    def test_rerank_recovers_within_cluster_ranking(self, spark):
+        """Same-cluster vectors share PQ codes (ADC ties); the exact
+        rerank stage must still rank them correctly."""
+        import numpy as np
+
+        from stock_indicators_etl_spark.llmdata.similarity import (
+            cosine_topk,
+            pq_topk,
+        )
+
+        rng = np.random.default_rng(13)
+        centers = rng.normal(size=(4, 16))
+        mat = np.stack(
+            [centers[i % 4] + 0.01 * rng.normal(size=16) for i in range(40)]
+        ).round(4)
+        emb = spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": range(40), "embedding": [list(map(float, r)) for r in mat]}
+            )
+        )
+        q = emb.filter(F.col("vec_id") < 2)
+        plain = {
+            (r.qid, r.rk): r.nbr_id
+            for r in pq_topk(emb, q, k=5, m=4, ksub=8).collect()
+        }
+        reranked = {
+            (r.qid, r.rk): r.nbr_id
+            for r in pq_topk(emb, q, k=5, m=4, ksub=8, rerank=20).collect()
+        }
+        exact = {
+            (r.qid, r.rk): r.nbr_id for r in cosine_topk(emb, q, k=5).collect()
+        }
+        # the reranked top-k agrees with exact far better than raw ADC
+        agree = lambda d: sum(d[key] == exact[key] for key in exact if key in d)
+        assert agree(reranked) > agree(plain)
+        assert agree(reranked) >= int(0.8 * len(exact))
