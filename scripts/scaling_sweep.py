@@ -48,6 +48,7 @@ SF1_QUERIES = {
     "embedding_neardup_scaled", "ivf_topk", "pq_topk", "ivfpq_topk", "corpus_prep",
     "ngram_jaccard_capped", "bm25_topk", "chunk_documents",
     "kmeans", "semantic_neardup_scaled", "unigram_surprisal",
+    "span_dedup", "tfidf_keywords", "leakage_split",
 }
 
 # one representative per plan family
@@ -74,6 +75,9 @@ QUERIES = [
     "semantic_neardup",       # kmeans blocking + within-cluster cosine (extra)
     "semantic_neardup_scaled",  # auto-k SemDeDup — cluster size pinned, the sf1 variant
     "unigram_surprisal",      # corpus-unigram LM quality proxy (extra)
+    "span_dedup",             # C4-style span removal — hash-window keep-first
+    "tfidf_keywords",         # tf shuffle + vocab df + per-doc window top-n
+    "leakage_split",          # CC fixpoint + hash split (eager)
     "funnel",                 # ordered-sequence conditional-min chain (extra)
     "retention",              # cohort retention, combinable distinct aggs (extra)
     "shipping_priority",      # big-big 3-way join, Q3 shape (extra)
@@ -147,7 +151,24 @@ def main() -> int:
             f"| {name} | {ts[0]:.2f}s | {ts[1]:.2f}s | {ts[2]:.2f}s | "
             f"{sf1_cell} | {exp:.2f} | {exp1_cell} |"
         )
-    lines.append("")
+    lines += [
+        "",
+        "## Reading the sf1 column",
+        "",
+        "- The sf1 decade exists because sf0.1 hid three real cliffs",
+        "  (DESIGN §4.16): the mis-broadcast Jaccard pair stream (driver",
+        "  OOM), the fixed 4-bucket LSH blocking (N²/4 candidates), and",
+        "  fixed-k SemDeDup (N²/k pairing). The `_scaled` variants in",
+        "  this table are the corpus-sized forms of the last two.",
+        "- `exp(0.1→1)` is the honest scale signal: the lower decades of",
+        "  many llmdata queries are fixed-overhead-dominated (job launch,",
+        "  lambda-tree eval), so their 0.01→0.1 exponents understate how",
+        "  the plan behaves when data work dominates.",
+        "- TPC-H-family rows have no sf1 cell: `make_sf1.py` upscales",
+        "  only `documents`/`embeddings`; a flat line on unchanged",
+        "  tables would be noise presented as signal.",
+        "",
+    ]
     Path(out_path).write_text("\n".join(lines))
     print(f"wrote {out_path}")
     return 0
