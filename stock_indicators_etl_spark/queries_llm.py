@@ -1537,6 +1537,11 @@ def q_semantic_neardup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=SEMDEDUP_THRESHOLD,
         exact_update=True,
         target_cluster_size=SEM_TARGET_CLUSTER,
+        # auto-k reaches k≈N/50 (400 at sf1): the DataFrame-resident
+        # centroid path keeps the plan O(1) in k and the driver free
+        # of per-iteration k×dim traffic; bit-identical to "literal"
+        # (property-tested) so the oracle is unaffected
+        method="join",
     )
     return out.withColumn("cosine", _rc(F.col("cosine")))
 
