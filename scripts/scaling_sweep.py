@@ -167,6 +167,15 @@ def main() -> int:
         "- TPC-H-family rows have no sf1 cell: `make_sf1.py` upscales",
         "  only `documents`/`embeddings`; a flat line on unchanged",
         "  tables would be noise presented as signal.",
+        "- `semantic_neardup_scaled`'s sf1 exponent is expected to sit",
+        "  well above 1 and is an HONEST cost, not a plan bug: Lloyd",
+        "  assignment is O(N·k), and pinning cluster SIZE makes k ∝ N —",
+        "  N²/target total. Pinning k instead moves the same quadratic",
+        "  into the pairing stage (N²/k). The mitigations, in order:",
+        "  the `arrow` method's BLAS block-matmul (constant factor),",
+        "  sampling the update stage, and hierarchical / ANN-assisted",
+        "  assignment (assign against an IVF of the centroids) — the",
+        "  real sublinear fix, deliberately out of oracle scope.",
         "",
     ]
     Path(out_path).write_text("\n".join(lines))
