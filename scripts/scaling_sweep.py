@@ -173,9 +173,10 @@ def main() -> int:
         "  N²/target total. Pinning k instead moves the same quadratic",
         "  into the pairing stage (N²/k). The mitigations, in order:",
         "  the `arrow` method's BLAS block-matmul (constant factor),",
-        "  sampling the update stage, and hierarchical / ANN-assisted",
-        "  assignment (assign against an IVF of the centroids) — the",
-        "  real sublinear fix, deliberately out of oracle scope.",
+        "  sampling the update stage, and hierarchical assignment",
+        "  (`hier_assign_with_centroids`: probe √k centroid groups,",
+        "  O(N·√k) — implemented, exact at n_probe=g, out of oracle",
+        "  scope by design).",
         "",
     ]
     Path(out_path).write_text("\n".join(lines))

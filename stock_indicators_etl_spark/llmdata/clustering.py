@@ -256,6 +256,113 @@ def assign_with_centroids_arrow(
     )
 
 
+def _group_centroids(C, g: int, iters: int = 3):
+    """Cluster the k centroids themselves into ``g`` groups (numpy
+    Lloyd, deterministic first-``g`` init) — the coarse level of the
+    hierarchical assignment. Returns ``(gj, G)``: each centroid's
+    group id and the g×d group-center matrix. Runs on the driver over
+    the k×d matrix only (centroids, never data)."""
+    import numpy as np
+
+    G = C[:g].copy()
+    gj = np.zeros(len(C), dtype=np.int64)
+    for _ in range(iters):
+        gj, _ = _nearest_block(C, G)
+        for gi in range(g):
+            m = gj == gi
+            if m.any():
+                G[gi] = C[m].mean(axis=0)
+    gj, _ = _nearest_block(C, G)
+    return gj, G
+
+
+def _hier_nearest(X, C, gj, G, n_probe: int = 4):
+    """Two-level nearest centroid: probe the ``n_probe`` nearest
+    centroid GROUPS per vector, then exact argmin over only those
+    groups' member centroids — O(N·(g + n_probe·k/g)) distance work
+    instead of O(N·k). With g = √k and fixed n_probe that is O(N·√k):
+    the sublinear-in-k assignment SemDeDup needs when cluster size is
+    pinned and k grows with the corpus. Approximate by design (a
+    vector whose true centroid sits in an unprobed group is
+    mis-assigned — recall rises with ``n_probe``); ties break to the
+    lowest centroid index, like every exact path here."""
+    import numpy as np
+
+    n = X.shape[0]
+    x2 = (X * X).sum(axis=1)[:, None]
+    dG = x2 + (G * G).sum(axis=1)[None, :] - 2.0 * (X @ G.T)
+    order = np.argsort(dG, axis=1, kind="stable")[:, :n_probe]
+    best_d = np.full(n, np.inf)
+    best_j = np.zeros(n, dtype=np.int64)
+    for gi in range(G.shape[0]):
+        rows = np.nonzero((order == gi).any(axis=1))[0]
+        members = np.nonzero(gj == gi)[0]
+        if rows.size == 0 or members.size == 0:
+            continue
+        Cm = C[members]
+        d = (
+            x2[rows]
+            + (Cm * Cm).sum(axis=1)[None, :]
+            - 2.0 * (X[rows] @ Cm.T)
+        )
+        loc = np.argmin(d, axis=1)
+        dmin = d[np.arange(rows.size), loc]
+        cand = members[loc]
+        better = (dmin < best_d[rows]) | (
+            (dmin == best_d[rows]) & (cand < best_j[rows])
+        )
+        upd = rows[better]
+        best_d[upd] = dmin[better]
+        best_j[upd] = cand[better]
+    return best_j, np.maximum(best_d, 0.0)
+
+
+def hier_assign_with_centroids(
+    df: DataFrame,
+    cents,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hierarchical serving-path assignment: like
+    :func:`assign_with_centroids_arrow` but each Arrow batch assigns
+    through the two-level probe (:func:`_hier_nearest`) — the path to
+    use when k is 10⁴+ and the flat k×d matmul per batch starts to
+    dominate. The grouping of the centroids is computed once on the
+    driver (k×d only) and broadcast alongside them."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(cents, dtype=np.float64)
+    if C.ndim != 2 or C.shape[0] == 0:
+        raise ValueError("cents must be a non-empty k x d matrix")
+    g = max(1, int(math.ceil(math.sqrt(C.shape[0]))))
+    gj, G = _group_centroids(C, g)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((C, gj, G))
+
+    def _assign(batches):
+        Cl, gjl, Gl = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            j, d = _hier_nearest(X, Cl, gjl, Gl, n_probe)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cluster": j.astype("int32"), "dist2": d}
+            )
+
+    vecs = df.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    id_type = vecs.schema["vec_id"].dataType.simpleString()
+    return vecs.mapInPandas(
+        _assign, schema=f"vec_id {id_type}, cluster int, dist2 double"
+    )
+
+
 def _kmeans_arrow(
     vecs: DataFrame,
     k: int,

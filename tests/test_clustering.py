@@ -353,3 +353,95 @@ def test_semantic_neardup_n_vectors_skips_count(spark, emb_real):
     ).toPandas()
     key = lambda d: sorted(zip(d.vec_a, d.vec_b))
     assert key(eager) == key(lazy)
+
+
+class TestHierAssign:
+    def _data(self, n=300, k=25, dim=16, seed=17):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        X = rng.normal(size=(n, dim)).round(3)
+        C = rng.normal(size=(k, dim)).round(3)
+        return X, C
+
+    def test_probe_all_groups_equals_flat_assignment(self, spark):
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        from stock_indicators_etl_spark.llmdata.clustering import (
+            assign_with_centroids_arrow,
+            hier_assign_with_centroids,
+        )
+
+        X, C = self._data()
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": range(len(X)), "embedding": [list(map(float, r)) for r in X]}
+            )
+        )
+        g = max(1, int(math.ceil(math.sqrt(len(C)))))
+        flat = {
+            r.vec_id: (r.cluster, round(r.dist2, 9))
+            for r in assign_with_centroids_arrow(df, C).collect()
+        }
+        hier = {
+            r.vec_id: (r.cluster, round(r.dist2, 9))
+            for r in hier_assign_with_centroids(df, C, n_probe=g).collect()
+        }
+        assert hier == flat
+
+    def test_pruned_probes_agree_on_clustered_data(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from stock_indicators_etl_spark.llmdata.clustering import (
+            assign_with_centroids_arrow,
+            hier_assign_with_centroids,
+        )
+
+        rng = np.random.default_rng(23)
+        C = rng.normal(size=(36, 16)).round(3) * 3.0
+        # data generated AT the centroids + small noise: the true
+        # centroid's group is almost always the nearest group
+        idx = rng.integers(0, 36, size=400)
+        X = (C[idx] + 0.05 * rng.normal(size=(400, 16))).round(4)
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": range(len(X)), "embedding": [list(map(float, r)) for r in X]}
+            )
+        )
+        flat = {
+            r.vec_id: r.cluster
+            for r in assign_with_centroids_arrow(df, C).collect()
+        }
+        hier = {
+            r.vec_id: r.cluster
+            for r in hier_assign_with_centroids(df, C, n_probe=3).collect()
+        }
+        agree = sum(hier[i] == flat[i] for i in flat) / len(flat)
+        assert agree >= 0.95, agree
+
+    def test_hier_nearest_python_unit(self):
+        """Pure-numpy invariants without Spark: valid ids, distances
+        match the flat computation for the winning centroid."""
+        import math
+
+        import numpy as np
+
+        from stock_indicators_etl_spark.llmdata.clustering import (
+            _group_centroids,
+            _hier_nearest,
+        )
+
+        X, C = self._data(n=50, k=9)
+        g = int(math.ceil(math.sqrt(len(C))))
+        gj, G = _group_centroids(C, g)
+        assert gj.shape == (len(C),) and G.shape == (g, C.shape[1])
+        j, d = _hier_nearest(X, C, gj, G, n_probe=g)
+        assert ((j >= 0) & (j < len(C))).all() and (d >= 0).all()
+        # winning distance equals the direct pairwise distance
+        for i in range(len(X)):
+            direct = float(((X[i] - C[j[i]]) ** 2).sum())
+            assert abs(d[i] - direct) < 1e-6
