@@ -367,6 +367,8 @@ def _kmeans_arrow(
     vecs: DataFrame,
     k: int,
     iters: int,
+    hier: bool = False,
+    n_probe: int = 4,
 ) -> DataFrame:
     """Big-k Lloyd rounds (the MLlib pattern): per iteration the
     driver holds exactly one k×d float64 matrix (broadcast variable),
@@ -374,7 +376,16 @@ def _kmeans_arrow(
     most k rows of ``(cluster, [cnt, sum_0..sum_{d-1}])`` — reduced by
     one narrow combinable shuffle and a bounded k·(d+1)-row collect.
     ``exact_update`` is not offered here: big-k is by definition
-    outside the oracle regime, and partial sums are order-free."""
+    outside the oracle regime, and partial sums are order-free.
+
+    ``hier=True`` swaps the per-batch flat k×d matmul for the
+    two-level probe (:func:`_hier_nearest`, O(N·√k) at fixed
+    ``n_probe``) — the assignment cost that stays sublinear in k when
+    SemDeDup pins cluster size and k grows with the corpus. The
+    √k-group structure is recomputed from the (k×d) centroid matrix
+    on the driver each iteration — centroid-only work."""
+    import math
+
     import numpy as np
     import pandas as pd
 
@@ -384,15 +395,27 @@ def _kmeans_arrow(
     kk, dim = C.shape
 
     for _ in range(iters):
-        bc = spark.sparkContext.broadcast(C)
+        if hier:
+            g = max(1, int(math.ceil(math.sqrt(kk))))
+            bc = spark.sparkContext.broadcast(
+                (C, *_group_centroids(C, g), n_probe)
+            )
+        else:
+            bc = spark.sparkContext.broadcast(C)
 
         def _partials(batches):
-            Cl = bc.value
+            if hier:
+                Cl, gjl, Gl, npb = bc.value
+            else:
+                Cl = bc.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 X = np.stack(pdf["_v"].to_numpy())
-                j, _ = _nearest_block(X, Cl)
+                if hier:
+                    j, _ = _hier_nearest(X, Cl, gjl, Gl, npb)
+                else:
+                    j, _ = _nearest_block(X, Cl)
                 present = np.unique(j)
                 sums = np.zeros((len(present), Cl.shape[1] + 1))
                 for i, cl in enumerate(present):
@@ -421,9 +444,10 @@ def _kmeans_arrow(
         nonempty = cnt > 0
         C = np.where(nonempty[:, None], sums / np.maximum(cnt, 1.0)[:, None], C)
 
-    return assign_with_centroids_arrow(
-        vecs.withColumnRenamed("_v", "embedding"), C, vec_col="embedding"
-    )
+    final = vecs.withColumnRenamed("_v", "embedding")
+    if hier:
+        return hier_assign_with_centroids(final, C, n_probe=n_probe, vec_col="embedding")
+    return assign_with_centroids_arrow(final, C, vec_col="embedding")
 
 
 def kmeans_assign(
@@ -442,11 +466,14 @@ def kmeans_assign(
     ``method`` picks the execution strategy (identical semantics, see
     module docstring): ``"literal"`` (oracle default, k ~ 10²),
     ``"join"`` (DataFrame-resident centroids, driver-free, O(1) plan),
-    ``"arrow"`` (broadcast-variable numpy, k ~ 10³–10⁵).
+    ``"arrow"`` (broadcast-variable numpy, k ~ 10³–10⁵),
+    ``"hier"`` (arrow with the O(N·√k) two-level probe assignment —
+    approximate, for SemDeDup-realistic k where even the flat matmul
+    is the bottleneck).
     """
     if k <= 0 or iters < 0:
         raise ValueError("k must be positive and iters non-negative")
-    if method not in ("literal", "join", "arrow"):
+    if method not in ("literal", "join", "arrow", "hier"):
         raise ValueError(f"unknown kmeans method: {method!r}")
 
     vecs = embeddings.select(
@@ -454,13 +481,13 @@ def kmeans_assign(
     )
     if method == "join":
         return _kmeans_join(vecs, k, iters, exact_update)
-    if method == "arrow":
+    if method in ("arrow", "hier"):
         if exact_update:
             raise ValueError(
                 "exact_update is a small-k oracle feature; use method='literal' "
                 "or 'join' (big-k partial sums are order-free by design)"
             )
-        return _kmeans_arrow(vecs, k, iters)
+        return _kmeans_arrow(vecs, k, iters, hier=method == "hier")
 
     init_rows = vecs.orderBy(F.col("vec_id")).limit(k).collect()
     cents: list[list[float]] = [list(r["_v"]) for r in init_rows]

@@ -445,3 +445,30 @@ class TestHierAssign:
         for i in range(len(X)):
             direct = float(((X[i] - C[j[i]]) ** 2).sum())
             assert abs(d[i] - direct) < 1e-6
+
+    def test_kmeans_hier_method_runs_and_matches_arrow_shape(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from stock_indicators_etl_spark.llmdata.clustering import kmeans_assign
+
+        rng = np.random.default_rng(29)
+        X = rng.normal(size=(200, 8)).round(3)
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": range(len(X)), "embedding": [list(map(float, r)) for r in X]}
+            )
+        )
+        out = kmeans_assign(df, k=16, iters=1, method="hier")
+        rows = out.collect()
+        assert len(rows) == 200
+        assert {r.cluster for r in rows} <= set(range(16))
+        arrow = kmeans_assign(df, k=16, iters=1, method="arrow").collect()
+        agree = sum(
+            h.cluster == a.cluster
+            for h, a in zip(
+                sorted(rows, key=lambda r: r.vec_id),
+                sorted(arrow, key=lambda r: r.vec_id),
+            )
+        ) / len(rows)
+        assert agree >= 0.85, agree
