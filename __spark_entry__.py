@@ -115,20 +115,36 @@ def _conf_wrapped(
 # the locally-checked extras (scripts/check_oracle.py --extras runs
 # BOTH sets bit-exact every round — nothing loses oracle coverage).
 ROTATED_OUT = (
+    # r5 rotation
     "iso_week",
     "hash_sample",
     "scalar_timefns",
     "unpivot_melt",
     "media_stats",
     "token_counts",
+    # r6 rotation: long-stable (since r3) scan-local text ops out...
+    "text_quality",
+    "language_id",
+    "doc_fingerprint",
+    "simhash",
+    "redact_pii",
+    "repetition_score",
 )
 ROTATED_IN = (
+    # r5 rotation
     "funnel",
     "retention",
     "asof_join",
     "interval_join",
     "bm25_topk",
     "kmeans",
+    # ...r6: the newest multi-stage operators into the hard signal
+    "span_dedup",
+    "leakage_split",
+    "pq_topk",
+    "ivfpq_topk",
+    "tfidf_keywords",
+    "dedup_incremental",
 )
 
 
@@ -139,7 +155,16 @@ def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         q_interval_join,
         q_retention,
     )
-    from stock_indicators_etl_spark.queries_llm import q_bm25_topk, q_kmeans
+    from stock_indicators_etl_spark.queries_llm import (
+        q_bm25_topk,
+        q_dedup_incremental,
+        q_ivfpq_topk,
+        q_kmeans,
+        q_leakage_split,
+        q_pq_topk,
+        q_span_dedup,
+        q_tfidf_keywords,
+    )
 
     return {
         "funnel": q_funnel,
@@ -148,6 +173,12 @@ def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "interval_join": q_interval_join,
         "bm25_topk": q_bm25_topk,
         "kmeans": q_kmeans,
+        "span_dedup": q_span_dedup,
+        "leakage_split": q_leakage_split,
+        "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
+        "tfidf_keywords": q_tfidf_keywords,
+        "dedup_incremental": q_dedup_incremental,
     }
 
 
@@ -158,7 +189,16 @@ def _rotated_in_oracles() -> dict[str, str]:
         SQL_INTERVAL_JOIN,
         SQL_RETENTION,
     )
-    from stock_indicators_etl_spark.queries_llm import SQL_BM25_TOPK, SQL_KMEANS
+    from stock_indicators_etl_spark.queries_llm import (
+        SQL_BM25_TOPK,
+        SQL_DEDUP_INCREMENTAL,
+        SQL_IVFPQ_TOPK,
+        SQL_KMEANS,
+        SQL_LEAKAGE_SPLIT,
+        SQL_PQ_TOPK,
+        SQL_SPAN_DEDUP,
+        SQL_TFIDF_KEYWORDS,
+    )
 
     return {
         "funnel": SQL_FUNNEL,
@@ -167,6 +207,12 @@ def _rotated_in_oracles() -> dict[str, str]:
         "interval_join": SQL_INTERVAL_JOIN,
         "bm25_topk": SQL_BM25_TOPK,
         "kmeans": SQL_KMEANS,
+        "span_dedup": SQL_SPAN_DEDUP,
+        "leakage_split": SQL_LEAKAGE_SPLIT,
+        "pq_topk": SQL_PQ_TOPK,
+        "ivfpq_topk": SQL_IVFPQ_TOPK,
+        "tfidf_keywords": SQL_TFIDF_KEYWORDS,
+        "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     }
 
 
@@ -217,17 +263,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     from stock_indicators_etl_spark.queries_llm import (
         q_chunk_documents,
-        q_dedup_incremental,
         q_embedding_neardup_scaled,
         q_frequent_ngrams,
-        q_ivfpq_topk,
-        q_leakage_split,
         q_length_quantiles,
-        q_pq_topk,
         q_semantic_neardup,
         q_semantic_neardup_scaled,
-        q_span_dedup,
-        q_tfidf_keywords,
         q_unigram_surprisal,
         q_weighted_sample,
     )
@@ -245,16 +285,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "semantic_neardup": q_semantic_neardup,
         "unigram_surprisal": q_unigram_surprisal,
-        "dedup_incremental": q_dedup_incremental,
-        "span_dedup": q_span_dedup,
         "weighted_sample": q_weighted_sample,
-        "leakage_split": q_leakage_split,
         "embedding_neardup_scaled": q_embedding_neardup_scaled,
-        "pq_topk": q_pq_topk,
-        "ivfpq_topk": q_ivfpq_topk,
         "semantic_neardup_scaled": q_semantic_neardup_scaled,
         "frequent_ngrams": q_frequent_ngrams,
-        "tfidf_keywords": q_tfidf_keywords,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -272,17 +306,11 @@ def extra_oracle_sql() -> dict[str, str]:
     )
     from stock_indicators_etl_spark.queries_llm import (
         SQL_CHUNK_DOCUMENTS,
-        SQL_DEDUP_INCREMENTAL,
         SQL_EMBEDDING_NEARDUP_SCALED,
         SQL_FREQUENT_NGRAMS,
-        SQL_IVFPQ_TOPK,
-        SQL_LEAKAGE_SPLIT,
         SQL_LENGTH_QUANTILES,
-        SQL_PQ_TOPK,
         SQL_SEMANTIC_NEARDUP,
         SQL_SEMANTIC_NEARDUP_SCALED,
-        SQL_SPAN_DEDUP,
-        SQL_TFIDF_KEYWORDS,
         SQL_UNIGRAM_SURPRISAL,
         SQL_WEIGHTED_SAMPLE,
     )
@@ -298,16 +326,10 @@ def extra_oracle_sql() -> dict[str, str]:
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "semantic_neardup": SQL_SEMANTIC_NEARDUP,
         "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
-        "dedup_incremental": SQL_DEDUP_INCREMENTAL,
-        "span_dedup": SQL_SPAN_DEDUP,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
-        "leakage_split": SQL_LEAKAGE_SPLIT,
         "embedding_neardup_scaled": SQL_EMBEDDING_NEARDUP_SCALED,
-        "pq_topk": SQL_PQ_TOPK,
-        "ivfpq_topk": SQL_IVFPQ_TOPK,
         "semantic_neardup_scaled": SQL_SEMANTIC_NEARDUP_SCALED,
         "frequent_ngrams": SQL_FREQUENT_NGRAMS,
-        "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:
