@@ -330,3 +330,47 @@ def test_jaccard_sizes_join_broadcasts_sizes_side(spark):
     for cols in bx_inputs:
         assert "n_a#" in cols or "n_b#" in cols, cols
         assert "n_inter" not in cols, cols
+
+
+def test_bucketed_corpus_doc_joins_need_no_exchange(spark, tmp_path):
+    """DESIGN's 'both sides bucketable on doc_id' made real: a corpus
+    table and a per-doc state table written with the same bucketing
+    join (leakage_safe_split's shape) with ZERO Exchange — the
+    curation-pass join cost at 100 TB is scan + zip, not shuffle."""
+    from stock_indicators_etl_spark.llmdata.sampling import leakage_safe_split
+    from stock_indicators_etl_spark.sources.corpus import write_bucketed_corpus
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": [f"doc {i} body" for i in range(40)],
+            "lang": ["en"] * 40,
+        }
+    )
+    comps = pd.DataFrame({"doc_id": range(40), "component": [i // 4 for i in range(40)]})
+    spark.sql("DROP TABLE IF EXISTS corpus_bucketed_test")
+    spark.sql("DROP TABLE IF EXISTS comps_bucketed_test")
+    write_bucketed_corpus(
+        spark.createDataFrame(docs),
+        "corpus_bucketed_test",
+        str(tmp_path / "corpus_bucketed"),
+        n_buckets=4,
+    )
+    write_bucketed_corpus(
+        spark.createDataFrame(comps),
+        "comps_bucketed_test",
+        str(tmp_path / "comps_bucketed"),
+        n_buckets=4,
+    )
+    # bucketed joins need AQE's broadcast preference out of the way
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = leakage_safe_split(
+            spark.table("corpus_bucketed_test").select("doc_id", "lang"),
+            spark.table("comps_bucketed_test"),
+        )
+        plan = plan_of(out)
+        assert count_nodes(plan, "Exchange") == 0, plan
+        assert out.count() == 40
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
