@@ -263,6 +263,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     from stock_indicators_etl_spark.queries_llm import (
         q_chunk_documents,
+        q_cluster_keywords,
         q_embedding_neardup_scaled,
         q_frequent_ngrams,
         q_length_quantiles,
@@ -289,6 +290,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_scaled": q_embedding_neardup_scaled,
         "semantic_neardup_scaled": q_semantic_neardup_scaled,
         "frequent_ngrams": q_frequent_ngrams,
+        "cluster_keywords": q_cluster_keywords,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -306,6 +308,7 @@ def extra_oracle_sql() -> dict[str, str]:
     )
     from stock_indicators_etl_spark.queries_llm import (
         SQL_CHUNK_DOCUMENTS,
+        SQL_CLUSTER_KEYWORDS,
         SQL_EMBEDDING_NEARDUP_SCALED,
         SQL_FREQUENT_NGRAMS,
         SQL_LENGTH_QUANTILES,
@@ -330,6 +333,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "embedding_neardup_scaled": SQL_EMBEDDING_NEARDUP_SCALED,
         "semantic_neardup_scaled": SQL_SEMANTIC_NEARDUP_SCALED,
         "frequent_ngrams": SQL_FREQUENT_NGRAMS,
+        "cluster_keywords": SQL_CLUSTER_KEYWORDS,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -759,3 +759,62 @@ def _kmeans_ctes(k: int, iters: int, dim: int) -> tuple[list[str], str]:
 )"""
         )
     return parts, f"a{iters + 1}"
+
+
+def cluster_keywords(
+    docs: DataFrame,
+    assignment: DataFrame,
+    top: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Label k-means clusters by their top tf·idf terms, treating each
+    CLUSTER as the tf·idf "document" — the human-readable face of
+    SemDeDup/topic clustering (cluster inspection, boilerplate-sink
+    triage, pruning decisions all start from "what IS cluster 17").
+
+    ``assignment``: ``(vec_id, cluster)`` — e.g. :func:`kmeans_assign`
+    output, joined to ``docs`` on the id. Plan: one token fan-out, an
+    id equi-join onto the (tiny, broadcastable) assignment, ONE
+    ``groupBy(cluster, term)`` shuffle, a vocab-sized df aggregate on
+    the same exchange, a 1-row cluster-count broadcast, and a per-
+    cluster window top-n. idf quantized to 6dp pre-multiply (the
+    engine-stable-ranking discipline from ``tfidf_keywords``).
+
+    Output: ``(cluster, rk, term, tf, df, score)``.
+    """
+    from stock_indicators_etl_spark.llmdata.text import spread, words
+
+    toks = spread(docs).select(
+        F.col(id_col).alias("doc_id"), F.explode(words(F.col(text_col))).alias("term")
+    )
+    a = assignment.select(F.col("vec_id").alias("doc_id"), "cluster")
+    tf = (
+        toks.join(a, "doc_id")
+        .groupBy("cluster", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nn = tf.select("cluster").distinct().agg(F.count(F.lit(1)).alias("n_clusters"))
+    p = float(10**6)
+    idf_q = (
+        F.floor(
+            F.log((F.col("n_clusters") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+            * F.lit(p)
+            + F.lit(0.5)
+        )
+        / F.lit(p)
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nn))
+        .withColumn("score", F.col("tf") * idf_q)
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top)
+        .select("cluster", "rk", "term", "tf", "df", "score")
+    )

@@ -1564,6 +1564,63 @@ SQL_SEMANTIC_NEARDUP_SCALED = _sql_semantic_neardup_scaled()
 
 
 # ---------------------------------------------------------------------------
+# cluster labeling: k-means clusters × tf-idf keywords
+# ---------------------------------------------------------------------------
+
+CLUSTER_KW_TOP = 3
+
+
+def q_cluster_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition query: bit-exact Lloyd k-means over embeddings,
+    then each cluster labeled by its top tf·idf terms from the joined
+    documents (cluster = the tf·idf 'document'). Oracle: the unrolled
+    k-means CTE chain feeding the same tf/df/idf arithmetic."""
+    from stock_indicators_etl_spark.llmdata.clustering import (
+        cluster_keywords,
+        kmeans_assign,
+    )
+
+    emb = _emb(spark, sf_dir)
+    assign = kmeans_assign(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS, exact_update=True
+    ).select("vec_id", "cluster")
+    return cluster_keywords(_docs(spark, sf_dir), assign, top=CLUSTER_KW_TOP)
+
+
+def _sql_cluster_keywords() -> str:
+    from stock_indicators_etl_spark.llmdata.clustering import _kmeans_ctes
+
+    parts, final = _kmeans_ctes(KMEANS_K, KMEANS_ITERS, 64)
+    parts.append(DOCS_CTE.strip())
+    parts += [
+        "t AS (SELECT doc_id, unnest(ws) AS term FROM wd)",
+        f"jt AS (SELECT a.cl AS cluster, t.term FROM t JOIN {final} a ON a.vec_id = t.doc_id)",
+        "tfc AS (SELECT cluster, term, count(*) AS tf FROM jt GROUP BY cluster, term)",
+        "dfreq AS (SELECT term, count(*) AS df FROM tfc GROUP BY term)",
+        "nn AS (SELECT count(DISTINCT cluster) AS n FROM tfc)",
+        """s AS (
+  SELECT tfc.cluster, tfc.term, tfc.tf, dfreq.df,
+         tfc.tf * (floor(ln((nn.n + 1.0) / (dfreq.df + 1.0)) * 1000000 + 0.5) / 1000000) AS score
+  FROM tfc JOIN dfreq ON tfc.term = dfreq.term CROSS JOIN nn
+)""",
+        """r AS (
+  SELECT cluster, term, tf, df, score,
+         row_number() OVER (PARTITION BY cluster ORDER BY score DESC, term ASC) AS rk
+  FROM s
+)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT CAST(cluster AS INT) AS cluster, rk, term, tf, df, score "
+        f"FROM r WHERE rk <= {CLUSTER_KW_TOP}"
+    )
+
+
+SQL_CLUSTER_KEYWORDS = _sql_cluster_keywords()
+
+
+# ---------------------------------------------------------------------------
 # corpus statistics: frequent n-grams + per-doc tf-idf keywords
 # ---------------------------------------------------------------------------
 

@@ -470,3 +470,37 @@ class TestPqRerank:
         agree = lambda d: sum(d[key] == exact[key] for key in exact if key in d)
         assert agree(reranked) > agree(plain)
         assert agree(reranked) >= int(0.8 * len(exact))
+
+
+class TestClusterKeywords:
+    def test_labels_separate_topic_clusters(self, spark):
+        """Two well-separated embedding clusters whose docs use
+        disjoint vocabularies: each cluster's top keyword must come
+        from its own vocabulary, and cluster-ubiquitous filler must
+        rank below (idf ln(3/3)=0... ln((2+1)/(2+1))=0 for df=2)."""
+        import numpy as np
+
+        from stock_indicators_etl_spark.llmdata.clustering import (
+            cluster_keywords,
+            kmeans_assign,
+        )
+
+        emb_rows, doc_rows = [], []
+        for i in range(8):
+            topic = i % 2
+            base = [5.0, 0.0] if topic == 0 else [0.0, 5.0]
+            emb_rows.append((i, [base[0] + 0.01 * i, base[1], 0.0, 0.0]))
+            word = "finance" if topic == 0 else "biology"
+            doc_rows.append((i, f"filler {word} {word} common filler"))
+        emb = spark.createDataFrame(
+            pd.DataFrame(emb_rows, columns=["vec_id", "embedding"])
+        )
+        docs = spark.createDataFrame(
+            pd.DataFrame(doc_rows, columns=["doc_id", "text"])
+        )
+        assign = kmeans_assign(emb, k=2, iters=2).select("vec_id", "cluster")
+        out = cluster_keywords(docs, assign, top=1).collect()
+        tops = {r.cluster: r.term for r in out}
+        assert set(tops.values()) == {"finance", "biology"}
+        # per-cluster tf of the topic word = 2 occurrences × 4 docs
+        assert all(r.tf == 8 and r.df == 1 for r in out)
