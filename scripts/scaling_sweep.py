@@ -177,6 +177,13 @@ def main() -> int:
         "  (`hier_assign_with_centroids`: probe √k centroid groups,",
         "  O(N·√k) — implemented, exact at n_probe=g, out of oracle",
         "  scope by design).",
+        "- That sf1 cell measures the ORACLE-exact path (exact_update",
+        "  sorted folds). The production default is `method=\"arrow\"`",
+        "  (order-free BLAS partial sums): the same auto-k SemDeDup at",
+        "  sf1 runs in ~3 s vs ~200 s — a constant-factor gap the",
+        "  oracle deliberately does not take, because order-free sums",
+        "  are not bit-replayable. At k ≫ 10⁴, `method=\"hier\"` caps",
+        "  assignment at O(N·√k).",
         "",
     ]
     Path(out_path).write_text("\n".join(lines))
