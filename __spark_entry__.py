@@ -262,6 +262,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_shipping_priority,
     )
     from stock_indicators_etl_spark.queries_llm import (
+        q_audio_stats,
         q_chunk_documents,
         q_cluster_keywords,
         q_embedding_neardup_scaled,
@@ -291,6 +292,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_neardup_scaled": q_semantic_neardup_scaled,
         "frequent_ngrams": q_frequent_ngrams,
         "cluster_keywords": q_cluster_keywords,
+        "audio_stats": q_audio_stats,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -307,6 +309,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_SHIPPING_PRIORITY,
     )
     from stock_indicators_etl_spark.queries_llm import (
+        SQL_AUDIO_STATS,
         SQL_CHUNK_DOCUMENTS,
         SQL_CLUSTER_KEYWORDS,
         SQL_EMBEDDING_NEARDUP_SCALED,
@@ -334,6 +337,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "semantic_neardup_scaled": SQL_SEMANTIC_NEARDUP_SCALED,
         "frequent_ngrams": SQL_FREQUENT_NGRAMS,
         "cluster_keywords": SQL_CLUSTER_KEYWORDS,
+        "audio_stats": SQL_AUDIO_STATS,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -5,10 +5,11 @@ Media travel as opaque ``binary`` columns with typed metadata structs
 partitioning, Arrow batch shape, and UDF signatures are real and
 tested. Image decode is REAL for PPM/PGM, uncompressed BMP, and PNG
 (stdlib ``zlib`` inflate + the five row filters in numpy — no codec
-libs needed); JPEG/audio/video genuinely need codec libraries this
-container lacks, so those paths stay behind ``decoder=`` injection
-with a deterministic fake and raise ``NotImplementedError`` when a
-real codec decode is requested.
+libs needed); audio decode is REAL for RIFF/WAVE PCM (see
+``llmdata/audio.py``). JPEG/compressed-audio/video genuinely need
+codec libraries this container lacks, so those paths stay behind
+``decoder=`` injection with a deterministic fake and raise
+``NotImplementedError`` when a real codec decode is requested.
 
 Scale notes: ``mapInPandas`` streams Arrow batches → bounded memory
 per task regardless of blob sizes; keep blobs ≤ a few MB per row
@@ -354,18 +355,22 @@ def image_resize(payload: bytes, width: int, height: int) -> bytes:
 
 def real_decoder(payload: bytes, kind: str) -> np.ndarray:
     """Codec-library decode path for formats needing external codecs —
-    JPEG/audio/video (PIL/av/librosa are not present here). Decodable
-    images (PPM/PGM/BMP/PNG) go through :func:`image_decoder` for
-    real."""
+    JPEG/compressed-audio/video (PIL/av/librosa are not present here).
+    Decodable images (PPM/PGM/BMP/PNG) go through :func:`image_decoder`
+    and RIFF/WAVE PCM through :func:`audio.audio_decoder` for real."""
     if kind == "image" and (
         payload[:2] in (b"P6", b"P5", b"BM")
         or payload[: len(PNG_SIG)] == PNG_SIG
     ):
         return image_decoder(payload, kind)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        from .audio import audio_decoder
+
+        return audio_decoder(payload, kind)
     raise NotImplementedError(
-        "JPEG/audio/video decode libraries are not available in this "
-        "environment; inject a decoder, or use image_decoder for "
-        "PPM/PGM/BMP/PNG payloads"
+        "JPEG/compressed-audio/video decode libraries are not available "
+        "in this environment; inject a decoder, or use image_decoder "
+        "(PPM/PGM/BMP/PNG) / audio.audio_decoder (WAV PCM) payloads"
     )
 
 

@@ -907,6 +907,49 @@ FROM documents
 """
 
 
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio plumbing with REAL WAV decode: one deterministic
+    integer-sawtooth clip per document (synthesized inside
+    ``mapInPandas``, encoded to RIFF/WAVE 16-bit PCM), decoded back
+    and reduced to integer-exact per-clip stats. The oracle
+    regenerates the same waveform arithmetically — every output is
+    integer, so the hash gate needs no float tolerance
+    (llmdata/audio.py)."""
+    from stock_indicators_etl_spark.llmdata.audio import (
+        audio_stats,
+        documents_as_audio,
+    )
+
+    return audio_stats(documents_as_audio(_docs(spark, sf_dir)))
+
+
+SQL_AUDIO_STATS = """
+WITH samp AS (
+    SELECT d.doc_id,
+           r.range AS i,
+           -- same integer sawtooth as audio.synth_wave_int16:
+           -- f = 200 + (doc_id % 32)*25; s = ((i*f) % sr)*65535 // sr - 32768
+           ((r.range * (200 + (d.doc_id % 32) * 25)) % 8000) * 65535 // 8000
+               - 32768 AS s
+    FROM documents d, range(2048) r
+), lagged AS (
+    SELECT doc_id, i, s,
+           lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS p
+    FROM samp
+)
+SELECT doc_id AS media_id,
+       8000 AS sample_rate,
+       CAST(2048 AS BIGINT) AS n_samples,
+       CAST(256 AS BIGINT) AS duration_ms,
+       CAST(sum(s * s) AS BIGINT) AS sum_sq,
+       CAST(max(abs(s)) AS BIGINT) AS peak,
+       CAST(count(*) FILTER (WHERE p IS NOT NULL AND (s >= 0) <> (p >= 0))
+            AS BIGINT) AS zero_crossings
+FROM lagged
+GROUP BY doc_id
+"""
+
+
 IVF_N_CENTROIDS = 16
 IVF_N_PROBE = 4
 
