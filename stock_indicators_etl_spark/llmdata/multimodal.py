@@ -3,13 +3,14 @@
 Media travel as opaque ``binary`` columns with typed metadata structs
 — the Spark-side contract a 100 TB multimodal pipeline needs: schema,
 partitioning, Arrow batch shape, and UDF signatures are real and
-tested. Image decode is REAL for PPM/PGM, uncompressed BMP, and PNG
-(stdlib ``zlib`` inflate + the five row filters in numpy — no codec
-libs needed); audio decode is REAL for RIFF/WAVE PCM (see
-``llmdata/audio.py``). JPEG/compressed-audio/video genuinely need
-codec libraries this container lacks, so those paths stay behind
-``decoder=`` injection with a deterministic fake and raise
-``NotImplementedError`` when a real codec decode is requested.
+tested. Image decode is REAL for PPM/PGM, uncompressed BMP, PNG
+(stdlib ``zlib`` inflate + the five row filters in numpy) and
+baseline JPEG (pure-numpy Huffman + IDCT, ``llmdata/jpeg.py``);
+audio decode is REAL for RIFF/WAVE PCM (``llmdata/audio.py``).
+Video and compressed-audio codecs genuinely need libraries this
+container lacks, so those paths stay behind ``decoder=`` injection
+with a deterministic fake and raise ``NotImplementedError`` when a
+real codec decode is requested.
 
 Scale notes: ``mapInPandas`` streams Arrow batches → bounded memory
 per task regardless of blob sizes; keep blobs ≤ a few MB per row
@@ -300,18 +301,24 @@ def encode_png(img: np.ndarray, row_filters=None) -> bytes:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Dispatch on magic bytes: PPM/PGM, uncompressed BMP, and PNG
-    (stdlib zlib inflate + numpy defilter) decode for real; JPEG/video
-    raise — those genuinely need codec libs this container lacks."""
+    """Dispatch on magic bytes: PPM/PGM, uncompressed BMP, PNG (stdlib
+    zlib inflate + numpy defilter), and baseline JPEG (pure-numpy
+    Huffman + IDCT, see ``llmdata/jpeg.py``) decode for real; video
+    raises — containers/codecs genuinely need libs absent here."""
     if payload[:2] in (b"P6", b"P5"):
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[: len(PNG_SIG)] == PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "JPEG/video decode needs codec libraries not present in this "
-        "environment; PPM/PGM/uncompressed-BMP/PNG decode natively"
+        "video decode needs codec libraries not present in this "
+        "environment; PPM/PGM/uncompressed-BMP/PNG/baseline-JPEG "
+        "decode natively"
     )
 
 
@@ -355,11 +362,12 @@ def image_resize(payload: bytes, width: int, height: int) -> bytes:
 
 def real_decoder(payload: bytes, kind: str) -> np.ndarray:
     """Codec-library decode path for formats needing external codecs —
-    JPEG/compressed-audio/video (PIL/av/librosa are not present here).
-    Decodable images (PPM/PGM/BMP/PNG) go through :func:`image_decoder`
-    and RIFF/WAVE PCM through :func:`audio.audio_decoder` for real."""
+    video/compressed audio (PIL/av/librosa are not present here).
+    Decodable images (PPM/PGM/BMP/PNG/baseline JPEG) go through
+    :func:`image_decoder` and RIFF/WAVE PCM through
+    :func:`audio.audio_decoder` for real."""
     if kind == "image" and (
-        payload[:2] in (b"P6", b"P5", b"BM")
+        payload[:2] in (b"P6", b"P5", b"BM", b"\xff\xd8")
         or payload[: len(PNG_SIG)] == PNG_SIG
     ):
         return image_decoder(payload, kind)
@@ -368,9 +376,10 @@ def real_decoder(payload: bytes, kind: str) -> np.ndarray:
 
         return audio_decoder(payload, kind)
     raise NotImplementedError(
-        "JPEG/compressed-audio/video decode libraries are not available "
+        "video/compressed-audio decode libraries are not available "
         "in this environment; inject a decoder, or use image_decoder "
-        "(PPM/PGM/BMP/PNG) / audio.audio_decoder (WAV PCM) payloads"
+        "(PPM/PGM/BMP/PNG/baseline JPEG) / audio.audio_decoder "
+        "(WAV PCM) payloads"
     )
 
 

@@ -1,0 +1,162 @@
+"""Baseline JPEG codec (llmdata/jpeg.py) — round-trips through every
+decoder branch plus spec-order pins (the zigzag table and the DQT
+zigzag convention are asserted against hardcoded known sequences so a
+self-consistent-but-wrong permutation cannot pass)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from stock_indicators_etl_spark.llmdata import jpeg as J
+from stock_indicators_etl_spark.llmdata.multimodal import (
+    FEATURE_DIM,
+    decode_image,
+    image_decoder,
+    image_resize,
+    real_decoder,
+)
+
+
+def _gradient_rgb(h=48, w=64, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.clip(
+        np.stack(
+            [xx * 255 / w, yy * 255 / h, (xx + yy) * 255 / (h + w)], axis=2
+        )
+        + rng.normal(0, 3, (h, w, 3)),
+        0,
+        255,
+    ).astype(np.uint8)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255**2 / max(mse, 1e-12))
+
+
+# ---------------------------------------------------------------------------
+# spec-order pins (not round-trip-blind)
+# ---------------------------------------------------------------------------
+
+
+def test_zigzag_is_the_standard_sequence():
+    # the first 16 and last 8 entries of T.81's zigzag, transcribed
+    # from the spec figure — pins the programmatic generation
+    assert J.ZIGZAG[:16].tolist() == [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    ]
+    assert J.ZIGZAG[-8:].tolist() == [46, 53, 60, 61, 54, 47, 55, 62, 63][-8:]
+    # bijection
+    assert sorted(J.ZIGZAG.tolist()) == list(range(64))
+
+
+def test_dqt_is_emitted_in_zigzag_order():
+    img = np.full((8, 8), 128, dtype=np.uint8)
+    enc = J.encode_jpeg(img, quality=90)
+    i = enc.index(b"\xff\xdb")
+    stream = np.frombuffer(enc[i + 5 : i + 5 + 64], dtype=np.uint8).astype(
+        np.int64
+    )
+    natural = J._quant_table(90, chroma=False)
+    np.testing.assert_array_equal(stream, natural[J.ZIGZAG])
+
+
+# ---------------------------------------------------------------------------
+# round-trips
+# ---------------------------------------------------------------------------
+
+
+def test_roundtrip_gray():
+    rng = np.random.default_rng(2)
+    yy, xx = np.mgrid[0:40, 0:56]
+    gray = np.clip(xx * 3 + yy * 2 + rng.normal(0, 4, (40, 56)), 0, 255).astype(
+        np.uint8
+    )
+    dec = J.decode_jpeg(J.encode_jpeg(gray, quality=90))
+    assert dec.shape == gray.shape
+    assert _psnr(dec, gray) > 30
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+def test_roundtrip_rgb(sub):
+    rgb = _gradient_rgb()
+    dec = J.decode_jpeg(J.encode_jpeg(rgb, quality=90, subsample=sub))
+    assert dec.shape == rgb.shape
+    assert _psnr(dec, rgb) > (30 if sub == "444" else 26)
+
+
+def test_restart_markers_do_not_change_pixels():
+    rgb = _gradient_rgb(33, 47, seed=1)
+    base = J.decode_jpeg(J.encode_jpeg(rgb, quality=85, subsample="420"))
+    rst = J.decode_jpeg(
+        J.encode_jpeg(rgb, quality=85, subsample="420", restart_interval=2)
+    )
+    np.testing.assert_array_equal(base, rst)
+
+
+def test_16bit_quant_tables():
+    rgb = _gradient_rgb(24, 24, seed=3)
+    a = J.decode_jpeg(J.encode_jpeg(rgb, quality=85, force_16bit_qt=True))
+    b = J.decode_jpeg(J.encode_jpeg(rgb, quality=85))
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (1, 9), (9, 1), (17, 16)])
+def test_non_multiple_of_8_sizes(shape):
+    rng = np.random.default_rng(4)
+    g = rng.integers(0, 256, shape).astype(np.uint8)
+    dec = J.decode_jpeg(J.encode_jpeg(g, quality=95))
+    assert dec.shape == shape
+
+
+def test_higher_quality_means_higher_psnr():
+    rgb = _gradient_rgb(32, 32, seed=5)
+    lo = _psnr(J.decode_jpeg(J.encode_jpeg(rgb, quality=30)), rgb)
+    hi = _psnr(J.decode_jpeg(J.encode_jpeg(rgb, quality=95)), rgb)
+    assert hi > lo
+
+
+# ---------------------------------------------------------------------------
+# honest rejections
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_rejected():
+    enc = bytearray(J.encode_jpeg(_gradient_rgb(16, 16)))
+    i = enc.index(b"\xff\xc0")
+    enc[i + 1] = 0xC2  # SOF2 progressive
+    with pytest.raises(NotImplementedError):
+        J.decode_jpeg(bytes(enc))
+
+
+def test_not_a_jpeg():
+    with pytest.raises(ValueError):
+        J.decode_jpeg(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+
+
+# ---------------------------------------------------------------------------
+# multimodal integration
+# ---------------------------------------------------------------------------
+
+
+def test_decode_image_dispatches_jpeg():
+    rgb = _gradient_rgb(16, 24)
+    dec = decode_image(J.encode_jpeg(rgb, quality=90))
+    assert dec.shape == rgb.shape
+
+
+def test_image_decoder_and_real_decoder_on_jpeg():
+    payload = J.encode_jpeg(_gradient_rgb(16, 16), quality=90)
+    for fn in (image_decoder, real_decoder):
+        feats = fn(payload, "image")
+        assert feats.shape == (FEATURE_DIM,)
+        assert feats.sum() == pytest.approx(1.0, abs=1e-5)
+
+
+def test_image_resize_on_jpeg():
+    payload = J.encode_jpeg(_gradient_rgb(32, 32), quality=90)
+    out = image_resize(payload, 8, 8)
+    assert out[:2] == b"P6"
+    assert decode_image(out).shape == (8, 8, 3)

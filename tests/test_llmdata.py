@@ -717,11 +717,14 @@ def test_codec_formats_still_raise():
         real_decoder,
     )
 
+    # baseline JPEG now decodes for real (llmdata/jpeg.py); a
+    # truncated one is malformed, not unsupported
     jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_image(jpeg)
+    # video / compressed audio genuinely still need codec libs
     with pytest.raises(NotImplementedError):
-        real_decoder(jpeg, "image")
+        decode_image(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 16)
     with pytest.raises(NotImplementedError):
         real_decoder(b"anything", "audio")
 
