@@ -267,6 +267,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_cluster_keywords,
         q_embedding_neardup_scaled,
         q_frequent_ngrams,
+        q_heavy_hitters,
         q_length_quantiles,
         q_semantic_neardup,
         q_semantic_neardup_scaled,
@@ -293,6 +294,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_ngrams": q_frequent_ngrams,
         "cluster_keywords": q_cluster_keywords,
         "audio_stats": q_audio_stats,
+        "heavy_hitters": q_heavy_hitters,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -314,6 +316,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_CLUSTER_KEYWORDS,
         SQL_EMBEDDING_NEARDUP_SCALED,
         SQL_FREQUENT_NGRAMS,
+        SQL_HEAVY_HITTERS,
         SQL_LENGTH_QUANTILES,
         SQL_SEMANTIC_NEARDUP,
         SQL_SEMANTIC_NEARDUP_SCALED,
@@ -338,6 +341,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "frequent_ngrams": SQL_FREQUENT_NGRAMS,
         "cluster_keywords": SQL_CLUSTER_KEYWORDS,
         "audio_stats": SQL_AUDIO_STATS,
+        "heavy_hitters": SQL_HEAVY_HITTERS,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -1695,6 +1695,31 @@ LIMIT {FREQ_NGRAM_TOP}
 """
 
 
+HH_PHI_NUM, HH_PHI_DEN = 1, 200
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-backed frequent tokens: per-partition Misra–Gries
+    summaries (bounded shuffle) + exact recount of the candidate
+    union. The mergeable-summaries guarantee makes the output exactly
+    the brute-force answer, so the oracle is a plain GROUP BY with the
+    same integer ceil-threshold (llmdata/sketches.py)."""
+    from stock_indicators_etl_spark.llmdata.sketches import heavy_hitters
+
+    return heavy_hitters(_docs(spark, sf_dir), phi=(HH_PHI_NUM, HH_PHI_DEN))
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH {DOCS_CTE},
+t AS (SELECT unnest(ws) AS token FROM wd),
+n AS (SELECT count(*) AS n_total FROM t),
+c AS (SELECT token, count(*) AS cnt FROM t GROUP BY token)
+SELECT c.token, c.cnt
+FROM c, n
+WHERE c.cnt >= (n.n_total * {HH_PHI_NUM} + {HH_PHI_DEN} - 1) // {HH_PHI_DEN}
+"""
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 tf·idf terms per doc; per-term idf quantized to 6dp
     before the multiply so the ranking tie-break is engine-stable."""
