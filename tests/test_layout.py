@@ -1,0 +1,89 @@
+"""Z-order layout (sources/layout.py): measured pruning from real
+parquet footer statistics — z-order must make BOTH columns prunable
+while the linear baseline prunes only its sort column."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from stock_indicators_etl_spark.sources.layout import (
+    file_skip_stats,
+    write_linear,
+    write_zordered,
+    zorder_value,
+)
+
+N_FILES = 16
+
+
+@pytest.fixture(scope="module")
+def xy_df(spark):
+    rng = np.random.default_rng(21)
+    n = 40_000
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "x": rng.uniform(0, 1000, n),
+                "y": rng.uniform(0, 1000, n),
+                "payload": rng.integers(0, 1 << 30, n),
+            }
+        )
+    )
+
+
+def test_zorder_value_is_bounded_and_deterministic(spark, xy_df):
+    z = zorder_value(xy_df.limit(500), ["x", "y"], bits=4)
+    stats = z.agg(
+        F.min("_zorder").alias("lo"), F.max("_zorder").alias("hi")
+    ).collect()[0]
+    assert 0 <= stats["lo"] <= stats["hi"] < (1 << 8)  # 2 cols × 4 bits
+
+
+def test_zorder_rejects_too_many_bits(spark, xy_df):
+    with pytest.raises(ValueError):
+        zorder_value(xy_df, ["x", "y"], bits=31)
+
+
+def test_zorder_prunes_both_dimensions(spark, xy_df, tmp_path):
+    zpath = str(tmp_path / "z")
+    lpath = str(tmp_path / "linear")
+    write_zordered(xy_df, zpath, ["x", "y"], n_files=N_FILES, bits=8)
+    write_linear(xy_df, lpath, "x", n_files=N_FILES)
+
+    # row preservation + helper column dropped
+    back = spark.read.parquet(zpath)
+    assert back.count() == xy_df.count()
+    assert "_zorder" not in back.columns
+
+    # a 5%-wide range predicate on each dimension
+    qx = file_skip_stats(zpath, "x", 100.0, 150.0)
+    qy = file_skip_stats(zpath, "y", 100.0, 150.0)
+    lx = file_skip_stats(lpath, "x", 100.0, 150.0)
+    ly = file_skip_stats(lpath, "y", 100.0, 150.0)
+
+    assert qx["n_files"] == N_FILES
+    # linear layout: near-perfect on its sort column, nothing on the other
+    assert lx["skipped"] >= N_FILES - 2
+    assert ly["skipped"] == 0
+    # z-order: substantial pruning on BOTH dimensions (16 files over a
+    # 16x16 top-level z-grid -> a 5% slab touches ~half the files)
+    assert qx["skipped"] >= N_FILES // 4
+    assert qy["skipped"] >= N_FILES // 4
+
+
+def test_zorder_string_column_equality_pruning(spark, tmp_path):
+    rng = np.random.default_rng(5)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [f"key{i % 64}" for i in range(20_000)],
+                "v": rng.uniform(0, 100, 20_000),
+            }
+        )
+    )
+    path = str(tmp_path / "zs")
+    write_zordered(df, path, ["k", "v"], n_files=8, bits=6)
+    assert spark.read.parquet(path).count() == 20_000
