@@ -67,6 +67,35 @@ def _shingle_sets(
     )
 
 
+def _signatures_and_sets(
+    df: DataFrame, text_col: str, n_hashes: int, k: int
+) -> DataFrame:
+    """One scan + one shuffle for BOTH per-doc artifacts the index
+    stores: the MinHash signature (mh_0..mh_{n-1}) and the distinct
+    shingle-hash set. The shared trick: h56 (the Jaccard-verify
+    convention, first 14 md5 hex digits) IS minhash's h1, so a single
+    md5 per shingle feeds the double-hashing mins and the
+    ``collect_set`` — fusing what :func:`..dedup.minhash_signatures`
+    + :func:`_shingle_sets` would compute in two scans (DESIGN §4.7,
+    hash once derive many). Bit-identical outputs to the unfused pair
+    (pinned in tests/test_dedup_index.py)."""
+    from stock_indicators_etl_spark.llmdata.dedup import MH_PRIME
+
+    sh = word_shingles(df, text_col, k, distinct=False)
+    md = F.md5(F.col("shingle"))
+    h1 = F.conv(F.substring(md, 1, 14), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md, 17, 14), 16, 10).cast("long")
+    hashed = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+    aggs = [
+        F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(MH_PRIME)).alias(
+            f"mh_{i}"
+        )
+        for i in range(n_hashes)
+    ]
+    aggs.append(F.collect_set("h1").alias("sh_set"))
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
 def _index_exists(spark: SparkSession, index_path: str) -> bool:
     hpath = spark._jvm.org.apache.hadoop.fs.Path(index_path + "/bands")
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -154,9 +183,13 @@ def dedup_increment(
     tested contract) or whenever no bucket ever exceeds the cap.
     """
     spark = new_docs.sparkSession
-    sig = minhash_signatures(new_docs, text_col, n_hashes, k)
-    new_bands = band_rows(sig, n_hashes, band_size)
-    new_sets = _shingle_sets(new_docs, text_col, k)
+    # one scan + one shuffle for signature AND shingle set, pinned:
+    # the derived streams are consumed 2-3 times each (candidate
+    # join, union with the stored index, index append) and
+    # recomputing would re-shingle + re-hash the shard every time
+    per_doc = _signatures_and_sets(new_docs, text_col, n_hashes, k).persist()
+    new_bands = band_rows(per_doc, n_hashes, band_size)
+    new_sets = per_doc.select("doc_id", "sh_set")
 
     if _index_exists(spark, index_path):
         old_bands = spark.read.parquet(index_path + "/bands")
@@ -254,4 +287,6 @@ def dedup_increment(
         out = out.localCheckpoint()
         new_bands.write.mode("append").parquet(index_path + "/bands")
         new_sets.write.mode("append").parquet(index_path + "/shingles")
+        per_doc.unpersist()
+        cand.unpersist()
     return out
