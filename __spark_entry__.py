@@ -258,8 +258,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     variants, the newer extension operators not yet rotated in, and
     the long-stable entries rotated out (VERDICT r5 #3)."""
     from stock_indicators_etl_spark.queries import (
+        q_large_orders,
         q_rollup_aggregate,
         q_shipping_priority,
+        q_volume_shipping,
     )
     from stock_indicators_etl_spark.queries_llm import (
         q_audio_stats,
@@ -295,6 +297,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_keywords": q_cluster_keywords,
         "audio_stats": q_audio_stats,
         "heavy_hitters": q_heavy_hitters,
+        "volume_shipping": q_volume_shipping,
+        "large_orders": q_large_orders,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -305,10 +309,12 @@ def extra_oracle_sql() -> dict[str, str]:
     from stock_indicators_etl_spark.queries import (
         SQL_ADX_FAMILY,
         SQL_CMO_WILDER,
+        SQL_LARGE_ORDERS,
         SQL_MACDFIX_HIST,
         SQL_ROLLUP_AGGREGATE,
         SQL_RSI_WILDER,
         SQL_SHIPPING_PRIORITY,
+        SQL_VOLUME_SHIPPING,
     )
     from stock_indicators_etl_spark.queries_llm import (
         SQL_AUDIO_STATS,
@@ -342,6 +348,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "cluster_keywords": SQL_CLUSTER_KEYWORDS,
         "audio_stats": SQL_AUDIO_STATS,
         "heavy_hitters": SQL_HEAVY_HITTERS,
+        "volume_shipping": SQL_VOLUME_SHIPPING,
+        "large_orders": SQL_LARGE_ORDERS,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

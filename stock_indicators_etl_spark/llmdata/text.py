@@ -32,6 +32,10 @@ def spread(df: DataFrame) -> DataFrame:
     on scan splits, so the heuristic only over-spreads near the
     boundary; non-file sources (in-memory test frames) report no files
     and spread defensively."""
+    if df.isStreaming:
+        # micro-batch parallelism comes from the source; inputFiles()
+        # is undefined on a streaming plan
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if len(df.inputFiles()) < target:
         return df.repartition(target)

@@ -1875,6 +1875,130 @@ FROM rk WHERE rk <= 10
 """
 
 
+VS_NATION_A, VS_NATION_B = "NATION_1", "NATION_2"
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional trade volume between two nations
+    by ship year. Two broadcast dim joins (nation → supplier, nation →
+    customer — pre-filtered to the two nations so the big sides are
+    semi-reduced before the big-big joins) around the lineitem ⋈
+    orders ⋈ customer spine.
+
+    Revenue sums integer CENTS (``floor(v·10⁴ + 0.5)`` per row, then
+    a BIGINT sum): associative and order-free, so it is bit-exact
+    cross-engine WITHOUT the sorted-fold trick — the scale-correct
+    idiom for large groups where ``collect_list`` would not fit."""
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").filter(
+        F.col("n_name").isin(VS_NATION_A, VS_NATION_B)
+    )
+    s = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    j = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 10000
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        j.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            cents.alias("cents"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            (F.sum("cents").cast("double") / F.lit(10000.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_VOLUME_SHIPPING = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5)
+                     AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('{VS_NATION_A}', '{VS_NATION_B}')
+  AND n2.n_name IN ('{VS_NATION_A}', '{VS_NATION_B}')
+  AND n1.n_name <> n2.n_name
+  AND l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+LARGE_ORDER_QTY = 200
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with orders whose total lineitem
+    quantity exceeds a threshold — a big-table self-referential
+    HAVING (aggregate lineitem, filter, then rejoin the survivors to
+    orders/customer/lineitem). The qualifying-orders frame is tiny
+    after the filter, so both rejoins broadcast it; the quantity sum
+    is exact (integer-valued doubles), so no rounding discipline is
+    needed."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > LARGE_ORDER_QTY)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+SQL_LARGE_ORDERS = f"""
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > {LARGE_ORDER_QTY}
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def q_rollup_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP over lineitem: per (returnflag, linestatus),
     per returnflag subtotal, and grand total in ONE pass — Spark's
