@@ -258,7 +258,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     variants, the newer extension operators not yet rotated in, and
     the long-stable entries rotated out (VERDICT r5 #3)."""
     from stock_indicators_etl_spark.queries import (
+        q_dormant_customers,
         q_large_orders,
+        q_order_priority_check,
         q_rollup_aggregate,
         q_shipping_priority,
         q_volume_shipping,
@@ -299,6 +301,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "volume_shipping": q_volume_shipping,
         "large_orders": q_large_orders,
+        "order_priority_check": q_order_priority_check,
+        "dormant_customers": q_dormant_customers,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -309,8 +313,10 @@ def extra_oracle_sql() -> dict[str, str]:
     from stock_indicators_etl_spark.queries import (
         SQL_ADX_FAMILY,
         SQL_CMO_WILDER,
+        SQL_DORMANT_CUSTOMERS,
         SQL_LARGE_ORDERS,
         SQL_MACDFIX_HIST,
+        SQL_ORDER_PRIORITY_CHECK,
         SQL_ROLLUP_AGGREGATE,
         SQL_RSI_WILDER,
         SQL_SHIPPING_PRIORITY,
@@ -350,6 +356,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "heavy_hitters": SQL_HEAVY_HITTERS,
         "volume_shipping": SQL_VOLUME_SHIPPING,
         "large_orders": SQL_LARGE_ORDERS,
+        "order_priority_check": SQL_ORDER_PRIORITY_CHECK,
+        "dormant_customers": SQL_DORMANT_CUSTOMERS,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

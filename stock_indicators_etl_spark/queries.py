@@ -1999,6 +1999,107 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS — orders placed in 1996 H1
+    with at least one line item shipped > 90 days after the order
+    date, counted by priority. Expressed in Spark SQL so Catalyst's
+    subquery planning does the work: the EXISTS decorrelates to a
+    LEFT SEMI join on ``l_orderkey`` with the date comparison as the
+    join condition — no per-row subquery execution, one semi-join
+    shuffle, both date filters pushed to the scans."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "q4_orders"
+    )
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "q4_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM q4_orders o
+        WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-07-01'
+          AND EXISTS (
+            SELECT 1 FROM q4_lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAYS
+          )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+SQL_ORDER_PRIORITY_CHECK = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery + NOT EXISTS — customers with
+    above-average balance and no orders since 2000-06-01, grouped by
+    a pseudo country code (c_custkey mod 10). Catalyst plans the
+    scalar subquery as a 1-row broadcast and the NOT EXISTS as a LEFT
+    ANTI join.
+
+    The average-balance threshold uses integer cents with integer
+    division (``sum DIV count``) so the cutoff is bit-identical
+    cross-engine — a float AVG could flip boundary customers on
+    last-ulp summation differences."""
+    spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView(
+        "q22_customer"
+    )
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "q22_orders"
+    )
+    return spark.sql(
+        """
+        WITH cust AS (
+          SELECT c_custkey, c_custkey % 10 AS cgrp,
+                 CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+          FROM q22_customer
+        )
+        SELECT cgrp,
+               count(*) AS n_custs,
+               CAST(sum(cents) AS DOUBLE) / 100.0 AS total_bal
+        FROM cust c
+        WHERE c.cents > (SELECT sum(cents) DIV count(*) FROM cust)
+          AND NOT EXISTS (
+            SELECT 1 FROM q22_orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= '2000-06-01'
+          )
+        GROUP BY cgrp
+        """
+    )
+
+
+SQL_DORMANT_CUSTOMERS = """
+WITH cust AS (
+  SELECT c_custkey, c_custkey % 10 AS cgrp,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer
+)
+SELECT cgrp,
+       count(*) AS n_custs,
+       CAST(sum(cents) AS DOUBLE) / 100.0 AS total_bal
+FROM cust c
+WHERE c.cents > (SELECT sum(cents) // count(*) FROM cust)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= '2000-06-01'
+  )
+GROUP BY cgrp
+"""
+
+
 def q_rollup_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP over lineitem: per (returnflag, linestatus),
     per returnflag subtotal, and grand total in ONE pass — Spark's

@@ -374,3 +374,24 @@ def test_bucketed_corpus_doc_joins_need_no_exchange(spark, tmp_path):
         assert out.count() == 40
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_exists_decorrelates_to_semi_join(spark):
+    """Q4's correlated EXISTS must plan as one LEFT SEMI join with the
+    date comparison in the join condition — not a per-row subquery."""
+    from stock_indicators_etl_spark.queries import q_order_priority_check
+
+    plan = plan_of(q_order_priority_check(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "PushedFilters" in plan  # date range reaches the orders scan
+
+
+def test_not_exists_decorrelates_to_anti_join(spark):
+    """Q22's NOT EXISTS must plan as a LEFT ANTI join; the scalar
+    average-balance subquery becomes a reusable broadcast, not a
+    recomputation per row."""
+    from stock_indicators_etl_spark.queries import q_dormant_customers
+
+    plan = plan_of(q_dormant_customers(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "Subquery" in plan or "ReusedSubquery" in plan
