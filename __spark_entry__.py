@@ -273,6 +273,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_frequent_ngrams,
         q_heavy_hitters,
         q_length_quantiles,
+        q_pack_sequences,
         q_semantic_neardup,
         q_semantic_neardup_scaled,
         q_unigram_surprisal,
@@ -303,6 +304,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_orders": q_large_orders,
         "order_priority_check": q_order_priority_check,
         "dormant_customers": q_dormant_customers,
+        "pack_sequences": q_pack_sequences,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -330,6 +332,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_FREQUENT_NGRAMS,
         SQL_HEAVY_HITTERS,
         SQL_LENGTH_QUANTILES,
+        SQL_PACK_SEQUENCES,
         SQL_SEMANTIC_NEARDUP,
         SQL_SEMANTIC_NEARDUP_SCALED,
         SQL_UNIGRAM_SURPRISAL,
@@ -358,6 +361,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "large_orders": SQL_LARGE_ORDERS,
         "order_priority_check": SQL_ORDER_PRIORITY_CHECK,
         "dormant_customers": SQL_DORMANT_CUSTOMERS,
+        "pack_sequences": SQL_PACK_SEQUENCES,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -49,6 +49,7 @@ SF1_QUERIES = {
     "ngram_jaccard_capped", "bm25_topk", "chunk_documents",
     "kmeans", "semantic_neardup_scaled", "unigram_surprisal",
     "span_dedup", "tfidf_keywords", "leakage_split",
+    "heavy_hitters", "audio_stats", "dedup_incremental", "pack_sequences",
 }
 
 # one representative per plan family
@@ -82,6 +83,13 @@ QUERIES = [
     "retention",              # cohort retention, combinable distinct aggs (extra)
     "shipping_priority",      # big-big 3-way join, Q3 shape (extra)
     "rollup_aggregate",       # grouping-sets Expand, one shuffle (extra)
+    "heavy_hitters",          # MG summaries + broadcast-semi exact recount (extra)
+    "audio_stats",            # mapInPandas WAV decode, integer aggregates (extra)
+    "dedup_incremental",      # two-shard incremental index (eager; extra)
+    "volume_shipping",        # Q7: broadcast-dim-reduced big-big joins (extra)
+    "large_orders",           # Q18: HAVING-derived broadcast rejoin (extra)
+    "order_priority_check",   # Q4: EXISTS → left-semi decorrelation (extra)
+    "dormant_customers",      # Q22: NOT EXISTS anti join + scalar subquery (extra)
 ]
 
 

@@ -277,3 +277,91 @@ def chunk_documents(
         F.size(chunk).alias("n_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate the corpus's token
+    stream in ``doc_id`` order and cut it into fixed ``seq_len``
+    training sequences — the complement of :func:`chunk_documents`
+    (which windows WITHIN a document; packing pools short documents
+    so no sequence slot is wasted on padding).
+
+    Emits one row per (sequence, document) overlap:
+    ``(seq_id, doc_id, seq_from, seq_to, doc_from, n_tokens)`` —
+    sequence slot ``[seq_from, seq_to)`` is filled by the document's
+    tokens starting at ``doc_from``. Downstream assembly of the
+    actual token arrays is a ``groupBy(seq_id)`` away; keeping the
+    mapping relational (not materializing token arrays) is what keeps
+    rows narrow at corpus scale.
+
+    Plan: the global running offset is a TWO-LEVEL prefix sum — a
+    single unpartitioned window would drag the whole corpus through
+    one task. Docs bucket by ``doc_id div bucket``; per-bucket
+    subtotals (one combinable shuffle) cumsum on a frame with one row
+    PER BUCKET (the only unpartitioned window, corpus_size/bucket
+    rows), broadcast back, and the within-bucket running sum windows
+    partition by bucket. Then a scan-local ``sequence``/``explode``
+    fans each doc onto the sequences it intersects. Deterministic
+    integer arithmetic end-to-end (exact oracle).
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    bucket = 4096
+    n_tok = F.size(words(F.col(text_col)))
+    counted = docs.select(
+        F.col(id_col).alias("doc_id"), n_tok.cast("long").alias("n")
+    ).filter(F.col("n") > 0)
+    counted = counted.withColumn("bkt", F.expr(f"doc_id div {bucket}"))
+    # level 1: one row per bucket; the unpartitioned cumsum touches
+    # only corpus/4096 rows
+    bw = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_offsets = (
+        counted.groupBy("bkt")
+        .agg(F.sum("n").alias("bn"))
+        .withColumn("boff", F.coalesce(F.sum("bn").over(bw), F.lit(0)))
+        .select("bkt", "boff")
+    )
+    # level 2: within-bucket running sum, properly partitioned
+    iw = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_off = (
+        counted.join(F.broadcast(bucket_offsets), "bkt")
+        .withColumn(
+            "off",
+            F.col("boff") + F.coalesce(F.sum("n").over(iw), F.lit(0)),
+        )
+        .drop("bkt", "boff")
+    )
+    # integer DIV, not float division: a float quotient silently loses
+    # exactness once offsets pass 2^53 (a ~1 PB token stream)
+    first_seq = F.expr(f"off div {seq_len}")
+    last_seq = F.expr(f"(off + n - 1) div {seq_len}")
+    exploded = with_off.select(
+        "doc_id",
+        "n",
+        "off",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    seq_start = F.col("seq_id") * seq_len
+    seq_from = F.greatest(F.col("off"), seq_start) - seq_start
+    seq_to = (
+        F.least(F.col("off") + F.col("n"), seq_start + F.lit(seq_len)) - seq_start
+    )
+    return exploded.select(
+        "seq_id",
+        "doc_id",
+        seq_from.cast("long").alias("seq_from"),
+        seq_to.cast("long").alias("seq_to"),
+        (F.greatest(F.col("off"), seq_start) - F.col("off"))
+        .cast("long")
+        .alias("doc_from"),
+        (seq_to - seq_from).cast("long").alias("n_tokens"),
+    )

@@ -1695,6 +1695,49 @@ LIMIT {FREQ_NGRAM_TOP}
 """
 
 
+PACK_SEQ_LEN = 512
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: the corpus token stream in doc_id
+    order cut into fixed 512-token training sequences; one row per
+    (sequence, doc) overlap. Two-level prefix sum (llmdata/
+    retrieval.py) — deterministic integer arithmetic, exact oracle."""
+    from stock_indicators_etl_spark.llmdata.retrieval import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=PACK_SEQ_LEN)
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH {DOCS_CTE},
+counted AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n FROM wd WHERE len(ws) > 0
+),
+with_off AS (
+  SELECT doc_id, n,
+         coalesce(sum(n) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM counted
+),
+e AS (
+  SELECT doc_id, n, off,
+         unnest(generate_series(CAST(off // {PACK_SEQ_LEN} AS BIGINT),
+                                CAST((off + n - 1) // {PACK_SEQ_LEN} AS BIGINT))) AS seq_id
+  FROM with_off
+)
+SELECT seq_id, doc_id,
+       -- CASTs kill DuckDB's HUGEINT widening from the window sum
+       CAST(greatest(off, seq_id * {PACK_SEQ_LEN}) - seq_id * {PACK_SEQ_LEN}
+            AS BIGINT) AS seq_from,
+       CAST(least(off + n, seq_id * {PACK_SEQ_LEN} + {PACK_SEQ_LEN})
+           - seq_id * {PACK_SEQ_LEN} AS BIGINT) AS seq_to,
+       CAST(greatest(off, seq_id * {PACK_SEQ_LEN}) - off AS BIGINT) AS doc_from,
+       CAST(least(off + n, seq_id * {PACK_SEQ_LEN} + {PACK_SEQ_LEN})
+           - greatest(off, seq_id * {PACK_SEQ_LEN}) AS BIGINT) AS n_tokens
+FROM e
+"""
+
+
 HH_PHI_NUM, HH_PHI_DEN = 1, 200
 
 

@@ -159,3 +159,66 @@ def test_unigram_surprisal_known_answer(spark):
     assert out.loc[1].mean_surprisal == pytest.approx(q6(s_b), abs=1e-9)
     # the common-token doc is less surprising than the rare-token doc
     assert out.loc[0].mean_surprisal < out.loc[1].mean_surprisal
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_partitions_token_stream(spark):
+    from stock_indicators_etl_spark.llmdata.retrieval import pack_sequences
+
+    texts = {
+        1: "a b c d e",          # 5 tokens
+        2: "",                   # empty: contributes nothing
+        3: "f g h",              # 3
+        7: "i j k l m n o p q",  # 9
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    out = pack_sequences(df, seq_len=4).toPandas().sort_values(
+        ["seq_id", "doc_id"]
+    )
+    # 17 tokens / len 4 -> 5 sequences (last partial)
+    assert out.seq_id.nunique() == 5
+    assert 2 not in set(out.doc_id)
+    # every sequence slot is filled exactly: full sequences sum to 4
+    per_seq = out.groupby("seq_id").n_tokens.sum()
+    assert per_seq.iloc[:-1].eq(4).all() and per_seq.iloc[-1] == 17 - 4 * 4
+    # per-doc coverage: token spans reassemble the doc exactly
+    for did, text in texts.items():
+        n = len(text.split())
+        spans = out[out.doc_id == did].sort_values("doc_from")
+        if n == 0:
+            assert spans.empty
+            continue
+        assert spans.n_tokens.sum() == n
+        assert spans.doc_from.iloc[0] == 0
+        # contiguous, non-overlapping
+        ends = spans.doc_from + spans.n_tokens
+        assert (spans.doc_from.iloc[1:].values == ends.iloc[:-1].values).all()
+    # slot arithmetic: seq_to - seq_from == n_tokens, bounded by seq_len
+    assert (out.seq_to - out.seq_from).equals(out.n_tokens)
+    assert out.seq_to.le(4).all() and out.seq_from.ge(0).all()
+
+
+def test_pack_sequences_doc_spanning_multiple_sequences(spark):
+    from stock_indicators_etl_spark.llmdata.retrieval import pack_sequences
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [5], "text": [" ".join("t%d" % i for i in range(11))]})
+    )
+    out = pack_sequences(df, seq_len=4).toPandas().sort_values("seq_id")
+    assert list(out.n_tokens) == [4, 4, 3]
+    assert list(out.doc_from) == [0, 4, 8]
+    assert list(out.seq_from) == [0, 0, 0]
+
+
+def test_pack_sequences_rejects_bad_len(spark):
+    from stock_indicators_etl_spark.llmdata.retrieval import pack_sequences
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["x"]}))
+    with pytest.raises(ValueError):
+        pack_sequences(df, seq_len=0)
