@@ -262,11 +262,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_large_orders,
         q_order_priority_check,
         q_rollup_aggregate,
+        q_scd2_history,
         q_shipping_priority,
         q_volume_shipping,
     )
     from stock_indicators_etl_spark.queries_llm import (
         q_audio_stats,
+        q_canonicalize,
         q_chunk_documents,
         q_cluster_keywords,
         q_embedding_neardup_scaled,
@@ -305,6 +307,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_check": q_order_priority_check,
         "dormant_customers": q_dormant_customers,
         "pack_sequences": q_pack_sequences,
+        "scd2_history": q_scd2_history,
+        "canonicalize": q_canonicalize,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -321,11 +325,13 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_ORDER_PRIORITY_CHECK,
         SQL_ROLLUP_AGGREGATE,
         SQL_RSI_WILDER,
+        SQL_SCD2_HISTORY,
         SQL_SHIPPING_PRIORITY,
         SQL_VOLUME_SHIPPING,
     )
     from stock_indicators_etl_spark.queries_llm import (
         SQL_AUDIO_STATS,
+        SQL_CANONICALIZE,
         SQL_CHUNK_DOCUMENTS,
         SQL_CLUSTER_KEYWORDS,
         SQL_EMBEDDING_NEARDUP_SCALED,
@@ -362,6 +368,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "order_priority_check": SQL_ORDER_PRIORITY_CHECK,
         "dormant_customers": SQL_DORMANT_CUSTOMERS,
         "pack_sequences": SQL_PACK_SEQUENCES,
+        "scd2_history": SQL_SCD2_HISTORY,
+        "canonicalize": SQL_CANONICALIZE,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -90,6 +90,7 @@ QUERIES = [
     "large_orders",           # Q18: HAVING-derived broadcast rejoin (extra)
     "order_priority_check",   # Q4: EXISTS → left-semi decorrelation (extra)
     "dormant_customers",      # Q22: NOT EXISTS anti join + scalar subquery (extra)
+    "pack_sequences",         # two-level prefix sum + scan-local fan-out (extra)
 ]
 
 

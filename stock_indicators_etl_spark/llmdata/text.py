@@ -374,3 +374,94 @@ def tfidf_keywords(
         .filter(F.col("rk") <= top)
         .select("doc_id", "rk", "term", "tf", "df", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# canonicalization + compressibility
+# ---------------------------------------------------------------------------
+
+#: (pattern, replacement) chain applied in order — each pattern is
+#: valid and identical-semantics in Java regex (Spark) and RE2
+#: (DuckDB), which is what makes the operator oracle-checkable.
+CANON_RULES = (
+    ("[‘’‚′]", "'"),        # curly/low/prime → '
+    ("[“”„″]", '"'),        # curly/low/double-prime → "
+    ("[–—―]", "-"),              # en/em/horizontal-bar → -
+    ("…", "..."),                           # ellipsis char → dots
+    ("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", ""),  # control chars
+    # cap punctuation runs at 3 — one rule per char, NOT a
+    # backreference: RE2 (the DuckDB oracle's engine) has none
+    ("\\.{4,}", "..."),
+    ("!{4,}", "!!!"),
+    ("\\?{4,}", "???"),
+    ("-{4,}", "---"),
+    ("[ \\t]{2,}", " "),                         # collapse spaces/tabs
+)
+
+
+def canonical_text(c: Column) -> Column:
+    """The canonicalized text itself (rule chain above)."""
+    for pat, rep in CANON_RULES:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+def canonicalize(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode/typography canonicalization — the pre-dedup cleanup
+    pass (curly quotes, exotic dashes, control characters, runaway
+    punctuation, space runs). Pure scan-local ``regexp_replace``
+    chain: zero shuffle, whole-stage codegen, and the rules are
+    RE2/Java-regex-portable so the DuckDB oracle replays them
+    verbatim. Emits narrow QA rows (md5 + lengths), not the text —
+    the in-place variant is ``df.withColumn(text_col,
+    canonical_text(...))``."""
+    clean = canonical_text(F.col(text_col))
+    return df.select(
+        "doc_id",
+        F.length(text_col).alias("n_chars"),
+        F.length(clean).alias("n_chars_clean"),
+        F.md5(clean).alias("clean_md5"),
+        (F.col(text_col) != clean).cast("int").alias("changed"),
+    )
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """zlib compressibility per document — the classic cheap proxy for
+    templated/repetitive text (low ratio = boilerplate; high = diverse
+    prose). Runs in Arrow-batched ``mapInPandas`` (zlib is not a SQL
+    surface, so this operator is pytest-verified, not oracle-checked);
+    ratio is bytes_deflate/bytes_raw rounded to 6dp."""
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_bytes", T.IntegerType()),
+            T.StructField("n_deflate", T.IntegerType()),
+            T.StructField("ratio", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for did, txt in zip(b["doc_id"], b[text_col]):
+                raw = (txt or "").encode("utf-8")
+                comp = zlib.compress(raw, level)
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "n_bytes": len(raw),
+                        "n_deflate": len(comp),
+                        "ratio": round(len(comp) / len(raw), 6) if raw else 1.0,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "n_bytes", "n_deflate", "ratio"])
+
+    return df.select("doc_id", text_col).mapInPandas(run, schema=schema)

@@ -1,0 +1,64 @@
+"""Slowly-changing-dimension (SCD2) history build.
+
+North-star relational-ETL surface (reference N/A — the reference
+overwrites its daily CSVs; a warehouse at scale needs the change
+history). :func:`scd2_history` collapses an attribute change stream
+(key, attr, ts) into validity intervals: one row per run of equal
+consecutive attribute values, ``valid_from`` = first ts of the run,
+``valid_to`` = next run's start (null for the current version).
+
+This is the gaps-and-islands shape the indicator segmentation
+(``timegrid.segment_series``) already uses: a ``lag`` change flag, a
+running sum for the island id, then one aggregate per island — two
+window passes over the SAME (key, ts) sort and one combinable
+groupBy, no joins, no Python.
+
+Ties on ts within a key are broken deterministically by the attribute
+value so re-runs (and engines) agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_history(
+    events: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """(key, attr, valid_from, valid_to, version) — version numbers
+    each key's runs from 1 in time order; ``valid_to`` is null on the
+    live row."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, attr_col)
+    changed = (
+        F.lag(attr_col).over(w).isNull()
+        | (F.lag(attr_col).over(w) != F.col(attr_col))
+    ).cast("int")
+    seg = F.sum("_chg").over(
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, attr_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = (
+        events.select(key_col, attr_col, ts_col)
+        .withColumn("_chg", changed)
+        .withColumn("_seg", seg)
+        .groupBy(key_col, "_seg")
+        .agg(
+            # the attr is constant within a run by construction; min is
+            # the order-free way to say so
+            F.min(attr_col).alias(attr_col),
+            F.min(ts_col).alias("valid_from"),
+        )
+    )
+    w2 = Window.partitionBy(key_col).orderBy("_seg")
+    return runs.select(
+        key_col,
+        attr_col,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.col("_seg").alias("version"),
+    )

@@ -2100,6 +2100,55 @@ GROUP BY cgrp
 """
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build over the customer-priority change stream:
+    collapse each customer's order-priority sequence into validity
+    intervals (operators/scd.py — gaps-and-islands: two window passes
+    on one sort + one combinable groupBy, no joins)."""
+    from stock_indicators_etl_spark.operators.scd import scd2_history
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = scd2_history(o, "o_custkey", "o_orderpriority", "o_orderdate")
+    return out.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "version",
+    )
+
+
+SQL_SCD2_HISTORY = """
+WITH flagged AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate,
+         CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                OR lag(o_orderpriority) OVER w <> o_orderpriority
+              THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderpriority)
+),
+seg AS (
+  SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderpriority
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS _seg
+  FROM flagged
+),
+runs AS (
+  SELECT o_custkey, _seg,
+         min(o_orderpriority) AS o_orderpriority,
+         min(o_orderdate) AS vf
+  FROM seg GROUP BY o_custkey, _seg
+)
+SELECT o_custkey, o_orderpriority,
+       strftime(vf, '%Y-%m-%d') AS valid_from,
+       strftime(lead(vf) OVER (PARTITION BY o_custkey ORDER BY _seg),
+                '%Y-%m-%d') AS valid_to,
+       _seg AS version
+FROM runs
+"""
+
+
 def q_rollup_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP over lineitem: per (returnflag, linestatus),
     per returnflag subtotal, and grand total in ONE pass — Spark's

@@ -1695,6 +1695,36 @@ LIMIT {FREQ_NGRAM_TOP}
 """
 
 
+def q_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typography/control-char canonicalization QA frame: scan-local
+    regexp_replace chain whose rules are Java-regex/RE2 portable, so
+    the oracle replays them verbatim (llmdata/text.py CANON_RULES)."""
+    from stock_indicators_etl_spark.llmdata.text import canonicalize
+
+    return canonicalize(_docs(spark, sf_dir))
+
+
+def _canon_sql() -> str:
+    from stock_indicators_etl_spark.llmdata.text import CANON_RULES
+
+    expr = "text"
+    for pat, rep in CANON_RULES:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       length({expr}) AS n_chars_clean,
+       md5({expr}) AS clean_md5,
+       CAST(text <> {expr} AS INTEGER) AS changed
+FROM documents
+"""
+
+
+SQL_CANONICALIZE = _canon_sql()
+
+
 PACK_SEQ_LEN = 512
 
 

@@ -504,3 +504,65 @@ class TestClusterKeywords:
         assert set(tops.values()) == {"finance", "biology"}
         # per-cluster tf of the topic word = 2 occurrences × 4 docs
         assert all(r.tf == 8 and r.df == 1 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# canonicalization + compressibility
+# ---------------------------------------------------------------------------
+
+
+def test_canonical_text_rules(spark):
+    from stock_indicators_etl_spark.llmdata.text import canonical_text
+
+    cases = {
+        "‘quo’ “dq”": "'quo' \"dq\"",
+        "a – b — c": "a - b - c",
+        "wait…": "wait...",
+        "x\x00\x01y\x7f": "xy",
+        "no!!!!!! way????? ......... ------": "no!!! way??? ... ---",
+        "a  \t b": "a b",
+        "unchanged text.": "unchanged text.",
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(cases)), "text": list(cases)})
+    )
+    out = (
+        df.select("doc_id", canonical_text(F.col("text")).alias("c"))
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    assert list(out.c) == list(cases.values())
+
+
+def test_canonicalize_qa_frame(spark):
+    from stock_indicators_etl_spark.llmdata.text import canonicalize
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["plain", "a…b!!!!!"]})
+    )
+    out = canonicalize(df).toPandas().set_index("doc_id")
+    assert out.loc[1, "changed"] == 0
+    assert out.loc[2, "changed"] == 1
+    assert out.loc[2, "n_chars_clean"] == len("a...b!!!")
+
+
+def test_compression_ratio_orders_quality(spark):
+    import numpy as np
+
+    from stock_indicators_etl_spark.llmdata.text import compression_ratio
+
+    rng = np.random.default_rng(17)
+    diverse = " ".join(
+        "".join(rng.choice(list("abcdefghijklmnopqrstuvwxyz"), 8))
+        for _ in range(200)
+    )
+    boiler = "click here to subscribe now " * 200
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": [diverse, boiler, ""]})
+    )
+    out = compression_ratio(df).toPandas().set_index("doc_id")
+    assert out.loc[2, "ratio"] < out.loc[1, "ratio"]  # boilerplate squeezes
+    assert out.loc[3, "ratio"] == 1.0 and out.loc[3, "n_bytes"] == 0
+    # ratio reproducible: zlib level fixed
+    out2 = compression_ratio(df).toPandas().set_index("doc_id")
+    assert (out.ratio == out2.ratio).all()
