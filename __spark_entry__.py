@@ -273,6 +273,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_cluster_keywords,
         q_embedding_neardup_scaled,
         q_frequent_ngrams,
+        q_fuzzy_join,
         q_heavy_hitters,
         q_length_quantiles,
         q_pack_sequences,
@@ -309,6 +310,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "scd2_history": q_scd2_history,
         "canonicalize": q_canonicalize,
+        "fuzzy_join": q_fuzzy_join,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -336,6 +338,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_CLUSTER_KEYWORDS,
         SQL_EMBEDDING_NEARDUP_SCALED,
         SQL_FREQUENT_NGRAMS,
+        SQL_FUZZY_JOIN,
         SQL_HEAVY_HITTERS,
         SQL_LENGTH_QUANTILES,
         SQL_PACK_SEQUENCES,
@@ -370,6 +373,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "pack_sequences": SQL_PACK_SEQUENCES,
         "scd2_history": SQL_SCD2_HISTORY,
         "canonicalize": SQL_CANONICALIZE,
+        "fuzzy_join": SQL_FUZZY_JOIN,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -1695,6 +1695,29 @@ LIMIT {FREQ_NGRAM_TOP}
 """
 
 
+FUZZY_MAX_DIST = 2
+
+
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance self-join over the distinct part-name vocabulary
+    (llmdata/fuzzy.py): q-gram prefix filtering + exact levenshtein
+    verify — never the N² cross join the oracle runs."""
+    from stock_indicators_etl_spark.llmdata.fuzzy import edit_distance_pairs
+
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return edit_distance_pairs(parts, "p_name", max_dist=FUZZY_MAX_DIST)
+
+
+SQL_FUZZY_JOIN = f"""
+WITH s AS (SELECT DISTINCT p_name AS sv FROM part)
+SELECT a.sv AS s_a, b.sv AS s_b, levenshtein(a.sv, b.sv) AS dist
+FROM s a
+JOIN s b ON a.sv < b.sv
+        AND abs(length(a.sv) - length(b.sv)) <= {FUZZY_MAX_DIST}
+WHERE levenshtein(a.sv, b.sv) <= {FUZZY_MAX_DIST}
+"""
+
+
 def q_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typography/control-char canonicalization QA frame: scan-local
     regexp_replace chain whose rules are Java-regex/RE2 portable, so
