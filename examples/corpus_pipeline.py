@@ -6,7 +6,9 @@ job would, JSONL in → sharded parquet out:
 
 1. ingest    — JSONL scan, explicit schema, one-pass QA counts
                (ingested / malformed / missing_key — nothing lost)
-2. quality   — word-count / repetition / language gates
+1b. canon    — typography/control-char canonicalization IN PLACE,
+               before any hashing (dedup must see canonical bytes)
+2. quality   — word-count / repetition / compressibility gates
 3. dedup     — exact (content md5) survivors, then MinHash-LSH →
                Jaccard-verified near-dup components, keep min-id
 4. split     — leakage-safe train/val/test: the split hashes the
@@ -40,6 +42,7 @@ def curate(
     token_budget: int = 4096,
     min_words: int = 30,
     max_repetition: float = 0.2,
+    min_compression: float = 0.05,
     neardup_threshold: float = 0.5,
 ) -> dict[str, int]:
     """Run the curation pipeline; returns per-stage row counts."""
@@ -52,6 +55,8 @@ def curate(
         token_shards,
     )
     from stock_indicators_etl_spark.llmdata.text import (
+        canonical_text,
+        compression_ratio,
         repetition_score,
         token_counts,
         words,
@@ -72,13 +77,23 @@ def curate(
     docs = read_documents_jsonl(spark, src)
     counts["ingested"] = qa["ingested"]
 
-    # 2. quality gates: length + repetition
+    # 1b. canonicalize IN PLACE before any hashing: exact dedup keys
+    # on content md5, so "curly-quote variants" must already agree
+    docs = docs.withColumn("text", canonical_text(F.col("text")))
+
+    # 2. quality gates: length + repetition + compressibility (a
+    # zlib ratio below min_compression means near-pure boilerplate)
     docs = docs.filter(F.size(words(F.col("text"))) >= min_words)
     rep = repetition_score(docs).select("doc_id", "repetition_ratio")
+    comp = compression_ratio(docs).select("doc_id", "ratio")
     docs = (
         docs.join(rep, "doc_id")
-        .filter(F.col("repetition_ratio") <= max_repetition)
-        .drop("repetition_ratio")
+        .join(comp, "doc_id")
+        .filter(
+            (F.col("repetition_ratio") <= max_repetition)
+            & (F.col("ratio") >= min_compression)
+        )
+        .drop("repetition_ratio", "ratio")
     )
     counts["after_quality"] = docs.count()
 

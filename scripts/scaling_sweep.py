@@ -50,6 +50,7 @@ SF1_QUERIES = {
     "kmeans", "semantic_neardup_scaled", "unigram_surprisal",
     "span_dedup", "tfidf_keywords", "leakage_split",
     "heavy_hitters", "audio_stats", "dedup_incremental", "pack_sequences",
+    "canonicalize",
 }
 
 # one representative per plan family
@@ -91,6 +92,9 @@ QUERIES = [
     "order_priority_check",   # Q4: EXISTS → left-semi decorrelation (extra)
     "dormant_customers",      # Q22: NOT EXISTS anti join + scalar subquery (extra)
     "pack_sequences",         # two-level prefix sum + scan-local fan-out (extra)
+    "scd2_history",           # gaps-and-islands validity intervals (extra)
+    "canonicalize",           # scan-local regexp chain (extra)
+    "fuzzy_join",             # q-gram prefix filter + levenshtein verify (extra)
 ]
 
 
