@@ -129,6 +129,15 @@ ROTATED_OUT = (
     "simhash",
     "redact_pii",
     "repetition_score",
+    # ...r6b rotation: stable single-shuffle ops out for the newest
+    # operator families (every rotated-out query keeps bit-exact
+    # coverage via extra_queries / check_oracle --extras)
+    "stratified_sample",
+    "token_shards",
+    "ngram_containment",
+    "regularity_check",
+    "ohlcv_rollup",
+    "cci",
 )
 ROTATED_IN = (
     # r5 rotation
@@ -145,6 +154,13 @@ ROTATED_IN = (
     "ivfpq_topk",
     "tfidf_keywords",
     "dedup_incremental",
+    # ...r6b: this round's new operator families
+    "heavy_hitters",
+    "fuzzy_join",
+    "pack_sequences",
+    "scd2_history",
+    "audio_stats",
+    "canonicalize",
 )
 
 
@@ -154,13 +170,19 @@ def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         q_funnel,
         q_interval_join,
         q_retention,
+        q_scd2_history,
     )
     from stock_indicators_etl_spark.queries_llm import (
+        q_audio_stats,
         q_bm25_topk,
+        q_canonicalize,
         q_dedup_incremental,
+        q_fuzzy_join,
+        q_heavy_hitters,
         q_ivfpq_topk,
         q_kmeans,
         q_leakage_split,
+        q_pack_sequences,
         q_pq_topk,
         q_span_dedup,
         q_tfidf_keywords,
@@ -179,6 +201,12 @@ def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "ivfpq_topk": q_ivfpq_topk,
         "tfidf_keywords": q_tfidf_keywords,
         "dedup_incremental": q_dedup_incremental,
+        "heavy_hitters": q_heavy_hitters,
+        "fuzzy_join": q_fuzzy_join,
+        "pack_sequences": q_pack_sequences,
+        "scd2_history": q_scd2_history,
+        "audio_stats": q_audio_stats,
+        "canonicalize": q_canonicalize,
     }
 
 
@@ -188,13 +216,19 @@ def _rotated_in_oracles() -> dict[str, str]:
         SQL_FUNNEL,
         SQL_INTERVAL_JOIN,
         SQL_RETENTION,
+        SQL_SCD2_HISTORY,
     )
     from stock_indicators_etl_spark.queries_llm import (
+        SQL_AUDIO_STATS,
         SQL_BM25_TOPK,
+        SQL_CANONICALIZE,
         SQL_DEDUP_INCREMENTAL,
+        SQL_FUZZY_JOIN,
+        SQL_HEAVY_HITTERS,
         SQL_IVFPQ_TOPK,
         SQL_KMEANS,
         SQL_LEAKAGE_SPLIT,
+        SQL_PACK_SEQUENCES,
         SQL_PQ_TOPK,
         SQL_SPAN_DEDUP,
         SQL_TFIDF_KEYWORDS,
@@ -213,6 +247,12 @@ def _rotated_in_oracles() -> dict[str, str]:
         "ivfpq_topk": SQL_IVFPQ_TOPK,
         "tfidf_keywords": SQL_TFIDF_KEYWORDS,
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+        "heavy_hitters": SQL_HEAVY_HITTERS,
+        "fuzzy_join": SQL_FUZZY_JOIN,
+        "pack_sequences": SQL_PACK_SEQUENCES,
+        "scd2_history": SQL_SCD2_HISTORY,
+        "audio_stats": SQL_AUDIO_STATS,
+        "canonicalize": SQL_CANONICALIZE,
     }
 
 
@@ -262,21 +302,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_large_orders,
         q_order_priority_check,
         q_rollup_aggregate,
-        q_scd2_history,
         q_shipping_priority,
         q_volume_shipping,
     )
     from stock_indicators_etl_spark.queries_llm import (
-        q_audio_stats,
-        q_canonicalize,
         q_chunk_documents,
         q_cluster_keywords,
         q_embedding_neardup_scaled,
         q_frequent_ngrams,
-        q_fuzzy_join,
-        q_heavy_hitters,
         q_length_quantiles,
-        q_pack_sequences,
         q_semantic_neardup,
         q_semantic_neardup_scaled,
         q_unigram_surprisal,
@@ -301,16 +335,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_neardup_scaled": q_semantic_neardup_scaled,
         "frequent_ngrams": q_frequent_ngrams,
         "cluster_keywords": q_cluster_keywords,
-        "audio_stats": q_audio_stats,
-        "heavy_hitters": q_heavy_hitters,
         "volume_shipping": q_volume_shipping,
         "large_orders": q_large_orders,
         "order_priority_check": q_order_priority_check,
         "dormant_customers": q_dormant_customers,
-        "pack_sequences": q_pack_sequences,
-        "scd2_history": q_scd2_history,
-        "canonicalize": q_canonicalize,
-        "fuzzy_join": q_fuzzy_join,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -327,21 +355,15 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_ORDER_PRIORITY_CHECK,
         SQL_ROLLUP_AGGREGATE,
         SQL_RSI_WILDER,
-        SQL_SCD2_HISTORY,
         SQL_SHIPPING_PRIORITY,
         SQL_VOLUME_SHIPPING,
     )
     from stock_indicators_etl_spark.queries_llm import (
-        SQL_AUDIO_STATS,
-        SQL_CANONICALIZE,
         SQL_CHUNK_DOCUMENTS,
         SQL_CLUSTER_KEYWORDS,
         SQL_EMBEDDING_NEARDUP_SCALED,
         SQL_FREQUENT_NGRAMS,
-        SQL_FUZZY_JOIN,
-        SQL_HEAVY_HITTERS,
         SQL_LENGTH_QUANTILES,
-        SQL_PACK_SEQUENCES,
         SQL_SEMANTIC_NEARDUP,
         SQL_SEMANTIC_NEARDUP_SCALED,
         SQL_UNIGRAM_SURPRISAL,
@@ -364,16 +386,10 @@ def extra_oracle_sql() -> dict[str, str]:
         "semantic_neardup_scaled": SQL_SEMANTIC_NEARDUP_SCALED,
         "frequent_ngrams": SQL_FREQUENT_NGRAMS,
         "cluster_keywords": SQL_CLUSTER_KEYWORDS,
-        "audio_stats": SQL_AUDIO_STATS,
-        "heavy_hitters": SQL_HEAVY_HITTERS,
         "volume_shipping": SQL_VOLUME_SHIPPING,
         "large_orders": SQL_LARGE_ORDERS,
         "order_priority_check": SQL_ORDER_PRIORITY_CHECK,
         "dormant_customers": SQL_DORMANT_CUSTOMERS,
-        "pack_sequences": SQL_PACK_SEQUENCES,
-        "scd2_history": SQL_SCD2_HISTORY,
-        "canonicalize": SQL_CANONICALIZE,
-        "fuzzy_join": SQL_FUZZY_JOIN,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:
