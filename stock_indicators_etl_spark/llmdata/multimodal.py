@@ -315,10 +315,14 @@ def decode_image(payload: bytes) -> np.ndarray:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(payload)[0][0]  # first frame
     raise NotImplementedError(
-        "video decode needs codec libraries not present in this "
-        "environment; PPM/PGM/uncompressed-BMP/PNG/baseline-JPEG "
-        "decode natively"
+        "video-container decode needs codec libraries not present in "
+        "this environment; PPM/PGM/uncompressed-BMP/PNG/baseline-JPEG/"
+        "GIF decode natively (animated GIF via gif.sample_gif_frames)"
     )
 
 
@@ -369,6 +373,7 @@ def real_decoder(payload: bytes, kind: str) -> np.ndarray:
     if kind == "image" and (
         payload[:2] in (b"P6", b"P5", b"BM", b"\xff\xd8")
         or payload[: len(PNG_SIG)] == PNG_SIG
+        or payload[:6] in (b"GIF87a", b"GIF89a")
     ):
         return image_decoder(payload, kind)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
