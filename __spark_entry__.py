@@ -300,6 +300,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from stock_indicators_etl_spark.queries import (
         q_dormant_customers,
         q_large_orders,
+        q_ols_by_key,
         q_order_priority_check,
         q_rollup_aggregate,
         q_shipping_priority,
@@ -339,6 +340,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_orders": q_large_orders,
         "order_priority_check": q_order_priority_check,
         "dormant_customers": q_dormant_customers,
+        "ols_by_key": q_ols_by_key,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -352,6 +354,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_DORMANT_CUSTOMERS,
         SQL_LARGE_ORDERS,
         SQL_MACDFIX_HIST,
+        SQL_OLS_BY_KEY,
         SQL_ORDER_PRIORITY_CHECK,
         SQL_ROLLUP_AGGREGATE,
         SQL_RSI_WILDER,
@@ -390,6 +393,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "large_orders": SQL_LARGE_ORDERS,
         "order_priority_check": SQL_ORDER_PRIORITY_CHECK,
         "dormant_customers": SQL_DORMANT_CUSTOMERS,
+        "ols_by_key": SQL_OLS_BY_KEY,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

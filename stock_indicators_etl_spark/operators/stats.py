@@ -1,0 +1,63 @@
+"""Group-wise statistical aggregates (OLS regression / correlation).
+
+North-star analytics surface (reference N/A — the reference computes
+per-ticker indicators; the natural next ask is "slope of this metric
+per group"). The scale-and-exactness trick mirrors the TPC-H revenue
+idiom: quantize inputs to INTEGERS (y to ``1/y_scale`` units), reduce
+with BIGINT sums — associative, order-free, exact at any group size —
+and form slope/intercept/correlation as double expressions over those
+exact integers. Two engines computing the same IEEE expression over
+identical integers produce identical doubles (sqrt is correctly
+rounded per IEEE 754), so the operator is oracle-checkable bit-exact
+without any collect_list fold.
+
+One combinable groupBy; everything else scan-local.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ols_by_key(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    y_scale: int = 100,
+) -> DataFrame:
+    """Per-key least-squares fit of ``y ~ x``: (key, n, slope,
+    intercept, r). ``x`` must be integer-valued; ``y`` is quantized
+    to 1/y_scale units first (slope/intercept are reported in the
+    quantized y units per x unit). Degenerate groups (zero x or y
+    variance) get null slope/r."""
+    x = F.col(x_col).cast("long")
+    y = F.floor(F.col(y_col) * y_scale + F.lit(0.5)).cast("long")
+    agg = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov_n = nd * sxy - sx * sy
+    var_x = nd * sxx - sx * sx
+    var_y = nd * syy - sy * sy
+    slope = F.when(var_x > 0, cov_n / var_x)
+    return agg.select(
+        key_col,
+        "n",
+        slope.alias("slope"),
+        F.when(var_x > 0, (sy - (cov_n / var_x) * sx) / nd).alias("intercept"),
+        F.when(
+            (var_x > 0) & (var_y > 0), cov_n / F.sqrt(var_x * var_y)
+        ).alias("r"),
+    )

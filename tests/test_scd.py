@@ -1,8 +1,9 @@
-"""SCD2 history build (operators/scd.py)."""
+"""SCD2 history build + group-wise OLS (operators/scd.py, stats.py)."""
 
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 
 from stock_indicators_etl_spark.operators.scd import scd2_history
 
@@ -52,3 +53,34 @@ def test_scd2_intervals_partition_each_key_timeline(spark):
         assert pd.isna(g.valid_to.iloc[-1])
         # no two consecutive runs share the attribute
         assert (g.a.iloc[:-1].values != g.a.iloc[1:].values).all()
+
+
+# ---------------------------------------------------------------------------
+# group-wise OLS (operators/stats.py)
+# ---------------------------------------------------------------------------
+
+
+def test_ols_by_key_matches_numpy(spark):
+    import numpy as np
+
+    from stock_indicators_etl_spark.operators.stats import ols_by_key
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for key, (slope, icept) in {"a": (2.5, 10.0), "b": (-1.25, 3.0)}.items():
+        x = np.arange(100)
+        y = slope * x + icept + rng.normal(0, 0.5, 100)
+        rows += [{"k": key, "x": int(xi), "y": float(yi)} for xi, yi in zip(x, y)]
+    rows += [{"k": "flat", "x": 5, "y": 1.0}] * 10  # zero x variance
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = ols_by_key(df, "k", "x", "y").toPandas().set_index("k")
+
+    for key in ("a", "b"):
+        grp = pd.DataFrame([r for r in rows if r["k"] == key])
+        yq = np.floor(grp.y * 100 + 0.5)  # operator quantizes y to cents
+        fit = np.polyfit(grp.x, yq, 1)
+        assert out.loc[key, "slope"] == pytest.approx(fit[0], rel=1e-9)
+        assert out.loc[key, "intercept"] == pytest.approx(fit[1], rel=1e-6)
+        assert abs(out.loc[key, "r"]) > 0.99
+    assert pd.isna(out.loc["flat", "slope"])
+    assert pd.isna(out.loc["flat", "r"])
