@@ -4,13 +4,14 @@ Media travel as opaque ``binary`` columns with typed metadata structs
 — the Spark-side contract a 100 TB multimodal pipeline needs: schema,
 partitioning, Arrow batch shape, and UDF signatures are real and
 tested. Image decode is REAL for PPM/PGM, uncompressed BMP, PNG
-(stdlib ``zlib`` inflate + the five row filters in numpy) and
-baseline JPEG (pure-numpy Huffman + IDCT, ``llmdata/jpeg.py``);
-audio decode is REAL for RIFF/WAVE PCM (``llmdata/audio.py``).
-Video and compressed-audio codecs genuinely need libraries this
-container lacks, so those paths stay behind ``decoder=`` injection
-with a deterministic fake and raise ``NotImplementedError`` when a
-real codec decode is requested.
+(stdlib ``zlib`` inflate + the five row filters in numpy), baseline
+JPEG (pure-numpy Huffman + IDCT, ``llmdata/jpeg.py``), and GIF —
+including animation frame extraction (``llmdata/gif.py``); audio
+decode is REAL for RIFF/WAVE PCM (``llmdata/audio.py``).
+Video-container and compressed-audio codecs genuinely need libraries
+this container lacks, so those paths stay behind ``decoder=``
+injection with a deterministic fake and raise
+``NotImplementedError`` when a real codec decode is requested.
 
 Scale notes: ``mapInPandas`` streams Arrow batches → bounded memory
 per task regardless of blob sizes; keep blobs ≤ a few MB per row

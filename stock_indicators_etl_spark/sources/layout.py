@@ -122,3 +122,57 @@ def file_skip_stats(path: str, col: str, lo, hi) -> dict:
         if fmin is not None and (fmax < lo or fmin > hi):
             skipped += 1
     return {"n_files": len(files), "skipped": skipped}
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_col: str | None = None,
+) -> dict:
+    """Small-file compaction — the maintenance job every append-heavy
+    100 TB table needs (each streaming trigger / incremental append
+    leaves files far below the efficient scan size; thousands of tiny
+    files serialize listing and scheduling).
+
+    Reads the directory, sizes the output file count from the actual
+    on-disk bytes (never fewer than 1), rewrites to a temp dir —
+    optionally re-sorted so min/max pruning survives compaction — and
+    atomically swaps via rename. Returns before/after file counts.
+    """
+    import uuid
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(path)
+    fs = src.getFileSystem(conf)
+    files = [
+        f
+        for f in fs.listStatus(src)
+        if f.getPath().getName().endswith(".parquet")
+    ]
+    total = sum(f.getLen() for f in files)
+    n_out = max(int(total // target_file_bytes) + (1 if total % target_file_bytes else 0), 1)
+
+    df = spark.read.parquet(path)
+    if sort_col is not None:
+        out = df.repartitionByRange(n_out, F.col(sort_col)).sortWithinPartitions(
+            sort_col
+        )
+    else:
+        out = df.coalesce(n_out) if n_out < len(files) else df
+    tmp = path.rstrip("/") + f"._compact_{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(tmp)
+
+    bak = path.rstrip("/") + f"._old_{uuid.uuid4().hex[:8]}"
+    fs.rename(src, jvm.org.apache.hadoop.fs.Path(bak))
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), src)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(bak), True)
+    n_after = len(
+        [
+            f
+            for f in fs.listStatus(src)
+            if f.getPath().getName().endswith(".parquet")
+        ]
+    )
+    return {"files_before": len(files), "files_after": n_after, "bytes": total}

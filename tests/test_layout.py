@@ -87,3 +87,46 @@ def test_zorder_string_column_equality_pruning(spark, tmp_path):
     path = str(tmp_path / "zs")
     write_zordered(df, path, ["k", "v"], n_files=8, bits=6)
     assert spark.read.parquet(path).count() == 20_000
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    from stock_indicators_etl_spark.sources.layout import compact_parquet
+
+    rng = np.random.default_rng(7)
+    path = str(tmp_path / "frag")
+    # simulate an append-heavy table: 12 tiny appends
+    for i in range(12):
+        pdf = pd.DataFrame(
+            {"k": rng.integers(0, 100, 500), "v": rng.uniform(0, 1, 500)}
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(path)
+    before = spark.read.parquet(path)
+    n_rows = before.count()
+    checksum = before.agg(F.sum(F.crc32(F.col("k").cast("string")))).collect()[0][0]
+
+    stats = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert stats["files_before"] >= 12
+    assert stats["files_after"] == 1
+
+    after = spark.read.parquet(path)
+    assert after.count() == n_rows
+    got = after.agg(F.sum(F.crc32(F.col("k").cast("string")))).collect()[0][0]
+    assert got == checksum  # content preserved exactly
+
+
+def test_compact_parquet_resorted_keeps_pruning(spark, tmp_path):
+    from stock_indicators_etl_spark.sources.layout import (
+        compact_parquet,
+        file_skip_stats,
+    )
+
+    rng = np.random.default_rng(8)
+    path = str(tmp_path / "frag2")
+    for i in range(8):
+        pdf = pd.DataFrame({"x": rng.uniform(0, 1000, 2000)})
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(path)
+    # compact into 4 range-sorted files: pruning on x survives
+    compact_parquet(spark, path, target_file_bytes=12_000, sort_col="x")
+    stats = file_skip_stats(path, "x", 100.0, 150.0)
+    assert stats["n_files"] >= 2
+    assert stats["skipped"] >= stats["n_files"] - 2
