@@ -301,6 +301,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_dormant_customers,
         q_large_orders,
         q_ols_by_key,
+        q_winsorize,
         q_order_priority_check,
         q_rollup_aggregate,
         q_shipping_priority,
@@ -341,6 +342,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_check": q_order_priority_check,
         "dormant_customers": q_dormant_customers,
         "ols_by_key": q_ols_by_key,
+        "winsorize": q_winsorize,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -355,6 +357,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_LARGE_ORDERS,
         SQL_MACDFIX_HIST,
         SQL_OLS_BY_KEY,
+        SQL_WINSORIZE,
         SQL_ORDER_PRIORITY_CHECK,
         SQL_ROLLUP_AGGREGATE,
         SQL_RSI_WILDER,
@@ -394,6 +397,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "order_priority_check": SQL_ORDER_PRIORITY_CHECK,
         "dormant_customers": SQL_DORMANT_CUSTOMERS,
         "ols_by_key": SQL_OLS_BY_KEY,
+        "winsorize": SQL_WINSORIZE,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

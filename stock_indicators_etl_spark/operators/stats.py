@@ -61,3 +61,51 @@ def ols_by_key(
             (var_x > 0) & (var_y > 0), cov_n / F.sqrt(var_x * var_y)
         ).alias("r"),
     )
+
+
+def winsorize_stats(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    y_scale: int = 100,
+) -> DataFrame:
+    """Per-key winsorization summary: exact quantile bounds at
+    ``lo``/``hi`` (Spark ``percentile`` ≡ DuckDB ``quantile_cont``,
+    both linear interpolation at rank (n−1)·q, 6dp-rounded), then a
+    second pass counts and re-sums the clipped distribution —
+    ``sum_clipped`` in exact integer 1/y_scale units so the hash gate
+    needs no float-sum tolerance.
+
+    Plan: one combinable quantile aggregate per key, broadcast the
+    tiny per-key bounds frame back onto the scan, one combinable
+    final aggregate. The outlier-capping pass every feature pipeline
+    runs before normalization.
+    """
+    v = F.col(val_col).cast("double")
+    bounds = df.groupBy(key_col).agg(
+        F.floor(
+            F.expr(f"percentile(CAST({val_col} AS DOUBLE), {lo})") * 1e6
+            + F.lit(0.5)
+        ).cast("double").alias("_lo6"),
+        F.floor(
+            F.expr(f"percentile(CAST({val_col} AS DOUBLE), {hi})") * 1e6
+            + F.lit(0.5)
+        ).cast("double").alias("_hi6"),
+    ).select(
+        key_col,
+        (F.col("_lo6") / 1e6).alias("lo_bound"),
+        (F.col("_hi6") / 1e6).alias("hi_bound"),
+    )
+    joined = df.join(F.broadcast(bounds), key_col)
+    clipped = F.greatest(F.least(v, F.col("hi_bound")), F.col("lo_bound"))
+    cents = F.floor(clipped * y_scale + F.lit(0.5)).cast("long")
+    return joined.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((v < F.col("lo_bound")).cast("long")).alias("n_clipped_lo"),
+        F.sum((v > F.col("hi_bound")).cast("long")).alias("n_clipped_hi"),
+        F.min("lo_bound").alias("lo_bound"),
+        F.min("hi_bound").alias("hi_bound"),
+        F.sum(cents).alias("sum_clipped_cents"),
+    )

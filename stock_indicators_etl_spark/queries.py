@@ -2198,6 +2198,37 @@ FROM s
 """
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag winsorization of l_extendedprice: exact 5/95
+    percentile bounds (6dp-rounded), clip counts, and the clipped sum
+    in integer cents (operators/stats.py)."""
+    from stock_indicators_etl_spark.operators.stats import winsorize_stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    return winsorize_stats(li, "l_returnflag", "l_extendedprice")
+
+
+SQL_WINSORIZE = """
+WITH bounds AS (
+  SELECT l_returnflag,
+         floor(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05) * 1000000 + 0.5) / 1000000 AS lo_bound,
+         floor(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) * 1000000 + 0.5) / 1000000 AS hi_bound
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       count(*) AS n,
+       CAST(sum(CASE WHEN CAST(l.l_extendedprice AS DOUBLE) < b.lo_bound THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+       CAST(sum(CASE WHEN CAST(l.l_extendedprice AS DOUBLE) > b.hi_bound THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+       min(b.lo_bound) AS lo_bound,
+       min(b.hi_bound) AS hi_bound,
+       CAST(sum(CAST(floor(greatest(least(CAST(l.l_extendedprice AS DOUBLE), b.hi_bound), b.lo_bound) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_clipped_cents
+FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+GROUP BY l.l_returnflag
+"""
+
+
 def q_rollup_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP over lineitem: per (returnflag, linestatus),
     per returnflag subtotal, and grand total in ONE pass — Spark's

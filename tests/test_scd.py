@@ -84,3 +84,22 @@ def test_ols_by_key_matches_numpy(spark):
         assert abs(out.loc[key, "r"]) > 0.99
     assert pd.isna(out.loc["flat", "slope"])
     assert pd.isna(out.loc["flat", "r"])
+
+
+def test_winsorize_stats_known_answer(spark):
+    import numpy as np
+
+    from stock_indicators_etl_spark.operators.stats import winsorize_stats
+
+    # 1..100 in one group: p5=5.95, p95=95.05 (linear interp at (n-1)q)
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["g"] * 100, "v": np.arange(1.0, 101.0)})
+    )
+    out = winsorize_stats(df, "k", "v").toPandas().iloc[0]
+    assert out.n == 100
+    assert out.lo_bound == pytest.approx(5.95)
+    assert out.hi_bound == pytest.approx(95.05)
+    assert out.n_clipped_lo == 5 and out.n_clipped_hi == 5
+    # clipped sum: 5*5.95 + sum(6..95) + 5*95.05 = 5555 -> cents
+    expect = round((5 * 5.95 + sum(range(6, 96)) + 5 * 95.05) * 100)
+    assert out.sum_clipped_cents == expect
