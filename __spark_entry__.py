@@ -299,6 +299,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the long-stable entries rotated out (VERDICT r5 #3)."""
     from stock_indicators_etl_spark.queries import (
         q_dormant_customers,
+        q_dq_check,
         q_large_orders,
         q_ols_by_key,
         q_winsorize,
@@ -343,6 +344,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dormant_customers": q_dormant_customers,
         "ols_by_key": q_ols_by_key,
         "winsorize": q_winsorize,
+        "dq_check": q_dq_check,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -354,6 +356,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_ADX_FAMILY,
         SQL_CMO_WILDER,
         SQL_DORMANT_CUSTOMERS,
+        SQL_DQ_CHECK,
         SQL_LARGE_ORDERS,
         SQL_MACDFIX_HIST,
         SQL_OLS_BY_KEY,
@@ -398,6 +401,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "dormant_customers": SQL_DORMANT_CUSTOMERS,
         "ols_by_key": SQL_OLS_BY_KEY,
         "winsorize": SQL_WINSORIZE,
+        "dq_check": SQL_DQ_CHECK,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -2229,6 +2229,63 @@ GROUP BY l.l_returnflag
 """
 
 
+def q_dq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality expectations over lineitem (five rules
+    in one aggregate) plus an orphan-foreign-key referential check
+    (left-anti) appended as a sixth row (operators/dq.py)."""
+    from stock_indicators_etl_spark.operators.dq import (
+        dq_summary,
+        referential_violations,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rules = {
+        "nonpositive_price": F.col("l_extendedprice") <= 0,
+        "qty_out_of_range": ~F.col("l_quantity").between(1, 50),
+        "discount_out_of_range": ~F.col("l_discount").between(0.0, 0.5),
+        "null_shipdate": F.col("l_shipdate").isNull(),
+        "high_price_outlier": F.col("l_extendedprice") > 2000.0,
+    }
+    summary = dq_summary(li, rules)
+    orphans = referential_violations(li, o, "l_orderkey", "o_orderkey")
+    n_frame = li.agg(F.count(F.lit(1)).alias("_n"))  # lazy, no collect
+    orphan_row = orphans.crossJoin(F.broadcast(n_frame)).select(
+        F.lit("orphan_orderkey").alias("rule"),
+        F.col("_n").alias("n_rows"),
+        F.col("n_orphans").alias("n_violations"),
+        F.expr("n_orphans * 1000000 div _n").alias("violation_rate_ppm"),
+    )
+    return summary.unionByName(orphan_row)
+
+
+SQL_DQ_CHECK = """
+WITH s AS (
+  SELECT count(*) AS _n,
+         CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_price,
+         CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT) AS qty_out_of_range,
+         CAST(sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.5 THEN 0 ELSE 1 END) AS BIGINT) AS discount_out_of_range,
+         CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_shipdate,
+         CAST(sum(CASE WHEN l_extendedprice > 2000.0 THEN 1 ELSE 0 END) AS BIGINT) AS high_price_outlier
+  FROM lineitem
+),
+rules AS (
+  SELECT _n, 'nonpositive_price' AS rule, nonpositive_price AS n_violations FROM s
+  UNION ALL SELECT _n, 'qty_out_of_range', qty_out_of_range FROM s
+  UNION ALL SELECT _n, 'discount_out_of_range', discount_out_of_range FROM s
+  UNION ALL SELECT _n, 'null_shipdate', null_shipdate FROM s
+  UNION ALL SELECT _n, 'high_price_outlier', high_price_outlier FROM s
+  UNION ALL
+  SELECT (SELECT count(*) FROM lineitem), 'orphan_orderkey',
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+)
+SELECT rule, _n AS n_rows, n_violations,
+       n_violations * 1000000 // _n AS violation_rate_ppm
+FROM rules
+"""
+
+
 def q_rollup_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP over lineitem: per (returnflag, linestatus),
     per returnflag subtotal, and grand total in ONE pass — Spark's

@@ -103,3 +103,44 @@ def test_winsorize_stats_known_answer(spark):
     # clipped sum: 5*5.95 + sum(6..95) + 5*95.05 = 5555 -> cents
     expect = round((5 * 5.95 + sum(range(6, 96)) + 5 * 95.05) * 100)
     assert out.sum_clipped_cents == expect
+
+
+def test_dq_summary_and_referential(spark):
+    from pyspark.sql import functions as F
+
+    from stock_indicators_etl_spark.operators.dq import (
+        dq_summary,
+        referential_violations,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [1, 2, 3, 4],
+                "v": [5.0, -1.0, None, 100.0],
+                "fk": [10, 10, 99, None],
+            }
+        )
+    )
+    rules = {
+        "negative": F.col("v") < 0,
+        "too_big": F.col("v") > 50,
+    }
+    out = dq_summary(df, rules).toPandas().set_index("rule")
+    assert (out.n_rows == 4).all()
+    # null v is an unevaluable expectation -> counts as violation
+    assert out.loc["negative", "n_violations"] == 2
+    assert out.loc["too_big", "n_violations"] == 2
+    assert out.loc["negative", "violation_rate_ppm"] == 500_000
+
+    parent = spark.createDataFrame(pd.DataFrame({"pk": [10]}))
+    orphans = referential_violations(df, parent, "fk", "pk").collect()[0]
+    assert orphans.n_orphans == 2  # 99 and NULL
+
+
+def test_dq_summary_rejects_empty_rules(spark):
+    from stock_indicators_etl_spark.operators.dq import dq_summary
+
+    df = spark.createDataFrame(pd.DataFrame({"x": [1]}))
+    with pytest.raises(ValueError):
+        dq_summary(df, {})
