@@ -314,6 +314,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_embedding_neardup_scaled,
         q_frequent_ngrams,
         q_length_quantiles,
+        q_pagerank,
         q_semantic_neardup,
         q_semantic_neardup_scaled,
         q_unigram_surprisal,
@@ -345,6 +346,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_by_key": q_ols_by_key,
         "winsorize": q_winsorize,
         "dq_check": q_dq_check,
+        "pagerank": q_pagerank,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -373,6 +375,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_EMBEDDING_NEARDUP_SCALED,
         SQL_FREQUENT_NGRAMS,
         SQL_LENGTH_QUANTILES,
+        SQL_PAGERANK,
         SQL_SEMANTIC_NEARDUP,
         SQL_SEMANTIC_NEARDUP_SCALED,
         SQL_UNIGRAM_SURPRISAL,
@@ -402,6 +405,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "ols_by_key": SQL_OLS_BY_KEY,
         "winsorize": SQL_WINSORIZE,
         "dq_check": SQL_DQ_CHECK,
+        "pagerank": SQL_PAGERANK,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

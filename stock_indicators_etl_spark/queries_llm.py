@@ -268,6 +268,61 @@ SELECT doc_a, doc_b FROM cand
 """
 
 
+PR_ITERS = 5
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank over the (undirected) MinHash-LSH
+    candidate graph — centrality of the near-dup graph surfaces hub/
+    template documents (operators/graph.py). Oracle replays the
+    unrolled 5-iteration integer recurrence over the same candidate
+    CTEs, the k-means-oracle strategy."""
+    from stock_indicators_etl_spark.operators.graph import pagerank
+
+    cand = minhash_lsh_candidates(_docs(spark, sf_dir))
+    edges = cand.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        cand.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    return pagerank(edges, iters=PR_ITERS)
+
+
+def _pagerank_sql() -> str:
+    from stock_indicators_etl_spark.operators.graph import PR_SCALE
+
+    parts = [
+        "e0 AS (SELECT doc_a AS src, doc_b AS dst FROM cand "
+        "UNION ALL SELECT doc_b, doc_a FROM cand)",
+        "verts AS (SELECT DISTINCT src AS v FROM e0 "
+        "UNION SELECT DISTINCT dst FROM e0)",
+        "degs AS (SELECT src, count(*) AS deg FROM e0 GROUP BY src)",
+        "edges AS (SELECT e0.src, e0.dst, degs.deg FROM e0 "
+        "JOIN degs ON e0.src = degs.src)",
+        "nn AS (SELECT count(*) AS n FROM verts)",
+        f"r0 AS (SELECT v, {PR_SCALE} // nn.n AS rank FROM verts CROSS JOIN nn)",
+    ]
+    prev = "r0"
+    for k in range(1, PR_ITERS + 1):
+        parts.append(
+            f"c{k} AS (SELECT e.dst, CAST(sum(r.rank // e.deg) AS BIGINT) AS inflow "
+            f"FROM edges e JOIN {prev} r ON e.src = r.v GROUP BY e.dst)"
+        )
+        parts.append(
+            f"it{k} AS (SELECT verts.v, CAST(({PR_SCALE} * 15) // (100 * nn.n) "
+            f"+ (85 * coalesce(c{k}.inflow, 0)) // 100 AS BIGINT) AS rank "
+            f"FROM verts LEFT JOIN c{k} ON verts.v = c{k}.dst CROSS JOIN nn)"
+        )
+        prev = f"it{k}"
+    return (
+        "WITH " + LSH_CTES + ",\n" + ",\n".join(parts)
+        + f"\nSELECT v, rank FROM {prev}"
+    )
+
+
+SQL_PAGERANK = _pagerank_sql()
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
     return out.withColumn("jaccard", _rc(F.col("jaccard")))

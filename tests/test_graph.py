@@ -1,0 +1,60 @@
+"""Integer fixed-point PageRank (operators/graph.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from stock_indicators_etl_spark.operators.graph import PR_SCALE, pagerank
+
+
+def _replica(edges, iters, scale=PR_SCALE, num=85, den=100):
+    verts = sorted({v for e in edges for v in e})
+    n = len(verts)
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {v: scale // n for v in verts}
+    for _ in range(iters):
+        inflow = {v: 0 for v in verts}
+        for s, d in edges:
+            inflow[d] += rank[s] // deg[s]
+        rank = {
+            v: (scale * (den - num)) // (den * n) + (num * inflow[v]) // den
+            for v in verts
+        }
+    return rank
+
+
+def _run(spark, edges, iters=5):
+    df = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["src", "dst"])
+    )
+    return {
+        r["v"]: r["rank"] for r in pagerank(df, iters=iters).collect()
+    }
+
+
+def test_matches_python_replica_star(spark):
+    # star: everyone links to 0, 0 links back to 1
+    edges = [(i, 0) for i in range(1, 6)] + [(0, 1)]
+    got = _run(spark, edges, iters=5)
+    assert got == _replica(edges, 5)
+    # the hub out-ranks every leaf
+    assert got[0] == max(got.values())
+
+
+def test_matches_python_replica_chain_and_cycle(spark):
+    chain = [(i, i + 1) for i in range(6)]
+    assert _run(spark, chain, iters=4) == _replica(chain, 4)
+    cycle = [(i, (i + 1) % 5) for i in range(5)]
+    got = _run(spark, cycle, iters=6)
+    assert got == _replica(cycle, 6)
+    # symmetric cycle: all ranks equal
+    assert len(set(got.values())) == 1
+
+
+def test_rejects_zero_iters(spark):
+    df = spark.createDataFrame(pd.DataFrame({"src": [1], "dst": [2]}))
+    with pytest.raises(ValueError):
+        pagerank(df, iters=0)
