@@ -50,7 +50,7 @@ SF1_QUERIES = {
     "kmeans", "semantic_neardup_scaled", "unigram_surprisal",
     "span_dedup", "tfidf_keywords", "leakage_split",
     "heavy_hitters", "audio_stats", "dedup_incremental", "pack_sequences",
-    "canonicalize",
+    "canonicalize", "pagerank",
 }
 
 # one representative per plan family
@@ -95,6 +95,10 @@ QUERIES = [
     "scd2_history",           # gaps-and-islands validity intervals (extra)
     "canonicalize",           # scan-local regexp chain (extra)
     "fuzzy_join",             # q-gram prefix filter + levenshtein verify (extra)
+    "ols_by_key",             # integer-exact statistical sums (extra)
+    "winsorize",              # exact quantile bounds + broadcast clip (extra)
+    "dq_check",               # one-pass rules + anti-join referential (extra)
+    "pagerank",               # integer power iteration over LSH graph (extra)
 ]
 
 
