@@ -48,6 +48,9 @@ EAGER_CONSTRUCTION = frozenset(
         "dedup_incremental",
         # runs the near-dup components fixpoint at construction
         "leakage_split",
+        # localCheckpoint(eager=False) pins each iteration's ranks:
+        # a reused handle would time the cache, not the iteration
+        "pagerank",
     }
 )
 
