@@ -16,9 +16,12 @@ oracle. The rounding loss per step is ≤ deg/scale ≈ 10⁻¹² of mass —
 irrelevant for ranking, essential for cross-engine exactness.
 
 Plan per iteration: one equi-join of the (pinned) degree-annotated
-edge list against the current ranks + one combinable groupBy(dst);
-ranks are ``localCheckpoint(eager=False)``-pinned so the plan does
-not grow exponentially with iterations (same discipline as CC).
+edge list against the current ranks + one combinable groupBy(dst).
+Unlike CC (whose driver-side convergence probes re-evaluate the
+lineage), the rank lineage here is LINEAR — each iteration reads the
+previous ranks exactly once — so intermediate checkpoints are not
+needed for correctness; ``checkpoint_every`` (default 8) bounds plan
+depth for long runs while short runs compile to ONE job.
 """
 
 from __future__ import annotations
@@ -37,6 +40,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     scale: int = PR_SCALE,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """(v, rank) after ``iters`` integer power iterations over the
     directed edge list. Vertices are the edge endpoints (an isolated
@@ -54,12 +58,10 @@ def pagerank(
     e_deg = e.join(deg, "src").persist()
     n_frame = verts.agg(F.count(F.lit(1)).alias("n"))
 
-    ranks = (
-        verts.crossJoin(F.broadcast(n_frame))
-        .select("v", F.expr(f"{scale} div n").alias("rank"))
-        .localCheckpoint(eager=False)
+    ranks = verts.crossJoin(F.broadcast(n_frame)).select(
+        "v", F.expr(f"{scale} div n").alias("rank")
     )
-    for _ in range(iters):
+    for it in range(1, iters + 1):
         contrib = (
             e_deg.join(ranks, e_deg["src"] == ranks["v"])
             .select("dst", F.expr("rank div deg").alias("c"))
@@ -76,6 +78,7 @@ def pagerank(
                     f" + {damping_num} * coalesce(inflow, 0) div {damping_den}"
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
         )
+        if checkpoint_every and it % checkpoint_every == 0 and it < iters:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
