@@ -70,7 +70,7 @@ def edit_distance_pairs(
         exploded.join(freq, "g")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
-        .select("s", "n", "ng", "g")
+        .select("s", "n", "g")
     )
 
     a = prefix.select(

@@ -2262,11 +2262,13 @@ def q_dq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DQ_CHECK = """
 WITH s AS (
   SELECT count(*) AS _n,
-         CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_price,
-         CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT) AS qty_out_of_range,
-         CAST(sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.5 THEN 0 ELSE 1 END) AS BIGINT) AS discount_out_of_range,
+         -- coalesce(…, 1): an unevaluable (NULL) expectation counts
+         -- as a violation, matching dq_summary's contract
+         CAST(sum(coalesce(CAST(l_extendedprice <= 0 AS INTEGER), 1)) AS BIGINT) AS nonpositive_price,
+         CAST(sum(coalesce(CAST(NOT (l_quantity BETWEEN 1 AND 50) AS INTEGER), 1)) AS BIGINT) AS qty_out_of_range,
+         CAST(sum(coalesce(CAST(NOT (l_discount BETWEEN 0.0 AND 0.5) AS INTEGER), 1)) AS BIGINT) AS discount_out_of_range,
          CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_shipdate,
-         CAST(sum(CASE WHEN l_extendedprice > 2000.0 THEN 1 ELSE 0 END) AS BIGINT) AS high_price_outlier
+         CAST(sum(coalesce(CAST(l_extendedprice > 2000.0 AS INTEGER), 1)) AS BIGINT) AS high_price_outlier
   FROM lineitem
 ),
 rules AS (
