@@ -144,3 +144,68 @@ def test_dq_summary_rejects_empty_rules(spark):
     df = spark.createDataFrame(pd.DataFrame({"x": [1]}))
     with pytest.raises(ValueError):
         dq_summary(df, {})
+
+
+def test_streaming_scd2_matches_batch_closed_intervals(spark, tmp_path):
+    """Two micro-batches; state survives the boundary (a run that
+    spans files closes with the right valid_from/version), and the
+    streaming closed intervals equal the batch operator's rows with
+    valid_to set."""
+    import os
+
+    from stock_indicators_etl_spark.streaming.scd import streaming_scd2
+
+    events = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1, 1, 2, 2, 2],
+            "a": ["x", "x", "y", "y", "x", "p", "q", "q"],
+            "ts": [10, 20, 30, 40, 50, 5, 15, 25],
+        }
+    )
+    src = tmp_path / "scd_src"
+    src.mkdir()
+    f0, f1 = str(src / "p0.parquet"), str(src / "p1.parquet")
+    events.iloc[:4].to_parquet(f0)   # k=1 'y' run starts in file 0...
+    events.iloc[4:].to_parquet(f1)   # ...and closes in file 1
+    os.utime(f0, (1_000_000_000, 1_000_000_000))
+    os.utime(f1, (1_000_000_100, 1_000_000_100))
+
+    stream = (
+        spark.readStream.schema("k bigint, a string, ts bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_scd2(stream, "k", "a", "ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sscd")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sscd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("select * from sscd")
+        .toPandas()
+        .sort_values(["k", "version"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        scd2_history(spark.createDataFrame(events), "k", "a", "ts")
+        .toPandas()
+    )
+    closed = (
+        batch[batch.valid_to.notna()]
+        .astype({"valid_to": "int64"})
+        .sort_values(["k", "version"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["k", "a", "valid_from", "valid_to", "version"]],
+        closed[["k", "a", "valid_from", "valid_to", "version"]],
+        check_dtype=False,
+    )
+    # the cross-file 'y' run closed with the right boundaries
+    y = got[(got.k == 1) & (got.a == "y")].iloc[0]
+    assert (y.valid_from, y.valid_to, y.version) == (30, 50, 2)
