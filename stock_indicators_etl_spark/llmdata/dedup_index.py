@@ -97,9 +97,15 @@ def _signatures_and_sets(
 
 
 def _index_exists(spark: SparkSession, index_path: str) -> bool:
-    hpath = spark._jvm.org.apache.hadoop.fs.Path(index_path + "/bands")
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(hpath))
+    """Public-API existence probe (Connect-safe): a schema read of the
+    bands directory succeeds iff the index has been written. No
+    ``_jvm``/``_jsc`` — those are private and absent under Spark
+    Connect."""
+    try:
+        spark.read.parquet(index_path + "/bands").schema
+        return True
+    except Exception:
+        return False
 
 
 def write_index_shard(
@@ -278,15 +284,17 @@ def dedup_increment(
     )
     out = old_out.unionByName(new_out)
 
+    # pin the result BEFORE unpersisting its inputs (and, when
+    # appending, before mutating the index it lazily reads — a
+    # re-listed scan after the append would double-count the new
+    # shard's bands); the mapping is O(corpus) narrow rows the caller
+    # persists anyway. Checkpointing unconditionally also lets both
+    # branches release the per_doc/cand caches instead of leaking them
+    # for the session lifetime in the append=False path.
+    out = out.localCheckpoint()
     if append:
-        # pin the result BEFORE mutating the index it lazily reads —
-        # a re-listed scan after the append would double-count the new
-        # shard's bands (harmless for correctness after distinct, but
-        # nondeterministic in cost); the mapping is O(corpus) narrow
-        # rows the caller persists anyway
-        out = out.localCheckpoint()
         new_bands.write.mode("append").parquet(index_path + "/bands")
         new_sets.write.mode("append").parquet(index_path + "/shingles")
-        per_doc.unpersist()
-        cand.unpersist()
+    per_doc.unpersist()
+    cand.unpersist()
     return out

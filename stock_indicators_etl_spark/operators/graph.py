@@ -81,4 +81,9 @@ def pagerank(
         )
         if checkpoint_every and it % checkpoint_every == 0 and it < iters:
             ranks = ranks.localCheckpoint(eager=False)
+    # Materialize the final ranks so e_deg can be unpersisted here rather
+    # than leaking a cached DataFrame for the session lifetime (the cache
+    # is only useful while the iteration lineage is alive).
+    ranks = ranks.localCheckpoint(eager=True)
+    e_deg.unpersist()
     return ranks

@@ -2048,10 +2048,15 @@ def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar subquery as a 1-row broadcast and the NOT EXISTS as a LEFT
     ANTI join.
 
-    The average-balance threshold uses integer cents with integer
-    division (``sum DIV count``) so the cutoff is bit-identical
-    cross-engine — a float AVG could flip boundary customers on
-    last-ulp summation differences."""
+    The average-balance threshold uses integer cents with FLOOR
+    integer division so the cutoff is bit-identical cross-engine — a
+    float AVG could flip boundary customers on last-ulp summation
+    differences. Spark's ``DIV`` truncates toward zero while DuckDB's
+    ``//`` floors, so both sides first subtract the non-negative
+    remainder ``((a % b) + b) % b`` (``%`` follows the dividend's sign
+    in both engines), making the division exact and therefore
+    identical under either rounding rule even when ``sum(cents)`` is
+    negative (c_acctbal can be)."""
     spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView(
         "q22_customer"
     )
@@ -2069,7 +2074,11 @@ def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n_custs,
                CAST(sum(cents) AS DOUBLE) / 100.0 AS total_bal
         FROM cust c
-        WHERE c.cents > (SELECT sum(cents) DIV count(*) FROM cust)
+        WHERE c.cents > (
+            SELECT (sum(cents) - ((sum(cents) % count(*)) + count(*)) % count(*))
+                   DIV count(*)
+            FROM cust
+          )
           AND NOT EXISTS (
             SELECT 1 FROM q22_orders o
             WHERE o.o_custkey = c.c_custkey
@@ -2090,7 +2099,11 @@ SELECT cgrp,
        count(*) AS n_custs,
        CAST(sum(cents) AS DOUBLE) / 100.0 AS total_bal
 FROM cust c
-WHERE c.cents > (SELECT sum(cents) // count(*) FROM cust)
+WHERE c.cents > (
+    SELECT (sum(cents) - ((sum(cents) % count(*)) + count(*)) % count(*))
+           // count(*)
+    FROM cust
+  )
   AND NOT EXISTS (
     SELECT 1 FROM orders o
     WHERE o.o_custkey = c.c_custkey

@@ -138,20 +138,36 @@ def compact_parquet(
     Reads the directory, sizes the output file count from the actual
     on-disk bytes (never fewer than 1), rewrites to a temp dir —
     optionally re-sorted so min/max pruning survives compaction — and
-    atomically swaps via rename. Returns before/after file counts.
+    swaps via a TWO-STEP rename (old→backup, temp→live). The swap is
+    NOT atomic: a crash between the renames leaves the table path
+    absent with the data intact in the ``._old_*`` backup, and
+    concurrent readers fail during the window — run it as the table's
+    exclusive maintenance job (a lakehouse manifest/pointer is the
+    real fix at 100 TB). The backup is deleted only AFTER the new live
+    listing is verified non-empty; on verification failure the backup
+    is restored and an error raised. Returns before/after file counts.
+
+    Filesystem access is through ``pyarrow.fs`` resolved from the
+    path's URI (local, HDFS, S3...) — public API only, no Spark
+    ``_jvm`` internals.
     """
     import uuid
 
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    src = jvm.org.apache.hadoop.fs.Path(path)
-    fs = src.getFileSystem(conf)
-    files = [
-        f
-        for f in fs.listStatus(src)
-        if f.getPath().getName().endswith(".parquet")
-    ]
-    total = sum(f.getLen() for f in files)
+    from pyarrow import fs as pafs
+
+    filesystem, fspath = pafs.FileSystem.from_uri(path)
+    fspath = fspath.rstrip("/")
+
+    def _parquet_infos(p: str):
+        sel = pafs.FileSelector(p)
+        return [
+            i
+            for i in filesystem.get_file_info(sel)
+            if i.type == pafs.FileType.File and i.path.endswith(".parquet")
+        ]
+
+    files = _parquet_infos(fspath)
+    total = sum(i.size for i in files)
     n_out = max(int(total // target_file_bytes) + (1 if total % target_file_bytes else 0), 1)
 
     df = spark.read.parquet(path)
@@ -161,18 +177,21 @@ def compact_parquet(
         )
     else:
         out = df.coalesce(n_out) if n_out < len(files) else df
-    tmp = path.rstrip("/") + f"._compact_{uuid.uuid4().hex[:8]}"
-    out.write.mode("overwrite").parquet(tmp)
+    tag = uuid.uuid4().hex[:8]
+    tmp = fspath + f"._compact_{tag}"
+    out.write.mode("overwrite").parquet(path.rstrip("/") + f"._compact_{tag}")
 
-    bak = path.rstrip("/") + f"._old_{uuid.uuid4().hex[:8]}"
-    fs.rename(src, jvm.org.apache.hadoop.fs.Path(bak))
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), src)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(bak), True)
-    n_after = len(
-        [
-            f
-            for f in fs.listStatus(src)
-            if f.getPath().getName().endswith(".parquet")
-        ]
-    )
-    return {"files_before": len(files), "files_after": n_after, "bytes": total}
+    bak = fspath + f"._old_{tag}"
+    filesystem.move(fspath, bak)
+    filesystem.move(tmp, fspath)
+    after = _parquet_infos(fspath)
+    if not after:
+        # restore the backup rather than stranding the table
+        filesystem.move(fspath, tmp)
+        filesystem.move(bak, fspath)
+        raise RuntimeError(
+            f"compact_parquet: swapped-in listing at {fspath} is empty; "
+            f"backup restored, compacted output left at {tmp}"
+        )
+    filesystem.delete_dir(bak)
+    return {"files_before": len(files), "files_after": len(after), "bytes": total}

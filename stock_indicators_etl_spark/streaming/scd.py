@@ -62,8 +62,13 @@ def streaming_scd2(
         else:
             attr, since, version = None, None, 0
         closed = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values([ts_col, attr_col])
+        chunks = list(pdfs)
+        if chunks:
+            # Concat ALL Arrow chunks before sorting: rows for one key can
+            # span chunks with interleaved timestamps, and a per-chunk sort
+            # would produce wrong run boundaries (same pattern as
+            # streaming/funnel.py and streaming/indicators.py).
+            pdf = pd.concat(chunks, ignore_index=True).sort_values([ts_col, attr_col])
             for a, t in zip(pdf[attr_col], pdf[ts_col]):
                 if attr is None:
                     attr, since, version = a, int(t), 1
