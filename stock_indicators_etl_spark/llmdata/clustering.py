@@ -5,10 +5,11 @@ Semantic clustering is the backbone of modern training-data curation
 near-dedup, domain balancing); this implements it with the same
 Spark-first discipline as the ANN operators in :mod:`.similarity`.
 
-Three execution methods, one semantics (``method=`` on
+Four execution methods, one semantics (``method=`` on
 :func:`kmeans_assign` / :func:`semantic_neardup_pairs`):
 
-- ``"literal"`` (default; the small-k oracle path): assignment is one
+- ``"literal"`` (alias ``"oracle"``; the small-k oracle path, the
+  default for :func:`kmeans_assign`): assignment is one
   scan-local pass — the k×d centroid matrix is embedded as array
   literals and each row evaluates a single ``transform``/``array_min``
   lambda tree (no shuffle, no Python stage). The update collects the
@@ -33,6 +34,14 @@ Three execution methods, one semantics (``method=`` on
   never embeds a literal. Distances use the ``|x|²−2x·c+|c|²`` form:
   assignments agree with the fold paths except on exact FP ties
   (property-tested equal on real data); dist2 agrees to ~1 ulp.
+- ``"hier"`` (``arrow`` updates + two-level O(N·√k) probe
+  assignment; the SemDeDup production default — see
+  :func:`semantic_neardup_pairs`): like ``"arrow"`` but each batch
+  probes the ``n_probe`` nearest centroid GROUPS first, so the
+  per-row distance work is O(√k) instead of O(k). Approximate by
+  design (recall rises with ``n_probe``); at SemDeDup-realistic k
+  (k = N/target grows with the corpus) it is the only assignment
+  whose cost stays ~N·√k rather than N²/target.
 
 Beyond broadcastable k·d (k ~ 10⁶ · d ~ 10³): shard the centroid
 matrix and run :func:`assign_with_centroids_arrow` once per shard with
@@ -464,7 +473,8 @@ def kmeans_assign(
     under the final centroids as ``(vec_id, cluster, dist2)``.
 
     ``method`` picks the execution strategy (identical semantics, see
-    module docstring): ``"literal"`` (oracle default, k ~ 10²),
+    module docstring): ``"literal"`` (oracle default, k ~ 10²;
+    ``"oracle"`` is an explicit alias for the hash-harness callers),
     ``"join"`` (DataFrame-resident centroids, driver-free, O(1) plan),
     ``"arrow"`` (broadcast-variable numpy, k ~ 10³–10⁵),
     ``"hier"`` (arrow with the O(N·√k) two-level probe assignment —
@@ -473,6 +483,8 @@ def kmeans_assign(
     """
     if k <= 0 or iters < 0:
         raise ValueError("k must be positive and iters non-negative")
+    if method == "oracle":
+        method = "literal"
     if method not in ("literal", "join", "arrow", "hier"):
         raise ValueError(f"unknown kmeans method: {method!r}")
 
@@ -529,7 +541,7 @@ def semantic_neardup_pairs(
     max_cluster_size: int | None = None,
     target_cluster_size: int | None = None,
     n_vectors: int | None = None,
-    method: str = "literal",
+    method: str = "hier",
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicates: k-means partitions the
     corpus, then cosine similarity is computed ONLY within clusters —
@@ -544,12 +556,19 @@ def semantic_neardup_pairs(
     ``max_cluster_size`` additionally hard-caps skewed clusters
     (boilerplate sinks — dropped from pairing, the same guard
     discipline as LSH's ``max_bucket_size``). ``method`` picks the
-    k-means execution strategy (see :func:`kmeans_assign`) — at
-    SemDeDup-realistic k (N/target at crawl scale) use ``"arrow"``.
+    k-means execution strategy (see :func:`kmeans_assign`); the
+    DEFAULT here is ``"hier"`` — broadcast-numpy partial-sum updates
+    with the O(N·√k) two-level probe assignment — because at
+    SemDeDup-realistic k (k = N/target at crawl scale) every exact
+    assignment is O(N·k) = O(N²/target) and measurably superlinear
+    (SCALING.md: the old exact default hit exp 1.70, 193.5 s at sf1
+    vs ~3 s for this path). The exact driver-literal path remains
+    available as ``method="oracle"`` for the bit-exact hash harness
+    (requires ``exact_update=True`` there).
     Output: ``(cluster, vec_a, vec_b, cosine)`` with
     ``vec_a < vec_b``, deterministic and oracle-replayable when
-    ``exact_update=True`` (the oracle uses fixed k — leave
-    ``target_cluster_size`` unset there).
+    ``exact_update=True`` + ``method="oracle"`` (the oracle uses
+    fixed k — leave ``target_cluster_size`` unset there).
 
     NOTE (lazy-composition contract): ``target_cluster_size`` without
     ``n_vectors`` runs one eager ``count()`` Spark job at
@@ -618,7 +637,7 @@ def semantic_survivors(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_cluster_size: int | None = None,
-    method: str = "literal",
+    method: str = "hier",
 ) -> DataFrame:
     """The SemDeDup survivor set: group semantic near-dup pairs into
     connected components (min-label propagation, the same engine as

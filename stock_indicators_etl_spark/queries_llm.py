@@ -1586,8 +1586,10 @@ SEMDEDUP_THRESHOLD = 0.45
 
 def q_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup composition: k-means partition → within-cluster cosine
-    pairs above threshold (``exact_update=True`` for the oracle; the
-    production path uses order-free updates + ``max_cluster_size``)."""
+    pairs above threshold (``method="oracle"`` + ``exact_update=True``
+    pin the bit-exact driver-literal path for the hash harness; the
+    PRODUCTION default of ``semantic_neardup_pairs`` is the
+    arrow+hier scale path with order-free updates)."""
     from stock_indicators_etl_spark.llmdata.clustering import semantic_neardup_pairs
 
     out = semantic_neardup_pairs(
@@ -1596,6 +1598,7 @@ def q_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=KMEANS_ITERS,
         threshold=SEMDEDUP_THRESHOLD,
         exact_update=True,
+        method="oracle",
     )
     return out.withColumn("cosine", _rc(F.col("cosine")))
 

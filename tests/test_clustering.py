@@ -337,6 +337,65 @@ def test_semantic_neardup_method_passthrough(spark, emb_real):
     assert pairs("arrow") == p_lit
 
 
+def test_oracle_method_alias(spark, emb_real):
+    """method='oracle' is an explicit alias for the exact literal
+    path (the hash-harness spelling after the production default of
+    semantic_neardup_pairs flipped to 'hier')."""
+    lit = kmeans_assign(
+        emb_real, k=8, iters=2, exact_update=True, method="literal"
+    ).toPandas().sort_values("vec_id").reset_index(drop=True)
+    orc = kmeans_assign(
+        emb_real, k=8, iters=2, exact_update=True, method="oracle"
+    ).toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert (lit.cluster == orc.cluster).all()
+    assert (lit.dist2 == orc.dist2).all()
+
+
+def test_semantic_default_is_scale_path_and_matches_oracle_survivors(spark):
+    """The production DEFAULT of semantic_neardup_pairs /
+    semantic_survivors is the arrow+hier scale path (VERDICT r6 #1 —
+    the old exact default was the one measured quadratic). On a
+    separable fixture the default and the oracle path must select the
+    SAME survivor set."""
+    import inspect
+
+    from stock_indicators_etl_spark.llmdata.clustering import (
+        semantic_neardup_pairs,
+        semantic_survivors,
+    )
+
+    assert (
+        inspect.signature(semantic_neardup_pairs).parameters["method"].default
+        == "hier"
+    )
+    assert (
+        inspect.signature(semantic_survivors).parameters["method"].default
+        == "hier"
+    )
+
+    # 4 well-separated anchor groups, each with one planted near-dup
+    rows = []
+    anchors = [[0.0, 0.0], [50.0, 0.0], [0.0, 50.0], [50.0, 50.0]]
+    for g, a in enumerate(anchors):
+        rows.append((10 * g, [a[0] + 1.0, a[1] + 1.0]))
+        rows.append((10 * g + 1, [a[0] + 1.0001, a[1] + 1.0001]))  # ~dup
+        rows.append((10 * g + 2, [a[0] - 3.0, a[1] + 4.0]))  # lone member
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+
+    def survivors(method):
+        out = semantic_survivors(
+            df, k=4, iters=2, threshold=0.999999, method=method
+        ).toPandas()
+        return sorted(out.vec_id)
+
+    default = sorted(
+        semantic_survivors(df, k=4, iters=2, threshold=0.999999).toPandas().vec_id
+    )
+    assert default == survivors("oracle") == survivors("hier")
+    # every planted dup dropped, every anchor + lone member kept
+    assert default == [0, 2, 10, 12, 20, 22, 30, 32]
+
+
 def test_semantic_neardup_n_vectors_skips_count(spark, emb_real):
     """Passing a precomputed n keeps plan construction lazy and sizes
     k identically to the eager count."""
