@@ -138,6 +138,14 @@ ROTATED_OUT = (
     "regularity_check",
     "ohlcv_rollup",
     "cci",
+    # r7 rotation: long-stable (since r1-r2) single-indicator windows
+    # and grid ops out for the newest analytic/graph/stats operators
+    "mfi",
+    "ultosc",
+    "ppo",
+    "stochf",
+    "gapfill",
+    "interpolate",
 )
 ROTATED_IN = (
     # r5 rotation
@@ -161,21 +169,32 @@ ROTATED_IN = (
     "scd2_history",
     "audio_stats",
     "canonicalize",
+    # ...r7: graph/stats/DQ/clustering operators into the hard signal
+    "pagerank",
+    "winsorize",
+    "dq_check",
+    "ols_by_key",
+    "cluster_keywords",
+    "semantic_neardup_scaled",
 )
 
 
 def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from stock_indicators_etl_spark.queries import (
         q_asof_join,
+        q_dq_check,
         q_funnel,
         q_interval_join,
+        q_ols_by_key,
         q_retention,
         q_scd2_history,
+        q_winsorize,
     )
     from stock_indicators_etl_spark.queries_llm import (
         q_audio_stats,
         q_bm25_topk,
         q_canonicalize,
+        q_cluster_keywords,
         q_dedup_incremental,
         q_fuzzy_join,
         q_heavy_hitters,
@@ -183,7 +202,9 @@ def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         q_kmeans,
         q_leakage_split,
         q_pack_sequences,
+        q_pagerank,
         q_pq_topk,
+        q_semantic_neardup_scaled,
         q_span_dedup,
         q_tfidf_keywords,
     )
@@ -207,21 +228,31 @@ def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "scd2_history": q_scd2_history,
         "audio_stats": q_audio_stats,
         "canonicalize": q_canonicalize,
+        "pagerank": q_pagerank,
+        "winsorize": q_winsorize,
+        "dq_check": q_dq_check,
+        "ols_by_key": q_ols_by_key,
+        "cluster_keywords": q_cluster_keywords,
+        "semantic_neardup_scaled": q_semantic_neardup_scaled,
     }
 
 
 def _rotated_in_oracles() -> dict[str, str]:
     from stock_indicators_etl_spark.queries import (
         SQL_ASOF_JOIN,
+        SQL_DQ_CHECK,
         SQL_FUNNEL,
         SQL_INTERVAL_JOIN,
+        SQL_OLS_BY_KEY,
         SQL_RETENTION,
         SQL_SCD2_HISTORY,
+        SQL_WINSORIZE,
     )
     from stock_indicators_etl_spark.queries_llm import (
         SQL_AUDIO_STATS,
         SQL_BM25_TOPK,
         SQL_CANONICALIZE,
+        SQL_CLUSTER_KEYWORDS,
         SQL_DEDUP_INCREMENTAL,
         SQL_FUZZY_JOIN,
         SQL_HEAVY_HITTERS,
@@ -229,7 +260,9 @@ def _rotated_in_oracles() -> dict[str, str]:
         SQL_KMEANS,
         SQL_LEAKAGE_SPLIT,
         SQL_PACK_SEQUENCES,
+        SQL_PAGERANK,
         SQL_PQ_TOPK,
+        SQL_SEMANTIC_NEARDUP_SCALED,
         SQL_SPAN_DEDUP,
         SQL_TFIDF_KEYWORDS,
     )
@@ -253,6 +286,12 @@ def _rotated_in_oracles() -> dict[str, str]:
         "scd2_history": SQL_SCD2_HISTORY,
         "audio_stats": SQL_AUDIO_STATS,
         "canonicalize": SQL_CANONICALIZE,
+        "pagerank": SQL_PAGERANK,
+        "winsorize": SQL_WINSORIZE,
+        "dq_check": SQL_DQ_CHECK,
+        "ols_by_key": SQL_OLS_BY_KEY,
+        "cluster_keywords": SQL_CLUSTER_KEYWORDS,
+        "semantic_neardup_scaled": SQL_SEMANTIC_NEARDUP_SCALED,
     }
 
 
@@ -299,10 +338,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the long-stable entries rotated out (VERDICT r5 #3)."""
     from stock_indicators_etl_spark.queries import (
         q_dormant_customers,
-        q_dq_check,
         q_large_orders,
-        q_ols_by_key,
-        q_winsorize,
         q_order_priority_check,
         q_rollup_aggregate,
         q_shipping_priority,
@@ -310,13 +346,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     from stock_indicators_etl_spark.queries_llm import (
         q_chunk_documents,
-        q_cluster_keywords,
         q_embedding_neardup_scaled,
         q_frequent_ngrams,
         q_length_quantiles,
-        q_pagerank,
         q_semantic_neardup,
-        q_semantic_neardup_scaled,
         q_unigram_surprisal,
         q_weighted_sample,
     )
@@ -336,17 +369,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_surprisal": q_unigram_surprisal,
         "weighted_sample": q_weighted_sample,
         "embedding_neardup_scaled": q_embedding_neardup_scaled,
-        "semantic_neardup_scaled": q_semantic_neardup_scaled,
         "frequent_ngrams": q_frequent_ngrams,
-        "cluster_keywords": q_cluster_keywords,
         "volume_shipping": q_volume_shipping,
         "large_orders": q_large_orders,
         "order_priority_check": q_order_priority_check,
         "dormant_customers": q_dormant_customers,
-        "ols_by_key": q_ols_by_key,
-        "winsorize": q_winsorize,
-        "dq_check": q_dq_check,
-        "pagerank": q_pagerank,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -358,11 +385,8 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_ADX_FAMILY,
         SQL_CMO_WILDER,
         SQL_DORMANT_CUSTOMERS,
-        SQL_DQ_CHECK,
         SQL_LARGE_ORDERS,
         SQL_MACDFIX_HIST,
-        SQL_OLS_BY_KEY,
-        SQL_WINSORIZE,
         SQL_ORDER_PRIORITY_CHECK,
         SQL_ROLLUP_AGGREGATE,
         SQL_RSI_WILDER,
@@ -371,13 +395,10 @@ def extra_oracle_sql() -> dict[str, str]:
     )
     from stock_indicators_etl_spark.queries_llm import (
         SQL_CHUNK_DOCUMENTS,
-        SQL_CLUSTER_KEYWORDS,
         SQL_EMBEDDING_NEARDUP_SCALED,
         SQL_FREQUENT_NGRAMS,
         SQL_LENGTH_QUANTILES,
-        SQL_PAGERANK,
         SQL_SEMANTIC_NEARDUP,
-        SQL_SEMANTIC_NEARDUP_SCALED,
         SQL_UNIGRAM_SURPRISAL,
         SQL_WEIGHTED_SAMPLE,
     )
@@ -395,17 +416,11 @@ def extra_oracle_sql() -> dict[str, str]:
         "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "embedding_neardup_scaled": SQL_EMBEDDING_NEARDUP_SCALED,
-        "semantic_neardup_scaled": SQL_SEMANTIC_NEARDUP_SCALED,
         "frequent_ngrams": SQL_FREQUENT_NGRAMS,
-        "cluster_keywords": SQL_CLUSTER_KEYWORDS,
         "volume_shipping": SQL_VOLUME_SHIPPING,
         "large_orders": SQL_LARGE_ORDERS,
         "order_priority_check": SQL_ORDER_PRIORITY_CHECK,
         "dormant_customers": SQL_DORMANT_CUSTOMERS,
-        "ols_by_key": SQL_OLS_BY_KEY,
-        "winsorize": SQL_WINSORIZE,
-        "dq_check": SQL_DQ_CHECK,
-        "pagerank": SQL_PAGERANK,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:
