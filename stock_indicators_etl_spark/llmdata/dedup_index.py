@@ -184,9 +184,12 @@ def dedup_increment(
     the cap only as later shards arrive will have contributed pairs
     in earlier increments (merges are never undone) — incremental
     output with a finite cap can therefore keep groups the one-shot
-    run would drop. Exact shard-order-independent equivalence with
-    the one-shot pipeline holds for ``max_bucket_size=None`` (the
-    tested contract) or whenever no bucket ever exceeds the cap.
+    run would drop. The pinned contract (property-tested across shard
+    counts and caps in ``tests/test_dedup_index.py``): the capped
+    incremental mapping is always a COARSENING of the one-shot capped
+    mapping — extra merges possible, splits never. Exact equivalence
+    holds for ``max_bucket_size=None`` or whenever no bucket ever
+    exceeds the cap.
     """
     spark = new_docs.sparkSession
     # one scan + one shuffle for signature AND shingle set, pinned:

@@ -124,6 +124,74 @@ def test_write_index_shard_then_increment(spark, docs, tmp_path):
     assert _mapping(comp) == _mapping(oneshot)
 
 
+def _assert_coarsening(fine: list[tuple], coarse: list[tuple]) -> None:
+    """Every group of the FINE partition sits inside one group of the
+    COARSE partition (coarse never splits a fine group)."""
+    fine_m, coarse_m = dict(fine), dict(coarse)
+    assert set(fine_m) == set(coarse_m)
+    groups: dict[int, set[int]] = {}
+    for doc, comp in fine_m.items():
+        groups.setdefault(comp, set()).add(coarse_m[doc])
+    for comp, coarse_labels in groups.items():
+        assert len(coarse_labels) == 1, (
+            f"one-shot group {comp} split across incremental groups "
+            f"{sorted(coarse_labels)}"
+        )
+
+
+@pytest.mark.parametrize("n_shards", [2, 3])
+@pytest.mark.parametrize("cap", [2, 3, 8])
+def test_capped_incremental_is_coarsening_of_oneshot(
+    spark, docs, tmp_path, n_shards, cap
+):
+    """The CAPPED divergence contract (dedup_index docstring): with a
+    finite max_bucket_size, the incremental mapping may KEEP merges
+    the one-shot capped run drops (a bucket that only later outgrew
+    the cap contributed pairs early; merges are never undone) but must
+    NEVER split a one-shot group — incremental components are a
+    coarsening of the one-shot capped components, for every shard
+    count and cap."""
+    d = docs.filter(F.col("doc_id") < 300)
+    idx = str(tmp_path / f"idx_{n_shards}_{cap}")
+    comp = None
+    for i in range(n_shards):
+        comp = dedup_increment(
+            d.filter(F.col("doc_id") % n_shards == i),
+            idx,
+            comp,
+            threshold=0.5,
+            max_bucket_size=cap,
+        )
+    oneshot = neardup_components(d, threshold=0.5, max_bucket_size=cap)
+    _assert_coarsening(_mapping(oneshot), _mapping(comp))
+
+
+def test_capped_incremental_keeps_merges_oneshot_drops(spark, tmp_path):
+    """The divergence direction is real, not hypothetical: a bucket
+    under the cap in increment 1 contributes a merge; the one-shot run
+    sees the full (over-cap) bucket and drops it. Incremental keeps
+    doc 0~1 merged — a strict coarsening of the one-shot result."""
+    texts = ["common boilerplate sentence shared by every doc here"] * 4
+    old = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": texts[:2]})
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [10, 11], "text": texts[2:]})
+    )
+    idx = str(tmp_path / "idx")
+    c1 = dedup_increment(old, idx, None, threshold=0.5, max_bucket_size=3)
+    c2 = dedup_increment(new, idx, c1, threshold=0.5, max_bucket_size=3)
+    union = old.unionByName(new)
+    oneshot = neardup_components(union, threshold=0.5, max_bucket_size=3)
+    m_inc, m_one = dict(_mapping(c2)), dict(_mapping(oneshot))
+    # one-shot: bucket of 4 > cap → nobody merges
+    assert m_one == {0: 0, 1: 1, 10: 10, 11: 11}
+    # incremental: the increment-1 merge (bucket size 2 <= cap) is kept
+    assert m_inc[0] == m_inc[1] == 0
+    # and it is still a coarsening (never splits)
+    _assert_coarsening(_mapping(oneshot), _mapping(c2))
+
+
 def test_bucket_cap_applies_to_union_stream(spark, tmp_path):
     """With a finite max_bucket_size, a bucket exceeding the cap on
     the union contributes no NEW pairs in this increment."""
