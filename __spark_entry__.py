@@ -343,6 +343,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_rollup_aggregate,
         q_shipping_priority,
         q_volume_shipping,
+        q_winsorize_approx,
     )
     from stock_indicators_etl_spark.queries_llm import (
         q_chunk_documents,
@@ -374,6 +375,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_orders": q_large_orders,
         "order_priority_check": q_order_priority_check,
         "dormant_customers": q_dormant_customers,
+        "winsorize_approx": q_winsorize_approx,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -392,6 +394,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_RSI_WILDER,
         SQL_SHIPPING_PRIORITY,
         SQL_VOLUME_SHIPPING,
+        SQL_WINSORIZE_APPROX,
     )
     from stock_indicators_etl_spark.queries_llm import (
         SQL_CHUNK_DOCUMENTS,
@@ -421,6 +424,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "large_orders": SQL_LARGE_ORDERS,
         "order_priority_check": SQL_ORDER_PRIORITY_CHECK,
         "dormant_customers": SQL_DORMANT_CUSTOMERS,
+        "winsorize_approx": SQL_WINSORIZE_APPROX,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

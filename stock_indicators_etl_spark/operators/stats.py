@@ -83,8 +83,54 @@ def winsorize_stats(
     final aggregate. The outlier-capping pass every feature pipeline
     runs before normalization.
     """
-    v = F.col(val_col).cast("double")
+    return _winsorize_with_bounds(
+        df,
+        key_col,
+        val_col,
+        _exact_bounds(df, key_col, val_col, lo, hi),
+        y_scale,
+    )
+
+
+def winsorize_stats_approx(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    y_scale: int = 100,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Production-scale winsorization: identical plan shape to
+    :func:`winsorize_stats` but bounds come from ``approx_percentile``
+    (Greenwald–Khanna sketch) — a COMBINABLE map-side aggregate whose
+    per-key state is O(accuracy·log n), where exact ``percentile``
+    buffers and sorts every group value (the steepest non-ANN sweep
+    exponent at sf0.1: 2.29 s exact vs 0.09 s DuckDB). At 100 TB the
+    exact form is a per-key full sort; the sketch is the right
+    default, with rank error ≤ 1/accuracy (quantile rank, not value).
+
+    The exact twin stays as the DuckDB hash-harness oracle; this
+    variant is threshold-tested instead (bounds within the observed
+    value range, clipped counts within the rank-error envelope).
+    """
     bounds = df.groupBy(key_col).agg(
+        F.expr(
+            f"approx_percentile(CAST({val_col} AS DOUBLE), "
+            f"array({lo}, {hi}), {accuracy})"
+        ).alias("_b")
+    ).select(
+        key_col,
+        F.col("_b")[0].alias("lo_bound"),
+        F.col("_b")[1].alias("hi_bound"),
+    )
+    return _winsorize_with_bounds(df, key_col, val_col, bounds, y_scale)
+
+
+def _exact_bounds(
+    df: DataFrame, key_col: str, val_col: str, lo: float, hi: float
+) -> DataFrame:
+    return df.groupBy(key_col).agg(
         F.floor(
             F.expr(f"percentile(CAST({val_col} AS DOUBLE), {lo})") * 1e6
             + F.lit(0.5)
@@ -98,6 +144,16 @@ def winsorize_stats(
         (F.col("_lo6") / 1e6).alias("lo_bound"),
         (F.col("_hi6") / 1e6).alias("hi_bound"),
     )
+
+
+def _winsorize_with_bounds(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    bounds: DataFrame,
+    y_scale: int,
+) -> DataFrame:
+    v = F.col(val_col).cast("double")
     joined = df.join(F.broadcast(bounds), key_col)
     clipped = F.greatest(F.least(v, F.col("hi_bound")), F.col("lo_bound"))
     cents = F.floor(clipped * y_scale + F.lit(0.5)).cast("long")

@@ -2242,6 +2242,45 @@ GROUP BY l.l_returnflag
 """
 
 
+def q_winsorize_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-path winsorization: bounds from the Greenwald–Khanna
+    ``approx_percentile`` sketch (combinable map-side aggregate; the
+    exact ``percentile`` twin is a per-key sort that dominates the
+    sweep at scale). Oracle convention: at ``accuracy >= group size``
+    the sketch is rank-exact and returns an actual data element, which
+    matches DuckDB ``quantile_disc`` (verified per-key in
+    tests/test_llmdata.py::test_winsorize_approx_*); production runs
+    use the 10^4 default accuracy, where bounds carry <=1e-4 rank
+    error and the clip counts shift by at most that rank band."""
+    from stock_indicators_etl_spark.operators.stats import winsorize_stats_approx
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    return winsorize_stats_approx(
+        li, "l_returnflag", "l_extendedprice", accuracy=1_000_000
+    )
+
+
+SQL_WINSORIZE_APPROX = """
+WITH bounds AS (
+  SELECT l_returnflag,
+         quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.05) AS lo_bound,
+         quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.95) AS hi_bound
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       count(*) AS n,
+       CAST(sum(CASE WHEN CAST(l.l_extendedprice AS DOUBLE) < b.lo_bound THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+       CAST(sum(CASE WHEN CAST(l.l_extendedprice AS DOUBLE) > b.hi_bound THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+       min(b.lo_bound) AS lo_bound,
+       min(b.hi_bound) AS hi_bound,
+       CAST(sum(CAST(floor(greatest(least(CAST(l.l_extendedprice AS DOUBLE), b.hi_bound), b.lo_bound) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_clipped_cents
+FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+GROUP BY l.l_returnflag
+"""
+
+
 def q_dq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass data-quality expectations over lineitem (five rules
     in one aggregate) plus an orphan-foreign-key referential check

@@ -105,6 +105,71 @@ def test_winsorize_stats_known_answer(spark):
     assert out.sum_clipped_cents == expect
 
 
+def test_winsorize_approx_exact_at_high_accuracy(spark):
+    """With accuracy >= group size the GK sketch is rank-exact and the
+    bounds are actual data elements at the quantile_disc rank — the
+    convention the winsorize_approx oracle relies on. Bounds must be
+    members of the data and the clip counts within the exact rank
+    band."""
+    import numpy as np
+
+    from stock_indicators_etl_spark.operators.stats import (
+        winsorize_stats_approx,
+    )
+
+    rng = np.random.default_rng(7)
+    vals = np.round(rng.uniform(0, 1000, 997), 2)
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"] * 500 + ["b"] * 497, "v": vals})
+    )
+    out = (
+        winsorize_stats_approx(df, "k", "v", accuracy=100_000)
+        .toPandas()
+        .set_index("k")
+    )
+    pdf = pd.DataFrame({"k": ["a"] * 500 + ["b"] * 497, "v": vals})
+    for key, grp in pdf.groupby("k"):
+        row = out.loc[key]
+        assert row.n == len(grp)
+        # bounds are actual elements of the group
+        assert (grp.v == row.lo_bound).any()
+        assert (grp.v == row.hi_bound).any()
+        # rank-exact: the element count strictly below lo_bound is the
+        # largest rank <= 5% (ties included on the bound itself)
+        assert row.n_clipped_lo <= int(0.05 * len(grp)) + 1
+        assert row.n_clipped_hi <= int(0.05 * len(grp)) + 1
+        # clipped sum within the bound-clipped envelope
+        clipped = grp.v.clip(row.lo_bound, row.hi_bound)
+        assert row.sum_clipped_cents == round((clipped * 100).round().sum())
+
+
+def test_winsorize_approx_production_accuracy_near_exact(spark):
+    """At the production accuracy default the approx bounds land
+    within the documented 1/accuracy rank band of the exact bounds."""
+    import numpy as np
+
+    from stock_indicators_etl_spark.operators.stats import (
+        winsorize_stats,
+        winsorize_stats_approx,
+    )
+
+    rng = np.random.default_rng(11)
+    vals = np.round(rng.normal(500, 100, 2000), 2)
+    df = spark.createDataFrame(pd.DataFrame({"k": ["g"] * 2000, "v": vals}))
+    exact = winsorize_stats(df, "k", "v").toPandas().iloc[0]
+    approx = winsorize_stats_approx(df, "k", "v").toPandas().iloc[0]
+    s = np.sort(vals)
+    # rank band: 1/accuracy of n = 2000/10000 < 1 rank → the approx
+    # bound is one of the two elements bracketing the exact quantile
+    rank_lo = int(np.searchsorted(s, approx.lo_bound))
+    rank_hi = int(np.searchsorted(s, approx.hi_bound))
+    assert abs(rank_lo - 0.05 * 2000) <= 2
+    assert abs(rank_hi - 0.95 * 2000) <= 2
+    assert approx.n == exact.n == 2000
+    assert abs(int(approx.n_clipped_lo) - int(exact.n_clipped_lo)) <= 2
+    assert abs(int(approx.n_clipped_hi) - int(exact.n_clipped_hi)) <= 2
+
+
 def test_dq_summary_and_referential(spark):
     from pyspark.sql import functions as F
 
