@@ -395,3 +395,71 @@ def test_not_exists_decorrelates_to_anti_join(spark):
     plan = plan_of(q_dormant_customers(spark, SF_DIR))
     assert "LeftAnti" in plan
     assert "Subquery" in plan or "ReusedSubquery" in plan
+
+
+# --------------------------------------------------------------------------
+# Golden-plan regression gate (VERDICT r6 #9): normalized physical-plan
+# fingerprints for the heaviest LAZY-construction queries. A lost
+# broadcast, an extra shuffle, a Python stage creeping into a JVM-only
+# plan, or a new cartesian fails pytest here instead of surfacing as a
+# silent bench regression. Node-type counts are partition-count
+# independent; PLANS.md holds the full formatted plans these compress.
+# (Eager-construction operators — pagerank, dedup_incremental, the CC
+# family — return checkpoint-backed frames whose final plan is a scan,
+# so a fingerprint there would pin nothing; their guarantees live in
+# the dedicated shape tests above.)
+
+def plan_fingerprint(plan: str) -> dict:
+    return {
+        "exchange": count_nodes(plan, "Exchange"),
+        "bexchange": count_nodes(plan, "BroadcastExchange"),
+        "bhj": count_nodes(plan, "BroadcastHashJoin"),
+        "smj": count_nodes(plan, "SortMergeJoin"),
+        "shj": count_nodes(plan, "ShuffledHashJoin"),
+        "python": (
+            count_nodes(plan, "MapInPandas")
+            + count_nodes(plan, "ArrowEvalPython")
+            + count_nodes(plan, "FlatMapGroupsInPandas")
+        ),
+        # BroadcastNestedLoopJoin counts too: intended only where a
+        # bounded side is broadcast (bm25 query side, pq literal
+        # codebooks, fuzzy length-band) — a data-sized NL join would
+        # show up as a count bump here
+        "nl": (
+            count_nodes(plan, "CartesianProduct")
+            + count_nodes(plan, "BroadcastNestedLoopJoin")
+        ),
+        "sort": count_nodes(plan, "Sort"),
+    }
+
+
+GOLDEN_FINGERPRINTS = {
+    "dedup_pipeline": {"exchange": 10, "bexchange": 4, "bhj": 4, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 0},
+    "ngram_jaccard_capped": {"exchange": 9, "bexchange": 2, "bhj": 2, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 0},
+    "ngram_jaccard": {"exchange": 9, "bexchange": 2, "bhj": 2, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 0},
+    "minhash_lsh_candidates": {"exchange": 4, "bexchange": 0, "bhj": 0, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 0},
+    "bm25_topk": {"exchange": 10, "bexchange": 5, "bhj": 3, "smj": 0, "shj": 0, "python": 0, "nl": 2, "sort": 2},
+    "ivfpq_topk": {"exchange": 1, "bexchange": 1, "bhj": 1, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 2},
+    "pq_topk": {"exchange": 1, "bexchange": 1, "bhj": 0, "smj": 0, "shj": 0, "python": 0, "nl": 1, "sort": 2},
+    "embedding_neardup": {"exchange": 1, "bexchange": 3, "bhj": 3, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 0},
+    "fuzzy_join": {"exchange": 9, "bexchange": 4, "bhj": 3, "smj": 0, "shj": 0, "python": 0, "nl": 1, "sort": 2},
+    "indicator_pipeline_grid": {"exchange": 6, "bexchange": 0, "bhj": 0, "smj": 0, "shj": 0, "python": 1, "nl": 0, "sort": 8},
+    "pipeline_wilder": {"exchange": 6, "bexchange": 0, "bhj": 0, "smj": 0, "shj": 0, "python": 1, "nl": 0, "sort": 8},
+    "corpus_prep": {"exchange": 3, "bexchange": 7, "bhj": 7, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 0},
+}
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN_FINGERPRINTS))
+def test_golden_plan_fingerprint(spark, name):
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    if name not in qs:
+        for n, f in entry_mod.extra_queries().items():
+            qs.setdefault(n, f)
+    got = plan_fingerprint(plan_of(qs[name](spark, SF_DIR)))
+    assert got == GOLDEN_FINGERPRINTS[name], (
+        f"{name}: plan fingerprint drifted (regenerate PLANS.md and, if "
+        f"the new plan is intentional, update GOLDEN_FINGERPRINTS)\n"
+        f"  expected {GOLDEN_FINGERPRINTS[name]}\n  got      {got}"
+    )
