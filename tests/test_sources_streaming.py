@@ -458,3 +458,109 @@ def test_stateless_corpus_ops_run_on_streams(spark, tmp_path):
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, batch)
     assert (got.n_markers >= 2).all()  # email + phone both scrubbed
+
+
+# ------------------------------------------------------------------
+# streaming incremental dedup (foreachBatch crawl-ingest shape)
+# ------------------------------------------------------------------
+
+
+def test_streaming_incremental_dedup_matches_oneshot(spark, tmp_path):
+    """Drain a 3-shard file stream (maxFilesPerTrigger=1 → one shard
+    per micro-batch) through streaming_incremental_dedup; the final
+    published mapping equals one-shot neardup_components on the union
+    — the same contract as the batch shard-by-shard property test."""
+    import json
+
+    from stock_indicators_etl_spark.llmdata.dedup import neardup_components
+    from stock_indicators_etl_spark.streaming.dedup_stream import (
+        streaming_incremental_dedup,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 240)
+        .select("doc_id", "text")
+    )
+    pdf = docs.toPandas()
+    src = tmp_path / "shards"
+    src.mkdir()
+    for i in range(3):
+        shard = pdf[pdf.doc_id % 3 == i]
+        with open(src / f"shard_{i}.jsonl", "w") as f:
+            for _, r in shard.iterrows():
+                f.write(json.dumps({"doc_id": int(r.doc_id), "text": r.text}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    comp_path = str(tmp_path / "components")
+    q = streaming_incremental_dedup(
+        stream,
+        index_path=str(tmp_path / "idx"),
+        components_path=comp_path,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        threshold=0.5,
+    )
+    q.awaitTermination(180)
+    assert q.lastProgress is not None and q.lastProgress["batchId"] >= 2
+
+    got = sorted(
+        (r["doc_id"], r["component"])
+        for r in spark.read.parquet(comp_path).collect()
+    )
+    oneshot = neardup_components(docs, threshold=0.5, max_bucket_size=None)
+    want = sorted((r["doc_id"], r["component"]) for r in oneshot.collect())
+    assert got == want
+
+
+def test_streaming_incremental_dedup_resumes_from_published_mapping(
+    spark, tmp_path
+):
+    """A restarted job (fresh in-memory state, new stream over a NEW
+    shard) reloads the published mapping and merges against it: a new
+    near-dup of an already-indexed doc lands in the old group."""
+    import json
+
+    from stock_indicators_etl_spark.streaming.dedup_stream import (
+        streaming_incremental_dedup,
+    )
+
+    src1 = tmp_path / "s1"
+    src1.mkdir()
+    with open(src1 / "a.jsonl", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog again and again"}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": "completely unrelated content about spark shuffle partitions"}) + "\n")
+    idx = str(tmp_path / "idx")
+    comp_path = str(tmp_path / "components")
+    q1 = streaming_incremental_dedup(
+        spark.readStream.schema("doc_id long, text string").json(str(src1)),
+        index_path=idx,
+        components_path=comp_path,
+        checkpoint_path=str(tmp_path / "ckpt1"),
+        threshold=0.5,
+    )
+    q1.awaitTermination(120)
+
+    # "restart": new query object, new checkpoint, new source dir
+    src2 = tmp_path / "s2"
+    src2.mkdir()
+    with open(src2 / "b.jsonl", "w") as f:
+        f.write(json.dumps({"doc_id": 10, "text": "the quick brown fox jumps over the lazy dog again and again!"}) + "\n")
+    q2 = streaming_incremental_dedup(
+        spark.readStream.schema("doc_id long, text string").json(str(src2)),
+        index_path=idx,
+        components_path=comp_path,
+        checkpoint_path=str(tmp_path / "ckpt2"),
+        threshold=0.5,
+    )
+    q2.awaitTermination(120)
+
+    m = {
+        r["doc_id"]: r["component"]
+        for r in spark.read.parquet(comp_path).collect()
+    }
+    assert m[10] == m[1] == 1
+    assert m[2] == 2
