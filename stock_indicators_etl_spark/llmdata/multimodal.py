@@ -383,7 +383,8 @@ def real_decoder(payload: bytes, kind: str) -> np.ndarray:
         return audio_decoder(payload, kind)
     raise NotImplementedError(
         "video/compressed-audio decode libraries are not available "
-        "in this environment; inject a decoder, or use image_decoder "
+        "in this environment; inject a decoder (worked example: "
+        "examples/custom_codec_injection.py), or use image_decoder "
         "(PPM/PGM/BMP/PNG/baseline JPEG) / audio.audio_decoder "
         "(WAV PCM) payloads"
     )

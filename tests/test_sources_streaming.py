@@ -564,3 +564,48 @@ def test_streaming_incremental_dedup_resumes_from_published_mapping(
     }
     assert m[10] == m[1] == 1
     assert m[2] == 2
+
+
+def test_custom_codec_injection_example(spark):
+    """examples/custom_codec_injection.py: the documented escape hatch
+    for compressed media — an injected adapter decodes a 'video'
+    container real_decoder would reject, mixed media fall through to
+    the built-in decoders, and the Spark-side schema is unchanged."""
+    import sys
+    from pathlib import Path
+
+    import numpy as np
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    import custom_codec_injection as ex
+
+    out = ex.run_example(spark).toPandas()
+    assert list(out.columns) == ["media_id", "kind", "n_bytes", "sha256", "features"]
+    feats = np.array(out.iloc[0].features)
+    assert feats.shape == (16,) and abs(feats.sum() - 1.0) < 1e-6
+
+    # mixed column: a WAV row decodes via the built-in fall-through,
+    # the stub-video row via the injected codec — one adapter, both
+    from stock_indicators_etl_spark.llmdata.audio import encode_wav
+
+    wav = encode_wav(np.zeros(64, dtype=np.int16), sample_rate=8000)
+    vid = ex.encode_stub_video([np.full((4, 4), 7, dtype=np.uint8)])
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(wav)), (2, "video", bytearray(vid))],
+        "media_id long, kind string, payload binary",
+    )
+    from stock_indicators_etl_spark.llmdata.multimodal import (
+        extract_media_features,
+    )
+
+    both = extract_media_features(media, decoder=ex.video_decoder).toPandas()
+    assert len(both) == 2
+    assert all(len(f) == 16 for f in both.features)
+
+    # real_decoder without the injection still rejects the container
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        from stock_indicators_etl_spark.llmdata.multimodal import real_decoder
+
+        real_decoder(vid, "video")
