@@ -1,24 +1,33 @@
-"""Baseline JPEG (ITU-T T.81) codec in pure numpy + stdlib.
+"""Baseline + progressive JPEG (ITU-T T.81) codec in pure numpy + stdlib.
 
 North-star multimodal surface (reference N/A). JPEG was the one
 image format ``llmdata/multimodal.py`` still stubbed: the container
-has no codec libraries, but baseline sequential JPEG is implementable
-from the public spec with numpy — marker parsing, DQT/DHT tables,
-canonical Huffman entropy decode, dequantize + inverse zigzag, exact
-float IDCT (8×8 DCT-II basis matrices), chroma upsampling for
-arbitrary h×v ∈ {1,2} sampling factors, YCbCr→RGB, DRI/RSTn restart
-handling, and 0xFF00 byte unstuffing.
+has no codec libraries, but sequential AND progressive JPEG are
+implementable from the public spec with numpy — marker parsing,
+DQT/DHT tables, canonical Huffman entropy decode, dequantize +
+inverse zigzag, exact float IDCT (8×8 DCT-II basis matrices), chroma
+upsampling for arbitrary h×v ∈ {1,2} sampling factors, YCbCr→RGB,
+DRI/RSTn restart handling, and 0xFF00 byte unstuffing.
+
+Progressive (SOF2, ~10 % of real crawled JPEGs) decodes for real:
+coefficients accumulate across scans — interleaved DC first/refine
+scans, non-interleaved per-component AC scans with spectral selection
+(Ss..Se bands), successive approximation (Ah/Al point transforms —
+arithmetic shift for DC, sign-magnitude truncation for AC, per T.81
+G.1.2), and EOB-run coding — then one dequantize + IDCT pass at EOI.
 
 The matching :func:`encode_jpeg` exists to generate fixtures (and to
 round-trip-test every decoder branch: gray, 4:4:4, 4:2:0, restart
-markers, 16-bit quant tables). It derives its Huffman tables from the
-emitted symbols (fixed-length canonical codes — valid per the spec
-since DHT carries the table), so no Annex K table transcription is
-involved anywhere; the zigzag order is generated programmatically
-from the diagonal traversal definition and pinned by a unit test.
+markers, 16-bit quant tables, and ``progressive=`` scan scripts with
+and without successive approximation). It derives its Huffman tables
+from the emitted symbols (fixed-length canonical codes — valid per
+the spec since DHT carries the table), so no Annex K table
+transcription is involved anywhere; the zigzag order is generated
+programmatically from the diagonal traversal definition and pinned by
+a unit test.
 
-Progressive (SOF2), arithmetic coding, and 12-bit precision raise
-``NotImplementedError`` honestly.
+Arithmetic coding (SOF9/SOF10), hierarchical (SOF5–7, SOF13–15), and
+12-bit precision raise ``NotImplementedError`` honestly.
 
 Scale: decode runs inside the same Arrow-batched ``mapInPandas``
 plumbing as every other media kernel (multimodal.extract_media_
@@ -66,8 +75,8 @@ def _fdct2(block: np.ndarray) -> np.ndarray:
 
 # markers
 SOI, EOI, SOS, DQT, DHT, DRI = 0xD8, 0xD9, 0xDA, 0xDB, 0xC4, 0xDD
-SOF0 = 0xC0
-SOF_UNSUPPORTED = {0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+SOF0, SOF1, SOF2 = 0xC0, 0xC1, 0xC2
+SOF_UNSUPPORTED = {0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                    0xCB, 0xCD, 0xCE, 0xCF}
 
 
@@ -157,17 +166,124 @@ def _split_entropy(data: bytes) -> list[bytes]:
     return intervals
 
 
+def _decode_seq_block(reader, dc_tab, ac_tab, comp) -> np.ndarray:
+    """One sequential (baseline) block: DC diff + AC run-length."""
+    coef = np.zeros(64, dtype=np.int64)
+    s = _huff_decode(reader, dc_tab)
+    comp["dc"] += _extend(reader.read_bits(s), s)
+    coef[0] = comp["dc"]
+    k = 1
+    while k < 64:
+        rs = _huff_decode(reader, ac_tab)
+        r, s = rs >> 4, rs & 15
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += r
+        coef[ZIGZAG[k]] = _extend(reader.read_bits(s), s)
+        k += 1
+    return coef
+
+
+def _decode_dc_first(reader, dc_tab, comp, coef, al) -> None:
+    s = _huff_decode(reader, dc_tab)
+    comp["dc"] += _extend(reader.read_bits(s), s)
+    coef[0] = comp["dc"] << al
+
+
+def _decode_ac_first(reader, ac_tab, coef, ss, se, al, state) -> None:
+    """AC first scan for one block (T.81 G.1.2.2): band Ss..Se,
+    values scaled by 2^Al, EOB runs span blocks via state['eobrun']."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, ac_tab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:  # EOBn: run of (1<<r) + bits(r) all-zero bands
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += reader.read_bits(r)
+                return
+            k += 16  # ZRL
+            continue
+        k += r
+        coef[ZIGZAG[k]] = _extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _decode_dc_refine(reader, coef, al) -> None:
+    if reader.read_bit():
+        coef[0] |= 1 << al  # two's-complement OR, sign-safe
+
+
+def _decode_ac_refine(reader, ac_tab, coef, ss, se, al, state) -> None:
+    """AC refinement for one block (T.81 G.1.2.3): newly significant
+    coefficients arrive as ±1·2^Al; history-nonzero coefficients get
+    one correction bit each as the band is traversed."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(k: int) -> None:
+        if reader.read_bit():
+            v = coef[ZIGZAG[k]]
+            if (v & p1) == 0:
+                coef[ZIGZAG[k]] = v + (p1 if v >= 0 else m1)
+
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _huff_decode(reader, ac_tab)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    state["eobrun"] = (1 << r)
+                    if r:
+                        state["eobrun"] += reader.read_bits(r)
+                    break  # remaining band handled in the EOB path
+                # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("AC refinement size must be 1")
+                newval = p1 if reader.read_bit() else m1
+            # advance over r zero-history positions, emitting
+            # correction bits at nonzero-history positions passed
+            while k <= se:
+                if coef[ZIGZAG[k]] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                coef[ZIGZAG[k]] = newval
+            k += 1
+    if state["eobrun"] > 0:
+        # EOB run covers this block: correction bits only
+        while k <= se:
+            if coef[ZIGZAG[k]] != 0:
+                correct(k)
+            k += 1
+        state["eobrun"] -= 1
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF/JPEG bytes → (H, W) uint8 gray or (H, W, 3) RGB."""
+    """JFIF/JPEG bytes → (H, W) uint8 gray or (H, W, 3) RGB.
+    Sequential (SOF0/SOF1) and progressive (SOF2) Huffman modes."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) → table
     frame = None
+    progressive = False
     restart_interval = 0
     i = 2
-    scan_data = None
-    scan_comps = None
+    scans: list[dict] = []
     while i < len(payload):
         if payload[i] != 0xFF:
             i += 1
@@ -214,10 +330,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 symbols = seg[j + 17 : j + 17 + n]
                 huff[(tc, th)] = _build_huff(counts, symbols)
                 j += 17 + n
-        elif marker == SOF0:
+        elif marker in (SOF0, SOF1, SOF2):
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG precision")
+            progressive = marker == SOF2
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
@@ -227,7 +344,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             frame = {"h": h, "w": w, "comps": comps}
         elif marker in SOF_UNSUPPORTED:
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0) is supported"
+                "only Huffman sequential (SOF0/SOF1) and progressive "
+                "(SOF2) JPEG are supported — not arithmetic-coded or "
+                "hierarchical modes"
             )
         elif marker == DRI:
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -237,6 +356,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c : 3 + 2 * c]
                 scan_comps.append({"id": cid, "td": tt >> 4, "ta": tt & 15})
+            ss, se, ahl = seg[1 + 2 * ns : 4 + 2 * ns]
             # entropy-coded data runs to the next real marker
             j = i
             while j + 1 < len(payload):
@@ -245,10 +365,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 ):
                     break
                 j += 1
-            scan_data = payload[i:j]
+            scans.append(
+                {
+                    "comps": scan_comps,
+                    "ss": ss,
+                    "se": se,
+                    "ah": ahl >> 4,
+                    "al": ahl & 15,
+                    "data": payload[i:j],
+                    "dri": restart_interval,
+                    # tables snapshot: DHT may redefine ids per scan
+                    "huff": dict(huff),
+                }
+            )
             i = j
-    if frame is None or scan_data is None:
-        raise ValueError("JPEG missing SOF0/SOS")
+    if frame is None or not scans:
+        raise ValueError("JPEG missing SOF/SOS")
 
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
@@ -256,58 +388,35 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
     mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
     by_id = {c["id"]: c for c in comps}
-    for sc in scan_comps:
-        c = by_id[sc["id"]]
-        c["td"], c["ta"] = sc["td"], sc["ta"]
-        c["plane"] = np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
-        c["dc"] = 0
+    for c in comps:
+        # padded (interleaved) block dims; non-interleaved scans cover
+        # only the real block dims below
+        c["bh"], c["bw"] = mcuy * c["v"], mcux * c["h"]
+        c["coef"] = np.zeros((c["bh"], c["bw"], 64), dtype=np.int64)
+        # real per-component block dims (T.81 A.1.1: sample dims =
+        # ceil(frame_dim * sampling / max_sampling), blocks = ceil(/8))
+        samp_h = -(-(frame["h"] * c["v"]) // vmax)
+        samp_w = -(-(frame["w"] * c["h"]) // hmax)
+        c["rbh"] = -(-samp_h // 8)
+        c["rbw"] = -(-samp_w // 8)
 
-    intervals = _split_entropy(scan_data)
-    interval_idx = 0
-    reader = _BitReader(intervals[0])
-    per_interval = restart_interval if restart_interval else mcux * mcuy
-    mcu_in_interval = 0
-    order = [by_id[sc["id"]] for sc in scan_comps]
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if mcu_in_interval == per_interval:
-                interval_idx += 1
-                reader = _BitReader(intervals[interval_idx])
-                mcu_in_interval = 0
-                for c in order:
-                    c["dc"] = 0
-            for c in order:
-                q = qt[c["tq"]]
-                for vy in range(c["v"]):
-                    for vx in range(c["h"]):
-                        coef = np.zeros(64, dtype=np.int64)
-                        s = _huff_decode(reader, huff[(0, c["td"])])
-                        c["dc"] += _extend(reader.read_bits(s), s)
-                        coef[0] = c["dc"]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(reader, huff[(1, c["ta"])])
-                            r, s = rs >> 4, rs & 15
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += r
-                            coef[ZIGZAG[k]] = _extend(reader.read_bits(s), s)
-                            k += 1
-                        block = _idct2((coef * q).reshape(8, 8)) + 128.0
-                        y0 = (my * c["v"] + vy) * 8
-                        x0 = (mx * c["h"] + vx) * 8
-                        c["plane"][y0 : y0 + 8, x0 : x0 + 8] = block
-            mcu_in_interval += 1
+    for scan in scans:
+        _decode_one_scan(scan, by_id, mcux, mcuy, progressive)
 
     h, w = frame["h"], frame["w"]
     planes = []
     for c in comps:
-        p = c["plane"]
+        plane = np.zeros((c["bh"] * 8, c["bw"] * 8))
+        q = qt[c["tq"]]
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                coef = c["coef"][by, bx]
+                block = _idct2((coef * q).reshape(8, 8)) + 128.0
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
         # nearest-neighbor upsample to full resolution
-        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        p = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
         planes.append(p[:h, :w])
     if len(planes) == 1:
         return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
@@ -317,6 +426,93 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         axis=2,
     )
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_one_scan(scan, by_id, mcux, mcuy, progressive) -> None:
+    """Decode one scan's entropy data into the components' coefficient
+    arrays. Sequential: the single interleaved DC+AC scan. Progressive:
+    one of DC-first / DC-refine / AC-first / AC-refine, interleaved
+    (multi-component, DC only per G.1) or non-interleaved."""
+    huff = scan["huff"]
+    order = [by_id[sc["id"]] for sc in scan["comps"]]
+    for c, sc in zip(order, scan["comps"]):
+        c["td"], c["ta"] = sc["td"], sc["ta"]
+        c["dc"] = 0
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    interleaved = len(order) > 1
+
+    if interleaved or not progressive:
+        units_total = mcux * mcuy
+    else:
+        units_total = order[0]["rbh"] * order[0]["rbw"]
+    per_interval = scan["dri"] if scan["dri"] else units_total
+
+    intervals = _split_entropy(scan["data"])
+    interval_idx = 0
+    reader = _BitReader(intervals[0])
+    state = {"eobrun": 0}
+    in_interval = 0
+
+    def maybe_restart():
+        nonlocal interval_idx, reader, in_interval
+        if in_interval == per_interval:
+            interval_idx += 1
+            reader = _BitReader(intervals[interval_idx])
+            in_interval = 0
+            state["eobrun"] = 0
+            for c in order:
+                c["dc"] = 0
+
+    if interleaved or not progressive:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for c in order:
+                    for vy in range(c["v"]):
+                        for vx in range(c["h"]):
+                            by, bx = my * c["v"] + vy, mx * c["h"] + vx
+                            if not progressive:
+                                c["coef"][by, bx] = _decode_seq_block(
+                                    reader,
+                                    huff[(0, c["td"])],
+                                    huff[(1, c["ta"])],
+                                    c,
+                                )
+                            elif ah == 0:  # DC first (ss==0 per spec)
+                                _decode_dc_first(
+                                    reader,
+                                    huff[(0, c["td"])],
+                                    c,
+                                    c["coef"][by, bx],
+                                    al,
+                                )
+                            else:  # DC refine
+                                _decode_dc_refine(
+                                    reader, c["coef"][by, bx], al
+                                )
+                in_interval += 1
+        return
+
+    # non-interleaved progressive scan (single component)
+    c = order[0]
+    for by in range(c["rbh"]):
+        for bx in range(c["rbw"]):
+            maybe_restart()
+            coef = c["coef"][by, bx]
+            if ss == 0:
+                if ah == 0:
+                    _decode_dc_first(reader, huff[(0, c["td"])], c, coef, al)
+                else:
+                    _decode_dc_refine(reader, coef, al)
+            elif ah == 0:
+                _decode_ac_first(
+                    reader, huff[(1, c["ta"])], coef, ss, se, al, state
+                )
+            else:
+                _decode_ac_refine(
+                    reader, huff[(1, c["ta"])], coef, ss, se, al, state
+                )
+            in_interval += 1
 
 
 # ---------------------------------------------------------------------------
@@ -402,13 +598,21 @@ def encode_jpeg(
     subsample: str = "444",
     restart_interval: int = 0,
     force_16bit_qt: bool = False,
+    progressive: bool = False,
+    successive: bool = True,
 ) -> bytes:
-    """(H, W) gray or (H, W, 3) RGB uint8 → baseline JFIF bytes.
+    """(H, W) gray or (H, W, 3) RGB uint8 → baseline or progressive
+    JFIF bytes.
 
     ``subsample``: "444" (no chroma subsampling) or "420" (2×2 mean).
     ``restart_interval`` > 0 emits DRI + RSTn markers every that many
-    MCUs. ``force_16bit_qt`` writes pq=1 DQT segments (decoder branch
-    coverage)."""
+    MCUs (baseline only). ``force_16bit_qt`` writes pq=1 DQT segments
+    (decoder branch coverage). ``progressive=True`` emits SOF2 with a
+    scan script: spectral selection only (``successive=False`` — DC,
+    AC 1–5, AC 6–63 per component) or spectral selection + successive
+    approximation (``successive=True`` — DC at Al=1, AC bands at Al=1,
+    then DC and AC refinement scans at Al=0, exercising the T.81
+    G.1.2 point transforms and correction-bit paths)."""
     img = np.asarray(img, dtype=np.float64)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -457,6 +661,16 @@ def encode_jpeg(
                 zz = np.rint(blk / q).astype(np.int64).reshape(-1)[ZIGZAG]
                 blocks[(by, bx)] = zz
         comp_blocks.append(blocks)
+
+    if progressive:
+        if restart_interval:
+            raise ValueError(
+                "progressive fixture encoder does not emit restart markers"
+            )
+        return _emit_progressive(
+            gray, h, w, samps, qids, qts, comp_blocks, mcux, mcuy,
+            force_16bit_qt, successive,
+        )
 
     # first pass: gather symbols per table class (luma=0, chroma=1)
     dc_syms: dict[int, list[int]] = {0: [], 1: []}
@@ -577,3 +791,308 @@ def _pad_to(p: np.ndarray, m: int) -> np.ndarray:
 def _pad_edge(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
     h, w = p.shape
     return np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (fixture generator for the SOF2 decoder paths)
+# ---------------------------------------------------------------------------
+
+
+def _dc_sym(diff: int) -> tuple[int, int]:
+    s = diff.bit_length() if diff >= 0 else (-diff).bit_length()
+    mag = diff if diff >= 0 else diff + (1 << s) - 1
+    return s, mag
+
+
+class _Tokens:
+    """Two-pass scan serialization: collect (symbol | raw-bit) tokens,
+    build the scan's Huffman table from the symbols, then write."""
+
+    def __init__(self) -> None:
+        self.toks: list[tuple] = []
+
+    def sym(self, cls: int, s: int) -> None:
+        self.toks.append(("s", cls, s))
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.toks.append(("b", v, n))
+
+    def symbols(self, cls: int) -> list[int]:
+        return [t[2] for t in self.toks if t[0] == "s" and t[1] == cls]
+
+
+def _tokens_dc_first(
+    comp_blocks, samps, gray, mcux, mcuy, al
+) -> _Tokens:
+    """Interleaved DC-first scan: diffs of the arithmetic-shifted DC
+    (T.81 G.1.2.1 — DC point transform is an arithmetic shift)."""
+    tk = _Tokens()
+    dc_prev = [0] * len(samps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (sh, sv) in enumerate(samps):
+                cls = 0 if ci == 0 or gray else 1
+                for vy in range(sv):
+                    for vx in range(sh):
+                        zz = comp_blocks[ci][(my * sv + vy, mx * sh + vx)]
+                        v = int(zz[0]) >> al
+                        s, mag = _dc_sym(v - dc_prev[ci])
+                        dc_prev[ci] = v
+                        tk.sym(cls, s)
+                        tk.bits(mag, s)
+    return tk
+
+
+def _tokens_dc_refine(comp_blocks, samps, mcux, mcuy, al) -> list[tuple]:
+    """Interleaved DC-refinement scan: one raw bit per block — no
+    Huffman coding at all (returned as raw-bit tokens only)."""
+    toks = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (sh, sv) in enumerate(samps):
+                for vy in range(sv):
+                    for vx in range(sh):
+                        zz = comp_blocks[ci][(my * sv + vy, mx * sh + vx)]
+                        toks.append(("b", (int(zz[0]) >> al) & 1, 1))
+    return toks
+
+
+def _tokens_ac_first(blocks, rbh, rbw, ss, se, al) -> _Tokens:
+    """Non-interleaved AC-first scan with cross-block EOB runs. AC
+    point transform truncates toward zero in sign-magnitude (G.1.2.1)."""
+    tk = _Tokens()
+    state = {"eobrun": 0}
+
+    def flush() -> None:
+        n = state["eobrun"]
+        if n:
+            r = n.bit_length() - 1
+            tk.sym(0, r << 4)
+            tk.bits(n - (1 << r), r)
+            state["eobrun"] = 0
+
+    for by in range(rbh):
+        for bx in range(rbw):
+            zz = blocks[(by, bx)]
+            a = [
+                (1 if int(zz[k]) >= 0 else -1) * (abs(int(zz[k])) >> al)
+                for k in range(ss, se + 1)
+            ]
+            if not any(a):
+                state["eobrun"] += 1
+                if state["eobrun"] == 0x7FFF:
+                    flush()
+                continue
+            flush()
+            run = 0
+            last_nonzero = max(i for i, v in enumerate(a) if v)
+            for i, v in enumerate(a):
+                if i > last_nonzero:
+                    break
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    tk.sym(0, 0xF0)  # ZRL
+                    run -= 16
+                s = v.bit_length() if v > 0 else (-v).bit_length()
+                mag = v if v >= 0 else v + (1 << s) - 1
+                tk.sym(0, (run << 4) | s)
+                tk.bits(mag, s)
+                run = 0
+            if last_nonzero < se - ss:  # zero tail → this block EOBs
+                state["eobrun"] += 1
+    flush()
+    return tk
+
+
+def _tokens_ac_refine(blocks, rbh, rbw, ss, se, al) -> _Tokens:
+    """Non-interleaved AC-refinement scan (G.1.2.3): newly significant
+    coefficients as ±1·2^Al, correction bits for history-nonzero ones
+    buffered and emitted after each symbol, cross-block EOB runs with
+    their covered correction bits."""
+    tk = _Tokens()
+    state = {"eobrun": 0, "pending": []}
+
+    def flush() -> None:
+        n = state["eobrun"]
+        if n:
+            r = n.bit_length() - 1
+            tk.sym(0, r << 4)
+            tk.bits(n - (1 << r), r)
+        for b in state["pending"]:
+            tk.bits(b, 1)
+        state["eobrun"] = 0
+        state["pending"] = []
+
+    for by in range(rbh):
+        for bx in range(rbw):
+            zz = blocks[(by, bx)]
+            vals = [int(zz[k]) for k in range(ss, se + 1)]
+            absshift = [abs(v) >> al for v in vals]
+            has_new = any(s == 1 for s in absshift)
+            if not has_new:
+                # whole band via the EOB path: correction bits only
+                state["eobrun"] += 1
+                state["pending"].extend(s & 1 for s in absshift if s > 1)
+                if state["eobrun"] == 0x7FFF:
+                    flush()
+                continue
+            flush()
+            # events since the last symbol, in traversal order:
+            # "z" = zero-history position, ("c", bit) = correction bit
+            # at a history-nonzero position. The decoder reads a
+            # correction bit exactly when its position is traversed,
+            # so a ZRL carries only the bits interleaved among ITS 16
+            # zero-history positions — bits beyond the 16th zero stay
+            # queued for the next symbol's advance.
+            events: list = []
+            nz = 0
+            for v, s in zip(vals, absshift):
+                if s > 1:  # history nonzero → correction bit
+                    events.append(("c", s & 1))
+                    continue
+                if s == 0:
+                    events.append("z")
+                    nz += 1
+                    continue
+                # newly significant (s == 1)
+                while nz > 15:
+                    tk.sym(0, 0xF0)
+                    popped = 0
+                    while popped < 16:
+                        e = events.pop(0)
+                        if e == "z":
+                            popped += 1
+                        else:
+                            tk.bits(e[1], 1)
+                    nz -= 16
+                tk.sym(0, (nz << 4) | 1)
+                tk.bits(1 if v > 0 else 0, 1)  # sign
+                for e in events:
+                    if e != "z":
+                        tk.bits(e[1], 1)
+                events = []
+                nz = 0
+            if events:
+                # band tail has no new coefficient → EOB covers it
+                state["eobrun"] += 1
+                state["pending"].extend(e[1] for e in events if e != "z")
+    flush()
+    return tk
+
+
+def _emit_progressive(
+    gray, h, w, samps, qids, qts, comp_blocks, mcux, mcuy,
+    force_16bit_qt, successive,
+) -> bytes:
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    ncomp = len(samps)
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend(struct.pack(">H", len(body) + 2))
+        out.extend(body)
+
+    seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, q in qts.items():
+        q_zz = q[ZIGZAG]
+        if force_16bit_qt:
+            seg(DQT, bytes([16 | tq]) + q_zz.astype(">u2").tobytes())
+        else:
+            seg(DQT, bytes([tq]) + q_zz.astype(np.uint8).tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (samps[ci][0] << 4) | samps[ci][1], qids[ci]])
+    seg(SOF2, sof)
+
+    # per-component REAL block dims (non-interleaved AC scan coverage)
+    rdims = []
+    for sh, sv in samps:
+        samp_h = -(-(h * sv) // vmax)
+        samp_w = -(-(w * sh) // hmax)
+        rdims.append((-(-samp_h // 8), -(-samp_w // 8)))
+
+    def write_tokens(tk: _Tokens, tc: int) -> bytes:
+        """Build per-class tables from the tokens, emit DHT segs,
+        return the serialized entropy bytes (DHT written via seg)."""
+        classes = sorted({t[1] for t in tk.toks if t[0] == "s"})
+        enc = {}
+        for cls in classes:
+            counts, symbols = _fixed_len_huff(tk.symbols(cls) or [0])
+            seg(DHT, bytes([(tc << 4) | cls]) + bytes(counts) + symbols)
+            code = 0
+            k = 0
+            table = {}
+            for length in range(1, 17):
+                for _ in range(counts[length - 1]):
+                    table[symbols[k]] = (length, code)
+                    code += 1
+                    k += 1
+                code <<= 1
+            enc[cls] = table
+        bw = _BitWriter()
+        for t in tk.toks:
+            if t[0] == "s":
+                ln, code = enc[t[1]][t[2]]
+                bw.write(code, ln)
+            else:
+                bw.write(t[1], t[2])
+        bw.flush()
+        return bytes(bw.out)
+
+    def sos_header(comp_ids: list[int], tds: list[int], tas: list[int],
+                   ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid, td, ta in zip(comp_ids, tds, tas):
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return body
+
+    al1 = 1 if successive else 0
+
+    # scan 1: interleaved DC first
+    tk = _tokens_dc_first(comp_blocks, samps, gray, mcux, mcuy, al1)
+    classes = [0] if gray else [0, 1]
+    entropy = write_tokens(tk, tc=0)
+    seg(SOS, sos_header(
+        list(range(1, ncomp + 1)),
+        [0 if ci == 0 or gray else 1 for ci in range(ncomp)],
+        [0] * ncomp, 0, 0, 0, al1,
+    ))
+    out.extend(entropy)
+
+    # AC first scans: two spectral bands per component
+    for ci in range(ncomp):
+        rbh, rbw = rdims[ci]
+        for ss, se in ((1, 5), (6, 63)):
+            tk = _tokens_ac_first(comp_blocks[ci], rbh, rbw, ss, se, al1)
+            entropy = write_tokens(tk, tc=1)
+            seg(SOS, sos_header([ci + 1], [0], [0], ss, se, 0, al1))
+            out.extend(entropy)
+
+    if successive:
+        # DC refinement (raw bits, no Huffman table)
+        toks = _tokens_dc_refine(comp_blocks, samps, mcux, mcuy, 0)
+        bw = _BitWriter()
+        for _, v, n in toks:
+            bw.write(v, n)
+        bw.flush()
+        seg(SOS, sos_header(
+            list(range(1, ncomp + 1)), [0] * ncomp, [0] * ncomp, 0, 0, 1, 0,
+        ))
+        out.extend(bytes(bw.out))
+
+        # AC refinement per component over the full band
+        for ci in range(ncomp):
+            rbh, rbw = rdims[ci]
+            tk = _tokens_ac_refine(comp_blocks[ci], rbh, rbw, 1, 63, 0)
+            entropy = write_tokens(tk, tc=1)
+            seg(SOS, sos_header([ci + 1], [0], [0], 1, 63, 1, 0))
+            out.extend(entropy)
+
+    out.extend(b"\xff\xd9")
+    return bytes(out)

@@ -4,8 +4,9 @@ Media travel as opaque ``binary`` columns with typed metadata structs
 — the Spark-side contract a 100 TB multimodal pipeline needs: schema,
 partitioning, Arrow batch shape, and UDF signatures are real and
 tested. Image decode is REAL for PPM/PGM, uncompressed BMP, PNG
-(stdlib ``zlib`` inflate + the five row filters in numpy), baseline
-JPEG (pure-numpy Huffman + IDCT, ``llmdata/jpeg.py``), and GIF —
+(stdlib ``zlib`` inflate + the five row filters in numpy), sequential
+AND progressive JPEG (pure-numpy Huffman + IDCT + SOF2 multi-scan
+coefficient accumulation, ``llmdata/jpeg.py``), and GIF —
 including animation frame extraction (``llmdata/gif.py``); audio
 decode is REAL for RIFF/WAVE PCM (``llmdata/audio.py``).
 Video-container and compressed-audio codecs genuinely need libraries
@@ -303,7 +304,7 @@ def encode_png(img: np.ndarray, row_filters=None) -> bytes:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Dispatch on magic bytes: PPM/PGM, uncompressed BMP, PNG (stdlib
-    zlib inflate + numpy defilter), and baseline JPEG (pure-numpy
+    zlib inflate + numpy defilter), and sequential+progressive JPEG (pure-numpy
     Huffman + IDCT, see ``llmdata/jpeg.py``) decode for real; video
     raises — containers/codecs genuinely need libs absent here."""
     if payload[:2] in (b"P6", b"P5"):
@@ -322,7 +323,7 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_gif(payload)[0][0]  # first frame
     raise NotImplementedError(
         "video-container decode needs codec libraries not present in "
-        "this environment; PPM/PGM/uncompressed-BMP/PNG/baseline-JPEG/"
+        "this environment; PPM/PGM/uncompressed-BMP/PNG/JPEG(SOF0/1/2)/"
         "GIF decode natively (animated GIF via gif.sample_gif_frames)"
     )
 
@@ -368,7 +369,7 @@ def image_resize(payload: bytes, width: int, height: int) -> bytes:
 def real_decoder(payload: bytes, kind: str) -> np.ndarray:
     """Codec-library decode path for formats needing external codecs —
     video/compressed audio (PIL/av/librosa are not present here).
-    Decodable images (PPM/PGM/BMP/PNG/baseline JPEG) go through
+    Decodable images (PPM/PGM/BMP/PNG/sequential+progressive JPEG) go through
     :func:`image_decoder` and RIFF/WAVE PCM through
     :func:`audio.audio_decoder` for real."""
     if kind == "image" and (
@@ -385,7 +386,7 @@ def real_decoder(payload: bytes, kind: str) -> np.ndarray:
         "video/compressed-audio decode libraries are not available "
         "in this environment; inject a decoder (worked example: "
         "examples/custom_codec_injection.py), or use image_decoder "
-        "(PPM/PGM/BMP/PNG/baseline JPEG) / audio.audio_decoder "
+        "(PPM/PGM/BMP/PNG/JPEG incl. progressive) / audio.audio_decoder "
         "(WAV PCM) payloads"
     )
 

@@ -123,12 +123,77 @@ def test_higher_quality_means_higher_psnr():
 # ---------------------------------------------------------------------------
 
 
-def test_progressive_rejected():
-    enc = bytearray(J.encode_jpeg(_gradient_rgb(16, 16)))
-    i = enc.index(b"\xff\xc0")
-    enc[i + 1] = 0xC2  # SOF2 progressive
-    with pytest.raises(NotImplementedError):
-        J.decode_jpeg(bytes(enc))
+def test_arithmetic_and_hierarchical_rejected():
+    """Progressive (SOF2) now decodes; the honest rejection narrows to
+    arithmetic-coded and hierarchical modes."""
+    for sof in (0xC9, 0xCA, 0xC3, 0xCE):
+        enc = bytearray(J.encode_jpeg(_gradient_rgb(16, 16)))
+        i = enc.index(b"\xff\xc0")
+        enc[i + 1] = sof
+        with pytest.raises(NotImplementedError):
+            J.decode_jpeg(bytes(enc))
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("successive", [False, True])
+@pytest.mark.parametrize(
+    "shape,sub",
+    [((41, 53), None), ((33, 47, 3), "444"), ((33, 47, 3), "420"),
+     ((8, 8), None)],
+)
+def test_progressive_decodes_identical_to_baseline(shape, sub, successive):
+    """Progressive re-orders the SAME quantized coefficients across
+    scans (spectral selection; with successive=True also the Ah/Al
+    point-transform refinement), so after all scans the decode must be
+    PIXEL-IDENTICAL to the baseline encode of the same image/quality —
+    the strongest cross-check the two scan architectures allow."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, shape).astype(np.uint8)
+    kw = {} if sub is None else {"subsample": sub}
+    base = J.decode_jpeg(J.encode_jpeg(img, quality=85, **kw))
+    prog_bytes = J.encode_jpeg(
+        img, quality=85, progressive=True, successive=successive, **kw
+    )
+    assert prog_bytes[:2] == b"\xff\xd8"
+    assert b"\xff\xc2" in prog_bytes  # SOF2
+    assert b"\xff\xc0" not in prog_bytes
+    prog = J.decode_jpeg(prog_bytes)
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_multiple_scans_present():
+    """The scan script really is progressive: >= 3 SOS markers (DC +
+    two AC bands), >= 5 with successive approximation (refinements)."""
+    img = np.random.default_rng(1).integers(0, 256, (24, 24)).astype(np.uint8)
+    spectral = J.encode_jpeg(img, progressive=True, successive=False)
+    succ = J.encode_jpeg(img, progressive=True, successive=True)
+    assert spectral.count(b"\xff\xda") == 3
+    assert succ.count(b"\xff\xda") == 5
+
+
+def test_progressive_smooth_image_eob_runs():
+    """A smooth gradient maximizes cross-block EOB runs (the hardest
+    decoder path); still bit-identical to baseline."""
+    yy, xx = np.mgrid[0:64, 0:64]
+    img = ((yy + xx) * 2 % 256).astype(np.uint8)
+    base = J.decode_jpeg(J.encode_jpeg(img, quality=30))
+    prog = J.decode_jpeg(J.encode_jpeg(img, quality=30, progressive=True))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_low_and_high_quality():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (40, 56, 3)).astype(np.uint8)
+    for q in (20, 99):
+        base = J.decode_jpeg(J.encode_jpeg(img, quality=q, subsample="420"))
+        prog = J.decode_jpeg(
+            J.encode_jpeg(img, quality=q, subsample="420", progressive=True)
+        )
+        assert np.array_equal(base, prog)
 
 
 def test_not_a_jpeg():
