@@ -43,6 +43,7 @@ EAGER_CONSTRUCTION = frozenset(
         "kmeans",
         "semantic_neardup",
         "semantic_neardup_scaled",
+        "semdedup_production",
         # builds a temp index + runs two shard increments at
         # construction — that IS the operator's work
         "dedup_incremental",

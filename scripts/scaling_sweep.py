@@ -47,7 +47,8 @@ SF1_QUERIES = {
     "dedup_pipeline", "neardup_components", "cosine_topk",
     "embedding_neardup_scaled", "ivf_topk", "pq_topk", "ivfpq_topk", "corpus_prep",
     "ngram_jaccard_capped", "bm25_topk", "chunk_documents",
-    "kmeans", "semantic_neardup_scaled", "unigram_surprisal",
+    "kmeans", "semantic_neardup_scaled", "semdedup_production",
+    "unigram_surprisal",
     "span_dedup", "tfidf_keywords", "leakage_split",
     "heavy_hitters", "audio_stats", "dedup_incremental", "pack_sequences",
     "canonicalize", "pagerank",
@@ -76,6 +77,7 @@ QUERIES = [
     "kmeans",                 # iterative assign/update w/ driver literals (extra)
     "semantic_neardup",       # kmeans blocking + within-cluster cosine (extra)
     "semantic_neardup_scaled",  # auto-k SemDeDup — cluster size pinned, the sf1 variant
+    "semdedup_production",    # auto-k SemDeDup at the PRODUCTION default (hier; sweep-only)
     "unigram_surprisal",      # corpus-unigram LM quality proxy (extra)
     "span_dedup",             # C4-style span removal — hash-window keep-first
     "tfidf_keywords",         # tf shuffle + vocab df + per-doc window top-n
@@ -115,6 +117,11 @@ def main() -> int:
     queries = entry_mod.queries()
     for _name, _fn in entry_mod.extra_queries().items():
         queries.setdefault(_name, _fn)
+    # sweep-only entries: no bit-exact oracle by design (order-free
+    # float sums), so they live outside the registry/extras contract
+    from stock_indicators_etl_spark.queries_llm import q_semdedup_production
+
+    queries.setdefault("semdedup_production", q_semdedup_production)
 
     have_sf1 = Path(SF1_DIR, "documents.parquet").exists()
     if not have_sf1:
@@ -194,13 +201,15 @@ def main() -> int:
         "  (`hier_assign_with_centroids`: probe √k centroid groups,",
         "  O(N·√k) — implemented, exact at n_probe=g, out of oracle",
         "  scope by design).",
-        "- That sf1 cell measures the ORACLE-exact path (exact_update",
-        "  sorted folds). The production default is `method=\"arrow\"`",
-        "  (order-free BLAS partial sums): the same auto-k SemDeDup at",
-        "  sf1 runs in ~3 s vs ~200 s — a constant-factor gap the",
-        "  oracle deliberately does not take, because order-free sums",
-        "  are not bit-replayable. At k ≫ 10⁴, `method=\"hier\"` caps",
-        "  assignment at O(N·√k).",
+        "- `semantic_neardup_scaled` measures the ORACLE-exact path",
+        "  (exact_update sorted folds, pinned via `method=\"join\"` for",
+        "  the hash harness); `semdedup_production` is the SAME auto-k",
+        "  SemDeDup at the library DEFAULT (r7: `method=\"hier\"` —",
+        "  arrow BLAS partial-sum updates + O(N·√k) two-level probe",
+        "  assignment). The production row's sf1 cell vs the oracle",
+        "  row's is the measured cost of bit-replayability — the",
+        "  default no longer pays it; `method=\"oracle\"` remains for",
+        "  the harness.",
         "",
     ]
     Path(out_path).write_text("\n".join(lines))

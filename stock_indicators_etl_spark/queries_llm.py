@@ -1647,6 +1647,25 @@ def q_semantic_neardup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cosine", _rc(F.col("cosine")))
 
 
+def q_semdedup_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION SemDeDup path at defaults (VERDICT r6 #1):
+    auto-k with `method="hier"` — arrow BLAS partial-sum updates +
+    O(N·√k) two-level probe assignment. No bit-exact oracle (order-free
+    float sums are not SQL-replayable by design); sweep-only entry
+    whose sf1 row is the scale evidence for the flipped default.
+    EAGER: sizes k from a count and iterates with bounded collects."""
+    from stock_indicators_etl_spark.llmdata.clustering import semantic_neardup_pairs
+
+    out = semantic_neardup_pairs(
+        _emb(spark, sf_dir),
+        k=1,
+        iters=KMEANS_ITERS,
+        threshold=SEMDEDUP_THRESHOLD,
+        target_cluster_size=SEM_TARGET_CLUSTER,
+    )
+    return out.withColumn("cosine", _rc(F.col("cosine")))
+
+
 def _sql_semantic_neardup_scaled() -> str:
     from stock_indicators_etl_spark.llmdata.clustering import (
         sql_semantic_neardup_oracle,

@@ -453,6 +453,10 @@ GOLDEN_FINGERPRINTS = {
 def test_golden_plan_fingerprint(spark, name):
     import __spark_entry__ as entry_mod
 
+    # earlier tests may leave persisted lineage fragments registered;
+    # the CacheManager would substitute InMemoryTableScan into these
+    # plans and shift the node counts
+    spark.catalog.clearCache()
     qs = entry_mod.queries()
     if name not in qs:
         for n, f in entry_mod.extra_queries().items():
