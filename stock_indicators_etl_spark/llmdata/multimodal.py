@@ -4,7 +4,8 @@ Media travel as opaque ``binary`` columns with typed metadata structs
 — the Spark-side contract a 100 TB multimodal pipeline needs: schema,
 partitioning, Arrow batch shape, and UDF signatures are real and
 tested. Image decode is REAL for PPM/PGM, uncompressed BMP, PNG
-(stdlib ``zlib`` inflate + the five row filters in numpy), sequential
+(stdlib ``zlib`` inflate + the five byte filters in numpy — every
+legal depth 1/2/4/8/16, palette, and Adam7 interlace), sequential
 AND progressive JPEG (pure-numpy Huffman + IDCT + SOF2 multi-scan
 coefficient accumulation, ``llmdata/jpeg.py``), and GIF —
 including animation frame extraction (``llmdata/gif.py``); audio
@@ -148,39 +149,45 @@ def _png_chunks(payload: bytes):
         i += 12 + ln  # length + type + data + crc
 
 
-def _png_defilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
+def _defilter_rows(
+    raw: np.ndarray, nrows: int, rowbytes: int, bpp: int, offset: int = 0
+) -> np.ndarray:
     """Invert the five PNG row filters (spec §9: None/Sub/Up/Average/
-    Paeth). Each scanline is ``1 + w*ch`` bytes, the first byte the
-    filter type. Sub inverts as a per-lane cumulative sum; Up as a
-    vectorized add of the prior reconstructed row; Average/Paeth walk
-    pixels left→right with ``ch``-wide numpy lanes (their recurrences
-    are inherently sequential along the row)."""
-    stride = 1 + w * ch
-    rows = raw[: h * stride].reshape(h, stride)
-    out = np.zeros((h, w * ch), dtype=np.int64)
-    prev = np.zeros(w * ch, dtype=np.int64)
-    for y in range(h):
+    Paeth) over BYTES — filtering is defined on the byte stream, so
+    this one routine serves every depth (bpp = filter-unit width in
+    bytes: ``max(1, channels*depth//8)``). Each scanline is
+    ``1 + rowbytes`` bytes, the first byte the filter type. Sub
+    inverts as a per-lane cumulative sum; Up as a vectorized add of
+    the prior reconstructed row; Average/Paeth walk left→right with
+    ``bpp``-wide numpy lanes (their recurrences are inherently
+    sequential along the row). Returns (nrows, rowbytes) uint8."""
+    stride = 1 + rowbytes
+    rows = raw[offset : offset + nrows * stride].reshape(nrows, stride)
+    nlanes = rowbytes // bpp
+    out = np.zeros((nrows, rowbytes), dtype=np.int64)
+    prev = np.zeros(rowbytes, dtype=np.int64)
+    for y in range(nrows):
         f = int(rows[y, 0])
         line = rows[y, 1:].astype(np.int64)
         if f == 0:
             rec = line
         elif f == 1:  # Sub
-            rec = np.cumsum(line.reshape(w, ch), axis=0).reshape(-1) % 256
+            rec = np.cumsum(line.reshape(nlanes, bpp), axis=0).reshape(-1) % 256
         elif f == 2:  # Up
             rec = (line + prev) % 256
         elif f == 3:  # Average
-            rec = np.zeros(w * ch, dtype=np.int64)
-            left = np.zeros(ch, dtype=np.int64)
-            for x in range(w):
-                s = slice(x * ch, (x + 1) * ch)
+            rec = np.zeros(rowbytes, dtype=np.int64)
+            left = np.zeros(bpp, dtype=np.int64)
+            for x in range(nlanes):
+                s = slice(x * bpp, (x + 1) * bpp)
                 left = (line[s] + (left + prev[s]) // 2) % 256
                 rec[s] = left
         elif f == 4:  # Paeth
-            rec = np.zeros(w * ch, dtype=np.int64)
-            left = np.zeros(ch, dtype=np.int64)
-            ul = np.zeros(ch, dtype=np.int64)
-            for x in range(w):
-                s = slice(x * ch, (x + 1) * ch)
+            rec = np.zeros(rowbytes, dtype=np.int64)
+            left = np.zeros(bpp, dtype=np.int64)
+            ul = np.zeros(bpp, dtype=np.int64)
+            for x in range(nlanes):
+                s = slice(x * bpp, (x + 1) * bpp)
                 up = prev[s]
                 p = left + up - ul
                 pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
@@ -194,15 +201,51 @@ def _png_defilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {f}")
         out[y] = rec
         prev = rec
-    return out.astype(np.uint8).reshape(h, w, ch)
+    return out.astype(np.uint8)
+
+
+def _png_defilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
+    """8-bit-depth convenience wrapper over :func:`_defilter_rows`."""
+    return _defilter_rows(raw, h, w * ch, ch).reshape(h, w, ch)
+
+
+def _png_rowbytes(w: int, channels: int, depth: int) -> int:
+    return (w * channels * depth + 7) // 8
+
+
+def _samples_from_rows(
+    rows: np.ndarray, w: int, channels: int, depth: int
+) -> np.ndarray:
+    """(nrows, rowbytes) defiltered bytes → (nrows, w*channels) sample
+    values (uint16-ranged ints for depth 16, raw small ints below 8)."""
+    nrows = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * channels].astype(np.int64)
+    if depth == 16:
+        b = rows[:, : w * channels * 2].reshape(nrows, w * channels, 2)
+        return (b[..., 0].astype(np.int64) << 8) | b[..., 1]
+    bits = np.unpackbits(rows, axis=1)[:, : w * channels * depth]
+    vals = bits.reshape(nrows, w * channels, depth).astype(np.int64)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int64)
+    return (vals * weights).sum(axis=2)
+
+
+#: Adam7 interlace pass grid: (x0, y0, dx, dy) per pass (spec §8.2).
+ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
 
 def decode_png(payload: bytes) -> np.ndarray:
     """Pure-stdlib PNG decode: zlib-inflate the IDAT stream, invert
-    the per-row filters in numpy. Supports 8-bit depth, color types
-    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
-    non-interlaced — the common corpus-image shapes. Returns (H, W)
-    for gray, else (H, W, channels) uint8."""
+    the per-row byte filters in numpy, unpack samples at any legal
+    bit depth. Supports color types 0 (gray, depths 1/2/4/8/16),
+    2 (RGB, 8/16), 3 (palette, 1/2/4/8), 4 (gray+alpha, 8/16),
+    6 (RGBA, 8/16), both non-interlaced and Adam7-interlaced.
+    Returns (H, W) for gray, else (H, W, channels) uint8 — 16-bit
+    samples scale to their high byte, sub-8-bit gray scales to the
+    full 0–255 range."""
     import zlib
 
     if payload[: len(PNG_SIG)] != PNG_SIG:
@@ -222,48 +265,88 @@ def decode_png(payload: bytes) -> np.ndarray:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color, _comp, _filt, interlace = ihdr[8:13]
-    if depth != 8:
-        raise NotImplementedError("only 8-bit PNG supported")
-    if interlace != 0:
-        raise NotImplementedError("interlaced PNG not supported")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise NotImplementedError(f"PNG color type {color} not supported")
+    legal = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(color, (8, 16))
+    if depth not in legal:
+        raise ValueError(f"illegal PNG depth {depth} for color type {color}")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
+
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
-    img = _png_defilter(raw, h, w, channels)
+    bpp = max(1, channels * depth // 8)
+    samples = np.zeros((h, w * channels), dtype=np.int64)
+    if interlace == 0:
+        rows = _defilter_rows(raw, h, _png_rowbytes(w, channels, depth), bpp)
+        samples = _samples_from_rows(rows, w, channels, depth)
+    else:  # Adam7: 7 independently-filtered sub-images
+        off = 0
+        for x0, y0, dx, dy in ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rb = _png_rowbytes(pw, channels, depth)
+            rows = _defilter_rows(raw, ph, rb, bpp, offset=off)
+            off += ph * (1 + rb)
+            sub = _samples_from_rows(rows, pw, channels, depth)
+            sub = sub.reshape(ph, pw, channels)
+            samples.reshape(h, w, channels)[y0::dy, x0::dx, :] = sub
+
+    img = samples.reshape(h, w, channels)
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         return pal[img.reshape(h, w)]
+    if depth == 16:
+        img = img >> 8  # high byte, the spec's 16→8 sample rescale
+    elif depth < 8:
+        # scale e.g. 1-bit {0,1} → {0,255} so histograms are
+        # comparable across depth encodings
+        img = np.rint(img * (255.0 / ((1 << depth) - 1))).astype(np.int64)
+    img = img.astype(np.uint8)
     return img.reshape(h, w) if channels == 1 else img
 
 
-def encode_png(img: np.ndarray, row_filters=None) -> bytes:
-    """Minimal PNG encoder (stdlib zlib + crc32): 8-bit gray / gray+
-    alpha / RGB / RGBA, non-interlaced. ``row_filters`` (int or per-row
-    list, default 0) applies that forward filter to each scanline — the
-    round-trip fixture generator for every :func:`decode_png` filter
-    branch."""
-    import zlib
+def _pack_rows(samples: np.ndarray, w: int, channels: int, depth: int) -> np.ndarray:
+    """(nrows, w*channels) sample values → (nrows, rowbytes) scanline
+    bytes at ``depth`` (big-endian 16-bit, MSB-first bit packing)."""
+    nrows = samples.shape[0]
+    rb = _png_rowbytes(w, channels, depth)
+    if depth == 8:
+        return samples.astype(np.uint8)
+    if depth == 16:
+        out = np.zeros((nrows, w * channels, 2), dtype=np.uint8)
+        out[..., 0] = samples >> 8
+        out[..., 1] = samples & 0xFF
+        return out.reshape(nrows, rb)
+    bits = (
+        (samples[..., None] >> np.arange(depth - 1, -1, -1)) & 1
+    ).astype(np.uint8).reshape(nrows, -1)
+    pad = (-bits.shape[1]) % 8
+    if pad:
+        bits = np.pad(bits, ((0, 0), (0, pad)))
+    return np.packbits(bits, axis=1)
 
-    if img.ndim == 2:
-        img = img[:, :, None]
-    h, w, ch = img.shape
-    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+def _filter_rows(rows: np.ndarray, bpp: int, row_filters) -> bytearray:
+    """Forward-filter scanline bytes (the encoder twin of
+    :func:`_defilter_rows`): filter-type byte + filtered bytes per row."""
+    nrows, rb = rows.shape
     if row_filters is None:
-        row_filters = [0] * h
+        row_filters = [0] * nrows
     elif isinstance(row_filters, int):
-        row_filters = [row_filters] * h
-    a = img.astype(np.int64)
-    flat = a.reshape(h, w * ch)
+        row_filters = [row_filters] * nrows
     scan = bytearray()
-    prev = np.zeros(w * ch, dtype=np.int64)
-    for y in range(h):
+    prev = np.zeros(rb, dtype=np.int64)
+    z = np.zeros(bpp, dtype=np.int64)
+    for y in range(nrows):
         f = row_filters[y]
-        cur = flat[y]
-        left = np.concatenate([np.zeros(ch, dtype=np.int64), cur[:-ch]]) if w * ch > ch else np.zeros(w * ch, dtype=np.int64)
-        upleft = np.concatenate([np.zeros(ch, dtype=np.int64), prev[:-ch]]) if w * ch > ch else np.zeros(w * ch, dtype=np.int64)
+        cur = rows[y].astype(np.int64)
+        left = np.concatenate([z, cur[:-bpp]]) if rb > bpp else np.zeros(rb, dtype=np.int64)
+        upleft = np.concatenate([z, prev[:-bpp]]) if rb > bpp else np.zeros(rb, dtype=np.int64)
         if f == 0:
             filt = cur
         elif f == 1:
@@ -284,6 +367,52 @@ def encode_png(img: np.ndarray, row_filters=None) -> bytes:
         scan.append(f)
         scan.extend(filt.astype(np.uint8).tobytes())
         prev = cur
+    return scan
+
+
+def encode_png(
+    img: np.ndarray,
+    row_filters=None,
+    depth: int = 8,
+    interlace: bool = False,
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """Minimal PNG encoder (stdlib zlib + crc32) — the round-trip
+    fixture generator for every :func:`decode_png` branch: gray /
+    gray+alpha / RGB / RGBA at depths 8/16, gray at 1/2/4, palette
+    (pass ``palette`` (n, 3) and a (H, W) index ``img``) at 1/2/4/8,
+    optionally Adam7-``interlace``d. ``row_filters`` (int or per-row
+    list, default 0) applies that forward filter to each scanline
+    (in interlaced mode, to every pass row)."""
+    import zlib
+
+    if palette is not None:
+        h, w = img.shape
+        ch = 1
+        color = 3
+    else:
+        if img.ndim == 2:
+            img = img[:, :, None]
+        h, w, ch = img.shape
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+        if depth in (1, 2, 4) and color != 0:
+            raise ValueError("sub-8-bit depth is gray/palette only")
+    a = img.reshape(h, w * ch).astype(np.int64)
+    bpp = max(1, ch * depth // 8)
+
+    scan = bytearray()
+    if not interlace:
+        scan = _filter_rows(_pack_rows(a, w, ch, depth), bpp, row_filters)
+    else:
+        full = a.reshape(h, w, ch)
+        for x0, y0, dx, dy in ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub = full[y0::dy, x0::dx, :].reshape(ph, pw * ch)
+            rf = row_filters if row_filters is None or isinstance(row_filters, int) else 0
+            scan += _filter_rows(_pack_rows(sub, pw, ch, depth), bpp, rf)
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         crc = zlib.crc32(typ + data) & 0xFFFFFFFF
@@ -292,14 +421,12 @@ def encode_png(img: np.ndarray, row_filters=None) -> bytes:
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
-        + bytes([8, color, 0, 0, 0])
+        + bytes([depth, color, 0, 0, 1 if interlace else 0])
     )
-    return (
-        PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(scan)))
-        + chunk(b"IEND", b"")
-    )
+    out = PNG_SIG + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
+    return out + chunk(b"IDAT", zlib.compress(bytes(scan))) + chunk(b"IEND", b"")
 
 
 def decode_image(payload: bytes) -> np.ndarray:

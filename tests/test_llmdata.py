@@ -777,7 +777,7 @@ def test_png_palette_decode():
     assert np.array_equal(decode_png(png), pal[idx])
 
 
-def test_png_unsupported_shapes_raise():
+def test_png_malformed_raises():
     import numpy as np
     import pytest
     from stock_indicators_etl_spark.llmdata.multimodal import (
@@ -787,13 +787,74 @@ def test_png_unsupported_shapes_raise():
 
     img = np.zeros((2, 2, 3), dtype=np.uint8)
     good = encode_png(img)
-    # 16-bit depth
+    # depth byte hacked to 16 with 8-bit data: truncated scanlines
     bad_depth = bytearray(good)
     bad_depth[8 + 8 + 8] = 16  # IHDR depth byte
-    with pytest.raises((NotImplementedError, ValueError)):
+    with pytest.raises(ValueError):
         decode_png(bytes(bad_depth))
+    # illegal depth for the color type (2-bit RGB)
+    bad_combo = bytearray(good)
+    bad_combo[8 + 8 + 8] = 2
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad_combo))
     with pytest.raises(ValueError):
         decode_png(b"nope")
+
+
+def test_png_depth_palette_interlace_matrix():
+    """r7 coverage of the formerly-rejected shapes: 16-bit (decodes to
+    the high byte), sub-8-bit gray (scaled to 0–255), palette at
+    1/2/4/8 bits, and Adam7 interlace — each crossed with forward
+    filters, fixtures from the in-repo encoder."""
+    import numpy as np
+    from stock_indicators_etl_spark.llmdata.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(23)
+    # 16-bit gray/RGB/RGBA, interlaced and not, Paeth-filtered
+    for ch in (1, 3, 4):
+        shape = (9, 11) if ch == 1 else (9, 11, ch)
+        img16 = rng.integers(0, 65536, shape).astype(np.uint16)
+        exp = (img16 >> 8).astype(np.uint8)
+        for il in (False, True):
+            got = decode_png(
+                encode_png(img16, depth=16, interlace=il, row_filters=4)
+            )
+            assert np.array_equal(got, exp), (ch, il)
+    # sub-8-bit gray scales to full range
+    for d in (1, 2, 4):
+        maxv = (1 << d) - 1
+        img = rng.integers(0, maxv + 1, (10, 23)).astype(np.uint8)
+        exp = np.rint(img * (255.0 / maxv)).astype(np.uint8)
+        for il in (False, True):
+            got = decode_png(encode_png(img, depth=d, interlace=il, row_filters=2))
+            assert np.array_equal(got, exp), (d, il)
+    # palette at every legal depth
+    for d in (1, 2, 4, 8):
+        n = 1 << d
+        pal = rng.integers(0, 256, (n, 3)).astype(np.uint8)
+        idx = rng.integers(0, n, (12, 19)).astype(np.uint8)
+        for il in (False, True):
+            got = decode_png(
+                encode_png(idx, depth=d, palette=pal, interlace=il, row_filters=1)
+            )
+            assert np.array_equal(got, pal[idx]), (d, il)
+    # interlaced 8-bit across all color types and filters + degenerate
+    # pass geometry (images smaller than one 8x8 Adam7 tile)
+    for ch in (1, 2, 3, 4):
+        shape = (13, 17) if ch == 1 else (13, 17, ch)
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        for f in range(5):
+            assert np.array_equal(
+                decode_png(encode_png(img, interlace=True, row_filters=f)), img
+            ), (ch, f)
+    for shape in ((1, 1), (2, 3), (5, 2), (7, 7)):
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        assert np.array_equal(
+            decode_png(encode_png(img, interlace=True, row_filters=3)), img
+        ), shape
 
 
 def test_png_through_feature_and_resize_paths():
