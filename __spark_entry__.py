@@ -347,9 +347,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     from stock_indicators_etl_spark.queries_llm import (
         q_chunk_documents,
+        q_collocations,
         q_embedding_neardup_scaled,
         q_frequent_ngrams,
         q_length_quantiles,
+        q_neardup_best,
         q_semantic_neardup,
         q_unigram_surprisal,
         q_weighted_sample,
@@ -376,6 +378,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_check": q_order_priority_check,
         "dormant_customers": q_dormant_customers,
         "winsorize_approx": q_winsorize_approx,
+        "neardup_best": q_neardup_best,
+        "collocations": q_collocations,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -398,9 +402,11 @@ def extra_oracle_sql() -> dict[str, str]:
     )
     from stock_indicators_etl_spark.queries_llm import (
         SQL_CHUNK_DOCUMENTS,
+        SQL_COLLOCATIONS,
         SQL_EMBEDDING_NEARDUP_SCALED,
         SQL_FREQUENT_NGRAMS,
         SQL_LENGTH_QUANTILES,
+        SQL_NEARDUP_BEST,
         SQL_SEMANTIC_NEARDUP,
         SQL_UNIGRAM_SURPRISAL,
         SQL_WEIGHTED_SAMPLE,
@@ -425,6 +431,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "order_priority_check": SQL_ORDER_PRIORITY_CHECK,
         "dormant_customers": SQL_DORMANT_CUSTOMERS,
         "winsorize_approx": SQL_WINSORIZE_APPROX,
+        "neardup_best": SQL_NEARDUP_BEST,
+        "collocations": SQL_COLLOCATIONS,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

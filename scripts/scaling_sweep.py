@@ -99,6 +99,7 @@ QUERIES = [
     "fuzzy_join",             # q-gram prefix filter + levenshtein verify (extra)
     "ols_by_key",             # integer-exact statistical sums (extra)
     "winsorize",              # exact quantile bounds + broadcast clip (extra)
+    "winsorize_approx",       # GK-sketch bounds — the combinable production path (extra)
     "dq_check",               # one-pass rules + anti-join referential (extra)
     "pagerank",               # integer power iteration over LSH graph (extra)
 ]

@@ -949,3 +949,31 @@ def neardup_components(
         df, text_col, k, threshold=threshold, candidates=cand
     ).select("doc_a", "doc_b")
     return connected_components(pairs, df.select("doc_id"), method=cc_method)
+
+
+def survivors_by_quality(
+    docs: DataFrame,
+    components: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pick each dedup group's BEST member instead of its min-id one:
+    the canonical doc is the group's max-``quality_col`` row (ties →
+    min id — fully deterministic, so oracle-replayable). Real
+    pipelines keep the longest / highest-quality copy of a template
+    family, not whichever crawled first; min-id canonicalization is
+    only the right default when no quality signal exists.
+
+    Plan: one equi-join of the mapping onto the docs (broadcastable
+    when the mapping is narrow) + one ``row_number`` window per
+    component — the same single-shuffle shape as every keep-first
+    operator here. Returns the surviving rows of ``docs`` (all
+    original columns), one per component.
+    """
+    w = Window.partitionBy("component").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    ranked = docs.join(components, id_col).withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    return ranked.filter(F.col("_rn") == 1).drop("_rn", "component")

@@ -465,3 +465,66 @@ def compression_ratio(
             yield pd.DataFrame(rows, columns=["doc_id", "n_bytes", "n_deflate", "ratio"])
 
     return df.select("doc_id", text_col).mapInPandas(run, schema=schema)
+
+
+def collocation_lift(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 3,
+) -> DataFrame:
+    """Bigram collocation mining, log-free: for each adjacent word
+    pair seen ≥ ``min_count`` times, emit its counts and LIFT =
+    P(w1,w2)/(P(w1)·P(w2)) = c_xy·N / (c_x·c_y). Lift is a strictly
+    monotone transform of PMI (PMI = ln lift), so ranking and
+    thresholding are equivalent — and unlike ``ln``, the ``*``/``/``
+    forming it are IEEE-correctly-rounded, so identical integer
+    counts give a bit-identical double in any engine (no libm in the
+    hash path). The operator a phrase-vocabulary / tokenizer-prep
+    pass runs over a corpus.
+
+    Plan: one scan-local ``zip_with`` builds the bigram stream (no
+    self-join of the token table), one combinable groupBy each for
+    bigram and unigram counts, an equi-join of bigrams onto the two
+    unigram sides, and a 1-row broadcast for N. All counts BIGINT.
+    """
+    ws = words(F.col(text_col))
+    t = df.select(ws.alias("_ws"))
+    uni = (
+        t.select(F.explode("_ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_frame = uni.agg(F.sum("c").alias("_n"))  # total tokens, 1 row
+    bg = (
+        t.filter(F.size("_ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(_ws, 1, size(_ws) - 1),"
+                    " slice(_ws, 2, size(_ws) - 1),"
+                    " (a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    lift = (
+        F.col("c_xy").cast("double")
+        * F.col("_n").cast("double")
+        / (F.col("c_x").cast("double") * F.col("c_y").cast("double"))
+    )
+    return (
+        bg.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_frame))
+        .select(
+            "w1", "w2", "c_xy", "c_x", "c_y",
+            F.col("_n").alias("n_tokens"),
+            lift.alias("lift"),
+        )
+    )

@@ -765,6 +765,39 @@ WHERE c.doc_id = c.component
 """
 
 
+def q_neardup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup canonicalization: keep each near-dup
+    group's LONGEST member (n_chars as the quality signal; ties → min
+    doc_id) instead of the min-id one — what a real pipeline ships
+    when a quality column exists (`llmdata.dedup.survivors_by_quality`)."""
+    from stock_indicators_etl_spark.llmdata.dedup import (
+        neardup_components,
+        survivors_by_quality,
+    )
+
+    docs = _docs(spark, sf_dir)
+    comps = neardup_components(docs, threshold=DEDUP_VERIFY_THRESHOLD)
+    full = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return survivors_by_quality(full, comps, "n_chars")
+
+
+SQL_NEARDUP_BEST = f"""
+WITH RECURSIVE {_CC_EDGE_CTES},
+comp AS (SELECT id AS doc_id, min(lab) AS component FROM reach GROUP BY id),
+ranked AS (
+  SELECT d.doc_id, d.lang, d.n_chars,
+         row_number() OVER (
+           PARTITION BY c.component
+           ORDER BY d.n_chars DESC, d.doc_id ASC
+         ) AS rn
+  FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, lang, n_chars FROM ranked WHERE rn = 1
+"""
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup against a persisted MinHash index
     (`llmdata/dedup_index.py`): the corpus arrives as two shards (even
@@ -1555,6 +1588,39 @@ SELECT doc_id, CAST(dl AS INT) AS n_tokens,
        {R6('ssum / CAST(dl AS DOUBLE)')} AS mean_surprisal
 FROM folded
 """
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocation mining over the corpus (log-free lift —
+    monotone in PMI, bit-exact via IEEE-correctly-rounded * and /;
+    `llmdata.text.collocation_lift`)."""
+    from stock_indicators_etl_spark.llmdata.text import collocation_lift
+
+    return collocation_lift(_docs(spark, sf_dir), min_count=5)
+
+
+SQL_COLLOCATIONS = f"""
+WITH {DOCS_CTE},
+toks AS (SELECT unnest(ws) AS w FROM wd),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+bg_raw AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2
+  FROM wd, unnest(range(1, len(ws))) AS t(i)
+  WHERE len(ws) >= 2
+),
+bg AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+  FROM bg_raw GROUP BY w1, w2 HAVING count(*) >= 5
+)
+SELECT b.w1, b.w2, b.c_xy, u1.c AS c_x, u2.c AS c_y, tot.n AS n_tokens,
+       CAST(b.c_xy AS DOUBLE) * CAST(tot.n AS DOUBLE)
+         / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS lift
+FROM bg b
+JOIN uni u1 ON b.w1 = u1.w
+JOIN uni u2 ON b.w2 = u2.w
+CROSS JOIN tot
+"""
+
 
 KMEANS_K = 8
 KMEANS_ITERS = 2

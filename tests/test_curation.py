@@ -566,3 +566,82 @@ def test_compression_ratio_orders_quality(spark):
     # ratio reproducible: zlib level fixed
     out2 = compression_ratio(df).toPandas().set_index("doc_id")
     assert (out.ratio == out2.ratio).all()
+
+
+def test_survivors_by_quality_keeps_best_member(spark):
+    import pandas as pd
+
+    from stock_indicators_etl_spark.llmdata.dedup import survivors_by_quality
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 10, 11, 20],
+                "q": [5, 9, 9, 3, 1, 7],
+                "lang": ["a", "b", "c", "d", "e", "f"],
+            }
+        )
+    )
+    comps = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 10, 11, 20],
+                "component": [1, 1, 1, 10, 10, 20],
+            }
+        )
+    )
+    out = survivors_by_quality(docs, comps, "q").toPandas()
+    got = sorted(zip(out.doc_id, out.q))
+    # group 1: q ties at 9 between 2 and 3 → min id 2; group 10: max q
+    # is doc 10; singleton 20 survives
+    assert got == [(2, 9), (10, 3), (20, 7)]
+    assert set(out.columns) == {"doc_id", "q", "lang"}
+
+
+def test_collocation_lift_known_answer(spark):
+    import pandas as pd
+
+    from stock_indicators_etl_spark.llmdata.text import collocation_lift
+
+    # "new york" always adjacent (planted collocation); "the" everywhere
+    rows = ["new york is big", "new york is old", "the new york the"]
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2, 3], "text": rows}))
+    out = collocation_lift(docs, min_count=3).toPandas().set_index(["w1", "w2"])
+    ny = out.loc[("new", "york")]
+    # counts: new=3, york=3, (new,york)=3, N=12 → lift = 3*12/(3*3) = 4
+    assert ny.c_xy == 3 and ny.c_x == 3 and ny.c_y == 3 and ny.n_tokens == 12
+    assert abs(ny.lift - 4.0) < 1e-12
+    # nothing below min_count leaks through
+    assert out.c_xy.min() >= 3
+
+
+def test_collocation_lift_matches_bruteforce(spark):
+    import collections
+
+    import pandas as pd
+
+    from stock_indicators_etl_spark.llmdata.text import collocation_lift
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(2, 9)))
+        for _ in range(40)
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(40), "text": texts})
+    )
+    out = collocation_lift(docs, min_count=2).toPandas()
+    uni = collections.Counter(w for t in texts for w in t.split())
+    bg = collections.Counter(
+        (a, b) for t in texts for a, b in zip(t.split(), t.split()[1:])
+    )
+    n = sum(uni.values())
+    for r in out.itertuples():
+        assert bg[(r.w1, r.w2)] == r.c_xy
+        assert uni[r.w1] == r.c_x and uni[r.w2] == r.c_y
+        assert r.n_tokens == n
+        assert abs(r.lift - r.c_xy * n / (r.c_x * r.c_y)) < 1e-12
+    assert len(out) == sum(1 for c in bg.values() if c >= 2)
