@@ -346,6 +346,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_winsorize_approx,
     )
     from stock_indicators_etl_spark.queries_llm import (
+        q_bpe_merges,
         q_chunk_documents,
         q_collocations,
         q_embedding_neardup_scaled,
@@ -380,6 +381,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_approx": q_winsorize_approx,
         "neardup_best": q_neardup_best,
         "collocations": q_collocations,
+        "bpe_merges": q_bpe_merges,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -401,6 +403,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_WINSORIZE_APPROX,
     )
     from stock_indicators_etl_spark.queries_llm import (
+        SQL_BPE_MERGES,
         SQL_CHUNK_DOCUMENTS,
         SQL_COLLOCATIONS,
         SQL_EMBEDDING_NEARDUP_SCALED,
@@ -433,6 +436,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "winsorize_approx": SQL_WINSORIZE_APPROX,
         "neardup_best": SQL_NEARDUP_BEST,
         "collocations": SQL_COLLOCATIONS,
+        "bpe_merges": SQL_BPE_MERGES,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -44,6 +44,9 @@ EAGER_CONSTRUCTION = frozenset(
         "semantic_neardup",
         "semantic_neardup_scaled",
         "semdedup_production",
+        # per-round 1-row argmax collects at construction — that IS
+        # the training loop's sequential dependency
+        "bpe_merges",
         # builds a temp index + runs two shard increments at
         # construction — that IS the operator's work
         "dedup_incremental",

@@ -51,7 +51,8 @@ SF1_QUERIES = {
     "unigram_surprisal",
     "span_dedup", "tfidf_keywords", "leakage_split",
     "heavy_hitters", "audio_stats", "dedup_incremental", "pack_sequences",
-    "canonicalize", "pagerank",
+    "canonicalize", "pagerank", "bpe_merges", "collocations",
+    "neardup_best",
 }
 
 # one representative per plan family
@@ -102,6 +103,9 @@ QUERIES = [
     "winsorize_approx",       # GK-sketch bounds — the combinable production path (extra)
     "dq_check",               # one-pass rules + anti-join referential (extra)
     "pagerank",               # integer power iteration over LSH graph (extra)
+    "bpe_merges",             # BPE training: vocab-sized rounds + 1-row argmax (extra)
+    "collocations",           # bigram lift: zip_with stream + combinable counts (extra)
+    "neardup_best",           # quality-aware canonicalization window (extra)
 ]
 
 

@@ -1622,6 +1622,30 @@ CROSS JOIN tot
 """
 
 
+BPE_MERGES = 8
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training over the corpus (`llmdata.bpe.bpe_train`):
+    8 merge rounds on the distinct-word frequency table — per round
+    one combinable pair-count shuffle + a 1-row argmax collect, the
+    merge applied as a greedy left-to-right string replace (identical
+    semantics in both engines, so the whole loop is bit-replayable).
+    EAGER: the per-round argmax IS the sequential dependency."""
+    from stock_indicators_etl_spark.llmdata.bpe import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=BPE_MERGES)
+
+
+def _sql_bpe() -> str:
+    from stock_indicators_etl_spark.llmdata.bpe import sql_bpe_oracle
+
+    return sql_bpe_oracle(BPE_MERGES, DOCS_CTE)
+
+
+SQL_BPE_MERGES = _sql_bpe()
+
+
 KMEANS_K = 8
 KMEANS_ITERS = 2
 

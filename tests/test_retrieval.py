@@ -222,3 +222,126 @@ def test_pack_sequences_rejects_bad_len(spark):
     df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["x"]}))
     with pytest.raises(ValueError):
         pack_sequences(df, seq_len=0)
+
+
+# ------------------------------------------------------------------
+# BPE tokenizer training / encoding (llmdata/bpe.py)
+# ------------------------------------------------------------------
+
+
+def _py_bpe_train(texts, n_merges):
+    """Reference implementation (Sennrich et al. 2016 pseudocode)."""
+    import collections
+
+    vocab = collections.Counter()
+    for t in texts:
+        for w in t.lower().split():
+            vocab[tuple(w) + ("</w>",)] += 1
+    merges = []
+    for _ in range(n_merges):
+        pairs = collections.Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        best = max(pairs, key=lambda p: (pairs[p], [-ord(c) for c in p[0]], ))
+        # deterministic: max count, then lexicographically smallest
+        top = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == top)
+        merges.append((best[0], best[1], top))
+        new_vocab = collections.Counter()
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and (syms[i], syms[i + 1]) == best
+                ):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] += c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    import pandas as pd
+
+    from stock_indicators_etl_spark.llmdata.bpe import bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest wide wide wide",
+        "low newer wide lowest",
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = bpe_train(docs, n_merges=10).toPandas()
+    want = _py_bpe_train(texts, 10)
+    assert list(zip(got["left"], got["right"], got["pair_count"])) == want
+
+
+def test_bpe_greedy_overlap_rule(spark):
+    """' a a a ' under merge (a,a) must become [aa, a] — replace never
+    rematches inside its own output, which is BPE's greedy rule."""
+    import pandas as pd
+
+    from stock_indicators_etl_spark.llmdata.bpe import bpe_encode
+
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["aaa"]}))
+    out = bpe_encode(docs, [("a", "a")]).toPandas()
+    assert out.iloc[0].tokens.tolist() == ["aa", "a", "</w>"]
+
+
+def test_bpe_encode_applies_merges_in_order(spark):
+    import pandas as pd
+
+    from stock_indicators_etl_spark.llmdata.bpe import bpe_encode, bpe_train
+
+    texts = ["the cat sat on the mat", "the cat ate the rat"]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": texts})
+    )
+    merges_df = bpe_train(docs, n_merges=6).toPandas()
+    merges = list(zip(merges_df["left"], merges_df["right"]))
+    enc = bpe_encode(docs, merges).toPandas().set_index("doc_id")
+
+    # python reference encode with the same merges
+    def ref_encode(text):
+        toks = []
+        for w in text.lower().split():
+            syms = list(w) + ["</w>"]
+            for a, b in merges:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            toks.extend(syms)
+        return toks
+
+    for doc_id, text in zip([1, 2], texts):
+        assert enc.loc[doc_id].tokens.tolist() == ref_encode(text), doc_id
+
+
+def test_bpe_train_exhausts_small_vocab(spark):
+    """More merges requested than pairs exist → stops early, no error."""
+    import pandas as pd
+
+    from stock_indicators_etl_spark.llmdata.bpe import bpe_train
+
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["ab"]}))
+    got = bpe_train(docs, n_merges=20).toPandas()
+    # "ab</w>": pairs (a,b) then (ab,</w>) then nothing
+    assert len(got) == 2
+    assert list(got["left"]) == ["a", "ab"]
