@@ -342,7 +342,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_order_priority_check,
         q_rollup_aggregate,
         q_shipping_priority,
+        q_small_qty_revenue,
         q_volume_shipping,
+        q_waiting_suppliers,
         q_winsorize_approx,
     )
     from stock_indicators_etl_spark.queries_llm import (
@@ -382,6 +384,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_best": q_neardup_best,
         "collocations": q_collocations,
         "bpe_merges": q_bpe_merges,
+        "small_qty_revenue": q_small_qty_revenue,
+        "waiting_suppliers": q_waiting_suppliers,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -399,7 +403,9 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_ROLLUP_AGGREGATE,
         SQL_RSI_WILDER,
         SQL_SHIPPING_PRIORITY,
+        SQL_SMALL_QTY_REVENUE,
         SQL_VOLUME_SHIPPING,
+        SQL_WAITING_SUPPLIERS,
         SQL_WINSORIZE_APPROX,
     )
     from stock_indicators_etl_spark.queries_llm import (
@@ -437,6 +443,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "neardup_best": SQL_NEARDUP_BEST,
         "collocations": SQL_COLLOCATIONS,
         "bpe_merges": SQL_BPE_MERGES,
+        "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
+        "waiting_suppliers": SQL_WAITING_SUPPLIERS,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

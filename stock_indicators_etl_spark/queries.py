@@ -2242,6 +2242,116 @@ GROUP BY l.l_returnflag
 """
 
 
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar AGGREGATE subquery — revenue
+    from line items whose quantity is below 20 % of their part's
+    average, per brand. Catalyst decorrelates the scalar aggregates
+    into one grouped-aggregate join (no per-row subquery); Spark's
+    MergeScalarSubqueries fuses the count and sum over the same
+    correlated scan.
+
+    Exactness: quantities are integral, so ``q < 0.2·avg(q)`` is the
+    INTEGER inequality ``5·q·count < sum`` — no float threshold can
+    ulp-flip a boundary row cross-engine. Revenue in integer cents."""
+    spark.read.parquet(f"{sf_dir}/part.parquet").createOrReplaceTempView(
+        "q17_part"
+    )
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "q17_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT p.p_brand,
+               count(*) AS n_small,
+               CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS revenue
+        FROM q17_lineitem l JOIN q17_part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand IN ('Brand#11', 'Brand#12', 'Brand#13')
+          AND 5 * CAST(floor(l.l_quantity + 0.5) AS BIGINT)
+              * (SELECT count(*) FROM q17_lineitem l2
+                 WHERE l2.l_partkey = l.l_partkey)
+              < (SELECT sum(CAST(floor(l2.l_quantity + 0.5) AS BIGINT))
+                 FROM q17_lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY p.p_brand
+        """
+    )
+
+
+SQL_SMALL_QTY_REVENUE = """
+SELECT p.p_brand,
+       count(*) AS n_small,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100.0 AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand IN ('Brand#11', 'Brand#12', 'Brand#13')
+  AND 5 * CAST(floor(l.l_quantity + 0.5) AS BIGINT)
+      * (SELECT count(*) FROM lineitem l2
+         WHERE l2.l_partkey = l.l_partkey)
+      < (SELECT CAST(sum(CAST(floor(l2.l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+         FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+GROUP BY p.p_brand
+"""
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS correlated on the SAME
+    table — for multi-supplier orders, count per supplier the line
+    items where that supplier shipped LAST (another supplier exists
+    on the order; none shipped later). Catalyst decorrelates the
+    pair into one LEFT SEMI and one LEFT ANTI join against lineitem
+    (both on ``l_orderkey``, the inequality riding in the join
+    condition). Integer counts — nothing to round.
+
+    (The reference Q21 keys on commit/receipt dates; this testdata
+    carries only ``l_shipdate``, so the 'kept waiting' predicate is
+    re-expressed on ship order — the decorrelation shape, which is
+    what the query exercises, is identical.)"""
+    spark.read.parquet(f"{sf_dir}/supplier.parquet").createOrReplaceTempView(
+        "q21_supplier"
+    )
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "q21_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT s.s_name, count(*) AS numwait
+        FROM q21_supplier s
+        JOIN q21_lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        WHERE EXISTS (
+            SELECT 1 FROM q21_lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM q21_lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > l1.l_shipdate
+          )
+        GROUP BY s.s_name
+        """
+    )
+
+
+SQL_WAITING_SUPPLIERS = """
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > l1.l_shipdate
+  )
+GROUP BY s.s_name
+"""
+
+
 def q_winsorize_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-path winsorization: bounds from the Greenwald–Khanna
     ``approx_percentile`` sketch (combinable map-side aggregate; the

@@ -467,3 +467,28 @@ def test_golden_plan_fingerprint(spark, name):
         f"the new plan is intentional, update GOLDEN_FINGERPRINTS)\n"
         f"  expected {GOLDEN_FINGERPRINTS[name]}\n  got      {got}"
     )
+
+
+def test_correlated_scalar_aggregate_decorrelates(spark):
+    """Q17's correlated scalar count/sum must plan as a grouped
+    aggregate joined back — not a per-row subquery (no more than the
+    expected joins, and an Aggregate on the correlated side)."""
+    from stock_indicators_etl_spark.queries import q_small_qty_revenue
+
+    plan = plan_of(q_small_qty_revenue(spark, SF_DIR))
+    assert "HashAggregate" in plan
+    # decorrelation produced join(s), not repeated scalar-subquery tags
+    assert count_nodes(plan, "Subquery") == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_exists_plus_not_exists_decorrelate_to_semi_and_anti(spark):
+    """Q21's EXISTS + NOT EXISTS on the same table must plan as one
+    LEFT SEMI and one LEFT ANTI join with the inequality riding in
+    the anti-join condition."""
+    from stock_indicators_etl_spark.queries import q_waiting_suppliers
+
+    plan = plan_of(q_waiting_suppliers(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
