@@ -609,3 +609,64 @@ def test_custom_codec_injection_example(spark):
         from stock_indicators_etl_spark.llmdata.multimodal import real_decoder
 
         real_decoder(vid, "video")
+
+
+def test_streaming_interval_join_batch_parity(spark, tmp_path):
+    """Stream-stream watermarked interval join: draining two file
+    streams (maxFilesPerTrigger=1, so left/right rows arrive across
+    different micro-batches) equals the same expression on batch
+    inputs — matches across the trigger boundary included."""
+    import json
+
+    from stock_indicators_etl_spark.streaming.joins import (
+        streaming_interval_join,
+    )
+
+    def write(dirname, rows, files=2):
+        d = tmp_path / dirname
+        d.mkdir()
+        per = (len(rows) + files - 1) // files
+        for i in range(files):
+            with open(d / f"f{i}.jsonl", "w") as f:
+                for r in rows[i * per : (i + 1) * per]:
+                    f.write(json.dumps(r) + "\n")
+        return str(d)
+
+    t0 = "2024-01-01T00:{m:02d}:{s:02d}"
+    imps = [
+        {"user_id": 1, "ts": t0.format(m=0, s=0), "imp": "a"},
+        {"user_id": 1, "ts": t0.format(m=5, s=0), "imp": "b"},
+        {"user_id": 2, "ts": t0.format(m=1, s=0), "imp": "c"},
+        {"user_id": 3, "ts": t0.format(m=2, s=0), "imp": "d"},
+    ]
+    clicks = [
+        {"user_id": 1, "ts": t0.format(m=0, s=30), "click": "x"},  # joins a
+        {"user_id": 1, "ts": t0.format(m=5, s=50), "click": "y"},  # joins b
+        {"user_id": 2, "ts": t0.format(m=3, s=0), "click": "z"},  # too late for c (60s window)
+        {"user_id": 3, "ts": t0.format(m=2, s=0), "click": "w"},  # boundary: == left ts
+    ]
+    li = write("imps", imps)
+    rc = write("clicks", clicks)
+    schema_l = "user_id long, ts timestamp, imp string"
+    schema_r = "user_id long, ts timestamp, click string"
+
+    sl = spark.readStream.schema(schema_l).option("maxFilesPerTrigger", 1).json(li)
+    sr = spark.readStream.schema(schema_r).option("maxFilesPerTrigger", 1).json(rc)
+    out = streaming_interval_join(sl, sr, "user_id", window_s=60)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("ssjoin").toPandas()
+
+    bl = spark.read.schema(schema_l).json(li)
+    br = spark.read.schema(schema_r).json(rc)
+    want = streaming_interval_join(bl, br, "user_id", window_s=60).toPandas()
+
+    key = lambda d: sorted(zip(d.user_id, d.imp, d.click_r))
+    assert key(got) == key(want)
+    assert key(got) == [(1, "a", "x"), (1, "b", "y"), (3, "d", "w")]
