@@ -343,6 +343,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_rollup_aggregate,
         q_shipping_priority,
         q_small_qty_revenue,
+        q_snapshot_diff,
         q_volume_shipping,
         q_waiting_suppliers,
         q_winsorize_approx,
@@ -385,6 +386,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "bpe_merges": q_bpe_merges,
         "small_qty_revenue": q_small_qty_revenue,
+        "snapshot_diff": q_snapshot_diff,
         "waiting_suppliers": q_waiting_suppliers,
     }
     for name in ROTATED_OUT:
@@ -404,6 +406,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_RSI_WILDER,
         SQL_SHIPPING_PRIORITY,
         SQL_SMALL_QTY_REVENUE,
+        SQL_SNAPSHOT_DIFF,
         SQL_VOLUME_SHIPPING,
         SQL_WAITING_SUPPLIERS,
         SQL_WINSORIZE_APPROX,
@@ -444,6 +447,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "collocations": SQL_COLLOCATIONS,
         "bpe_merges": SQL_BPE_MERGES,
         "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
+        "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "waiting_suppliers": SQL_WAITING_SUPPLIERS,
     }
     base = {**ORACLES, **ORACLES_LLM}

@@ -58,3 +58,57 @@ def referential_violations(
         "left_anti",
     )
     return orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two table snapshots — the validation
+    step every incremental pipeline needs ("what did this batch
+    actually change?"). Returns ``(key, change)`` with change in
+    {added, removed, changed, unchanged}.
+
+    Plan: each side reduces to ``(key, md5(content))`` scan-locally
+    (only ``compare_cols`` are read — column pruning reaches the
+    scan), then ONE full-outer equi-join on the key decides the
+    change class from null-ness + hash equality. Content hashing uses
+    the same md5 convention as the dedup family, so the classification
+    is engine-exact and the shuffle carries 2 narrow columns, never
+    the row payload."""
+    cols = compare_cols or [c for c in old.columns if c != key_col]
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        h = F.md5(
+            F.concat_ws(
+                "",
+                *[F.coalesce(F.col(c).cast("string"), F.lit(" ")) for c in cols],
+            )
+        )
+        return df.select(F.col(key_col).alias("_k"), h.alias(name))
+
+    j = side(old, "_ho").join(side(new, "_hn"), "_k", "full_outer")
+    change = (
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") == F.col("_hn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col("_k").alias(key_col), change.alias("change"))
+
+
+def snapshot_diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """One row per change class with counts — the QA gate an
+    orchestrator asserts on ("this daily batch may not remove rows")."""
+    return (
+        snapshot_diff(old, new, key_col, compare_cols)
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

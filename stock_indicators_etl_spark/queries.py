@@ -2352,6 +2352,60 @@ GROUP BY s.s_name
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot diff (operators/dq.py): two snapshots derived
+    deterministically from documents — the 'new' batch drops doc_id%5
+    rows, gains doc_id%7 rows, and rewrites doc_id%11 texts — then
+    classify every key as added/removed/changed/unchanged via one
+    (key, md5) full-outer join. The change column is engine-exact (md5
+    over string-cast columns)."""
+    from stock_indicators_etl_spark.operators.dq import snapshot_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 11 == 0, F.upper(F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    )
+    return snapshot_diff(old, new, "doc_id", ["lang", "text", "n_chars"])
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH base AS (SELECT doc_id, lang, text, n_chars FROM documents),
+old AS (SELECT * FROM base WHERE doc_id % 7 <> 0),
+new AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text,
+         n_chars
+  FROM base WHERE doc_id % 5 <> 0
+),
+ho AS (
+  SELECT doc_id AS k,
+         md5(concat_ws('', coalesce(CAST(lang AS VARCHAR), ' '),
+                           coalesce(CAST(text AS VARCHAR), ' '),
+                           coalesce(CAST(n_chars AS VARCHAR), ' '))) AS h
+  FROM old
+),
+hn AS (
+  SELECT doc_id AS k,
+         md5(concat_ws('', coalesce(CAST(lang AS VARCHAR), ' '),
+                           coalesce(CAST(text AS VARCHAR), ' '),
+                           coalesce(CAST(n_chars AS VARCHAR), ' '))) AS h
+  FROM new
+)
+SELECT coalesce(ho.k, hn.k) AS doc_id,
+       CASE WHEN ho.k IS NULL THEN 'added'
+            WHEN hn.k IS NULL THEN 'removed'
+            WHEN ho.h = hn.h THEN 'unchanged'
+            ELSE 'changed' END AS change
+FROM ho FULL OUTER JOIN hn ON ho.k = hn.k
+"""
+
+
 def q_winsorize_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-path winsorization: bounds from the Greenwald–Khanna
     ``approx_percentile`` sketch (combinable map-side aggregate; the

@@ -170,6 +170,51 @@ def test_winsorize_approx_production_accuracy_near_exact(spark):
     assert abs(int(approx.n_clipped_hi) - int(exact.n_clipped_hi)) <= 2
 
 
+def test_snapshot_diff_classifies_all_change_types(spark):
+    from stock_indicators_etl_spark.operators.dq import (
+        snapshot_diff,
+        snapshot_diff_summary,
+    )
+
+    old = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [1, 2, 3, 4], "v": ["a", "b", "c", "d"], "n": [1, 2, 3, 4]}
+        )
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [2, 3, 4, 5], "v": ["b", "C", "d", "e"], "n": [2, 3, 4, 5]}
+        )
+    )
+    got = dict(
+        (r["k"], r["change"])
+        for r in snapshot_diff(old, new, "k").collect()
+    )
+    assert got == {
+        1: "removed",
+        2: "unchanged",
+        3: "changed",
+        4: "unchanged",
+        5: "added",
+    }
+    summ = {
+        r["change"]: r["n"]
+        for r in snapshot_diff_summary(old, new, "k").collect()
+    }
+    assert summ == {"removed": 1, "unchanged": 2, "changed": 1, "added": 1}
+    # compare_cols restriction: v-only diff ignores n
+    only_n = spark.createDataFrame(
+        pd.DataFrame({"k": [2], "v": ["b"], "n": [99]})
+    )
+    got2 = dict(
+        (r["k"], r["change"])
+        for r in snapshot_diff(
+            old.filter("k = 2"), only_n, "k", ["v"]
+        ).collect()
+    )
+    assert got2 == {2: "unchanged"}
+
+
 def test_dq_summary_and_referential(spark):
     from pyspark.sql import functions as F
 
