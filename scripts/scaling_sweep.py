@@ -52,7 +52,7 @@ SF1_QUERIES = {
     "span_dedup", "tfidf_keywords", "leakage_split",
     "heavy_hitters", "audio_stats", "dedup_incremental", "pack_sequences",
     "canonicalize", "pagerank", "bpe_merges", "collocations",
-    "neardup_best",
+    "neardup_best", "snapshot_diff",
 }
 
 # one representative per plan family
@@ -106,6 +106,9 @@ QUERIES = [
     "bpe_merges",             # BPE training: vocab-sized rounds + 1-row argmax (extra)
     "collocations",           # bigram lift: zip_with stream + combinable counts (extra)
     "neardup_best",           # quality-aware canonicalization window (extra)
+    "snapshot_diff",          # (key, md5) full-outer batch validation (extra)
+    "small_qty_revenue",      # Q17: correlated scalar aggregate decorrelation (extra)
+    "waiting_suppliers",      # Q21: EXISTS + NOT EXISTS same-table decorrelation (extra)
 ]
 
 
