@@ -81,10 +81,13 @@ def snapshot_diff(
     cols = compare_cols or [c for c in old.columns if c != key_col]
 
     def side(df: DataFrame, name: str) -> DataFrame:
+        # unit-separator between columns: without one, ("ab","c") and
+        # ("a","bc") would hash identically and a changed row could
+        # classify as unchanged
         h = F.md5(
             F.concat_ws(
-                "",
-                *[F.coalesce(F.col(c).cast("string"), F.lit(" ")) for c in cols],
+                "\x1f",
+                *[F.coalesce(F.col(c).cast("string"), F.lit("\x01")) for c in cols],
             )
         )
         return df.select(F.col(key_col).alias("_k"), h.alias(name))

@@ -2385,16 +2385,16 @@ new AS (
 ),
 ho AS (
   SELECT doc_id AS k,
-         md5(concat_ws('', coalesce(CAST(lang AS VARCHAR), ' '),
-                           coalesce(CAST(text AS VARCHAR), ' '),
-                           coalesce(CAST(n_chars AS VARCHAR), ' '))) AS h
+         md5(concat_ws(chr(31), coalesce(CAST(lang AS VARCHAR), chr(1)),
+                                coalesce(CAST(text AS VARCHAR), chr(1)),
+                                coalesce(CAST(n_chars AS VARCHAR), chr(1)))) AS h
   FROM old
 ),
 hn AS (
   SELECT doc_id AS k,
-         md5(concat_ws('', coalesce(CAST(lang AS VARCHAR), ' '),
-                           coalesce(CAST(text AS VARCHAR), ' '),
-                           coalesce(CAST(n_chars AS VARCHAR), ' '))) AS h
+         md5(concat_ws(chr(31), coalesce(CAST(lang AS VARCHAR), chr(1)),
+                                coalesce(CAST(text AS VARCHAR), chr(1)),
+                                coalesce(CAST(n_chars AS VARCHAR), chr(1)))) AS h
   FROM new
 )
 SELECT coalesce(ho.k, hn.k) AS doc_id,

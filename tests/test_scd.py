@@ -213,6 +213,11 @@ def test_snapshot_diff_classifies_all_change_types(spark):
         ).collect()
     )
     assert got2 == {2: "unchanged"}
+    # column-boundary safety: ("ab","c") vs ("a","bc") must CHANGE
+    o3 = spark.createDataFrame(pd.DataFrame({"k": [9], "a": ["ab"], "b": ["c"]}))
+    n3 = spark.createDataFrame(pd.DataFrame({"k": [9], "a": ["a"], "b": ["bc"]}))
+    got3 = snapshot_diff(o3, n3, "k").collect()[0]["change"]
+    assert got3 == "changed"
 
 
 def test_dq_summary_and_referential(spark):
