@@ -337,13 +337,20 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     variants, the newer extension operators not yet rotated in, and
     the long-stable entries rotated out (VERDICT r5 #3)."""
     from stock_indicators_etl_spark.queries import (
+        q_customer_orders_hist,
+        q_disjunctive_parts,
         q_dormant_customers,
         q_large_orders,
+        q_market_share,
         q_order_priority_check,
+        q_promo_revenue,
+        q_returned_items,
         q_rollup_aggregate,
         q_shipping_priority,
         q_small_qty_revenue,
         q_snapshot_diff,
+        q_supplier_part_counts,
+        q_top_supplier,
         q_volume_shipping,
         q_waiting_suppliers,
         q_winsorize_approx,
@@ -388,6 +395,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": q_small_qty_revenue,
         "snapshot_diff": q_snapshot_diff,
         "waiting_suppliers": q_waiting_suppliers,
+        "returned_items": q_returned_items,
+        "customer_orders_hist": q_customer_orders_hist,
+        "promo_revenue": q_promo_revenue,
+        "disjunctive_parts": q_disjunctive_parts,
+        "market_share": q_market_share,
+        "top_supplier": q_top_supplier,
+        "supplier_part_counts": q_supplier_part_counts,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -398,15 +412,22 @@ def extra_oracle_sql() -> dict[str, str]:
     from stock_indicators_etl_spark.queries import (
         SQL_ADX_FAMILY,
         SQL_CMO_WILDER,
+        SQL_CUSTOMER_ORDERS_HIST,
+        SQL_DISJUNCTIVE_PARTS,
         SQL_DORMANT_CUSTOMERS,
         SQL_LARGE_ORDERS,
         SQL_MACDFIX_HIST,
+        SQL_MARKET_SHARE,
         SQL_ORDER_PRIORITY_CHECK,
+        SQL_PROMO_REVENUE,
+        SQL_RETURNED_ITEMS,
         SQL_ROLLUP_AGGREGATE,
         SQL_RSI_WILDER,
         SQL_SHIPPING_PRIORITY,
         SQL_SMALL_QTY_REVENUE,
         SQL_SNAPSHOT_DIFF,
+        SQL_SUPPLIER_PART_COUNTS,
+        SQL_TOP_SUPPLIER,
         SQL_VOLUME_SHIPPING,
         SQL_WAITING_SUPPLIERS,
         SQL_WINSORIZE_APPROX,
@@ -449,6 +470,13 @@ def extra_oracle_sql() -> dict[str, str]:
         "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "waiting_suppliers": SQL_WAITING_SUPPLIERS,
+        "returned_items": SQL_RETURNED_ITEMS,
+        "customer_orders_hist": SQL_CUSTOMER_ORDERS_HIST,
+        "promo_revenue": SQL_PROMO_REVENUE,
+        "disjunctive_parts": SQL_DISJUNCTIVE_PARTS,
+        "market_share": SQL_MARKET_SHARE,
+        "top_supplier": SQL_TOP_SUPPLIER,
+        "supplier_part_counts": SQL_SUPPLIER_PART_COUNTS,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -2555,6 +2555,377 @@ GROUP BY 1, 2
 """
 
 
+def _disc_cents(price: str = "l_extendedprice", disc: str = "l_discount"):
+    """Discounted revenue in integer 10⁻⁴ units: ``floor(p·(1−d)·10⁴
+    + 0.5)`` per ROW, summed as BIGINT. The per-row float multiply is
+    a fixed sequence of IEEE correctly-rounded ops, identical in both
+    engines; the sum is then integer and order-free — the bit-exact
+    idiom for revenue aggregates at any group size (same convention
+    as ``q_volume_shipping``)."""
+    return F.floor(
+        F.col(price) * (F.lit(1.0) - F.col(disc)) * 10000 + F.lit(0.5)
+    ).cast("long")
+
+
+DISC_CENTS_SQL = (
+    "CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT)"
+)
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    line items in one order year. Big-big joins (lineitem ⋈ orders ⋈
+    customer) with both date and returnflag filters PUSHED BELOW the
+    joins (semi-reducing the probe sides), a broadcast nation dim,
+    and a combinable top-k: the final orderBy+limit is a TakeOrdered
+    — per-partition heaps then a 20-row driver merge, never a global
+    sort. Tie-break on ``c_custkey`` keeps the cut deterministic."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(_disc_cents()).alias("_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return (
+        agg.orderBy(F.desc("_cents"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            (F.col("_cents").cast("double") / F.lit(10000.0)).alias("revenue"),
+            "n_items",
+        )
+    )
+
+
+SQL_RETURNED_ITEMS = f"""
+WITH agg AS (
+  SELECT c_custkey, c_name, n_name,
+         CAST(sum({DISC_CENTS_SQL}) AS BIGINT) AS cents,
+         count(*) AS n_items
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+  GROUP BY 1, 2, 3
+)
+SELECT c_custkey, c_name, n_name,
+       CAST(cents AS DOUBLE) / 10000.0 AS revenue, n_items
+FROM agg
+ORDER BY cents DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_customer_orders_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of order counts per customer —
+    LEFT OUTER join (zero-order customers MUST survive, so the
+    priority filter pre-reduces the orders side rather than landing
+    in a WHERE that would turn the join inner) followed by a second
+    aggregation over the first's results. Two shuffles by design:
+    count-per-customer, then histogram-over-counts (tiny — at most
+    max(c_count)+1 groups). All-integer output, nothing to round."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = c.join(o, c.c_custkey == o.o_custkey, "left").groupBy(
+        "c_custkey"
+    ).agg(F.count("o_orderkey").alias("c_count"))
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+SQL_CUSTOMER_ORDERS_HIST = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregation ratio — the share of
+    1996 revenue coming from PROMO-type parts, per ship month. One
+    join, one aggregate; the CASE folds into the same grouped scan
+    (no second pass over lineitem). Exactness: both legs sum integer
+    10⁻⁴ units, and the final ``100.0 · promo / total`` is exactly
+    two correctly-rounded IEEE ops in the same order cross-engine."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    cents = _disc_cents()
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.month("l_shipdate").alias("ship_month"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))
+            ).alias("_promo"),
+            F.sum(cents).alias("_total"),
+        )
+    )
+    return agg.select(
+        "ship_month",
+        (
+            F.lit(100.0)
+            * F.col("_promo").cast("double")
+            / F.col("_total").cast("double")
+        ).alias("promo_pct"),
+        (F.col("_total").cast("double") / F.lit(10000.0)).alias("revenue"),
+    )
+
+
+SQL_PROMO_REVENUE = f"""
+WITH agg AS (
+  SELECT month(l_shipdate) AS ship_month,
+         CAST(sum(CASE WHEN p_type = 'PROMO' THEN {DISC_CENTS_SQL}
+                       ELSE 0 END) AS BIGINT) AS promo,
+         CAST(sum({DISC_CENTS_SQL}) AS BIGINT) AS total
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  GROUP BY 1
+)
+SELECT ship_month,
+       100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE) AS promo_pct,
+       CAST(total AS DOUBLE) / 10000.0 AS revenue
+FROM agg
+"""
+
+
+def q_disjunctive_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate mixing
+    part attributes (brand, size) and lineitem attributes (quantity).
+    The disjunction cannot be split across the join, but Catalyst
+    derives the IMPLIED single-table filters — ``p_brand IN (…)``,
+    ``p_size BETWEEN 1 AND 15``, ``l_quantity <= 30`` — and pushes
+    them below the join, so both scans are pre-reduced before the
+    broadcast join evaluates the full disjunction. Integer-cents sum,
+    single-row output."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    b = F.col("p_brand")
+    sz = F.col("p_size")
+    q = F.col("l_quantity")
+    pred = (
+        ((b == "Brand#12") & sz.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#23") & sz.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#4") & sz.between(1, 15) & q.between(20, 30))
+    )
+    return j.filter(pred).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        (F.sum(_disc_cents()).cast("double") / F.lit(10000.0)).alias(
+            "revenue"
+        ),
+    )
+
+
+SQL_DISJUNCTIVE_PARTS = f"""
+SELECT count(*) AS n_items,
+       CAST(sum({DISC_CENTS_SQL}) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+MKT_SHARE_REGION = "EUROPE"
+MKT_SHARE_NATION = "NATION_7"
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of the revenue its region's
+    customers spend, by order year. The lineitem ⋈ orders spine joins
+    TWO independent dim chains — customer→nation→region (filtered to
+    the region, so the customer side is semi-reduced before the big
+    join) and supplier→nation (kept whole; the share CASE needs every
+    supplier nation). Share = single IEEE division of two exact
+    BIGINT cent-sums — bit-exact cross-engine with no rounding
+    convention needed."""
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == MKT_SHARE_REGION
+    )
+    c = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    s = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    )
+    cents = _disc_cents()
+    agg = j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == MKT_SHARE_NATION, cents).otherwise(
+                F.lit(0)
+            )
+        ).alias("_nat"),
+        F.sum(cents).alias("_total"),
+    )
+    return agg.select(
+        "o_year",
+        (F.col("_nat").cast("double") / F.col("_total").cast("double")).alias(
+            "mkt_share"
+        ),
+        (F.col("_total").cast("double") / F.lit(10000.0)).alias("revenue"),
+    )
+
+
+SQL_MARKET_SHARE = f"""
+WITH agg AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(sum(CASE WHEN n2.n_name = '{MKT_SHARE_NATION}'
+                       THEN {DISC_CENTS_SQL} ELSE 0 END) AS BIGINT) AS nat,
+         CAST(sum({DISC_CENTS_SQL}) AS BIGINT) AS total
+  FROM lineitem
+  JOIN orders    ON l_orderkey = o_orderkey
+  JOIN customer  ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN supplier  ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = '{MKT_SHARE_REGION}'
+  GROUP BY 1
+)
+SELECT o_year,
+       CAST(nat AS DOUBLE) / CAST(total AS DOUBLE) AS mkt_share,
+       CAST(total AS DOUBLE) / 10000.0 AS revenue
+FROM agg
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: argmax over an aggregated view — suppliers
+    whose quarterly revenue equals the maximum. Catalyst plans the
+    scalar ``max`` subquery as a 1-row broadcast against the reused
+    revenue aggregate; the comparison is on exact BIGINT cents, so
+    the argmax set is tie-safe cross-engine (ALL maximal suppliers
+    return, as in the spec)."""
+    spark.read.parquet(f"{sf_dir}/supplier.parquet").createOrReplaceTempView(
+        "q15_supplier"
+    )
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "q15_lineitem"
+    )
+    return spark.sql(
+        f"""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 CAST(sum({DISC_CENTS_SQL}) AS BIGINT) AS total_cents
+          FROM q15_lineitem
+          WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               CAST(total_cents AS DOUBLE) / 10000.0 AS total_revenue
+        FROM q15_supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+        """
+    )
+
+
+SQL_TOP_SUPPLIER = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum({DISC_CENTS_SQL}) AS BIGINT) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       CAST(total_cents AS DOUBLE) / 10000.0 AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+"""
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    bucket with a NOT IN exclusion subquery. ``l_suppkey NOT IN
+    (SELECT s_suppkey …)`` plans as a null-aware BROADCAST anti join
+    (the excluded-supplier set is tiny); the count(DISTINCT) then
+    runs as Spark's two-phase distinct aggregate — partial distinct
+    per partition before the group shuffle, so the shuffle carries
+    distinct (group, suppkey) pairs, not raw line items."""
+    spark.read.parquet(f"{sf_dir}/part.parquet").createOrReplaceTempView(
+        "q16_part"
+    )
+    spark.read.parquet(f"{sf_dir}/supplier.parquet").createOrReplaceTempView(
+        "q16_supplier"
+    )
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "q16_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM q16_lineitem JOIN q16_part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#5'
+          AND p_type <> 'PROMO'
+          AND p_size IN (1, 5, 10, 15, 20, 25)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM q16_supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p_brand, p_type, p_size
+        """
+    )
+
+
+SQL_SUPPLIER_PART_COUNTS = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 10, 15, 20, 25)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
