@@ -337,6 +337,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     variants, the newer extension operators not yet rotated in, and
     the long-stable entries rotated out (VERDICT r5 #3)."""
     from stock_indicators_etl_spark.queries import (
+        q_cdc_merge,
         q_customer_orders_hist,
         q_disjunctive_parts,
         q_dormant_customers,
@@ -402,6 +403,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_share": q_market_share,
         "top_supplier": q_top_supplier,
         "supplier_part_counts": q_supplier_part_counts,
+        "cdc_merge": q_cdc_merge,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -411,6 +413,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def extra_oracle_sql() -> dict[str, str]:
     from stock_indicators_etl_spark.queries import (
         SQL_ADX_FAMILY,
+        SQL_CDC_MERGE,
         SQL_CMO_WILDER,
         SQL_CUSTOMER_ORDERS_HIST,
         SQL_DISJUNCTIVE_PARTS,
@@ -477,6 +480,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "market_share": SQL_MARKET_SHARE,
         "top_supplier": SQL_TOP_SUPPLIER,
         "supplier_part_counts": SQL_SUPPLIER_PART_COUNTS,
+        "cdc_merge": SQL_CDC_MERGE,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -62,3 +62,39 @@ def scd2_history(
         F.lead("valid_from").over(w2).alias("valid_to"),
         F.col("_seg").alias("version"),
     )
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply an ordered changelog to a snapshot (MERGE / upsert
+    semantics — the warehouse shape the reference's overwrite-daily
+    CSVs sidestep, and the one a 100 TB dimension cannot).
+
+    ``changes`` carries ``key_col``, ``seq_col`` (a monotonically
+    increasing change id — unique per key, like a CDC log's LSN),
+    ``op_col`` ∈ {'I','U','D'}, plus the base's data columns (ignored
+    for 'D'). For each key the highest-``seq`` change wins: 'I'/'U'
+    upsert the full row, 'D' removes the key; keys untouched by the
+    log pass through unchanged.
+
+    Scale shape: the (small) changelog takes one window shuffle to
+    pick last-per-key; the base table is NEVER shuffled — superseded
+    rows leave via a LEFT ANTI join on the changed-key set (broadcast
+    when the log is small, the common CDC case), then one union. No
+    Python, no collect.
+    """
+    data_cols = [c for c in base.columns if c != key_col]
+    w = Window.partitionBy(key_col).orderBy(F.col(seq_col).desc())
+    latest = changes.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    survivors = base.join(
+        latest.select(key_col), key_col, "left_anti"
+    )
+    upserts = latest.filter(F.col(op_col) != "D").select(key_col, *data_cols)
+    return survivors.unionByName(upserts)

@@ -2926,6 +2926,79 @@ GROUP BY p_brand, p_type, p_size
 """
 
 
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog merge (``operators/scd.apply_cdc``): a base
+    snapshot (documents keyed by doc_id) plus a four-wave changelog
+    derived deterministically from the same table — update wave at
+    seq 1 (doc_id%7), an OVERRIDING update at seq 2 (doc_id%14, so
+    last-wins is exercised), deletes at seq 3 (doc_id%5, some on
+    already-updated keys, so delete-beats-update is exercised), and
+    inserts of brand-new keys at seq 4 (doc_id%13, shifted key
+    space). The oracle replays the same merge with a row_number
+    window + NOT IN — all string/integer columns, engine-exact."""
+    from stock_indicators_etl_spark.operators.scd import apply_cdc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    k = F.col("doc_id")
+    u1 = docs.filter(k % 7 == 0).select(
+        k.alias("doc_id"),
+        F.lit("xx").alias("lang"),
+        (F.col("n_chars") + 1).alias("n_chars"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    u2 = docs.filter(k % 14 == 0).select(
+        k.alias("doc_id"),
+        F.lit("yy").alias("lang"),
+        (F.col("n_chars") + 2).alias("n_chars"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    d3 = docs.filter(k % 5 == 0).select(
+        k.alias("doc_id"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("long").alias("n_chars"),
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    i4 = docs.filter(k % 13 == 0).select(
+        (k + 10_000_000).alias("doc_id"),
+        F.lit("nw").alias("lang"),
+        (k % 997).alias("n_chars"),
+        F.lit(4).alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    changes = u1.unionByName(u2).unionByName(d3).unionByName(i4)
+    return apply_cdc(docs, changes, "doc_id", "seq")
+
+
+SQL_CDC_MERGE = """
+WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+ch AS (
+  SELECT doc_id, 'xx' AS lang, n_chars + 1 AS n_chars, 1 AS seq, 'U' AS op
+  FROM base WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, 'yy', n_chars + 2, 2, 'U' FROM base WHERE doc_id % 14 = 0
+  UNION ALL
+  SELECT doc_id, NULL, NULL, 3, 'D' FROM base WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 10000000, 'nw', doc_id % 997, 4, 'I'
+  FROM base WHERE doc_id % 13 = 0
+),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+  FROM ch
+)
+SELECT b.doc_id, b.lang, b.n_chars
+FROM base b WHERE b.doc_id NOT IN (SELECT doc_id FROM ch)
+UNION ALL
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

@@ -324,3 +324,43 @@ def test_streaming_scd2_matches_batch_closed_intervals(spark, tmp_path):
     # the cross-file 'y' run closed with the right boundaries
     y = got[(got.k == 1) & (got.a == "y")].iloc[0]
     assert (y.valid_from, y.valid_to, y.version) == (30, 50, 2)
+
+
+def test_apply_cdc_merge_semantics(spark):
+    from stock_indicators_etl_spark.operators.scd import apply_cdc
+
+    base = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [1, 2, 3, 4], "v": ["a", "b", "c", "d"]}
+        )
+    )
+    changes = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                # k=1 updated twice (last wins), k=2 update then delete
+                # (delete wins), k=5 inserted, k=3/4 untouched
+                "k": [1, 1, 2, 2, 5],
+                "v": ["a1", "a2", "b1", None, "e"],
+                "seq": [1, 2, 1, 3, 4],
+                "op": ["U", "U", "U", "D", "I"],
+            }
+        )
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in apply_cdc(base, changes, "k", "seq").collect()
+    }
+    assert got == {1: "a2", 3: "c", 4: "d", 5: "e"}
+
+
+def test_apply_cdc_empty_changelog_is_identity(spark):
+    from stock_indicators_etl_spark.operators.scd import apply_cdc
+
+    base = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "v": ["a", "b"]}))
+    empty = spark.createDataFrame(
+        [], schema="k bigint, v string, seq bigint, op string"
+    )
+    got = sorted(
+        (r["k"], r["v"]) for r in apply_cdc(base, empty, "k", "seq").collect()
+    )
+    assert got == [(1, "a"), (2, "b")]
