@@ -342,6 +342,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_disjunctive_parts,
         q_dormant_customers,
         q_large_orders,
+        q_mad_outliers,
         q_market_share,
         q_order_priority_check,
         q_promo_revenue,
@@ -352,6 +353,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_snapshot_diff,
         q_supplier_part_counts,
         q_top_supplier,
+        q_value_histogram,
         q_volume_shipping,
         q_waiting_suppliers,
         q_winsorize_approx,
@@ -404,6 +406,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": q_top_supplier,
         "supplier_part_counts": q_supplier_part_counts,
         "cdc_merge": q_cdc_merge,
+        "mad_outliers": q_mad_outliers,
+        "value_histogram": q_value_histogram,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -420,6 +424,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_DORMANT_CUSTOMERS,
         SQL_LARGE_ORDERS,
         SQL_MACDFIX_HIST,
+        SQL_MAD_OUTLIERS,
         SQL_MARKET_SHARE,
         SQL_ORDER_PRIORITY_CHECK,
         SQL_PROMO_REVENUE,
@@ -431,6 +436,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_SNAPSHOT_DIFF,
         SQL_SUPPLIER_PART_COUNTS,
         SQL_TOP_SUPPLIER,
+        SQL_VALUE_HISTOGRAM,
         SQL_VOLUME_SHIPPING,
         SQL_WAITING_SUPPLIERS,
         SQL_WINSORIZE_APPROX,
@@ -481,6 +487,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "top_supplier": SQL_TOP_SUPPLIER,
         "supplier_part_counts": SQL_SUPPLIER_PART_COUNTS,
         "cdc_merge": SQL_CDC_MERGE,
+        "mad_outliers": SQL_MAD_OUTLIERS,
+        "value_histogram": SQL_VALUE_HISTOGRAM,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

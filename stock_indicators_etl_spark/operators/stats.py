@@ -165,3 +165,95 @@ def _winsorize_with_bounds(
         F.min("hi_bound").alias("hi_bound"),
         F.sum(cents).alias("sum_clipped_cents"),
     )
+
+
+def _r6(c):
+    return (
+        F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("double") / F.lit(1e6)
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-key robust outlier summary via median absolute deviation:
+    (key, n, med, mad, n_outliers) where a row is an outlier when
+    ``|v − med| > k·mad``. The robust twin of z-score filtering — the
+    profiling pass a feature pipeline runs where means/stddevs would
+    be dragged by the very outliers being hunted.
+
+    Plan: two exact-percentile aggregates (median, then median of
+    deviations over the median-joined scan), each joined back by
+    BROADCAST (the per-key frame is |keys| rows), one final
+    combinable aggregate — the base table is scanned, never shuffled.
+    Exactness: both medians are 6dp-floor-rounded after the quantile
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, same (n−1)·q
+    linear interpolation); every downstream op (abs, subtract, k·mad,
+    compare) is a fixed sequence of correctly-rounded IEEE ops, so
+    the outlier set is bit-exact cross-engine."""
+    v = F.col(val_col).cast("double")
+    med = df.groupBy(key_col).agg(
+        _r6(F.percentile(v, F.lit(0.5))).alias("med")
+    )
+    j = df.join(F.broadcast(med), key_col).withColumn(
+        "_dev", F.abs(v - F.col("med"))
+    )
+    mad = j.groupBy(key_col).agg(
+        _r6(F.percentile(F.col("_dev"), F.lit(0.5))).alias("mad")
+    )
+    return (
+        j.join(F.broadcast(mad), key_col)
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                (F.col("_dev") > F.lit(k) * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+def equi_width_histogram(
+    df: DataFrame,
+    val_col: str,
+    nbins: int = 16,
+    scale: int = 100,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: (bucket, n, lo, hi,
+    sum_cents). The data-profiling primitive (skew inspection, bounds
+    sanity) run before choosing partition counts at scale.
+
+    Plan: one combinable min/max aggregate produces a 1-row bounds
+    frame, broadcast back via crossJoin; the bucket index is computed
+    per row in EXACT integer arithmetic — values quantized to
+    1/scale units, ``(c − min)·nbins DIV (max − min + 1)`` — so no
+    float boundary can put a row in different buckets cross-engine
+    (operands are non-negative, so truncating DIV ≡ floor ÷).
+    One final combinable aggregate; two passes over the scan, zero
+    shuffles of the base data."""
+    cents = F.floor(F.col(val_col) * scale + F.lit(0.5)).cast("long")
+    bounds = df.agg(
+        F.min(cents).alias("_minc"), F.max(cents).alias("_maxc")
+    )
+    j = (
+        df.select(cents.alias("_c"), F.col(val_col).alias("_v"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "_c",
+            "_v",
+            ((F.col("_c") - F.col("_minc")) * F.lit(nbins)).alias("_num"),
+            (F.col("_maxc") - F.col("_minc") + F.lit(1)).alias("_den"),
+        )
+        .withColumn("bucket", F.expr("_num DIV _den"))
+    )
+    return j.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("_v").alias("lo"),
+        F.max("_v").alias("hi"),
+        F.sum("_c").alias("sum_cents"),
+    )

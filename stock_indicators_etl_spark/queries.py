@@ -2999,6 +2999,78 @@ FROM latest WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type outlier summary (``operators/stats.
+    mad_outliers``): median + MAD with 6dp-rounded quantiles, outlier
+    = |v − med| > 3·mad. Two broadcast-joined percentile passes, no
+    shuffle of the events scan."""
+    from stock_indicators_etl_spark.operators.stats import mad_outliers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value"
+    )
+    return mad_outliers(ev, "event_type", "value")
+
+
+SQL_MAD_OUTLIERS = """
+WITH med AS (
+  SELECT event_type,
+         floor(quantile_cont(CAST(value AS DOUBLE), 0.5) * 1000000 + 0.5)
+           / 1000000 AS med
+  FROM events GROUP BY 1
+),
+d AS (
+  SELECT e.event_type,
+         abs(CAST(e.value AS DOUBLE) - m.med) AS dev,
+         m.med
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type,
+         floor(quantile_cont(dev, 0.5) * 1000000 + 0.5) / 1000000 AS mad
+  FROM d GROUP BY 1
+)
+SELECT d.event_type,
+       count(*) AS n,
+       min(d.med) AS med,
+       min(mad.mad) AS mad,
+       CAST(sum(CASE WHEN d.dev > 3.0 * mad.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM d JOIN mad ON d.event_type = mad.event_type
+GROUP BY d.event_type
+"""
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width profiling histogram of o_totalprice in 16 buckets
+    (``operators/stats.equi_width_histogram``): integer-cents bucket
+    arithmetic, broadcast 1-row bounds, combinable count/min/max/sum
+    per bucket."""
+    from stock_indicators_etl_spark.operators.stats import (
+        equi_width_histogram,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_totalprice")
+    return equi_width_histogram(o, "o_totalprice", nbins=16)
+
+
+SQL_VALUE_HISTOGRAM = """
+WITH src AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+         o_totalprice AS v
+  FROM orders
+),
+b AS (SELECT min(c) AS minc, max(c) AS maxc FROM src)
+SELECT ((src.c - b.minc) * 16) // (b.maxc - b.minc + 1) AS bucket,
+       count(*) AS n,
+       min(src.v) AS lo,
+       max(src.v) AS hi,
+       CAST(sum(src.c) AS BIGINT) AS sum_cents
+FROM src, b
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

@@ -364,3 +364,46 @@ def test_apply_cdc_empty_changelog_is_identity(spark):
         (r["k"], r["v"]) for r in apply_cdc(base, empty, "k", "seq").collect()
     )
     assert got == [(1, "a"), (2, "b")]
+
+
+def test_mad_outliers_flags_known_points(spark):
+    from stock_indicators_etl_spark.operators.stats import mad_outliers
+
+    # k=A: tight cluster around 10 with one wild point; k=B: uniform
+    vals_a = [9.0, 9.5, 10.0, 10.5, 11.0, 100.0]
+    vals_b = [1.0, 2.0, 3.0, 4.0, 5.0]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["A"] * len(vals_a) + ["B"] * len(vals_b),
+                "v": vals_a + vals_b,
+            }
+        )
+    )
+    got = {r["k"]: r for r in mad_outliers(df, "k", "v").collect()}
+    # A: median 10.25, MAD ~0.75 → only 100.0 exceeds 3·MAD
+    assert got["A"]["n_outliers"] == 1
+    assert got["A"]["n"] == 6
+    # B: median 3, MAD 1 → max |dev| = 2 < 3 → none
+    assert got["B"]["n_outliers"] == 0
+
+
+def test_equi_width_histogram_buckets_and_bounds(spark):
+    from stock_indicators_etl_spark.operators.stats import (
+        equi_width_histogram,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": [0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0]})
+    )
+    out = {
+        r["bucket"]: r for r in equi_width_histogram(df, "v", nbins=4).collect()
+    }
+    # range [0,700] cents, width 701/4 → each pair of consecutive
+    # values lands together; max value goes to the LAST bucket
+    assert sorted(out) == [0, 1, 2, 3]
+    assert sum(r["n"] for r in out.values()) == 8
+    assert out[3]["hi"] == 7.0
+    assert out[0]["lo"] == 0.0
+    # exact integer sum check: bucket sums partition the total
+    assert sum(r["sum_cents"] for r in out.values()) == 2800
