@@ -353,6 +353,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_snapshot_diff,
         q_supplier_part_counts,
         q_top_supplier,
+        q_twap,
         q_value_histogram,
         q_volume_shipping,
         q_waiting_suppliers,
@@ -408,6 +409,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge": q_cdc_merge,
         "mad_outliers": q_mad_outliers,
         "value_histogram": q_value_histogram,
+        "twap": q_twap,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -436,6 +438,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_SNAPSHOT_DIFF,
         SQL_SUPPLIER_PART_COUNTS,
         SQL_TOP_SUPPLIER,
+        SQL_TWAP,
         SQL_VALUE_HISTOGRAM,
         SQL_VOLUME_SHIPPING,
         SQL_WAITING_SUPPLIERS,
@@ -489,6 +492,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "cdc_merge": SQL_CDC_MERGE,
         "mad_outliers": SQL_MAD_OUTLIERS,
         "value_histogram": SQL_VALUE_HISTOGRAM,
+        "twap": SQL_TWAP,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -257,3 +257,56 @@ def equi_width_histogram(
         F.max("_v").alias("hi"),
         F.sum("_c").alias("sum_cents"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    scale: int = 100,
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-key time-weighted average (TWAP) over an IRREGULAR series:
+    each observation holds until the next one, so its weight is the
+    gap to the successor (the final observation carries no weight —
+    its holding interval is open). The right mean for unevenly
+    sampled prices, where the arithmetic mean over-weights bursts.
+
+    ``ts_col`` must be integer epoch-ns. Plan: ONE window pass (lead
+    over the per-key time sort — same shuffle the indicator kernels
+    ride) and one combinable aggregate. Exactness: value quantized to
+    integer 1/scale units, gaps to whole seconds (non-negative, so
+    truncating DIV ≡ floor), both summed as BIGINT; the final
+    ``(num/den)/scale`` is two correctly-rounded IEEE divisions in a
+    fixed order — bit-exact cross-engine. Keys with a single
+    observation report null twap (zero holding time).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, *tiebreak_cols)
+    cents = F.floor(F.col(val_col) * scale + F.lit(0.5)).cast("long")
+    g = (
+        df.select(
+            key_col,
+            cents.alias("_c"),
+            (F.lead(ts_col).over(w) - F.col(ts_col)).alias("_dt_ns"),
+        )
+        .withColumn("_dt_s", F.expr("_dt_ns DIV 1000000000"))
+    )
+    agg = g.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_dt_s").alias("span_s"),
+        F.sum(F.col("_c") * F.col("_dt_s")).alias("_num"),
+    )
+    return agg.select(
+        key_col,
+        "n",
+        "span_s",
+        F.when(
+            F.col("span_s") > 0,
+            F.col("_num").cast("double")
+            / F.col("span_s").cast("double")
+            / F.lit(float(scale)),
+        ).alias("twap"),
+    )

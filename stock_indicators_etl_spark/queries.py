@@ -3071,6 +3071,47 @@ GROUP BY 1
 """
 
 
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of ``value`` over the irregular
+    event stream (``operators/stats.time_weighted_avg``): each event's
+    value holds until the next event; integer cents × whole-second
+    gaps, one window + one combinable aggregate."""
+    from stock_indicators_etl_spark.operators.stats import (
+        time_weighted_avg,
+    )
+
+    ev = _events(spark, sf_dir).select("user_id", "ns", "value", "event_id")
+    return time_weighted_avg(
+        ev, "user_id", "ns", "value", tiebreak_cols=("event_id",)
+    )
+
+
+SQL_TWAP = """
+WITH src AS (
+  SELECT user_id,
+         (epoch_ns(ts) // 1000) * 1000 AS ns,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+         event_id
+  FROM events
+),
+g AS (
+  SELECT user_id, c,
+         (lead(ns) OVER (PARTITION BY user_id ORDER BY ns, event_id) - ns)
+           // 1000000000 AS dt_s
+  FROM src
+)
+SELECT user_id,
+       count(*) AS n,
+       CAST(sum(dt_s) AS BIGINT) AS span_s,
+       CASE WHEN CAST(sum(dt_s) AS BIGINT) > 0 THEN
+         CAST(CAST(sum(c * dt_s) AS BIGINT) AS DOUBLE)
+           / CAST(CAST(sum(dt_s) AS BIGINT) AS DOUBLE) / 100.0
+       END AS twap
+FROM g
+GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

@@ -407,3 +407,29 @@ def test_equi_width_histogram_buckets_and_bounds(spark):
     assert out[0]["lo"] == 0.0
     # exact integer sum check: bucket sums partition the total
     assert sum(r["sum_cents"] for r in out.values()) == 2800
+
+
+def test_time_weighted_avg_holds_until_next(spark):
+    from stock_indicators_etl_spark.operators.stats import (
+        time_weighted_avg,
+    )
+
+    NS = 10**9
+    # value 10 held 30s, value 20 held 10s, final value 99 unweighted
+    rows = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "b"],
+            "ts": [0, 30 * NS, 40 * NS, 5 * NS],
+            "v": [10.0, 20.0, 99.0, 7.0],
+        }
+    )
+    out = {
+        r["k"]: r
+        for r in time_weighted_avg(
+            spark.createDataFrame(rows), "k", "ts", "v"
+        ).collect()
+    }
+    assert out["a"]["span_s"] == 40
+    assert out["a"]["twap"] == pytest.approx((10 * 30 + 20 * 10) / 40)
+    # single observation → no holding interval → null
+    assert out["b"]["n"] == 1 and out["b"]["twap"] is None
