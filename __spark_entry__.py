@@ -368,6 +368,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_length_quantiles,
         q_neardup_best,
         q_semantic_neardup,
+        q_triangles,
         q_unigram_surprisal,
         q_weighted_sample,
     )
@@ -399,6 +400,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": q_small_qty_revenue,
         "snapshot_diff": q_snapshot_diff,
         "waiting_suppliers": q_waiting_suppliers,
+        "triangles": q_triangles,
         "returned_items": q_returned_items,
         "customer_orders_hist": q_customer_orders_hist,
         "promo_revenue": q_promo_revenue,
@@ -453,6 +455,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_LENGTH_QUANTILES,
         SQL_NEARDUP_BEST,
         SQL_SEMANTIC_NEARDUP,
+        SQL_TRIANGLES,
         SQL_UNIGRAM_SURPRISAL,
         SQL_WEIGHTED_SAMPLE,
     )
@@ -482,6 +485,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "waiting_suppliers": SQL_WAITING_SUPPLIERS,
+        "triangles": SQL_TRIANGLES,
         "returned_items": SQL_RETURNED_ITEMS,
         "customer_orders_hist": SQL_CUSTOMER_ORDERS_HIST,
         "promo_revenue": SQL_PROMO_REVENUE,

@@ -2145,6 +2145,50 @@ FROM documents d JOIN s ON d.doc_id = s.doc_id
 SQL_LEAKAGE_SPLIT = _sql_leakage_split()
 
 
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts on the MinHash-LSH candidate graph
+    (``operators/graph.triangle_counts``): degree-ordered compact-
+    forward enumeration — the O(m^1.5) skew-safe plan. All-integer,
+    so the oracle replays the same three joins over the shared
+    candidate CTEs exactly."""
+    from stock_indicators_etl_spark.operators.graph import triangle_counts
+
+    cand = minhash_lsh_candidates(_docs(spark, sf_dir))
+    return triangle_counts(cand, src_col="doc_a", dst_col="doc_b")
+
+
+SQL_TRIANGLES = f"""
+WITH {LSH_CTES},
+e AS (
+  SELECT DISTINCT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+  FROM cand WHERE doc_a <> doc_b
+),
+deg AS (
+  SELECT v, count(*) AS d
+  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+  GROUP BY v
+),
+ed AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+              THEN e.a ELSE e.b END AS src,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+              THEN e.b ELSE e.a END AS dst
+  FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v
+),
+tri AS (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+  FROM ed e1
+  JOIN ed e2 ON e1.dst = e2.src
+  JOIN ed e3 ON e3.src = e1.src AND e3.dst = e2.dst
+)
+SELECT v, count(*) AS n_tri
+FROM (SELECT u AS v FROM tri
+      UNION ALL SELECT v FROM tri
+      UNION ALL SELECT w FROM tri)
+GROUP BY v
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

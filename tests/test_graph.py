@@ -58,3 +58,24 @@ def test_rejects_zero_iters(spark):
     df = spark.createDataFrame(pd.DataFrame({"src": [1], "dst": [2]}))
     with pytest.raises(ValueError):
         pagerank(df, iters=0)
+
+
+def test_triangle_counts_known_graph(spark):
+    import pandas as pd
+
+    from stock_indicators_etl_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles, each vertex in 3) + pendant 5 +
+    # disconnected edge 6-7; duplicate + reversed edges must not
+    # double-count
+    edges = pd.DataFrame(
+        {
+            "src": [1, 1, 1, 2, 2, 3, 4, 6, 2, 1],
+            "dst": [2, 3, 4, 3, 4, 4, 5, 7, 1, 2],
+        }
+    )
+    got = {
+        r["v"]: r["n_tri"]
+        for r in triangle_counts(spark.createDataFrame(edges)).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
