@@ -367,6 +367,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_frequent_ngrams,
         q_length_quantiles,
         q_neardup_best,
+        q_rrf_fusion,
         q_semantic_neardup,
         q_triangles,
         q_unigram_surprisal,
@@ -401,6 +402,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "waiting_suppliers": q_waiting_suppliers,
         "triangles": q_triangles,
+        "rrf_fusion": q_rrf_fusion,
         "returned_items": q_returned_items,
         "customer_orders_hist": q_customer_orders_hist,
         "promo_revenue": q_promo_revenue,
@@ -454,6 +456,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_FREQUENT_NGRAMS,
         SQL_LENGTH_QUANTILES,
         SQL_NEARDUP_BEST,
+        SQL_RRF_FUSION,
         SQL_SEMANTIC_NEARDUP,
         SQL_TRIANGLES,
         SQL_UNIGRAM_SURPRISAL,
@@ -486,6 +489,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "waiting_suppliers": SQL_WAITING_SUPPLIERS,
         "triangles": SQL_TRIANGLES,
+        "rrf_fusion": SQL_RRF_FUSION,
         "returned_items": SQL_RETURNED_ITEMS,
         "customer_orders_hist": SQL_CUSTOMER_ORDERS_HIST,
         "promo_revenue": SQL_PROMO_REVENUE,

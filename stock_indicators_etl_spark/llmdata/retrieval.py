@@ -365,3 +365,44 @@ def pack_sequences(
         .alias("doc_from"),
         (seq_to - seq_from).cast("long").alias("n_tokens"),
     )
+
+
+RRF_SCALE = 10**12
+
+
+def rrf_fuse(
+    ranked: DataFrame,
+    item_col: str = "nbr_id",
+    rank_col: str = "rk",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of several ranked lists (one list per
+    ranker — BM25, dense ANN, …): the standard way to combine rankers
+    whose scores are incomparable. Classic RRF scores
+    ``Σ 1/(k + rank)``; this variant works in FIXED POINT —
+    ``RRF_SCALE DIV (k + rank)`` per row, summed as BIGINT — the same
+    integer-arithmetic strategy as ``operators/graph.pagerank``, so
+    the fused order is deterministic and cross-engine exact (float
+    reciprocal sums would depend on addition order). Error vs the
+    float score is ≤ n_lists/RRF_SCALE — never reorders at sane k.
+
+    ``ranked`` holds ALL lists stacked: (list id, item, rank). One
+    combinable groupBy(item); the final fused ordering is a global
+    row_number over the fused set, which is BOUNDED (≤ k·n_lists
+    rows — top-k lists are small by construction), so the
+    single-partition sort is fine at any corpus scale.
+    """
+    contrib = F.expr(
+        f"CAST({RRF_SCALE} AS BIGINT) DIV CAST(({k} + {rank_col}) AS BIGINT)"
+    )
+    agg = ranked.groupBy(item_col).agg(
+        F.count(F.lit(1)).alias("n_lists"),
+        F.sum(contrib).alias("rrf_fp"),
+    )
+    w = Window.orderBy(F.col("rrf_fp").desc(), F.col(item_col).asc())
+    return agg.select(
+        F.col(item_col).alias("item"),
+        "n_lists",
+        "rrf_fp",
+        F.row_number().over(w).alias("fused_rank"),
+    )

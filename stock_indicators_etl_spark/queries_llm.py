@@ -889,6 +889,50 @@ rk AS (
 SELECT qid, rk, nbr_id, {R6('cosine')} AS cosine FROM rk WHERE rk <= {TOPK}
 """
 
+RRF_K = 60
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (``llmdata/retrieval.rrf_fuse``) of two
+    dense rankers: the exact cosine top-10 lists for query vectors 0
+    and 1, fused in fixed point (BIGINT ``SCALE DIV (k+rank)``) so
+    the fused order is engine-exact. The multi-ranker combination
+    step of a retrieval pipeline, minus score calibration."""
+    from stock_indicators_etl_spark.llmdata.retrieval import rrf_fuse
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 2)
+    ranked = cosine_topk(emb, q, k=TOPK)
+    return rrf_fuse(ranked, k=RRF_K)
+
+
+SQL_RRF_FUSION = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+q AS (SELECT * FROM n WHERE vec_id < 2),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nbr_id,
+         CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+              ELSE list_dot_product(q.v, c.v) / (q.nrm * c.nrm) END AS cosine
+  FROM q JOIN n c ON c.vec_id <> q.vec_id
+),
+rk AS (
+  SELECT qid, nbr_id, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nbr_id ASC) AS rk
+  FROM scored
+),
+top AS (SELECT qid, nbr_id, rk FROM rk WHERE rk <= {TOPK}),
+agg AS (
+  SELECT nbr_id AS item, count(*) AS n_lists,
+         CAST(sum({10**12} // ({RRF_K} + rk)) AS BIGINT) AS rrf_fp
+  FROM top GROUP BY 1
+)
+SELECT item, n_lists, rrf_fp,
+       row_number() OVER (ORDER BY rrf_fp DESC, item ASC) AS fused_rank
+FROM agg
+"""
+
+
 NEARDUP_THRESHOLD = 0.45
 
 

@@ -345,3 +345,28 @@ def test_bpe_train_exhausts_small_vocab(spark):
     # "ab</w>": pairs (a,b) then (ab,</w>) then nothing
     assert len(got) == 2
     assert list(got["left"]) == ["a", "ab"]
+
+
+def test_rrf_fuse_orders_shared_items_first(spark):
+    import pandas as pd
+
+    from stock_indicators_etl_spark.llmdata.retrieval import (
+        RRF_SCALE,
+        rrf_fuse,
+    )
+
+    # item 100 is rank-2 in BOTH lists; item 1 tops list A only
+    ranked = pd.DataFrame(
+        {
+            "qid": ["a", "a", "a", "b", "b", "b"],
+            "nbr_id": [1, 100, 3, 4, 100, 5],
+            "rk": [1, 2, 3, 1, 2, 3],
+        }
+    )
+    out = rrf_fuse(spark.createDataFrame(ranked), k=60).collect()
+    by_rank = {r["fused_rank"]: r for r in out}
+    assert by_rank[1]["item"] == 100 and by_rank[1]["n_lists"] == 2
+    assert by_rank[1]["rrf_fp"] == 2 * (RRF_SCALE // 62)
+    # singles follow, ordered by rank then id tiebreak
+    assert by_rank[2]["item"] == 1 and by_rank[3]["item"] == 4
+    assert {r["item"] for r in out} == {1, 3, 4, 5, 100}
