@@ -366,6 +366,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_embedding_neardup_scaled,
         q_frequent_ngrams,
         q_length_quantiles,
+        q_mix_domains,
         q_neardup_best,
         q_rrf_fusion,
         q_semantic_neardup,
@@ -403,6 +404,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_suppliers": q_waiting_suppliers,
         "triangles": q_triangles,
         "rrf_fusion": q_rrf_fusion,
+        "mix_domains": q_mix_domains,
         "returned_items": q_returned_items,
         "customer_orders_hist": q_customer_orders_hist,
         "promo_revenue": q_promo_revenue,
@@ -455,6 +457,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_EMBEDDING_NEARDUP_SCALED,
         SQL_FREQUENT_NGRAMS,
         SQL_LENGTH_QUANTILES,
+        SQL_MIX_DOMAINS,
         SQL_NEARDUP_BEST,
         SQL_RRF_FUSION,
         SQL_SEMANTIC_NEARDUP,
@@ -490,6 +493,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "waiting_suppliers": SQL_WAITING_SUPPLIERS,
         "triangles": SQL_TRIANGLES,
         "rrf_fusion": SQL_RRF_FUSION,
+        "mix_domains": SQL_MIX_DOMAINS,
         "returned_items": SQL_RETURNED_ITEMS,
         "customer_orders_hist": SQL_CUSTOMER_ORDERS_HIST,
         "promo_revenue": SQL_PROMO_REVENUE,

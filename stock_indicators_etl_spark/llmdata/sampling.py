@@ -207,3 +207,57 @@ def leakage_safe_split(
     return df.join(
         components.select(id_col, component_col), id_col
     ).withColumn("split", split)
+
+
+def mix_domains(
+    df: DataFrame,
+    weights: dict[str, int],
+    total_out: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic dataset mixing: down-sample each domain so the
+    output approximates the target mixture ``weights`` (integer
+    ratios) at ~``total_out`` rows — the "60% web / 30% books / 10%
+    code" recipe step of a training-data pipeline. Domains not in
+    ``weights`` are dropped; a domain with fewer rows than its quota
+    contributes everything it has (availability-capped, like real
+    mixing runs).
+
+    Every keep decision is the content-stable 56-bit id hash against
+    a per-domain integer threshold: quota ``q_s = total·w_s DIV Σw``,
+    threshold ``min(DOMAIN, (DOMAIN DIV n_s)·q_s)`` — all BIGINT, no
+    float rates, so the subset is engine-exact and stable under
+    repartitioning (same contract as :func:`hash_sample`).
+
+    Plan: one tiny per-domain count aggregate, broadcast back; the
+    filter itself is scan-local. The corpus is never shuffled.
+    """
+    wsum = sum(weights.values())
+    quota_expr = None
+    for name, w in weights.items():
+        q = F.lit(total_out * w // wsum)
+        quota_expr = (
+            F.when(F.col(strata_col) == name, q)
+            if quota_expr is None
+            else quota_expr.when(F.col(strata_col) == name, q)
+        )
+    counts = (
+        df.filter(F.col(strata_col).isin(*weights))
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_quota", quota_expr.cast("long"))
+        .select(
+            strata_col,
+            F.when(F.col("_quota") >= F.col("_n"), F.lit(HASH_DOMAIN))
+            .otherwise(
+                F.expr(f"CAST({HASH_DOMAIN} AS BIGINT) DIV _n") * F.col("_quota")
+            )
+            .alias("_thr"),
+        )
+    )
+    return (
+        df.join(F.broadcast(counts), strata_col)
+        .filter(_id_hash56(F.col(id_col)) < F.col("_thr"))
+        .drop("_thr")
+    )

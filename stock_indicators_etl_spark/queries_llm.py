@@ -889,6 +889,58 @@ rk AS (
 SELECT qid, rk, nbr_id, {R6('cosine')} AS cosine FROM rk WHERE rk <= {TOPK}
 """
 
+MIX_WEIGHTS = {"src0": 4, "src1": 2, "src2": 1, "src3": 1}
+MIX_TOTAL = 60
+
+
+def _mix_sql() -> str:
+    from stock_indicators_etl_spark.llmdata.hashing import HASH_DOMAIN
+
+    wsum = sum(MIX_WEIGHTS.values())
+    quotas = {k: MIX_TOTAL * w // wsum for k, w in MIX_WEIGHTS.items()}
+    in_list = ", ".join(f"'{k}'" for k in MIX_WEIGHTS)
+    quota_case = " ".join(
+        f"WHEN '{k}' THEN {q}" for k, q in quotas.items()
+    )
+    return f"""
+WITH counts AS (
+  SELECT source, count(*) AS n FROM documents
+  WHERE source IN ({in_list}) GROUP BY 1
+),
+t AS (
+  SELECT source, n,
+         CASE source {quota_case} END AS quota
+  FROM counts
+),
+thr AS (
+  SELECT source,
+         CASE WHEN quota >= n THEN {HASH_DOMAIN}
+              ELSE ({HASH_DOMAIN} // n) * quota END AS thr
+  FROM t
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN thr ON d.source = thr.source
+WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+      < thr.thr
+"""
+
+
+def q_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture domain sampling (``llmdata/sampling.
+    mix_domains``): 4:2:1:1 recipe over four sources at ~60 output
+    rows — integer hash thresholds per domain, availability-capped,
+    row-exact cross-engine."""
+    from stock_indicators_etl_spark.llmdata.sampling import mix_domains
+
+    docs = _docs(spark, sf_dir)
+    return mix_domains(docs, MIX_WEIGHTS, MIX_TOTAL).select(
+        "doc_id", "source"
+    )
+
+
+SQL_MIX_DOMAINS = _mix_sql()
+
+
 RRF_K = 60
 
 

@@ -912,3 +912,42 @@ def test_real_decoder_through_spark_pipeline(spark):
 
     for p in resized.payload:
         assert decode_image(bytes(p)).shape == (4, 4, 3)
+
+
+def test_mix_domains_respects_quota_and_availability(spark):
+    import pandas as pd
+
+    from stock_indicators_etl_spark.llmdata.sampling import mix_domains
+
+    # 200 web rows, 5 code rows, 50 unlisted rows
+    rows = pd.DataFrame(
+        {
+            "doc_id": range(255),
+            "source": ["web"] * 200 + ["code"] * 5 + ["other"] * 50,
+        }
+    )
+    out = (
+        mix_domains(
+            spark.createDataFrame(rows),
+            {"web": 1, "code": 1},
+            total_out=40,
+        )
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    got = {r["source"]: r["count"] for r in out}
+    assert "other" not in got  # unlisted domains dropped
+    assert got["code"] == 5  # availability-capped: all 5 kept
+    # web quota 20 of 200: Bernoulli threshold → ~20, binomial spread
+    assert 5 <= got.get("web", 0) <= 40
+    # determinism: second run identical
+    out2 = (
+        mix_domains(
+            spark.createDataFrame(rows), {"web": 1, "code": 1}, total_out=40
+        )
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    assert {r["source"]: r["count"] for r in out2} == got
