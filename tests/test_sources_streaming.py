@@ -670,3 +670,74 @@ def test_streaming_interval_join_batch_parity(spark, tmp_path):
     key = lambda d: sorted(zip(d.user_id, d.imp, d.click_r))
     assert key(got) == key(want)
     assert key(got) == [(1, "a", "x"), (1, "b", "y"), (3, "d", "w")]
+
+
+def test_streaming_cdc_apply_matches_oneshot(spark, tmp_path):
+    """Drain a 3-shard changelog stream (one shard per micro-batch)
+    through streaming_cdc_apply; with globally ordered seqs the final
+    published snapshot equals one-shot apply_cdc on the union."""
+    import json
+
+    from stock_indicators_etl_spark.operators.scd import apply_cdc
+    from stock_indicators_etl_spark.streaming.cdc import streaming_cdc_apply
+
+    base_pdf = pd.DataFrame(
+        {"k": list(range(10)), "v": [f"v{i}" for i in range(10)]}
+    )
+    base = spark.createDataFrame(base_pdf)
+    # shard 1: update 0-4; shard 2: delete evens; shard 3: re-insert 2,
+    # update 5, insert 100 — exercises cross-batch last-wins
+    shards = [
+        [{"k": i, "v": f"u{i}", "seq": 10 + i, "op": "U"} for i in range(5)],
+        [{"k": i, "v": None, "seq": 20 + i, "op": "D"} for i in (0, 2, 4, 6, 8)],
+        [
+            {"k": 2, "v": "back", "seq": 30, "op": "I"},
+            {"k": 5, "v": "u5b", "seq": 31, "op": "U"},
+            {"k": 100, "v": "new", "seq": 32, "op": "I"},
+        ],
+    ]
+    src = tmp_path / "cdc_shards"
+    src.mkdir()
+    for i, shard in enumerate(shards):
+        p = src / f"shard_{i}.jsonl"
+        with open(p, "w") as f:
+            for row in shard:
+                f.write(json.dumps(row) + "\n")
+        # the file source batches in MODIFICATION-TIME order; pin
+        # strictly increasing mtimes so shard order == seq order (the
+        # parity contract requires in-order arrival)
+        import os
+
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("k long, v string, seq long, op string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    table = str(tmp_path / "dim_table")
+    q = streaming_cdc_apply(
+        stream,
+        base,
+        table_path=table,
+        checkpoint_path=str(tmp_path / "cdc_ckpt"),
+        key_col="k",
+        seq_col="seq",
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress is not None and q.lastProgress["batchId"] >= 2
+
+    got = sorted(
+        (r["k"], r["v"]) for r in spark.read.parquet(table).collect()
+    )
+    union = spark.createDataFrame(
+        pd.DataFrame([row for shard in shards for row in shard])
+    )
+    want = sorted(
+        (r["k"], r["v"])
+        for r in apply_cdc(base, union, "k", "seq").collect()
+    )
+    assert got == want
+    # spot semantics: k=2 deleted then re-inserted; k=0 stays deleted
+    d = dict(got)
+    assert d[2] == "back" and 0 not in d and d[100] == "new" and d[5] == "u5b"
