@@ -341,10 +341,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_customer_orders_hist,
         q_disjunctive_parts,
         q_dormant_customers,
+        q_excess_suppliers,
         q_large_orders,
+        q_important_stock,
         q_mad_outliers,
         q_market_share,
+        q_min_cost_supplier,
         q_order_priority_check,
+        q_profit_by_nation,
         q_promo_revenue,
         q_returned_items,
         q_rollup_aggregate,
@@ -416,6 +420,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "value_histogram": q_value_histogram,
         "twap": q_twap,
+        "min_cost_supplier": q_min_cost_supplier,
+        "profit_by_nation": q_profit_by_nation,
+        "important_stock": q_important_stock,
+        "excess_suppliers": q_excess_suppliers,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -430,11 +438,15 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_CUSTOMER_ORDERS_HIST,
         SQL_DISJUNCTIVE_PARTS,
         SQL_DORMANT_CUSTOMERS,
+        SQL_EXCESS_SUPPLIERS,
         SQL_LARGE_ORDERS,
         SQL_MACDFIX_HIST,
+        SQL_IMPORTANT_STOCK,
         SQL_MAD_OUTLIERS,
         SQL_MARKET_SHARE,
+        SQL_MIN_COST_SUPPLIER,
         SQL_ORDER_PRIORITY_CHECK,
+        SQL_PROFIT_BY_NATION,
         SQL_PROMO_REVENUE,
         SQL_RETURNED_ITEMS,
         SQL_ROLLUP_AGGREGATE,
@@ -505,6 +517,10 @@ def extra_oracle_sql() -> dict[str, str]:
         "mad_outliers": SQL_MAD_OUTLIERS,
         "value_histogram": SQL_VALUE_HISTOGRAM,
         "twap": SQL_TWAP,
+        "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
+        "profit_by_nation": SQL_PROFIT_BY_NATION,
+        "important_stock": SQL_IMPORTANT_STOCK,
+        "excess_suppliers": SQL_EXCESS_SUPPLIERS,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -3112,6 +3112,265 @@ GROUP BY user_id
 """
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery — for each small part,
+    the EUROPE supplier(s) with the minimum observed sale price.
+    (This testdata has no partsupp, so supply cost is re-expressed as
+    the supplier's minimum lineitem price for the part — the
+    correlated-min-over-a-dimension-restricted-join shape is
+    identical.) Catalyst decorrelates the scalar min into a grouped
+    aggregate joined back on partkey; the comparison is on exact
+    integer cents, so the argmin SET is tie-safe (all minimal
+    suppliers return, as in the spec)."""
+    spark.read.parquet(f"{sf_dir}/part.parquet").createOrReplaceTempView(
+        "q2_part"
+    )
+    spark.read.parquet(f"{sf_dir}/supplier.parquet").createOrReplaceTempView(
+        "q2_supplier"
+    )
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "q2_nation"
+    )
+    spark.read.parquet(f"{sf_dir}/region.parquet").createOrReplaceTempView(
+        "q2_region"
+    )
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "q2_lineitem"
+    )
+    return spark.sql(
+        """
+        WITH ps AS (
+          SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                 min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                   AS cost_cents
+          FROM q2_lineitem GROUP BY 1, 2
+        ),
+        eu AS (
+          SELECT s_suppkey, s_name, s_acctbal
+          FROM q2_supplier
+          JOIN q2_nation ON s_nationkey = n_nationkey
+          JOIN q2_region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+        )
+        SELECT p.p_partkey, eu.s_name,
+               CAST(ps.cost_cents AS DOUBLE) / 100.0 AS supply_cost
+        FROM q2_part p
+        JOIN ps ON ps.partkey = p.p_partkey
+        JOIN eu ON eu.s_suppkey = ps.suppkey
+        WHERE p.p_size <= 5
+          AND ps.cost_cents = (
+            SELECT min(ps2.cost_cents)
+            FROM ps ps2 JOIN eu eu2 ON eu2.s_suppkey = ps2.suppkey
+            WHERE ps2.partkey = p.p_partkey
+          )
+        """
+    )
+
+
+SQL_MIN_COST_SUPPLIER = """
+WITH ps AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+           AS cost_cents
+  FROM lineitem GROUP BY 1, 2
+),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT p.p_partkey, eu.s_name,
+       CAST(ps.cost_cents AS DOUBLE) / 100.0 AS supply_cost
+FROM part p
+JOIN ps ON ps.partkey = p.p_partkey
+JOIN eu ON eu.s_suppkey = ps.suppkey
+WHERE p.p_size <= 5
+  AND ps.cost_cents = (
+    SELECT min(ps2.cost_cents)
+    FROM ps ps2 JOIN eu eu2 ON eu2.s_suppkey = ps2.suppkey
+    WHERE ps2.partkey = p.p_partkey
+  )
+"""
+
+
+def q_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and
+    order year — a five-table spine (lineitem ⋈ part ⋈ supplier ⋈
+    orders + broadcast nation) with a per-row profit expression.
+    (No partsupp here, so unit cost is re-expressed as 10 % of the
+    part's retail price — the join/aggregate shape is what Q9
+    exercises.) Profit is floored to integer 10⁻⁴ units per ROW
+    before the BIGINT sum — the order-free exactness idiom."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_type") == "STANDARD"
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    amount = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    cents = F.floor(amount * 10000 + F.lit(0.5)).cast("long")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            (F.sum(cents).cast("double") / F.lit(10000.0)).alias("profit"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_PROFIT_BY_NATION = """
+SELECT n_name AS nation,
+       year(o_orderdate) AS o_year,
+       CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)
+                            - 0.1 * p_retailprice * l_quantity)
+                           * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS profit,
+       count(*) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_type = 'STANDARD'
+GROUP BY 1, 2
+"""
+
+
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups exceeding a FRACTION of the global
+    aggregate — parts whose sales value through NATION_3 suppliers
+    exceeds TWICE the average per-part value (the spec's fixed
+    fraction is SF-dependent; an average-relative cut keeps the
+    predicate meaningful at every decade). TWO scalar subqueries
+    re-scan the same aggregate; the HAVING comparison is all-integer
+    ``part_cents·n_parts > 2·total_cents`` (no float fraction), so
+    the boundary is engine-exact."""
+    spark.read.parquet(f"{sf_dir}/supplier.parquet").createOrReplaceTempView(
+        "q11_supplier"
+    )
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "q11_nation"
+    )
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "q11_lineitem"
+    )
+    return spark.sql(
+        """
+        WITH v AS (
+          SELECT l_partkey,
+                 CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM q11_lineitem
+          JOIN q11_supplier ON l_suppkey = s_suppkey
+          JOIN q11_nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_3'
+        )
+        SELECT l_partkey,
+               CAST(sum(cents) AS DOUBLE) / 100.0 AS value
+        FROM v
+        GROUP BY l_partkey
+        HAVING CAST(sum(cents) AS BIGINT)
+                 * (SELECT count(DISTINCT l_partkey) FROM v)
+               > 2 * (SELECT CAST(sum(cents) AS BIGINT) FROM v)
+        """
+    )
+
+
+SQL_IMPORTANT_STOCK = """
+WITH v AS (
+  SELECT l_partkey,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+)
+SELECT l_partkey,
+       CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0 AS value
+FROM v
+GROUP BY l_partkey
+HAVING CAST(sum(cents) AS BIGINT)
+         * (SELECT count(DISTINCT l_partkey) FROM v)
+       > 2 * (SELECT CAST(sum(cents) AS BIGINT) FROM v)
+"""
+
+
+def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join chain — suppliers who, for
+    some small part, shipped MORE in 1996 than half their all-time
+    volume of that part (the availqty>½·shipped predicate
+    re-expressed on shipment history). Three nesting levels: IN over
+    a grouped aggregate whose HAVING holds a correlated scalar
+    aggregate over the same table, itself restricted by an inner IN
+    on part. All-integer quantities; Catalyst turns each level into a
+    semi/aggregate join, no per-row subquery."""
+    spark.read.parquet(f"{sf_dir}/supplier.parquet").createOrReplaceTempView(
+        "q20_supplier"
+    )
+    spark.read.parquet(f"{sf_dir}/part.parquet").createOrReplaceTempView(
+        "q20_part"
+    )
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "q20_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM q20_supplier
+        WHERE s_suppkey IN (
+          SELECT l.l_suppkey
+          FROM q20_lineitem l
+          WHERE l.l_partkey IN (
+              SELECT p_partkey FROM q20_part WHERE p_size <= 3
+            )
+            AND l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1997-01-01'
+          GROUP BY l.l_suppkey, l.l_partkey
+          HAVING 2 * sum(CAST(floor(l.l_quantity + 0.5) AS BIGINT)) > (
+            SELECT sum(CAST(floor(l2.l_quantity + 0.5) AS BIGINT))
+            FROM q20_lineitem l2
+            WHERE l2.l_suppkey = l.l_suppkey
+              AND l2.l_partkey = l.l_partkey
+          )
+        )
+        """
+    )
+
+
+SQL_EXCESS_SUPPLIERS = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l
+  WHERE l.l_partkey IN (
+      SELECT p_partkey FROM part WHERE p_size <= 3
+    )
+    AND l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1997-01-01'
+  GROUP BY l.l_suppkey, l.l_partkey
+  HAVING 2 * CAST(sum(CAST(floor(l.l_quantity + 0.5) AS BIGINT)) AS BIGINT) > (
+    SELECT CAST(sum(CAST(floor(l2.l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+    FROM lineitem l2
+    WHERE l2.l_suppkey = l.l_suppkey
+      AND l2.l_partkey = l.l_partkey
+  )
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
