@@ -364,6 +364,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_winsorize_approx,
     )
     from stock_indicators_etl_spark.queries_llm import (
+        q_bigram_surprisal,
         q_bpe_merges,
         q_chunk_documents,
         q_collocations,
@@ -409,6 +410,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "rrf_fusion": q_rrf_fusion,
         "mix_domains": q_mix_domains,
+        "bigram_surprisal": q_bigram_surprisal,
         "returned_items": q_returned_items,
         "customer_orders_hist": q_customer_orders_hist,
         "promo_revenue": q_promo_revenue,
@@ -463,6 +465,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_WINSORIZE_APPROX,
     )
     from stock_indicators_etl_spark.queries_llm import (
+        SQL_BIGRAM_SURPRISAL,
         SQL_BPE_MERGES,
         SQL_CHUNK_DOCUMENTS,
         SQL_COLLOCATIONS,
@@ -506,6 +509,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "triangles": SQL_TRIANGLES,
         "rrf_fusion": SQL_RRF_FUSION,
         "mix_domains": SQL_MIX_DOMAINS,
+        "bigram_surprisal": SQL_BIGRAM_SURPRISAL,
         "returned_items": SQL_RETURNED_ITEMS,
         "customer_orders_hist": SQL_CUSTOMER_ORDERS_HIST,
         "promo_revenue": SQL_PROMO_REVENUE,

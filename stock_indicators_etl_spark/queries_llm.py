@@ -1685,6 +1685,49 @@ SELECT doc_id, CAST(dl AS INT) AS n_tokens,
 FROM folded
 """
 
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM surprisal per doc (the KenLM-perplexity
+    filter shape; ``llmdata.retrieval.bigram_surprisal``)."""
+    from stock_indicators_etl_spark.llmdata.retrieval import bigram_surprisal
+
+    return bigram_surprisal(_docs(spark, sf_dir))
+
+
+SQL_BIGRAM_SURPRISAL = f"""
+WITH {DOCS_CTE},
+bi AS (
+  SELECT doc_id, len(ws) - 1 AS nb,
+         unnest(generate_series(1, len(ws) - 1)) AS i, ws
+  FROM wd WHERE len(ws) >= 2
+),
+bg AS (SELECT doc_id, nb, ws[i] AS w1, ws[i + 1] AS w2 FROM bi),
+tf AS (
+  SELECT doc_id, w1, w2, count(*) AS tf, max(nb) AS nb
+  FROM bg GROUP BY 1, 2, 3
+),
+c12 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c12 FROM tf GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+c2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM c12 GROUP BY 1),
+tot AS (SELECT CAST(sum(c12) AS BIGINT) AS nn FROM c12),
+surp AS (
+  SELECT c12.w1, c12.w2,
+         {R6('-ln(0.75 * (CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))'
+             ' + 0.25 * (CAST(c2 AS DOUBLE) / CAST(nn AS DOUBLE)))')} AS s
+  FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN tot
+),
+folded AS (
+  SELECT doc_id, nb,
+         list_reduce(list_prepend(0.0, list(tf * s ORDER BY w1, w2)),
+                     (x, y) -> x + y) AS ssum
+  FROM tf JOIN surp USING (w1, w2)
+  GROUP BY doc_id, nb
+)
+SELECT doc_id, CAST(nb AS INT) AS n_bigrams,
+       {R6('ssum / CAST(nb AS DOUBLE)')} AS mean_surprisal
+FROM folded
+"""
+
+
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram collocation mining over the corpus (log-free lift —
     monotone in PMI, bit-exact via IEEE-correctly-rounded * and /;

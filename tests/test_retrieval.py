@@ -370,3 +370,40 @@ def test_rrf_fuse_orders_shared_items_first(spark):
     # singles follow, ordered by rank then id tiebreak
     assert by_rank[2]["item"] == 1 and by_rank[3]["item"] == 4
     assert {r["item"] for r in out} == {1, 3, 4, 5, 100}
+
+
+def test_bigram_surprisal_separates_repetition_from_soup(spark):
+    import pandas as pd
+
+    from stock_indicators_etl_spark.llmdata.retrieval import bigram_surprisal
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                # pure repetition: one bigram dominating the corpus
+                "spam ham " * 30,
+                # coherent-ish: bigrams seen twice
+                "the quick brown fox jumps the quick brown fox sleeps",
+                # soup: every bigram unique
+                "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+            ],
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bigram_surprisal(spark.createDataFrame(docs)).collect()
+    }
+    # repetition is most predictable; the SOUP doc sits in the middle
+    # (every context is a corpus singleton, so its only continuation
+    # has conditional prob λ·1 — the bigram-LM overconfidence on
+    # unseen contexts); the BRANCHING doc (fox → jumps/sleeps,
+    # the → quick twice out of three) genuinely surprises most
+    assert (
+        out[1]["mean_surprisal"]
+        < out[3]["mean_surprisal"]
+        < out[2]["mean_surprisal"]
+    )
+    assert out[1]["n_bigrams"] == 59
+    # single-token / empty docs would drop: none here, all three present
+    assert set(out) == {1, 2, 3}
