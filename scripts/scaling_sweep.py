@@ -53,6 +53,8 @@ SF1_QUERIES = {
     "heavy_hitters", "audio_stats", "dedup_incremental", "pack_sequences",
     "canonicalize", "pagerank", "bpe_merges", "collocations",
     "neardup_best", "snapshot_diff",
+    "triangles", "rrf_fusion", "mix_domains", "bigram_surprisal",
+    "cdc_merge",
 }
 
 # one representative per plan family
@@ -109,6 +111,25 @@ QUERIES = [
     "snapshot_diff",          # (key, md5) full-outer batch validation (extra)
     "small_qty_revenue",      # Q17: correlated scalar aggregate decorrelation (extra)
     "waiting_suppliers",      # Q21: EXISTS + NOT EXISTS same-table decorrelation (extra)
+    "returned_items",         # Q10: pushed-filter joins + combinable top-k (extra)
+    "customer_orders_hist",   # Q13: left-join double aggregation (extra)
+    "promo_revenue",          # Q14: conditional-aggregation ratio (extra)
+    "disjunctive_parts",      # Q19: implied-filter derivation from OR-of-ANDs (extra)
+    "market_share",           # Q8: two dim chains + exact-ratio share (extra)
+    "top_supplier",           # Q15: argmax over aggregated view (extra)
+    "supplier_part_counts",   # Q16: null-aware anti + two-phase distinct (extra)
+    "min_cost_supplier",      # Q2: correlated min over a restricted join (extra)
+    "profit_by_nation",       # Q9: five-table profit spine (extra)
+    "important_stock",        # Q11: fraction-of-total HAVING (extra)
+    "excess_suppliers",       # Q20: nested semi-join chain (extra)
+    "cdc_merge",              # changelog MERGE: window + anti + union (extra)
+    "mad_outliers",           # median/MAD robust outliers, broadcast quantiles (extra)
+    "value_histogram",        # equi-width integer histogram, 1-row bounds (extra)
+    "twap",                   # time-weighted average, lead window (extra)
+    "triangles",              # degree-ordered triangle enumeration (extra)
+    "rrf_fusion",             # fixed-point reciprocal-rank fusion (extra)
+    "mix_domains",            # recipe mixing via per-domain hash thresholds (extra)
+    "bigram_surprisal",       # interpolated bigram LM scoring (extra)
 ]
 
 
