@@ -347,7 +347,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_mad_outliers,
         q_market_share,
         q_min_cost_supplier,
+        q_ntile_buckets,
         q_order_priority_check,
+        q_pivot_matrix,
         q_profit_by_nation,
         q_promo_revenue,
         q_returned_items,
@@ -426,6 +428,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profit_by_nation": q_profit_by_nation,
         "important_stock": q_important_stock,
         "excess_suppliers": q_excess_suppliers,
+        "pivot_matrix": q_pivot_matrix,
+        "ntile_buckets": q_ntile_buckets,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -447,7 +451,9 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_MAD_OUTLIERS,
         SQL_MARKET_SHARE,
         SQL_MIN_COST_SUPPLIER,
+        SQL_NTILE_BUCKETS,
         SQL_ORDER_PRIORITY_CHECK,
+        SQL_PIVOT_MATRIX,
         SQL_PROFIT_BY_NATION,
         SQL_PROMO_REVENUE,
         SQL_RETURNED_ITEMS,
@@ -525,6 +531,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "profit_by_nation": SQL_PROFIT_BY_NATION,
         "important_stock": SQL_IMPORTANT_STOCK,
         "excess_suppliers": SQL_EXCESS_SUPPLIERS,
+        "pivot_matrix": SQL_PIVOT_MATRIX,
+        "ntile_buckets": SQL_NTILE_BUCKETS,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -54,7 +54,7 @@ SF1_QUERIES = {
     "canonicalize", "pagerank", "bpe_merges", "collocations",
     "neardup_best", "snapshot_diff",
     "triangles", "rrf_fusion", "mix_domains", "bigram_surprisal",
-    "cdc_merge",
+    "cdc_merge", "pivot_matrix",
 }
 
 # one representative per plan family
@@ -130,6 +130,8 @@ QUERIES = [
     "rrf_fusion",             # fixed-point reciprocal-rank fusion (extra)
     "mix_domains",            # recipe mixing via per-domain hash thresholds (extra)
     "bigram_surprisal",       # interpolated bigram LM scoring (extra)
+    "pivot_matrix",           # long-to-wide pivot with explicit values (extra)
+    "ntile_buckets",          # equi-depth decile binning (extra)
 ]
 
 

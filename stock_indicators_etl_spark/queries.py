@@ -3371,6 +3371,89 @@ WHERE s_suppkey IN (
 """
 
 
+PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def q_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): documents counted into a source × language
+    matrix. The value list is EXPLICIT — ``pivot(col, values)`` with
+    known categories compiles to one conditional-aggregation pass;
+    omitting the list adds a blocking distinct-collect job over the
+    pivot column first, which at 100 TB is a full extra scan (and a
+    surprise 10k-column schema if the column is dirtier than
+    expected). Missing combinations are 0, not null, so the wide
+    frame is directly consumable. All-integer output."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", "lang"
+    )
+    wide = (
+        docs.groupBy("source")
+        .pivot("lang", PIVOT_LANGS)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "source",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in PIVOT_LANGS],
+    )
+
+
+SQL_PIVOT_MATRIX = """
+SELECT source,
+       CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+       CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+       CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+       CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+FROM documents
+GROUP BY source
+"""
+
+
+def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH bucketing (deciles) of order totals via ``ntile`` —
+    the rank-based complement of ``equi_width_histogram`` (quantile
+    feature binning / monotone rank transforms). Both engines define
+    ntile identically (earlier buckets take the remainder rows), and
+    the window order carries an ``o_orderkey`` tie-break so equal
+    totals land deterministically. Per-decile count + exact-cents sum
+    + min/max boundaries. One global window over a BOUNDED sort —
+    fine here; at corpus scale the same binning comes from
+    ``approx_percentile`` range-partitioned cuts instead."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return (
+        o.select(
+            F.ntile(10).over(w).alias("decile"),
+            F.col("o_totalprice").alias("v"),
+            cents.alias("_c"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.sum("_c").alias("sum_cents"),
+        )
+    )
+
+
+SQL_NTILE_BUCKETS = """
+SELECT decile,
+       count(*) AS n,
+       min(v) AS lo,
+       max(v) AS hi,
+       CAST(sum(c) AS BIGINT) AS sum_cents
+FROM (
+  SELECT ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile,
+         o_totalprice AS v,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+  FROM orders
+)
+GROUP BY decile
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
