@@ -5,7 +5,11 @@ from __future__ import annotations
 import pandas as pd
 import pytest
 
-from stock_indicators_etl_spark.operators.graph import PR_SCALE, pagerank
+from stock_indicators_etl_spark.operators.graph import (
+    PR_SCALE,
+    pagerank,
+    triangle_counts,
+)
 
 
 def _replica(edges, iters, scale=PR_SCALE, num=85, den=100):
@@ -79,3 +83,35 @@ def test_triangle_counts_known_graph(spark):
         for r in triangle_counts(spark.createDataFrame(edges)).collect()
     }
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_matches_bruteforce_random_graphs(spark):
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    for trial in range(3):
+        n = 14
+        edges = set()
+        for _ in range(40):
+            a, b = rng.integers(0, n, 2)
+            if a != b:
+                edges.add((int(min(a, b)), int(max(a, b))))
+        want = {}
+        for u, v, w in itertools.combinations(range(n), 3):
+            if (
+                (u, v) in edges and (v, w) in edges and (u, w) in edges
+            ):
+                for x in (u, v, w):
+                    want[x] = want.get(x, 0) + 1
+        got = {
+            r["v"]: r["n_tri"]
+            for r in triangle_counts(
+                spark.createDataFrame(
+                    pd.DataFrame(list(edges), columns=["src", "dst"])
+                )
+            ).collect()
+        }
+        assert got == want, f"trial {trial}"

@@ -433,3 +433,68 @@ def test_time_weighted_avg_holds_until_next(spark):
     assert out["a"]["twap"] == pytest.approx((10 * 30 + 20 * 10) / 40)
     # single observation → no holding interval → null
     assert out["b"]["n"] == 1 and out["b"]["twap"] is None
+
+
+def test_apply_cdc_random_log_matches_sequential_replay(spark):
+    import numpy as np
+
+    from stock_indicators_etl_spark.operators.scd import apply_cdc
+
+    rng = np.random.default_rng(41)
+    base = {int(k): f"b{k}" for k in range(30)}
+    ops = []
+    for seq in range(120):
+        k = int(rng.integers(0, 45))  # keys beyond base → inserts
+        op = rng.choice(["U", "D", "I"], p=[0.5, 0.25, 0.25])
+        ops.append({"k": k, "v": f"v{seq}", "seq": seq, "op": str(op)})
+    # python replay: ordered fold of last-wins semantics
+    state = dict(base)
+    for row in ops:
+        if row["op"] == "D":
+            state.pop(row["k"], None)
+        else:
+            state[row["k"]] = row["v"]
+    got = {
+        r["k"]: r["v"]
+        for r in apply_cdc(
+            spark.createDataFrame(
+                pd.DataFrame(list(base.items()), columns=["k", "v"])
+            ),
+            spark.createDataFrame(pd.DataFrame(ops)),
+            "k",
+            "seq",
+        ).collect()
+    }
+    assert got == state
+
+
+def test_time_weighted_avg_matches_pandas_replay(spark):
+    import numpy as np
+
+    from stock_indicators_etl_spark.operators.stats import (
+        time_weighted_avg,
+    )
+
+    rng = np.random.default_rng(17)
+    NS = 10**9
+    rows = []
+    for k in ("x", "y", "z"):
+        ts = np.sort(rng.choice(np.arange(0, 5000), 60, replace=False)) * NS
+        vals = np.round(rng.uniform(1, 500, 60), 2)
+        rows += [
+            {"k": k, "ts": int(t), "v": float(v)} for t, v in zip(ts, vals)
+        ]
+    pdf = pd.DataFrame(rows)
+    out = {
+        r["k"]: r
+        for r in time_weighted_avg(
+            spark.createDataFrame(pdf), "k", "ts", "v"
+        ).collect()
+    }
+    for k, grp in pdf.groupby("k"):
+        g = grp.sort_values("ts")
+        dt = (g.ts.diff().shift(-1).dropna() // NS).astype(int)
+        cents = np.floor(g.v * 100 + 0.5).astype(int)[:-1]
+        want = (cents.values * dt.values).sum() / dt.sum() / 100.0
+        assert out[k]["twap"] == pytest.approx(want, rel=1e-12)
+        assert out[k]["span_s"] == dt.sum()
