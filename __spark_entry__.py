@@ -146,6 +146,14 @@ ROTATED_OUT = (
     "stochf",
     "gapfill",
     "interpolate",
+    # r7b rotation: stable-since-r1 single-indicator / filter / ANN
+    # entries out for the newest relational+curation operators
+    "market_hours_filter",
+    "rocp_mom",
+    "segmentation",
+    "aroonosc",
+    "lsh_bucketed_topk",
+    "dedup_survivors",
 )
 ROTATED_IN = (
     # r5 rotation
@@ -176,15 +184,24 @@ ROTATED_IN = (
     "ols_by_key",
     "cluster_keywords",
     "semantic_neardup_scaled",
+    # ...r7b: this session's new operator families
+    "cdc_merge",
+    "mad_outliers",
+    "triangles",
+    "rrf_fusion",
+    "mix_domains",
+    "bigram_surprisal",
 )
 
 
 def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from stock_indicators_etl_spark.queries import (
         q_asof_join,
+        q_cdc_merge,
         q_dq_check,
         q_funnel,
         q_interval_join,
+        q_mad_outliers,
         q_ols_by_key,
         q_retention,
         q_scd2_history,
@@ -192,6 +209,7 @@ def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
     )
     from stock_indicators_etl_spark.queries_llm import (
         q_audio_stats,
+        q_bigram_surprisal,
         q_bm25_topk,
         q_canonicalize,
         q_cluster_keywords,
@@ -201,12 +219,15 @@ def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         q_ivfpq_topk,
         q_kmeans,
         q_leakage_split,
+        q_mix_domains,
         q_pack_sequences,
         q_pagerank,
         q_pq_topk,
+        q_rrf_fusion,
         q_semantic_neardup_scaled,
         q_span_dedup,
         q_tfidf_keywords,
+        q_triangles,
     )
 
     return {
@@ -234,15 +255,23 @@ def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "ols_by_key": q_ols_by_key,
         "cluster_keywords": q_cluster_keywords,
         "semantic_neardup_scaled": q_semantic_neardup_scaled,
+        "cdc_merge": q_cdc_merge,
+        "mad_outliers": q_mad_outliers,
+        "triangles": q_triangles,
+        "rrf_fusion": q_rrf_fusion,
+        "mix_domains": q_mix_domains,
+        "bigram_surprisal": q_bigram_surprisal,
     }
 
 
 def _rotated_in_oracles() -> dict[str, str]:
     from stock_indicators_etl_spark.queries import (
         SQL_ASOF_JOIN,
+        SQL_CDC_MERGE,
         SQL_DQ_CHECK,
         SQL_FUNNEL,
         SQL_INTERVAL_JOIN,
+        SQL_MAD_OUTLIERS,
         SQL_OLS_BY_KEY,
         SQL_RETENTION,
         SQL_SCD2_HISTORY,
@@ -250,6 +279,7 @@ def _rotated_in_oracles() -> dict[str, str]:
     )
     from stock_indicators_etl_spark.queries_llm import (
         SQL_AUDIO_STATS,
+        SQL_BIGRAM_SURPRISAL,
         SQL_BM25_TOPK,
         SQL_CANONICALIZE,
         SQL_CLUSTER_KEYWORDS,
@@ -259,12 +289,15 @@ def _rotated_in_oracles() -> dict[str, str]:
         SQL_IVFPQ_TOPK,
         SQL_KMEANS,
         SQL_LEAKAGE_SPLIT,
+        SQL_MIX_DOMAINS,
         SQL_PACK_SEQUENCES,
         SQL_PAGERANK,
         SQL_PQ_TOPK,
+        SQL_RRF_FUSION,
         SQL_SEMANTIC_NEARDUP_SCALED,
         SQL_SPAN_DEDUP,
         SQL_TFIDF_KEYWORDS,
+        SQL_TRIANGLES,
     )
 
     return {
@@ -292,6 +325,12 @@ def _rotated_in_oracles() -> dict[str, str]:
         "ols_by_key": SQL_OLS_BY_KEY,
         "cluster_keywords": SQL_CLUSTER_KEYWORDS,
         "semantic_neardup_scaled": SQL_SEMANTIC_NEARDUP_SCALED,
+        "cdc_merge": SQL_CDC_MERGE,
+        "mad_outliers": SQL_MAD_OUTLIERS,
+        "triangles": SQL_TRIANGLES,
+        "rrf_fusion": SQL_RRF_FUSION,
+        "mix_domains": SQL_MIX_DOMAINS,
+        "bigram_surprisal": SQL_BIGRAM_SURPRISAL,
     }
 
 
@@ -337,14 +376,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     variants, the newer extension operators not yet rotated in, and
     the long-stable entries rotated out (VERDICT r5 #3)."""
     from stock_indicators_etl_spark.queries import (
-        q_cdc_merge,
         q_customer_orders_hist,
         q_disjunctive_parts,
         q_dormant_customers,
         q_excess_suppliers,
         q_large_orders,
         q_important_stock,
-        q_mad_outliers,
         q_market_share,
         q_min_cost_supplier,
         q_ntile_buckets,
@@ -366,18 +403,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_winsorize_approx,
     )
     from stock_indicators_etl_spark.queries_llm import (
-        q_bigram_surprisal,
         q_bpe_merges,
         q_chunk_documents,
         q_collocations,
         q_embedding_neardup_scaled,
         q_frequent_ngrams,
         q_length_quantiles,
-        q_mix_domains,
         q_neardup_best,
-        q_rrf_fusion,
         q_semantic_neardup,
-        q_triangles,
         q_unigram_surprisal,
         q_weighted_sample,
     )
@@ -409,10 +442,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": q_small_qty_revenue,
         "snapshot_diff": q_snapshot_diff,
         "waiting_suppliers": q_waiting_suppliers,
-        "triangles": q_triangles,
-        "rrf_fusion": q_rrf_fusion,
-        "mix_domains": q_mix_domains,
-        "bigram_surprisal": q_bigram_surprisal,
         "returned_items": q_returned_items,
         "customer_orders_hist": q_customer_orders_hist,
         "promo_revenue": q_promo_revenue,
@@ -420,8 +449,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_share": q_market_share,
         "top_supplier": q_top_supplier,
         "supplier_part_counts": q_supplier_part_counts,
-        "cdc_merge": q_cdc_merge,
-        "mad_outliers": q_mad_outliers,
         "value_histogram": q_value_histogram,
         "twap": q_twap,
         "min_cost_supplier": q_min_cost_supplier,
@@ -439,7 +466,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def extra_oracle_sql() -> dict[str, str]:
     from stock_indicators_etl_spark.queries import (
         SQL_ADX_FAMILY,
-        SQL_CDC_MERGE,
         SQL_CMO_WILDER,
         SQL_CUSTOMER_ORDERS_HIST,
         SQL_DISJUNCTIVE_PARTS,
@@ -448,7 +474,6 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_LARGE_ORDERS,
         SQL_MACDFIX_HIST,
         SQL_IMPORTANT_STOCK,
-        SQL_MAD_OUTLIERS,
         SQL_MARKET_SHARE,
         SQL_MIN_COST_SUPPLIER,
         SQL_NTILE_BUCKETS,
@@ -471,18 +496,14 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_WINSORIZE_APPROX,
     )
     from stock_indicators_etl_spark.queries_llm import (
-        SQL_BIGRAM_SURPRISAL,
         SQL_BPE_MERGES,
         SQL_CHUNK_DOCUMENTS,
         SQL_COLLOCATIONS,
         SQL_EMBEDDING_NEARDUP_SCALED,
         SQL_FREQUENT_NGRAMS,
         SQL_LENGTH_QUANTILES,
-        SQL_MIX_DOMAINS,
         SQL_NEARDUP_BEST,
-        SQL_RRF_FUSION,
         SQL_SEMANTIC_NEARDUP,
-        SQL_TRIANGLES,
         SQL_UNIGRAM_SURPRISAL,
         SQL_WEIGHTED_SAMPLE,
     )
@@ -512,10 +533,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "waiting_suppliers": SQL_WAITING_SUPPLIERS,
-        "triangles": SQL_TRIANGLES,
-        "rrf_fusion": SQL_RRF_FUSION,
-        "mix_domains": SQL_MIX_DOMAINS,
-        "bigram_surprisal": SQL_BIGRAM_SURPRISAL,
         "returned_items": SQL_RETURNED_ITEMS,
         "customer_orders_hist": SQL_CUSTOMER_ORDERS_HIST,
         "promo_revenue": SQL_PROMO_REVENUE,
@@ -523,8 +540,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "market_share": SQL_MARKET_SHARE,
         "top_supplier": SQL_TOP_SUPPLIER,
         "supplier_part_counts": SQL_SUPPLIER_PART_COUNTS,
-        "cdc_merge": SQL_CDC_MERGE,
-        "mad_outliers": SQL_MAD_OUTLIERS,
         "value_histogram": SQL_VALUE_HISTOGRAM,
         "twap": SQL_TWAP,
         "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
