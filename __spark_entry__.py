@@ -395,6 +395,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_small_qty_revenue,
         q_snapshot_diff,
         q_supplier_part_counts,
+        q_top_paths,
         q_top_supplier,
         q_twap,
         q_value_histogram,
@@ -457,6 +458,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "excess_suppliers": q_excess_suppliers,
         "pivot_matrix": q_pivot_matrix,
         "ntile_buckets": q_ntile_buckets,
+        "top_paths": q_top_paths,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -488,6 +490,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_SMALL_QTY_REVENUE,
         SQL_SNAPSHOT_DIFF,
         SQL_SUPPLIER_PART_COUNTS,
+        SQL_TOP_PATHS,
         SQL_TOP_SUPPLIER,
         SQL_TWAP,
         SQL_VALUE_HISTOGRAM,
@@ -548,6 +551,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "excess_suppliers": SQL_EXCESS_SUPPLIERS,
         "pivot_matrix": SQL_PIVOT_MATRIX,
         "ntile_buckets": SQL_NTILE_BUCKETS,
+        "top_paths": SQL_TOP_PATHS,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -132,6 +132,7 @@ QUERIES = [
     "bigram_surprisal",       # interpolated bigram LM scoring (extra)
     "pivot_matrix",           # long-to-wide pivot with explicit values (extra)
     "ntile_buckets",          # equi-depth decile binning (extra)
+    "top_paths",              # per-user ordered path strings + top-k (extra)
 ]
 
 

@@ -3454,6 +3454,56 @@ GROUP BY decile
 """
 
 
+TOP_PATHS_K = 25
+
+
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-path analysis: the most common per-user event-type
+    SEQUENCES (the product-analytics 'what journeys happen most'
+    query). Each user's events collapse to an ordered path string in
+    ONE combinable aggregate — ``sort_array(collect_list(struct(ns,
+    event_id, type)))`` pins the order inside the aggregation buffer
+    (≡ DuckDB ``string_agg(... ORDER BY)``), so no separate window
+    pass over the event stream — then a tiny groupBy(path) counts and
+    a TakeOrdered returns the top 25 with (count desc, path) as the
+    deterministic cut. Paths are capped to the first 8 events per
+    user (real path analysis truncates — unbounded paths are all
+    unique)."""
+    e = _events(spark, sf_dir)
+    paths = (
+        e.groupBy("user_id")
+        .agg(
+            F.expr(
+                "array_join(slice(transform(sort_array(collect_list("
+                "struct(ns, event_id, event_type))), x -> x.event_type),"
+                " 1, 8), '>')"
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    return paths.orderBy(F.desc("n_users"), F.asc("path")).limit(TOP_PATHS_K)
+
+
+SQL_TOP_PATHS = f"""
+WITH p AS (
+  SELECT user_id,
+         array_to_string(
+           list_slice(
+             list(event_type ORDER BY (epoch_ns(ts) // 1000) * 1000,
+                  event_id),
+             1, 8),
+           '>') AS path
+  FROM events
+  GROUP BY user_id
+),
+c AS (SELECT path, count(*) AS n_users FROM p GROUP BY path)
+SELECT path, n_users FROM c
+ORDER BY n_users DESC, path
+LIMIT {TOP_PATHS_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
