@@ -492,3 +492,54 @@ def test_exists_plus_not_exists_decorrelate_to_semi_and_anti(spark):
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_semi_join_reduction_available(spark):
+    """The 100 TB semi-join-reduction lever: when a big-big shuffle
+    join has a SELECTIVE creation side, Spark's runtime bloom-filter
+    rule injects a `bloom_filter_agg` on the selective side and a
+    might-contain probe onto the big scan — rows that cannot join die
+    at the scan, before the shuffle. At local SFs it never fires on
+    its own (the probe side is below the 10 GB application threshold,
+    and dims broadcast anyway — broadcast beats bloom when it fits),
+    so this test forces the preconditions and asserts the rule CAN
+    inject; production keeps the defaults."""
+    from pyspark.sql import functions as F
+
+    spark.catalog.clearCache()
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    )
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None  # unset → restore via unset()
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        sel = o.filter(F.col("o_totalprice") > 450000)
+        j = (
+            li.join(sel, li.l_orderkey == sel.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan.lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
