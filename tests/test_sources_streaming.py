@@ -741,3 +741,23 @@ def test_streaming_cdc_apply_matches_oneshot(spark, tmp_path):
     # spot semantics: k=2 deleted then re-inserted; k=0 stays deleted
     d = dict(got)
     assert d[2] == "back" and 0 not in d and d[100] == "new" and d[5] == "u5b"
+
+
+def test_dimension_maintenance_example_end_to_end(spark):
+    """examples/dimension_maintenance.py: CDC apply → SCD2 history →
+    changelog-implied publish gate, run whole."""
+    import sys
+
+    sys.path.insert(0, "examples")
+    try:
+        from dimension_maintenance import run_example
+    finally:
+        sys.path.remove("examples")
+
+    out = run_example(spark)
+    # base 5 − removed 1 (sku 3; sku 4 deleted then reinstated) + added 1
+    assert out["merged_rows"] == 5
+    assert out["diff_removed"] == 1
+    assert out["diff_added"] == 1
+    assert out["diff_changed"] == 2  # skus 1 (c) and 4 (a, reinstated)
+    assert out["history_rows"] >= 4  # sku 1 has two versions
