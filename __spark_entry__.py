@@ -407,6 +407,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_bpe_merges,
         q_chunk_documents,
         q_collocations,
+        q_curation_funnel,
         q_embedding_neardup_scaled,
         q_frequent_ngrams,
         q_length_quantiles,
@@ -459,6 +460,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_matrix": q_pivot_matrix,
         "ntile_buckets": q_ntile_buckets,
         "top_paths": q_top_paths,
+        "curation_funnel": q_curation_funnel,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -502,6 +504,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_BPE_MERGES,
         SQL_CHUNK_DOCUMENTS,
         SQL_COLLOCATIONS,
+        SQL_CURATION_FUNNEL,
         SQL_EMBEDDING_NEARDUP_SCALED,
         SQL_FREQUENT_NGRAMS,
         SQL_LENGTH_QUANTILES,
@@ -552,6 +555,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "pivot_matrix": SQL_PIVOT_MATRIX,
         "ntile_buckets": SQL_NTILE_BUCKETS,
         "top_paths": SQL_TOP_PATHS,
+        "curation_funnel": SQL_CURATION_FUNNEL,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -54,7 +54,7 @@ SF1_QUERIES = {
     "canonicalize", "pagerank", "bpe_merges", "collocations",
     "neardup_best", "snapshot_diff",
     "triangles", "rrf_fusion", "mix_domains", "bigram_surprisal",
-    "cdc_merge", "pivot_matrix",
+    "cdc_merge", "pivot_matrix", "curation_funnel",
 }
 
 # one representative per plan family
@@ -133,6 +133,7 @@ QUERIES = [
     "pivot_matrix",           # long-to-wide pivot with explicit values (extra)
     "ntile_buckets",          # equi-depth decile binning (extra)
     "top_paths",              # per-user ordered path strings + top-k (extra)
+    "curation_funnel",        # per-stage survival report in one aggregate (extra)
 ]
 
 

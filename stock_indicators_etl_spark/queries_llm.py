@@ -889,6 +889,102 @@ rk AS (
 SELECT qid, rk, nbr_id, {R6('cosine')} AS cosine FROM rk WHERE rk <= {TOPK}
 """
 
+FUNNEL_MIN_CHARS = 200
+FUNNEL_ALPHA = 0.55
+FUNNEL_LANGS = ("en", "fr", "de")
+FUNNEL_SAMPLE = 0.5
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel observability: how many documents survive each
+    successive filter stage (length → alpha density → language →
+    exact-dedup first-copy → hash sample) — the per-stage drop report
+    every production curation run publishes next to its output. ONE
+    scan computes every stage flag (the dedup flag is the only
+    non-scan-local piece: first-copy-by-md5 via one window), ONE
+    combinable aggregate sums the cumulative survivor counts, and a
+    6-row ``stack`` unpivot emits (stage, n_surviving, n_dropped).
+    Never five sequential count jobs. All-integer."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    n_chars = F.length("text")
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast(
+        "double"
+    ) / F.when(n_chars == 0, F.lit(1)).otherwise(n_chars).cast("double")
+    first_copy = (
+        F.row_number().over(
+            Window.partitionBy(F.md5("text")).orderBy("doc_id")
+        )
+        == 1
+    )
+    sampled = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 14), 16, 10)
+        .cast("long")
+        < int(FUNNEL_SAMPLE * (1 << 56))
+    )
+    s1 = n_chars >= FUNNEL_MIN_CHARS
+    s2 = s1 & (alpha >= FUNNEL_ALPHA)
+    s3 = s2 & F.col("lang").isin(*FUNNEL_LANGS)
+    s4 = s3 & first_copy
+    s5 = s4 & sampled
+    agg = docs.select(
+        F.lit(1).alias("s0"),
+        *[c.cast("long").alias(n) for n, c in
+          [("s1", s1), ("s2", s2), ("s3", s3), ("s4", s4), ("s5", s5)]],
+    ).agg(*[F.sum(c).alias(c) for c in ["s0", "s1", "s2", "s3", "s4", "s5"]])
+    stages = ["total", "min_length", "alpha_density", "language",
+              "dedup_first_copy", "sample"]
+    stack = ", ".join(
+        f"'{label}', s{i}, {'CAST(0 AS BIGINT)' if i == 0 else f's{i-1} - s{i}'}"
+        for i, label in enumerate(stages)
+    )
+    return agg.select(
+        F.expr(
+            f"stack(6, {stack}) AS (stage, n_surviving, n_dropped_here)"
+        )
+    )
+
+
+def _curation_funnel_sql() -> str:
+    langs = ", ".join(f"'{x}'" for x in FUNNEL_LANGS)
+    thr = int(FUNNEL_SAMPLE * (1 << 56))
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) >= {FUNNEL_MIN_CHARS} AS s1,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           / CAST(CASE WHEN length(text) = 0 THEN 1
+                       ELSE length(text) END AS DOUBLE)
+           >= {FUNNEL_ALPHA} AS a2,
+         lang IN ({langs}) AS a3,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+           AS a4,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))
+              AS BIGINT) < {thr} AS a5
+  FROM documents
+),
+c AS (
+  SELECT count(*) AS s0,
+         CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN s1 AND a2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         CAST(sum(CASE WHEN s1 AND a2 AND a3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+         CAST(sum(CASE WHEN s1 AND a2 AND a3 AND a4 THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+         CAST(sum(CASE WHEN s1 AND a2 AND a3 AND a4 AND a5 THEN 1 ELSE 0 END) AS BIGINT) AS s5
+  FROM f
+)
+SELECT 'total' AS stage, s0 AS n_surviving, CAST(0 AS BIGINT) AS n_dropped_here FROM c
+UNION ALL SELECT 'min_length', s1, s0 - s1 FROM c
+UNION ALL SELECT 'alpha_density', s2, s1 - s2 FROM c
+UNION ALL SELECT 'language', s3, s2 - s3 FROM c
+UNION ALL SELECT 'dedup_first_copy', s4, s3 - s4 FROM c
+UNION ALL SELECT 'sample', s5, s4 - s5 FROM c
+"""
+
+
+SQL_CURATION_FUNNEL = _curation_funnel_sql()
+
+
 MIX_WEIGHTS = {"src0": 4, "src1": 2, "src2": 1, "src3": 1}
 MIX_TOTAL = 60
 
