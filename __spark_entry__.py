@@ -392,6 +392,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_returned_items,
         q_rollup_aggregate,
         q_shipping_priority,
+        q_sliding_counts,
         q_small_qty_revenue,
         q_snapshot_diff,
         q_supplier_part_counts,
@@ -461,6 +462,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_buckets": q_ntile_buckets,
         "top_paths": q_top_paths,
         "curation_funnel": q_curation_funnel,
+        "sliding_counts": q_sliding_counts,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -489,6 +491,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_ROLLUP_AGGREGATE,
         SQL_RSI_WILDER,
         SQL_SHIPPING_PRIORITY,
+        SQL_SLIDING_COUNTS,
         SQL_SMALL_QTY_REVENUE,
         SQL_SNAPSHOT_DIFF,
         SQL_SUPPLIER_PART_COUNTS,
@@ -556,6 +559,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "ntile_buckets": SQL_NTILE_BUCKETS,
         "top_paths": SQL_TOP_PATHS,
         "curation_funnel": SQL_CURATION_FUNNEL,
+        "sliding_counts": SQL_SLIDING_COUNTS,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -134,6 +134,7 @@ QUERIES = [
     "ntile_buckets",          # equi-depth decile binning (extra)
     "top_paths",              # per-user ordered path strings + top-k (extra)
     "curation_funnel",        # per-stage survival report in one aggregate (extra)
+    "sliding_counts",         # RANGE-frame trailing-hour burst profile (extra)
 ]
 
 

@@ -3504,6 +3504,62 @@ LIMIT {TOP_PATHS_K}
 """
 
 
+SLIDING_WINDOW_NS = 3_600 * 10**9  # trailing hour
+
+
+def q_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame sliding windows — the trailing-hour activity
+    profile (rate limiting / burst detection): for every event, the
+    count and integer-cents value sum of the user's events in the
+    preceding hour (``RANGE BETWEEN 3.6e12 PRECEDING AND CURRENT
+    ROW`` over epoch-ns — a VALUE frame, so simultaneous events are
+    all in-frame regardless of row order; the row-frame windows the
+    indicator family uses cannot express this), then one combinable
+    rollup to each user's PEAK burst. One key shuffle total."""
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ns")
+        .rangeBetween(-SLIDING_WINDOW_NS, 0)
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    per_event = e.select(
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(cents).over(w).alias("cents_1h"),
+    )
+    return per_event.groupBy("user_id").agg(
+        F.max("n_1h").alias("peak_events_1h"),
+        F.max("cents_1h").alias("peak_cents_1h"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_SLIDING_COUNTS = f"""
+WITH src AS (
+  SELECT user_id,
+         (epoch_ns(ts) // 1000) * 1000 AS ns,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+pe AS (
+  SELECT user_id,
+         count(*) OVER w AS n_1h,
+         CAST(sum(c) OVER w AS BIGINT) AS cents_1h
+  FROM src
+  WINDOW w AS (PARTITION BY user_id ORDER BY ns
+               RANGE BETWEEN {SLIDING_WINDOW_NS} PRECEDING
+                         AND CURRENT ROW)
+)
+SELECT user_id,
+       max(n_1h) AS peak_events_1h,
+       CAST(max(cents_1h) AS BIGINT) AS peak_cents_1h,
+       count(*) AS n_events
+FROM pe
+GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
