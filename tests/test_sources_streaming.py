@@ -761,3 +761,73 @@ def test_dimension_maintenance_example_end_to_end(spark):
     assert out["diff_added"] == 1
     assert out["diff_changed"] == 2  # skus 1 (c) and 4 (a, reinstated)
     assert out["history_rows"] >= 4  # sku 1 has two versions
+
+
+def test_streaming_sliding_counts_matches_batch_range_frame(spark, tmp_path):
+    """Drain an in-order 3-file stream through streaming_sliding_counts;
+    every emitted (n_win, cents_win) must equal the batch RANGE-frame
+    computation over the full series — including across micro-batch
+    seams and simultaneous-event tie groups."""
+    import os
+
+    import numpy as np
+
+    from stock_indicators_etl_spark.streaming.ratelimit import (
+        streaming_sliding_counts,
+    )
+
+    NS = 10**9
+    W = 3_600 * NS
+    rng = np.random.default_rng(31)
+    rows = []
+    for u in (1, 2):
+        ts = np.sort(rng.integers(0, 6 * 3600, 90)) * NS
+        ts[10] = ts[11]  # force a tie group
+        vals = np.round(rng.uniform(1, 50, 90), 2)
+        rows += [
+            {"user_id": u, "ns": int(t), "value": float(v)}
+            for t, v in zip(np.sort(ts), vals)
+        ]
+    pdf = pd.DataFrame(rows).sort_values("ns").reset_index(drop=True)
+    src = tmp_path / "rl_src"
+    src.mkdir()
+    cuts = np.array_split(pdf, 3)
+    for i, chunk in enumerate(cuts):
+        p = str(src / f"f{i}.parquet")
+        chunk.to_parquet(p)
+        os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ns bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_sliding_counts(stream, window_ns=W)
+        .writeStream.format("memory")
+        .queryName("slide")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "rl_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("select * from slide")
+        .toPandas()
+        .sort_values(["user_id", "ns"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(pdf)
+
+    # batch RANGE-frame expectation in pandas
+    for u, grp in pdf.groupby("user_id"):
+        g = grp.sort_values("ns")
+        ts = g.ns.to_numpy()
+        cents = np.floor(g.value.to_numpy() * 100 + 0.5).astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(cents)])
+        lo = np.searchsorted(ts, ts - W, side="left")
+        hi = np.searchsorted(ts, ts, side="right")
+        sub = got[got.user_id == u]
+        assert list(sub.n_win) == list(hi - lo)
+        assert list(sub.cents_win) == list(csum[hi] - csum[lo])
