@@ -391,8 +391,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_promo_revenue,
         q_returned_items,
         q_rollup_aggregate,
+        q_attribution,
         q_shipping_priority,
         q_sliding_counts,
+        q_standardize,
         q_small_qty_revenue,
         q_snapshot_diff,
         q_supplier_part_counts,
@@ -415,6 +417,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_neardup_best,
         q_semantic_neardup,
         q_unigram_surprisal,
+        q_vocab_index,
         q_weighted_sample,
     )
 
@@ -463,6 +466,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_paths": q_top_paths,
         "curation_funnel": q_curation_funnel,
         "sliding_counts": q_sliding_counts,
+        "attribution": q_attribution,
+        "standardize": q_standardize,
+        "vocab_index": q_vocab_index,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -472,6 +478,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def extra_oracle_sql() -> dict[str, str]:
     from stock_indicators_etl_spark.queries import (
         SQL_ADX_FAMILY,
+        SQL_ATTRIBUTION,
         SQL_CMO_WILDER,
         SQL_CUSTOMER_ORDERS_HIST,
         SQL_DISJUNCTIVE_PARTS,
@@ -493,6 +500,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_SHIPPING_PRIORITY,
         SQL_SLIDING_COUNTS,
         SQL_SMALL_QTY_REVENUE,
+        SQL_STANDARDIZE,
         SQL_SNAPSHOT_DIFF,
         SQL_SUPPLIER_PART_COUNTS,
         SQL_TOP_PATHS,
@@ -514,6 +522,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_NEARDUP_BEST,
         SQL_SEMANTIC_NEARDUP,
         SQL_UNIGRAM_SURPRISAL,
+        SQL_VOCAB_INDEX,
         SQL_WEIGHTED_SAMPLE,
     )
 
@@ -560,6 +569,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "top_paths": SQL_TOP_PATHS,
         "curation_funnel": SQL_CURATION_FUNNEL,
         "sliding_counts": SQL_SLIDING_COUNTS,
+        "attribution": SQL_ATTRIBUTION,
+        "standardize": SQL_STANDARDIZE,
+        "vocab_index": SQL_VOCAB_INDEX,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -54,7 +54,7 @@ SF1_QUERIES = {
     "canonicalize", "pagerank", "bpe_merges", "collocations",
     "neardup_best", "snapshot_diff",
     "triangles", "rrf_fusion", "mix_domains", "bigram_surprisal",
-    "cdc_merge", "pivot_matrix", "curation_funnel",
+    "cdc_merge", "pivot_matrix", "curation_funnel", "vocab_index",
 }
 
 # one representative per plan family
@@ -135,6 +135,9 @@ QUERIES = [
     "top_paths",              # per-user ordered path strings + top-k (extra)
     "curation_funnel",        # per-stage survival report in one aggregate (extra)
     "sliding_counts",         # RANGE-frame trailing-hour burst profile (extra)
+    "attribution",            # last-touch conditional-max window rollup (extra)
+    "standardize",            # z-score stats from exact integer sums (extra)
+    "vocab_index",            # corpus token ids, vocab-bounded rank (extra)
 ]
 
 

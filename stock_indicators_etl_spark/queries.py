@@ -3560,6 +3560,150 @@ GROUP BY user_id
 """
 
 
+ATTRIB_WINDOW_NS = 7 * 24 * 3_600 * 10**9  # last-touch lookback
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each ``purchase`` is credited to the
+    user's most recent preceding ``click`` within 7 days. The running
+    last-click timestamp is a conditional ``max`` over an UNBOUNDED
+    PRECEDING row frame on the SAME (user, time) sort every other
+    per-user operator rides — one key shuffle, no self-join of the
+    event stream (the naive purchase⋈click range join re-shuffles the
+    stream twice and explodes on active users). Integer-ns window
+    test; per-user rollup with attributed revenue in integer cents."""
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ns"))
+    ).over(w)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    flagged = e.select(
+        "user_id",
+        "event_type",
+        cents.alias("_c"),
+        last_click.alias("_lc"),
+        "ns",
+    ).filter(F.col("event_type") == "purchase")
+    attributed = (
+        F.col("_lc").isNotNull()
+        & ((F.col("ns") - F.col("_lc")) <= ATTRIB_WINDOW_NS)
+    ).cast("long")
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(attributed).alias("n_attributed"),
+        F.sum(F.col("_c") * attributed).alias("attributed_cents"),
+    )
+
+
+SQL_ATTRIBUTION = f"""
+WITH src AS (
+  SELECT user_id, event_type, event_id,
+         (epoch_ns(ts) // 1000) * 1000 AS ns,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+f AS (
+  SELECT user_id, event_type, ns, c,
+         max(CASE WHEN event_type = 'click' THEN ns END)
+           OVER (PARTITION BY user_id ORDER BY ns, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS lc
+  FROM src
+)
+SELECT user_id,
+       count(*) AS n_purchases,
+       CAST(sum(CASE WHEN lc IS NOT NULL
+                      AND ns - lc <= {ATTRIB_WINDOW_NS}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+       CAST(sum(CASE WHEN lc IS NOT NULL
+                      AND ns - lc <= {ATTRIB_WINDOW_NS}
+                     THEN c ELSE 0 END) AS BIGINT) AS attributed_cents
+FROM f
+WHERE event_type = 'purchase'
+GROUP BY user_id
+"""
+
+
+def q_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key z-score feature standardization summary: mean and
+    sample std from EXACT integer sums (Σc, Σc² as BIGINT — the OLS
+    idiom: associative, order-free, exact at any group size), both
+    6dp-rounded after the final IEEE expression (sqrt is correctly
+    rounded), then one more pass counts |v − mean| > 2σ tails against
+    the rounded parameters — a fixed cross-engine-identical op
+    sequence. The feature-scaling companion to ``mad_outliers``
+    (parametric vs robust)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value"
+    )
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c).alias("_s1"),
+        F.sum(c * c).alias("_s2"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("_s1").cast("double") / nd / F.lit(100.0)
+    var = (
+        (nd * F.col("_s2").cast("double") - F.col("_s1").cast("double") * F.col("_s1").cast("double"))
+        / (nd * (nd - F.lit(1.0)))
+        / F.lit(10000.0)
+    )
+    stats = agg.select(
+        "event_type",
+        "n",
+        _rc(mean).alias("mean"),
+        _rc(F.sqrt(var)).alias("std"),
+    )
+    j = e.join(F.broadcast(stats), "event_type")
+    tail = (
+        F.abs(F.col("value").cast("double") - F.col("mean"))
+        > F.lit(2.0) * F.col("std")
+    ).cast("long")
+    return j.groupBy("event_type").agg(
+        F.min("n").alias("n"),
+        F.min("mean").alias("mean"),
+        F.min("std").alias("std"),
+        F.sum(tail).alias("n_tail_2sigma"),
+    )
+
+
+SQL_STANDARDIZE = """
+WITH agg AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                  * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s2
+  FROM events GROUP BY 1
+),
+stats AS (
+  SELECT event_type, n,
+         floor((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0)
+               * 1000000 + 0.5) / 1000000 AS mean,
+         floor(sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                    / 10000.0) * 1000000 + 0.5) / 1000000 AS std
+  FROM agg
+)
+SELECT e.event_type,
+       min(s.n) AS n,
+       min(s.mean) AS mean,
+       min(s.std) AS std,
+       CAST(sum(CASE WHEN abs(CAST(e.value AS DOUBLE) - s.mean)
+                          > 2.0 * s.std
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_tail_2sigma
+FROM events e JOIN stats s ON e.event_type = s.event_type
+GROUP BY e.event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

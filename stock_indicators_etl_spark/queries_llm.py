@@ -889,6 +889,49 @@ rk AS (
 SELECT qid, rk, nbr_id, {R6('cosine')} AS cosine FROM rk WHERE rk <= {TOPK}
 """
 
+VOCAB_MIN_COUNT = 3
+
+
+def q_vocab_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary indexing (StringIndexer shape): dense integer ids
+    for corpus tokens by (count desc, token) — the embedding-table /
+    categorical-encoding prep step. The corpus-wide token count is
+    the usual combinable fan-out shuffle; the id assignment window is
+    global but VOCABULARY-sized (further floored by ``min_count``),
+    so the single-partition rank is bounded regardless of corpus
+    rows. All-integer output, deterministic ties."""
+    from pyspark.sql import Window
+
+    from stock_indicators_etl_spark.llmdata.text import spread, words
+
+    pre = spread(_docs(spark, sf_dir)).select(
+        "doc_id", words(F.col("text")).alias("_w")
+    )
+    counts = (
+        pre.select(F.explode("_w").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= VOCAB_MIN_COUNT)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return counts.select(
+        "token", "n", F.row_number().over(w).alias("token_id")
+    )
+
+
+SQL_VOCAB_INDEX = f"""
+WITH {DOCS_CTE},
+toks AS (SELECT unnest(ws) AS token FROM wd),
+c AS (
+  SELECT token, count(*) AS n FROM toks GROUP BY token
+  HAVING count(*) >= {VOCAB_MIN_COUNT}
+)
+SELECT token, CAST(n AS BIGINT) AS n,
+       row_number() OVER (ORDER BY n DESC, token) AS token_id
+FROM c
+"""
+
+
 FUNNEL_MIN_CHARS = 200
 FUNNEL_ALPHA = 0.55
 FUNNEL_LANGS = ("en", "fr", "de")
