@@ -413,6 +413,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_curation_funnel,
         q_embedding_neardup_scaled,
         q_frequent_ngrams,
+        q_hll_distinct,
+        q_kmv_distinct,
         q_length_quantiles,
         q_neardup_best,
         q_semantic_neardup,
@@ -469,6 +471,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "standardize": q_standardize,
         "vocab_index": q_vocab_index,
+        "kmv_distinct": q_kmv_distinct,
+        "hll_distinct": q_hll_distinct,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -518,6 +522,8 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_CURATION_FUNNEL,
         SQL_EMBEDDING_NEARDUP_SCALED,
         SQL_FREQUENT_NGRAMS,
+        SQL_HLL_DISTINCT,
+        SQL_KMV_DISTINCT,
         SQL_LENGTH_QUANTILES,
         SQL_NEARDUP_BEST,
         SQL_SEMANTIC_NEARDUP,
@@ -572,6 +578,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "attribution": SQL_ATTRIBUTION,
         "standardize": SQL_STANDARDIZE,
         "vocab_index": SQL_VOCAB_INDEX,
+        "kmv_distinct": SQL_KMV_DISTINCT,
+        "hll_distinct": SQL_HLL_DISTINCT,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -24,6 +24,30 @@ Choosing ``cap ≥ phi_den/phi_num`` makes threshold
 ``ceil(phi·N) > N/(cap+1)``, so the guarantee covers every output
 row (the default doubles it for margin).
 
+:func:`kmv_distinct` — per-group distinct-token estimation via the
+K-minimum-values sketch (Bar-Yossef et al., RANDOM'02). KMV is a
+*mergeable* summary with an exactness property the oracle harness can
+exploit: the k smallest of a union of per-partition k-minima are
+EXACTLY the k smallest distinct hashes of the whole stream (any
+global k-minimum is a partition k-minimum in the partition that holds
+it), so the distributed bounded-state plan and a single-node replay
+over all distinct hashes produce bit-identical (n_kept, kth, estimate)
+rows. The estimator ``(k-1)·2^56 / kth`` is one IEEE division of two
+exact integers; below k distinct values the sketch IS the distinct
+set and the exact count is returned.
+
+:func:`hll_distinct` — per-group HyperLogLog registers (Flajolet et
+al., AofA'07), entirely JVM-side: ``h56`` splits into a ``p``-bit
+register index and a ``(56-p)``-bit suffix whose leading-zero rank is
+``rho = 57 - p - bitlen(suffix)`` (``length(bin(x))`` — identical in
+Spark and DuckDB). The harmonic-mean denominator is kept as an exact
+integer ``sum(2^(R-rho))`` (R = max rho) so the raw estimate is again
+a single IEEE division by one precomputed literal. The small/large-
+range bias corrections of the paper need ``ln`` (libm-dependent, not
+bit-portable) and are deliberately NOT applied — the operator returns
+the raw estimator plus the zero-register count so a caller can apply
+any correction; the oracle checks the raw form.
+
 100 TB shape: the full-width shuffle of a naive
 ``groupBy(token).count()`` carries the entire vocabulary (billions of
 distinct n-grams); here the only full-stream work is scan-local, the
@@ -36,11 +60,13 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .hashing import HASH_DOMAIN, h56
 from .text import spread, words
 
 _SUMMARY_SCHEMA = T.StructType(
@@ -116,4 +142,194 @@ def heavy_hitters(
             >= F.expr(f"(n_total * {num} + {den} - 1) div {den}")
         )
         .select("token", "cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# K-minimum-values distinct sketch
+# ---------------------------------------------------------------------------
+
+
+def _kmv_summary_schema(group_col: str, group_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(group_col, group_type),
+            T.StructField("h", T.LongType()),
+        ]
+    )
+
+
+def _kmv_summaries(group_col: str, k: int):
+    """mapInPandas kernel: per partition, the k smallest DISTINCT
+    56-bit hashes per group — one bounded KMV summary each.
+
+    State is ``groups_in_partition × k`` int64s; each Arrow batch
+    merges via ``np.unique`` (sorted) + head-k, so no value is ever
+    compared more than O(log) times per batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: dict[object, np.ndarray] = {}
+        for b in batches:
+            for g, sub in b.groupby(group_col, sort=False, dropna=False):
+                hs = np.unique(sub["h"].to_numpy(dtype=np.int64))
+                prev = state.get(g)
+                if prev is not None:
+                    hs = np.union1d(prev, hs)
+                state[g] = hs[:k]
+        for g, hs in state.items():
+            yield pd.DataFrame({group_col: [g] * len(hs), "h": hs})
+
+    return run
+
+
+def _group_grams(
+    df: DataFrame, group_col: str, text_col: str, ngram: int
+) -> DataFrame:
+    """(group, gram) stream: whitespace tokens at ``ngram=1``, else
+    word n-grams under the ``dedup.word_shingles`` convention (a doc
+    shorter than n words contributes its whole text as one gram;
+    empty texts contribute nothing). Scan-local."""
+    if ngram == 1:
+        return spread(df).select(
+            F.col(group_col), F.explode(words(F.col(text_col))).alias("gram")
+        )
+    pre = spread(df).select(group_col, words(F.col(text_col)).alias("_w"))
+    w = F.col("_w")
+    n = F.size(w)
+    grams = F.when(n < ngram, F.array(F.concat_ws(" ", w))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(ngram)),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, ngram)),
+        )
+    )
+    return pre.select(group_col, F.explode(grams).alias("gram")).filter(
+        F.length("gram") > 0
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    k: int = 64,
+    group_col: str = "lang",
+    text_col: str = "text",
+    ngram: int = 1,
+) -> DataFrame:
+    """Per-group distinct-token estimate from a K-minimum-values
+    sketch. Returns ``(group_col, n_kept, kth_hash, est_distinct)``:
+
+    - ``n_kept`` — min(k, #distinct hashes) actually held;
+    - ``kth_hash`` — the k-th smallest distinct hash (NULL below k);
+    - ``est_distinct`` — ``(k-1)·2^56 / kth_hash`` at ≥ k distinct
+      values, else the EXACT distinct count (the sketch holds the
+      whole distinct set below k).
+
+    100 TB shape: tokenization and hashing are scan-local; the only
+    shuffle carries ≤ k rows per (group, partition) — the per-
+    partition KMV summaries — and the final per-group merge touches
+    ≤ k·P candidate rows. Nothing ever materializes the distinct-token
+    set. Mergeability makes the result EXACT relative to a single-node
+    replay (module docstring), hence the bit-exact DuckDB oracle in
+    ``queries_llm.SQL_KMV_DISTINCT``. Hash collisions fold identically
+    in both engines (both count distinct *hashes*).
+    """
+    if k < 2:
+        raise ValueError("kmv_distinct needs k >= 2")
+    toks = _group_grams(df, group_col, text_col, ngram)
+    hashed = toks.select(group_col, h56(F.col("gram")).alias("h"))
+    group_type = df.schema[group_col].dataType
+    summaries = hashed.mapInPandas(
+        _kmv_summaries(group_col, k), schema=_kmv_summary_schema(group_col, group_type)
+    )
+    kept = summaries.groupBy(group_col).agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("mins")
+    )
+    # (k-1)·2^56 is exact in a double (k-1 has far fewer than 53 bits);
+    # kth < 2^56 casts with one deterministic IEEE rounding in both
+    # engines, so the estimator is a single bit-portable division.
+    numer = float((k - 1) * HASH_DOMAIN)
+    return kept.select(
+        group_col,
+        F.size("mins").cast("long").alias("n_kept"),
+        F.when(F.size("mins") >= k, F.element_at("mins", k)).alias("kth_hash"),
+        F.when(
+            F.size("mins") >= k,
+            F.lit(numer) / F.element_at("mins", k).cast("double"),
+        )
+        .otherwise(F.size("mins").cast("double"))
+        .alias("est_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers
+# ---------------------------------------------------------------------------
+
+#: HLL precision: 2^6 = 64 registers, alpha_64 = 0.709 (Flajolet et
+#: al. Fig. 3). 56-bit hash → 6-bit register index + 50-bit suffix.
+HLL_P = 6
+HLL_M = 1 << HLL_P
+_HLL_SUFFIX_BITS = 56 - HLL_P
+#: max rho: an all-zero suffix ranks (suffix_bits + 1)
+_HLL_R = _HLL_SUFFIX_BITS + 1
+#: alpha_m · m² · 2^R — the whole estimator numerator as ONE literal,
+#: so Spark and DuckDB perform the identical single IEEE division.
+HLL_NUMER = 0.709 * HLL_M * HLL_M * float(1 << _HLL_R)
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    ngram: int = 1,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-token estimate, pure JVM (no
+    Python stage). Returns ``(group_col, zero_registers,
+    register_sum, raw_est)`` where ``register_sum`` is the exact
+    integer ``sum_j 2^(R - M_j)`` over all m registers (absent
+    registers contribute ``2^R``, i.e. ``M_j = 0``) and ``raw_est``
+    is the raw HLL estimator ``alpha_m·m²/sum(2^-M_j)`` — bias
+    corrections need libm ``ln`` and are intentionally left to the
+    caller (module docstring).
+
+    100 TB shape: one groupBy over (group, register-index) with
+    map-side partial ``max`` — the shuffle carries at most m = 64
+    rows per group per partition regardless of corpus size, and the
+    final per-group reduce folds exactly m rows. This is the
+    cheapest distinct estimator here (cheaper than KMV's Python
+    stage) when ±~13 % (1.04/√64) error is acceptable.
+    """
+    toks = _group_grams(df, group_col, text_col, ngram)
+    hashed = toks.select(group_col, h56(F.col("gram")).alias("h"))
+    sb, rmax = _HLL_SUFFIX_BITS, _HLL_R
+    regs = hashed.select(
+        group_col,
+        # integer shift, NOT `/`: h has 56 bits, a double round-trip
+        # would round the low bits and can carry across the register
+        # boundary
+        F.shiftright(F.col("h"), sb).alias("idx"),
+        F.col("h").bitwiseAND(F.lit((1 << sb) - 1)).alias("suffix"),
+    ).select(
+        group_col,
+        "idx",
+        # rho = leading zeros of the sb-bit suffix + 1; bitlen via
+        # length(bin(x)) is exact & identical in Spark and DuckDB
+        F.when(F.col("suffix") == 0, F.lit(rmax))
+        .otherwise(F.lit(sb + 1) - F.length(F.bin("suffix")))
+        .alias("rho"),
+    )
+    per_reg = regs.groupBy(group_col, "idx").agg(F.max("rho").alias("mrho"))
+    per_grp = per_reg.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("present"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - mrho)")).alias(
+            "s_present"
+        ),
+    )
+    return per_grp.select(
+        group_col,
+        (F.lit(HLL_M) - F.col("present")).cast("long").alias("zero_registers"),
+        (
+            F.col("s_present")
+            + (F.lit(HLL_M) - F.col("present")) * F.lit(1 << rmax)
+        ).alias("register_sum"),
+        (F.lit(HLL_NUMER) / F.col("register_sum").cast("double")).alias("raw_est"),
     )

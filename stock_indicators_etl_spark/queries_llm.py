@@ -2261,6 +2261,106 @@ WHERE c.cnt >= (n.n_total * {HH_PHI_NUM} + {HH_PHI_DEN} - 1) // {HH_PHI_DEN}
 """
 
 
+# ---------------------------------------------------------------------------
+# distinct-count sketches (KMV / HyperLogLog)
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+SKETCH_NGRAM = 3
+
+#: per-lang word-trigram stream, the llmdata._group_grams twin
+#: (short docs contribute their whole text; empty docs nothing)
+_GRAMS_CTE = f"""
+g AS (
+  SELECT lang,
+         unnest(CASE WHEN len(ws) < {SKETCH_NGRAM}
+                     THEN [array_to_string(ws, ' ')]
+                ELSE list_transform(generate_series(0, len(ws) - {SKETCH_NGRAM}),
+                     i -> array_to_string(
+                         list_slice(ws, i + 1, i + {SKETCH_NGRAM}), ' '))
+                END) AS gram
+  FROM wd
+),
+gg AS (SELECT lang, gram FROM g WHERE length(gram) > 0),
+gh AS (SELECT lang, CAST(concat('0x', substr(md5(gram), 1, 14)) AS BIGINT) AS h
+       FROM gg)
+"""
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang distinct word-trigram estimate via a K-minimum-values
+    sketch (llmdata/sketches.py): per-partition bounded k-min
+    summaries whose union's k smallest are EXACTLY the global k
+    smallest distinct hashes, so the single-node DuckDB replay is
+    bit-identical — including the one-IEEE-division estimator."""
+    from stock_indicators_etl_spark.llmdata.sketches import kmv_distinct
+
+    return kmv_distinct(_docs(spark, sf_dir), k=KMV_K, ngram=SKETCH_NGRAM)
+
+
+_KMV_NUMER = repr(float((KMV_K - 1) << 56))
+
+SQL_KMV_DISTINCT = f"""
+WITH {DOCS_CTE},
+{_GRAMS_CTE},
+hh AS (SELECT DISTINCT lang, h FROM gh),
+rk AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rk
+       FROM hh),
+kk AS (SELECT lang, count(*) AS n_kept, max(h) AS kth
+       FROM rk WHERE rk <= {KMV_K} GROUP BY lang)
+SELECT lang, CAST(n_kept AS BIGINT) AS n_kept,
+       CASE WHEN n_kept >= {KMV_K} THEN kth END AS kth_hash,
+       CASE WHEN n_kept >= {KMV_K} THEN {_KMV_NUMER} / CAST(kth AS DOUBLE)
+            ELSE CAST(n_kept AS DOUBLE) END AS est_distinct
+FROM kk
+"""
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang HyperLogLog registers over word trigrams — pure
+    JVM-side (one groupBy with map-side partial max, shuffle ≤ 64
+    rows/group/partition). Raw estimator only; the paper's bias
+    corrections need libm ln and stay caller-side
+    (llmdata/sketches.py docstring)."""
+    from stock_indicators_etl_spark.llmdata.sketches import hll_distinct
+
+    return hll_distinct(_docs(spark, sf_dir), ngram=SKETCH_NGRAM)
+
+
+def _sql_hll_distinct() -> str:
+    from stock_indicators_etl_spark.llmdata.sketches import (
+        _HLL_R,
+        _HLL_SUFFIX_BITS,
+        HLL_M,
+        HLL_NUMER,
+    )
+
+    sb, rmax, m = _HLL_SUFFIX_BITS, _HLL_R, HLL_M
+    return f"""
+WITH {DOCS_CTE},
+{_GRAMS_CTE},
+reg AS (
+  SELECT lang, h // {1 << sb} AS idx,
+         CASE WHEN h % {1 << sb} = 0 THEN {rmax}
+              ELSE {sb + 1} - length(bin(h % {1 << sb})) END AS rho
+  FROM gh
+),
+mx AS (SELECT lang, idx, max(rho) AS mrho FROM reg GROUP BY lang, idx),
+agg AS (SELECT lang, count(*) AS present,
+               sum((CAST(1 AS BIGINT) << ({rmax} - mrho))) AS s_present
+        FROM mx GROUP BY lang)
+SELECT lang, CAST({m} - present AS BIGINT) AS zero_registers,
+       CAST(s_present + ({m} - present) * (CAST(1 AS BIGINT) << {rmax})
+            AS BIGINT) AS register_sum,
+       {HLL_NUMER!r} / CAST(s_present + ({m} - present)
+            * (CAST(1 AS BIGINT) << {rmax}) AS DOUBLE) AS raw_est
+FROM agg
+"""
+
+
+SQL_HLL_DISTINCT = _sql_hll_distinct()
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 tf·idf terms per doc; per-term idf quantized to 6dp
     before the multiply so the ranking tie-break is engine-stable."""

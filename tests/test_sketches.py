@@ -172,3 +172,131 @@ def test_streaming_heavy_hitters_state_and_parity(spark, tmp_path):
         .collect()
     }
     assert recount == batch
+
+
+# ---------------------------------------------------------------------------
+# KMV / HLL distinct sketches
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+from stock_indicators_etl_spark.llmdata.hashing import HASH_DOMAIN
+from stock_indicators_etl_spark.llmdata.sketches import (
+    HLL_M,
+    HLL_NUMER,
+    _HLL_R,
+    _HLL_SUFFIX_BITS,
+    hll_distinct,
+    kmv_distinct,
+)
+
+
+def _h56_py(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+
+def _lang_corpus(spark, rng, n_docs=80, vocab=400, lang_count=3, parts=7):
+    vocab_words = [f"tok{i}" for i in range(vocab)]
+    rows = pd.DataFrame(
+        {
+            "doc_id": range(n_docs),
+            "lang": [f"l{i % lang_count}" for i in range(n_docs)],
+            "text": [
+                " ".join(rng.choice(vocab_words, size=30)) for _ in range(n_docs)
+            ],
+        }
+    )
+    return spark.createDataFrame(rows).repartition(parts), rows
+
+
+def test_kmv_exact_below_k(spark):
+    df = _corpus(spark, ["a b c a", "b c d", ""])
+    res = kmv_distinct(
+        df.withColumn("lang", F.lit("en")), k=16
+    ).collect()
+    assert len(res) == 1
+    r = res[0]
+    assert r["n_kept"] == 4  # a b c d
+    assert r["kth_hash"] is None
+    assert r["est_distinct"] == 4.0
+
+
+def test_kmv_equals_global_k_minima(spark):
+    rng = np.random.default_rng(21)
+    df, rows = _lang_corpus(spark, rng)
+    k = 32
+    got = {r["lang"]: r for r in kmv_distinct(df, k=k).collect()}
+    for lang, sub in rows.groupby("lang"):
+        toks = set()
+        for t in sub["text"]:
+            toks.update(t.split())
+        hs = sorted({_h56_py(t) for t in toks})
+        kept = hs[:k]
+        r = got[lang]
+        assert r["n_kept"] == min(k, len(hs))
+        if len(hs) >= k:
+            assert r["kth_hash"] == kept[-1]
+            assert r["est_distinct"] == float((k - 1) * HASH_DOMAIN) / float(kept[-1])
+            # the estimator should land near the true distinct count
+            assert abs(r["est_distinct"] - len(hs)) / len(hs) < 0.75
+
+
+def test_kmv_partition_invariance(spark):
+    rng = np.random.default_rng(22)
+    df, _ = _lang_corpus(spark, rng, parts=1)
+    one = sorted(
+        (r["lang"], r["n_kept"], r["kth_hash"], r["est_distinct"])
+        for r in kmv_distinct(df, k=24).collect()
+    )
+    many = sorted(
+        (r["lang"], r["n_kept"], r["kth_hash"], r["est_distinct"])
+        for r in kmv_distinct(df.repartition(13), k=24).collect()
+    )
+    assert one == many
+
+
+def test_kmv_bad_k_raises(spark):
+    df = _corpus(spark, ["a b"]).withColumn("lang", F.lit("en"))
+    with pytest.raises(ValueError):
+        kmv_distinct(df, k=1)
+
+
+def test_hll_registers_match_python_reference(spark):
+    rng = np.random.default_rng(23)
+    df, rows = _lang_corpus(spark, rng)
+    got = {r["lang"]: r for r in hll_distinct(df).collect()}
+    sb, rmax = _HLL_SUFFIX_BITS, _HLL_R
+    for lang, sub in rows.groupby("lang"):
+        toks = set()
+        for t in sub["text"]:
+            toks.update(t.split())
+        regs: dict[int, int] = {}
+        for t in toks:
+            h = _h56_py(t)
+            idx, rest = h >> sb, h & ((1 << sb) - 1)
+            rho = rmax if rest == 0 else sb + 1 - rest.bit_length()
+            regs[idx] = max(regs.get(idx, 0), rho)
+        s = sum(1 << (rmax - r) for r in regs.values())
+        s += (HLL_M - len(regs)) * (1 << rmax)
+        r = got[lang]
+        assert r["zero_registers"] == HLL_M - len(regs)
+        assert r["register_sum"] == s
+        assert r["raw_est"] == HLL_NUMER / float(s)
+
+
+def test_hll_estimate_accuracy_large_cardinality(spark):
+    # ~2000 distinct values: raw HLL (m=64, σ≈13%) should land well
+    # inside ±40% without any bias correction
+    texts = [" ".join(f"u{i}_{j}" for j in range(50)) for i in range(40)]
+    df = _corpus(spark, texts).withColumn("lang", F.lit("en"))
+    r = hll_distinct(df).collect()[0]
+    true = 2000
+    assert abs(r["raw_est"] - true) / true < 0.40
+
+
+def test_hll_plan_is_pure_jvm(spark):
+    df = _corpus(spark, ["a b c"]).withColumn("lang", F.lit("en"))
+    plan = hll_distinct(df)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapsInPandas" not in plan and "MapInPandas" not in plan
