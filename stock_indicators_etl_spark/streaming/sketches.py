@@ -114,3 +114,97 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming KMV distinct counter (custom stateful operator)
+# ---------------------------------------------------------------------------
+
+KMV_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("grp", T.StringType()),
+        T.StructField("n_kept", T.LongType()),
+        T.StructField("kth_hash", T.LongType()),
+        T.StructField("est_distinct", T.DoubleType()),
+        # cumulative grams absorbed — monotone per trigger, identifies
+        # the freshest emission exactly like streaming_heavy_hitters
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+KMV_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("mins", T.ArrayType(T.LongType())),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def streaming_kmv_distinct(
+    docs: DataFrame,
+    k: int = 64,
+    group_col: str = "lang",
+    text_col: str = "text",
+    ngram: int = 1,
+) -> DataFrame:
+    """Streaming twin of :func:`..llmdata.sketches.kmv_distinct`: the
+    per-group K-minimum-values sketch IS the streaming state (k
+    int64s per group, forever), merged per micro-batch via
+    ``applyInPandasWithState``. KMV mergeability makes the twin
+    *exact*, not approximate, relative to the batch operator: after
+    any stream prefix the state holds precisely the k smallest
+    distinct hashes of that prefix, so the freshest emission equals
+    ``kmv_distinct`` over the union of all micro-batches —
+    batch-parity is an equality test, not a tolerance test
+    (tests/test_sketches.py).
+
+    Hashing stays JVM-side (``h56`` before the stateful op); the
+    Python state update is ``np.union1d`` + head-k per batch.
+    """
+    import numpy as np
+
+    from stock_indicators_etl_spark.llmdata.hashing import HASH_DOMAIN, h56
+    from stock_indicators_etl_spark.llmdata.sketches import _group_grams
+
+    if k < 2:
+        raise ValueError("streaming_kmv_distinct needs k >= 2")
+    hashed = _group_grams(docs, group_col, text_col, ngram).select(
+        F.col(group_col).alias("grp"), h56(F.col("gram")).alias("h")
+    )
+    numer = float((k - 1) * HASH_DOMAIN)
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            mins, n_seen = state.get
+            cur = np.asarray(mins, dtype=np.int64)
+        else:
+            cur, n_seen = np.empty(0, dtype=np.int64), 0
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            hs = np.unique(pdf["h"].to_numpy(dtype=np.int64))
+            cur = np.union1d(cur, hs)[:k]
+        state.update(([int(v) for v in cur], int(n_seen)))
+        full = len(cur) >= k
+        yield pd.DataFrame(
+            {
+                "grp": [key[0]],
+                "n_kept": [len(cur)],
+                "kth_hash": [int(cur[k - 1]) if full else None],
+                "est_distinct": [
+                    numer / float(cur[k - 1]) if full else float(len(cur))
+                ],
+                "n_seen": [int(n_seen)],
+            }
+        )
+
+    return hashed.groupBy("grp").applyInPandasWithState(
+        update,
+        outputStructType=KMV_OUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

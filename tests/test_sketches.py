@@ -300,3 +300,64 @@ def test_hll_plan_is_pure_jvm(spark):
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
     assert "FlatMapsInPandas" not in plan and "MapInPandas" not in plan
+
+
+def test_streaming_kmv_state_and_batch_parity(spark, tmp_path):
+    """Two micro-batches; the freshest per-group emission EQUALS the
+    batch kmv_distinct over the union (KMV mergeability is exact, so
+    this is equality, not tolerance), and n_seen proves the state
+    crossed the micro-batch boundary."""
+    import os
+
+    from stock_indicators_etl_spark.streaming.sketches import (
+        streaming_kmv_distinct,
+    )
+
+    rng = np.random.default_rng(41)
+    df_all, rows = _lang_corpus(spark, rng, n_docs=60, vocab=300)
+    src = tmp_path / "kmv_src"
+    src.mkdir()
+    f0, f1 = str(src / "p0.parquet"), str(src / "p1.parquet")
+    rows.iloc[:30].to_parquet(f0)
+    rows.iloc[30:].to_parquet(f1)
+    os.utime(f0, (1_000_000_000, 1_000_000_000))
+    os.utime(f1, (1_000_000_100, 1_000_000_100))
+
+    K = 24
+    stream = (
+        spark.readStream.schema("doc_id bigint, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_kmv_distinct(stream, k=K)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("skmv")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_skmv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from skmv").toPandas()
+    # two triggers → two emissions per group
+    assert (got.groupby("grp").size() == 2).all()
+    last = got[got.n_seen == got.groupby("grp").n_seen.transform("max")]
+
+    batch = {
+        r["lang"]: r
+        for r in kmv_distinct(spark.createDataFrame(rows), k=K).collect()
+    }
+    assert set(last.grp) == set(batch)
+    for _, r in last.iterrows():
+        b = batch[r.grp]
+        assert int(r.n_kept) == b["n_kept"]
+        assert (None if pd.isna(r.kth_hash) else int(r.kth_hash)) == b["kth_hash"]
+        assert float(r.est_distinct) == b["est_distinct"]
+    # n_seen covers every gram of the full prefix
+    n_grams = (
+        spark.createDataFrame(rows)
+        .select(F.explode(F.split(F.lower(F.col("text")), " ")))
+        .count()
+    )
+    assert int(last.groupby("grp").n_seen.max().sum()) == n_grams
