@@ -391,6 +391,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_promo_revenue,
         q_returned_items,
         q_rollup_aggregate,
+        q_sales_cube,
         q_attribution,
         q_shipping_priority,
         q_sliding_counts,
@@ -471,6 +472,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "standardize": q_standardize,
         "vocab_index": q_vocab_index,
+        "sales_cube": q_sales_cube,
         "kmv_distinct": q_kmv_distinct,
         "hll_distinct": q_hll_distinct,
     }
@@ -501,6 +503,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_RETURNED_ITEMS,
         SQL_ROLLUP_AGGREGATE,
         SQL_RSI_WILDER,
+        SQL_SALES_CUBE,
         SQL_SHIPPING_PRIORITY,
         SQL_SLIDING_COUNTS,
         SQL_SMALL_QTY_REVENUE,
@@ -578,6 +581,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "attribution": SQL_ATTRIBUTION,
         "standardize": SQL_STANDARDIZE,
         "vocab_index": SQL_VOCAB_INDEX,
+        "sales_cube": SQL_SALES_CUBE,
         "kmv_distinct": SQL_KMV_DISTINCT,
         "hll_distinct": SQL_HLL_DISTINCT,
     }

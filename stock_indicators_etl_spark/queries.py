@@ -2531,6 +2531,57 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (returnflag, linestatus, ship year): all 8
+    grouping sets — including the column-2/3-only subtotals ROLLUP
+    cannot produce — in ONE pass (Catalyst's Expand feeds each input
+    row to its 8 sets before a single shuffle; 3 GROUP BYs + unions
+    would scan lineitem 8 times). ``grouping(c)`` bits distinguish
+    subtotal NULLs from data NULLs, composed into the same explicit
+    ``g(a)*4+g(b)*2+g(c)`` id in both engines. Revenue is the
+    integer-cents discipline (×10000 + half-up floor, one final IEEE
+    division) so the 8-set sums replay bit-exactly."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 10000
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.select(
+            "l_returnflag",
+            "l_linestatus",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            cents.alias("cents"),
+        )
+        .cube("l_returnflag", "l_linestatus", "l_year")
+        .agg(
+            F.expr(
+                "CAST(grouping(l_returnflag) * 4 + grouping(l_linestatus) * 2"
+                " + grouping(l_year) AS BIGINT)"
+            ).alias("gid"),
+            (F.sum("cents").cast("double") / F.lit(10000.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+SQL_SALES_CUBE = """
+WITH src AS (
+  SELECT l_returnflag, l_linestatus, CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5)
+              AS BIGINT) AS cents
+  FROM lineitem
+)
+SELECT l_returnflag, l_linestatus, l_year,
+       CAST(GROUPING(l_returnflag) * 4 + GROUPING(l_linestatus) * 2
+            + GROUPING(l_year) AS BIGINT) AS gid,
+       CAST(sum(cents) AS DOUBLE) / 10000.0 AS revenue,
+       count(*) AS n_rows
+FROM src
+GROUP BY CUBE (l_returnflag, l_linestatus, l_year)
+"""
+
+
 RETENTION_BUCKET_NS = 7 * 86_400 * NS  # weekly cohorts
 
 
