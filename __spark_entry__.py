@@ -415,6 +415,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_embedding_neardup_scaled,
         q_frequent_ngrams,
         q_hll_distinct,
+        q_kcore,
         q_kmv_distinct,
         q_length_quantiles,
         q_neardup_best,
@@ -475,6 +476,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_cube": q_sales_cube,
         "kmv_distinct": q_kmv_distinct,
         "hll_distinct": q_hll_distinct,
+        "kcore": q_kcore,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -526,6 +528,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_EMBEDDING_NEARDUP_SCALED,
         SQL_FREQUENT_NGRAMS,
         SQL_HLL_DISTINCT,
+        SQL_KCORE,
         SQL_KMV_DISTINCT,
         SQL_LENGTH_QUANTILES,
         SQL_NEARDUP_BEST,
@@ -584,6 +587,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "sales_cube": SQL_SALES_CUBE,
         "kmv_distinct": SQL_KMV_DISTINCT,
         "hll_distinct": SQL_HLL_DISTINCT,
+        "kcore": SQL_KCORE,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

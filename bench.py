@@ -55,6 +55,9 @@ EAGER_CONSTRUCTION = frozenset(
         # localCheckpoint(eager=False) pins each iteration's ranks:
         # a reused handle would time the cache, not the iteration
         "pagerank",
+        # the peel loop materializes degrees + probes convergence at
+        # construction — that IS the operator's work
+        "kcore",
     }
 )
 

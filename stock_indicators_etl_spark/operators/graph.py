@@ -156,3 +156,71 @@ def triangle_counts(
         .agg(F.count(F.lit(1)).alias("n_tri"))
         .select(F.col("v0").alias("v"), "n_tri")
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 64,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """The k-core of an undirected graph — the maximal subgraph where
+    every vertex keeps degree ≥ k — as ``(v, core_deg)``. The dedup
+    use: the k-core of the near-dup candidate graph isolates the
+    dense template clusters (mirror farms, boilerplate families) from
+    chance pairwise collisions, which no per-edge threshold can do.
+
+    Standard peeling, relationally: each round computes degrees (one
+    combinable groupBy over both endpoint projections), drops
+    vertices below k, and restricts the edge list with two semi-joins.
+    The loop early-exits on a 1-row convergence probe (count of
+    dropped vertices — never a label collect), and ``localCheckpoint``
+    every ``checkpoint_every`` rounds bounds plan depth exactly like
+    the connected-components iteration.
+
+    Exactness contract (how a fixed-unroll DuckDB oracle can replay an
+    early-exiting loop bit-exactly): peeling is monotone — once the
+    vertex set reaches the k-core, a further round drops nothing and
+    every subsequent round is the identity. So ANY round count ≥ the
+    convergence round yields the same result, and the oracle simply
+    unrolls a generous fixed number of rounds while Spark stops at
+    the probe. Pure integer arithmetic throughout; rounds needed ≤
+    peeling depth (≤ vertex count, in practice a handful).
+    """
+    if k < 1:
+        raise ValueError("kcore needs k >= 1")
+    a = F.least(F.col(src_col), F.col(dst_col))
+    b = F.greatest(F.col(src_col), F.col(dst_col))
+    e = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def degrees(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(F.col("a").alias("v"))
+            .unionByName(ed.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("core_deg"))
+        )
+
+    for rnd in range(1, max_rounds + 1):
+        # materialize the (small) degree table once per round: the
+        # probe and the keep-list read it without re-running the
+        # degree shuffle twice
+        deg = degrees(e).localCheckpoint(eager=True)
+        dropped = deg.filter(F.col("core_deg") < k).count()  # 1-row probe
+        if dropped == 0:
+            break
+        keep = deg.filter(F.col("core_deg") >= k).select("v")
+        e = (
+            e.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+        )
+        if checkpoint_every and rnd % checkpoint_every == 0:
+            e = e.localCheckpoint(eager=True)
+    return degrees(e)

@@ -2567,6 +2567,72 @@ GROUP BY v
 """
 
 
+KCORE_K = 4
+#: oracle unroll depth — peeling is idempotent past its fixpoint
+#: (operators/graph.kcore docstring), so any depth ≥ the true peel
+#: depth replays Spark's early-exiting loop bit-exactly
+KCORE_ROUNDS = 8
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core of the permissive (band_size=1) near-dup candidate
+    graph: the dense template clusters survive, chance pairwise LSH
+    collisions peel away (``operators/graph.kcore``). Spark peels to
+    convergence with a 1-row probe per round; the oracle unrolls a
+    fixed generous round count — identical because peel rounds past
+    the fixpoint are the identity."""
+    from stock_indicators_etl_spark.operators.graph import kcore
+
+    cand = minhash_lsh_candidates(_docs(spark, sf_dir), band_size=1)
+    return kcore(cand, k=KCORE_K, src_col="doc_a", dst_col="doc_b")
+
+
+def _sql_kcore() -> str:
+    bands1 = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {i} AS band_idx, CAST(mh_{i} AS VARCHAR) AS band_key"
+        " FROM sig"
+        for i in range(12)
+    )
+    peels = []
+    for r in range(KCORE_ROUNDS):
+        # MATERIALIZED is load-bearing: each round references the
+        # previous one several times, and DuckDB's default CTE
+        # inlining would expand e0 exponentially (measured: "too many
+        # open files" from re-opened parquet scans)
+        peels.append(
+            f"""deg{r} AS MATERIALIZED (
+  SELECT v, count(*) AS d
+  FROM (SELECT a AS v FROM e{r} UNION ALL SELECT b FROM e{r}) GROUP BY v
+),
+keep{r} AS MATERIALIZED (SELECT v FROM deg{r} WHERE d >= {KCORE_K}),
+e{r + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{r} e
+  JOIN keep{r} ka ON e.a = ka.v
+  JOIN keep{r} kb ON e.b = kb.v
+)"""
+        )
+    last = f"e{KCORE_ROUNDS}"
+    return f"""
+WITH {SIG_CTES},
+banded1 AS (
+{bands1}
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM banded1 a JOIN banded1 b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+{",".join(peels)}
+SELECT v, count(*) AS core_deg
+FROM (SELECT a AS v FROM {last} UNION ALL SELECT b FROM {last})
+GROUP BY v
+"""
+
+
+SQL_KCORE = _sql_kcore()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

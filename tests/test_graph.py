@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -115,3 +116,81 @@ def test_triangle_counts_matches_bruteforce_random_graphs(spark):
             ).collect()
         }
         assert got == want, f"trial {trial}"
+
+
+# ---------------------------------------------------------------------------
+# k-core
+# ---------------------------------------------------------------------------
+
+
+def _peel_py(edges, k):
+    """Reference peel: repeat degree-filter until fixpoint; return
+    {v: degree in the k-core subgraph}."""
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    while True:
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        bad = {v for v, d in deg.items() if d < k}
+        if not bad:
+            return deg
+        es = {(a, b) for a, b in es if a not in bad and b not in bad}
+
+
+def _kcore_spark(spark, edges, k, **kw):
+    from stock_indicators_etl_spark.operators.graph import kcore
+
+    df = spark.createDataFrame(pd.DataFrame(list(edges), columns=["src", "dst"]))
+    return {r["v"]: r["core_deg"] for r in kcore(df, k=k, **kw).collect()}
+
+
+def test_kcore_clique_plus_pendants(spark):
+    # 4-clique {0,1,2,3}; chain 3-4-5; pendant 6 on 0
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = clique + [(3, 4), (4, 5), (0, 6)]
+    got = _kcore_spark(spark, edges, 3)
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}  # chain + pendant peel away
+
+
+def test_kcore_peel_cascade(spark):
+    # a chain needs multiple peel rounds: 0-1-2-3-4 under k=2 unravels
+    # end-in; triangle {5,6,7} attached at 4 survives with the 4-5 edge
+    # gone
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (5, 7)]
+    got = _kcore_spark(spark, edges, 2)
+    assert got == {5: 2, 6: 2, 7: 2}
+
+
+def test_kcore_empty_when_k_exceeds_graph(spark):
+    edges = [(0, 1), (1, 2), (0, 2)]
+    assert _kcore_spark(spark, edges, 3) == {}
+
+
+def test_kcore_matches_python_peel_random_graphs(spark):
+    rng = np.random.default_rng(55)
+    for trial in range(3):
+        n = 14
+        edges = set()
+        for _ in range(45):
+            a, b = rng.integers(0, n, 2)
+            if a != b:
+                edges.add((int(min(a, b)), int(max(a, b))))
+        for k in (2, 3):
+            assert _kcore_spark(spark, edges, k) == _peel_py(edges, k), (
+                f"trial {trial} k {k}"
+            )
+
+
+def test_kcore_duplicate_and_reversed_edges_collapse(spark):
+    edges = [(0, 1), (1, 0), (0, 1), (1, 2), (2, 0)]
+    got = _kcore_spark(spark, edges, 2)
+    assert got == {0: 2, 1: 2, 2: 2}
+
+
+def test_kcore_rejects_bad_k(spark):
+    from stock_indicators_etl_spark.operators.graph import kcore
+
+    df = spark.createDataFrame(pd.DataFrame({"src": [1], "dst": [2]}))
+    with pytest.raises(ValueError):
+        kcore(df, k=0)
