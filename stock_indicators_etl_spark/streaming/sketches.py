@@ -208,3 +208,108 @@ def streaming_kmv_distinct(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming HyperLogLog distinct counter
+# ---------------------------------------------------------------------------
+
+HLL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("grp", T.StringType()),
+        T.StructField("zero_registers", T.LongType()),
+        T.StructField("register_sum", T.LongType()),
+        T.StructField("raw_est", T.DoubleType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+HLL_STATE_SCHEMA = T.StructType(
+    [
+        # dense register file: HLL_M small ints, fixed size forever
+        T.StructField("regs", T.ArrayType(T.IntegerType())),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def streaming_hll_distinct(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    ngram: int = 1,
+) -> DataFrame:
+    """Streaming twin of :func:`..llmdata.sketches.hll_distinct`: the
+    dense HLL register file (m small ints per group, fixed size
+    forever) is the state; per-register ``max`` is mergeable, so the
+    freshest emission EQUALS the batch operator over the union of all
+    micro-batches — exact-equality parity, same contract as
+    :func:`streaming_kmv_distinct`.
+
+    The register index and rho rank are computed JVM-side (the same
+    shift/bin expressions as the batch plan); the Python state update
+    is one ``np.maximum.at`` scatter per batch.
+    """
+    import numpy as np
+
+    from stock_indicators_etl_spark.llmdata.hashing import h56
+    from stock_indicators_etl_spark.llmdata.sketches import (
+        _HLL_R,
+        _HLL_SUFFIX_BITS,
+        HLL_M,
+        HLL_NUMER,
+        _group_grams,
+    )
+
+    sb, rmax = _HLL_SUFFIX_BITS, _HLL_R
+    hashed = _group_grams(docs, group_col, text_col, ngram).select(
+        F.col(group_col).alias("grp"), h56(F.col("gram")).alias("h")
+    )
+    regs_in = hashed.select(
+        "grp",
+        F.shiftright(F.col("h"), sb).cast("int").alias("idx"),
+        F.when(F.col("h").bitwiseAND(F.lit((1 << sb) - 1)) == 0, F.lit(rmax))
+        .otherwise(
+            F.lit(sb + 1)
+            - F.length(F.bin(F.col("h").bitwiseAND(F.lit((1 << sb) - 1))))
+        )
+        .cast("int")
+        .alias("rho"),
+    )
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            regs_list, n_seen = state.get
+            regs = np.asarray(regs_list, dtype=np.int32)
+        else:
+            regs, n_seen = np.zeros(HLL_M, dtype=np.int32), 0
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            np.maximum.at(
+                regs,
+                pdf["idx"].to_numpy(dtype=np.int64),
+                pdf["rho"].to_numpy(dtype=np.int32),
+            )
+        state.update(([int(v) for v in regs], int(n_seen)))
+        s = int(sum(1 << (rmax - int(r)) for r in regs))
+        yield pd.DataFrame(
+            {
+                "grp": [key[0]],
+                "zero_registers": [int((regs == 0).sum())],
+                "register_sum": [s],
+                "raw_est": [HLL_NUMER / float(s)],
+                "n_seen": [int(n_seen)],
+            }
+        )
+
+    return regs_in.groupBy("grp").applyInPandasWithState(
+        update,
+        outputStructType=HLL_OUT_SCHEMA,
+        stateStructType=HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -361,3 +361,53 @@ def test_streaming_kmv_state_and_batch_parity(spark, tmp_path):
         .count()
     )
     assert int(last.groupby("grp").n_seen.max().sum()) == n_grams
+
+
+def test_streaming_hll_state_and_batch_parity(spark, tmp_path):
+    """Per-register max is mergeable, so the freshest emission EQUALS
+    batch hll_distinct over the union of both micro-batches."""
+    import os
+
+    from stock_indicators_etl_spark.streaming.sketches import (
+        streaming_hll_distinct,
+    )
+
+    rng = np.random.default_rng(43)
+    _, rows = _lang_corpus(spark, rng, n_docs=60, vocab=500)
+    src = tmp_path / "hll_src"
+    src.mkdir()
+    f0, f1 = str(src / "p0.parquet"), str(src / "p1.parquet")
+    rows.iloc[:30].to_parquet(f0)
+    rows.iloc[30:].to_parquet(f1)
+    os.utime(f0, (1_000_000_000, 1_000_000_000))
+    os.utime(f1, (1_000_000_100, 1_000_000_100))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_hll_distinct(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("shll")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_shll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from shll").toPandas()
+    assert (got.groupby("grp").size() == 2).all()
+    last = got[got.n_seen == got.groupby("grp").n_seen.transform("max")]
+
+    batch = {
+        r["lang"]: r
+        for r in hll_distinct(spark.createDataFrame(rows)).collect()
+    }
+    assert set(last.grp) == set(batch)
+    for _, r in last.iterrows():
+        b = batch[r.grp]
+        assert int(r.zero_registers) == b["zero_registers"]
+        assert int(r.register_sum) == b["register_sum"]
+        assert float(r.raw_est) == b["raw_est"]
