@@ -420,6 +420,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_length_quantiles,
         q_neardup_best,
         q_semantic_neardup,
+        q_sq_topk,
         q_unigram_surprisal,
         q_vocab_index,
         q_weighted_sample,
@@ -477,6 +478,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "hll_distinct": q_hll_distinct,
         "kcore": q_kcore,
+        "sq_topk": q_sq_topk,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -533,6 +535,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_LENGTH_QUANTILES,
         SQL_NEARDUP_BEST,
         SQL_SEMANTIC_NEARDUP,
+        SQL_SQ_TOPK,
         SQL_UNIGRAM_SURPRISAL,
         SQL_VOCAB_INDEX,
         SQL_WEIGHTED_SAMPLE,
@@ -588,6 +591,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "kmv_distinct": SQL_KMV_DISTINCT,
         "hll_distinct": SQL_HLL_DISTINCT,
         "kcore": SQL_KCORE,
+        "sq_topk": SQL_SQ_TOPK,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -880,3 +880,83 @@ def ivfpq_topk(
     return ranked.filter(F.col("rk") <= k).select(
         "qid", "rk", "nbr_id", "approx_cosine"
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar quantization (int8 codes)
+# ---------------------------------------------------------------------------
+
+
+def sq_codes(vec_col: str, dim: int) -> Column:
+    """Symmetric int8 code array of the L2-NORMALIZED vector:
+    ``floor(x_j/||x|| * 127 + 0.5)`` per dimension (zero vector -> all
+    zeros). Normalizing first makes the integer code dot product an
+    approximation of ``127^2 * cosine`` -- rank-faithful for cosine
+    ANN, unlike per-dim min/max codes whose shift terms break
+    monotonicity. The norm is the same left-fold as
+    :func:`with_norm`, so the DuckDB twin replays it exactly via the
+    ``list_reduce(list_prepend(0.0, ...))`` convention."""
+    v = _as_double(F.col(vec_col))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with(v, v, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda j: F.when(nrm == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(
+                F.element_at(F.col(vec_col), j).cast("double") / nrm * F.lit(127.0)
+                + F.lit(0.5)
+            )
+        ),
+    )
+
+
+def sq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Brute-force cosine top-k under symmetric int8 scalar
+    quantization -- the memory-bandwidth variant of
+    :func:`cosine_topk`: codes are 4x smaller than float32 (8x
+    smaller than the float64 compute form), which at 100 TB is the
+    difference between a scan that fits page cache and one that
+    doesn't. Composes with IVF cell pruning the same way
+    :func:`pq_topk` does.
+
+    Returns ``(qid, rk, nbr_id, score)`` where ``score`` is the raw
+    INTEGER dot product of code arrays (|score| <= 127^2 * dim, exact
+    BIGINT, ~= 127^2 * cosine) -- the RANKING needs no float compare,
+    so the operator is bit-exact against its DuckDB replay with no
+    rounding convention on the score. Ties break (score desc, nbr_id
+    asc). Codes are scan-local; the query side is broadcast;
+    candidates stream through one scan into the per-query combinable
+    top-k window.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("nbr_id"), sq_codes(vec_col, dim).alias("c_code")
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"), sq_codes(vec_col, dim).alias("q_code")
+    )
+    score = F.aggregate(
+        F.zip_with(F.col("q_code"), F.col("c_code"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nbr_id").asc())
+    return (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("nbr_id"))
+        .withColumn("score", score)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "rk", "nbr_id", "score")
+    )

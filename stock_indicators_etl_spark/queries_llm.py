@@ -889,6 +889,56 @@ rk AS (
 SELECT qid, rk, nbr_id, {R6('cosine')} AS cosine FROM rk WHERE rk <= {TOPK}
 """
 
+
+SQ_DIM = 64
+
+
+def q_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar-quantized cosine top-k
+    (llmdata/similarity.sq_topk): codes are floor(x/||x||·127+0.5) —
+    4× smaller than float32 — and the ranking score is the raw
+    INTEGER code dot product (≈127²·cosine), so the ranking is
+    bit-exact with no rounding convention anywhere."""
+    from stock_indicators_etl_spark.llmdata.similarity import sq_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    return sq_topk(emb, q, k=TOPK, dim=SQ_DIM)
+
+
+SQL_SQ_TOPK = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(0.0,
+             list_transform(generate_series(1, {SQ_DIM}), i -> v[i] * v[i])),
+             (a, b) -> a + b)) AS nrm
+  FROM e
+),
+c AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, {SQ_DIM}), j ->
+           CASE WHEN nrm = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(v[j] / nrm * 127.0 + 0.5) AS BIGINT)
+           END) AS code
+  FROM n
+),
+q AS (SELECT vec_id AS qid, code AS q_code FROM c WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.qid, c.vec_id AS nbr_id,
+         CAST(list_sum(list_transform(generate_series(1, {SQ_DIM}),
+              j -> q.q_code[j] * c.code[j])) AS BIGINT) AS score
+  FROM q JOIN c ON c.vec_id <> q.qid
+),
+rk AS (
+  SELECT qid, nbr_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, nbr_id ASC) AS rk
+  FROM scored
+)
+SELECT qid, rk, nbr_id, score FROM rk WHERE rk <= {TOPK}
+"""
+
 VOCAB_MIN_COUNT = 3
 
 

@@ -951,3 +951,74 @@ def test_mix_domains_respects_quota_and_availability(spark):
         .collect()
     )
     assert {r["source"]: r["count"] for r in out2} == got
+
+
+def test_sq_topk_matches_numpy_quantized_reference(spark):
+    from stock_indicators_etl_spark.llmdata.similarity import sq_topk
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8))
+    df = _emb_df(spark, vecs)
+    q = df.filter(F.col("vec_id") < 2)
+    out = sq_topk(df, q, k=5, dim=8).toPandas()
+    # numpy reference of the exact same quantizer
+    nrm = np.linalg.norm(vecs, axis=1, keepdims=True)
+    codes = np.floor(vecs / nrm * 127.0 + 0.5).astype(np.int64)
+    sims = codes @ codes.T
+    for qid in (0, 1):
+        order = sorted(
+            (i for i in range(40) if i != qid),
+            key=lambda i: (-sims[qid, i], i),
+        )[:5]
+        sub = out[out.qid == qid].sort_values("rk")
+        assert list(sub.nbr_id) == order
+        assert list(sub.score) == [int(sims[qid, i]) for i in order]
+
+
+def test_sq_topk_cluster_recall(spark):
+    # int8 resolution is ~1/127, so exact WITHIN-cluster ordering of
+    # near-tied cosines is not preserved — but cluster membership
+    # must be: every retrieved neighbor of a clustered query comes
+    # from the query's own cluster (inter-cluster cosine gaps ≫ the
+    # quantization error)
+    rng = np.random.default_rng(8)
+    base = rng.normal(size=(4, 16)) * 10
+    vecs = np.vstack([b + rng.normal(size=(10, 16)) * 0.05 for b in base])
+    df = _emb_df(spark, vecs)
+    q = df.filter(F.col("vec_id") < 2)
+    from stock_indicators_etl_spark.llmdata.similarity import sq_topk
+
+    approx = sq_topk(df, q, k=5, dim=16).toPandas()
+    for qid in (0, 1):
+        nbrs = set(approx[approx.qid == qid].nbr_id)
+        assert len(nbrs) == 5
+        assert all(n // 10 == qid // 10 for n in nbrs)  # same cluster
+
+
+def test_sq_codes_zero_vector_and_axis_values(spark):
+    from stock_indicators_etl_spark.llmdata.similarity import sq_topk
+
+    vecs = [[3.0, 0.0], [0.0, 4.0], [0.0, 0.0], [6.0, 0.0]]
+    df = _emb_df(spark, vecs)
+    q = df.filter(F.col("vec_id") < 1)
+    out = sq_topk(df, q, k=3, dim=2).toPandas().sort_values("rk")
+    # normalized codes: unit-axis vectors -> (127, 0)/(0, 127); the
+    # zero vector -> (0, 0); colinear vec 3 scores 127*127
+    assert list(out.nbr_id) == [3, 1, 2]
+    assert list(out.score) == [127 * 127, 0, 0]
+
+
+def test_sq_topk_plan_broadcasts_query_side(spark):
+    from stock_indicators_etl_spark.llmdata.similarity import sq_topk
+
+    rng = np.random.default_rng(9)
+    df = _emb_df(spark, rng.normal(size=(20, 8)))
+    q = df.filter(F.col("vec_id") < 2)
+    plan = (
+        sq_topk(df, q, k=3, dim=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan  # query-side crossJoin
+    assert "SortMergeJoin" not in plan  # the big side never shuffles for a join
