@@ -665,3 +665,201 @@ def media_stats(media: DataFrame) -> DataFrame:
         F.sum(F.octet_length("payload")).alias("total_bytes"),
         F.max(F.octet_length("payload")).alias("max_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# header-only metadata probe (no decode)
+# ---------------------------------------------------------------------------
+
+
+def _probe_ppm(p: bytes) -> dict:
+    # "P6\n<w> <h>\n<max>\n" with optional '#' comments between tokens
+    i, toks = 2, []
+    while len(toks) < 3 and i < min(len(p), 4096):
+        c = p[i : i + 1]
+        if c == b"#":
+            while i < len(p) and p[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(p) and not p[j : j + 1].isspace():
+                j += 1
+            toks.append(p[i:j])
+            i = j
+    w, h, mx = (int(t) for t in toks)
+    return {
+        "fmt": "ppm" if p[:2] == b"P6" else "pgm",
+        "width": w,
+        "height": h,
+        "bit_depth": 16 if mx > 255 else 8,
+        "n_frames": 1,
+    }
+
+
+def _probe_gif(p: bytes) -> dict:
+    w = int.from_bytes(p[6:8], "little")
+    h = int.from_bytes(p[8:10], "little")
+    flags = p[10]
+    i = 13 + (3 * (2 << (flags & 7)) if flags & 0x80 else 0)
+    frames = 0
+    # structural block walk — skips sub-block payloads by length, no
+    # LZW work at all
+    while i < len(p):
+        b = p[i]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(p) and p[i] != 0:
+                i += 1 + p[i]
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            frames += 1
+            lflags = p[i + 9]
+            i += 10 + (3 * (2 << (lflags & 7)) if lflags & 0x80 else 0)
+            i += 1  # LZW min code size
+            while i < len(p) and p[i] != 0:
+                i += 1 + p[i]
+            i += 1
+        else:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+    return {"fmt": "gif", "width": w, "height": h, "bit_depth": 8, "n_frames": frames}
+
+
+def _probe_jpeg(p: bytes) -> dict:
+    i = 2
+    while i + 4 <= len(p):
+        if p[i] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        m = p[i + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        seglen = int.from_bytes(p[i + 2 : i + 4], "big")
+        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):  # SOFn
+            return {
+                "fmt": "jpeg_progressive" if m == 0xC2 else "jpeg",
+                "width": int.from_bytes(p[i + 7 : i + 9], "big"),
+                "height": int.from_bytes(p[i + 5 : i + 7], "big"),
+                "bit_depth": p[i + 4],
+                "n_frames": 1,
+            }
+        i += 2 + seglen
+    raise ValueError("JPEG without SOF header")
+
+
+def _probe_wav(p: bytes) -> dict:
+    # RIFF chunk walk for fmt + data (no sample reads)
+    i, rate, bits, ch, nbytes = 12, None, None, None, None
+    while i + 8 <= len(p):
+        cid = p[i : i + 4]
+        clen = int.from_bytes(p[i + 4 : i + 8], "little")
+        if cid == b"fmt ":
+            ch = int.from_bytes(p[i + 10 : i + 12], "little")
+            rate = int.from_bytes(p[i + 12 : i + 16], "little")
+            bits = int.from_bytes(p[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            nbytes = clen
+        i += 8 + clen + (clen & 1)
+    if rate is None or nbytes is None:
+        raise ValueError("WAV without fmt/data chunks")
+    n_samples = nbytes // max(1, ch * (bits // 8))
+    return {
+        "fmt": "wav",
+        "width": None,
+        "height": None,
+        "bit_depth": bits,
+        "n_frames": n_samples,
+        "duration_ms": (n_samples * 1000) // rate if rate else None,
+    }
+
+
+def probe_media_header(payload: bytes) -> dict:
+    """Container-header metadata WITHOUT decoding: format, dimensions,
+    bit depth, frame count (GIF animations via a structural block
+    walk; WAV sample count + duration via the RIFF chunk table). The
+    100 TB point of a header probe: filtering a crawl by
+    resolution/duration reads a few hundred bytes per object instead
+    of decompressing it — run this BEFORE :func:`decode_image` and
+    decode only survivors. Unknown/corrupt payloads return
+    ``fmt='unknown'`` with null fields rather than raising (a crawl
+    batch must not die on one bad object)."""
+    out = {
+        "fmt": "unknown",
+        "width": None,
+        "height": None,
+        "bit_depth": None,
+        "n_frames": None,
+        "duration_ms": None,
+    }
+    try:
+        if payload[:2] in (b"P6", b"P5"):
+            out.update(_probe_ppm(payload))
+        elif payload[:2] == b"BM":
+            out.update(
+                {
+                    "fmt": "bmp",
+                    "width": int.from_bytes(payload[18:22], "little", signed=True),
+                    "height": abs(
+                        int.from_bytes(payload[22:26], "little", signed=True)
+                    ),
+                    "bit_depth": int.from_bytes(payload[28:30], "little"),
+                    "n_frames": 1,
+                }
+            )
+        elif payload[: len(PNG_SIG)] == PNG_SIG:
+            out.update(
+                {
+                    "fmt": "png",
+                    "width": int.from_bytes(payload[16:20], "big"),
+                    "height": int.from_bytes(payload[20:24], "big"),
+                    "bit_depth": payload[24],
+                    "n_frames": 1,
+                }
+            )
+        elif payload[:2] == b"\xff\xd8":
+            out.update(_probe_jpeg(payload))
+        elif payload[:6] in (b"GIF87a", b"GIF89a"):
+            out.update(_probe_gif(payload))
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            out.update(_probe_wav(payload))
+    except (ValueError, IndexError):
+        return {
+            "fmt": "unknown",
+            "width": None,
+            "height": None,
+            "bit_depth": None,
+            "n_frames": None,
+            "duration_ms": None,
+        }
+    return out
+
+
+MEDIA_HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("bit_depth", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def media_headers(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched header probe over an opaque binary column —
+    scan-local (zero shuffles), constant work per object regardless
+    of payload size."""
+
+    def run(batches):
+        for b in batches:
+            rows = [probe_media_header(bytes(p)) for p in b[payload_col]]
+            out = pd.DataFrame(rows)
+            out.insert(0, "media_id", b["media_id"].to_numpy())
+            yield out
+
+    return media.mapInPandas(run, schema=MEDIA_HEADER_SCHEMA)

@@ -1022,3 +1022,100 @@ def test_sq_topk_plan_broadcasts_query_side(spark):
     )
     assert "BroadcastNestedLoopJoin" in plan  # query-side crossJoin
     assert "SortMergeJoin" not in plan  # the big side never shuffles for a join
+
+
+# ---------------------------------------------------------------------------
+# header-only media probe
+# ---------------------------------------------------------------------------
+
+
+def test_probe_media_header_roundtrips_every_encoder():
+    from stock_indicators_etl_spark.llmdata.audio import encode_wav
+    from stock_indicators_etl_spark.llmdata.gif import encode_gif
+    from stock_indicators_etl_spark.llmdata.jpeg import encode_jpeg
+    from stock_indicators_etl_spark.llmdata.multimodal import (
+        encode_png,
+        encode_ppm,
+        probe_media_header,
+    )
+
+    rng = np.random.default_rng(61)
+    rgb = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (11, 9), dtype=np.uint8)
+
+    h = probe_media_header(encode_png(rgb))
+    assert (h["fmt"], h["width"], h["height"], h["bit_depth"]) == ("png", 17, 24, 8)
+    h = probe_media_header(encode_png(gray.astype(np.int64), depth=16))
+    assert (h["fmt"], h["width"], h["height"], h["bit_depth"]) == ("png", 9, 11, 16)
+
+    h = probe_media_header(encode_ppm(rgb))
+    assert (h["fmt"], h["width"], h["height"]) == ("ppm", 17, 24)
+    h = probe_media_header(encode_ppm(gray))
+    assert (h["fmt"], h["width"], h["height"]) == ("pgm", 9, 11)
+
+    h = probe_media_header(encode_jpeg(rgb))
+    assert (h["fmt"], h["width"], h["height"], h["bit_depth"]) == ("jpeg", 17, 24, 8)
+    h = probe_media_header(encode_jpeg(rgb, progressive=True))
+    assert (h["fmt"], h["width"], h["height"]) == ("jpeg_progressive", 17, 24)
+
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    frames = rng.integers(0, 4, (3, 7, 5))
+    h = probe_media_header(encode_gif(frames, pal, delays_ms=[40, 40, 40]))
+    assert (h["fmt"], h["width"], h["height"], h["n_frames"]) == ("gif", 5, 7, 3)
+    h = probe_media_header(encode_gif(frames[0], pal))
+    assert h["n_frames"] == 1
+
+    wav = encode_wav(
+        (np.sin(np.linspace(0, 40, 8000)) * 30000).astype(np.int64),
+        sample_rate=16000,
+    )
+    h = probe_media_header(wav)
+    assert (h["fmt"], h["bit_depth"], h["n_frames"], h["duration_ms"]) == (
+        "wav", 16, 8000, 500,
+    )
+
+
+def test_probe_media_header_matches_decode_shapes():
+    from stock_indicators_etl_spark.llmdata.jpeg import encode_jpeg
+    from stock_indicators_etl_spark.llmdata.multimodal import (
+        decode_image,
+        encode_png,
+        probe_media_header,
+    )
+
+    rng = np.random.default_rng(62)
+    img = rng.integers(0, 256, (13, 21, 3), dtype=np.uint8)
+    for payload in (encode_png(img, interlace=True), encode_jpeg(img)):
+        h = probe_media_header(payload)
+        dec = decode_image(payload)
+        assert (h["height"], h["width"]) == dec.shape[:2]
+
+
+def test_probe_media_header_corrupt_is_unknown_not_raise():
+    from stock_indicators_etl_spark.llmdata.multimodal import probe_media_header
+
+    for p in (b"", b"\x00\x01\x02", b"\xff\xd8\xff", b"GIF89a\x05", b"P6 junk"):
+        h = probe_media_header(p)
+        assert h["fmt"] == "unknown"
+        assert h["width"] is None
+
+
+def test_media_headers_dataframe_plumbing(spark):
+    from stock_indicators_etl_spark.llmdata.multimodal import (
+        encode_png,
+        media_headers,
+    )
+
+    rng = np.random.default_rng(63)
+    rows = pd.DataFrame(
+        {
+            "media_id": [0, 1],
+            "payload": [
+                encode_png(rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)),
+                b"not an image",
+            ],
+        }
+    )
+    out = media_headers(spark.createDataFrame(rows)).toPandas().set_index("media_id")
+    assert out.loc[0].fmt == "png" and out.loc[0].width == 6
+    assert out.loc[1].fmt == "unknown" and pd.isna(out.loc[1].width)
