@@ -417,6 +417,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_hll_distinct,
         q_kcore,
         q_kmv_distinct,
+        q_kmv_overlap,
         q_length_quantiles,
         q_neardup_best,
         q_semantic_neardup,
@@ -479,6 +480,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "kcore": q_kcore,
         "sq_topk": q_sq_topk,
+        "kmv_overlap": q_kmv_overlap,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -532,6 +534,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_HLL_DISTINCT,
         SQL_KCORE,
         SQL_KMV_DISTINCT,
+        SQL_KMV_OVERLAP,
         SQL_LENGTH_QUANTILES,
         SQL_NEARDUP_BEST,
         SQL_SEMANTIC_NEARDUP,
@@ -592,6 +595,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "hll_distinct": SQL_HLL_DISTINCT,
         "kcore": SQL_KCORE,
         "sq_topk": SQL_SQ_TOPK,
+        "kmv_overlap": SQL_KMV_OVERLAP,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -207,6 +207,29 @@ def _group_grams(
     )
 
 
+def kmv_sketches(
+    df: DataFrame,
+    k: int = 64,
+    group_col: str = "lang",
+    text_col: str = "text",
+    ngram: int = 1,
+) -> DataFrame:
+    """Per-group KMV sketch as ``(group_col, mins)`` — the k smallest
+    DISTINCT 56-bit gram hashes per group, ascending. The shared
+    sketch-build stage of :func:`kmv_distinct` and
+    :func:`kmv_pairwise_overlap`: scan-local hashing, bounded
+    per-partition summaries, ≤ k·P-row final merge."""
+    toks = _group_grams(df, group_col, text_col, ngram)
+    hashed = toks.select(group_col, h56(F.col("gram")).alias("h"))
+    group_type = df.schema[group_col].dataType
+    summaries = hashed.mapInPandas(
+        _kmv_summaries(group_col, k), schema=_kmv_summary_schema(group_col, group_type)
+    )
+    return summaries.groupBy(group_col).agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("mins")
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     k: int = 64,
@@ -234,15 +257,7 @@ def kmv_distinct(
     """
     if k < 2:
         raise ValueError("kmv_distinct needs k >= 2")
-    toks = _group_grams(df, group_col, text_col, ngram)
-    hashed = toks.select(group_col, h56(F.col("gram")).alias("h"))
-    group_type = df.schema[group_col].dataType
-    summaries = hashed.mapInPandas(
-        _kmv_summaries(group_col, k), schema=_kmv_summary_schema(group_col, group_type)
-    )
-    kept = summaries.groupBy(group_col).agg(
-        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("mins")
-    )
+    kept = kmv_sketches(df, k, group_col, text_col, ngram)
     # (k-1)·2^56 is exact in a double (k-1 has far fewer than 53 bits);
     # kth < 2^56 casts with one deterministic IEEE rounding in both
     # engines, so the estimator is a single bit-portable division.
@@ -332,4 +347,72 @@ def hll_distinct(
             + (F.lit(HLL_M) - F.col("present")) * F.lit(1 << rmax)
         ).alias("register_sum"),
         (F.lit(HLL_NUMER) / F.col("register_sum").cast("double")).alias("raw_est"),
+    )
+
+
+def kmv_pairwise_overlap(
+    df: DataFrame,
+    k: int = 64,
+    group_col: str = "source",
+    text_col: str = "text",
+    ngram: int = 1,
+) -> DataFrame:
+    """Estimated content overlap between every pair of groups from
+    their KMV sketches — the decontamination / mixing-design sizing
+    tool: "how much does source A share with source B" WITHOUT an
+    all-pairs shingle join. Returns per pair ``(grp_a < grp_b)``:
+
+    - ``n_kept``   — |K|, K = the k smallest of the sketch union
+      (= the k smallest distinct hashes of A ∪ B, by mergeability);
+    - ``n_both``   — |K ∩ A-sketch ∩ B-sketch|;
+    - ``n_a``/``n_b`` — |K ∩ A-sketch| / |K ∩ B-sketch|;
+    - ``jaccard_est``     — n_both / n_kept (the standard KMV
+      Jaccard estimator; EXACT when |A ∪ B| ≤ k);
+    - ``containment_a_est`` — n_both / n_a ≈ |A∩B| / |A|.
+
+    Estimators are single IEEE divisions of exact integers — the
+    DuckDB replay is bit-identical. 100 TB shape: the corpus is
+    touched once to build G bounded sketches; the pairwise stage
+    joins G·k-sized arrays (G², but G = #sources, not #docs).
+    """
+    sk = kmv_sketches(df, k, group_col, text_col, ngram)
+    a = sk.select(F.col(group_col).alias("grp_a"), F.col("mins").alias("mins_a"))
+    b = sk.select(F.col(group_col).alias("grp_b"), F.col("mins").alias("mins_b"))
+    merged = F.slice(
+        F.array_sort(F.array_union(F.col("mins_a"), F.col("mins_b"))), 1, k
+    )
+    return (
+        a.join(b, F.col("grp_a") < F.col("grp_b"))
+        .withColumn("merged", merged)
+        .select(
+            "grp_a",
+            "grp_b",
+            F.size("merged").cast("long").alias("n_kept"),
+            F.size(
+                F.array_intersect(
+                    F.array_intersect(F.col("merged"), F.col("mins_a")),
+                    F.col("mins_b"),
+                )
+            )
+            .cast("long")
+            .alias("n_both"),
+            F.size(F.array_intersect(F.col("merged"), F.col("mins_a")))
+            .cast("long")
+            .alias("n_a"),
+            F.size(F.array_intersect(F.col("merged"), F.col("mins_b")))
+            .cast("long")
+            .alias("n_b"),
+        )
+        .withColumn(
+            "jaccard_est",
+            F.when(F.col("n_kept") == 0, F.lit(0.0)).otherwise(
+                F.col("n_both").cast("double") / F.col("n_kept").cast("double")
+            ),
+        )
+        .withColumn(
+            "containment_a_est",
+            F.when(F.col("n_a") == 0, F.lit(0.0)).otherwise(
+                F.col("n_both").cast("double") / F.col("n_a").cast("double")
+            ),
+        )
     )

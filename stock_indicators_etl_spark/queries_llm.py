@@ -2411,6 +2411,81 @@ FROM agg
 SQL_HLL_DISTINCT = _sql_hll_distinct()
 
 
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap estimates from KMV sketches
+    (llmdata/sketches.kmv_pairwise_overlap): one corpus pass builds
+    20 bounded sketches, the pairwise stage joins 190 k-length
+    arrays — the decontamination-sizing shape that never runs an
+    all-pairs shingle join."""
+    from stock_indicators_etl_spark.llmdata.sketches import kmv_pairwise_overlap
+
+    return kmv_pairwise_overlap(
+        _docs_with_source(spark, sf_dir), k=KMV_K, ngram=SKETCH_NGRAM
+    )
+
+
+def _docs_with_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+
+
+SQL_KMV_OVERLAP = rf"""
+WITH ds AS (
+  SELECT source, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS n
+  FROM documents
+),
+wsrc AS (
+  SELECT source,
+         CASE WHEN length(n) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(n, ' ') END AS ws
+  FROM ds
+),
+g AS (
+  SELECT source,
+         unnest(CASE WHEN len(ws) < {SKETCH_NGRAM}
+                     THEN [array_to_string(ws, ' ')]
+                ELSE list_transform(generate_series(0, len(ws) - {SKETCH_NGRAM}),
+                     i -> array_to_string(
+                         list_slice(ws, i + 1, i + {SKETCH_NGRAM}), ' '))
+                END) AS gram
+  FROM wsrc
+),
+gh AS (
+  SELECT DISTINCT source,
+         CAST(concat('0x', substr(md5(gram), 1, 14)) AS BIGINT) AS h
+  FROM g WHERE length(gram) > 0
+),
+sk AS (
+  SELECT source, list_slice(list(h ORDER BY h), 1, {KMV_K}) AS mins
+  FROM gh GROUP BY source
+),
+p AS (
+  SELECT a.source AS grp_a, b.source AS grp_b, a.mins AS mins_a, b.mins AS mins_b,
+         list_slice(list_sort(list_distinct(a.mins || b.mins)), 1, {KMV_K}) AS merged
+  FROM sk a JOIN sk b ON a.source < b.source
+),
+c AS (
+  SELECT grp_a, grp_b,
+         CAST(len(merged) AS BIGINT) AS n_kept,
+         CAST(len(list_filter(merged,
+              x -> list_contains(mins_a, x) AND list_contains(mins_b, x)))
+              AS BIGINT) AS n_both,
+         CAST(len(list_filter(merged, x -> list_contains(mins_a, x)))
+              AS BIGINT) AS n_a,
+         CAST(len(list_filter(merged, x -> list_contains(mins_b, x)))
+              AS BIGINT) AS n_b
+  FROM p
+)
+SELECT grp_a, grp_b, n_kept, n_both, n_a, n_b,
+       CASE WHEN n_kept = 0 THEN 0.0
+            ELSE CAST(n_both AS DOUBLE) / CAST(n_kept AS DOUBLE) END AS jaccard_est,
+       CASE WHEN n_a = 0 THEN 0.0
+            ELSE CAST(n_both AS DOUBLE) / CAST(n_a AS DOUBLE) END AS containment_a_est
+FROM c
+"""
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 tf·idf terms per doc; per-term idf quantized to 6dp
     before the multiply so the ranking tie-break is engine-stable."""

@@ -411,3 +411,67 @@ def test_streaming_hll_state_and_batch_parity(spark, tmp_path):
         assert int(r.zero_registers) == b["zero_registers"]
         assert int(r.register_sum) == b["register_sum"]
         assert float(r.raw_est) == b["raw_est"]
+
+
+def test_kmv_overlap_exact_regime_is_true_jaccard(spark):
+    from stock_indicators_etl_spark.llmdata.sketches import kmv_pairwise_overlap
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "source": ["A", "A", "B"],
+            "text": ["a b c d", "c d e", "c d e f g"],
+        }
+    )
+    # A = {a,b,c,d,e}, B = {c,d,e,f,g}: |∩|=3, |∪|=7 → J = 3/7
+    out = kmv_pairwise_overlap(
+        spark.createDataFrame(rows), k=32, group_col="source"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["grp_a"], r["grp_b"]) == ("A", "B")
+    assert r["n_kept"] == 7 and r["n_both"] == 3
+    assert r["jaccard_est"] == 3.0 / 7.0
+    assert r["containment_a_est"] == 3.0 / r["n_a"]
+
+
+def test_kmv_overlap_estimates_planted_overlap(spark):
+    from stock_indicators_etl_spark.llmdata.sketches import kmv_pairwise_overlap
+
+    rng = np.random.default_rng(71)
+    shared = [f"s{i}" for i in range(300)]
+    only_a = [f"a{i}" for i in range(300)]
+    only_b = [f"b{i}" for i in range(300)]
+    texts, srcs = [], []
+    for i in range(30):
+        texts.append(" ".join(rng.choice(shared + only_a, size=60)))
+        srcs.append("A")
+        texts.append(" ".join(rng.choice(shared + only_b, size=60)))
+        srcs.append("B")
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(60), "source": srcs, "text": texts})
+    ).repartition(7)
+    r = kmv_pairwise_overlap(df, k=64, group_col="source").collect()[0]
+    # true J ≈ shared/(shared+onlyA+onlyB) ≈ 1/3 (sampling shrinks it a
+    # little); KMV σ ≈ 1/√k ≈ 0.125 — accept a generous band
+    assert 0.10 < r["jaccard_est"] < 0.55
+    assert r["n_kept"] == 64
+
+
+def test_kmv_overlap_pair_count_and_orientation(spark):
+    from stock_indicators_etl_spark.llmdata.sketches import kmv_pairwise_overlap
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "source": ["s1", "s2", "s3", "s4"],
+            "text": ["x y z"] * 4,
+        }
+    )
+    out = kmv_pairwise_overlap(
+        spark.createDataFrame(rows), k=8, group_col="source"
+    ).toPandas()
+    assert len(out) == 6  # C(4,2)
+    assert (out.grp_a < out.grp_b).all()
+    # identical content: every pair is an exact full overlap
+    assert (out.jaccard_est == 1.0).all()
