@@ -417,6 +417,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_hll_distinct,
         q_kcore,
         q_kmv_distinct,
+        q_label_prop,
         q_kmv_overlap,
         q_length_quantiles,
         q_neardup_best,
@@ -481,6 +482,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "sq_topk": q_sq_topk,
         "kmv_overlap": q_kmv_overlap,
+        "label_prop": q_label_prop,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -534,6 +536,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_HLL_DISTINCT,
         SQL_KCORE,
         SQL_KMV_DISTINCT,
+        SQL_LABEL_PROP,
         SQL_KMV_OVERLAP,
         SQL_LENGTH_QUANTILES,
         SQL_NEARDUP_BEST,
@@ -596,6 +599,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "kcore": SQL_KCORE,
         "sq_topk": SQL_SQ_TOPK,
         "kmv_overlap": SQL_KMV_OVERLAP,
+        "label_prop": SQL_LABEL_PROP,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -58,6 +58,8 @@ EAGER_CONSTRUCTION = frozenset(
         # the peel loop materializes degrees + probes convergence at
         # construction — that IS the operator's work
         "kcore",
+        # pins the doubled edge list eagerly before the label rounds
+        "label_prop",
     }
 )
 

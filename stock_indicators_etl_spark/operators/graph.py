@@ -26,7 +26,7 @@ depth for long runs while short runs compile to ONE job.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PR_SCALE = 10**12
@@ -224,3 +224,63 @@ def kcore(
         if checkpoint_every and rnd % checkpoint_every == 0:
             e = e.localCheckpoint(eager=True)
     return degrees(e)
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007, the
+    deterministic variant): every vertex starts as its own label and
+    each round adopts the label most frequent among its neighbors,
+    ties broken toward the SMALLEST label — no randomness, so a fixed
+    iteration count is a complete behavioral contract and the DuckDB
+    oracle replays the unrolled rounds bit-exactly (the same strategy
+    as :func:`pagerank`; asynchronous/randomized LPA variants are
+    deliberately out — they are not replayable).
+
+    Returns ``(v, label)`` after ``iters`` rounds. Per round: one
+    equi-join of the doubled edge list against current labels + one
+    combinable (v, label) count + one per-vertex argmax window.
+    Communities on the near-dup candidate graph = template families;
+    unlike connected components, weakly-bridged clusters do NOT merge
+    (the bridge label never wins a local majority).
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    a = F.least(F.col(src_col), F.col(dst_col))
+    b = F.greatest(F.col(src_col), F.col(dst_col))
+    und = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e2 = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("nbr"))
+        .unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    labels = e2.select("v").distinct().select("v", F.col("v").alias("label"))
+    w = Window.partitionBy("v").orderBy(F.col("cnt").desc(), F.col("nbr_label").asc())
+    for it in range(1, iters + 1):
+        nbr_labels = (
+            e2.join(
+                labels.select(
+                    F.col("v").alias("nbr"), F.col("label").alias("nbr_label")
+                ),
+                "nbr",
+            )
+            .groupBy("v", "nbr_label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            nbr_labels.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("v", F.col("nbr_label").alias("label"))
+        )
+        if checkpoint_every and it % checkpoint_every == 0 and it < iters:
+            labels = labels.localCheckpoint(eager=False)
+    return labels

@@ -2712,12 +2712,28 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(cand, k=KCORE_K, src_col="doc_a", dst_col="doc_b")
 
 
-def _sql_kcore() -> str:
+def _cand1_ctes() -> str:
+    """CTE chain for the permissive band_size=1 LSH candidate graph
+    (e0 = distinct a<b pairs) — shared by the kcore and label_prop
+    oracles."""
     bands1 = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {i} AS band_idx, CAST(mh_{i} AS VARCHAR) AS band_key"
         " FROM sig"
         for i in range(12)
     )
+    return f"""{SIG_CTES},
+banded1 AS (
+{bands1}
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM banded1 a JOIN banded1 b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)"""
+
+
+def _sql_kcore() -> str:
     peels = []
     for r in range(KCORE_ROUNDS):
         # MATERIALIZED is load-bearing: each round references the
@@ -2738,16 +2754,7 @@ e{r + 1} AS MATERIALIZED (
         )
     last = f"e{KCORE_ROUNDS}"
     return f"""
-WITH {SIG_CTES},
-banded1 AS (
-{bands1}
-),
-e0 AS MATERIALIZED (
-  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-  FROM banded1 a JOIN banded1 b
-    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-   AND a.doc_id < b.doc_id
-),
+WITH {_cand1_ctes()},
 {",".join(peels)}
 SELECT v, count(*) AS core_deg
 FROM (SELECT a AS v FROM {last} UNION ALL SELECT b FROM {last})
@@ -2756,6 +2763,56 @@ GROUP BY v
 
 
 SQL_KCORE = _sql_kcore()
+
+
+LPA_ITERS = 4
+
+
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (fixed 4 rounds,
+    smallest-label ties) on the permissive band_size=1 near-dup
+    candidate graph — template families without merging
+    weakly-bridged clusters the way connected components does
+    (operators/graph.label_propagation). Deterministic by
+    construction, so the oracle unrolls the same 4 rounds."""
+    from stock_indicators_etl_spark.operators.graph import label_propagation
+
+    cand = minhash_lsh_candidates(_docs(spark, sf_dir), band_size=1)
+    return label_propagation(cand, iters=LPA_ITERS, src_col="doc_a", dst_col="doc_b")
+
+
+def _sql_label_prop() -> str:
+    rounds = []
+    for r in range(1, LPA_ITERS + 1):
+        rounds.append(
+            f"""cnt{r} AS MATERIALIZED (
+  SELECT e.v, l.label AS nbr_label, count(*) AS cnt
+  FROM e2 e JOIN l{r - 1} l ON e.nbr = l.v
+  GROUP BY e.v, l.label
+),
+l{r} AS MATERIALIZED (
+  SELECT v, nbr_label AS label
+  FROM (SELECT v, nbr_label,
+               row_number() OVER (PARTITION BY v
+                                  ORDER BY cnt DESC, nbr_label ASC) AS rk
+        FROM cnt{r})
+  WHERE rk = 1
+)"""
+        )
+    return f"""
+WITH {_cand1_ctes()},
+e2 AS MATERIALIZED (
+  SELECT a AS v, b AS nbr FROM e0
+  UNION ALL
+  SELECT b AS v, a AS nbr FROM e0
+),
+l0 AS MATERIALIZED (SELECT DISTINCT v, v AS label FROM e2),
+{",".join(rounds)}
+SELECT v, label FROM l{LPA_ITERS}
+"""
+
+
+SQL_LABEL_PROP = _sql_label_prop()
 
 
 # ---------------------------------------------------------------------------

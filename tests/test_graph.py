@@ -194,3 +194,71 @@ def test_kcore_rejects_bad_k(spark):
     df = spark.createDataFrame(pd.DataFrame({"src": [1], "dst": [2]}))
     with pytest.raises(ValueError):
         kcore(df, k=0)
+
+
+# ---------------------------------------------------------------------------
+# label propagation
+# ---------------------------------------------------------------------------
+
+
+def _lpa_py(edges, iters):
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nbrs = {}
+    for a, b in es:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    label = {v: v for v in nbrs}
+    for _ in range(iters):
+        new = {}
+        for v in nbrs:
+            cnt = {}
+            for n in nbrs[v]:
+                cnt[label[n]] = cnt.get(label[n], 0) + 1
+            new[v] = min(cnt, key=lambda l: (-cnt[l], l))
+        label = new
+    return label
+
+
+def _lpa_spark(spark, edges, iters):
+    from stock_indicators_etl_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(pd.DataFrame(list(edges), columns=["src", "dst"]))
+    return {r["v"]: r["label"] for r in label_propagation(df, iters=iters).collect()}
+
+
+def test_lpa_clique_converges_to_min_label(spark):
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    got = _lpa_spark(spark, clique, 4)
+    assert got == {v: 0 for v in range(5)}
+
+
+def test_lpa_two_cliques_keep_separate_communities(spark):
+    c1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    c2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    got = _lpa_spark(spark, c1 + c2 + [(3, 10)], 4)
+    # the bridge never wins a local majority inside either clique
+    assert {got[v] for v in range(3)} == {0}
+    assert {got[v] for v in range(11, 14)} == {10}
+
+
+def test_lpa_matches_python_replica_random_graphs(spark):
+    rng = np.random.default_rng(66)
+    for trial in range(3):
+        n = 12
+        edges = set()
+        for _ in range(30):
+            a, b = rng.integers(0, n, 2)
+            if a != b:
+                edges.add((int(min(a, b)), int(max(a, b))))
+        for iters in (1, 3):
+            assert _lpa_spark(spark, edges, iters) == _lpa_py(edges, iters), (
+                f"trial {trial} iters {iters}"
+            )
+
+
+def test_lpa_rejects_zero_iters(spark):
+    from stock_indicators_etl_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(pd.DataFrame({"src": [1], "dst": [2]}))
+    with pytest.raises(ValueError):
+        label_propagation(df, iters=0)
