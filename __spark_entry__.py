@@ -391,6 +391,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_promo_revenue,
         q_returned_items,
         q_rollup_aggregate,
+        q_rolling_robust,
         q_sales_cube,
         q_attribution,
         q_shipping_priority,
@@ -477,6 +478,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "standardize": q_standardize,
         "vocab_index": q_vocab_index,
         "sales_cube": q_sales_cube,
+        "rolling_robust": q_rolling_robust,
         "kmv_distinct": q_kmv_distinct,
         "hll_distinct": q_hll_distinct,
         "kcore": q_kcore,
@@ -509,6 +511,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_PROFIT_BY_NATION,
         SQL_PROMO_REVENUE,
         SQL_RETURNED_ITEMS,
+        SQL_ROLLING_ROBUST,
         SQL_ROLLUP_AGGREGATE,
         SQL_RSI_WILDER,
         SQL_SALES_CUBE,
@@ -594,6 +597,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "standardize": SQL_STANDARDIZE,
         "vocab_index": SQL_VOCAB_INDEX,
         "sales_cube": SQL_SALES_CUBE,
+        "rolling_robust": SQL_ROLLING_ROBUST,
         "kmv_distinct": SQL_KMV_DISTINCT,
         "hll_distinct": SQL_HLL_DISTINCT,
         "kcore": SQL_KCORE,

@@ -287,3 +287,51 @@ def with_cci(
         ),
     )
     return out.withColumn(out_col, cci).drop("_tp", "_sma", "_lst")
+
+
+def with_rolling_robust(
+    df: DataFrame,
+    n: int = 20,
+    close_col: str = "close",
+    key_cols: Sequence[str] = ("ticker",),
+    ws_col: str = "window_start",
+) -> DataFrame:
+    """Trailing-``n`` ROBUST price stats per series: lower-median, Q1,
+    Q3, min, max of integer-cents close over ``ROWS n-1 PRECEDING``
+    — the outlier-insensitive band (Donchian range + quartile spread)
+    that a mean/σ Bollinger band is not.
+
+    Quantiles are ORDER STATISTICS at integer ranks of the sorted
+    window list (lower-median rank ``(m+1) div 2``, Q1 ``max(1,
+    (m+1) div 4)``, Q3 ``min(m, (3*(m+1)) div 4)`` over m in-frame
+    rows): every output is an exact BIGINT cent value actually
+    present in the window, so there is no interpolation convention to
+    match and the DuckDB replay is bit-identical. Window frames stay
+    ≤ n rows; one shuffle per series key, shared with every other
+    frame indicator.
+    """
+    w = series_window(key_cols, ws_col)
+    frame = w.rowsBetween(-(n - 1), 0)
+    cents = F.floor(F.col(close_col) * 100 + F.lit(0.5)).cast("long")
+    out = df.withColumn("_c", cents)
+    arr = F.array_sort(F.collect_list("_c").over(frame))
+    out = out.withColumn("_arr", arr)
+    m = F.size("_arr")
+    return (
+        out.withColumn("n_w", m.cast("long"))
+        .withColumn("med_cents", F.element_at("_arr", F.expr("CAST((size(_arr) + 1) div 2 AS INT)")))
+        .withColumn(
+            "q1_cents",
+            F.element_at("_arr", F.expr("CAST(greatest(1, (size(_arr) + 1) div 4) AS INT)")),
+        )
+        .withColumn(
+            "q3_cents",
+            F.element_at(
+                "_arr",
+                F.expr("CAST(least(size(_arr), (3 * (size(_arr) + 1)) div 4) AS INT)"),
+            ),
+        )
+        .withColumn("min_cents", F.element_at("_arr", 1))
+        .withColumn("max_cents", F.element_at("_arr", F.expr("size(_arr)")))
+        .drop("_c", "_arr")
+    )

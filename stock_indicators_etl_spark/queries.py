@@ -334,6 +334,47 @@ FROM ip
 # ---------------------------------------------------------------------------
 
 
+ROBUST_N = 20
+
+
+def q_rolling_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-20 robust price band per series: lower-median/Q1/Q3/
+    min/max as integer-rank order statistics over the sorted window
+    list — exact BIGINT cents, no interpolation convention
+    (operators/rolling.with_rolling_robust)."""
+    from stock_indicators_etl_spark.operators.rolling import with_rolling_robust
+
+    out = with_rolling_robust(events_as_bars(spark, sf_dir), n=ROBUST_N)
+    return out.select(
+        "ticker", "window_start", "n_w",
+        "med_cents", "q1_cents", "q3_cents", "min_cents", "max_cents",
+    )
+
+
+SQL_ROLLING_ROBUST = f"""
+WITH {BARS_CTE},
+c AS (
+  SELECT ticker, window_start,
+         CAST(floor(close * 100 + 0.5) AS BIGINT) AS cents
+  FROM bars
+),
+lw AS (
+  SELECT ticker, window_start,
+         list_sort(list(cents) OVER (PARTITION BY ticker ORDER BY window_start
+             ROWS BETWEEN {ROBUST_N - 1} PRECEDING AND CURRENT ROW)) AS arr
+  FROM c
+)
+SELECT ticker, window_start,
+       CAST(len(arr) AS BIGINT) AS n_w,
+       arr[(len(arr) + 1) // 2] AS med_cents,
+       arr[greatest(1, (len(arr) + 1) // 4)] AS q1_cents,
+       arr[least(len(arr), (3 * (len(arr) + 1)) // 4)] AS q3_cents,
+       arr[1] AS min_cents,
+       arr[len(arr)] AS max_cents
+FROM lw
+"""
+
+
 def q_mfi(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = with_mfi(events_as_bars(spark, sf_dir), n=14)
     return _r6(out.select("ticker", "window_start", "mfi"), "mfi")

@@ -192,3 +192,29 @@ def test_recursive_only_no_rocp_still_correct(spark):
         np.testing.assert_allclose(
             sub.rsi.to_numpy(), exp[mask], rtol=1e-9, atol=1e-9, err_msg=ticker
         )
+
+
+def test_rolling_robust_matches_pandas_rolling(spark):
+    """with_rolling_robust vs an independent pandas re-derivation
+    (sorted trailing-window order statistics at the same integer
+    ranks)."""
+    from stock_indicators_etl_spark.operators.rolling import with_rolling_robust
+
+    rng = np.random.default_rng(77)
+    n_bars, n = 60, 7
+    bars = make_bars(tickers=("AAPL",), n=n_bars)
+    out = (
+        with_rolling_robust(spark.createDataFrame(bars), n=n)
+        .orderBy("window_start")
+        .toPandas()
+    )
+    cents = np.floor(bars["close"].to_numpy() * 100 + 0.5).astype(np.int64)
+    for i in range(n_bars):
+        wnd = np.sort(cents[max(0, i - n + 1) : i + 1])
+        m = len(wnd)
+        r = out.iloc[i]
+        assert r.n_w == m
+        assert r.med_cents == wnd[(m + 1) // 2 - 1]
+        assert r.q1_cents == wnd[max(1, (m + 1) // 4) - 1]
+        assert r.q3_cents == wnd[min(m, (3 * (m + 1)) // 4) - 1]
+        assert r.min_cents == wnd[0] and r.max_cents == wnd[-1]
