@@ -154,6 +154,14 @@ ROTATED_OUT = (
     "aroonosc",
     "lsh_bucketed_topk",
     "dedup_survivors",
+    # r7c rotation: stable-since-r1/r2 join/ANN/signature entries out
+    # for this session's sketch/graph/quantization operators
+    "minhash_signatures",
+    "revenue_by_nation",
+    "top_orders_per_segment",
+    "universe_join",
+    "cosine_topk",
+    "embedding_neardup",
 )
 ROTATED_IN = (
     # r5 rotation
@@ -191,6 +199,14 @@ ROTATED_IN = (
     "rrf_fusion",
     "mix_domains",
     "bigram_surprisal",
+    # ...r7c: distinct sketches, graph communities/cores, int8 ANN,
+    # robust rolling stats into the hard signal
+    "kmv_distinct",
+    "kmv_overlap",
+    "kcore",
+    "label_prop",
+    "sq_topk",
+    "rolling_robust",
 )
 
 
@@ -198,6 +214,7 @@ def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
     from stock_indicators_etl_spark.queries import (
         q_asof_join,
         q_cdc_merge,
+        q_rolling_robust,
         q_dq_check,
         q_funnel,
         q_interval_join,
@@ -210,6 +227,11 @@ def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
     from stock_indicators_etl_spark.queries_llm import (
         q_audio_stats,
         q_bigram_surprisal,
+        q_kcore,
+        q_kmv_distinct,
+        q_kmv_overlap,
+        q_label_prop,
+        q_sq_topk,
         q_bm25_topk,
         q_canonicalize,
         q_cluster_keywords,
@@ -261,6 +283,12 @@ def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "rrf_fusion": q_rrf_fusion,
         "mix_domains": q_mix_domains,
         "bigram_surprisal": q_bigram_surprisal,
+        "kmv_distinct": q_kmv_distinct,
+        "kmv_overlap": q_kmv_overlap,
+        "kcore": q_kcore,
+        "label_prop": q_label_prop,
+        "sq_topk": q_sq_topk,
+        "rolling_robust": q_rolling_robust,
     }
 
 
@@ -268,6 +296,7 @@ def _rotated_in_oracles() -> dict[str, str]:
     from stock_indicators_etl_spark.queries import (
         SQL_ASOF_JOIN,
         SQL_CDC_MERGE,
+        SQL_ROLLING_ROBUST,
         SQL_DQ_CHECK,
         SQL_FUNNEL,
         SQL_INTERVAL_JOIN,
@@ -280,6 +309,11 @@ def _rotated_in_oracles() -> dict[str, str]:
     from stock_indicators_etl_spark.queries_llm import (
         SQL_AUDIO_STATS,
         SQL_BIGRAM_SURPRISAL,
+        SQL_KCORE,
+        SQL_KMV_DISTINCT,
+        SQL_KMV_OVERLAP,
+        SQL_LABEL_PROP,
+        SQL_SQ_TOPK,
         SQL_BM25_TOPK,
         SQL_CANONICALIZE,
         SQL_CLUSTER_KEYWORDS,
@@ -331,6 +365,12 @@ def _rotated_in_oracles() -> dict[str, str]:
         "rrf_fusion": SQL_RRF_FUSION,
         "mix_domains": SQL_MIX_DOMAINS,
         "bigram_surprisal": SQL_BIGRAM_SURPRISAL,
+        "kmv_distinct": SQL_KMV_DISTINCT,
+        "kmv_overlap": SQL_KMV_OVERLAP,
+        "kcore": SQL_KCORE,
+        "label_prop": SQL_LABEL_PROP,
+        "sq_topk": SQL_SQ_TOPK,
+        "rolling_robust": SQL_ROLLING_ROBUST,
     }
 
 
@@ -478,13 +518,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "standardize": q_standardize,
         "vocab_index": q_vocab_index,
         "sales_cube": q_sales_cube,
-        "rolling_robust": q_rolling_robust,
-        "kmv_distinct": q_kmv_distinct,
         "hll_distinct": q_hll_distinct,
-        "kcore": q_kcore,
-        "sq_topk": q_sq_topk,
-        "kmv_overlap": q_kmv_overlap,
-        "label_prop": q_label_prop,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -597,13 +631,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "standardize": SQL_STANDARDIZE,
         "vocab_index": SQL_VOCAB_INDEX,
         "sales_cube": SQL_SALES_CUBE,
-        "rolling_robust": SQL_ROLLING_ROBUST,
-        "kmv_distinct": SQL_KMV_DISTINCT,
         "hll_distinct": SQL_HLL_DISTINCT,
-        "kcore": SQL_KCORE,
-        "sq_topk": SQL_SQ_TOPK,
-        "kmv_overlap": SQL_KMV_OVERLAP,
-        "label_prop": SQL_LABEL_PROP,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

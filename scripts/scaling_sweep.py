@@ -55,6 +55,8 @@ SF1_QUERIES = {
     "neardup_best", "snapshot_diff",
     "triangles", "rrf_fusion", "mix_domains", "bigram_surprisal",
     "cdc_merge", "pivot_matrix", "curation_funnel", "vocab_index",
+    "kmv_distinct", "hll_distinct", "kmv_overlap", "kcore",
+    "label_prop", "sq_topk",
 }
 
 # one representative per plan family
@@ -138,6 +140,14 @@ QUERIES = [
     "attribution",            # last-touch conditional-max window rollup (extra)
     "standardize",            # z-score stats from exact integer sums (extra)
     "vocab_index",            # corpus token ids, vocab-bounded rank (extra)
+    "sales_cube",             # 8-set CUBE via one Expand shuffle (extra)
+    "kmv_distinct",           # bounded k-min summaries + tiny merge (extra)
+    "hll_distinct",           # pure-JVM register groupBy (extra)
+    "kmv_overlap",            # per-source sketches + G^2 pair join (extra)
+    "kcore",                  # convergent relational peeling (eager; extra)
+    "label_prop",             # fixed-round synchronous LPA (eager; extra)
+    "sq_topk",                # int8-quantized broadcast brute force (extra)
+    "rolling_robust",         # sorted-window order statistics (extra)
 ]
 
 
