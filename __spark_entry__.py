@@ -420,6 +420,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_disjunctive_parts,
         q_dormant_customers,
         q_excess_suppliers,
+        q_exact_median,
         q_large_orders,
         q_important_stock,
         q_market_share,
@@ -519,6 +520,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_index": q_vocab_index,
         "sales_cube": q_sales_cube,
         "hll_distinct": q_hll_distinct,
+        "exact_median": q_exact_median,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -533,6 +535,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_CUSTOMER_ORDERS_HIST,
         SQL_DISJUNCTIVE_PARTS,
         SQL_DORMANT_CUSTOMERS,
+        SQL_EXACT_MEDIAN,
         SQL_EXCESS_SUPPLIERS,
         SQL_LARGE_ORDERS,
         SQL_MACDFIX_HIST,
@@ -632,6 +635,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "vocab_index": SQL_VOCAB_INDEX,
         "sales_cube": SQL_SALES_CUBE,
         "hll_distinct": SQL_HLL_DISTINCT,
+        "exact_median": SQL_EXACT_MEDIAN,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

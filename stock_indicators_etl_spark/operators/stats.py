@@ -16,7 +16,9 @@ One combinable groupBy; everything else scan-local.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -309,4 +311,62 @@ def time_weighted_avg(
             / F.col("span_s").cast("double")
             / F.lit(float(scale)),
         ).alias("twap"),
+    )
+
+
+def exact_median_hist(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+    bin_width: int = 100,
+) -> DataFrame:
+    """EXACT per-key lower-median of integer cents via the two-pass
+    histogram algorithm — the 100 TB replacement for sort-based
+    ``percentile``: a per-key sort shuffles and orders every row of
+    every group (the winsorize cost cliff), while this plan is two
+    COMBINABLE aggregations plus a selection over one bin.
+
+    Pass 1: ``groupBy(key, cents div bin_width)`` counts (map-side
+    partial, ≤ value_range/bin_width rows per key); a key-local
+    cumulative window over those few bin rows locates the bin holding
+    rank ``(n+1) div 2`` (the lower median). Pass 2: only rows
+    landing in each key's target bin are re-examined — a broadcast
+    semi-restriction of the scan — and the within-bin rank is picked
+    by one bounded sorted-list selection. Result: BIGINT cents,
+    identical to ``quantile_disc(0.5)`` (lower-median discrete
+    quantile), which is the whole oracle.
+
+    ``bin_width`` trades pass-1 histogram size against pass-2 bin
+    population; both stay bounded for any fixed value range, and no
+    full group is ever sorted.
+    """
+    keys = [F.col(k) for k in key_cols]
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    base = df.select(*keys, cents.alias("_cents")).withColumn(
+        "_bin", F.expr(f"_cents div {int(bin_width)}")
+    )
+    hist = base.groupBy(*key_cols, "_bin").agg(F.count(F.lit(1)).alias("bc"))
+    wcum = Window.partitionBy(*key_cols).orderBy("_bin")
+    cum = hist.withColumn("cum", F.sum("bc").over(wcum)).withColumn(
+        "before", F.col("cum") - F.col("bc")
+    )
+    totals = base.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    ranked = cum.join(totals, list(key_cols)).withColumn(
+        "target_rank", F.expr("(n + 1) div 2")
+    )
+    target = ranked.filter(
+        (F.col("before") < F.col("target_rank"))
+        & (F.col("cum") >= F.col("target_rank"))
+    ).select(*key_cols, "_bin", "before", "target_rank", "n")
+    in_bin = base.join(F.broadcast(target), [*key_cols, "_bin"])
+    return (
+        in_bin.groupBy(*key_cols, "before", "target_rank", "n")
+        .agg(F.array_sort(F.collect_list("_cents")).alias("_arr"))
+        .select(
+            *key_cols,
+            F.col("n").cast("long").alias("n"),
+            F.element_at(
+                "_arr", F.expr("CAST(target_rank - before AS INT)")
+            ).alias("median_cents"),
+        )
     )

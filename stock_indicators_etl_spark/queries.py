@@ -334,6 +334,31 @@ FROM ip
 # ---------------------------------------------------------------------------
 
 
+def q_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type EXACT lower-median of integer-cents value via
+    the two-pass histogram plan (operators/stats.exact_median_hist):
+    two combinable aggregations + a one-bin selection — never a
+    per-key sort of the whole group. The oracle is a one-line
+    quantile_disc(0.5), which picks the identical lower-median rank
+    floor((n-1)/2)+1 = (n+1) div 2."""
+    from stock_indicators_etl_spark.operators.stats import exact_median_hist
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return exact_median_hist(ev, key_cols=("event_type",), value_col="value")
+
+
+SQL_EXACT_MEDIAN = """
+WITH c AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type, count(*) AS n,
+       quantile_disc(cents, 0.5) AS median_cents
+FROM c GROUP BY event_type
+"""
+
+
 ROBUST_N = 20
 
 

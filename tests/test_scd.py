@@ -498,3 +498,54 @@ def test_time_weighted_avg_matches_pandas_replay(spark):
         want = (cents.values * dt.values).sum() / dt.sum() / 100.0
         assert out[k]["twap"] == pytest.approx(want, rel=1e-12)
         assert out[k]["span_s"] == dt.sum()
+
+
+# ---------------------------------------------------------------------------
+# two-pass histogram exact median
+# ---------------------------------------------------------------------------
+
+
+def test_exact_median_hist_matches_numpy_lower_median(spark):
+    import numpy as np
+
+    from stock_indicators_etl_spark.operators.stats import exact_median_hist
+
+    rng = np.random.default_rng(81)
+    rows = []
+    for key, n in (("a", 101), ("b", 100), ("c", 1), ("d", 2)):
+        vals = rng.normal(scale=50, size=n)  # negatives included
+        rows += [(key, float(v)) for v in vals]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["event_type", "value"]))
+    for bw in (1, 7, 100, 10**9):
+        got = {
+            r["event_type"]: (r["n"], r["median_cents"])
+            for r in exact_median_hist(df, bin_width=bw).collect()
+        }
+        pdf = pd.DataFrame(rows, columns=["k", "v"])
+        for key, sub in pdf.groupby("k"):
+            cents = np.sort(np.floor(sub["v"].to_numpy() * 100 + 0.5).astype(np.int64))
+            m = len(cents)
+            want = int(cents[(m + 1) // 2 - 1])  # lower median
+            assert got[key] == (m, want), f"bw={bw} key={key}"
+
+
+def test_exact_median_hist_no_global_sort_in_plan(spark):
+    import numpy as np
+
+    from stock_indicators_etl_spark.operators.stats import exact_median_hist
+
+    rng = np.random.default_rng(82)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"event_type": ["x"] * 50, "value": rng.normal(size=50)}
+        )
+    )
+    plan = (
+        exact_median_hist(df)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the only sort is array_sort over the ONE target bin's values —
+    # no per-key Sort operator over the full input
+    assert "percentile" not in plan.lower()
