@@ -247,3 +247,42 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
     assert sorted(back.doc_id) == [1, 6]
     assert set(back.columns) >= {"doc_id", "text", "lang", "shard", "split"}
     assert set(back.split) <= {"train", "val", "test"}
+
+
+def test_corpus_profiling_example(spark, tmp_path):
+    """examples/corpus_profiling.py: volume + KMV/HLL cardinality +
+    pairwise overlap reports on a corpus with a planted duplicate
+    source."""
+    import sys
+    from pathlib import Path
+
+    import pandas as pd
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    from corpus_profiling import profile
+
+    uniq = [" ".join(f"a{i}_{j}" for j in range(30)) for i in range(20)]
+    shared = [" ".join(f"s{i}_{j}" for j in range(30)) for i in range(20)]
+    rows = (
+        [{"doc_id": i, "source": "A", "text": t} for i, t in enumerate(shared)]
+        + [{"doc_id": 100 + i, "source": "B", "text": t} for i, t in enumerate(shared)]
+        + [{"doc_id": 200 + i, "source": "C", "text": t} for i, t in enumerate(uniq)]
+    )
+    src = str(tmp_path / "docs.parquet")
+    pd.DataFrame(rows).to_parquet(src)
+
+    reports = profile(spark, src, k=32, ngram=3)
+    vol = reports["volume"].toPandas().set_index("source")
+    assert int(vol.loc["A"].n_docs) == 20
+
+    kmv = reports["kmv"].toPandas().set_index("source")
+    hll = reports["hll"].toPandas().set_index("source")
+    # A and B are the same content: identical sketch rows
+    assert kmv.loc["A"].est_distinct == kmv.loc["B"].est_distinct
+    assert hll.loc["A"].register_sum == hll.loc["B"].register_sum
+
+    ov = reports["overlap"].toPandas().set_index(["grp_a", "grp_b"])
+    ab = ov.loc[("A", "B")]
+    assert ab.jaccard_est == 1.0 and bool(ab.dedup_before_mix)
+    ac = ov.loc[("A", "C")]
+    assert ac.jaccard_est == 0.0 and not bool(ac.dedup_before_mix)
