@@ -264,7 +264,6 @@ def label_propagation(
         .localCheckpoint(eager=True)
     )
     labels = e2.select("v").distinct().select("v", F.col("v").alias("label"))
-    w = Window.partitionBy("v").orderBy(F.col("cnt").desc(), F.col("nbr_label").asc())
     for it in range(1, iters + 1):
         nbr_labels = (
             e2.join(
@@ -276,10 +275,20 @@ def label_propagation(
             .groupBy("v", "nbr_label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
+        # argmax-by-(cnt desc, label asc) as a COMBINABLE struct max
+        # (labels are vertex ids ≥ 0, so -label inverts the tie order)
+        # instead of a row_number sort window: the second per-round
+        # shuffle stays a hash aggregate with map-side partials
         labels = (
-            nbr_labels.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("v", F.col("nbr_label").alias("label"))
+            nbr_labels.groupBy("v")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cnt"), (-F.col("nbr_label")).alias("neg")
+                    )
+                ).alias("m")
+            )
+            .select("v", (-F.col("m.neg")).alias("label"))
         )
         if checkpoint_every and it % checkpoint_every == 0 and it < iters:
             labels = labels.localCheckpoint(eager=False)

@@ -2708,14 +2708,24 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixpoint are the identity."""
     from stock_indicators_etl_spark.operators.graph import kcore
 
-    cand = minhash_lsh_candidates(_docs(spark, sf_dir), band_size=1)
+    cand = minhash_lsh_candidates(
+        _docs(spark, sf_dir), band_size=1, max_bucket_size=CAND1_CAP
+    )
     return kcore(cand, k=KCORE_K, src_col="doc_a", dst_col="doc_b")
+
+
+CAND1_CAP = 24
 
 
 def _cand1_ctes() -> str:
     """CTE chain for the permissive band_size=1 LSH candidate graph
     (e0 = distinct a<b pairs) — shared by the kcore and label_prop
-    oracles."""
+    oracles. The ``max_bucket_size`` cap mirrors the Spark side: a
+    band_size=1 bucket grows ∝ corpus size under a bounded vocab, so
+    UNCAPPED pairs grow quadratically (measured: 1.2k → 12.2M pairs
+    from sf0.01 → sf1); the cap bounds per-bucket pair expansion
+    while leaving every sf≤0.1 bucket untouched (no bucket exceeds
+    it there, so harness hashes are cap-invariant)."""
     bands1 = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {i} AS band_idx, CAST(mh_{i} AS VARCHAR) AS band_key"
         " FROM sig"
@@ -2725,9 +2735,16 @@ def _cand1_ctes() -> str:
 banded1 AS (
 {bands1}
 ),
+bsz AS MATERIALIZED (
+  SELECT band_idx, band_key
+  FROM banded1 GROUP BY band_idx, band_key
+  HAVING count(*) <= {CAND1_CAP}
+),
 e0 AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-  FROM banded1 a JOIN banded1 b
+  FROM banded1 a
+  JOIN bsz s ON s.band_idx = a.band_idx AND s.band_key = a.band_key
+  JOIN banded1 b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key
    AND a.doc_id < b.doc_id
 )"""
@@ -2777,7 +2794,9 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, so the oracle unrolls the same 4 rounds."""
     from stock_indicators_etl_spark.operators.graph import label_propagation
 
-    cand = minhash_lsh_candidates(_docs(spark, sf_dir), band_size=1)
+    cand = minhash_lsh_candidates(
+        _docs(spark, sf_dir), band_size=1, max_bucket_size=CAND1_CAP
+    )
     return label_propagation(cand, iters=LPA_ITERS, src_col="doc_a", dst_col="doc_b")
 
 
