@@ -421,6 +421,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_dormant_customers,
         q_excess_suppliers,
         q_exact_median,
+        q_exact_quantiles,
         q_large_orders,
         q_important_stock,
         q_market_share,
@@ -521,6 +522,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_cube": q_sales_cube,
         "hll_distinct": q_hll_distinct,
         "exact_median": q_exact_median,
+        "exact_quantiles": q_exact_quantiles,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -536,6 +538,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_DISJUNCTIVE_PARTS,
         SQL_DORMANT_CUSTOMERS,
         SQL_EXACT_MEDIAN,
+        SQL_EXACT_QUANTILES,
         SQL_EXCESS_SUPPLIERS,
         SQL_LARGE_ORDERS,
         SQL_MACDFIX_HIST,
@@ -636,6 +639,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "sales_cube": SQL_SALES_CUBE,
         "hll_distinct": SQL_HLL_DISTINCT,
         "exact_median": SQL_EXACT_MEDIAN,
+        "exact_quantiles": SQL_EXACT_QUANTILES,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -370,3 +370,85 @@ def exact_median_hist(
             ).alias("median_cents"),
         )
     )
+
+
+def exact_quantiles_hist(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+    probs: Sequence[tuple[int, int]] = ((1, 4), (1, 2), (3, 4)),
+    bin_width: int = 100,
+) -> DataFrame:
+    """EXACT per-key discrete quantiles at several probabilities with
+    the same two-pass histogram plan as :func:`exact_median_hist` —
+    one combinable (key, bin) count, then a selection restricted to
+    the union of rank-holding bins. NO per-key sort at any group
+    size, which makes this the exact-at-scale alternative to the
+    sort-based ``percentile`` bounds in :func:`winsorize_stats`.
+
+    ``probs`` are exact rationals ``(num, den)``; each rank is
+    DuckDB's ``quantile_disc`` convention ``ceil(n·p)`` (probed
+    empirically — NOT floor((n-1)p)+1, which only coincides at
+    p=1/2) in pure integer arithmetic ``(n·num + den - 1) div den``,
+    so every
+    output is a BIGINT cent value actually present in the group and
+    the oracle is one ``quantile_disc`` call per prob. Output: one
+    row per key with ``n`` and a ``q{num}_{den}_cents`` column per
+    prob.
+    """
+    keys = list(key_cols)
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    base = df.select(*[F.col(k) for k in keys], cents.alias("_cents")).withColumn(
+        "_bin", F.expr(f"_cents div {int(bin_width)}")
+    )
+    hist = base.groupBy(*keys, "_bin").agg(F.count(F.lit(1)).alias("bc"))
+    wcum = Window.partitionBy(*keys).orderBy("_bin")
+    cum = hist.withColumn("cum", F.sum("bc").over(wcum)).withColumn(
+        "before", F.col("cum") - F.col("bc")
+    )
+    totals = base.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    ranked = cum.join(totals, keys)
+
+    targets = None
+    for num, den in probs:
+        t = (
+            ranked.withColumn(
+                "target_rank", F.expr(f"(n * {num} + {den} - 1) div {den}")
+            )
+            .filter(
+                (F.col("before") < F.col("target_rank"))
+                & (F.col("cum") >= F.col("target_rank"))
+            )
+            .select(
+                *keys,
+                "_bin",
+                "before",
+                "target_rank",
+                "n",
+                F.lit(f"q{num}_{den}").alias("_tag"),
+            )
+        )
+        targets = t if targets is None else targets.unionByName(t)
+
+    in_bin = base.join(F.broadcast(targets), [*keys, "_bin"])
+    per_tag = (
+        in_bin.groupBy(*keys, "_tag", "before", "target_rank", "n")
+        .agg(F.array_sort(F.collect_list("_cents")).alias("_arr"))
+        .select(
+            *keys,
+            "n",
+            "_tag",
+            F.element_at(
+                "_arr", F.expr("CAST(target_rank - before AS INT)")
+            ).alias("_q"),
+        )
+    )
+    aggs = [
+        F.max(F.when(F.col("_tag") == f"q{num}_{den}", F.col("_q"))).alias(
+            f"q{num}_{den}_cents"
+        )
+        for num, den in probs
+    ]
+    return per_tag.groupBy(*keys, "n").agg(*aggs).withColumn(
+        "n", F.col("n").cast("long")
+    )

@@ -359,6 +359,35 @@ FROM c GROUP BY event_type
 """
 
 
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type EXACT Q1/median/Q3 via the generalized two-pass
+    histogram (operators/stats.exact_quantiles_hist): integer
+    quantile_disc ranks ceil(n·p) computed as pure integer
+    arithmetic, selection restricted to the union of rank-holding
+    bins — still no per-key sort at any group size."""
+    from stock_indicators_etl_spark.operators.stats import exact_quantiles_hist
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return exact_quantiles_hist(
+        ev, key_cols=("event_type",), value_col="value",
+        probs=((1, 4), (1, 2), (3, 4)),
+    )
+
+
+SQL_EXACT_QUANTILES = """
+WITH c AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type, count(*) AS n,
+       quantile_disc(cents, 0.25) AS q1_4_cents,
+       quantile_disc(cents, 0.50) AS q1_2_cents,
+       quantile_disc(cents, 0.75) AS q3_4_cents
+FROM c GROUP BY event_type
+"""
+
+
 ROBUST_N = 20
 
 

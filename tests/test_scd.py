@@ -549,3 +549,29 @@ def test_exact_median_hist_no_global_sort_in_plan(spark):
     # the only sort is array_sort over the ONE target bin's values —
     # no per-key Sort operator over the full input
     assert "percentile" not in plan.lower()
+
+
+def test_exact_quantiles_hist_matches_numpy_ceil_np_ranks(spark):
+    import numpy as np
+
+    from stock_indicators_etl_spark.operators.stats import exact_quantiles_hist
+
+    rng = np.random.default_rng(83)
+    rows = []
+    for key, n in (("a", 97), ("b", 40), ("c", 3)):
+        rows += [(key, float(v)) for v in rng.normal(scale=30, size=n)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["event_type", "value"]))
+    probs = ((1, 4), (1, 2), (3, 4), (99, 100))
+    got = {
+        r["event_type"]: r
+        for r in exact_quantiles_hist(df, probs=probs, bin_width=13).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["k", "v"])
+    for key, sub in pdf.groupby("k"):
+        cents = np.sort(np.floor(sub["v"].to_numpy() * 100 + 0.5).astype(np.int64))
+        m = len(cents)
+        for num, den in probs:
+            rank = (m * num + den - 1) // den  # ceil(m*p)
+            want = int(cents[rank - 1])
+            assert got[key][f"q{num}_{den}_cents"] == want, (key, num, den)
+        assert got[key]["n"] == m
