@@ -449,6 +449,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_volume_shipping,
         q_waiting_suppliers,
         q_winsorize_approx,
+        q_winsorize_hist,
     )
     from stock_indicators_etl_spark.queries_llm import (
         q_bpe_merges,
@@ -523,6 +524,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "exact_median": q_exact_median,
         "exact_quantiles": q_exact_quantiles,
+        "winsorize_hist": q_winsorize_hist,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -568,6 +570,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_VOLUME_SHIPPING,
         SQL_WAITING_SUPPLIERS,
         SQL_WINSORIZE_APPROX,
+        SQL_WINSORIZE_HIST,
     )
     from stock_indicators_etl_spark.queries_llm import (
         SQL_BPE_MERGES,
@@ -640,6 +643,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "hll_distinct": SQL_HLL_DISTINCT,
         "exact_median": SQL_EXACT_MEDIAN,
         "exact_quantiles": SQL_EXACT_QUANTILES,
+        "winsorize_hist": SQL_WINSORIZE_HIST,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -452,3 +452,37 @@ def exact_quantiles_hist(
     return per_tag.groupBy(*keys, "n").agg(*aggs).withColumn(
         "n", F.col("n").cast("long")
     )
+
+
+def winsorize_stats_hist(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    lo: tuple[int, int] = (1, 20),
+    hi: tuple[int, int] = (19, 20),
+    y_scale: int = 100,
+    bin_width: int = 100,
+) -> DataFrame:
+    """Winsorization with EXACT bounds at any group size: the clip
+    thresholds are the two-pass-histogram discrete quantiles
+    (:func:`exact_quantiles_hist` — combinable passes, no per-key
+    sort), so unlike :func:`winsorize_stats_approx` there is no rank
+    error to reason about, and unlike :func:`winsorize_stats` no
+    group is ever buffered or sorted. Discrete (quantile_disc)
+    bounds — actual data values — rather than the exact twin's
+    interpolated quantile_cont ones; both conventions are standard,
+    this one is also exactly replayable, so the operator keeps a full
+    bit-exact oracle at production scale.
+    """
+    ln, ld = lo
+    hn, hd = hi
+    q = exact_quantiles_hist(
+        df, key_cols=(key_col,), value_col=val_col,
+        probs=(lo, hi), bin_width=bin_width,
+    )
+    bounds = q.select(
+        key_col,
+        (F.col(f"q{ln}_{ld}_cents").cast("double") / 100.0).alias("lo_bound"),
+        (F.col(f"q{hn}_{hd}_cents").cast("double") / 100.0).alias("hi_bound"),
+    )
+    return _winsorize_with_bounds(df, key_col, val_col, bounds, y_scale)

@@ -2337,6 +2337,45 @@ GROUP BY l.l_returnflag
 """
 
 
+def q_winsorize_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization with EXACT two-pass-histogram bounds
+    (quantile_disc 5%/95% at ceil(n·p) ranks — no per-key sort, no
+    rank error): the production-scale variant that keeps a full
+    bit-exact oracle (operators/stats.winsorize_stats_hist)."""
+    from stock_indicators_etl_spark.operators.stats import winsorize_stats_hist
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    return winsorize_stats_hist(li, "l_returnflag", "l_extendedprice")
+
+
+SQL_WINSORIZE_HIST = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(l_extendedprice AS DOUBLE) AS v,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+),
+bounds AS (
+  SELECT l_returnflag,
+         CAST(quantile_disc(cents, 0.05) AS DOUBLE) / 100.0 AS lo_bound,
+         CAST(quantile_disc(cents, 0.95) AS DOUBLE) / 100.0 AS hi_bound
+  FROM c GROUP BY l_returnflag
+)
+SELECT c.l_returnflag,
+       count(*) AS n,
+       CAST(sum(CASE WHEN c.v < b.lo_bound THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+       CAST(sum(CASE WHEN c.v > b.hi_bound THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+       min(b.lo_bound) AS lo_bound,
+       min(b.hi_bound) AS hi_bound,
+       CAST(sum(CAST(floor(greatest(least(c.v, b.hi_bound), b.lo_bound) * 100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS sum_clipped_cents
+FROM c JOIN bounds b ON c.l_returnflag = b.l_returnflag
+GROUP BY c.l_returnflag
+"""
+
+
 def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated scalar AGGREGATE subquery — revenue
     from line items whose quantity is below 20 % of their part's

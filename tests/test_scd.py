@@ -575,3 +575,32 @@ def test_exact_quantiles_hist_matches_numpy_ceil_np_ranks(spark):
             want = int(cents[rank - 1])
             assert got[key][f"q{num}_{den}_cents"] == want, (key, num, den)
         assert got[key]["n"] == m
+
+
+def test_winsorize_hist_bounds_are_data_values_and_counts_sane(spark):
+    import numpy as np
+
+    from stock_indicators_etl_spark.operators.stats import (
+        winsorize_stats,
+        winsorize_stats_hist,
+    )
+
+    rng = np.random.default_rng(84)
+    vals = np.round(rng.normal(scale=40, size=400), 2)
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["g"] * 400, "v": vals.astype(float)})
+    )
+    hist = winsorize_stats_hist(df, "k", "v").collect()[0]
+    cents = np.floor(vals * 100 + 0.5).astype(np.int64)
+    # discrete bounds must be actual data values (cents/100)
+    assert int(round(hist["lo_bound"] * 100)) in set(cents)
+    assert int(round(hist["hi_bound"] * 100)) in set(cents)
+    # ~5% clipped each side (discrete rank: ceil(0.05*400)=20 →
+    # 19 strictly below the 20th order statistic at distinct values)
+    assert 10 <= hist["n_clipped_lo"] <= 30
+    assert 10 <= hist["n_clipped_hi"] <= 30
+    # close to the interpolated-bounds exact twin
+    exact = winsorize_stats(df, "k", "v").collect()[0]
+    assert abs(hist["sum_clipped_cents"] - exact["sum_clipped_cents"]) <= abs(
+        exact["sum_clipped_cents"]
+    ) * 0.01 + 10_000
