@@ -148,6 +148,9 @@ QUERIES = [
     "label_prop",             # fixed-round synchronous LPA (eager; extra)
     "sq_topk",                # int8-quantized broadcast brute force (extra)
     "rolling_robust",         # sorted-window order statistics (extra)
+    "exact_median",           # two-pass histogram median, no per-key sort (extra)
+    "exact_quantiles",        # generalized ceil(np) rank selection (extra)
+    "winsorize_hist",         # winsorize with exact histogram bounds (extra)
 ]
 
 
