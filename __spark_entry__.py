@@ -418,6 +418,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from stock_indicators_etl_spark.queries import (
         q_customer_orders_hist,
         q_disjunctive_parts,
+        q_distinct_users_cube,
         q_dormant_customers,
         q_excess_suppliers,
         q_exact_median,
@@ -525,6 +526,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_median": q_exact_median,
         "exact_quantiles": q_exact_quantiles,
         "winsorize_hist": q_winsorize_hist,
+        "distinct_users_cube": q_distinct_users_cube,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -538,6 +540,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_CMO_WILDER,
         SQL_CUSTOMER_ORDERS_HIST,
         SQL_DISJUNCTIVE_PARTS,
+        SQL_DISTINCT_USERS_CUBE,
         SQL_DORMANT_CUSTOMERS,
         SQL_EXACT_MEDIAN,
         SQL_EXACT_QUANTILES,
@@ -644,6 +647,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "exact_median": SQL_EXACT_MEDIAN,
         "exact_quantiles": SQL_EXACT_QUANTILES,
         "winsorize_hist": SQL_WINSORIZE_HIST,
+        "distinct_users_cube": SQL_DISTINCT_USERS_CUBE,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -416,3 +416,80 @@ def kmv_pairwise_overlap(
             ),
         )
     )
+
+
+def hll_distinct_cube(
+    df: DataFrame,
+    dim_a: str,
+    dim_b: str,
+    id_col: str,
+) -> DataFrame:
+    """COUNT DISTINCT over CUBE — the classic hard OLAP ask (distinct
+    counts do not roll up; a naive answer re-scans the fact table once
+    per grouping set) — solved sketch-style in ONE pass: the HLL
+    register index joins every grouping set, so
+    ``GROUPING SETS ((a,b,idx),(a,idx),(b,idx),(idx))`` + ``max(rho)``
+    builds all four register files from a single scan through
+    Catalyst's Expand, and a second combinable aggregate folds each
+    file exactly like :func:`hll_distinct`.
+
+    Returns one row per (a, b, gid) grouping-set member with
+    ``zero_registers``, ``register_sum`` (exact integer) and the raw
+    HLL estimate (same caller-side-correction contract as
+    :func:`hll_distinct`). Deterministic integer register math end to
+    end, so the DuckDB grouping-sets replay is bit-identical.
+
+    100 TB shape: the Expand multiplies the scan by 4 (the number of
+    sets), but every set's shuffle carries ≤ m = 64 rows per group per
+    partition — the fact table itself is never shuffled, and the
+    register files can be persisted and re-merged later (register max
+    is associative) for incremental refresh.
+    """
+    sb, rmax = _HLL_SUFFIX_BITS, _HLL_R
+    hashed = df.select(
+        F.col(dim_a),
+        F.col(dim_b),
+        h56(F.col(id_col).cast("string")).alias("h"),
+    )
+    regs = hashed.select(
+        dim_a,
+        dim_b,
+        F.shiftright(F.col("h"), sb).alias("idx"),
+        F.when(F.col("h").bitwiseAND(F.lit((1 << sb) - 1)) == 0, F.lit(rmax))
+        .otherwise(
+            F.lit(sb + 1)
+            - F.length(F.bin(F.col("h").bitwiseAND(F.lit((1 << sb) - 1))))
+        )
+        .alias("rho"),
+    )
+    level1 = regs.groupingSets(
+        [[dim_a, dim_b, "idx"], [dim_a, "idx"], [dim_b, "idx"], ["idx"]],
+        F.col(dim_a),
+        F.col(dim_b),
+        F.col("idx"),
+    ).agg(
+        F.max("rho").alias("mrho"),
+        F.expr(
+            f"CAST(grouping({dim_a}) * 2 + grouping({dim_b}) AS BIGINT)"
+        ).alias("gid"),
+    )
+    per_set = level1.groupBy(dim_a, dim_b, "gid").agg(
+        F.count(F.lit(1)).alias("present"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - mrho)")).alias(
+            "s_present"
+        ),
+    )
+    return per_set.select(
+        dim_a,
+        dim_b,
+        "gid",
+        (F.lit(HLL_M) - F.col("present")).cast("long").alias("zero_registers"),
+        (
+            F.col("s_present")
+            + (F.lit(HLL_M) - F.col("present")) * F.lit(1 << rmax)
+        ).alias("register_sum"),
+        (F.lit(HLL_NUMER) / (
+            F.col("s_present")
+            + (F.lit(HLL_M) - F.col("present")) * F.lit(1 << rmax)
+        ).cast("double")).alias("raw_est"),
+    )

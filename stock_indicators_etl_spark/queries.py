@@ -334,6 +334,72 @@ FROM ip
 # ---------------------------------------------------------------------------
 
 
+def q_distinct_users_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT DISTINCT users over CUBE(event_type, day-of-week) via
+    HLL registers — the distinct-counts-don't-roll-up problem solved
+    in ONE fact-table pass: the register index joins every grouping
+    set, so Expand + max(rho) builds all four register files at once
+    (llmdata/sketches.hll_distinct_cube). Day-of-week is pure integer
+    epoch-day arithmetic ((days+4) mod 7, Sun=0) — no calendar
+    function, no timezone, no engine drift."""
+    from stock_indicators_etl_spark.llmdata.sketches import hll_distinct_cube
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.expr("(ns div 86400000000000 + 4) % 7").alias("dow"),
+        "user_id",
+    )
+    return hll_distinct_cube(ev, "event_type", "dow", "user_id")
+
+
+def _sql_distinct_users_cube() -> str:
+    from stock_indicators_etl_spark.llmdata.sketches import (
+        _HLL_R,
+        _HLL_SUFFIX_BITS,
+        HLL_M,
+        HLL_NUMER,
+    )
+
+    sb, rmax, m = _HLL_SUFFIX_BITS, _HLL_R, HLL_M
+    return f"""
+WITH src AS (
+  SELECT event_type,
+         (epoch_ns(ts) // 86400000000000 + 4) % 7 AS dow,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 14))
+              AS BIGINT) AS h
+  FROM events
+),
+reg AS (
+  SELECT event_type, dow, h // {1 << sb} AS idx,
+         CASE WHEN h % {1 << sb} = 0 THEN {rmax}
+              ELSE {sb + 1} - length(bin(h % {1 << sb})) END AS rho
+  FROM src
+),
+l1 AS (
+  SELECT event_type, dow, idx, max(rho) AS mrho,
+         CAST(GROUPING(event_type) * 2 + GROUPING(dow) AS BIGINT) AS gid
+  FROM reg
+  GROUP BY GROUPING SETS ((event_type, dow, idx), (event_type, idx),
+                          (dow, idx), (idx))
+),
+agg AS (
+  SELECT event_type, dow, gid, count(*) AS present,
+         sum((CAST(1 AS BIGINT) << ({rmax} - mrho))) AS s_present
+  FROM l1 GROUP BY event_type, dow, gid
+)
+SELECT event_type, dow, gid,
+       CAST({m} - present AS BIGINT) AS zero_registers,
+       CAST(s_present + ({m} - present) * (CAST(1 AS BIGINT) << {rmax})
+            AS BIGINT) AS register_sum,
+       {HLL_NUMER!r} / CAST(s_present + ({m} - present)
+            * (CAST(1 AS BIGINT) << {rmax}) AS DOUBLE) AS raw_est
+FROM agg
+"""
+
+
+SQL_DISTINCT_USERS_CUBE = _sql_distinct_users_cube()
+
+
 def q_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type EXACT lower-median of integer-cents value via
     the two-pass histogram plan (operators/stats.exact_median_hist):

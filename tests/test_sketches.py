@@ -475,3 +475,70 @@ def test_kmv_overlap_pair_count_and_orientation(spark):
     assert (out.grp_a < out.grp_b).all()
     # identical content: every pair is an exact full overlap
     assert (out.jaccard_est == 1.0).all()
+
+
+def test_hll_cube_sets_match_direct_slices(spark):
+    """Each grouping-set row of hll_distinct_cube must equal the
+    plain per-slice HLL register file — the mergeability/one-pass
+    equivalence that makes the operator correct."""
+    from stock_indicators_etl_spark.llmdata.sketches import (
+        _HLL_R,
+        _HLL_SUFFIX_BITS,
+        hll_distinct_cube,
+    )
+
+    rng = np.random.default_rng(91)
+    rows = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y", "z"], size=300),
+            "b": rng.integers(0, 4, size=300),
+            "uid": rng.integers(0, 120, size=300),
+        }
+    )
+    df = spark.createDataFrame(rows).repartition(5)
+    got = hll_distinct_cube(df, "a", "b", "uid").toPandas()
+    assert len(got) == len(rows.groupby(["a", "b"])) + 3 + 4 + 1
+
+    sb, rmax = _HLL_SUFFIX_BITS, _HLL_R
+
+    def ref_sum(uids):
+        regs = {}
+        for u in set(int(v) for v in uids):
+            h = _h56_py(str(u))
+            idx, rest = h >> sb, h & ((1 << sb) - 1)
+            rho = rmax if rest == 0 else sb + 1 - rest.bit_length()
+            regs[idx] = max(regs.get(idx, 0), rho)
+        s = sum(1 << (rmax - r) for r in regs.values())
+        return s + (HLL_M - len(regs)) * (1 << rmax)
+
+    # () set
+    g = got[got.gid == 3].iloc[0]
+    assert g.register_sum == ref_sum(rows.uid)
+    # (a) rows
+    for a, sub in rows.groupby("a"):
+        r = got[(got.gid == 1) & (got.a == a)].iloc[0]
+        assert r.register_sum == ref_sum(sub.uid), a
+    # (b) rows
+    for b, sub in rows.groupby("b"):
+        r = got[(got.gid == 2) & (got.b == b)].iloc[0]
+        assert r.register_sum == ref_sum(sub.uid), b
+    # (a,b) rows
+    for (a, b), sub in rows.groupby(["a", "b"]):
+        r = got[(got.gid == 0) & (got.a == a) & (got.b == b)].iloc[0]
+        assert r.register_sum == ref_sum(sub.uid), (a, b)
+
+
+def test_hll_cube_single_expand_one_scan(spark):
+    from stock_indicators_etl_spark.llmdata.sketches import hll_distinct_cube
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": ["x"], "b": [1], "uid": [7]})
+    )
+    plan = (
+        hll_distinct_cube(df, "a", "b", "uid")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Expand") == 1  # all four sets from ONE pass
+    assert "MapInPandas" not in plan  # pure JVM
