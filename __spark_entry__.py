@@ -422,6 +422,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_dormant_customers,
         q_excess_suppliers,
         q_exact_median,
+        q_histogram_drift,
         q_exact_quantiles,
         q_large_orders,
         q_important_stock,
@@ -527,6 +528,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantiles": q_exact_quantiles,
         "winsorize_hist": q_winsorize_hist,
         "distinct_users_cube": q_distinct_users_cube,
+        "histogram_drift": q_histogram_drift,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -544,6 +546,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_DORMANT_CUSTOMERS,
         SQL_EXACT_MEDIAN,
         SQL_EXACT_QUANTILES,
+        SQL_HISTOGRAM_DRIFT,
         SQL_EXCESS_SUPPLIERS,
         SQL_LARGE_ORDERS,
         SQL_MACDFIX_HIST,
@@ -648,6 +651,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "exact_quantiles": SQL_EXACT_QUANTILES,
         "winsorize_hist": SQL_WINSORIZE_HIST,
         "distinct_users_cube": SQL_DISTINCT_USERS_CUBE,
+        "histogram_drift": SQL_HISTOGRAM_DRIFT,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

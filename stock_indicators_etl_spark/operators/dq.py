@@ -115,3 +115,82 @@ def snapshot_diff_summary(
         .groupBy("change")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def histogram_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    n_bins: int = 16,
+) -> DataFrame:
+    """Per-key distribution drift between two snapshots as EXACT
+    total-variation distance over an equi-width histogram — the
+    monitor a feature pipeline runs between yesterday's and today's
+    data before trusting a model with it.
+
+    Exactness trick: TVD = ½·Σ|ca/na − cb/nb| has a float sum whose
+    order differs across engines, so it is computed as the INTEGER
+    statistic ``Σ_bins |ca·nb − cb·na|`` (associative, order-free,
+    exact BIGINT) followed by ONE IEEE division by ``2·na·nb`` — the
+    same single-division discipline as the sketch estimators. Bins
+    are integer arithmetic over shared per-key min/max cents from
+    the UNION of both snapshots (1-row-per-key broadcast), so bin
+    boundaries cannot drift between engines either.
+
+    Plan: one combinable bounds pass + one combinable (key, bin,
+    side) count + a per-key fold over ≤ n_bins rows. Keys absent
+    from one side get TVD 1.0 (all mass moved) via the same formula.
+    """
+    keys = list(key_cols)
+    a = df_a.select(*keys, F.col(value_col).alias("_v")).withColumn(
+        "_side", F.lit("a")
+    )
+    b = df_b.select(*keys, F.col(value_col).alias("_v")).withColumn(
+        "_side", F.lit("b")
+    )
+    u = a.unionByName(b).withColumn(
+        "_cents", F.floor(F.col("_v") * 100 + F.lit(0.5)).cast("long")
+    )
+    bounds = u.groupBy(*keys).agg(
+        F.min("_cents").alias("_mn"), F.max("_cents").alias("_mx")
+    )
+    binned = u.join(F.broadcast(bounds), keys).withColumn(
+        "_bin",
+        F.expr(f"(_cents - _mn) * {int(n_bins)} div (_mx - _mn + 1)"),
+    )
+    counts = (
+        binned.groupBy(*keys, "_bin")
+        .agg(
+            F.sum((F.col("_side") == "a").cast("long")).alias("ca"),
+            F.sum((F.col("_side") == "b").cast("long")).alias("cb"),
+        )
+    )
+    totals = counts.groupBy(*keys).agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    return (
+        counts.join(F.broadcast(totals), keys)
+        .groupBy(*keys, "n_a", "n_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins_used"),
+            F.sum(
+                F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+            ).alias("l1_scaled"),
+        )
+        .select(
+            *keys,
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_bins_used").cast("long").alias("n_bins_used"),
+            F.col("l1_scaled").cast("long").alias("l1_scaled"),
+            F.when(
+                (F.col("n_a") == 0) | (F.col("n_b") == 0), F.lit(1.0)
+            )
+            .otherwise(
+                F.col("l1_scaled").cast("double")
+                / (F.lit(2.0) * F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            )
+            .alias("tvd"),
+        )
+    )

@@ -400,6 +400,66 @@ FROM agg
 SQL_DISTINCT_USERS_CUBE = _sql_distinct_users_cube()
 
 
+#: epoch-day of 2024-01-16 — the month's midpoint split for the
+#: drift monitor (2024-01-01 = epoch day 19723)
+DRIFT_SPLIT_DAY = 19738
+_DAY_NS = 86_400_000_000_000
+
+
+def q_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: per-event-type total-variation
+    distance of `value` between the month's first and second half
+    (operators/dq.histogram_drift). TVD is computed as the exact
+    integer statistic Σ|ca·nb − cb·na| over shared-bounds equi-width
+    bins, then ONE IEEE division — no float-sum fold to pin."""
+    from stock_indicators_etl_spark.operators.dq import histogram_drift
+
+    ev = _events(spark, sf_dir)
+    day = F.expr(f"ns div {_DAY_NS}")
+    a = ev.filter(day < DRIFT_SPLIT_DAY)
+    b = ev.filter(day >= DRIFT_SPLIT_DAY)
+    return histogram_drift(a, b, ("event_type",), "value", n_bins=16)
+
+
+SQL_HISTOGRAM_DRIFT = f"""
+WITH u AS (
+  SELECT event_type,
+         CASE WHEN epoch_ns(ts) // {_DAY_NS} < {DRIFT_SPLIT_DAY}
+              THEN 'a' ELSE 'b' END AS side,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+bounds AS (
+  SELECT event_type, min(cents) AS mn, max(cents) AS mx
+  FROM u GROUP BY event_type
+),
+binned AS (
+  SELECT u.event_type, u.side,
+         (u.cents - b.mn) * 16 // (b.mx - b.mn + 1) AS bin
+  FROM u JOIN bounds b ON u.event_type = b.event_type
+),
+counts AS (
+  SELECT event_type, bin,
+         CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM binned GROUP BY event_type, bin
+),
+totals AS (
+  SELECT event_type, CAST(sum(ca) AS BIGINT) AS n_a,
+         CAST(sum(cb) AS BIGINT) AS n_b
+  FROM counts GROUP BY event_type
+)
+SELECT c.event_type, t.n_a, t.n_b,
+       CAST(count(*) AS BIGINT) AS n_bins_used,
+       CAST(sum(abs(c.ca * t.n_b - c.cb * t.n_a)) AS BIGINT) AS l1_scaled,
+       CASE WHEN t.n_a = 0 OR t.n_b = 0 THEN 1.0
+            ELSE CAST(sum(abs(c.ca * t.n_b - c.cb * t.n_a)) AS DOUBLE)
+                 / (2.0 * CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)) END AS tvd
+FROM counts c JOIN totals t ON c.event_type = t.event_type
+GROUP BY c.event_type, t.n_a, t.n_b
+"""
+
+
 def q_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type EXACT lower-median of integer-cents value via
     the two-pass histogram plan (operators/stats.exact_median_hist):

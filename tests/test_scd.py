@@ -604,3 +604,58 @@ def test_winsorize_hist_bounds_are_data_values_and_counts_sane(spark):
     assert abs(hist["sum_clipped_cents"] - exact["sum_clipped_cents"]) <= abs(
         exact["sum_clipped_cents"]
     ) * 0.01 + 10_000
+
+
+def test_histogram_drift_tvd_known_answers(spark):
+    import numpy as np
+
+    from stock_indicators_etl_spark.operators.dq import histogram_drift
+
+    def mk(key, vals):
+        return pd.DataFrame({"event_type": key, "value": [float(v) for v in vals]})
+
+    # identical distributions → TVD 0
+    same = list(range(100))
+    a = spark.createDataFrame(pd.concat([mk("id", same), mk("dis", same)]))
+    b = spark.createDataFrame(
+        pd.concat([mk("id", same), mk("dis", [v + 1000 for v in same])])
+    )
+    got = {
+        r["event_type"]: r for r in histogram_drift(a, b, n_bins=8).collect()
+    }
+    assert got["id"]["tvd"] == 0.0
+    # disjoint ranges → every bin one-sided → TVD 1
+    assert got["dis"]["tvd"] == 1.0
+    assert got["dis"]["l1_scaled"] == 2 * 100 * 100
+
+    # numpy replica on a random mixed case
+    rng = np.random.default_rng(92)
+    va = rng.normal(size=300)
+    vb = rng.normal(loc=0.8, size=200)
+    a = spark.createDataFrame(mk("m", va))
+    b = spark.createDataFrame(mk("m", vb))
+    r = histogram_drift(a, b, n_bins=16).collect()[0]
+    ca_ = np.floor(va * 100 + 0.5).astype(np.int64)
+    cb_ = np.floor(vb * 100 + 0.5).astype(np.int64)
+    mn, mx = min(ca_.min(), cb_.min()), max(ca_.max(), cb_.max())
+    bins_a = (ca_ - mn) * 16 // (mx - mn + 1)
+    bins_b = (cb_ - mn) * 16 // (mx - mn + 1)
+    l1 = sum(
+        abs(int((bins_a == i).sum()) * 200 - int((bins_b == i).sum()) * 300)
+        for i in range(16)
+    )
+    assert r["l1_scaled"] == l1
+    assert r["tvd"] == l1 / (2.0 * 300.0 * 200.0)
+
+
+def test_histogram_drift_one_sided_key(spark):
+    from stock_indicators_etl_spark.operators.dq import histogram_drift
+
+    a = spark.createDataFrame(
+        pd.DataFrame({"event_type": ["only_a"] * 5, "value": [1.0, 2, 3, 4, 5]})
+    )
+    b = spark.createDataFrame(
+        pd.DataFrame({"event_type": ["x"], "value": [9.0]})
+    ).filter("event_type <> 'x'")  # empty b
+    r = histogram_drift(a, b).collect()[0]
+    assert r["tvd"] == 1.0 and r["n_b"] == 0
