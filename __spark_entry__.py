@@ -416,6 +416,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     variants, the newer extension operators not yet rotated in, and
     the long-stable entries rotated out (VERDICT r5 #3)."""
     from stock_indicators_etl_spark.queries import (
+        q_corr_matrix,
         q_customer_orders_hist,
         q_disjunctive_parts,
         q_distinct_users_cube,
@@ -529,6 +530,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_hist": q_winsorize_hist,
         "distinct_users_cube": q_distinct_users_cube,
         "histogram_drift": q_histogram_drift,
+        "corr_matrix": q_corr_matrix,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -540,6 +542,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_ADX_FAMILY,
         SQL_ATTRIBUTION,
         SQL_CMO_WILDER,
+        SQL_CORR_MATRIX,
         SQL_CUSTOMER_ORDERS_HIST,
         SQL_DISJUNCTIVE_PARTS,
         SQL_DISTINCT_USERS_CUBE,
@@ -652,6 +655,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "winsorize_hist": SQL_WINSORIZE_HIST,
         "distinct_users_cube": SQL_DISTINCT_USERS_CUBE,
         "histogram_drift": SQL_HISTOGRAM_DRIFT,
+        "corr_matrix": SQL_CORR_MATRIX,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

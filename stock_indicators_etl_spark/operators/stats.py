@@ -486,3 +486,62 @@ def winsorize_stats_hist(
         (F.col(f"q{hn}_{hd}_cents").cast("double") / 100.0).alias("hi_bound"),
     )
     return _winsorize_with_bounds(df, key_col, val_col, bounds, y_scale)
+
+
+def corr_matrix(
+    df: DataFrame,
+    key_col: str,
+    feats: dict[str, tuple[str, int]],
+) -> DataFrame:
+    """Per-key Pearson correlation MATRIX over k features in ONE
+    combinable aggregate — the feature-redundancy screen run before
+    model training. ``feats`` maps output name → (column, integer
+    scale); every feature is quantized to integers first, so all
+    k + k(k+1)/2 running sums are exact BIGINTs (associative,
+    order-free at any group size) and each correlation is the same
+    fixed IEEE expression over identical integers in both engines —
+    bit-exact, including the sqrt (correctly rounded per IEEE 754).
+
+    Returns long format ``(key, feat_a, feat_b, n, corr)`` for the
+    k(k-1)/2 unordered pairs; degenerate (zero-variance) pairs get
+    NULL. Caller picks scales so ``n · max(x·scale)²`` stays below
+    2⁶³ (the docstring contract of every integer-sum operator here).
+    """
+    names = list(feats)
+    q = {n: F.floor(F.col(c) * s + F.lit(0.5)).cast("long") for n, (c, s) in feats.items()}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for n in names:
+        aggs.append(F.sum(q[n]).alias(f"s_{n}"))
+        aggs.append(F.sum(q[n] * q[n]).alias(f"s_{n}_{n}"))
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            aggs.append(F.sum(q[a] * q[b]).alias(f"s_{a}_{b}"))
+    agg = df.groupBy(key_col).agg(*aggs)
+
+    outs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            nd = F.col("n").cast("double")
+            sa = F.col(f"s_{a}").cast("double")
+            sb = F.col(f"s_{b}").cast("double")
+            saa = F.col(f"s_{a}_{a}").cast("double")
+            sbb = F.col(f"s_{b}_{b}").cast("double")
+            sab = F.col(f"s_{a}_{b}").cast("double")
+            cov = nd * sab - sa * sb
+            va = nd * saa - sa * sa
+            vb = nd * sbb - sb * sb
+            outs.append(
+                agg.select(
+                    key_col,
+                    F.lit(a).alias("feat_a"),
+                    F.lit(b).alias("feat_b"),
+                    F.col("n").cast("long").alias("n"),
+                    F.when((va > 0) & (vb > 0), cov / F.sqrt(va * vb)).alias(
+                        "corr"
+                    ),
+                )
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -400,6 +400,81 @@ FROM agg
 SQL_DISTINCT_USERS_CUBE = _sql_distinct_users_cube()
 
 
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Pearson correlation matrix over the four
+    lineitem numerics — quantity / price(dollars) / discount(%) /
+    tax(%) — all 14 running sums exact BIGINTs in ONE combinable
+    aggregate; each corr is a fixed IEEE expression over identical
+    integers (operators/stats.corr_matrix)."""
+    from stock_indicators_etl_spark.operators.stats import corr_matrix
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return corr_matrix(
+        li,
+        "l_returnflag",
+        {
+            "qty": ("l_quantity", 1),
+            "price": ("l_extendedprice", 1),
+            "disc": ("l_discount", 100),
+            "tax": ("l_tax", 100),
+        },
+    )
+
+
+def _sql_corr_pair(a: str, b: str) -> str:
+    return f"""
+  SELECT l_returnflag, '{a}' AS feat_a, '{b}' AS feat_b,
+         CAST(n AS BIGINT) AS n,
+         CASE WHEN CAST(n AS DOUBLE) * s_{a}_{a} - CAST(s_{a} AS DOUBLE) * s_{a} > 0
+               AND CAST(n AS DOUBLE) * s_{b}_{b} - CAST(s_{b} AS DOUBLE) * s_{b} > 0
+              THEN (CAST(n AS DOUBLE) * s_{a}_{b} - CAST(s_{a} AS DOUBLE) * s_{b})
+                   / sqrt((CAST(n AS DOUBLE) * s_{a}_{a} - CAST(s_{a} AS DOUBLE) * s_{a})
+                        * (CAST(n AS DOUBLE) * s_{b}_{b} - CAST(s_{b} AS DOUBLE) * s_{b}))
+         END AS corr
+  FROM sums"""
+
+
+def _sql_corr_matrix() -> str:
+    names = ["qty", "price", "disc", "tax"]
+    pairs = [
+        _sql_corr_pair(a, b)
+        for i, a in enumerate(names)
+        for b in names[i + 1 :]
+    ]
+    return f"""
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity * 1 + 0.5) AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 1 + 0.5) AS BIGINT) AS price,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc,
+         CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax
+  FROM lineitem
+),
+sums AS (
+  SELECT l_returnflag, count(*) AS n,
+         CAST(sum(qty) AS BIGINT) AS s_qty,
+         CAST(sum(price) AS BIGINT) AS s_price,
+         CAST(sum(disc) AS BIGINT) AS s_disc,
+         CAST(sum(tax) AS BIGINT) AS s_tax,
+         CAST(sum(qty * qty) AS BIGINT) AS s_qty_qty,
+         CAST(sum(price * price) AS BIGINT) AS s_price_price,
+         CAST(sum(disc * disc) AS BIGINT) AS s_disc_disc,
+         CAST(sum(tax * tax) AS BIGINT) AS s_tax_tax,
+         CAST(sum(qty * price) AS BIGINT) AS s_qty_price,
+         CAST(sum(qty * disc) AS BIGINT) AS s_qty_disc,
+         CAST(sum(qty * tax) AS BIGINT) AS s_qty_tax,
+         CAST(sum(price * disc) AS BIGINT) AS s_price_disc,
+         CAST(sum(price * tax) AS BIGINT) AS s_price_tax,
+         CAST(sum(disc * tax) AS BIGINT) AS s_disc_tax
+  FROM q GROUP BY l_returnflag
+)
+{chr(10).join("UNION ALL" + p if i else p for i, p in enumerate(pairs))}
+"""
+
+
+SQL_CORR_MATRIX = _sql_corr_matrix()
+
+
 #: epoch-day of 2024-01-16 — the month's midpoint split for the
 #: drift monitor (2024-01-01 = epoch day 19723)
 DRIFT_SPLIT_DAY = 19738

@@ -659,3 +659,38 @@ def test_histogram_drift_one_sided_key(spark):
     ).filter("event_type <> 'x'")  # empty b
     r = histogram_drift(a, b).collect()[0]
     assert r["tvd"] == 1.0 and r["n_b"] == 0
+
+
+def test_corr_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from stock_indicators_etl_spark.operators.stats import corr_matrix
+
+    rng = np.random.default_rng(93)
+    n = 300
+    x = rng.normal(size=n)
+    rows = pd.DataFrame(
+        {
+            "k": ["g"] * n,
+            "f1": x,
+            "f2": x * 2 + rng.normal(scale=0.1, size=n),  # strongly +corr
+            "f3": -x + rng.normal(scale=0.5, size=n),     # -corr
+            "f4": [5.0] * n,                               # zero variance
+        }
+    )
+    out = corr_matrix(
+        spark.createDataFrame(rows),
+        "k",
+        {"f1": ("f1", 1000), "f2": ("f2", 1000), "f3": ("f3", 1000), "f4": ("f4", 1000)},
+    ).toPandas().set_index(["feat_a", "feat_b"])
+    assert len(out) == 6
+    q = {c: np.floor(rows[c].to_numpy() * 1000 + 0.5) for c in ("f1", "f2", "f3")}
+    want12 = np.corrcoef(q["f1"], q["f2"])[0, 1]
+    want13 = np.corrcoef(q["f1"], q["f3"])[0, 1]
+    assert abs(out.loc[("f1", "f2")]["corr"] - want12) < 1e-9
+    assert abs(out.loc[("f1", "f3")]["corr"] - want13) < 1e-9
+    assert out.loc[("f1", "f2")]["corr"] > 0.99
+    assert out.loc[("f1", "f3")]["corr"] < -0.5
+    # degenerate feature: every pair with f4 is NULL
+    assert pd.isna(out.loc[("f1", "f4")]["corr"])
+    assert pd.isna(out.loc[("f2", "f4")]["corr"])
