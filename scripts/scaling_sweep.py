@@ -151,6 +151,9 @@ QUERIES = [
     "exact_median",           # two-pass histogram median, no per-key sort (extra)
     "exact_quantiles",        # generalized ceil(np) rank selection (extra)
     "winsorize_hist",         # winsorize with exact histogram bounds (extra)
+    "distinct_users_cube",    # one-pass HLL register grouping sets (extra)
+    "histogram_drift",        # integer-L1 TVD between snapshots (extra)
+    "corr_matrix",            # k-feature integer-sum correlation matrix (extra)
 ]
 
 
