@@ -694,3 +694,72 @@ def test_corr_matrix_matches_numpy(spark):
     # degenerate feature: every pair with f4 is NULL
     assert pd.isna(out.loc[("f1", "f4")]["corr"])
     assert pd.isna(out.loc[("f2", "f4")]["corr"])
+
+
+def test_streaming_drift_batch_parity(spark, tmp_path):
+    """Streaming TVD vs a fixed baseline: the freshest emission after
+    two micro-batches EQUALS batch histogram_drift(baseline, union)
+    when the stream stays inside the baseline's value range."""
+    import os
+
+    import numpy as np
+
+    from stock_indicators_etl_spark.operators.dq import histogram_drift
+    from stock_indicators_etl_spark.streaming.drift import (
+        baseline_profile,
+        streaming_histogram_drift,
+    )
+
+    rng = np.random.default_rng(94)
+    # baseline covers [0, 100]; stream values strictly inside
+    base_rows = pd.DataFrame(
+        {
+            "event_type": ["t"] * 202,
+            "value": [0.0, 100.0] + list(rng.uniform(1, 99, size=200)),
+        }
+    )
+    stream_rows = pd.DataFrame(
+        {
+            "doc_id": range(120),
+            "event_type": ["t"] * 120,
+            "value": rng.uniform(30, 70, size=120),  # drifted, in-range
+        }
+    )
+    base_df = spark.createDataFrame(base_rows)
+    prof = baseline_profile(base_df, "event_type", "value", n_bins=8)
+
+    src = tmp_path / "drift_src"
+    src.mkdir()
+    f0, f1 = str(src / "p0.parquet"), str(src / "p1.parquet")
+    stream_rows.iloc[:60].to_parquet(f0)
+    stream_rows.iloc[60:].to_parquet(f1)
+    os.utime(f0, (1_000_000_000, 1_000_000_000))
+    os.utime(f1, (1_000_000_100, 1_000_000_100))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_histogram_drift(stream, prof, "event_type", "value", n_bins=8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sdrift")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sdrift"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from sdrift").toPandas()
+    assert len(got) == 2  # one emission per trigger
+    last = got[got.n_b == got.n_b.max()].iloc[0]
+    assert last.n_b == 120 and last.n_clamped == 0
+
+    batch = histogram_drift(
+        base_df, spark.createDataFrame(stream_rows), ("event_type",), "value", n_bins=8
+    ).collect()[0]
+    # in-range stream → union bounds == baseline bounds → exact parity
+    assert int(last.l1_scaled) == batch["l1_scaled"]
+    assert float(last.tvd) == batch["tvd"]
+    assert float(last.tvd) > 0.2  # the drift is real
