@@ -461,6 +461,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_curation_funnel,
         q_embedding_neardup_scaled,
         q_frequent_ngrams,
+        q_ivfsq_topk,
         q_hll_distinct,
         q_kcore,
         q_kmv_distinct,
@@ -531,6 +532,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_cube": q_distinct_users_cube,
         "histogram_drift": q_histogram_drift,
         "corr_matrix": q_corr_matrix,
+        "ivfsq_topk": q_ivfsq_topk,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -588,6 +590,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_CURATION_FUNNEL,
         SQL_EMBEDDING_NEARDUP_SCALED,
         SQL_FREQUENT_NGRAMS,
+        SQL_IVFSQ_TOPK,
         SQL_HLL_DISTINCT,
         SQL_KCORE,
         SQL_KMV_DISTINCT,
@@ -656,6 +659,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "distinct_users_cube": SQL_DISTINCT_USERS_CUBE,
         "histogram_drift": SQL_HISTOGRAM_DRIFT,
         "corr_matrix": SQL_CORR_MATRIX,
+        "ivfsq_topk": SQL_IVFSQ_TOPK,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -960,3 +960,70 @@ def sq_topk(
         .filter(F.col("rk") <= k)
         .select("qid", "rk", "nbr_id", "score")
     )
+
+
+def ivfsq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF + symmetric int8 SQ composition — the third cell of the
+    quantization matrix (IVF×flat = :func:`ivf_topk`, IVF×PQ =
+    :func:`ivfpq_topk`): coarse Voronoi cells prune candidates to
+    ~``n_probe/n_centroids`` of the corpus, and survivors are scored
+    by the INTEGER dot of their normalized int8 codes
+    (:func:`sq_codes`). Versus IVFPQ: ~``dim`` bytes per vector
+    instead of ``m``, but no codebook training beyond the shared
+    centroid sample and EXACT integer ranking — no ADC float, no
+    rounding convention, a bit-exact oracle with no R6 anywhere.
+
+    At 100 TB the index rows are (cell, dim int8s); raw vectors are
+    touched once at build. Same determinism contract as the rest of
+    the family (shared ``_sample_vectors`` rule, left-fold norms,
+    lowest-index cell ties); output ``(qid, rk, nbr_id, score)`` with
+    ``score`` the raw BIGINT code dot (≈ 127²·cosine).
+    """
+    cents = _sample_vectors(embeddings, n_centroids, vec_col, id_col)
+    pairs = _centroid_sim_pairs(cents)
+    v = _as_double(F.col(vec_col))
+
+    base = (
+        embeddings.select(F.col(id_col).alias("nbr_id"), v.alias("_v"))
+        .withColumn("_nrm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+        .withColumn("cell", F.array_min(pairs)["j"])
+        # the index rows: cell + int8 codes, vectors dropped
+        .select("nbr_id", "cell", sq_codes("_v", dim).alias("c_code"))
+    )
+    q = (
+        queries.select(F.col(id_col).alias("qid"), v.alias("_v"))
+        .withColumn("_nrm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+        .withColumn("q_code", sq_codes("_v", dim))
+        .withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.slice(F.sort_array(pairs), 1, n_probe), lambda s: s["j"]
+                )
+            ),
+        )
+        .select("qid", "q_code", "cell")
+    )
+    score = F.aggregate(
+        F.zip_with(F.col("q_code"), F.col("c_code"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nbr_id").asc())
+    return (
+        base.join(F.broadcast(q), "cell")
+        .filter(F.col("qid") != F.col("nbr_id"))
+        .withColumn("score", score)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "rk", "nbr_id", "score")
+    )

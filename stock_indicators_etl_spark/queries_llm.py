@@ -1398,6 +1398,81 @@ SELECT qid, rk, nbr_id, {R6('cosine')} AS cosine FROM rk WHERE rk <= {TOPK}
 SQL_IVF_TOPK = _ivf_topk_oracle_sql()
 
 
+def q_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cells × symmetric int8 SQ codes
+    (llmdata/similarity.ivfsq_topk): Voronoi pruning + exact-BIGINT
+    code-dot ranking — the quantization-matrix cell with no float
+    compare and no rounding convention anywhere."""
+    from stock_indicators_etl_spark.llmdata.similarity import ivfsq_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    return ivfsq_topk(
+        emb, q, k=TOPK, n_centroids=IVF_N_CENTROIDS, n_probe=IVF_N_PROBE
+    )
+
+
+def _ivfsq_topk_oracle_sql(
+    n_centroids: int = IVF_N_CENTROIDS, n_probe: int = IVF_N_PROBE, dim: int = 64
+) -> str:
+    """DuckDB twin of ivfsq_topk: the IVF cell CTEs of
+    :func:`_ivf_topk_oracle_sql` + the normalized-int8 code dot of
+    ``SQL_SQ_TOPK`` — all-integer ranking, no R6."""
+
+    def lf_dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {dim}), "
+            f"i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+        )
+
+    code = (
+        f"list_transform(generate_series(1, {dim}), j -> "
+        f"CASE WHEN {{nrm}} = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST(floor({{vec}}[j] / {{nrm}} * 127.0 + 0.5) AS BIGINT) END)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt({lf_dot('v', 'v')}) AS nrm FROM e),
+cent AS (
+  SELECT v AS cv, nrm AS cnrm,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+  FROM n
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {n_centroids}
+),
+sims AS (
+  SELECT n.vec_id, n.v, n.nrm, cent.j,
+         CASE WHEN n.nrm * cent.cnrm = 0 THEN 0.0
+              ELSE {lf_dot('n.v', 'cent.cv')} / (n.nrm * cent.cnrm) END AS sim
+  FROM n CROSS JOIN cent
+),
+base AS (
+  SELECT vec_id AS nbr_id, {code.format(nrm='nrm', vec='v')} AS c_code, j AS cell
+  FROM sims
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, j ASC) = 1
+),
+qprobe AS (
+  SELECT vec_id AS qid, {code.format(nrm='nrm', vec='v')} AS q_code, j AS cell
+  FROM sims WHERE vec_id < {N_QUERIES}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, j ASC) <= {n_probe}
+),
+scored AS (
+  SELECT q.qid, b.nbr_id,
+         CAST(list_sum(list_transform(generate_series(1, {dim}),
+              j -> q.q_code[j] * b.c_code[j])) AS BIGINT) AS score
+  FROM qprobe q JOIN base b ON b.cell = q.cell AND b.nbr_id <> q.qid
+),
+rk AS (
+  SELECT qid, nbr_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, nbr_id ASC) AS rk
+  FROM scored
+)
+SELECT qid, rk, nbr_id, score FROM rk WHERE rk <= {TOPK}
+"""
+
+
+SQL_IVFSQ_TOPK = _ivfsq_topk_oracle_sql()
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via random-hyperplane LSH blocking. Oracle-
     checkable: the md5-parity hyperplanes are shared literals and

@@ -1119,3 +1119,37 @@ def test_media_headers_dataframe_plumbing(spark):
     out = media_headers(spark.createDataFrame(rows)).toPandas().set_index("media_id")
     assert out.loc[0].fmt == "png" and out.loc[0].width == 6
     assert out.loc[1].fmt == "unknown" and pd.isna(out.loc[1].width)
+
+
+def test_ivfsq_full_probe_equals_sq_brute_force(spark):
+    # probing ALL cells removes the IVF approximation: ranking must
+    # equal plain sq_topk (same codes, same tie rule)
+    from stock_indicators_etl_spark.llmdata.similarity import ivfsq_topk, sq_topk
+
+    rng = np.random.default_rng(10)
+    vecs = rng.normal(size=(40, 16))
+    df = _emb_df(spark, vecs)
+    q = df.filter(F.col("vec_id") < 3)
+    full = ivfsq_topk(df, q, k=5, n_centroids=6, n_probe=6, dim=16).toPandas()
+    brute = sq_topk(df, q, k=5, dim=16).toPandas()
+    for qid in (0, 1, 2):
+        f = full[full.qid == qid].sort_values("rk")
+        b = brute[brute.qid == qid].sort_values("rk")
+        assert list(f.nbr_id) == list(b.nbr_id)
+        assert list(f.score) == list(b.score)
+
+
+def test_ivfsq_partial_probe_is_subset_with_true_scores(spark):
+    from stock_indicators_etl_spark.llmdata.similarity import ivfsq_topk, sq_codes
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(50, 16))
+    df = _emb_df(spark, vecs)
+    q = df.filter(F.col("vec_id") < 2)
+    out = ivfsq_topk(df, q, k=5, n_centroids=8, n_probe=2, dim=16).toPandas()
+    assert out.groupby("qid").size().max() <= 5
+    # scores are genuine code dots (spot-check one row against numpy)
+    nrm = np.linalg.norm(vecs, axis=1, keepdims=True)
+    codes = np.floor(vecs / nrm * 127.0 + 0.5).astype(np.int64)
+    r = out.iloc[0]
+    assert r.score == codes[int(r.qid)] @ codes[int(r.nbr_id)]
