@@ -36,6 +36,11 @@ EAGER_CONSTRUCTION = frozenset(
         "neardup_components",
         "neardup_survivors",
         "ivf_topk",
+        # same centroid/codebook sample collects at construction as
+        # ivf_topk — rebuild inside the timed section for honest totals
+        "pq_topk",
+        "ivfpq_topk",
+        "ivfsq_topk",
         "dedup_pipeline",
         # the Lloyd iteration collects per-round centroid updates at
         # construction — that IS the operator's work and must sit

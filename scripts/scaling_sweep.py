@@ -56,7 +56,7 @@ SF1_QUERIES = {
     "triangles", "rrf_fusion", "mix_domains", "bigram_surprisal",
     "cdc_merge", "pivot_matrix", "curation_funnel", "vocab_index",
     "kmv_distinct", "hll_distinct", "kmv_overlap", "kcore",
-    "label_prop", "sq_topk",
+    "label_prop", "sq_topk", "ivfsq_topk",
 }
 
 # one representative per plan family
@@ -154,6 +154,7 @@ QUERIES = [
     "distinct_users_cube",    # one-pass HLL register grouping sets (extra)
     "histogram_drift",        # integer-L1 TVD between snapshots (extra)
     "corr_matrix",            # k-feature integer-sum correlation matrix (extra)
+    "ivfsq_topk",             # IVF cells x int8 code-dot ranking (extra)
 ]
 
 
