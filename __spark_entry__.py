@@ -439,6 +439,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_rolling_robust,
         q_sales_cube,
         q_attribution,
+        q_bollinger,
+        q_cusum,
+        q_forecast_revenue,
+        q_obv,
+        q_shipmode_priority,
         q_shipping_priority,
         q_sliding_counts,
         q_standardize,
@@ -533,6 +538,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_drift": q_histogram_drift,
         "corr_matrix": q_corr_matrix,
         "ivfsq_topk": q_ivfsq_topk,
+        "forecast_revenue": q_forecast_revenue,
+        "shipmode_priority": q_shipmode_priority,
+        "bollinger": q_bollinger,
+        "obv": q_obv,
+        "cusum": q_cusum,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -543,7 +553,12 @@ def extra_oracle_sql() -> dict[str, str]:
     from stock_indicators_etl_spark.queries import (
         SQL_ADX_FAMILY,
         SQL_ATTRIBUTION,
+        SQL_BOLLINGER,
         SQL_CMO_WILDER,
+        SQL_CUSUM,
+        SQL_FORECAST_REVENUE,
+        SQL_OBV,
+        SQL_SHIPMODE_PRIORITY,
         SQL_CORR_MATRIX,
         SQL_CUSTOMER_ORDERS_HIST,
         SQL_DISJUNCTIVE_PARTS,
@@ -660,6 +675,11 @@ def extra_oracle_sql() -> dict[str, str]:
         "histogram_drift": SQL_HISTOGRAM_DRIFT,
         "corr_matrix": SQL_CORR_MATRIX,
         "ivfsq_topk": SQL_IVFSQ_TOPK,
+        "forecast_revenue": SQL_FORECAST_REVENUE,
+        "shipmode_priority": SQL_SHIPMODE_PRIORITY,
+        "bollinger": SQL_BOLLINGER,
+        "obv": SQL_OBV,
+        "cusum": SQL_CUSUM,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

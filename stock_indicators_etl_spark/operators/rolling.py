@@ -335,3 +335,88 @@ def with_rolling_robust(
         .withColumn("max_cents", F.element_at("_arr", F.expr("size(_arr)")))
         .drop("_c", "_arr")
     )
+
+
+def with_bollinger(
+    df: DataFrame,
+    close_col: str = "adj_close",
+    n: int = 20,
+    width: float = 2.0,
+    key_cols: Sequence[str] = ("ticker",),
+    ws_col: str = "window_start",
+) -> DataFrame:
+    """Bollinger bands: trailing-``n`` SMA ± ``width``·σ per series.
+
+    Extension of the reference's frame-indicator family (SURVEY.md
+    §2.5 style; the reference's TA-Lib dependency ships BBANDS but the
+    pipeline never calls it — added here as the classic mean/σ band
+    next to the robust quantile band of :func:`with_rolling_robust`).
+
+    Exactness: the window aggregates are INTEGER sums of cents
+    (``s = Σc``, ``ss = Σc²`` as BIGINT — order-free, so bit-equal in
+    any engine), and mean/σ are derived from them in a fixed IEEE op
+    sequence: ``var = (n·ss − s²) / (n·(n−1))`` in cent² (numerator
+    exact in BIGINT), ``sd = sqrt(var)/100``, ``mean = s/(n·100)``.
+    Sample (n−1) variance, matching the TA-Lib ``nbdev`` convention
+    over a full window. First valid output at row ``n`` of each
+    series. Frames stay ≤ n rows; one shuffle per series key, shared
+    with every other frame indicator.
+    """
+    w = series_window(key_cols, ws_col)
+    frame = w.rowsBetween(-(n - 1), 0)
+    cents = F.floor(F.col(close_col) * 100 + F.lit(0.5)).cast("long")
+    out = df.withColumn("_bc", cents)
+    s = F.sum("_bc").over(frame)
+    ss = F.sum(F.col("_bc") * F.col("_bc")).over(frame)
+    out = out.withColumn("_bs", s).withColumn("_bss", ss)
+    var = (
+        F.lit(n) * F.col("_bss") - F.col("_bs") * F.col("_bs")
+    ).cast("double") / F.lit(float(n * (n - 1)))
+    sd = F.sqrt(F.greatest(var, F.lit(0.0))) / F.lit(100.0)
+    mean = F.col("_bs").cast("double") / F.lit(float(n * 100))
+    upper = mean + F.lit(width) * sd
+    lower = mean - F.lit(width) * sd
+    valid = _rn(w) >= F.lit(n)
+    return (
+        out.withColumn("bb_mid", F.when(valid, mean))
+        .withColumn("bb_upper", F.when(valid, upper))
+        .withColumn("bb_lower", F.when(valid, lower))
+        .withColumn(
+            "bb_bandwidth",
+            F.when(valid, _safe_div(upper - lower, mean, on_zero=0.0)),
+        )
+        .drop("_bc", "_bs", "_bss")
+    )
+
+
+def with_obv(
+    df: DataFrame,
+    close_col: str = "close",
+    vol_col: str = "volume",
+    key_cols: Sequence[str] = ("ticker",),
+    ws_col: str = "window_start",
+    out_col: str = "obv",
+) -> DataFrame:
+    """On-balance volume: cumulative ±volume by close direction.
+
+    TA-Lib convention: the first bar of each series contributes
+    ``+volume``; later bars add ``+volume`` on an up-close, ``−volume``
+    on a down-close, ``0`` when unchanged. The direction compare runs
+    on integer cents and the running total sums integer volume units,
+    so the whole column is BIGINT-exact (no float accumulation). One
+    cumulative window — a single shuffle per series key, linear state.
+    """
+    w = series_window(key_cols, ws_col)
+    cents = F.floor(F.col(close_col) * 100 + F.lit(0.5)).cast("long")
+    vol = F.floor(F.col(vol_col) + F.lit(0.5)).cast("long")
+    out = df.withColumn("_oc", cents)
+    prev = F.lag("_oc", 1).over(w)
+    signed = (
+        F.when(prev.isNull(), vol)
+        .when(F.col("_oc") > prev, vol)
+        .when(F.col("_oc") < prev, -vol)
+        .otherwise(F.lit(0))
+    )
+    out = out.withColumn("_ov", signed)
+    run = F.sum("_ov").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return out.withColumn(out_col, run).drop("_oc", "_ov")

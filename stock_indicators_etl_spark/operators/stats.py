@@ -545,3 +545,46 @@ def corr_matrix(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def cusum(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    x_col: str,
+    k: int,
+    h: int,
+    tiebreak_cols: Sequence[str] = (),
+    out_col: str = "cusum",
+    alarm_col: str = "alarm",
+) -> DataFrame:
+    """One-sided positive CUSUM change detector over an integer series.
+
+    The textbook recurrence ``s_t = max(0, s_{t−1} + x_t − k)`` (Page
+    1954) looks inherently sequential, but it has a prefix-sum closed
+    form: with ``S_t = Σ_{j≤t}(x_j − k)``,
+
+        ``s_t = S_t − min(0, min_{j≤t} S_j)``
+
+    (the floor-at-zero only ever resets to the running-minimum prefix).
+    That turns the stateful scan into TWO plain window aggregates —
+    cumulative sum + cumulative min — so it runs as one shuffle per
+    key inside whole-stage codegen, no recursion, no Python, and
+    parallelizes per key at any scale. ``x``/``k``/``h`` are integers
+    (cents), so every value is BIGINT-exact.
+
+    ``alarm`` marks rows where ``s_t > h`` (drift above the reference
+    level ``k`` has accumulated past the decision threshold).
+    """
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
+        ts_col, *tiebreak_cols
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    out = df.withColumn("_cd", F.col(x_col).cast("long") - F.lit(int(k)))
+    out = out.withColumn("_cS", F.sum("_cd").over(cum))
+    s = F.col("_cS") - F.least(F.lit(0).cast("long"), F.min("_cS").over(cum))
+    return (
+        out.withColumn(out_col, s)
+        .withColumn(alarm_col, (s > F.lit(int(h))))
+        .drop("_cd", "_cS")
+    )

@@ -4094,6 +4094,249 @@ GROUP BY e.event_type
 # registry
 # ---------------------------------------------------------------------------
 
+
+# ---------------------------------------------------------------------------
+# r7d wave: TPC-H Q6/Q12 shapes + Bollinger / OBV / CUSUM series ops
+# ---------------------------------------------------------------------------
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the forecasting-revenue-change scan — revenue
+    that would be recovered by dropping small discounts on low-volume
+    1996 lines. Pure scan-aggregate, NO join: the three predicates
+    (ship year, discount band, quantity cap) all push to the parquet
+    scan, and the aggregate is one map-side-combinable sum — the
+    cheapest possible TPC-H shape, a pushdown litmus test. The
+    discount-band compare runs on integer hundredths (``floor(d·100
+    + 0.5) BETWEEN 5 AND 7``), not on raw doubles, so the row set is
+    engine-exact; revenue is a per-row ``floor(p·d·10⁴ + 0.5)`` BIGINT
+    sum (order-free)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc_h = F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+    rev = F.floor(
+        F.col("l_extendedprice") * F.col("l_discount") * 10000 + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & disc_h.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(rev).cast("double") / F.lit(10000.0)).alias("revenue"),
+        )
+    )
+
+
+SQL_FORECAST_REVENUE = """
+SELECT count(*) AS n_items,
+       CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000 + 0.5)
+                     AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND floor(l_discount * 100 + 0.5) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: late-shipment priority mix per ship mode. The
+    synthetic schema carries no ``l_shipmode``/``l_commitdate``, so
+    the mode is a derived categorical (``l_linenumber % 3`` → MAIL/
+    SHIP/RAIL — deterministic in both engines) and "late" reuses the
+    Q4 lateness idiom (``l_shipdate > o_orderdate + 60 days``). The
+    orders⋈lineitem spine joins on the order key (both sides large →
+    shuffle join, AQE-coalesced), and the priority split is a
+    conditional count folded into the same grouped pass — one
+    aggregate, all-integer output."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    mode = (
+        F.when(F.col("l_linenumber") % 3 == 0, "MAIL")
+        .when(F.col("l_linenumber") % 3 == 1, "SHIP")
+        .otherwise("RAIL")
+    )
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(late)
+        .groupBy(mode.alias("ship_mode"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+SQL_SHIPMODE_PRIORITY = """
+SELECT CASE l_linenumber % 3 WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP'
+            ELSE 'RAIL' END AS ship_mode,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+"""
+
+
+BB_N = 20
+BB_WIDTH = 2.0
+
+
+def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over the bar series
+    (``operators/rolling.with_bollinger``): trailing-20 SMA ± 2σ from
+    INTEGER cent sums (s, s²) — the variance numerator ``n·ss − s²``
+    is exact BIGINT, so mean/σ are a fixed 5-op IEEE tail replayed
+    verbatim in the oracle. One series shuffle, ≤20-row frames."""
+    from stock_indicators_etl_spark.operators.rolling import with_bollinger
+
+    bars = events_as_bars(spark, sf_dir)
+    out = with_bollinger(bars, n=BB_N, width=BB_WIDTH)
+    return out.select(
+        "ticker",
+        "window_start",
+        _rc(F.col("bb_mid")).alias("bb_mid"),
+        _rc(F.col("bb_upper")).alias("bb_upper"),
+        _rc(F.col("bb_lower")).alias("bb_lower"),
+        _rc(F.col("bb_bandwidth")).alias("bb_bandwidth"),
+    )
+
+
+SQL_BOLLINGER = f"""
+WITH {BARS_CTE.strip()},
+c AS (
+  SELECT ticker, window_start,
+         CAST(floor(adj_close * 100 + 0.5) AS BIGINT) AS c,
+         row_number() OVER (PARTITION BY ticker ORDER BY window_start) AS rn
+  FROM bars
+),
+s AS (
+  SELECT ticker, window_start, rn,
+         CAST(sum(c) OVER w AS BIGINT) AS s,
+         CAST(sum(c * c) OVER w AS BIGINT) AS ss
+  FROM c
+  WINDOW w AS (PARTITION BY ticker ORDER BY window_start
+               ROWS BETWEEN {BB_N - 1} PRECEDING AND CURRENT ROW)
+),
+b AS (
+  SELECT ticker, window_start, rn,
+         CAST(s AS DOUBLE) / {float(BB_N * 100)} AS mean,
+         sqrt(greatest(CAST({BB_N} * ss - s * s AS DOUBLE)
+                       / {float(BB_N * (BB_N - 1))}, 0.0)) / 100.0 AS sd
+  FROM s
+)
+SELECT ticker, window_start,
+       CASE WHEN rn >= {BB_N} THEN {R6('mean')} END AS bb_mid,
+       CASE WHEN rn >= {BB_N} THEN {R6(f'mean + {BB_WIDTH} * sd')} END AS bb_upper,
+       CASE WHEN rn >= {BB_N} THEN {R6(f'mean - {BB_WIDTH} * sd')} END AS bb_lower,
+       CASE WHEN rn >= {BB_N} THEN {R6(
+           f'CASE WHEN mean = 0.0 THEN 0.0 ELSE '
+           f'((mean + {BB_WIDTH} * sd) - (mean - {BB_WIDTH} * sd)) / mean END'
+       )} END AS bb_bandwidth
+FROM b
+"""
+
+
+def q_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume (``operators/rolling.with_obv``): BIGINT
+    cumulative ±volume by integer-cent close direction — zero float
+    accumulation anywhere, one cumulative window per series."""
+    from stock_indicators_etl_spark.operators.rolling import with_obv
+
+    bars = events_as_bars(spark, sf_dir)
+    return with_obv(bars).select("ticker", "window_start", "obv")
+
+
+SQL_OBV = f"""
+WITH {BARS_CTE.strip()},
+c AS (
+  SELECT ticker, window_start,
+         CAST(floor(close * 100 + 0.5) AS BIGINT) AS c,
+         CAST(floor(volume + 0.5) AS BIGINT) AS vol
+  FROM bars
+),
+d AS (
+  SELECT ticker, window_start,
+         CASE WHEN lag(c) OVER w IS NULL THEN vol
+              WHEN c > lag(c) OVER w THEN vol
+              WHEN c < lag(c) OVER w THEN -vol
+              ELSE 0 END AS signed_vol
+  FROM c
+  WINDOW w AS (PARTITION BY ticker ORDER BY window_start)
+)
+SELECT ticker, window_start,
+       CAST(sum(signed_vol) OVER (PARTITION BY ticker ORDER BY window_start
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
+FROM d
+"""
+
+
+CUSUM_K_CENTS = 6000
+CUSUM_H_CENTS = 30000
+
+
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change detection on the event stream
+    (``operators/stats.cusum``): Page's ``s_t = max(0, s_{{t−1}} + x_t
+    − k)`` recurrence computed WITHOUT recursion via its prefix-sum
+    closed form ``s_t = S_t − min(0, min prefix S)`` — two window
+    aggregates, all BIGINT cents. Alarm when the accumulated drift
+    above k = 60.00 exceeds h = 300.00."""
+    from stock_indicators_etl_spark.operators.stats import cusum
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "ns",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    out = cusum(
+        ev,
+        key_cols=("user_id",),
+        ts_col="ns",
+        x_col="cents",
+        k=CUSUM_K_CENTS,
+        h=CUSUM_H_CENTS,
+        tiebreak_cols=("event_id",),
+    )
+    return out.select("user_id", "ns", "cusum", "alarm")
+
+
+SQL_CUSUM = f"""
+WITH src AS (
+  SELECT user_id, (epoch_ns(ts) // 1000) * 1000 AS ns, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) - {CUSUM_K_CENTS} AS d
+  FROM events
+),
+ps AS (
+  SELECT user_id, ns, event_id,
+         CAST(sum(d) OVER (PARTITION BY user_id ORDER BY ns, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS S
+  FROM src
+),
+p AS (
+  SELECT user_id, ns, S,
+         CAST(min(S) OVER (PARTITION BY user_id ORDER BY ns, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS m
+  FROM ps
+)
+SELECT user_id, ns,
+       S - least(CAST(0 AS BIGINT), m) AS cusum,
+       (S - least(CAST(0 AS BIGINT), m)) > {CUSUM_H_CENTS} AS alarm
+FROM p
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "market_hours_filter": q_market_hours,
     "rocp_mom": q_rocp,
