@@ -472,8 +472,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_kmv_distinct,
         q_label_prop,
         q_kmv_overlap,
+        q_knn_label,
         q_length_quantiles,
+        q_link_predict,
         q_neardup_best,
+        q_readability,
+        q_rp_topk,
         q_semantic_neardup,
         q_sq_topk,
         q_unigram_surprisal,
@@ -543,6 +547,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bollinger": q_bollinger,
         "obv": q_obv,
         "cusum": q_cusum,
+        "rp_topk": q_rp_topk,
+        "knn_label": q_knn_label,
+        "link_predict": q_link_predict,
+        "readability": q_readability,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -611,8 +619,12 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_KMV_DISTINCT,
         SQL_LABEL_PROP,
         SQL_KMV_OVERLAP,
+        SQL_KNN_LABEL,
         SQL_LENGTH_QUANTILES,
+        SQL_LINK_PREDICT,
         SQL_NEARDUP_BEST,
+        SQL_READABILITY,
+        SQL_RP_TOPK,
         SQL_SEMANTIC_NEARDUP,
         SQL_SQ_TOPK,
         SQL_UNIGRAM_SURPRISAL,
@@ -680,6 +692,10 @@ def extra_oracle_sql() -> dict[str, str]:
         "bollinger": SQL_BOLLINGER,
         "obv": SQL_OBV,
         "cusum": SQL_CUSUM,
+        "rp_topk": SQL_RP_TOPK,
+        "knn_label": SQL_KNN_LABEL,
+        "link_predict": SQL_LINK_PREDICT,
+        "readability": SQL_READABILITY,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

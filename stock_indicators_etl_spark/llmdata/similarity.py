@@ -1027,3 +1027,136 @@ def ivfsq_topk(
         .filter(F.col("rk") <= k)
         .select("qid", "rk", "nbr_id", "score")
     )
+
+
+def rp_project(
+    vec_col: str = "embedding", r_planes: int = 16, dim: int = 64
+) -> Column:
+    """Johnson–Lindenstrauss projection to ``r_planes`` dims using the
+    deterministic ±1 (Rademacher) md5-parity matrix of
+    :func:`hyperplane_matrix` (Achlioptas 2003: ±1 entries preserve
+    pairwise distances like Gaussian ones). Unscaled — the 1/√r factor
+    cancels out of projected cosine, so it is omitted. Left-fold dot
+    per plane → bit-reproducible in SQL."""
+    v = _as_double(F.col(vec_col))
+    planes = hyperplane_matrix(r_planes, dim)
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(v, F.lit(p), lambda x, c: x * c),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for p in planes
+        ]
+    )
+
+
+def rp_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    r_planes: int = 16,
+    dim: int = 64,
+    shortlist_factor: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Random-projection ANN: rank candidates by cosine in the
+    ``r_planes``-dim JL-projected space (4× fewer multiplies per pair
+    at r=16, d=64 — and the projected corpus is what an executor
+    keeps hot at 100 TB), keep a ``shortlist_factor·k`` shortlist per
+    query, then RERANK the shortlist by exact full-dim cosine. The
+    third classic ANN family next to LSH bucketing (hard blocking)
+    and IVF (cell pruning): projection keeps a total order, so recall
+    degrades gracefully instead of cliff-dropping when a neighbor
+    lands outside the probed bucket.
+
+    Deterministic everywhere: md5-parity projection matrix, left-fold
+    sums, (score desc, id asc) tie-breaks — oracle-replayable."""
+    m = shortlist_factor * k
+    proj = rp_project(vec_col, r_planes, dim)
+    base = (
+        embeddings.withColumn("_p", proj)
+        .select(
+            F.col(id_col).alias("nbr_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.col("_p").alias("c_proj"),
+        )
+        .withColumn("c_pnorm", F.sqrt(_dot(F.col("c_proj"), F.col("c_proj"))))
+    )
+    q = (
+        queries.withColumn("_p", proj)
+        .select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("_p").alias("q_proj"),
+        )
+        .withColumn("q_pnorm", F.sqrt(_dot(F.col("q_proj"), F.col("q_proj"))))
+    )
+    pden = F.col("q_pnorm") * F.col("c_pnorm")
+    pcos = F.when(pden == 0, F.lit(0.0)).otherwise(
+        _dot(F.col("q_proj"), F.col("c_proj")) / pden
+    )
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("nbr_id"))
+        .withColumn("_pcos", pcos)
+    )
+    ws = Window.partitionBy("qid").orderBy(
+        F.col("_pcos").desc(), F.col("nbr_id").asc()
+    )
+    short = scored.withColumn("_prk", F.row_number().over(ws)).filter(
+        F.col("_prk") <= m
+    )
+    qv = _as_double(F.col("q_vec"))
+    cv = _as_double(F.col("c_vec"))
+    den = F.sqrt(_dot(qv, qv)) * F.sqrt(_dot(cv, cv))
+    cos = F.when(den == 0, F.lit(0.0)).otherwise(_dot(qv, cv) / den)
+    rer = short.withColumn("cosine", cos)
+    wr = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        rer.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= k)
+        .select("qid", "rk", "nbr_id", "cosine")
+    )
+
+
+def knn_classify(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN classification: majority label among the exact top-k
+    cosine neighbors of each query (self excluded). Composition of
+    :func:`cosine_topk` + a label join + a grouped argmax — no new
+    scan machinery. Deterministic tie-break: (votes desc, label asc).
+
+    Returns (qid, pred_label, votes, top_cosine) where ``votes`` is
+    the winning label's neighbor count and ``top_cosine`` the best
+    cosine among its voters (rounded by the caller)."""
+    top = cosine_topk(embeddings, queries, k=k, vec_col=vec_col, id_col=id_col)
+    labels = embeddings.select(
+        F.col(id_col).alias("nbr_id"), F.col(label_col).alias("nbr_label")
+    )
+    votes = (
+        top.join(labels, "nbr_id")
+        .groupBy("qid", "nbr_label")
+        .agg(
+            F.count(F.lit(1)).alias("votes"),
+            F.max("cosine").alias("top_cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("votes").desc(), F.col("nbr_label").asc()
+    )
+    return (
+        votes.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("qid", F.col("nbr_label").alias("pred_label"), "votes", "top_cosine")
+    )

@@ -293,3 +293,70 @@ def label_propagation(
         if checkpoint_every and it % checkpoint_every == 0 and it < iters:
             labels = labels.localCheckpoint(eager=False)
     return labels
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    top_n: int = 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Common-neighbor / Jaccard link prediction over an undirected
+    edge list: for every NON-edge pair sharing ≥1 neighbor, score
+    ``cn = |N(a)∩N(b)|`` and ``jaccard = cn / (deg(a)+deg(b)−cn)``,
+    and keep the global ``top_n`` (cn desc, jaccard desc, pair asc).
+
+    Shape: the pair enumeration is a self-join of the adjacency list
+    on the shared neighbor — cost Σ_v deg(v)², the standard
+    friend-of-friend bound, NOT |V|² (no cartesian anywhere); hub
+    vertices are the skew knob, capped upstream by the candidate
+    generator's ``max_bucket_size``. Existing edges drop out with one
+    left-anti join; degree annotation is a combinable groupBy. The
+    count and degree arithmetic are all BIGINT; ``jaccard`` is one
+    IEEE divide — ranking ties are decided on the integer ``cn`` and
+    the pair id, so the float never decides alone."""
+    und = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).union(
+        edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+    ).distinct()
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    l = und.select(F.col("b").alias("n"), F.col("a").alias("u"))
+    r = und.select(F.col("b").alias("n"), F.col("a").alias("v"))
+    pairs = (
+        l.join(r, "n")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    non_edges = pairs.join(
+        und.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    scored = (
+        non_edges.join(deg.select(F.col("a").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("a").alias("v"), F.col("deg").alias("dv")), "v")
+        .select(
+            "u",
+            "v",
+            "cn",
+            (
+                F.col("cn").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("cn")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    # Global top-n via orderBy+limit → TakeOrderedAndProject (each
+    # partition keeps its own top_n, the driver merges) — never a
+    # single-partition window over the full pair stream. The rank is
+    # then assigned on the top_n-row result, which is trivially small.
+    top = scored.orderBy(
+        F.col("cn").desc(), F.col("jaccard").desc(), F.col("u").asc(), F.col("v").asc()
+    ).limit(top_n)
+    w = Window.orderBy(
+        F.col("cn").desc(), F.col("jaccard").desc(), F.col("u").asc(), F.col("v").asc()
+    )
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "rk", "u", "v", "cn", "jaccard"
+    )

@@ -2913,6 +2913,290 @@ SQL_LABEL_PROP = _sql_label_prop()
 # registry
 # ---------------------------------------------------------------------------
 
+
+# ---------------------------------------------------------------------------
+# r7d wave: JL random-projection ANN, k-NN classification, link
+# prediction on the near-dup graph, readability scoring
+# ---------------------------------------------------------------------------
+
+RP_PLANES = 16
+RP_DIM = 64
+RP_SHORTLIST = 3
+
+
+def q_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection ANN (``llmdata/similarity.rp_topk``): rank in
+    the 16-dim JL space (md5-parity ±1 Rademacher matrix — shared
+    literals with the oracle), shortlist 3k per query, exact full-dim
+    rerank. The graceful-degradation ANN family next to LSH blocking
+    and IVF pruning."""
+    from stock_indicators_etl_spark.llmdata.similarity import rp_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = rp_topk(
+        emb, q, k=TOPK, r_planes=RP_PLANES, dim=RP_DIM,
+        shortlist_factor=RP_SHORTLIST,
+    )
+    return out.withColumn("cosine", _rc(F.col("cosine")))
+
+
+def _fold_dot_sql(a: str, b: str, n: int) -> str:
+    """Left-fold dot product in DuckDB, matching Spark's
+    ``aggregate(zip_with(a, b, *), 0.0, +)`` summation order."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform("
+        f"generate_series(1, {n}), fdi -> ({a})[fdi] * ({b})[fdi])), "
+        f"(fda, fdb) -> fda + fdb)"
+    )
+
+
+def _rp_sql() -> str:
+    from stock_indicators_etl_spark.llmdata.similarity import (
+        hyperplane_matrix,
+    )
+
+    planes = hyperplane_matrix(RP_PLANES, RP_DIM)
+
+    def lit(p):
+        return "[" + ", ".join(str(float(x)) for x in p) + "]"
+
+    projs = ",\n           ".join(
+        _fold_dot_sql("v", lit(p), RP_DIM) for p in planes
+    )
+    m = RP_SHORTLIST * TOPK
+    p16 = _fold_dot_sql("q.qp", "c.pr", RP_PLANES)
+    pn = _fold_dot_sql("pr", "pr", RP_PLANES)
+    qq = _fold_dot_sql("qv", "qv", RP_DIM)
+    cc = _fold_dot_sql("cv", "cv", RP_DIM)
+    qc = _fold_dot_sql("qv", "cv", RP_DIM)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (
+  SELECT vec_id, v,
+         [{projs}] AS pr
+  FROM e
+),
+n AS (SELECT vec_id, v, pr, sqrt({pn}) AS pn FROM p),
+q AS (SELECT vec_id AS qid, v AS qv, pr AS qp, pn AS qn
+      FROM n WHERE vec_id < {N_QUERIES}),
+sc AS (
+  SELECT q.qid, c.vec_id AS nbr_id, q.qv AS qv, c.v AS cv,
+         CASE WHEN q.qn * c.pn = 0 THEN 0.0
+              ELSE ({p16}) / (q.qn * c.pn) END AS pcos
+  FROM q JOIN n c ON c.vec_id <> q.qid
+),
+sh AS (
+  SELECT qid, nbr_id, qv, cv,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY pcos DESC, nbr_id ASC) AS prk
+  FROM sc
+),
+rr AS (
+  SELECT qid, nbr_id,
+         CASE WHEN sqrt({qq}) * sqrt({cc}) = 0 THEN 0.0
+              ELSE ({qc}) / (sqrt({qq}) * sqrt({cc})) END AS cosine
+  FROM sh WHERE prk <= {m}
+),
+rk AS (
+  SELECT qid, nbr_id, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, nbr_id ASC) AS rk
+  FROM rr
+)
+SELECT qid, rk, nbr_id, {R6('cosine')} AS cosine FROM rk WHERE rk <= {TOPK}
+"""
+
+
+SQL_RP_TOPK = _rp_sql()
+
+
+def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification (``llmdata/similarity.knn_classify``):
+    majority label among the exact top-10 cosine neighbors — the
+    label-propagation/eval shape over the embedding table; pure
+    composition of cosine_topk + label join + grouped argmax."""
+    from stock_indicators_etl_spark.llmdata.similarity import knn_classify
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = knn_classify(emb, q, k=TOPK)
+    return out.withColumn("top_cosine", _rc(F.col("top_cosine")))
+
+
+SQL_KNN_LABEL = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nbr_id, c.label AS nbr_label,
+         CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+              ELSE list_dot_product(q.v, c.v) / (q.nrm * c.nrm) END AS cosine
+  FROM q JOIN n c ON c.vec_id <> q.vec_id
+),
+rk AS (
+  SELECT qid, nbr_id, nbr_label, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, nbr_id ASC) AS rk
+  FROM scored
+),
+votes AS (
+  SELECT qid, nbr_label,
+         CAST(count(*) AS BIGINT) AS votes,
+         max(cosine) AS top_cosine
+  FROM rk WHERE rk <= {TOPK}
+  GROUP BY qid, nbr_label
+),
+win AS (
+  SELECT qid, nbr_label, votes, top_cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY votes DESC, nbr_label ASC) AS r
+  FROM votes
+)
+SELECT qid, nbr_label AS pred_label, votes,
+       {R6('top_cosine')} AS top_cosine
+FROM win WHERE r = 1
+"""
+
+
+LINK_TOP_N = 20
+
+
+KNN_GRAPH_K = 3
+
+
+def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor / Jaccard link prediction
+    (``operators/graph.link_prediction_scores``) over the k-NN graph
+    of the embedding table (each vector → its 3 nearest cosine
+    neighbors, symmetrized): which vector pairs are NOT k-NN edges
+    but share many k-NN neighbors — the classic missing-link review
+    queue. (The MinHash-LSH candidate graph is the wrong substrate
+    here: its band buckets induce cliques, so it has no open triads
+    to predict.) The graph build below is the exact brute cosine —
+    at scale swap in :func:`rp_topk`/``ivf_topk`` as the candidate
+    generator; the prediction stage is generator-agnostic. Pair
+    enumeration is the Σdeg² friend-of-friend self-join (no
+    cartesian, degrees ≤ 2k); top-20 via TakeOrdered, not a global
+    window."""
+    from stock_indicators_etl_spark.llmdata.similarity import cosine_topk
+    from stock_indicators_etl_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    emb = _emb(spark, sf_dir)
+    knn = cosine_topk(emb, emb, k=KNN_GRAPH_K)
+    edges = knn.select(F.col("qid").alias("src"), F.col("nbr_id").alias("dst"))
+    out = link_prediction_scores(edges, top_n=LINK_TOP_N)
+    return out.withColumn("jaccard", _rc(F.col("jaccard")))
+
+
+SQL_LINK_PREDICT = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nbr_id,
+         CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+              ELSE list_dot_product(q.v, c.v) / (q.nrm * c.nrm) END AS cosine
+  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+),
+knn AS (
+  SELECT qid, nbr_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, nbr_id ASC) AS rk
+  FROM scored
+),
+cand AS (SELECT qid AS doc_a, nbr_id AS doc_b FROM knn
+         WHERE rk <= {KNN_GRAPH_K}),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM cand
+),
+deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY a),
+pr AS (
+  SELECT l.a AS u, r.a AS v, CAST(count(*) AS BIGINT) AS cn
+  FROM und l JOIN und r ON l.b = r.b AND l.a < r.a
+  GROUP BY l.a, r.a
+),
+ne AS (
+  SELECT pr.u, pr.v, pr.cn
+  FROM pr LEFT JOIN und ON und.a = pr.u AND und.b = pr.v
+  WHERE und.a IS NULL
+),
+sc AS (
+  SELECT ne.u, ne.v, ne.cn,
+         CAST(ne.cn AS DOUBLE)
+           / CAST(du.deg + dv.deg - ne.cn AS DOUBLE) AS jaccard
+  FROM ne JOIN deg du ON du.a = ne.u JOIN deg dv ON dv.a = ne.v
+),
+rk AS (
+  SELECT row_number() OVER (ORDER BY cn DESC, jaccard DESC,
+                            u ASC, v ASC) AS rk,
+         u, v, cn, jaccard
+  FROM sc
+)
+SELECT rk, u, v, cn, {R6('jaccard')} AS jaccard
+FROM rk WHERE rk <= {LINK_TOP_N}
+"""
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability per document: words (whitespace
+    tokens of normalized text), sentences (``[.!?]+`` runs), syllable
+    proxy (``[aeiouy]+`` vowel runs), and the reading-ease score
+    ``206.835 − 1.015·(w/s) − 84.6·(sy/w)``. All counts are integer
+    regexp aggregates (scan-local, no shuffle); the score is three
+    IEEE ops in fixed order. Sentence count floors at 1 (fragments
+    count as one sentence); empty docs get NULL score."""
+    from stock_indicators_etl_spark.llmdata.text import norm_text
+
+    d = _docs(spark, sf_dir)
+    n = norm_text(F.col("text"))
+    out = d.select(
+        "doc_id",
+        F.size(
+            F.when(F.length(n) == 0, F.array().cast("array<string>")).otherwise(
+                F.split(n, " ")
+            )
+        ).cast("long").alias("n_words"),
+        F.size(F.regexp_extract_all(n, F.lit("[.!?]+"), 0)).cast("long").alias(
+            "n_sentences"
+        ),
+        F.size(F.regexp_extract_all(n, F.lit("[aeiouy]+"), 0)).cast("long").alias(
+            "n_syllables"
+        ),
+    )
+    w = F.col("n_words").cast("double")
+    s = F.greatest(F.col("n_sentences"), F.lit(1).cast("long")).cast("double")
+    sy = F.col("n_syllables").cast("double")
+    score = F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (sy / w)
+    return out.withColumn(
+        "flesch",
+        _rc(F.when(F.col("n_words") > 0, score)),
+    )
+
+
+SQL_READABILITY = f"""
+WITH {DOCS_CTE},
+c AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(n, '[.!?]+')) AS BIGINT) AS n_sentences,
+         CAST(len(regexp_extract_all(n, '[aeiouy]+')) AS BIGINT) AS n_syllables
+  FROM wd
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words > 0 THEN {R6(
+           "206.835 - 1.015 * (CAST(n_words AS DOUBLE) "
+           "/ CAST(greatest(n_sentences, 1) AS DOUBLE)) "
+           "- 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))"
+       )} END AS flesch
+FROM c
+"""
+
+
 QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "token_counts": q_token_counts,

@@ -1,0 +1,186 @@
+"""rp_topk / knn_classify / link prediction / readability tests
+(r7d wave): each operator replayed against a brute-force numpy or
+pure-python reference on randomized inputs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _emb_df(spark, n=60, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, dim)).astype("float32")
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype="int64"),
+            "embedding": list(map(list, vecs)),
+            "label": (np.arange(n) % 4).astype("int64"),
+        }
+    )
+    return spark.createDataFrame(pdf), vecs
+
+
+class TestRpTopk:
+    def test_full_shortlist_equals_exact(self, spark):
+        """With a shortlist covering the whole corpus, rp_topk's
+        rerank must return exactly the brute-force cosine top-k."""
+        from stock_indicators_etl_spark.llmdata.similarity import (
+            cosine_topk,
+            rp_topk,
+        )
+
+        sdf, _ = _emb_df(spark, n=40, dim=16)
+        from pyspark.sql import functions as F
+
+        q = sdf.filter(F.col("vec_id") < 5)
+        exact = (
+            cosine_topk(sdf, q, k=5)
+            .toPandas()
+            .sort_values(["qid", "rk"])
+            .reset_index(drop=True)
+        )
+        approx = (
+            rp_topk(sdf, q, k=5, r_planes=8, dim=16, shortlist_factor=40)
+            .toPandas()
+            .sort_values(["qid", "rk"])
+            .reset_index(drop=True)
+        )
+        assert list(exact.nbr_id) == list(approx.nbr_id)
+        np.testing.assert_allclose(exact.cosine, approx.cosine, atol=1e-12)
+
+    def test_recall_reasonable(self, spark):
+        """16-plane projection with a 3k shortlist should recover most
+        of the true top-k on random data (JL preserves geometry)."""
+        from stock_indicators_etl_spark.llmdata.similarity import (
+            cosine_topk,
+            rp_topk,
+        )
+        from pyspark.sql import functions as F
+
+        sdf, _ = _emb_df(spark, n=80, dim=16, seed=9)
+        q = sdf.filter(F.col("vec_id") < 8)
+        exact = cosine_topk(sdf, q, k=5).toPandas()
+        approx = rp_topk(sdf, q, k=5, r_planes=8, dim=16, shortlist_factor=4).toPandas()
+        hits = 0
+        for qid in range(8):
+            t = set(exact[exact.qid == qid].nbr_id)
+            a = set(approx[approx.qid == qid].nbr_id)
+            hits += len(t & a)
+        assert hits / (8 * 5) >= 0.5
+
+
+class TestKnnClassify:
+    def test_matches_numpy_reference(self, spark):
+        from stock_indicators_etl_spark.llmdata.similarity import knn_classify
+        from pyspark.sql import functions as F
+
+        sdf, vecs = _emb_df(spark, n=50, dim=12, seed=5)
+        labels = (np.arange(50) % 4).astype("int64")
+        q = sdf.filter(F.col("vec_id") < 6)
+        out = knn_classify(sdf, q, k=7).toPandas().set_index("qid")
+        norms = np.linalg.norm(vecs.astype("float64"), axis=1)
+        for qid in range(6):
+            cos = vecs.astype("float64") @ vecs[qid].astype("float64") / (
+                norms * norms[qid]
+            )
+            order = sorted(
+                (i for i in range(50) if i != qid),
+                key=lambda i: (-cos[i], i),
+            )[:7]
+            votes: dict[int, int] = {}
+            for i in order:
+                votes[labels[i]] = votes.get(labels[i], 0) + 1
+            pred = sorted(votes, key=lambda l: (-votes[l], l))[0]
+            assert out.loc[qid, "pred_label"] == pred
+            assert out.loc[qid, "votes"] == votes[pred]
+
+
+class TestLinkPrediction:
+    def test_matches_brute_python(self, spark):
+        from stock_indicators_etl_spark.operators.graph import (
+            link_prediction_scores,
+        )
+
+        rng = np.random.default_rng(17)
+        edges = set()
+        while len(edges) < 60:
+            a, b = rng.integers(0, 25, size=2)
+            if a != b:
+                edges.add((min(int(a), int(b)), max(int(a), int(b))))
+        df = spark.createDataFrame(
+            [(a, b) for a, b in sorted(edges)], "src long, dst long"
+        )
+        got = link_prediction_scores(df, top_n=10).toPandas()
+
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        cand = []
+        nodes = sorted(adj)
+        for i, u in enumerate(nodes):
+            for v in nodes[i + 1 :]:
+                if v in adj[u]:
+                    continue
+                cn = len(adj[u] & adj[v])
+                if cn:
+                    j = cn / (len(adj[u]) + len(adj[v]) - cn)
+                    cand.append((cn, j, u, v))
+        cand.sort(key=lambda t: (-t[0], -t[1], t[2], t[3]))
+        want = cand[:10]
+        assert len(got) == len(want)
+        for row, (cn, j, u, v) in zip(got.itertuples(), want):
+            assert (row.u, row.v, row.cn) == (u, v, cn)
+            assert row.jaccard == pytest.approx(j, abs=1e-12)
+
+    def test_no_cartesian_in_plan(self, spark):
+        from stock_indicators_etl_spark.operators.graph import (
+            link_prediction_scores,
+        )
+
+        df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        plan = (
+            link_prediction_scores(df, top_n=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestReadability:
+    def test_counts_and_score(self, spark):
+        import __spark_entry__  # noqa: F401  (conf side effects not needed here)
+        from stock_indicators_etl_spark.queries_llm import q_readability
+
+        # build a tiny documents.parquet-shaped frame via a temp dir
+        import tempfile
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "The cat sat. The dog ran!",
+                    "word",
+                    "",
+                ],
+                "lang": ["en"] * 3,
+                "source": ["t"] * 3,
+                "n_chars": [25, 4, 0],
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(pdf).write.parquet(f"{d}/documents.parquet")
+            out = q_readability(spark, d).toPandas().set_index("doc_id")
+        assert out.loc[0, "n_words"] == 6
+        assert out.loc[0, "n_sentences"] == 2
+        # "the cat sat. the dog ran!" vowel runs: e,a,a,e,o,a = 6
+        assert out.loc[0, "n_syllables"] == 6
+        w, s, sy = 6.0, 2.0, 6.0
+        want = 206.835 - 1.015 * (w / s) - 84.6 * (sy / w)
+        assert out.loc[0, "flesch"] == pytest.approx(want, abs=1e-6)
+        assert out.loc[1, "n_sentences"] == 0  # fragment, floored to 1 in score
+        assert out.loc[2, "n_words"] == 0 and pd.isna(out.loc[2, "flesch"])
