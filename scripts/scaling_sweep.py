@@ -57,6 +57,7 @@ SF1_QUERIES = {
     "cdc_merge", "pivot_matrix", "curation_funnel", "vocab_index",
     "kmv_distinct", "hll_distinct", "kmv_overlap", "kcore",
     "label_prop", "sq_topk", "ivfsq_topk",
+    "rp_topk", "knn_label", "link_predict", "readability",
 }
 
 # one representative per plan family
@@ -155,6 +156,15 @@ QUERIES = [
     "histogram_drift",        # integer-L1 TVD between snapshots (extra)
     "corr_matrix",            # k-feature integer-sum correlation matrix (extra)
     "ivfsq_topk",             # IVF cells x int8 code-dot ranking (extra)
+    "forecast_revenue",       # Q6: pure scan-aggregate pushdown litmus (extra)
+    "shipmode_priority",      # Q12: late-line priority mix, derived mode (extra)
+    "bollinger",              # mean/sigma bands from integer cent sums (extra)
+    "obv",                    # BIGINT cumulative signed volume (extra)
+    "cusum",                  # Page recurrence via prefix-sum closed form (extra)
+    "rp_topk",                # JL projection shortlist + exact rerank (extra)
+    "knn_label",              # majority-label argmax over exact top-k (extra)
+    "link_predict",           # friend-of-friend Jaccard on the kNN graph (extra)
+    "readability",            # scan-local regexp count aggregates (extra)
 ]
 
 

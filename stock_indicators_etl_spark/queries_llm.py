@@ -3064,6 +3064,12 @@ LINK_TOP_N = 20
 
 
 KNN_GRAPH_K = 3
+#: graph vertex cap for the demo query: the exact-brute kNN-graph
+#: build is O(|V|²) by construction, so the query pins the vertex set
+#: to a fixed slice (sf0.01's corpus fits entirely under it) — the
+#: prediction operator itself is size-agnostic and takes whatever
+#: edge list an ANN generator produces.
+LINK_GRAPH_MAX_ID = 1000
 
 
 def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3085,7 +3091,7 @@ def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         link_prediction_scores,
     )
 
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < LINK_GRAPH_MAX_ID)
     knn = cosine_topk(emb, emb, k=KNN_GRAPH_K)
     edges = knn.select(F.col("qid").alias("src"), F.col("nbr_id").alias("dst"))
     out = link_prediction_scores(edges, top_n=LINK_TOP_N)
@@ -3093,7 +3099,8 @@ def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_LINK_PREDICT = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE vec_id < {LINK_GRAPH_MAX_ID}),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
 scored AS (
   SELECT q.vec_id AS qid, c.vec_id AS nbr_id,
