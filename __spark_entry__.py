@@ -162,13 +162,14 @@ ROTATED_OUT = (
     "universe_join",
     "cosine_topk",
     "embedding_neardup",
+    # r7d rotation: stable-since-r1 scan/window entries out for this
+    # session's change-detection / ANN / drift / exact-quantile ops
+    "pricing_summary",
+    "sessionize",
 )
 ROTATED_IN = (
-    # r5 rotation
-    "funnel",
-    "retention",
-    "asof_join",
-    "interval_join",
+    # r5 rotation (funnel/retention/asof_join/interval_join rotated
+    # back OUT in r7d after 2+ stable rounds — they live in extras now)
     "bm25_topk",
     "kmeans",
     # ...r6: the newest multi-stage operators into the hard signal
@@ -207,26 +208,36 @@ ROTATED_IN = (
     "label_prop",
     "sq_topk",
     "rolling_robust",
+    # ...r7d: CUSUM closed form, JL-projection ANN, IVF×SQ, drift,
+    # correlation matrix, exact quantiles into the hard signal
+    "cusum",
+    "rp_topk",
+    "ivfsq_topk",
+    "histogram_drift",
+    "corr_matrix",
+    "exact_quantiles",
 )
 
 
 def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from stock_indicators_etl_spark.queries import (
-        q_asof_join,
         q_cdc_merge,
-        q_rolling_robust,
+        q_corr_matrix,
+        q_cusum,
         q_dq_check,
-        q_funnel,
-        q_interval_join,
+        q_exact_quantiles,
+        q_histogram_drift,
         q_mad_outliers,
         q_ols_by_key,
-        q_retention,
+        q_rolling_robust,
         q_scd2_history,
         q_winsorize,
     )
     from stock_indicators_etl_spark.queries_llm import (
         q_audio_stats,
         q_bigram_surprisal,
+        q_ivfsq_topk,
+        q_rp_topk,
         q_kcore,
         q_kmv_distinct,
         q_kmv_overlap,
@@ -253,10 +264,6 @@ def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
     )
 
     return {
-        "funnel": q_funnel,
-        "retention": q_retention,
-        "asof_join": q_asof_join,
-        "interval_join": q_interval_join,
         "bm25_topk": q_bm25_topk,
         "kmeans": q_kmeans,
         "span_dedup": q_span_dedup,
@@ -289,26 +296,34 @@ def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "label_prop": q_label_prop,
         "sq_topk": q_sq_topk,
         "rolling_robust": q_rolling_robust,
+        "cusum": q_cusum,
+        "rp_topk": q_rp_topk,
+        "ivfsq_topk": q_ivfsq_topk,
+        "histogram_drift": q_histogram_drift,
+        "corr_matrix": q_corr_matrix,
+        "exact_quantiles": q_exact_quantiles,
     }
 
 
 def _rotated_in_oracles() -> dict[str, str]:
     from stock_indicators_etl_spark.queries import (
-        SQL_ASOF_JOIN,
         SQL_CDC_MERGE,
-        SQL_ROLLING_ROBUST,
+        SQL_CORR_MATRIX,
+        SQL_CUSUM,
         SQL_DQ_CHECK,
-        SQL_FUNNEL,
-        SQL_INTERVAL_JOIN,
+        SQL_EXACT_QUANTILES,
+        SQL_HISTOGRAM_DRIFT,
         SQL_MAD_OUTLIERS,
         SQL_OLS_BY_KEY,
-        SQL_RETENTION,
+        SQL_ROLLING_ROBUST,
         SQL_SCD2_HISTORY,
         SQL_WINSORIZE,
     )
     from stock_indicators_etl_spark.queries_llm import (
         SQL_AUDIO_STATS,
         SQL_BIGRAM_SURPRISAL,
+        SQL_IVFSQ_TOPK,
+        SQL_RP_TOPK,
         SQL_KCORE,
         SQL_KMV_DISTINCT,
         SQL_KMV_OVERLAP,
@@ -335,10 +350,6 @@ def _rotated_in_oracles() -> dict[str, str]:
     )
 
     return {
-        "funnel": SQL_FUNNEL,
-        "retention": SQL_RETENTION,
-        "asof_join": SQL_ASOF_JOIN,
-        "interval_join": SQL_INTERVAL_JOIN,
         "bm25_topk": SQL_BM25_TOPK,
         "kmeans": SQL_KMEANS,
         "span_dedup": SQL_SPAN_DEDUP,
@@ -371,6 +382,12 @@ def _rotated_in_oracles() -> dict[str, str]:
         "label_prop": SQL_LABEL_PROP,
         "sq_topk": SQL_SQ_TOPK,
         "rolling_robust": SQL_ROLLING_ROBUST,
+        "cusum": SQL_CUSUM,
+        "rp_topk": SQL_RP_TOPK,
+        "ivfsq_topk": SQL_IVFSQ_TOPK,
+        "histogram_drift": SQL_HISTOGRAM_DRIFT,
+        "corr_matrix": SQL_CORR_MATRIX,
+        "exact_quantiles": SQL_EXACT_QUANTILES,
     }
 
 
@@ -431,6 +448,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_min_cost_supplier,
         q_ntile_buckets,
         q_order_priority_check,
+        q_pit_join,
         q_pivot_matrix,
         q_profit_by_nation,
         q_promo_revenue,
@@ -438,8 +456,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_rollup_aggregate,
         q_rolling_robust,
         q_sales_cube,
+        q_asof_join,
         q_attribution,
         q_bollinger,
+        q_funnel,
+        q_interval_join,
+        q_retention,
         q_cusum,
         q_forecast_revenue,
         q_obv,
@@ -461,8 +483,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     from stock_indicators_etl_spark.queries_llm import (
         q_bpe_merges,
+        q_balanced_sample,
         q_chunk_documents,
         q_collocations,
+        q_dedup_eval,
         q_curation_funnel,
         q_embedding_neardup_scaled,
         q_frequent_ngrams,
@@ -536,21 +560,22 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_cube": q_sales_cube,
         "hll_distinct": q_hll_distinct,
         "exact_median": q_exact_median,
-        "exact_quantiles": q_exact_quantiles,
         "winsorize_hist": q_winsorize_hist,
         "distinct_users_cube": q_distinct_users_cube,
-        "histogram_drift": q_histogram_drift,
-        "corr_matrix": q_corr_matrix,
-        "ivfsq_topk": q_ivfsq_topk,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
         "forecast_revenue": q_forecast_revenue,
         "shipmode_priority": q_shipmode_priority,
         "bollinger": q_bollinger,
         "obv": q_obv,
-        "cusum": q_cusum,
-        "rp_topk": q_rp_topk,
         "knn_label": q_knn_label,
         "link_predict": q_link_predict,
         "readability": q_readability,
+        "pit_join": q_pit_join,
+        "dedup_eval": q_dedup_eval,
+        "balanced_sample": q_balanced_sample,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -560,12 +585,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def extra_oracle_sql() -> dict[str, str]:
     from stock_indicators_etl_spark.queries import (
         SQL_ADX_FAMILY,
+        SQL_ASOF_JOIN,
         SQL_ATTRIBUTION,
         SQL_BOLLINGER,
         SQL_CMO_WILDER,
-        SQL_CUSUM,
         SQL_FORECAST_REVENUE,
+        SQL_FUNNEL,
+        SQL_INTERVAL_JOIN,
         SQL_OBV,
+        SQL_RETENTION,
         SQL_SHIPMODE_PRIORITY,
         SQL_CORR_MATRIX,
         SQL_CUSTOMER_ORDERS_HIST,
@@ -583,6 +611,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_MIN_COST_SUPPLIER,
         SQL_NTILE_BUCKETS,
         SQL_ORDER_PRIORITY_CHECK,
+        SQL_PIT_JOIN,
         SQL_PIVOT_MATRIX,
         SQL_PROFIT_BY_NATION,
         SQL_PROMO_REVENUE,
@@ -608,8 +637,10 @@ def extra_oracle_sql() -> dict[str, str]:
     )
     from stock_indicators_etl_spark.queries_llm import (
         SQL_BPE_MERGES,
+        SQL_BALANCED_SAMPLE,
         SQL_CHUNK_DOCUMENTS,
         SQL_COLLOCATIONS,
+        SQL_DEDUP_EVAL,
         SQL_CURATION_FUNNEL,
         SQL_EMBEDDING_NEARDUP_SCALED,
         SQL_FREQUENT_NGRAMS,
@@ -681,21 +712,22 @@ def extra_oracle_sql() -> dict[str, str]:
         "sales_cube": SQL_SALES_CUBE,
         "hll_distinct": SQL_HLL_DISTINCT,
         "exact_median": SQL_EXACT_MEDIAN,
-        "exact_quantiles": SQL_EXACT_QUANTILES,
         "winsorize_hist": SQL_WINSORIZE_HIST,
         "distinct_users_cube": SQL_DISTINCT_USERS_CUBE,
-        "histogram_drift": SQL_HISTOGRAM_DRIFT,
-        "corr_matrix": SQL_CORR_MATRIX,
-        "ivfsq_topk": SQL_IVFSQ_TOPK,
+        "funnel": SQL_FUNNEL,
+        "retention": SQL_RETENTION,
+        "asof_join": SQL_ASOF_JOIN,
+        "interval_join": SQL_INTERVAL_JOIN,
         "forecast_revenue": SQL_FORECAST_REVENUE,
         "shipmode_priority": SQL_SHIPMODE_PRIORITY,
         "bollinger": SQL_BOLLINGER,
         "obv": SQL_OBV,
-        "cusum": SQL_CUSUM,
-        "rp_topk": SQL_RP_TOPK,
         "knn_label": SQL_KNN_LABEL,
         "link_predict": SQL_LINK_PREDICT,
         "readability": SQL_READABILITY,
+        "pit_join": SQL_PIT_JOIN,
+        "dedup_eval": SQL_DEDUP_EVAL,
+        "balanced_sample": SQL_BALANCED_SAMPLE,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

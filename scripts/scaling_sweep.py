@@ -58,6 +58,7 @@ SF1_QUERIES = {
     "kmv_distinct", "hll_distinct", "kmv_overlap", "kcore",
     "label_prop", "sq_topk", "ivfsq_topk",
     "rp_topk", "knn_label", "link_predict", "readability",
+    "dedup_eval", "balanced_sample",
 }
 
 # one representative per plan family
@@ -165,6 +166,9 @@ QUERIES = [
     "knn_label",              # majority-label argmax over exact top-k (extra)
     "link_predict",           # friend-of-friend Jaccard on the kNN graph (extra)
     "readability",            # scan-local regexp count aggregates (extra)
+    "pit_join",               # SCD2 + as-of leakage-safe temporal join (extra)
+    "dedup_eval",             # LSH-vs-exact precision/recall harness (extra)
+    "balanced_sample",        # per-class quota by hash rank (extra)
 ]
 
 

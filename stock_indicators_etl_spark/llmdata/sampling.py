@@ -261,3 +261,36 @@ def mix_domains(
         .filter(_id_hash56(F.col(id_col)) < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def balanced_sample(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    per_class: int | None = None,
+) -> DataFrame:
+    """Class-rebalancing draw: the SAME number of rows from every
+    class — ``per_class``, or the minimum class size when omitted —
+    each class contributing its rows with the smallest ``(id_hash,
+    id)``, the deterministic "balanced training subset" a classifier
+    fine-tune wants.
+
+    The min-size reduction is a classes-count aggregate collapsed to
+    one broadcast row; selection is :func:`stratified_sample`'s single
+    label-key shuffle + combinable rank. Majority-class skew costs
+    what any per-key top-n costs; at extreme skew pre-thin the
+    majority classes with :func:`hash_sample` first (over-sampling
+    rate ≥ expected quota), then rank the survivors.
+    """
+    if per_class is not None:
+        return stratified_sample(df, label_col, per_class, id_col)
+    sizes = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("_n"))
+    m = sizes.agg(F.min("_n").alias("_m"))
+    h = _id_hash56(F.col(id_col))
+    w = Window.partitionBy(label_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(m))
+        .filter(F.col("_rk") <= F.col("_m"))
+        .drop("_rk", "_m")
+    )

@@ -4337,6 +4337,121 @@ FROM p
 """
 
 
+
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) dimension join — the leakage-safe
+    feature join a training pipeline needs: for every shipped line
+    item, the customer's order-priority version that was in effect ON
+    THE SHIP DATE (which can differ from the priority at order time).
+    Composition: ``operators/scd.scd2_history`` builds the validity
+    intervals, then ``operators/asof.asof_join`` attaches the version
+    with the largest ``valid_from ≤ ship date`` via the union +
+    ordered-carry plan — ONE shuffle for both sides, no interval
+    theta-join, no per-row subquery. Versions are pre-collapsed to
+    end-of-day state (max version per (key, valid_from)) so the
+    inclusive as-of tie is deterministic. Output: per as-of priority,
+    line count, exact-cents revenue, and how many lines shipped under
+    a DIFFERENT priority than they were ordered with — the drift the
+    point-in-time join exists to capture."""
+    from stock_indicators_etl_spark.operators.asof import asof_join
+    from stock_indicators_etl_spark.operators.scd import scd2_history
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    hist = scd2_history(o, "o_custkey", "o_orderpriority", "o_orderdate")
+    wv = Window.partitionBy("o_custkey", "valid_from").orderBy(
+        F.col("version").desc()
+    )
+    dim = (
+        hist.withColumn("_r", F.row_number().over(wv))
+        .filter(F.col("_r") == 1)
+        .select(
+            "o_custkey",
+            F.col("valid_from").alias("d"),
+            F.col("o_orderpriority").alias("prio_asof"),
+            "version",
+        )
+    )
+    facts = li.join(
+        o.select("o_orderkey", "o_custkey", "o_orderpriority"),
+        li.l_orderkey == o.o_orderkey,
+    ).select(
+        "o_custkey",
+        F.col("l_shipdate").alias("d"),
+        "l_orderkey",
+        "l_linenumber",
+        "o_orderpriority",
+        _disc_cents().alias("cents"),
+    )
+    joined = asof_join(
+        facts, dim, on="d", by=("o_custkey",), value_cols=["prio_asof", "version"]
+    )
+    return (
+        joined.groupBy(F.col("prio_asof_r").alias("prio_asof"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum("cents").cast("double") / F.lit(10000.0)).alias("revenue"),
+            F.sum(
+                F.when(F.col("prio_asof_r") != F.col("o_orderpriority"), 1).otherwise(0)
+            ).alias("n_shipped_under_changed_priority"),
+        )
+    )
+
+
+SQL_PIT_JOIN = """
+WITH flagged AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate,
+         CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                OR lag(o_orderpriority) OVER w <> o_orderpriority
+              THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderpriority)
+),
+seg AS (
+  SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderpriority
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS _seg
+  FROM flagged
+),
+runs AS (
+  SELECT o_custkey, _seg AS version,
+         min(o_orderpriority) AS prio_asof,
+         min(o_orderdate) AS vf
+  FROM seg GROUP BY o_custkey, _seg
+),
+dim AS (
+  SELECT o_custkey, vf, prio_asof, version
+  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey, vf
+                                     ORDER BY version DESC) AS _r
+        FROM runs)
+  WHERE _r = 1
+),
+facts AS (
+  SELECT o.o_custkey, l.l_shipdate AS d, o.o_orderpriority,
+         CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5)
+              AS BIGINT) AS cents
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+matched AS (
+  SELECT f.o_custkey, f.d, f.o_orderpriority, f.cents,
+         dim.prio_asof, dim.version,
+         row_number() OVER (PARTITION BY f.o_custkey, f.d, f.o_orderpriority,
+                                         f.cents, rowid_tag
+                            ORDER BY dim.vf DESC, dim.version DESC) AS _r
+  FROM (SELECT *, row_number() OVER () AS rowid_tag FROM facts) f
+  LEFT JOIN dim ON dim.o_custkey = f.o_custkey AND dim.vf <= f.d
+)
+SELECT prio_asof,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(cents) AS DOUBLE) / 10000.0 AS revenue,
+       CAST(sum(CASE WHEN prio_asof <> o_orderpriority THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_shipped_under_changed_priority
+FROM matched WHERE _r = 1
+GROUP BY prio_asof
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "market_hours_filter": q_market_hours,
     "rocp_mom": q_rocp,

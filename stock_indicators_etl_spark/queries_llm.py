@@ -3204,6 +3204,121 @@ FROM c
 """
 
 
+
+DEDUP_EVAL_T = 0.2
+
+
+def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality evaluation: precision/recall of the MinHash-LSH
+    candidate set against ground truth (exact n-gram Jaccard ≥ 0.2) —
+    the harness that tells you whether the banding parameters are
+    right BEFORE a 100 TB run. Both pair sets are the repo's own
+    operators; the comparison is one full-outer join of (doc_a,
+    doc_b) keys + a single-row conditional-count aggregate. Ratios
+    are one IEEE division each."""
+    from stock_indicators_etl_spark.llmdata.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    truth = ngram_jaccard_pairs(docs, threshold=DEDUP_EVAL_T).select(
+        "doc_a", "doc_b", F.lit(1).alias("_t")
+    )
+    pred = minhash_lsh_candidates(docs).select(
+        "doc_a", "doc_b", F.lit(1).alias("_p")
+    )
+    j = pred.join(truth, ["doc_a", "doc_b"], "full")
+    tp = F.sum(F.when(F.col("_p").isNotNull() & F.col("_t").isNotNull(), 1).otherwise(0))
+    fp = F.sum(F.when(F.col("_p").isNotNull() & F.col("_t").isNull(), 1).otherwise(0))
+    fn = F.sum(F.when(F.col("_p").isNull() & F.col("_t").isNotNull(), 1).otherwise(0))
+    agg = j.agg(tp.alias("tp"), fp.alias("fp"), fn.alias("fn"))
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        _rc(
+            F.when(F.col("tp") + F.col("fp") > 0,
+                   F.col("tp").cast("double")
+                   / (F.col("tp") + F.col("fp")).cast("double"))
+        ).alias("precision"),
+        _rc(
+            F.when(F.col("tp") + F.col("fn") > 0,
+                   F.col("tp").cast("double")
+                   / (F.col("tp") + F.col("fn")).cast("double"))
+        ).alias("recall"),
+    )
+
+
+SQL_DEDUP_EVAL = f"""
+WITH {LSH_CTES},
+shh AS (
+  SELECT DISTINCT doc_id,
+         CAST(concat('0x', substr(md5(shingle), 1, 14)) AS BIGINT) AS h
+  FROM sh
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE)
+        / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= {DEDUP_EVAL_T}
+),
+j AS (
+  SELECT coalesce(p.doc_a, t.doc_a) AS doc_a,
+         coalesce(p.doc_b, t.doc_b) AS doc_b,
+         p.doc_a IS NOT NULL AS in_p, t.doc_a IS NOT NULL AS in_t
+  FROM cand p FULL OUTER JOIN truth t
+    ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b
+),
+a AS (
+  SELECT CAST(sum(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN in_p AND NOT in_t THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN NOT in_p AND in_t THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM j
+)
+SELECT tp, fp, fn,
+       CASE WHEN tp + fp > 0 THEN {R6('CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)')} END AS precision,
+       CASE WHEN tp + fn > 0 THEN {R6('CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)')} END AS recall
+FROM a
+"""
+
+
+def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class balanced downsampling
+    (``llmdata/sampling.balanced_sample``): every label contributes
+    exactly min-class-size rows chosen by ascending (md5-hash, id) —
+    the deterministic class-rebalanced training subset. One label-key
+    shuffle + a 1-row broadcast min."""
+    from stock_indicators_etl_spark.llmdata.sampling import balanced_sample
+
+    emb = _emb(spark, sf_dir).select("vec_id", "label")
+    return balanced_sample(emb, label_col="label", id_col="vec_id")
+
+
+SQL_BALANCED_SAMPLE = """
+WITH e AS (SELECT vec_id, label FROM embeddings),
+m AS (SELECT CAST(min(n) AS BIGINT) AS mn
+      FROM (SELECT label, count(*) AS n FROM e GROUP BY label)),
+rk AS (
+  SELECT vec_id, label,
+         row_number() OVER (
+           PARTITION BY label
+           ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 14))
+                         AS BIGINT) ASC, vec_id ASC) AS _rk
+  FROM e
+)
+SELECT vec_id, label FROM rk CROSS JOIN m WHERE _rk <= mn
+"""
+
+
 QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "token_counts": q_token_counts,
