@@ -446,6 +446,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_important_stock,
         q_market_share,
         q_min_cost_supplier,
+        q_agg_delta,
         q_ntile_buckets,
         q_order_priority_check,
         q_pit_join,
@@ -485,6 +486,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_bpe_merges,
         q_balanced_sample,
         q_chunk_documents,
+        q_contrastive_pairs,
         q_collocations,
         q_dedup_eval,
         q_curation_funnel,
@@ -576,6 +578,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_join": q_pit_join,
         "dedup_eval": q_dedup_eval,
         "balanced_sample": q_balanced_sample,
+        "agg_delta": q_agg_delta,
+        "contrastive_pairs": q_contrastive_pairs,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -610,6 +614,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_MARKET_SHARE,
         SQL_MIN_COST_SUPPLIER,
         SQL_NTILE_BUCKETS,
+        SQL_AGG_DELTA,
         SQL_ORDER_PRIORITY_CHECK,
         SQL_PIT_JOIN,
         SQL_PIVOT_MATRIX,
@@ -639,6 +644,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_BPE_MERGES,
         SQL_BALANCED_SAMPLE,
         SQL_CHUNK_DOCUMENTS,
+        SQL_CONTRASTIVE_PAIRS,
         SQL_COLLOCATIONS,
         SQL_DEDUP_EVAL,
         SQL_CURATION_FUNNEL,
@@ -728,6 +734,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "pit_join": SQL_PIT_JOIN,
         "dedup_eval": SQL_DEDUP_EVAL,
         "balanced_sample": SQL_BALANCED_SAMPLE,
+        "agg_delta": SQL_AGG_DELTA,
+        "contrastive_pairs": SQL_CONTRASTIVE_PAIRS,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

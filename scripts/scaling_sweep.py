@@ -58,7 +58,7 @@ SF1_QUERIES = {
     "kmv_distinct", "hll_distinct", "kmv_overlap", "kcore",
     "label_prop", "sq_topk", "ivfsq_topk",
     "rp_topk", "knn_label", "link_predict", "readability",
-    "dedup_eval", "balanced_sample",
+    "dedup_eval", "balanced_sample", "contrastive_pairs",
 }
 
 # one representative per plan family
@@ -169,6 +169,8 @@ QUERIES = [
     "pit_join",               # SCD2 + as-of leakage-safe temporal join (extra)
     "dedup_eval",             # LSH-vs-exact precision/recall harness (extra)
     "balanced_sample",        # per-class quota by hash rank (extra)
+    "agg_delta",              # retraction-changelog aggregate maintenance (extra)
+    "contrastive_pairs",      # LSH-positive + hash-offset-negative mining (extra)
 ]
 
 

@@ -4452,6 +4452,59 @@ GROUP BY prio_asof
 """
 
 
+
+AGG_DELTA_SPLIT_NS = 1_705_363_200_000_000_000  # 2024-01-16T00:00:00Z
+
+
+def q_agg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance
+    (``operators/scd.agg_delta_apply``): a per-user (count, cents)
+    aggregate snapshot over events before Jan 16 is brought current
+    WITHOUT rescanning the base — the changelog inserts the second
+    half of the month and retracts every pre-split ``error`` event
+    (a data-quality backfill). The oracle recomputes the final state
+    from scratch (events minus pre-split errors), so the hash proves
+    incremental maintenance ≡ recomputation on real data."""
+    from stock_indicators_etl_spark.operators.scd import agg_delta_apply
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "ns",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    split = F.lit(AGG_DELTA_SPLIT_NS).cast("long")
+    base = (
+        ev.filter(F.col("ns") < split)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+    )
+    inserts = ev.filter(F.col("ns") >= split).select(
+        "user_id", F.lit("I").alias("op"), "cents"
+    )
+    retracts = ev.filter(
+        (F.col("ns") < split) & (F.col("event_type") == "error")
+    ).select("user_id", F.lit("D").alias("op"), "cents")
+    log = inserts.unionByName(retracts)
+    return agg_delta_apply(base, log, key_col="user_id")
+
+
+SQL_AGG_DELTA = f"""
+WITH src AS (
+  SELECT user_id, (epoch_ns(ts) // 1000) * 1000 AS ns, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM src
+WHERE NOT (ns < {AGG_DELTA_SPLIT_NS} AND event_type = 'error')
+GROUP BY user_id
+HAVING count(*) > 0
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "market_hours_filter": q_market_hours,
     "rocp_mom": q_rocp,

@@ -3319,6 +3319,158 @@ SELECT vec_id, label FROM rk CROSS JOIN m WHERE _rk <= mn
 """
 
 
+
+CONTRAST_NEG_K = 3
+
+
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining for embedding-model training:
+    each anchor (a doc with ≥1 LSH near-dup partner) gets its BEST
+    positive (highest exact Jaccard among candidate partners, ties →
+    smaller id) and ``CONTRAST_NEG_K`` deterministic hard-ish
+    negatives — the docs at fixed offsets after the anchor in the
+    md5-hash-shuffled corpus order, minus self/partners (offsets that
+    hit a partner are dropped, not back-filled — documented, so the
+    emission stays a pure function of the corpus). Composition:
+    LSH candidates → candidate-restricted exact Jaccard → per-anchor
+    argmax window; negatives are one rank join + an anti-join. No
+    randomness anywhere — the pair set is reproducible across runs,
+    which is what makes a training corpus auditable."""
+    from pyspark.sql import Window
+
+    from stock_indicators_etl_spark.llmdata.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+    from stock_indicators_etl_spark.llmdata.hashing import h56
+
+    docs = _docs(spark, sf_dir)
+    cand = minhash_lsh_candidates(docs)
+    jac = ngram_jaccard_pairs(docs, candidates=cand)
+    sym = jac.select(
+        F.col("doc_a").alias("anchor"),
+        F.col("doc_b").alias("other"),
+        "jaccard",
+    ).unionByName(
+        jac.select(
+            F.col("doc_b").alias("anchor"),
+            F.col("doc_a").alias("other"),
+            "jaccard",
+        )
+    )
+    wp = Window.partitionBy("anchor").orderBy(
+        F.col("jaccard").desc(), F.col("other").asc()
+    )
+    pos = (
+        sym.withColumn("_r", F.row_number().over(wp))
+        .filter(F.col("_r") == 1)
+        .select(
+            "anchor",
+            F.lit("pos").alias("role"),
+            F.lit(0).cast("long").alias("slot"),
+            "other",
+            _rc(F.col("jaccard")).alias("jaccard"),
+        )
+    )
+    wr = Window.orderBy(h56(F.col("doc_id").cast("string")), F.col("doc_id"))
+    ranked = docs.select("doc_id").withColumn("rk", F.row_number().over(wr))
+    n_docs = ranked.agg(F.count(F.lit(1)).alias("_N"))
+    slots = spark.range(1, CONTRAST_NEG_K + 1).select(
+        F.col("id").alias("slot")
+    )
+    anchors = pos.select("anchor").join(
+        ranked.select(F.col("doc_id").alias("anchor"), F.col("rk").alias("_ark")),
+        "anchor",
+    )
+    neg_pos = (
+        anchors.crossJoin(F.broadcast(slots))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "anchor",
+            "slot",
+            ((F.col("_ark") - 1 + F.col("slot")) % F.col("_N") + 1).alias("_nrk"),
+        )
+    )
+    negs = (
+        neg_pos.join(
+            ranked.select(F.col("doc_id").alias("other"), F.col("rk").alias("_nrk")),
+            "_nrk",
+        )
+        .join(
+            sym.select("anchor", "other"), ["anchor", "other"], "left_anti"
+        )
+        .filter(F.col("anchor") != F.col("other"))
+        .select(
+            "anchor",
+            F.lit("neg").alias("role"),
+            F.col("slot").cast("long").alias("slot"),
+            "other",
+            F.lit(None).cast("double").alias("jaccard"),
+        )
+    )
+    return pos.unionByName(negs)
+
+
+SQL_CONTRASTIVE_PAIRS = f"""
+WITH {LSH_CTES},
+shh AS (
+  SELECT DISTINCT doc_id,
+         CAST(concat('0x', substr(md5(shingle), 1, 14)) AS BIGINT) AS h
+  FROM sh
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT i.doc_a, i.doc_b,
+         CAST(i.n_inter AS DOUBLE)
+           / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+  FROM inter i
+  JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+),
+sym AS (
+  SELECT doc_a AS anchor, doc_b AS other, jaccard FROM jac
+  UNION ALL
+  SELECT doc_b AS anchor, doc_a AS other, jaccard FROM jac
+),
+pos AS (
+  SELECT anchor, 'pos' AS role, CAST(0 AS BIGINT) AS slot, other,
+         {R6('jaccard')} AS jaccard
+  FROM (SELECT *, row_number() OVER (PARTITION BY anchor
+                  ORDER BY jaccard DESC, other ASC) AS _r FROM sym)
+  WHERE _r = 1
+),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))
+                         AS BIGINT) ASC, doc_id ASC) AS rk
+  FROM wd
+),
+nn AS (SELECT count(*) AS N FROM ranked),
+neg AS (
+  SELECT p.anchor, 'neg' AS role, CAST(s.slot AS BIGINT) AS slot,
+         r2.doc_id AS other, CAST(NULL AS DOUBLE) AS jaccard
+  FROM pos p
+  JOIN ranked r1 ON r1.doc_id = p.anchor
+  CROSS JOIN (SELECT unnest(generate_series(1, {CONTRAST_NEG_K})) AS slot) s
+  CROSS JOIN nn
+  JOIN ranked r2 ON r2.rk = (r1.rk - 1 + s.slot) % nn.N + 1
+  WHERE r2.doc_id <> p.anchor
+    AND NOT EXISTS (SELECT 1 FROM sym WHERE sym.anchor = p.anchor
+                    AND sym.other = r2.doc_id)
+)
+SELECT anchor, role, slot, other, jaccard FROM pos
+UNION ALL
+SELECT anchor, role, slot, other, jaccard FROM neg
+"""
+
+
 QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "token_counts": q_token_counts,
