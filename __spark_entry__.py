@@ -484,6 +484,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     from stock_indicators_etl_spark.queries_llm import (
         q_bpe_merges,
+        q_allpairs_join,
         q_balanced_sample,
         q_chunk_documents,
         q_contrastive_pairs,
@@ -580,6 +581,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_sample": q_balanced_sample,
         "agg_delta": q_agg_delta,
         "contrastive_pairs": q_contrastive_pairs,
+        "allpairs_join": q_allpairs_join,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -642,6 +644,7 @@ def extra_oracle_sql() -> dict[str, str]:
     )
     from stock_indicators_etl_spark.queries_llm import (
         SQL_BPE_MERGES,
+        SQL_ALLPAIRS_JOIN,
         SQL_BALANCED_SAMPLE,
         SQL_CHUNK_DOCUMENTS,
         SQL_CONTRASTIVE_PAIRS,
@@ -736,6 +739,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "balanced_sample": SQL_BALANCED_SAMPLE,
         "agg_delta": SQL_AGG_DELTA,
         "contrastive_pairs": SQL_CONTRASTIVE_PAIRS,
+        "allpairs_join": SQL_ALLPAIRS_JOIN,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

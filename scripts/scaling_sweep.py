@@ -58,7 +58,7 @@ SF1_QUERIES = {
     "kmv_distinct", "hll_distinct", "kmv_overlap", "kcore",
     "label_prop", "sq_topk", "ivfsq_topk",
     "rp_topk", "knn_label", "link_predict", "readability",
-    "dedup_eval", "balanced_sample", "contrastive_pairs",
+    "dedup_eval", "balanced_sample", "contrastive_pairs", "allpairs_join",
 }
 
 # one representative per plan family
@@ -171,6 +171,7 @@ QUERIES = [
     "balanced_sample",        # per-class quota by hash rank (extra)
     "agg_delta",              # retraction-changelog aggregate maintenance (extra)
     "contrastive_pairs",      # LSH-positive + hash-offset-negative mining (extra)
+    "allpairs_join",          # prefix-filtered exact Jaccard join (extra)
 ]
 
 

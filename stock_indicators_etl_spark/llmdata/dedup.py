@@ -977,3 +977,74 @@ def survivors_by_quality(
         "_rn", F.row_number().over(w)
     )
     return ranked.filter(F.col("_rn") == 1).drop("_rn", "component")
+
+
+def allpairs_jaccard_join(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard similarity join via AllPairs prefix filtering
+    (Bayardo, Ma & Srikant, WWW'07) — the principled exact-join
+    pruning between brute posting-list expansion (every shared
+    shingle emits a pair) and MinHash-LSH (approximate).
+
+    Pruning, both sound for Jaccard ≥ t:
+
+    - **prefix filter**: order each doc's shingle set by GLOBAL
+      rarity (document frequency asc, hash asc — one canonical order
+      everywhere); a pair with J ≥ t MUST collide inside each side's
+      first ``n − ⌈t·n⌉ + 1`` shingles, so only that prefix is
+      indexed. Common (high-df) shingles — exactly the ones whose
+      posting lists explode quadratically — land at the END of the
+      order and largely stay un-indexed.
+    - **length filter**: J(A,B) ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t; applied
+      on the candidate stream before verification.
+
+    Verification is the exact candidate-restricted intersection of
+    :func:`ngram_jaccard_pairs` — so the OUTPUT is bit-identical to
+    the unpruned exact join at the same threshold (the completeness
+    property the tests and the oracle both pin), only the candidate
+    generation is cheaper. Plan: shingle stream shuffles once for the
+    df-counts, once for the per-doc rank window; prefix postings are
+    a strict subset of the full postings, pair expansion shares
+    :func:`_bucket_pairs`. At t = 0.8 the indexed prefix is ~20% of
+    each doc — a ~25× pair-stream reduction on boilerplate-heavy
+    corpora.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    stream = word_shingles(df, text_col, k, distinct=True).select(
+        "doc_id", _h56(F.col("shingle")).alias("h")
+    )
+    df_tbl = stream.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = stream.join(df_tbl, "h")
+    wd = Window.partitionBy("doc_id").orderBy(F.col("_df").asc(), F.col("h").asc())
+    sized = ranked.withColumn("_pos", F.row_number().over(wd)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    prefix_len = F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+    prefix = sized.filter(F.col("_pos") <= prefix_len).select("doc_id", "h", "_n")
+    posting = prefix.groupBy("h").agg(F.collect_list("doc_id").alias("ids"))
+    cand = _bucket_pairs(posting).distinct()
+    n_tbl = sized.select("doc_id", "_n").distinct()
+    cand_lf = (
+        cand.join(
+            F.broadcast(n_tbl.select(F.col("doc_id").alias("doc_a"), F.col("_n").alias("_na"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(n_tbl.select(F.col("doc_id").alias("doc_b"), F.col("_n").alias("_nb"))),
+            "doc_b",
+        )
+        # length filter: t·max ≤ min  ⇔  t·|A| ≤ |B| ≤ |A|/t
+        .filter(
+            F.lit(threshold) * F.greatest("_na", "_nb")
+            <= F.least("_na", "_nb").cast("double")
+        )
+        .select("doc_a", "doc_b")
+    )
+    return ngram_jaccard_pairs(
+        df, text_col, k, threshold=threshold, candidates=cand_lf
+    )

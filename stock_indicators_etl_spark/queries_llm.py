@@ -3471,6 +3471,58 @@ SELECT anchor, role, slot, other, jaccard FROM neg
 """
 
 
+
+ALLPAIRS_T = 0.5
+
+
+def q_allpairs_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs prefix-filtered EXACT Jaccard join
+    (``llmdata/dedup.allpairs_jaccard_join``): rare-first global
+    shingle order, index only each doc's first ``n − ⌈t·n⌉ + 1``
+    shingles, length-filter candidates, exact verify. Output is
+    bit-identical to the unpruned exact join at the same threshold —
+    completeness is the algorithm's theorem, and this oracle (the
+    plain exact-Jaccard SQL) pins it on real data every round."""
+    from stock_indicators_etl_spark.llmdata.dedup import allpairs_jaccard_join
+
+    out = allpairs_jaccard_join(_docs(spark, sf_dir), threshold=ALLPAIRS_T)
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.col("n_inter").cast("long").alias("n_inter"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        _rc(F.col("jaccard")).alias("jaccard"),
+    )
+
+
+SQL_ALLPAIRS_JOIN = f"""
+WITH {SHINGLE_CTES},
+shh AS (
+  SELECT DISTINCT doc_id,
+         CAST(concat('0x', substr(md5(shingle), 1, 14)) AS BIGINT) AS h
+  FROM sh
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+         CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       {R6('jaccard')} AS jaccard
+FROM j WHERE jaccard >= {ALLPAIRS_T}
+"""
+
+
 QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "token_counts": q_token_counts,

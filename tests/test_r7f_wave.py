@@ -172,3 +172,63 @@ class TestStreamingTemporalJoin:
             x if x is not None else "~" for x in got.attr_asof
         ]
         assert list(batch.version_r.fillna(0).astype(int)) == list(got.version)
+
+
+class TestAllPairsJoin:
+    def test_completeness_on_random_corpora(self, spark):
+        """Prefix + length filtering must lose NOTHING: output equals
+        the unpruned exact join at the same threshold."""
+        from stock_indicators_etl_spark.llmdata.dedup import (
+            allpairs_jaccard_join,
+            ngram_jaccard_pairs,
+        )
+
+        rng = np.random.default_rng(41)
+        vocab = [f"w{i}" for i in range(30)]
+        docs = []
+        for i in range(60):
+            n = int(rng.integers(5, 25))
+            docs.append((i, " ".join(rng.choice(vocab, size=n))))
+        # plant exact and near duplicates
+        docs.append((1000, docs[0][1]))
+        docs.append((1001, docs[1][1] + " extra token here"))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        for t in (0.3, 0.6, 0.9):
+            a = (
+                allpairs_jaccard_join(df, threshold=t)
+                .toPandas()
+                .sort_values(["doc_a", "doc_b"])
+                .reset_index(drop=True)
+            )
+            b = (
+                ngram_jaccard_pairs(df, threshold=t)
+                .toPandas()
+                .sort_values(["doc_a", "doc_b"])
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        # the planted exact dup must be found at the highest threshold
+        got = allpairs_jaccard_join(df, threshold=0.9).toPandas()
+        assert ((got.doc_a == 0) & (got.doc_b == 1000)).any()
+
+    def test_prefix_prunes_hot_shingles(self, spark):
+        """A boilerplate shingle shared by EVERY doc must not drive
+        candidate generation: with high threshold, candidate pairs
+        stay near the true-pair count, not near N²/2."""
+        from pyspark.sql import functions as F
+
+        from stock_indicators_etl_spark.llmdata.dedup import (
+            _bucket_pairs,
+            allpairs_jaccard_join,
+        )
+
+        boiler = "terms of service apply to all content"
+        docs = [
+            (i, f"{boiler} unique body {i} alpha beta gamma delta {i}")
+            for i in range(80)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = allpairs_jaccard_join(df, threshold=0.8).toPandas()
+        # bodies differ -> few/no pairs survive; mainly: the join must
+        # FINISH without the N²/2 pair explosion the hot shingle implies
+        assert len(out) < 80
