@@ -57,6 +57,11 @@ EAGER_CONSTRUCTION = frozenset(
         "dedup_incremental",
         # runs the near-dup components fixpoint at construction
         "leakage_split",
+        # persist the kNN edge list / LSH candidate pairs at
+        # construction (six consumers each) — rebuild per timed run so
+        # the persist work is inside the measurement
+        "link_predict",
+        "contrastive_pairs",
         # localCheckpoint(eager=False) pins each iteration's ranks:
         # a reused handle would time the cache, not the iteration
         "pagerank",

@@ -3064,54 +3064,69 @@ LINK_TOP_N = 20
 
 
 KNN_GRAPH_K = 3
-#: graph vertex cap for the demo query: the exact-brute kNN-graph
-#: build is O(|V|²) by construction, so the query pins the vertex set
-#: to a fixed slice (sf0.01's corpus fits entirely under it) — the
-#: prediction operator itself is size-agnostic and takes whatever
-#: edge list an ANN generator produces.
-LINK_GRAPH_MAX_ID = 1000
 
 
 def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbor / Jaccard link prediction
     (``operators/graph.link_prediction_scores``) over the k-NN graph
-    of the embedding table (each vector → its 3 nearest cosine
-    neighbors, symmetrized): which vector pairs are NOT k-NN edges
-    but share many k-NN neighbors — the classic missing-link review
-    queue. (The MinHash-LSH candidate graph is the wrong substrate
-    here: its band buckets induce cliques, so it has no open triads
-    to predict.) The graph build below is the exact brute cosine —
-    at scale swap in :func:`rp_topk`/``ivf_topk`` as the candidate
-    generator; the prediction stage is generator-agnostic. Pair
-    enumeration is the Σdeg² friend-of-friend self-join (no
-    cartesian, degrees ≤ 2k); top-20 via TakeOrdered, not a global
-    window."""
-    from stock_indicators_etl_spark.llmdata.similarity import cosine_topk
+    of the embedding table — built with the LSH-BUCKETED top-k
+    generator (``lsh_bucketed_topk``, each vector's 3 nearest cosine
+    neighbors within its hyperplane bucket, symmetrized), so the
+    graph build is the actual scale path (Σ n_b² bucket pairs, no
+    N² cross join, no vertex cap) and the full corpus participates.
+    (The MinHash-LSH candidate graph is the wrong substrate here:
+    its band buckets induce cliques, so it has no open triads to
+    predict.) The edge list is persisted — the prediction stage
+    references it from six branches, and un-pinned each would replay
+    the scoring join (DESIGN 4.22). Pair enumeration is the Σdeg²
+    friend-of-friend self-join (degrees ≤ 2k); top-20 via
+    TakeOrdered, not a global window."""
+    from stock_indicators_etl_spark.llmdata.similarity import (
+        lsh_bucketed_topk,
+    )
     from stock_indicators_etl_spark.operators.graph import (
         link_prediction_scores,
     )
 
-    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < LINK_GRAPH_MAX_ID)
-    knn = cosine_topk(emb, emb, k=KNN_GRAPH_K)
-    edges = knn.select(F.col("qid").alias("src"), F.col("nbr_id").alias("dst"))
+    emb = _emb(spark, sf_dir)
+    knn = lsh_bucketed_topk(emb, emb, k=KNN_GRAPH_K)
+    edges = knn.select(
+        F.col("qid").alias("src"), F.col("nbr_id").alias("dst")
+    ).persist()
     out = link_prediction_scores(edges, top_n=LINK_TOP_N)
     return out.withColumn("jaccard", _rc(F.col("jaccard")))
 
 
-SQL_LINK_PREDICT = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-           WHERE vec_id < {LINK_GRAPH_MAX_ID}),
-n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+def _link_predict_sql(n_planes: int = 8, dim: int = 64) -> str:
+    from stock_indicators_etl_spark.llmdata.similarity import (
+        hyperplane_matrix,
+    )
+
+    planes = hyperplane_matrix(n_planes, dim)
+    projs = []
+    for p in range(n_planes):
+        terms = " + ".join(
+            f"v[{j + 1}] * {planes[p][j]:.1f}" for j in range(dim)
+        )
+        projs.append(f"CASE WHEN 0.0 + {terms} > 0 THEN {1 << p} ELSE 0 END")
+    bucket = " + ".join(projs)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, {dim}), i -> v[i] * v[i])), (a, b) -> a + b)) AS nrm,
+         CAST({bucket} AS BIGINT) AS bucket
+  FROM e
+),
 scored AS (
   SELECT q.vec_id AS qid, c.vec_id AS nbr_id,
          CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
-              ELSE list_dot_product(q.v, c.v) / (q.nrm * c.nrm) END AS cosine
-  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+              ELSE list_reduce(list_prepend(0.0, list_transform(generate_series(1, {dim}), i -> q.v[i] * c.v[i])), (a, b) -> a + b) / (q.nrm * c.nrm) END AS cosine
+  FROM n q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
 ),
 knn AS (
   SELECT qid, nbr_id,
-         row_number() OVER (PARTITION BY qid
-                            ORDER BY cosine DESC, nbr_id ASC) AS rk
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nbr_id ASC) AS rk
   FROM scored
 ),
 cand AS (SELECT qid AS doc_a, nbr_id AS doc_b FROM knn
@@ -3147,6 +3162,9 @@ rk AS (
 SELECT rk, u, v, cn, {R6('jaccard')} AS jaccard
 FROM rk WHERE rk <= {LINK_TOP_N}
 """
+
+
+SQL_LINK_PREDICT = _link_predict_sql()
 
 
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:

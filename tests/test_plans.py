@@ -446,6 +446,16 @@ GOLDEN_FINGERPRINTS = {
     "indicator_pipeline_grid": {"exchange": 6, "bexchange": 0, "bhj": 0, "smj": 0, "shj": 0, "python": 1, "nl": 0, "sort": 8},
     "pipeline_wilder": {"exchange": 6, "bexchange": 0, "bhj": 0, "smj": 0, "shj": 0, "python": 1, "nl": 0, "sort": 8},
     "corpus_prep": {"exchange": 3, "bexchange": 7, "bhj": 7, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 0},
+    # r7d-f wave: the one NL join in rp_topk is the intended broadcast
+    # brute-force scoring stage; link_predict's bucket equi-join keeps
+    # nl at 0 (a cross-join graph build would bump it — the regression
+    # this row exists to catch, DESIGN 4.22)
+    "rp_topk": {"exchange": 1, "bexchange": 1, "bhj": 0, "smj": 0, "shj": 0, "python": 0, "nl": 1, "sort": 3},
+    "link_predict": {"exchange": 13, "bexchange": 1, "bhj": 1, "smj": 4, "shj": 0, "python": 0, "nl": 0, "sort": 10},
+    "allpairs_join": {"exchange": 24, "bexchange": 9, "bhj": 9, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 3},
+    "pit_join": {"exchange": 3, "bexchange": 1, "bhj": 1, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 4},
+    "agg_delta": {"exchange": 2, "bexchange": 0, "bhj": 0, "smj": 1, "shj": 0, "python": 0, "nl": 0, "sort": 2},
+    "contrastive_pairs": {"exchange": 45, "bexchange": 29, "bhj": 27, "smj": 0, "shj": 0, "python": 0, "nl": 2, "sort": 6},
 }
 
 
