@@ -447,6 +447,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_market_share,
         q_min_cost_supplier,
         q_agg_delta,
+        q_cross_sectional_rank,
+        q_drawdown,
         q_ntile_buckets,
         q_order_priority_check,
         q_pit_join,
@@ -454,6 +456,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_profit_by_nation,
         q_promo_revenue,
         q_returned_items,
+        q_rolling_beta,
         q_rollup_aggregate,
         q_rolling_robust,
         q_sales_cube,
@@ -582,6 +585,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_delta": q_agg_delta,
         "contrastive_pairs": q_contrastive_pairs,
         "allpairs_join": q_allpairs_join,
+        "drawdown": q_drawdown,
+        "cross_sectional_rank": q_cross_sectional_rank,
+        "rolling_beta": q_rolling_beta,
     }
     for name in ROTATED_OUT:
         q[name] = base[name]
@@ -617,9 +623,12 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_MIN_COST_SUPPLIER,
         SQL_NTILE_BUCKETS,
         SQL_AGG_DELTA,
+        SQL_CROSS_SECTIONAL_RANK,
+        SQL_DRAWDOWN,
         SQL_ORDER_PRIORITY_CHECK,
         SQL_PIT_JOIN,
         SQL_PIVOT_MATRIX,
+        SQL_ROLLING_BETA,
         SQL_PROFIT_BY_NATION,
         SQL_PROMO_REVENUE,
         SQL_RETURNED_ITEMS,
@@ -740,6 +749,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "agg_delta": SQL_AGG_DELTA,
         "contrastive_pairs": SQL_CONTRASTIVE_PAIRS,
         "allpairs_join": SQL_ALLPAIRS_JOIN,
+        "drawdown": SQL_DRAWDOWN,
+        "cross_sectional_rank": SQL_CROSS_SECTIONAL_RANK,
+        "rolling_beta": SQL_ROLLING_BETA,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

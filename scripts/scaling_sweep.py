@@ -172,6 +172,9 @@ QUERIES = [
     "agg_delta",              # retraction-changelog aggregate maintenance (extra)
     "contrastive_pairs",      # LSH-positive + hash-offset-negative mining (extra)
     "allpairs_join",          # prefix-filtered exact Jaccard join (extra)
+    "drawdown",               # running-extremum closed form (extra)
+    "cross_sectional_rank",   # per-bucket universe rank windows (extra)
+    "rolling_beta",           # integer-sum cov/var trailing frame (extra)
 ]
 
 

@@ -4505,6 +4505,225 @@ HAVING count(*) > 0
 """
 
 
+
+def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per series — the running-extremum closed form
+    (DESIGN 4.22's CUSUM family): ``dd_t = max prefix(c) − c_t`` is
+    one cumulative-max window, so the whole statistic is two window
+    passes + a per-key argmax, no recursion. All integer cents; the
+    trough row is the EARLIEST bar attaining the maximum drawdown,
+    and ``peak_cents`` is the running peak at that trough. Output one
+    row per ticker."""
+    bars = events_as_bars(spark, sf_dir)
+    w = Window.partitionBy("ticker").orderBy("window_start")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    cents = F.floor(F.col("adj_close") * 100 + F.lit(0.5)).cast("long")
+    d = bars.select("ticker", "window_start", cents.alias("c"))
+    d = d.withColumn("peak", F.max("c").over(cum)).withColumn(
+        "dd", F.col("peak") - F.col("c")
+    )
+    wa = Window.partitionBy("ticker").orderBy(
+        F.col("dd").desc(), F.col("window_start").asc()
+    )
+    return (
+        d.withColumn("_r", F.row_number().over(wa))
+        .filter(F.col("_r") == 1)
+        .select(
+            "ticker",
+            F.col("dd").alias("max_dd_cents"),
+            F.col("peak").alias("peak_cents"),
+            F.col("c").alias("trough_cents"),
+            F.col("window_start").alias("trough_ns"),
+        )
+    )
+
+
+SQL_DRAWDOWN = f"""
+WITH {BARS_CTE.strip()},
+d AS (
+  SELECT ticker, window_start,
+         CAST(floor(adj_close * 100 + 0.5) AS BIGINT) AS c,
+         CAST(max(CAST(floor(adj_close * 100 + 0.5) AS BIGINT))
+              OVER (PARTITION BY ticker ORDER BY window_start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS peak
+  FROM bars
+),
+r AS (
+  SELECT ticker, peak - c AS dd, peak, c, window_start,
+         row_number() OVER (PARTITION BY ticker
+                            ORDER BY peak - c DESC, window_start ASC) AS _r
+  FROM d
+)
+SELECT ticker, dd AS max_dd_cents, peak AS peak_cents,
+       c AS trough_cents, window_start AS trough_ns
+FROM r WHERE _r = 1
+"""
+
+
+XS_BUCKET_NS = 3_600_000_000_000  # 1 hour
+
+
+def q_cross_sectional_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional ranking — the relative-strength shape: align
+    every series to hourly buckets (last tick per bucket, exact
+    (ns, event_id) tie order), then rank the universe WITHIN each
+    bucket by closing cents. Two windows over two different keys
+    (series for the alignment, bucket for the rank) — the second
+    partitioning is the universe dimension, so no global sort ever
+    happens. ``pct`` is one IEEE division of the integer rank over
+    the bucket population."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "ns",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    b = ev.withColumn("bucket", F.expr(f"ns div {XS_BUCKET_NS}"))
+    wl = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("ns").desc(), F.col("event_id").desc()
+    )
+    last = (
+        b.withColumn("_r", F.row_number().over(wl))
+        .filter(F.col("_r") == 1)
+        .select("user_id", "bucket", "c")
+    )
+    wr = Window.partitionBy("bucket").orderBy(
+        F.col("c").desc(), F.col("user_id").asc()
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+    out = last.withColumn("rk", F.row_number().over(wr)).withColumn("n_universe", n)
+    pct = F.when(
+        F.col("n_universe") > 1,
+        (F.col("rk") - F.lit(1)).cast("double")
+        / (F.col("n_universe") - F.lit(1)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "bucket",
+        "user_id",
+        F.col("c").alias("close_cents"),
+        F.col("rk").cast("long").alias("rk"),
+        F.col("n_universe").cast("long").alias("n_universe"),
+        _rc(pct).alias("pct"),
+    )
+
+
+SQL_CROSS_SECTIONAL_RANK = f"""
+WITH src AS (
+  SELECT user_id, (epoch_ns(ts) // 1000) * 1000 AS ns, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+b AS (SELECT user_id, ns // {XS_BUCKET_NS} AS bucket, ns, event_id, c FROM src),
+last AS (
+  SELECT user_id, bucket, c
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+                  ORDER BY ns DESC, event_id DESC) AS _r FROM b)
+  WHERE _r = 1
+),
+rk AS (
+  SELECT bucket, user_id, c,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY c DESC, user_id ASC) AS rk,
+         count(*) OVER (PARTITION BY bucket) AS n_universe
+  FROM last
+)
+SELECT bucket, user_id, c AS close_cents,
+       CAST(rk AS BIGINT) AS rk, CAST(n_universe AS BIGINT) AS n_universe,
+       {R6("CASE WHEN n_universe > 1 THEN CAST(rk - 1 AS DOUBLE) / CAST(n_universe - 1 AS DOUBLE) ELSE 0.0 END")} AS pct
+FROM rk
+"""
+
+
+BETA_W = 24  # trailing buckets
+
+
+def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling beta of each series against the MARKET index (the
+    cross-sectional cents sum per hourly bucket): classic
+    ``cov(x, y) / var(y)`` over a trailing-24-bucket frame, computed
+    from INTEGER sums (Σx, Σy, Σxy, Σy² — BIGINT-exact, order-free)
+    with one final fixed-order IEEE division. The index join is a
+    broadcast (buckets-sized dim); the beta window shuffles once per
+    series. NULL until the frame is full or while the index variance
+    is zero."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "ns",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    b = ev.withColumn("bucket", F.expr(f"ns div {XS_BUCKET_NS}"))
+    wl = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("ns").desc(), F.col("event_id").desc()
+    )
+    last = (
+        b.withColumn("_r", F.row_number().over(wl))
+        .filter(F.col("_r") == 1)
+        .select("user_id", "bucket", "c")
+    )
+    market = last.groupBy("bucket").agg(F.sum("c").alias("y"))
+    xy = last.join(F.broadcast(market), "bucket")
+    w = Window.partitionBy("user_id").orderBy("bucket")
+    frame = w.rowsBetween(-(BETA_W - 1), 0)
+    sx = F.sum("c").over(frame)
+    sy = F.sum("y").over(frame)
+    sxy = F.sum(F.col("c") * F.col("y")).over(frame)
+    syy = F.sum(F.col("y") * F.col("y")).over(frame)
+    rn = F.row_number().over(w)
+    out = (
+        xy.withColumn("_sx", sx)
+        .withColumn("_sy", sy)
+        .withColumn("_sxy", sxy)
+        .withColumn("_syy", syy)
+        .withColumn("_rn", rn)
+    )
+    num = F.lit(BETA_W) * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.lit(BETA_W) * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    beta = F.when(
+        (F.col("_rn") >= BETA_W) & (den != 0),
+        num.cast("double") / den.cast("double"),
+    )
+    return out.select(
+        "user_id", "bucket", _rc(beta).alias("beta")
+    )
+
+
+SQL_ROLLING_BETA = f"""
+WITH src AS (
+  SELECT user_id, (epoch_ns(ts) // 1000) * 1000 AS ns, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+b AS (SELECT user_id, ns // {XS_BUCKET_NS} AS bucket, ns, event_id, c FROM src),
+last AS (
+  SELECT user_id, bucket, c
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+                  ORDER BY ns DESC, event_id DESC) AS _r FROM b)
+  WHERE _r = 1
+),
+market AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS y FROM last GROUP BY bucket),
+xy AS (SELECT l.user_id, l.bucket, l.c, m.y FROM last l JOIN market m USING (bucket)),
+s AS (
+  SELECT user_id, bucket,
+         CAST(sum(c) OVER w AS BIGINT) AS sx,
+         CAST(sum(y) OVER w AS BIGINT) AS sy,
+         CAST(sum(c * y) OVER w AS BIGINT) AS sxy,
+         CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+         row_number() OVER (PARTITION BY user_id ORDER BY bucket) AS rn
+  FROM xy
+  WINDOW w AS (PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN {BETA_W - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, bucket,
+       CASE WHEN rn >= {BETA_W}
+             AND {BETA_W} * syy - sy * sy <> 0
+            THEN {R6(f"CAST({BETA_W} * sxy - sx * sy AS DOUBLE) / CAST({BETA_W} * syy - sy * sy AS DOUBLE)")}
+       END AS beta
+FROM s
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "market_hours_filter": q_market_hours,
     "rocp_mom": q_rocp,
