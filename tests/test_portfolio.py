@@ -119,3 +119,62 @@ class TestRollingBeta:
             else:
                 want = (BETA_W * sxy - sx * sy) / den
                 assert got.beta.iloc[i] == pytest.approx(want, abs=1e-6)
+
+
+class TestStreamingDrawdown:
+    def test_matches_batch_across_batches(self, spark, tmp_path):
+        import os
+
+        from stock_indicators_etl_spark.streaming.drawdown import (
+            streaming_drawdown,
+        )
+
+        rng = np.random.default_rng(19)
+        rows = []
+        for key in (1, 2):
+            p = 10000
+            for t in range(60):
+                p += int(rng.integers(-300, 280))
+                rows.append((key, t, p))
+        pdf = pd.DataFrame(rows, columns=["key", "ts", "cents"])
+        src = tmp_path / "dd_src"
+        src.mkdir()
+        f0, f1 = str(src / "p0.parquet"), str(src / "p1.parquet")
+        pdf[pdf.ts < 30].to_parquet(f0)
+        pdf[pdf.ts >= 30].to_parquet(f1)
+        os.utime(f0, (1_000_000_000, 1_000_000_000))
+        os.utime(f1, (1_000_000_100, 1_000_000_100))
+
+        stream = (
+            spark.readStream.schema("key bigint, ts bigint, cents bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out = streaming_drawdown(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sdd")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_sdd"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = (
+            spark.sql("select * from sdd")
+            .toPandas()
+            .sort_values(["key", "n_seen"])
+            .groupby("key")
+            .last()  # freshest emission per key
+        )
+        for key, g in pdf.groupby("key"):
+            g = g.sort_values("ts")
+            peak, best, bp, bt, bts = None, -1, None, None, None
+            for t, c in zip(g.ts, g.cents):
+                peak = c if peak is None else max(peak, c)
+                if peak - c > best:
+                    best, bp, bt, bts = peak - c, peak, c, t
+            row = got.loc[key]
+            assert row.max_dd_cents == best
+            assert (row.peak_cents, row.trough_cents, row.trough_ts) == (bp, bt, bts)
+            assert row.n_seen == len(g)
