@@ -166,12 +166,17 @@ ROTATED_OUT = (
     # session's change-detection / ANN / drift / exact-quantile ops
     "pricing_summary",
     "sessionize",
+    # r7e rotation: stable-since-r1/r5 dedup/retrieval entries out for
+    # the newest composite operators (temporal join, view maintenance,
+    # pruned exact join, dedup evaluation)
+    "ngram_jaccard",
+    "minhash_lsh_candidates",
+    "bm25_topk",
+    "kmeans",
 )
 ROTATED_IN = (
     # r5 rotation (funnel/retention/asof_join/interval_join rotated
-    # back OUT in r7d after 2+ stable rounds — they live in extras now)
-    "bm25_topk",
-    "kmeans",
+    # back OUT in r7d; bm25_topk/kmeans in r7e — all live in extras now)
     # ...r6: the newest multi-stage operators into the hard signal
     "span_dedup",
     "leakage_split",
@@ -216,14 +221,21 @@ ROTATED_IN = (
     "histogram_drift",
     "corr_matrix",
     "exact_quantiles",
+    # ...r7e: the newest composite operators into the hard signal
+    "pit_join",
+    "agg_delta",
+    "allpairs_join",
+    "dedup_eval",
 )
 
 
 def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from stock_indicators_etl_spark.queries import (
+        q_agg_delta,
         q_cdc_merge,
         q_corr_matrix,
         q_cusum,
+        q_pit_join,
         q_dq_check,
         q_exact_quantiles,
         q_histogram_drift,
@@ -234,8 +246,10 @@ def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         q_winsorize,
     )
     from stock_indicators_etl_spark.queries_llm import (
+        q_allpairs_join,
         q_audio_stats,
         q_bigram_surprisal,
+        q_dedup_eval,
         q_ivfsq_topk,
         q_rp_topk,
         q_kcore,
@@ -264,8 +278,6 @@ def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
     )
 
     return {
-        "bm25_topk": q_bm25_topk,
-        "kmeans": q_kmeans,
         "span_dedup": q_span_dedup,
         "leakage_split": q_leakage_split,
         "pq_topk": q_pq_topk,
@@ -302,14 +314,20 @@ def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "histogram_drift": q_histogram_drift,
         "corr_matrix": q_corr_matrix,
         "exact_quantiles": q_exact_quantiles,
+        "pit_join": q_pit_join,
+        "agg_delta": q_agg_delta,
+        "allpairs_join": q_allpairs_join,
+        "dedup_eval": q_dedup_eval,
     }
 
 
 def _rotated_in_oracles() -> dict[str, str]:
     from stock_indicators_etl_spark.queries import (
+        SQL_AGG_DELTA,
         SQL_CDC_MERGE,
         SQL_CORR_MATRIX,
         SQL_CUSUM,
+        SQL_PIT_JOIN,
         SQL_DQ_CHECK,
         SQL_EXACT_QUANTILES,
         SQL_HISTOGRAM_DRIFT,
@@ -320,8 +338,10 @@ def _rotated_in_oracles() -> dict[str, str]:
         SQL_WINSORIZE,
     )
     from stock_indicators_etl_spark.queries_llm import (
+        SQL_ALLPAIRS_JOIN,
         SQL_AUDIO_STATS,
         SQL_BIGRAM_SURPRISAL,
+        SQL_DEDUP_EVAL,
         SQL_IVFSQ_TOPK,
         SQL_RP_TOPK,
         SQL_KCORE,
@@ -350,8 +370,6 @@ def _rotated_in_oracles() -> dict[str, str]:
     )
 
     return {
-        "bm25_topk": SQL_BM25_TOPK,
-        "kmeans": SQL_KMEANS,
         "span_dedup": SQL_SPAN_DEDUP,
         "leakage_split": SQL_LEAKAGE_SPLIT,
         "pq_topk": SQL_PQ_TOPK,
@@ -388,6 +406,10 @@ def _rotated_in_oracles() -> dict[str, str]:
         "histogram_drift": SQL_HISTOGRAM_DRIFT,
         "corr_matrix": SQL_CORR_MATRIX,
         "exact_quantiles": SQL_EXACT_QUANTILES,
+        "pit_join": SQL_PIT_JOIN,
+        "agg_delta": SQL_AGG_DELTA,
+        "allpairs_join": SQL_ALLPAIRS_JOIN,
+        "dedup_eval": SQL_DEDUP_EVAL,
     }
 
 
@@ -403,7 +425,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ``extra_queries()`` / ``scripts/check_oracle.py --extras``.
     q["recursive_family"] = _q_recursive(["rsi", "cmo", "macd", "adx"])
     for name in ROTATED_OUT:
-        q.pop(name)
+        # non-base names (rotated in earlier, out again later) simply
+        # stop being re-added; only base names need the pop
+        q.pop(name, None)
     q.update(_rotated_in_queries())
     return {name: _conf_wrapped(fn) for name, fn in q.items()}
 
@@ -421,7 +445,7 @@ def oracle_sql() -> dict[str, str]:
         "indicator_pipeline_grid": SQL_INDICATOR_PIPELINE_GRID,
     }
     for name in ROTATED_OUT:
-        o.pop(name)
+        o.pop(name, None)
     o.update(_rotated_in_oracles())
     return o
 
@@ -487,8 +511,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     from stock_indicators_etl_spark.queries_llm import (
         q_bpe_merges,
-        q_allpairs_join,
         q_balanced_sample,
+        q_bm25_topk,
         q_chunk_documents,
         q_contrastive_pairs,
         q_collocations,
@@ -501,6 +525,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_kcore,
         q_kmv_distinct,
         q_label_prop,
+        q_kmeans,
         q_kmv_overlap,
         q_knn_label,
         q_length_quantiles,
@@ -579,18 +604,17 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label": q_knn_label,
         "link_predict": q_link_predict,
         "readability": q_readability,
-        "pit_join": q_pit_join,
-        "dedup_eval": q_dedup_eval,
         "balanced_sample": q_balanced_sample,
-        "agg_delta": q_agg_delta,
         "contrastive_pairs": q_contrastive_pairs,
-        "allpairs_join": q_allpairs_join,
+        "bm25_topk": q_bm25_topk,
+        "kmeans": q_kmeans,
         "drawdown": q_drawdown,
         "cross_sectional_rank": q_cross_sectional_rank,
         "rolling_beta": q_rolling_beta,
     }
     for name in ROTATED_OUT:
-        q[name] = base[name]
+        if name in base:  # non-base rotated-out names are added above
+            q[name] = base[name]
     return {name: _conf_wrapped(fn) for name, fn in q.items()}
 
 
@@ -653,8 +677,8 @@ def extra_oracle_sql() -> dict[str, str]:
     )
     from stock_indicators_etl_spark.queries_llm import (
         SQL_BPE_MERGES,
-        SQL_ALLPAIRS_JOIN,
         SQL_BALANCED_SAMPLE,
+        SQL_BM25_TOPK,
         SQL_CHUNK_DOCUMENTS,
         SQL_CONTRASTIVE_PAIRS,
         SQL_COLLOCATIONS,
@@ -667,6 +691,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_KCORE,
         SQL_KMV_DISTINCT,
         SQL_LABEL_PROP,
+        SQL_KMEANS,
         SQL_KMV_OVERLAP,
         SQL_KNN_LABEL,
         SQL_LENGTH_QUANTILES,
@@ -743,17 +768,16 @@ def extra_oracle_sql() -> dict[str, str]:
         "knn_label": SQL_KNN_LABEL,
         "link_predict": SQL_LINK_PREDICT,
         "readability": SQL_READABILITY,
-        "pit_join": SQL_PIT_JOIN,
-        "dedup_eval": SQL_DEDUP_EVAL,
         "balanced_sample": SQL_BALANCED_SAMPLE,
-        "agg_delta": SQL_AGG_DELTA,
         "contrastive_pairs": SQL_CONTRASTIVE_PAIRS,
-        "allpairs_join": SQL_ALLPAIRS_JOIN,
+        "bm25_topk": SQL_BM25_TOPK,
+        "kmeans": SQL_KMEANS,
         "drawdown": SQL_DRAWDOWN,
         "cross_sectional_rank": SQL_CROSS_SECTIONAL_RANK,
         "rolling_beta": SQL_ROLLING_BETA,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:
-        o[name] = base[name]
+        if name in base:
+            o[name] = base[name]
     return o
