@@ -178,3 +178,23 @@ class TestStreamingDrawdown:
             assert row.max_dd_cents == best
             assert (row.peak_cents, row.trough_cents, row.trough_ts) == (bp, bt, bts)
             assert row.n_seen == len(g)
+
+
+class TestPortfolioRiskExample:
+    def test_report_covers_every_series(self, spark):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path("examples").resolve().parent))
+        from examples.portfolio_risk import portfolio_risk_report
+
+        rpt = portfolio_risk_report(spark, "/root/testdata/sf0.001").toPandas()
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        n_series = ev.select("user_id").distinct().count()
+        assert len(rpt) == n_series
+        assert rpt.ticker.is_unique
+        assert rpt.cusum_alarms.notna().all()
+        assert rpt.max_dd_cents.notna().all()
+        # ranks, when present, are within the universe
+        got = rpt.xs_rank.dropna()
+        assert got.between(1, n_series).all()
