@@ -133,3 +133,32 @@ def test_salted_composed_pipeline_keeps_hot_bucket_groups(spark):
     }
     assert all(comp[i] == 0 for i in range(n_hot))
     assert all(comp[1_000 + i] == 1_000 + i for i in range(5))
+
+
+def test_link_prediction_hub_vertex_bounded(spark):
+    """Planted hub: a vertex adjacent to EVERY other vertex. The
+    friend-of-friend enumeration is Σdeg² — the hub contributes
+    deg² = N² pairs through itself, which is the honest cost of a
+    real hub — but the join must stay an equi-join (no cartesian)
+    and produce exactly the expected top pairs: every non-adjacent
+    spoke pair shares the hub, so cn ≥ 1 for all of them."""
+    from pyspark.sql import functions as F
+
+    from stock_indicators_etl_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    n = 40
+    edges = [(0, i) for i in range(1, n)]  # star: 0 is the hub
+    edges += [(1, 2), (3, 4)]  # a couple of spoke-spoke edges
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = link_prediction_scores(df, top_n=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    got = out.toPandas()
+    assert len(got) == 10
+    # all predicted pairs are spoke-spoke (hub already adjacent to all)
+    assert (got.u > 0).all() and (got.v > 0).all()
+    # spokes 1 and 2 are adjacent -> must not be predicted
+    assert not ((got.u == 1) & (got.v == 2)).any()
+    assert (got.cn >= 1).all()
