@@ -528,6 +528,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_kmeans,
         q_kmv_overlap,
         q_knn_label,
+        q_perceptron,
         q_length_quantiles,
         q_link_predict,
         q_neardup_best,
@@ -608,6 +609,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_pairs": q_contrastive_pairs,
         "bm25_topk": q_bm25_topk,
         "kmeans": q_kmeans,
+        "perceptron": q_perceptron,
         "drawdown": q_drawdown,
         "cross_sectional_rank": q_cross_sectional_rank,
         "rolling_beta": q_rolling_beta,
@@ -694,6 +696,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_KMEANS,
         SQL_KMV_OVERLAP,
         SQL_KNN_LABEL,
+        SQL_PERCEPTRON,
         SQL_LENGTH_QUANTILES,
         SQL_LINK_PREDICT,
         SQL_NEARDUP_BEST,
@@ -772,6 +775,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "contrastive_pairs": SQL_CONTRASTIVE_PAIRS,
         "bm25_topk": SQL_BM25_TOPK,
         "kmeans": SQL_KMEANS,
+        "perceptron": SQL_PERCEPTRON,
         "drawdown": SQL_DRAWDOWN,
         "cross_sectional_rank": SQL_CROSS_SECTIONAL_RANK,
         "rolling_beta": SQL_ROLLING_BETA,

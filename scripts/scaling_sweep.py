@@ -59,6 +59,7 @@ SF1_QUERIES = {
     "label_prop", "sq_topk", "ivfsq_topk",
     "rp_topk", "knn_label", "link_predict", "readability",
     "dedup_eval", "balanced_sample", "contrastive_pairs", "allpairs_join",
+    "perceptron",
 }
 
 # one representative per plan family
@@ -175,6 +176,7 @@ QUERIES = [
     "drawdown",               # running-extremum closed form (extra)
     "cross_sectional_rank",   # per-bucket universe rank windows (extra)
     "rolling_beta",           # integer-sum cov/var trailing frame (extra)
+    "perceptron",             # integer batch-perceptron training (extra)
 ]
 
 

@@ -3541,6 +3541,72 @@ FROM j WHERE jaccard >= {ALLPAIRS_T}
 """
 
 
+
+PCT_EPOCHS = 5
+PCT_POS_MIN = 5
+
+
+def q_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-perceptron training over int8-quantized embeddings
+    (``llmdata/classifier.perceptron_train``): 5 full-batch epochs of
+    all-INTEGER updates (y = label ≥ 5), each epoch one broadcast
+    weight join + one combinable groupBy — the data-parallel trainer
+    whose fixed unroll replays bit-exactly in SQL (float logistic
+    regression would drift on exp's last ulp). Output: the 64 final
+    weights + the final-epoch misclassified count."""
+    from stock_indicators_etl_spark.llmdata.classifier import (
+        perceptron_train,
+    )
+
+    return perceptron_train(
+        _emb(spark, sf_dir), epochs=PCT_EPOCHS, positive_min=PCT_POS_MIN
+    )
+
+
+def _perceptron_sql(epochs: int = PCT_EPOCHS, dim: int = 64) -> str:
+    parts = [
+        "e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"n AS (SELECT vec_id, label, v, sqrt(list_reduce(list_prepend(0.0, "
+        f"list_transform(generate_series(1, {dim}), i -> v[i] * v[i])), "
+        f"(a, b) -> a + b)) AS nrm FROM e)",
+        f"c AS (SELECT vec_id AS id, CAST(i - 1 AS BIGINT) AS j, "
+        f"CASE WHEN nrm = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST(floor(v[i] / nrm * 127.0 + 0.5) AS BIGINT) END AS x "
+        f"FROM n, unnest(generate_series(1, {dim})) AS t(i))",
+        f"lab AS (SELECT vec_id AS id, CASE WHEN label >= {PCT_POS_MIN} "
+        f"THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y FROM e)",
+        f"w0 AS (SELECT CAST(j AS BIGINT) AS j, CAST(0 AS BIGINT) AS w "
+        f"FROM unnest(generate_series(0, {dim - 1})) AS t(j))",
+    ]
+    prev = "w0"
+    for k in range(1, epochs + 1):
+        parts.append(
+            f"m{k} AS (SELECT c.id, lab.y, CAST(sum(w.w * c.x) AS BIGINT) AS dot "
+            f"FROM c JOIN lab ON lab.id = c.id JOIN {prev} w ON w.j = c.j "
+            f"GROUP BY c.id, lab.y)"
+        )
+        parts.append(
+            f"mis{k} AS (SELECT id, y FROM m{k} WHERE y * dot <= 0)"
+        )
+        parts.append(
+            f"d{k} AS (SELECT c.j, CAST(sum(mis{k}.y * c.x) AS BIGINT) AS d "
+            f"FROM c JOIN mis{k} ON mis{k}.id = c.id GROUP BY c.j)"
+        )
+        parts.append(
+            f"w{k} AS (SELECT w.j, CAST(w.w + coalesce(d{k}.d, 0) AS BIGINT) AS w "
+            f"FROM {prev} w LEFT JOIN d{k} ON d{k}.j = w.j)"
+        )
+        prev = f"w{k}"
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT j, w, (SELECT CAST(count(*) AS BIGINT) FROM mis{epochs}) AS n_mis "
+        + f"FROM {prev}"
+    )
+
+
+SQL_PERCEPTRON = _perceptron_sql()
+
+
 QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "token_counts": q_token_counts,

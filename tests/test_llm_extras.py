@@ -184,3 +184,70 @@ class TestReadability:
         assert out.loc[0, "flesch"] == pytest.approx(want, abs=1e-6)
         assert out.loc[1, "n_sentences"] == 0  # fragment, floored to 1 in score
         assert out.loc[2, "n_words"] == 0 and pd.isna(out.loc[2, "flesch"])
+
+
+class TestPerceptron:
+    def test_matches_numpy_replica(self, spark):
+        """Fixed-epoch batch perceptron == a numpy replay over the
+        same int8 codes (quantizer included)."""
+        from stock_indicators_etl_spark.llmdata.classifier import (
+            perceptron_train,
+        )
+
+        sdf, vecs = _emb_df(spark, n=60, dim=16, seed=7)
+        epochs, pos_min = 4, 2
+        out = (
+            perceptron_train(
+                sdf, epochs=epochs, positive_min=pos_min, dim=16
+            )
+            .toPandas()
+            .sort_values("j")
+            .reset_index(drop=True)
+        )
+        v = vecs.astype("float64")
+        nrm = np.linalg.norm(v, axis=1, keepdims=True)
+        codes = np.where(
+            nrm == 0, 0, np.floor(v / np.where(nrm == 0, 1, nrm) * 127.0 + 0.5)
+        ).astype("int64")
+        labels = (np.arange(60) % 4).astype("int64")
+        y = np.where(labels >= pos_min, 1, -1).astype("int64")
+        w = np.zeros(16, dtype="int64")
+        n_mis = 0
+        for _ in range(epochs):
+            margin = y * (codes @ w)
+            mis = margin <= 0
+            w = w + (codes[mis] * y[mis, None]).sum(axis=0)
+            n_mis = int(mis.sum())
+        assert list(out.w) == list(w)
+        assert (out.n_mis == n_mis).all()
+
+    def test_converges_on_separable_fixture(self, spark):
+        """A linearly separable corpus must reach 0 misclassified
+        within a few epochs (perceptron convergence theorem)."""
+        import pandas as pd
+
+        from stock_indicators_etl_spark.llmdata.classifier import (
+            perceptron_train,
+        )
+
+        rng = np.random.default_rng(15)
+        n, dim = 80, 8
+        direction = rng.normal(size=dim)
+        xs, ys = [], []
+        for i in range(n):
+            x = rng.normal(size=dim)
+            side = 1 if x @ direction > 0 else -1
+            x = x + 2.0 * side * direction / np.linalg.norm(direction)
+            xs.append(x.astype("float32"))
+            ys.append(9 if side > 0 else 0)
+        pdf = pd.DataFrame(
+            {
+                "vec_id": np.arange(n, dtype="int64"),
+                "embedding": [list(map(float, x)) for x in xs],
+                "label": np.array(ys, dtype="int64"),
+            }
+        )
+        out = perceptron_train(
+            spark.createDataFrame(pdf), epochs=20, positive_min=5, dim=dim
+        ).toPandas()
+        assert (out.n_mis == 0).all()
