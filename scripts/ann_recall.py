@@ -42,7 +42,10 @@ def main() -> int:
         ivf_topk,
         lsh_bucketed_topk,
         pq_topk,
+        rp_topk,
+        sq_topk,
     )
+    from stock_indicators_etl_spark.llmdata.similarity import ivfsq_topk as _ivfsq
     from stock_indicators_etl_spark.llmdata.similarity import ivfpq_topk as _ivfpq
     from stock_indicators_etl_spark.session import get_spark
 
@@ -59,6 +62,12 @@ def main() -> int:
             "ivfpq_topk (16 cells, probe 4)": lambda: _ivfpq(emb, q, k=k),
             "pq_topk + rerank 100": lambda: pq_topk(emb, q, k=k, rerank=100),
             "ivfpq_topk + rerank 100": lambda: _ivfpq(emb, q, k=k, rerank=100),
+            "sq_topk (int8 symmetric)": lambda: sq_topk(emb, q, k=k),
+            "ivfsq_topk (16 cells, probe 4)": lambda: _ivfsq(emb, q, k=k),
+            "rp_topk (16 planes, 3k shortlist)": lambda: rp_topk(emb, q, k=k),
+            "rp_topk (shortlist 10k)": lambda: rp_topk(
+                emb, q, k=k, shortlist_factor=10
+            ),
         }
         lines = [
             f"### {title}",
