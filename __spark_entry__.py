@@ -239,6 +239,7 @@ def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         q_dq_check,
         q_exact_quantiles,
         q_histogram_drift,
+        q_kl_drift,
         q_mad_outliers,
         q_ols_by_key,
         q_rolling_robust,
@@ -331,6 +332,7 @@ def _rotated_in_oracles() -> dict[str, str]:
         SQL_DQ_CHECK,
         SQL_EXACT_QUANTILES,
         SQL_HISTOGRAM_DRIFT,
+        SQL_KL_DRIFT,
         SQL_MAD_OUTLIERS,
         SQL_OLS_BY_KEY,
         SQL_ROLLING_ROBUST,
@@ -470,9 +472,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_important_stock,
         q_market_share,
         q_min_cost_supplier,
-        q_agg_delta,
         q_cross_sectional_rank,
         q_drawdown,
+        q_kl_drift,
         q_ntile_buckets,
         q_order_priority_check,
         q_pit_join,
@@ -613,6 +615,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drawdown": q_drawdown,
         "cross_sectional_rank": q_cross_sectional_rank,
         "rolling_beta": q_rolling_beta,
+        "kl_drift": q_kl_drift,
     }
     for name in ROTATED_OUT:
         if name in base:  # non-base rotated-out names are added above
@@ -648,9 +651,9 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_MARKET_SHARE,
         SQL_MIN_COST_SUPPLIER,
         SQL_NTILE_BUCKETS,
-        SQL_AGG_DELTA,
         SQL_CROSS_SECTIONAL_RANK,
         SQL_DRAWDOWN,
+        SQL_KL_DRIFT,
         SQL_ORDER_PRIORITY_CHECK,
         SQL_PIT_JOIN,
         SQL_PIVOT_MATRIX,
@@ -779,6 +782,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "drawdown": SQL_DRAWDOWN,
         "cross_sectional_rank": SQL_CROSS_SECTIONAL_RANK,
         "rolling_beta": SQL_ROLLING_BETA,
+        "kl_drift": SQL_KL_DRIFT,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

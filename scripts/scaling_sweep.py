@@ -177,6 +177,7 @@ QUERIES = [
     "cross_sectional_rank",   # per-bucket universe rank windows (extra)
     "rolling_beta",           # integer-sum cov/var trailing frame (extra)
     "perceptron",             # integer batch-perceptron training (extra)
+    "kl_drift",               # ordered-fold KL over shared histograms (extra)
 ]
 
 

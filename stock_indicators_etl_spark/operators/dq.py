@@ -194,3 +194,91 @@ def histogram_drift(
             .alias("tvd"),
         )
     )
+
+
+def kl_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    n_bins: int = 16,
+) -> DataFrame:
+    """Per-key Kullback–Leibler drift ``KL(P_b ‖ P_a)`` between two
+    snapshots over the shared equi-width histogram — the asymmetric
+    companion to :func:`histogram_drift`'s TVD (KL weights tail
+    surprises exponentially, TVD counts moved mass linearly; a
+    monitoring stack wants both).
+
+    Float discipline: a KL sum has no integer closed form (it needs
+    ``ln``), so instead of a GROUP-BY float sum (engine-order-
+    dependent) each key's bins are collected into a bin-ORDERED array
+    and folded left with a 0.0 seed — the ``aggregate``/``list_reduce``
+    sequence both engines replay identically. Add-one (Laplace)
+    smoothing over all ``n_bins`` bins keeps every log argument
+    finite and makes absent-side keys well-defined (uniform vs
+    observed). Bins are materialized densely per key (keys × n_bins
+    rows — a shuffle-sized frame, never driver-side).
+    """
+    keys = list(key_cols)
+    a = df_a.select(*keys, F.col(value_col).alias("_v")).withColumn(
+        "_side", F.lit("a")
+    )
+    b = df_b.select(*keys, F.col(value_col).alias("_v")).withColumn(
+        "_side", F.lit("b")
+    )
+    u = a.unionByName(b).withColumn(
+        "_cents", F.floor(F.col("_v") * 100 + F.lit(0.5)).cast("long")
+    )
+    bounds = u.groupBy(*keys).agg(
+        F.min("_cents").alias("_mn"), F.max("_cents").alias("_mx")
+    )
+    binned = u.join(F.broadcast(bounds), keys).withColumn(
+        "_bin",
+        F.expr(f"(_cents - _mn) * {int(n_bins)} div (_mx - _mn + 1)"),
+    )
+    counts = binned.groupBy(*keys, "_bin").agg(
+        F.sum((F.col("_side") == "a").cast("long")).alias("ca"),
+        F.sum((F.col("_side") == "b").cast("long")).alias("cb"),
+    )
+    spark = df_a.sparkSession
+    bins = spark.range(n_bins).select(F.col("id").alias("_bin"))
+    frame = (
+        counts.select(*keys).distinct().crossJoin(F.broadcast(bins))
+        .join(counts, [*keys, "_bin"], "left")
+        .select(
+            *keys,
+            "_bin",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    totals = frame.groupBy(*keys).agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    packed = (
+        frame.join(F.broadcast(totals), keys)
+        .groupBy(*keys, "n_a", "n_b")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_bin", "ca", "cb"))
+            ).alias("_arr")
+        )
+    )
+    na_k = F.col("n_a").cast("double") + F.lit(float(n_bins))
+    nb_k = F.col("n_b").cast("double") + F.lit(float(n_bins))
+    kl = F.aggregate(
+        F.col("_arr"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + ((s.getField("cb").cast("double") + F.lit(1.0)) / nb_k)
+        * F.log(
+            ((s.getField("cb").cast("double") + F.lit(1.0)) / nb_k)
+            / ((s.getField("ca").cast("double") + F.lit(1.0)) / na_k)
+        ),
+    )
+    return packed.select(
+        *keys,
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        kl.alias("kl"),
+    )

@@ -4724,6 +4724,79 @@ FROM s
 """
 
 
+
+def q_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL-divergence drift monitor (``operators/dq.kl_drift``): the
+    asymmetric companion to ``histogram_drift`` — per event type,
+    KL(second-half ‖ first-half) over the shared 16-bin histogram
+    with add-one smoothing. The float sum folds over a bin-ORDERED
+    array (aggregate ≡ list_reduce), so even the log-sum is
+    engine-exact."""
+    from stock_indicators_etl_spark.operators.dq import kl_drift
+
+    ev = _events(spark, sf_dir)
+    day = F.expr(f"ns div {_DAY_NS}")
+    a = ev.filter(day < DRIFT_SPLIT_DAY)
+    b = ev.filter(day >= DRIFT_SPLIT_DAY)
+    out = kl_drift(a, b, ("event_type",), "value", n_bins=16)
+    return out.withColumn("kl", _rc(F.col("kl")))
+
+
+_KL_FOLD = (
+    "list_reduce(list_prepend(0.0, list_transform(arr, s -> "
+    "((CAST(s.cb AS DOUBLE) + 1.0) / (CAST(n_b AS DOUBLE) + 16.0)) "
+    "* ln(((CAST(s.cb AS DOUBLE) + 1.0) / (CAST(n_b AS DOUBLE) + 16.0)) "
+    "/ ((CAST(s.ca AS DOUBLE) + 1.0) / (CAST(n_a AS DOUBLE) + 16.0))))), "
+    "(a, b) -> a + b)"
+)
+
+SQL_KL_DRIFT = f"""
+WITH u AS (
+  SELECT event_type,
+         CASE WHEN epoch_ns(ts) // {_DAY_NS} < {DRIFT_SPLIT_DAY}
+              THEN 'a' ELSE 'b' END AS side,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+bounds AS (
+  SELECT event_type, min(cents) AS mn, max(cents) AS mx
+  FROM u GROUP BY event_type
+),
+binned AS (
+  SELECT u.event_type, u.side,
+         (u.cents - b.mn) * 16 // (b.mx - b.mn + 1) AS bin
+  FROM u JOIN bounds b ON u.event_type = b.event_type
+),
+counts AS (
+  SELECT event_type, bin,
+         CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM binned GROUP BY event_type, bin
+),
+frame AS (
+  SELECT k.event_type, b.bin,
+         coalesce(c.ca, 0) AS ca, coalesce(c.cb, 0) AS cb
+  FROM (SELECT DISTINCT event_type FROM counts) k
+  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bin) b
+  LEFT JOIN counts c ON c.event_type = k.event_type AND c.bin = b.bin
+),
+totals AS (
+  SELECT event_type, CAST(sum(ca) AS BIGINT) AS n_a,
+         CAST(sum(cb) AS BIGINT) AS n_b
+  FROM frame GROUP BY event_type
+),
+packed AS (
+  SELECT f.event_type, t.n_a, t.n_b,
+         list({{'ca': f.ca, 'cb': f.cb}} ORDER BY f.bin) AS arr
+  FROM frame f JOIN totals t ON f.event_type = t.event_type
+  GROUP BY f.event_type, t.n_a, t.n_b
+)
+SELECT event_type, n_a, n_b,
+       {R6(_KL_FOLD)} AS kl
+FROM packed
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "market_hours_filter": q_market_hours,
     "rocp_mom": q_rocp,

@@ -232,3 +232,38 @@ class TestAllPairsJoin:
         # bodies differ -> few/no pairs survive; mainly: the join must
         # FINISH without the N²/2 pair explosion the hot shingle implies
         assert len(out) < 80
+
+
+class TestKlDrift:
+    def test_matches_numpy_replica(self, spark):
+        from stock_indicators_etl_spark.operators.dq import kl_drift
+
+        rng = np.random.default_rng(29)
+        a_rows = [("k1", float(v)) for v in rng.normal(50, 5, 300)]
+        b_rows = [("k1", float(v)) for v in rng.normal(55, 8, 280)]
+        a = spark.createDataFrame(a_rows, "event_type string, value double")
+        b = spark.createDataFrame(b_rows, "event_type string, value double")
+        out = kl_drift(a, b, ("event_type",), "value", n_bins=8).toPandas().iloc[0]
+
+        ca_ = np.floor(np.array([v for _, v in a_rows]) * 100 + 0.5).astype("int64")
+        cb_ = np.floor(np.array([v for _, v in b_rows]) * 100 + 0.5).astype("int64")
+        allc = np.concatenate([ca_, cb_])
+        mn, mx = allc.min(), allc.max()
+        bins_a = (ca_ - mn) * 8 // (mx - mn + 1)
+        bins_b = (cb_ - mn) * 8 // (mx - mn + 1)
+        kl = 0.0
+        na, nb = len(ca_), len(cb_)
+        for j in range(8):
+            pa = ((bins_a == j).sum() + 1.0) / (na + 8.0)
+            pb = ((bins_b == j).sum() + 1.0) / (nb + 8.0)
+            kl += pb * np.log(pb / pa)
+        assert out.kl == pytest.approx(kl, abs=1e-9)
+        assert out.n_a == na and out.n_b == nb
+
+    def test_identical_snapshots_near_zero(self, spark):
+        from stock_indicators_etl_spark.operators.dq import kl_drift
+
+        rows = [("k", float(i % 40)) for i in range(200)]
+        df = spark.createDataFrame(rows, "event_type string, value double")
+        out = kl_drift(df, df, ("event_type",), "value").toPandas().iloc[0]
+        assert abs(out.kl) < 1e-12
