@@ -62,6 +62,9 @@ EAGER_CONSTRUCTION = frozenset(
         # the persist work is inside the measurement
         "link_predict",
         "contrastive_pairs",
+        # per-epoch localCheckpoint(eager) runs the 5 training epochs
+        # at construction — that IS the trainer's work
+        "perceptron",
         # localCheckpoint(eager=False) pins each iteration's ranks:
         # a reused handle would time the cache, not the iteration
         "pagerank",
