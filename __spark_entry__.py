@@ -533,6 +533,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_perceptron,
         q_length_quantiles,
         q_link_predict,
+        q_multiprobe_lsh,
         q_neardup_best,
         q_readability,
         q_rp_topk,
@@ -612,6 +613,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "kmeans": q_kmeans,
         "perceptron": q_perceptron,
+        "multiprobe_lsh": q_multiprobe_lsh,
         "drawdown": q_drawdown,
         "cross_sectional_rank": q_cross_sectional_rank,
         "rolling_beta": q_rolling_beta,
@@ -702,6 +704,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_PERCEPTRON,
         SQL_LENGTH_QUANTILES,
         SQL_LINK_PREDICT,
+        SQL_MULTIPROBE_LSH,
         SQL_NEARDUP_BEST,
         SQL_READABILITY,
         SQL_RP_TOPK,
@@ -779,6 +782,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "bm25_topk": SQL_BM25_TOPK,
         "kmeans": SQL_KMEANS,
         "perceptron": SQL_PERCEPTRON,
+        "multiprobe_lsh": SQL_MULTIPROBE_LSH,
         "drawdown": SQL_DRAWDOWN,
         "cross_sectional_rank": SQL_CROSS_SECTIONAL_RANK,
         "rolling_beta": SQL_ROLLING_BETA,

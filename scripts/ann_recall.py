@@ -41,6 +41,7 @@ def main() -> int:
         cosine_topk,
         ivf_topk,
         lsh_bucketed_topk,
+        multiprobe_lsh_topk,
         pq_topk,
         rp_topk,
         sq_topk,
@@ -55,6 +56,7 @@ def main() -> int:
         exact = _topk_sets(cosine_topk(emb, q, k=k).collect(), "nbr_id", k)
         candidates = {
             "lsh_bucketed_topk (8 planes)": lambda: lsh_bucketed_topk(emb, q, k=k),
+            "multiprobe_lsh (1-bit flips)": lambda: multiprobe_lsh_topk(emb, q, k=k),
             "ivf_topk (16 cells, probe 4)": lambda: ivf_topk(emb, q, k=k),
             "ivf_topk (refine_iters=2)": lambda: ivf_topk(emb, q, k=k, refine_iters=2),
             "pq_topk (m=8, ksub=16)": lambda: pq_topk(emb, q, k=k),

@@ -59,7 +59,7 @@ SF1_QUERIES = {
     "label_prop", "sq_topk", "ivfsq_topk",
     "rp_topk", "knn_label", "link_predict", "readability",
     "dedup_eval", "balanced_sample", "contrastive_pairs", "allpairs_join",
-    "perceptron",
+    "perceptron", "multiprobe_lsh",
 }
 
 # one representative per plan family
@@ -178,6 +178,7 @@ QUERIES = [
     "rolling_beta",           # integer-sum cov/var trailing frame (extra)
     "perceptron",             # integer batch-perceptron training (extra)
     "kl_drift",               # ordered-fold KL over shared histograms (extra)
+    "multiprobe_lsh",         # 1-bit-flip probe fan-out ANN (extra)
 ]
 
 

@@ -3607,6 +3607,76 @@ def _perceptron_sql(epochs: int = PCT_EPOCHS, dim: int = 64) -> str:
 SQL_PERCEPTRON = _perceptron_sql()
 
 
+
+def q_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (``llmdata/similarity.multiprobe_lsh_topk``):
+    the home hyperplane bucket + all 8 single-bit-flip buckets per
+    query — the published fix (Lv et al. VLDB'07) for single-bucket
+    LSH's recall cliff, at 9× the candidate count and an unchanged
+    corpus-side scan. Measured recall vs the single-probe form is in
+    DESIGN's ANN-quality table."""
+    from stock_indicators_etl_spark.llmdata.similarity import (
+        multiprobe_lsh_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = multiprobe_lsh_topk(emb, q, k=TOPK)
+    return out.withColumn("cosine", _rc(F.col("cosine")))
+
+
+def _multiprobe_sql(n_planes: int = 8, dim: int = 64) -> str:
+    from stock_indicators_etl_spark.llmdata.similarity import (
+        hyperplane_matrix,
+    )
+
+    planes = hyperplane_matrix(n_planes, dim)
+    projs = []
+    for p in range(n_planes):
+        terms = " + ".join(
+            f"v[{j + 1}] * {planes[p][j]:.1f}" for j in range(dim)
+        )
+        projs.append(f"CASE WHEN 0.0 + {terms} > 0 THEN {1 << p} ELSE 0 END")
+    bucket = " + ".join(projs)
+    masks = "[" + ", ".join(str(m) for m in [0] + [1 << p for p in range(n_planes)]) + "]"
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, {dim}), i -> v[i] * v[i])), (a, b) -> a + b)) AS nrm,
+         CAST({bucket} AS BIGINT) AS bucket
+  FROM e
+),
+q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT q.vec_id AS qid, q.v AS qv, q.nrm AS qn,
+         xor(q.bucket, CAST(m.mask AS BIGINT)) AS bucket
+  FROM q CROSS JOIN (SELECT unnest({masks}) AS mask) m
+),
+cand AS (
+  SELECT DISTINCT p.qid, c.vec_id AS nbr_id
+  FROM probes p JOIN n c ON c.bucket = p.bucket AND c.vec_id <> p.qid
+),
+scored AS (
+  SELECT cand.qid, cand.nbr_id,
+         CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+              ELSE list_reduce(list_prepend(0.0, list_transform(generate_series(1, {dim}), i -> q.v[i] * c.v[i])), (a, b) -> a + b) / (q.nrm * c.nrm) END AS cosine
+  FROM cand
+  JOIN n q ON q.vec_id = cand.qid
+  JOIN n c ON c.vec_id = cand.nbr_id
+),
+rk AS (
+  SELECT qid, nbr_id, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nbr_id ASC) AS rk
+  FROM scored
+)
+SELECT qid, rk, nbr_id, {R6('cosine')} AS cosine FROM rk WHERE rk <= {TOPK}
+"""
+
+
+SQL_MULTIPROBE_LSH = _multiprobe_sql()
+
+
 QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "token_counts": q_token_counts,

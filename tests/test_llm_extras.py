@@ -251,3 +251,44 @@ class TestPerceptron:
             spark.createDataFrame(pdf), epochs=20, positive_min=5, dim=dim
         ).toPandas()
         assert (out.n_mis == 0).all()
+
+
+class TestMultiprobeLsh:
+    def test_recall_dominates_single_probe(self, spark):
+        """Probing the 8 flip buckets can only ADD candidates, so
+        multi-probe recall >= single-probe recall, query by query."""
+        from pyspark.sql import functions as F
+
+        from stock_indicators_etl_spark.llmdata.similarity import (
+            cosine_topk,
+            lsh_bucketed_topk,
+            multiprobe_lsh_topk,
+        )
+
+        sdf, _ = _emb_df(spark, n=120, dim=16, seed=21)
+        q = sdf.filter(F.col("vec_id") < 10)
+        exact = cosine_topk(sdf, q, k=5).toPandas()
+        single = lsh_bucketed_topk(sdf, q, k=5, dim=16).toPandas()
+        multi = multiprobe_lsh_topk(sdf, q, k=5, dim=16).toPandas()
+        s_hits = m_hits = 0
+        for qid in range(10):
+            t = set(exact[exact.qid == qid].nbr_id)
+            s_hits += len(set(single[single.qid == qid].nbr_id) & t)
+            m_hits += len(set(multi[multi.qid == qid].nbr_id) & t)
+        assert m_hits >= s_hits
+        assert m_hits > 0
+
+    def test_nflip_zero_equals_single_probe(self, spark):
+        from pyspark.sql import functions as F
+
+        from stock_indicators_etl_spark.llmdata.similarity import (
+            lsh_bucketed_topk,
+            multiprobe_lsh_topk,
+        )
+
+        sdf, _ = _emb_df(spark, n=60, dim=16, seed=2)
+        q = sdf.filter(F.col("vec_id") < 5)
+        a = lsh_bucketed_topk(sdf, q, k=5, dim=16).toPandas()
+        b = multiprobe_lsh_topk(sdf, q, k=5, dim=16, n_flip=0).toPandas()
+        key = lambda d: sorted(map(tuple, d[["qid", "rk", "nbr_id"]].values))
+        assert key(a) == key(b)
