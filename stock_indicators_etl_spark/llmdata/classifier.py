@@ -117,3 +117,54 @@ def perceptron_train(
         w = w.localCheckpoint(eager=True)
     mis_count = n_mis.agg(F.count(F.lit(1)).alias("n_mis"))
     return w.crossJoin(F.broadcast(mis_count)).select("j", "w", "n_mis")
+
+
+def perceptron_score(
+    embeddings: DataFrame,
+    weights: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Score rows with a trained weight table: (id, margin, pred)
+    where ``margin = Σ_j w_j·x_ij`` (BIGINT) over the same int8
+    codes the trainer saw, ``pred = margin > 0``.
+
+    The weight table is dim-bounded (64 rows), so it collapses to a
+    literal array and inference becomes a PURE SCAN — one codegen'd
+    fold per row, no join, no shuffle, no aggregation. That is also
+    what makes the same call work unchanged on a ``readStream``
+    frame (no watermark needed — there is no stateful operator),
+    which is the deployment shape. The collect here is the k-row
+    bounded kind (centroid/codebook precedent), never corpus-sized.
+    """
+    rows = sorted(
+        weights.select("j", "w").collect(), key=lambda r: r["j"]
+    )
+    if len(rows) != dim:
+        raise ValueError(f"expected {dim} weights, got {len(rows)}")
+    w_lit = F.array(*[F.lit(int(r["w"])).cast("long") for r in rows])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with(v, v, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    code = F.transform(
+        v,
+        lambda x: F.when(nrm == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(x / nrm * 127.0 + F.lit(0.5)).cast("long")
+        ),
+    )
+    margin = F.aggregate(
+        F.zip_with(code, w_lit, lambda c, w: c * w),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return embeddings.select(
+        F.col(id_col).alias("id"),
+        margin.alias("margin"),
+        (margin > 0).alias("pred"),
+    )

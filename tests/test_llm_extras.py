@@ -292,3 +292,62 @@ class TestMultiprobeLsh:
         b = multiprobe_lsh_topk(sdf, q, k=5, dim=16, n_flip=0).toPandas()
         key = lambda d: sorted(map(tuple, d[["qid", "rk", "nbr_id"]].values))
         assert key(a) == key(b)
+
+
+class TestPerceptronScore:
+    def test_train_then_score_consistency(self, spark):
+        """Scoring the training set with the final weights reproduces
+        the final epoch's margin signs — and works unchanged as a
+        stream-static join on a readStream frame."""
+        from stock_indicators_etl_spark.llmdata.classifier import (
+            perceptron_score,
+            perceptron_train,
+        )
+
+        sdf, vecs = _emb_df(spark, n=50, dim=16, seed=33)
+        w = perceptron_train(sdf, epochs=6, positive_min=2, dim=16)
+        scored = perceptron_score(sdf, w, dim=16).toPandas()
+        assert len(scored) == 50
+        # replicate margins in numpy
+        v = vecs.astype("float64")
+        nrm = np.linalg.norm(v, axis=1, keepdims=True)
+        codes = np.where(
+            nrm == 0, 0, np.floor(v / np.where(nrm == 0, 1, nrm) * 127.0 + 0.5)
+        ).astype("int64")
+        wv = (
+            w.toPandas().sort_values("j").w.values.astype("int64")
+        )
+        margins = codes @ wv
+        got = scored.sort_values("id").reset_index(drop=True)
+        assert list(got.margin) == list(margins)
+        assert list(got.pred) == list(margins > 0)
+
+    def test_streaming_inference(self, spark, tmp_path):
+        import pandas as pd
+
+        from stock_indicators_etl_spark.llmdata.classifier import (
+            perceptron_score,
+            perceptron_train,
+        )
+
+        sdf, _ = _emb_df(spark, n=30, dim=16, seed=4)
+        w = perceptron_train(sdf, epochs=3, positive_min=2, dim=16)
+        src = tmp_path / "emb_stream"
+        src.mkdir()
+        sdf.toPandas().to_parquet(str(src / "a.parquet"))
+        stream = spark.readStream.schema(
+            "vec_id bigint, embedding array<float>, label bigint"
+        ).parquet(str(src))
+        out = perceptron_score(stream, w, dim=16)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("pscore")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_ps"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select * from pscore").toPandas()
+        batch = perceptron_score(sdf, w, dim=16).toPandas()
+        assert sorted(got.margin) == sorted(batch.margin)
