@@ -513,6 +513,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     from stock_indicators_etl_spark.queries_llm import (
         q_bpe_merges,
+        q_ann_eval,
         q_balanced_sample,
         q_bm25_topk,
         q_chunk_documents,
@@ -614,6 +615,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,
         "perceptron": q_perceptron,
         "multiprobe_lsh": q_multiprobe_lsh,
+        "ann_eval": q_ann_eval,
         "drawdown": q_drawdown,
         "cross_sectional_rank": q_cross_sectional_rank,
         "rolling_beta": q_rolling_beta,
@@ -684,6 +686,7 @@ def extra_oracle_sql() -> dict[str, str]:
     )
     from stock_indicators_etl_spark.queries_llm import (
         SQL_BPE_MERGES,
+        SQL_ANN_EVAL,
         SQL_BALANCED_SAMPLE,
         SQL_BM25_TOPK,
         SQL_CHUNK_DOCUMENTS,
@@ -783,6 +786,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "kmeans": SQL_KMEANS,
         "perceptron": SQL_PERCEPTRON,
         "multiprobe_lsh": SQL_MULTIPROBE_LSH,
+        "ann_eval": SQL_ANN_EVAL,
         "drawdown": SQL_DRAWDOWN,
         "cross_sectional_rank": SQL_CROSS_SECTIONAL_RANK,
         "rolling_beta": SQL_ROLLING_BETA,

@@ -59,7 +59,7 @@ SF1_QUERIES = {
     "label_prop", "sq_topk", "ivfsq_topk",
     "rp_topk", "knn_label", "link_predict", "readability",
     "dedup_eval", "balanced_sample", "contrastive_pairs", "allpairs_join",
-    "perceptron", "multiprobe_lsh",
+    "perceptron", "multiprobe_lsh", "ann_eval",
 }
 
 # one representative per plan family
@@ -179,6 +179,7 @@ QUERIES = [
     "perceptron",             # integer batch-perceptron training (extra)
     "kl_drift",               # ordered-fold KL over shared histograms (extra)
     "multiprobe_lsh",         # 1-bit-flip probe fan-out ANN (extra)
+    "ann_eval",               # recall@k of the index vs exact (extra)
 ]
 
 

@@ -3677,6 +3677,117 @@ SELECT qid, rk, nbr_id, {R6('cosine')} AS cosine FROM rk WHERE rk <= {TOPK}
 SQL_MULTIPROBE_LSH = _multiprobe_sql()
 
 
+
+def q_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality as a first-class query: per-query recall@10 of
+    multi-probe LSH against exact cosine — the eval harness a 100 TB
+    index deployment runs on a sample BEFORE trusting the index
+    (companion to ``dedup_eval``; the full sweep lives in
+    ``scripts/ann_recall.py`` / DESIGN's ANN table). One join of the
+    two top-k sets + a per-query conditional count; recall is one
+    IEEE division by k."""
+    from stock_indicators_etl_spark.llmdata.similarity import (
+        cosine_topk,
+        multiprobe_lsh_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = cosine_topk(emb, q, k=TOPK).select("qid", "nbr_id")
+    approx = multiprobe_lsh_topk(emb, q, k=TOPK).select(
+        "qid", "nbr_id", F.lit(1).alias("_hit")
+    )
+    return (
+        exact.join(approx, ["qid", "nbr_id"], "left")
+        .groupBy("qid")
+        .agg(F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hits"))
+        .select(
+            "qid",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            _rc(
+                F.col("n_hits").cast("double") / F.lit(float(TOPK))
+            ).alias("recall"),
+        )
+    )
+
+
+def _ann_eval_sql(n_planes: int = 8, dim: int = 64) -> str:
+    from stock_indicators_etl_spark.llmdata.similarity import (
+        hyperplane_matrix,
+    )
+
+    planes = hyperplane_matrix(n_planes, dim)
+    projs = []
+    for p in range(n_planes):
+        terms = " + ".join(
+            f"v[{j + 1}] * {planes[p][j]:.1f}" for j in range(dim)
+        )
+        projs.append(f"CASE WHEN 0.0 + {terms} > 0 THEN {1 << p} ELSE 0 END")
+    bucket = " + ".join(projs)
+    masks = "[" + ", ".join(
+        str(m) for m in [0] + [1 << p for p in range(n_planes)]
+    ) + "]"
+    fold = (
+        "list_reduce(list_prepend(0.0, list_transform(generate_series(1, "
+        f"{dim}), i -> q.v[i] * c.v[i])), (a, b) -> a + b)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, {dim}), i -> v[i] * v[i])), (a, b) -> a + b)) AS nrm,
+         CAST({bucket} AS BIGINT) AS bucket
+  FROM e
+),
+q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
+ex_scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nbr_id,
+         CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+              ELSE {fold} / (q.nrm * c.nrm) END AS cosine
+  FROM q JOIN n c ON c.vec_id <> q.vec_id
+),
+ex AS (
+  SELECT qid, nbr_id FROM (
+    SELECT qid, nbr_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, nbr_id ASC) AS rk
+    FROM ex_scored) WHERE rk <= {TOPK}
+),
+probes AS (
+  SELECT q.vec_id AS qid, xor(q.bucket, CAST(m.mask AS BIGINT)) AS bucket
+  FROM q CROSS JOIN (SELECT unnest({masks}) AS mask) m
+),
+cand AS (
+  SELECT DISTINCT p.qid, c.vec_id AS nbr_id
+  FROM probes p JOIN n c ON c.bucket = p.bucket AND c.vec_id <> p.qid
+),
+ap_scored AS (
+  SELECT cand.qid, cand.nbr_id,
+         CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+              ELSE {fold} / (q.nrm * c.nrm) END AS cosine
+  FROM cand
+  JOIN n q ON q.vec_id = cand.qid
+  JOIN n c ON c.vec_id = cand.nbr_id
+),
+ap AS (
+  SELECT qid, nbr_id FROM (
+    SELECT qid, nbr_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, nbr_id ASC) AS rk
+    FROM ap_scored) WHERE rk <= {TOPK}
+)
+SELECT ex.qid,
+       CAST(sum(CASE WHEN ap.nbr_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       {R6(f"CAST(sum(CASE WHEN ap.nbr_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / {float(TOPK)}")} AS recall
+FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.nbr_id = ex.nbr_id
+GROUP BY ex.qid
+"""
+
+
+SQL_ANN_EVAL = _ann_eval_sql()
+
+
 QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "token_counts": q_token_counts,
