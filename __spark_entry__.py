@@ -540,6 +540,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_rp_topk,
         q_semantic_neardup,
         q_sq_topk,
+        q_substr_dedup,
         q_unigram_surprisal,
         q_vocab_index,
         q_weighted_sample,
@@ -557,6 +558,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,
         "chunk_documents": q_chunk_documents,
         "semantic_neardup": q_semantic_neardup,
+        "substr_dedup": q_substr_dedup,
         "unigram_surprisal": q_unigram_surprisal,
         "weighted_sample": q_weighted_sample,
         "embedding_neardup_scaled": q_embedding_neardup_scaled,
@@ -713,6 +715,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_RP_TOPK,
         SQL_SEMANTIC_NEARDUP,
         SQL_SQ_TOPK,
+        SQL_SUBSTR_DEDUP,
         SQL_UNIGRAM_SURPRISAL,
         SQL_VOCAB_INDEX,
         SQL_WEIGHTED_SAMPLE,
@@ -728,6 +731,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "length_quantiles": SQL_LENGTH_QUANTILES,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "semantic_neardup": SQL_SEMANTIC_NEARDUP,
+        "substr_dedup": SQL_SUBSTR_DEDUP,
         "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "embedding_neardup_scaled": SQL_EMBEDDING_NEARDUP_SCALED,

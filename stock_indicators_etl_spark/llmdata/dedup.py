@@ -1048,3 +1048,113 @@ def allpairs_jaccard_join(
     return ngram_jaccard_pairs(
         df, text_col, k, threshold=threshold, candidates=cand_lf
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (ExactSubstr)
+# ---------------------------------------------------------------------------
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 12,
+) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): remove every substring of at
+    least ``min_words`` consecutive words that already occurred
+    anywhere earlier in the corpus — at ARBITRARY word offsets, unlike
+    :func:`span_dedup`'s block-aligned spans. The reference treatment
+    uses a monolithic suffix array; that is a single-machine
+    construction, so here the same semantics come from stride-1
+    ``min_words``-gram windows, which is exactly the set of length-
+    ``min_words`` substrings: a maximal duplicated substring of length
+    L ≥ k is covered by its L−k+1 duplicated k-windows, so masking
+    every word covered by a duplicated window removes precisely the
+    words inside ≥k-word repeats (keep-first: the globally earliest
+    occurrence by ``(doc_id, pos)`` survives).
+
+    Plan shape (all relational, no UDFs):
+
+    1. one ``posexplode`` to ~n_words window rows ``(doc_id, pos,
+       md5(window))`` — rows are narrow (16-byte hash + ints), so the
+       window-hash shuffle moves O(corpus words) small rows, the same
+       asymptotics as the suffix-array sort the reference build does,
+       but embarrassingly parallel;
+    2. ``row_number`` per window hash ordered by ``(doc_id, pos)`` —
+       occurrences ranked >1 are duplicate windows;
+    3. duplicate windows explode to their ≤k covered positions,
+       ``distinct`` per doc, and LEFT ANTI join the word-position
+       stream (both keyed by ``doc_id`` — AQE coalesces these into
+       one doc-keyed exchange);
+    4. ``groupBy(doc_id)`` reassembles surviving words in order.
+
+    Skew: a boilerplate window repeated across the corpus lands one
+    hot hash key, but its rows carry only (id, pos) — bounded bytes —
+    and the rank discards all but bookkeeping. A hot DOC (one doc with
+    millions of words) spreads across window rows evenly.
+
+    Output: ``(doc_id, clean_text, n_words, n_words_kept)`` for every
+    input doc, ``clean_text`` empty when everything was masked.
+
+    Reference parity: reference repo has no substring dedup (850-LoC
+    indicator ETL); this is part of the §7 training-data extension
+    surface.
+    """
+    k = int(min_words)
+    ws = words(F.col(text_col))
+    base = df.select(F.col(id_col).alias("doc_id"), ws.alias("ws"))
+    # stride-1 windows: doc with n words emits n-k+1 rows (none if n<k)
+    wins = base.filter(F.size("ws") >= k).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - F.lit(k - 1)),
+                lambda i: F.md5(F.array_join(F.slice(F.col("ws"), i, k), " ")),
+            )
+        ).alias("pos", "h"),
+    )
+    rk = F.row_number().over(Window.partitionBy("h").orderBy("doc_id", "pos"))
+    dup = (
+        wins.withColumn("_rk", rk)
+        .filter(F.col("_rk") > 1)
+        .select(
+            F.col("doc_id").alias("_rm_doc"),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias(
+                "rm_pos"
+            ),
+        )
+        .distinct()
+    )
+    word_stream = base.select(
+        "doc_id", F.posexplode("ws").alias("pos", "word")
+    )
+    kept = word_stream.join(
+        dup,
+        (word_stream["doc_id"] == dup["_rm_doc"])
+        & (word_stream["pos"] == dup["rm_pos"]),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("word")))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("doc_id", F.size("ws").cast("bigint").alias("n_words"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_words",
+            F.coalesce(F.col("n_words_kept"), F.lit(0))
+            .cast("bigint")
+            .alias("n_words_kept"),
+        )
+    )

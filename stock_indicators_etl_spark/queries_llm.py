@@ -2642,6 +2642,73 @@ FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 
 
 # ---------------------------------------------------------------------------
+# exact substring dedup (ExactSubstr, arbitrary-offset repeats)
+# ---------------------------------------------------------------------------
+
+SUBSTR_MIN_WORDS = 12
+
+
+def q_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup: mask every ≥12-word substring that already
+    occurred anywhere earlier in the corpus, at ANY word offset (the
+    suffix-array treatment of Lee et al. 2022, re-expressed as
+    stride-1 window hashing + keep-first rank + position anti-join).
+    The oracle replays the identical window/rank/mask pipeline in
+    DuckDB."""
+    from stock_indicators_etl_spark.llmdata.dedup import exact_substring_dedup
+
+    return exact_substring_dedup(
+        _docs(spark, sf_dir), min_words=SUBSTR_MIN_WORDS
+    )
+
+
+SQL_SUBSTR_DEDUP = f"""
+WITH {DOCS_CTE},
+win AS (
+  SELECT doc_id,
+         unnest(generate_series(0, len(ws) - {SUBSTR_MIN_WORDS})) AS pos,
+         unnest(list_transform(generate_series(0, len(ws) - {SUBSTR_MIN_WORDS}),
+                i -> md5(array_to_string(
+                       list_slice(ws, i + 1, i + {SUBSTR_MIN_WORDS}), ' ')))) AS h
+  FROM wd WHERE len(ws) >= {SUBSTR_MIN_WORDS}
+),
+rk AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+  FROM win
+),
+rm AS (
+  SELECT DISTINCT doc_id, pos + d AS rm_pos
+  FROM (SELECT doc_id, pos,
+               unnest(generate_series(0, {SUBSTR_MIN_WORDS - 1})) AS d
+        FROM rk WHERE rk > 1)
+),
+wp AS (
+  SELECT doc_id,
+         unnest(generate_series(0, len(ws) - 1)) AS pos,
+         unnest(ws) AS word
+  FROM wd WHERE len(ws) > 0
+),
+kept AS (
+  SELECT w.doc_id, w.pos, w.word
+  FROM wp w
+  WHERE NOT EXISTS (
+    SELECT 1 FROM rm r WHERE r.doc_id = w.doc_id AND r.rm_pos = w.pos)
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_words_kept,
+         string_agg(word, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       CAST(len(w.ws) AS BIGINT) AS n_words,
+       CAST(coalesce(a.n_words_kept, 0) AS BIGINT) AS n_words_kept
+FROM wd w LEFT JOIN agg a ON w.doc_id = a.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # weighted sampling (Efraimidis–Spirakis, token-weighted)
 # ---------------------------------------------------------------------------
 
