@@ -35,7 +35,15 @@ def sq_codes(
     dim: int = 64,
 ) -> DataFrame:
     """(id, j, x) int8 code stream: ``floor(v_j/‖v‖·127 + 0.5)`` —
-    the ``sq_topk`` quantizer, exploded to one row per dimension."""
+    the ``sq_topk`` quantizer, exploded to one row per dimension.
+
+    ``dim`` is VALIDATED per row (scan-local ``raise_error``, no extra
+    pass): a vector whose length differs from ``dim`` fails loudly.
+    Without the check, ``perceptron_train``'s inner join against the
+    ``dim``-row weight table would silently DROP dimensions ``j ≥
+    dim`` and train a plausible-looking but wrong model (mirrors
+    ``perceptron_score``'s driver-side count check).
+    """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     nrm = F.sqrt(
         F.aggregate(
@@ -50,8 +58,17 @@ def sq_codes(
             F.floor(x / nrm * 127.0 + F.lit(0.5)).cast("long")
         ),
     )
+    checked = F.when(
+        F.size(F.col(vec_col)) != F.lit(int(dim)),
+        F.raise_error(
+            F.format_string(
+                f"sq_codes: expected {int(dim)}-dim vectors, got %s",
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        ).cast("array<long>"),
+    ).otherwise(code)
     return (
-        embeddings.select(F.col(id_col).alias("id"), code.alias("_c"))
+        embeddings.select(F.col(id_col).alias("id"), checked.alias("_c"))
         .select("id", F.posexplode("_c").alias("j", "x"))
         .withColumn("j", F.col("j").cast("long"))
     )

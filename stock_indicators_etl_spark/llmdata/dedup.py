@@ -1008,8 +1008,10 @@ def allpairs_jaccard_join(
     property the tests and the oracle both pin), only the candidate
     generation is cheaper. Plan: shingle stream shuffles once for the
     df-counts, once for the per-doc rank window; prefix postings are
-    a strict subset of the full postings, pair expansion shares
-    :func:`_bucket_pairs`. At t = 0.8 the indexed prefix is ~20% of
+    a strict subset of the full postings; the pair expansion is the
+    :func:`_bucket_pairs` HOF pattern over ``(id, n)`` structs, so
+    the length filter consumes the count carried on each posting
+    entry — no broadcast, no extra join. At t = 0.8 the indexed prefix is ~20% of
     each doc — a ~25× pair-stream reduction on boilerplate-heavy
     corpora.
     """
@@ -1026,24 +1028,46 @@ def allpairs_jaccard_join(
     )
     prefix_len = F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
     prefix = sized.filter(F.col("_pos") <= prefix_len).select("doc_id", "h", "_n")
-    posting = prefix.groupBy("h").agg(F.collect_list("doc_id").alias("ids"))
-    cand = _bucket_pairs(posting).distinct()
-    n_tbl = sized.select("doc_id", "_n").distinct()
+    # Each posting entry carries the doc's shingle count from the
+    # prefix stage, so the length filter runs INSIDE the pair
+    # expansion — no join back onto a per-doc length table. (r7
+    # broadcast that corpus-sized table twice: fine at sf0.1, a
+    # guaranteed driver/executor OOM at 100 TB where it is billions
+    # of rows. Broadcast hints are reserved for frames bounded by
+    # construction — dims, codebooks, bucket-count frames.)
+    posting = prefix.groupBy("h").agg(
+        F.collect_list(
+            F.struct(F.col("doc_id").alias("id"), F.col("_n").alias("n"))
+        ).alias("ids")
+    )
+    ids = F.array_sort(F.col("ids"))
+    # struct sort orders by id first; n is functionally dependent on
+    # id, so the (doc_a < doc_b) pair order matches _bucket_pairs
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(
+                    x["id"].alias("doc_a"),
+                    y["id"].alias("doc_b"),
+                    x["n"].alias("_na"),
+                    y["n"].alias("_nb"),
+                ),
+            ),
+        )
+    )
     cand_lf = (
-        cand.join(
-            F.broadcast(n_tbl.select(F.col("doc_id").alias("doc_a"), F.col("_n").alias("_na"))),
-            "doc_a",
-        )
-        .join(
-            F.broadcast(n_tbl.select(F.col("doc_id").alias("doc_b"), F.col("_n").alias("_nb"))),
-            "doc_b",
-        )
+        posting.filter(F.size("ids") > 1)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p._na", "p._nb")
         # length filter: t·max ≤ min  ⇔  t·|A| ≤ |B| ≤ |A|/t
         .filter(
             F.lit(threshold) * F.greatest("_na", "_nb")
             <= F.least("_na", "_nb").cast("double")
         )
         .select("doc_a", "doc_b")
+        .distinct()
     )
     return ngram_jaccard_pairs(
         df, text_col, k, threshold=threshold, candidates=cand_lf

@@ -105,10 +105,20 @@ def lsh_bucketed_topk(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: score only candidates in the query's LSH
     bucket. Trades recall for a 2^n_planes candidate reduction —
-    the scale path when brute force stops fitting."""
+    the scale path when brute force stops fitting.
+
+    ``broadcast_queries`` (default True) is for the genuinely-small
+    query-set case — it pins a broadcast-hash join on the bucket key.
+    Pass **False whenever the query side scales with the corpus**
+    (k-NN graph builds pass the corpus as its own query set): a
+    forced broadcast hint bypasses AQE's size check and would OOM the
+    driver at scale, so the self-join case uses a plain bucket-keyed
+    shuffle join and lets AQE pick the strategy. Results are
+    identical either way."""
     bucket = random_hyperplane_sign_bits(vec_col, n_planes, dim)
     base = with_norm(embeddings.withColumn("bucket", bucket), vec_col, "c_norm").select(
         F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("c_vec"), "c_norm", "bucket"
@@ -119,8 +129,9 @@ def lsh_bucketed_topk(
     dot = _dot(_as_double(F.col("q_vec")), _as_double(F.col("c_vec")))
     den = F.col("q_norm") * F.col("c_norm")
     cos = F.when(den == 0, F.lit(0.0)).otherwise(dot / den)
+    q_side = F.broadcast(q) if broadcast_queries else q
     scored = (
-        base.join(F.broadcast(q), "bucket")
+        base.join(q_side, "bucket")
         .filter(F.col("qid") != F.col("nbr_id"))
         .withColumn("cosine", cos)
     )

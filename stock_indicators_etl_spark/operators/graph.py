@@ -309,8 +309,12 @@ def link_prediction_scores(
     Shape: the pair enumeration is a self-join of the adjacency list
     on the shared neighbor — cost Σ_v deg(v)², the standard
     friend-of-friend bound, NOT |V|² (no cartesian anywhere); hub
-    vertices are the skew knob, capped upstream by the candidate
-    generator's ``max_bucket_size``. Existing edges drop out with one
+    vertices are the skew knob — the degree bound comes from the
+    EDGE LIST the caller feeds in (a k-NN top-k graph symmetrizes to
+    deg ≤ 2k, which is what ``q_link_predict`` relies on; the MinHash
+    candidate path caps via ``_bucket_pairs_salted``'s
+    ``max_bucket_size``). An uncapped edge list makes the hot
+    vertex's deg² the straggler. Existing edges drop out with one
     left-anti join; degree annotation is a combinable groupBy. The
     count and degree arithmetic are all BIGINT; ``jaccard`` is one
     IEEE divide — ranking ties are decided on the integer ``cn`` and

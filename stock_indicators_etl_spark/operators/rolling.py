@@ -30,9 +30,20 @@ from pyspark.sql import functions as F
 
 
 def series_window(
-    key_cols: Sequence[str] = ("ticker",), ws_col: str = "window_start"
+    key_cols: Sequence[str] = ("ticker",),
+    ws_col: str = "window_start",
+    tiebreak_cols: Sequence[str] = (),
 ) -> WindowSpec:
-    return Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(ws_col)
+    """Per-series ordered window. Cumulative/lag computations over it
+    are order-sensitive, so the ordering must be TOTAL: either
+    ``(key, ws_col)`` is unique by construction (grid rollups emit one
+    row per bar), or the caller passes a unique ``tiebreak_cols``
+    (e.g. the event id) — raw event-derived series should always pass
+    one, since duplicate timestamps would otherwise make lag/cumsum
+    results partition-order-dependent."""
+    return Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(
+        ws_col, *tiebreak_cols
+    )
 
 
 def _rn(w: WindowSpec) -> Column:
@@ -344,6 +355,7 @@ def with_bollinger(
     width: float = 2.0,
     key_cols: Sequence[str] = ("ticker",),
     ws_col: str = "window_start",
+    tiebreak_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Bollinger bands: trailing-``n`` SMA ± ``width``·σ per series.
 
@@ -360,9 +372,11 @@ def with_bollinger(
     Sample (n−1) variance, matching the TA-Lib ``nbdev`` convention
     over a full window. First valid output at row ``n`` of each
     series. Frames stay ≤ n rows; one shuffle per series key, shared
-    with every other frame indicator.
+    with every other frame indicator. Pass ``tiebreak_cols`` (a unique
+    column) when ``(key, ws_col)`` is not unique by construction —
+    see :func:`series_window`.
     """
-    w = series_window(key_cols, ws_col)
+    w = series_window(key_cols, ws_col, tiebreak_cols)
     frame = w.rowsBetween(-(n - 1), 0)
     cents = F.floor(F.col(close_col) * 100 + F.lit(0.5)).cast("long")
     out = df.withColumn("_bc", cents)
@@ -396,6 +410,7 @@ def with_obv(
     key_cols: Sequence[str] = ("ticker",),
     ws_col: str = "window_start",
     out_col: str = "obv",
+    tiebreak_cols: Sequence[str] = (),
 ) -> DataFrame:
     """On-balance volume: cumulative ±volume by close direction.
 
@@ -405,8 +420,10 @@ def with_obv(
     on integer cents and the running total sums integer volume units,
     so the whole column is BIGINT-exact (no float accumulation). One
     cumulative window — a single shuffle per series key, linear state.
+    ``lag``/cumsum are order-sensitive: pass ``tiebreak_cols`` when
+    ``(key, ws_col)`` is not unique (see :func:`series_window`).
     """
-    w = series_window(key_cols, ws_col)
+    w = series_window(key_cols, ws_col, tiebreak_cols)
     cents = F.floor(F.col(close_col) * 100 + F.lit(0.5)).cast("long")
     vol = F.floor(F.col(vol_col) + F.lit(0.5)).cast("long")
     out = df.withColumn("_oc", cents)

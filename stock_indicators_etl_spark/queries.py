@@ -97,13 +97,22 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.withColumn("ns", ns.cast("long"))
 
 
-def events_as_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_as_bars(
+    spark: SparkSession, sf_dir: str, with_id: bool = False
+) -> DataFrame:
     """events → bar-shaped series: key=user_id, ws=epoch-ns(ts),
     synthetic OHLCV derived from ``value``/``event_id`` (portable
-    arithmetic, identical in the SQL prelude below)."""
+    arithmetic, identical in the SQL prelude below).
+
+    ``with_id=True`` additionally carries ``bar_id`` (the source
+    ``event_id``, unique) for callers whose cumulative/lag windows
+    need a total order even if duplicate ``(user_id, ns)`` pairs ever
+    appear — raw-event series lack the grid rollup's one-row-per-bar
+    uniqueness guarantee, so order-sensitive consumers tiebreak on it
+    (``rolling.series_window`` docstring)."""
     e = _events(spark, sf_dir)
     v = F.col("value")
-    return e.select(
+    cols = [
         F.col("user_id").cast("string").alias("ticker"),
         F.col("ns").alias("window_start"),
         v.alias("adj_close"),
@@ -111,7 +120,10 @@ def events_as_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         (v + F.lit(1.0)).alias("high"),
         (v - F.lit(1.0)).alias("low"),
         (F.col("event_id") % F.lit(97) + F.lit(1)).cast("double").alias("volume"),
-    )
+    ]
+    if with_id:
+        cols.append(F.col("event_id").alias("bar_id"))
+    return e.select(*cols)
 
 
 #: SQL prelude mirroring :func:`events_as_bars` (DuckDB).
@@ -2138,11 +2150,15 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("revenue")
     )
+    # Global top-10 via orderBy+limit → TakeOrderedAndProject (each
+    # partition keeps its own top-10, the driver merges) — never a
+    # single-partition window over every order-group. The rank is
+    # assigned on the 10-row result, which is trivially small (the
+    # link_prediction_scores pattern, operators/graph.py).
+    top = agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(10)
     w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
-    return (
-        agg.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
-        .select("rk", "l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "rk", "l_orderkey", "revenue", "o_orderdate", "o_orderpriority"
     )
 
 
@@ -4200,8 +4216,8 @@ def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim in the oracle. One series shuffle, ≤20-row frames."""
     from stock_indicators_etl_spark.operators.rolling import with_bollinger
 
-    bars = events_as_bars(spark, sf_dir)
-    out = with_bollinger(bars, n=BB_N, width=BB_WIDTH)
+    bars = events_as_bars(spark, sf_dir, with_id=True)
+    out = with_bollinger(bars, n=BB_N, width=BB_WIDTH, tiebreak_cols=("bar_id",))
     return out.select(
         "ticker",
         "window_start",
@@ -4253,8 +4269,10 @@ def q_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation anywhere, one cumulative window per series."""
     from stock_indicators_etl_spark.operators.rolling import with_obv
 
-    bars = events_as_bars(spark, sf_dir)
-    return with_obv(bars).select("ticker", "window_start", "obv")
+    bars = events_as_bars(spark, sf_dir, with_id=True)
+    return with_obv(bars, tiebreak_cols=("bar_id",)).select(
+        "ticker", "window_start", "obv"
+    )
 
 
 SQL_OBV = f"""
@@ -4513,17 +4531,20 @@ def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes + a per-key argmax, no recursion. All integer cents; the
     trough row is the EARLIEST bar attaining the maximum drawdown,
     and ``peak_cents`` is the running peak at that trough. Output one
-    row per ticker."""
-    bars = events_as_bars(spark, sf_dir)
-    w = Window.partitionBy("ticker").orderBy("window_start")
+    row per ticker. All ordered windows tiebreak on the unique
+    ``bar_id`` so the running peak and the argmax stay deterministic
+    even under duplicate ``(ticker, ns)`` (none in testdata — but
+    order-sensitive folds must never depend on partition order)."""
+    bars = events_as_bars(spark, sf_dir, with_id=True)
+    w = Window.partitionBy("ticker").orderBy("window_start", "bar_id")
     cum = w.rowsBetween(Window.unboundedPreceding, 0)
     cents = F.floor(F.col("adj_close") * 100 + F.lit(0.5)).cast("long")
-    d = bars.select("ticker", "window_start", cents.alias("c"))
+    d = bars.select("ticker", "window_start", "bar_id", cents.alias("c"))
     d = d.withColumn("peak", F.max("c").over(cum)).withColumn(
         "dd", F.col("peak") - F.col("c")
     )
     wa = Window.partitionBy("ticker").orderBy(
-        F.col("dd").desc(), F.col("window_start").asc()
+        F.col("dd").desc(), F.col("window_start").asc(), F.col("bar_id").asc()
     )
     return (
         d.withColumn("_r", F.row_number().over(wa))

@@ -946,10 +946,16 @@ def q_vocab_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary indexing (StringIndexer shape): dense integer ids
     for corpus tokens by (count desc, token) — the embedding-table /
     categorical-encoding prep step. The corpus-wide token count is
-    the usual combinable fan-out shuffle; the id assignment window is
-    global but VOCABULARY-sized (further floored by ``min_count``),
-    so the single-partition rank is bounded regardless of corpus
-    rows. All-integer output, deterministic ties."""
+    the usual combinable fan-out shuffle; the id assignment is a
+    TWO-LEVEL prefix-sum rank (the ``pack_sequences`` pattern):
+    tokens bucket by ``(n, first char)`` — a prefix of the
+    ``(n desc, token asc)`` sort order, so per-bucket ``row_number``
+    plus the cumulated bucket offset IS the global rank,
+    bit-identical — and the only unpartitioned window runs over the
+    tiny distinct-(n, prefix) bucket-count frame, never over the
+    vocabulary itself (a web-scale vocab is billions of rows; r7
+    dragged it through one task). All-integer output, deterministic
+    ties."""
     from pyspark.sql import Window
 
     from stock_indicators_etl_spark.llmdata.text import spread, words
@@ -963,9 +969,26 @@ def q_vocab_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= VOCAB_MIN_COUNT)
     )
-    w = Window.orderBy(F.desc("n"), F.asc("token"))
-    return counts.select(
-        "token", "n", F.row_number().over(w).alias("token_id")
+    keyed = counts.withColumn("_pfx", F.substring("token", 1, 1))
+    bw = Window.orderBy(F.desc("n"), F.asc("_pfx")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bucket_offsets = (
+        keyed.groupBy("n", "_pfx")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .withColumn("_boff", F.coalesce(F.sum("_bn").over(bw), F.lit(0)))
+        .select("n", "_pfx", "_boff")
+    )
+    iw = Window.partitionBy("n", "_pfx").orderBy(F.asc("token"))
+    return (
+        keyed.join(F.broadcast(bucket_offsets), ["n", "_pfx"])
+        .select(
+            "token",
+            "n",
+            (F.col("_boff") + F.row_number().over(iw))
+            .cast("int")
+            .alias("token_id"),
+        )
     )
 
 
@@ -3137,10 +3160,13 @@ def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbor / Jaccard link prediction
     (``operators/graph.link_prediction_scores``) over the k-NN graph
     of the embedding table — built with the LSH-BUCKETED top-k
-    generator (``lsh_bucketed_topk``, each vector's 3 nearest cosine
-    neighbors within its hyperplane bucket, symmetrized), so the
-    graph build is the actual scale path (Σ n_b² bucket pairs, no
-    N² cross join, no vertex cap) and the full corpus participates.
+    generator (``lsh_bucketed_topk`` with ``broadcast_queries=False``
+    since the query side here IS the corpus: a plain bucket-keyed
+    shuffle join, no forced broadcast of a corpus-sized frame), each
+    vector's 3 nearest cosine neighbors within its hyperplane bucket,
+    symmetrized — so the graph build is the actual scale path
+    (Σ n_b² bucket pairs, no N² cross join, no vertex cap) and the
+    full corpus participates.
     (The MinHash-LSH candidate graph is the wrong substrate here:
     its band buckets induce cliques, so it has no open triads to
     predict.) The edge list is persisted — the prediction stage
@@ -3156,7 +3182,7 @@ def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb(spark, sf_dir)
-    knn = lsh_bucketed_topk(emb, emb, k=KNN_GRAPH_K)
+    knn = lsh_bucketed_topk(emb, emb, k=KNN_GRAPH_K, broadcast_queries=False)
     edges = knn.select(
         F.col("qid").alias("src"), F.col("nbr_id").alias("dst")
     ).persist()
@@ -3420,7 +3446,16 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH candidates → candidate-restricted exact Jaccard → per-anchor
     argmax window; negatives are one rank join + an anti-join. No
     randomness anywhere — the pair set is reproducible across runs,
-    which is what makes a training corpus auditable."""
+    which is what makes a training corpus auditable.
+
+    The corpus shuffle rank is a TWO-LEVEL prefix sum (the
+    ``pack_sequences`` pattern, ``llmdata/retrieval.py``), NOT an
+    unpartitioned ``row_number`` window: docs bucket by the top 12
+    bits of the md5-derived ``h56`` sort key (bucket order is a
+    prefix of the sort order, so per-bucket rank + bucket offset IS
+    the global rank, bit-identical); the only unpartitioned window
+    runs over the ≤4096-row bucket-count frame. r7 ranked the whole
+    corpus through one task here — THE straggler at 100×."""
     from pyspark.sql import Window
 
     from stock_indicators_etl_spark.llmdata.dedup import (
@@ -3457,8 +3492,22 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             _rc(F.col("jaccard")).alias("jaccard"),
         )
     )
-    wr = Window.orderBy(h56(F.col("doc_id").cast("string")), F.col("doc_id"))
-    ranked = docs.select("doc_id").withColumn("rk", F.row_number().over(wr))
+    keyed = docs.select(
+        "doc_id", h56(F.col("doc_id").cast("string")).alias("_hk")
+    ).withColumn("_bkt", F.shiftright("_hk", 44))
+    bw = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_offsets = (
+        keyed.groupBy("_bkt")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .withColumn("_boff", F.coalesce(F.sum("_bn").over(bw), F.lit(0)))
+        .select("_bkt", "_boff")
+    )
+    iw = Window.partitionBy("_bkt").orderBy(F.col("_hk").asc(), F.col("doc_id").asc())
+    ranked = (
+        keyed.join(F.broadcast(bucket_offsets), "_bkt")
+        .withColumn("rk", (F.col("_boff") + F.row_number().over(iw)).cast("long"))
+        .select("doc_id", "rk")
+    )
     n_docs = ranked.agg(F.count(F.lit(1)).alias("_N"))
     slots = spark.range(1, CONTRAST_NEG_K + 1).select(
         F.col("id").alias("slot")

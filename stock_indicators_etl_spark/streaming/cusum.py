@@ -45,13 +45,25 @@ def streaming_cusum(
     key_col: str = "key",
     ts_col: str = "ts",
     x_col: str = "x",
+    id_col: str | None = None,
 ) -> DataFrame:
     """Per-row CUSUM statistic + alarm over a keyed integer stream.
 
     ``events`` must carry integer ``x`` (e.g. cents); ``k`` is the
     reference level, ``h`` the decision threshold — identical
     semantics to :func:`..operators.stats.cusum`.
+
+    ``id_col``: a UNIQUE column used as the within-micro-batch sort
+    tiebreak, matching the batch operator's ``tiebreak_cols`` — the
+    max(0,·) fold is order-sensitive, so duplicate ``(key, ts)`` rows
+    would otherwise break batch parity. Pass the stream's event id
+    whenever timestamps are not unique per key (the batch oracle
+    ``q_cusum`` tiebreaks on ``event_id`` for the same reason).
+    Default ``None`` falls back to ``x`` (deterministic, and
+    sufficient for the fold: equal ``(ts, x)`` rows are
+    interchangeable in the recurrence).
     """
+    sort_cols = [ts_col, id_col] if id_col else [ts_col, x_col]
 
     def update(
         key: tuple,
@@ -61,9 +73,7 @@ def streaming_cusum(
         s = state.get[0] if state.exists else 0
         chunks = list(pdfs)
         if chunks:
-            pdf = pd.concat(chunks, ignore_index=True).sort_values(
-                [ts_col, x_col]
-            )
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(sort_cols)
             out_ts, out_s, out_a = [], [], []
             for t, x in zip(pdf[ts_col], pdf[x_col]):
                 s = max(0, s + int(x) - int(k))
@@ -82,11 +92,14 @@ def streaming_cusum(
         else:
             state.update((int(s),))
 
-    return events.select(
+    keep = [
         events[key_col].alias("key"),
         events[ts_col].alias(ts_col) if ts_col != "ts" else events[ts_col],
         events[x_col].alias(x_col) if x_col != "x" else events[x_col],
-    ).groupBy("key").applyInPandasWithState(
+    ]
+    if id_col and id_col not in (key_col, ts_col, x_col):
+        keep.append(events[id_col])
+    return events.select(*keep).groupBy("key").applyInPandasWithState(
         update,
         outputStructType=CUSUM_OUT_SCHEMA,
         stateStructType=CUSUM_STATE_SCHEMA,

@@ -49,13 +49,21 @@ def streaming_drawdown(
     key_col: str = "key",
     ts_col: str = "ts",
     cents_col: str = "cents",
+    id_col: str | None = None,
 ) -> DataFrame:
     """Per-key running maximum drawdown over an integer-cents stream.
 
     Tie rule: the EARLIEST row attaining the maximum drawdown is the
     reported trough (strict ``>`` on update), matching the batch
     argmax's ``(dd desc, ts asc)`` order.
+
+    ``id_col``: unique within-micro-batch sort tiebreak (see
+    ``streaming_cusum``) — the running peak is order-sensitive under
+    duplicate ``(key, ts)``; pass the stream's event id when
+    timestamps are not unique per key. Default sorts by
+    ``(ts, cents)``.
     """
+    sort_cols = [ts_col, id_col] if id_col else [ts_col, cents_col]
 
     def update(
         key: tuple,
@@ -70,9 +78,7 @@ def streaming_drawdown(
             )
         chunks = list(pdfs)
         if chunks:
-            pdf = pd.concat(chunks, ignore_index=True).sort_values(
-                [ts_col, cents_col]
-            )
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(sort_cols)
             for t, c in zip(pdf[ts_col], pdf[cents_col]):
                 c, t = int(c), int(t)
                 peak = c if peak is None else max(peak, c)
@@ -95,13 +101,16 @@ def streaming_drawdown(
                 }
             )
 
-    return events.select(
+    keep = [
         events[key_col].alias("key"),
         events[ts_col].alias(ts_col) if ts_col != "ts" else events[ts_col],
         events[cents_col].alias(cents_col)
         if cents_col != "cents"
         else events[cents_col],
-    ).groupBy("key").applyInPandasWithState(
+    ]
+    if id_col and id_col not in (key_col, ts_col, cents_col):
+        keep.append(events[id_col])
+    return events.select(*keep).groupBy("key").applyInPandasWithState(
         update,
         outputStructType=DD_OUT_SCHEMA,
         stateStructType=DD_STATE_SCHEMA,

@@ -452,11 +452,150 @@ GOLDEN_FINGERPRINTS = {
     # this row exists to catch, DESIGN 4.22)
     "rp_topk": {"exchange": 1, "bexchange": 1, "bhj": 0, "smj": 0, "shj": 0, "python": 0, "nl": 1, "sort": 3},
     "link_predict": {"exchange": 13, "bexchange": 1, "bhj": 1, "smj": 4, "shj": 0, "python": 0, "nl": 0, "sort": 10},
-    "allpairs_join": {"exchange": 24, "bexchange": 9, "bhj": 9, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 3},
+    # r8: allpairs_join carries _n on the posting structs — the two
+    # corpus-sized broadcast joins of r7 are gone (bexchange 9 → 5,
+    # exchange 24 → 14); every remaining broadcast side is a bounded
+    # aggregate (df-count caps), plan-asserted below in
+    # test_allpairs_no_corpus_broadcast.
+    "allpairs_join": {"exchange": 14, "bexchange": 5, "bhj": 5, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 1},
     "pit_join": {"exchange": 3, "bexchange": 1, "bhj": 1, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 4},
     "agg_delta": {"exchange": 2, "bexchange": 0, "bhj": 0, "smj": 1, "shj": 0, "python": 0, "nl": 0, "sort": 2},
-    "contrastive_pairs": {"exchange": 45, "bexchange": 29, "bhj": 27, "smj": 0, "shj": 0, "python": 0, "nl": 2, "sort": 6},
+    # r8: the corpus-wide unpartitioned row_number became the
+    # two-level prefix-sum rank — the only SinglePartition exchanges
+    # left feed 1-row/bucket-count aggregates (asserted in
+    # test_contrastive_rank_no_corpus_global_sort); node counts rose
+    # because the rank adds a bucket groupBy + broadcast join back
+    "contrastive_pairs": {"exchange": 50, "bexchange": 32, "bhj": 30, "smj": 0, "shj": 0, "python": 0, "nl": 2, "sort": 8},
+    # r8: global top-10 via TakeOrderedAndProject (sort: 0 — a global
+    # window would pin a single-partition Sort here)
+    "shipping_priority": {"exchange": 1, "bexchange": 2, "bhj": 2, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 0},
+    # r8: vocabulary rank through the two-level prefix sum — the one
+    # unpartitioned window runs over the distinct-(n, prefix)
+    # bucket-count frame, never the vocabulary
+    "vocab_index": {"exchange": 7, "bexchange": 1, "bhj": 1, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 2},
 }
+
+
+def _tree_lines(plan: str) -> list[str]:
+    """The ASCII tree section of an explain('formatted') dump."""
+    out = []
+    for line in plan.splitlines()[1:]:
+        if not line.strip():
+            break
+        out.append(line)
+    return out
+
+
+def _indent(line: str) -> int:
+    i = 0
+    while i < len(line) and line[i] in " :+-*":
+        i += 1
+    return i
+
+
+def _node_detail(plan: str, nid: str) -> str:
+    import re
+
+    m = re.search(
+        rf"^\({nid}\) .*?(?=^\(\d+\) |\Z)", plan, flags=re.M | re.S
+    )
+    return m.group(0) if m else ""
+
+
+def _subtrees(
+    plan: str, name_prefix: str, detail_filter=None, prune_below=()
+) -> list[str]:
+    """Text of every subtree rooted at a node whose name starts with
+    ``name_prefix``; ``detail_filter(detail_block) -> bool`` narrows
+    by the node's detail section (e.g. Exchange arguments).
+    ``prune_below``: node-name prefixes whose CHILDREN are dropped
+    from the subtree (the node itself stays) — e.g. stop at
+    ``InMemoryRelation`` so a cached frame's build lineage is not
+    attributed to the operator that merely scans the cache."""
+    import re
+
+    lines = _tree_lines(plan)
+    res = []
+    for idx, line in enumerate(lines):
+        stripped = line[_indent(line):]
+        if not stripped.startswith(name_prefix):
+            continue
+        if detail_filter is not None:
+            m = re.search(r"\((\d+)\)", stripped)
+            if not m or not detail_filter(_node_detail(plan, m.group(1))):
+                continue
+        d = _indent(line)
+        sub = [stripped]
+        prune_depth = None
+        for l2 in lines[idx + 1:]:
+            d2 = _indent(l2)
+            if d2 <= d:
+                break
+            if prune_depth is not None:
+                if d2 > prune_depth:
+                    continue
+                prune_depth = None
+            s2 = l2[d2:]
+            sub.append(s2)
+            if any(s2.startswith(p) for p in prune_below):
+                prune_depth = d2
+        res.append("\n".join(sub))
+    return res
+
+
+def test_allpairs_no_corpus_broadcast(spark):
+    """VERDICT r7 weak #2: allpairs_jaccard_join must never broadcast
+    a corpus-sized frame. The r7 shape broadcast the per-doc shingle
+    count table (one row per DOCUMENT — billions at 100 TB) for the
+    length filter; the r8 shape carries ``_n`` on the posting structs
+    instead. The per-doc table is distinguishable in-plan: it is the
+    only broadcast side built through a Window (the per-doc rank /
+    count), so no BroadcastExchange subtree may contain a Window.
+    Subtrees stop at ``InMemoryRelation``: the candidate-pair cache
+    is a SEPARATELY-bounded frame (LSH/prefix output, pair-count-
+    sized, its own design contract) — the Window in ITS build lineage
+    is the per-doc prefix rank that runs once as a shuffle, never as
+    a broadcast side."""
+    from stock_indicators_etl_spark.llmdata.dedup import allpairs_jaccard_join
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = plan_of(allpairs_jaccard_join(docs, threshold=0.5))
+    for sub in _subtrees(
+        plan, "BroadcastExchange", prune_below=("InMemoryRelation",)
+    ):
+        assert "Window" not in sub, (
+            "corpus-sized (per-document, Window-derived) frame behind a "
+            "broadcast hint:\n" + sub
+        )
+
+
+def test_contrastive_rank_no_corpus_global_sort(spark):
+    """VERDICT r7 weak #1: the corpus shuffle rank must be the
+    two-level prefix sum — every SinglePartition exchange left in the
+    plan has to carry an AGGREGATE output (1-row counts / ≤4096-row
+    bucket-count frames), never a projection of the document scan
+    (which is what the r7 unpartitioned row_number dragged through
+    one task)."""
+    import __spark_entry__ as entry_mod
+
+    spark.catalog.clearCache()
+    q = entry_mod.extra_queries()["contrastive_pairs"]
+    plan = plan_of(q(spark, SF_DIR))
+    subs = _subtrees(
+        plan, "Exchange", detail_filter=lambda d: "SinglePartition" in d
+    )
+    assert subs, "expected bounded single-partition aggregate frames"
+    for sub in subs:
+        first = sub.splitlines()[1] if "\n" in sub else ""
+        assert "HashAggregate" in sub and "Scan parquet" not in sub.split(
+            "HashAggregate"
+        )[0], (
+            "SinglePartition exchange fed by non-aggregated data "
+            f"(first child: {first}):\n" + sub
+        )
 
 
 @pytest.mark.parametrize("name", sorted(GOLDEN_FINGERPRINTS))
