@@ -173,6 +173,15 @@ ROTATED_OUT = (
     "minhash_lsh_candidates",
     "bm25_topk",
     "kmeans",
+    # r8 rotation: long-stable dedup/ANN pipeline stages out for the
+    # newest graph/ranking/training/monitoring operators (the other
+    # six r8 outgoing — fuzzy_join, heavy_hitters, pack_sequences,
+    # audio_stats, tfidf_keywords, winsorize — were rotated-in names,
+    # so they simply moved back to the extras dict below)
+    "corpus_prep",
+    "neardup_components",
+    "neardup_survivors",
+    "ivf_topk",
 )
 ROTATED_IN = (
     # r5 rotation (funnel/retention/asof_join/interval_join rotated
@@ -226,15 +235,31 @@ ROTATED_IN = (
     "agg_delta",
     "allpairs_join",
     "dedup_eval",
+    # ...r8: the r7f/g wave into the hard signal (tfidf_keywords /
+    # heavy_hitters / fuzzy_join / pack_sequences / audio_stats /
+    # winsorize above rotated back OUT this round — extras keep them
+    # bit-exact)
+    "link_predict",
+    "contrastive_pairs",
+    "perceptron",
+    "multiprobe_lsh",
+    "ann_eval",
+    "knn_label",
+    "drawdown",
+    "rolling_beta",
+    "kl_drift",
+    "bollinger",
 )
 
 
 def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from stock_indicators_etl_spark.queries import (
         q_agg_delta,
+        q_bollinger,
         q_cdc_merge,
         q_corr_matrix,
         q_cusum,
+        q_drawdown,
         q_pit_join,
         q_dq_check,
         q_exact_quantiles,
@@ -242,39 +267,38 @@ def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         q_kl_drift,
         q_mad_outliers,
         q_ols_by_key,
+        q_rolling_beta,
         q_rolling_robust,
         q_scd2_history,
-        q_winsorize,
     )
     from stock_indicators_etl_spark.queries_llm import (
         q_allpairs_join,
-        q_audio_stats,
+        q_ann_eval,
         q_bigram_surprisal,
+        q_contrastive_pairs,
         q_dedup_eval,
         q_ivfsq_topk,
         q_rp_topk,
         q_kcore,
         q_kmv_distinct,
         q_kmv_overlap,
+        q_knn_label,
         q_label_prop,
+        q_link_predict,
+        q_multiprobe_lsh,
+        q_perceptron,
         q_sq_topk,
-        q_bm25_topk,
         q_canonicalize,
         q_cluster_keywords,
         q_dedup_incremental,
-        q_fuzzy_join,
-        q_heavy_hitters,
         q_ivfpq_topk,
-        q_kmeans,
         q_leakage_split,
         q_mix_domains,
-        q_pack_sequences,
         q_pagerank,
         q_pq_topk,
         q_rrf_fusion,
         q_semantic_neardup_scaled,
         q_span_dedup,
-        q_tfidf_keywords,
         q_triangles,
     )
 
@@ -283,16 +307,10 @@ def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "leakage_split": q_leakage_split,
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
-        "tfidf_keywords": q_tfidf_keywords,
         "dedup_incremental": q_dedup_incremental,
-        "heavy_hitters": q_heavy_hitters,
-        "fuzzy_join": q_fuzzy_join,
-        "pack_sequences": q_pack_sequences,
         "scd2_history": q_scd2_history,
-        "audio_stats": q_audio_stats,
         "canonicalize": q_canonicalize,
         "pagerank": q_pagerank,
-        "winsorize": q_winsorize,
         "dq_check": q_dq_check,
         "ols_by_key": q_ols_by_key,
         "cluster_keywords": q_cluster_keywords,
@@ -319,15 +337,27 @@ def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "agg_delta": q_agg_delta,
         "allpairs_join": q_allpairs_join,
         "dedup_eval": q_dedup_eval,
+        "link_predict": q_link_predict,
+        "contrastive_pairs": q_contrastive_pairs,
+        "perceptron": q_perceptron,
+        "multiprobe_lsh": q_multiprobe_lsh,
+        "ann_eval": q_ann_eval,
+        "knn_label": q_knn_label,
+        "drawdown": q_drawdown,
+        "rolling_beta": q_rolling_beta,
+        "kl_drift": q_kl_drift,
+        "bollinger": q_bollinger,
     }
 
 
 def _rotated_in_oracles() -> dict[str, str]:
     from stock_indicators_etl_spark.queries import (
         SQL_AGG_DELTA,
+        SQL_BOLLINGER,
         SQL_CDC_MERGE,
         SQL_CORR_MATRIX,
         SQL_CUSUM,
+        SQL_DRAWDOWN,
         SQL_PIT_JOIN,
         SQL_DQ_CHECK,
         SQL_EXACT_QUANTILES,
@@ -335,39 +365,38 @@ def _rotated_in_oracles() -> dict[str, str]:
         SQL_KL_DRIFT,
         SQL_MAD_OUTLIERS,
         SQL_OLS_BY_KEY,
+        SQL_ROLLING_BETA,
         SQL_ROLLING_ROBUST,
         SQL_SCD2_HISTORY,
-        SQL_WINSORIZE,
     )
     from stock_indicators_etl_spark.queries_llm import (
         SQL_ALLPAIRS_JOIN,
-        SQL_AUDIO_STATS,
+        SQL_ANN_EVAL,
         SQL_BIGRAM_SURPRISAL,
+        SQL_CONTRASTIVE_PAIRS,
         SQL_DEDUP_EVAL,
         SQL_IVFSQ_TOPK,
         SQL_RP_TOPK,
         SQL_KCORE,
         SQL_KMV_DISTINCT,
         SQL_KMV_OVERLAP,
+        SQL_KNN_LABEL,
         SQL_LABEL_PROP,
+        SQL_LINK_PREDICT,
+        SQL_MULTIPROBE_LSH,
+        SQL_PERCEPTRON,
         SQL_SQ_TOPK,
-        SQL_BM25_TOPK,
         SQL_CANONICALIZE,
         SQL_CLUSTER_KEYWORDS,
         SQL_DEDUP_INCREMENTAL,
-        SQL_FUZZY_JOIN,
-        SQL_HEAVY_HITTERS,
         SQL_IVFPQ_TOPK,
-        SQL_KMEANS,
         SQL_LEAKAGE_SPLIT,
         SQL_MIX_DOMAINS,
-        SQL_PACK_SEQUENCES,
         SQL_PAGERANK,
         SQL_PQ_TOPK,
         SQL_RRF_FUSION,
         SQL_SEMANTIC_NEARDUP_SCALED,
         SQL_SPAN_DEDUP,
-        SQL_TFIDF_KEYWORDS,
         SQL_TRIANGLES,
     )
 
@@ -376,16 +405,10 @@ def _rotated_in_oracles() -> dict[str, str]:
         "leakage_split": SQL_LEAKAGE_SPLIT,
         "pq_topk": SQL_PQ_TOPK,
         "ivfpq_topk": SQL_IVFPQ_TOPK,
-        "tfidf_keywords": SQL_TFIDF_KEYWORDS,
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,
-        "heavy_hitters": SQL_HEAVY_HITTERS,
-        "fuzzy_join": SQL_FUZZY_JOIN,
-        "pack_sequences": SQL_PACK_SEQUENCES,
         "scd2_history": SQL_SCD2_HISTORY,
-        "audio_stats": SQL_AUDIO_STATS,
         "canonicalize": SQL_CANONICALIZE,
         "pagerank": SQL_PAGERANK,
-        "winsorize": SQL_WINSORIZE,
         "dq_check": SQL_DQ_CHECK,
         "ols_by_key": SQL_OLS_BY_KEY,
         "cluster_keywords": SQL_CLUSTER_KEYWORDS,
@@ -412,6 +435,16 @@ def _rotated_in_oracles() -> dict[str, str]:
         "agg_delta": SQL_AGG_DELTA,
         "allpairs_join": SQL_ALLPAIRS_JOIN,
         "dedup_eval": SQL_DEDUP_EVAL,
+        "link_predict": SQL_LINK_PREDICT,
+        "contrastive_pairs": SQL_CONTRASTIVE_PAIRS,
+        "perceptron": SQL_PERCEPTRON,
+        "multiprobe_lsh": SQL_MULTIPROBE_LSH,
+        "ann_eval": SQL_ANN_EVAL,
+        "knn_label": SQL_KNN_LABEL,
+        "drawdown": SQL_DRAWDOWN,
+        "rolling_beta": SQL_ROLLING_BETA,
+        "kl_drift": SQL_KL_DRIFT,
+        "bollinger": SQL_BOLLINGER,
     }
 
 
@@ -459,40 +492,30 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     variants, the newer extension operators not yet rotated in, and
     the long-stable entries rotated out (VERDICT r5 #3)."""
     from stock_indicators_etl_spark.queries import (
-        q_corr_matrix,
         q_customer_orders_hist,
         q_disjunctive_parts,
         q_distinct_users_cube,
         q_dormant_customers,
         q_excess_suppliers,
         q_exact_median,
-        q_histogram_drift,
-        q_exact_quantiles,
         q_large_orders,
         q_important_stock,
         q_market_share,
         q_min_cost_supplier,
         q_cross_sectional_rank,
-        q_drawdown,
-        q_kl_drift,
         q_ntile_buckets,
         q_order_priority_check,
-        q_pit_join,
         q_pivot_matrix,
         q_profit_by_nation,
         q_promo_revenue,
         q_returned_items,
-        q_rolling_beta,
         q_rollup_aggregate,
-        q_rolling_robust,
         q_sales_cube,
         q_asof_join,
         q_attribution,
-        q_bollinger,
         q_funnel,
         q_interval_join,
         q_retention,
-        q_cusum,
         q_forecast_revenue,
         q_obv,
         q_shipmode_priority,
@@ -508,38 +531,30 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_value_histogram,
         q_volume_shipping,
         q_waiting_suppliers,
+        q_winsorize,
         q_winsorize_approx,
         q_winsorize_hist,
     )
     from stock_indicators_etl_spark.queries_llm import (
+        q_audio_stats,
         q_bpe_merges,
-        q_ann_eval,
         q_balanced_sample,
         q_bm25_topk,
         q_chunk_documents,
-        q_contrastive_pairs,
         q_collocations,
-        q_dedup_eval,
         q_curation_funnel,
+        q_fuzzy_join,
+        q_heavy_hitters,
+        q_pack_sequences,
+        q_tfidf_keywords,
         q_embedding_neardup_scaled,
         q_frequent_ngrams,
-        q_ivfsq_topk,
         q_hll_distinct,
-        q_kcore,
-        q_kmv_distinct,
-        q_label_prop,
         q_kmeans,
-        q_kmv_overlap,
-        q_knn_label,
-        q_perceptron,
         q_length_quantiles,
-        q_link_predict,
-        q_multiprobe_lsh,
         q_neardup_best,
         q_readability,
-        q_rp_topk,
         q_semantic_neardup,
-        q_sq_topk,
         q_substr_dedup,
         q_unigram_surprisal,
         q_vocab_index,
@@ -606,22 +621,22 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "forecast_revenue": q_forecast_revenue,
         "shipmode_priority": q_shipmode_priority,
-        "bollinger": q_bollinger,
         "obv": q_obv,
-        "knn_label": q_knn_label,
-        "link_predict": q_link_predict,
         "readability": q_readability,
         "balanced_sample": q_balanced_sample,
-        "contrastive_pairs": q_contrastive_pairs,
         "bm25_topk": q_bm25_topk,
         "kmeans": q_kmeans,
-        "perceptron": q_perceptron,
-        "multiprobe_lsh": q_multiprobe_lsh,
-        "ann_eval": q_ann_eval,
-        "drawdown": q_drawdown,
         "cross_sectional_rank": q_cross_sectional_rank,
-        "rolling_beta": q_rolling_beta,
-        "kl_drift": q_kl_drift,
+        # r8 rotation: formerly rotated-in names back to extras (base
+        # names rotated out this round — corpus_prep /
+        # neardup_components / neardup_survivors / ivf_topk — re-enter
+        # via the ROTATED_OUT loop below)
+        "fuzzy_join": q_fuzzy_join,
+        "heavy_hitters": q_heavy_hitters,
+        "pack_sequences": q_pack_sequences,
+        "audio_stats": q_audio_stats,
+        "tfidf_keywords": q_tfidf_keywords,
+        "winsorize": q_winsorize,
     }
     for name in ROTATED_OUT:
         if name in base:  # non-base rotated-out names are added above
@@ -634,7 +649,6 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_ADX_FAMILY,
         SQL_ASOF_JOIN,
         SQL_ATTRIBUTION,
-        SQL_BOLLINGER,
         SQL_CMO_WILDER,
         SQL_FORECAST_REVENUE,
         SQL_FUNNEL,
@@ -642,14 +656,11 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_OBV,
         SQL_RETENTION,
         SQL_SHIPMODE_PRIORITY,
-        SQL_CORR_MATRIX,
         SQL_CUSTOMER_ORDERS_HIST,
         SQL_DISJUNCTIVE_PARTS,
         SQL_DISTINCT_USERS_CUBE,
         SQL_DORMANT_CUSTOMERS,
         SQL_EXACT_MEDIAN,
-        SQL_EXACT_QUANTILES,
-        SQL_HISTOGRAM_DRIFT,
         SQL_EXCESS_SUPPLIERS,
         SQL_LARGE_ORDERS,
         SQL_MACDFIX_HIST,
@@ -658,16 +669,11 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_MIN_COST_SUPPLIER,
         SQL_NTILE_BUCKETS,
         SQL_CROSS_SECTIONAL_RANK,
-        SQL_DRAWDOWN,
-        SQL_KL_DRIFT,
         SQL_ORDER_PRIORITY_CHECK,
-        SQL_PIT_JOIN,
         SQL_PIVOT_MATRIX,
-        SQL_ROLLING_BETA,
         SQL_PROFIT_BY_NATION,
         SQL_PROMO_REVENUE,
         SQL_RETURNED_ITEMS,
-        SQL_ROLLING_ROBUST,
         SQL_ROLLUP_AGGREGATE,
         SQL_RSI_WILDER,
         SQL_SALES_CUBE,
@@ -683,38 +689,30 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_VALUE_HISTOGRAM,
         SQL_VOLUME_SHIPPING,
         SQL_WAITING_SUPPLIERS,
+        SQL_WINSORIZE,
         SQL_WINSORIZE_APPROX,
         SQL_WINSORIZE_HIST,
     )
     from stock_indicators_etl_spark.queries_llm import (
+        SQL_AUDIO_STATS,
         SQL_BPE_MERGES,
-        SQL_ANN_EVAL,
         SQL_BALANCED_SAMPLE,
         SQL_BM25_TOPK,
         SQL_CHUNK_DOCUMENTS,
-        SQL_CONTRASTIVE_PAIRS,
         SQL_COLLOCATIONS,
-        SQL_DEDUP_EVAL,
         SQL_CURATION_FUNNEL,
         SQL_EMBEDDING_NEARDUP_SCALED,
         SQL_FREQUENT_NGRAMS,
-        SQL_IVFSQ_TOPK,
+        SQL_FUZZY_JOIN,
+        SQL_HEAVY_HITTERS,
         SQL_HLL_DISTINCT,
-        SQL_KCORE,
-        SQL_KMV_DISTINCT,
-        SQL_LABEL_PROP,
         SQL_KMEANS,
-        SQL_KMV_OVERLAP,
-        SQL_KNN_LABEL,
-        SQL_PERCEPTRON,
         SQL_LENGTH_QUANTILES,
-        SQL_LINK_PREDICT,
-        SQL_MULTIPROBE_LSH,
         SQL_NEARDUP_BEST,
+        SQL_PACK_SEQUENCES,
+        SQL_TFIDF_KEYWORDS,
         SQL_READABILITY,
-        SQL_RP_TOPK,
         SQL_SEMANTIC_NEARDUP,
-        SQL_SQ_TOPK,
         SQL_SUBSTR_DEDUP,
         SQL_UNIGRAM_SURPRISAL,
         SQL_VOCAB_INDEX,
@@ -779,22 +777,19 @@ def extra_oracle_sql() -> dict[str, str]:
         "interval_join": SQL_INTERVAL_JOIN,
         "forecast_revenue": SQL_FORECAST_REVENUE,
         "shipmode_priority": SQL_SHIPMODE_PRIORITY,
-        "bollinger": SQL_BOLLINGER,
         "obv": SQL_OBV,
-        "knn_label": SQL_KNN_LABEL,
-        "link_predict": SQL_LINK_PREDICT,
         "readability": SQL_READABILITY,
         "balanced_sample": SQL_BALANCED_SAMPLE,
-        "contrastive_pairs": SQL_CONTRASTIVE_PAIRS,
         "bm25_topk": SQL_BM25_TOPK,
         "kmeans": SQL_KMEANS,
-        "perceptron": SQL_PERCEPTRON,
-        "multiprobe_lsh": SQL_MULTIPROBE_LSH,
-        "ann_eval": SQL_ANN_EVAL,
-        "drawdown": SQL_DRAWDOWN,
         "cross_sectional_rank": SQL_CROSS_SECTIONAL_RANK,
-        "rolling_beta": SQL_ROLLING_BETA,
-        "kl_drift": SQL_KL_DRIFT,
+        # r8 rotation: formerly rotated-in names back to extras
+        "fuzzy_join": SQL_FUZZY_JOIN,
+        "heavy_hitters": SQL_HEAVY_HITTERS,
+        "pack_sequences": SQL_PACK_SEQUENCES,
+        "audio_stats": SQL_AUDIO_STATS,
+        "tfidf_keywords": SQL_TFIDF_KEYWORDS,
+        "winsorize": SQL_WINSORIZE,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

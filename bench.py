@@ -154,13 +154,44 @@ def run() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+    full = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # The driver keeps only the LAST ~2 kB of stdout, and the full
+    # per-query dict (160+ entries) overflows that — r7's record
+    # arrived as "parsed": null. So: write the complete dict to a
+    # repo file (BENCHFULL_r{N}.json, N = 1 + latest recorded round)
+    # and print a <1.5 kB summary line LAST — same driver contract
+    # keys, with "queries" holding only the top-10 slowest (rounded)
+    # plus n/file pointers for the rest.
+    here = Path(__file__).resolve().parent
+    rounds = [
+        int(m.group(1))
+        for p in here.glob("BENCH_r*.json")
+        if (m := re.match(r"BENCH_r(\d+)\.json$", p.name))
+    ]
+    full_path = here / f"BENCHFULL_r{(max(rounds, default=0) + 1):02d}.json"
+    full_path.write_text(json.dumps(full, indent=1) + "\n")
+    top10 = dict(
+        sorted(
+            ((k, round(v, 2)) for k, v in timings.items()),
+            key=lambda kv: -kv[1],
+        )[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "n_queries": len(timings),
+                "queries": top10,
+                "queries_note": "top-10 slowest; full dict in "
+                + full_path.name,
                 "sf": sf,
             }
         )
