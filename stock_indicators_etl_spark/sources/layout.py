@@ -102,11 +102,16 @@ def file_skip_stats(path: str, col: str, lo, hi) -> dict:
     """Measure pruning from parquet footers (pyarrow, no Spark): how
     many FILES a reader with predicate ``col BETWEEN lo AND hi`` can
     skip outright from min/max statistics — the same stats Spark's
-    scan and any lakehouse manifest use."""
+    scan and any lakehouse manifest use. Accepts a plain parquet dir
+    or a versioned table root (resolves the ``_current`` pointer)."""
     import pyarrow.parquet as pq
     from pathlib import Path
 
-    files = sorted(p for p in Path(path).glob("*.parquet"))
+    root = Path(path)
+    ptr = root / _POINTER
+    if ptr.is_file():
+        root = root / ptr.read_text().strip()
+    files = sorted(p for p in root.glob("*.parquet"))
     skipped = 0
     for f in files:
         md = pq.ParquetFile(str(f)).metadata
@@ -124,39 +129,129 @@ def file_skip_stats(path: str, col: str, lo, hi) -> dict:
     return {"n_files": len(files), "skipped": skipped}
 
 
+# ---------------------------------------------------------------------------
+# versioned-table compaction (pointer-file layout)
+# ---------------------------------------------------------------------------
+
+#: pointer file at the table root naming the live version directory —
+#: the one-file poor-man's manifest (what a lakehouse table format
+#: keeps in its transaction log).
+_POINTER = "_current"
+
+
+def _table_fs(path: str):
+    from pyarrow import fs as pafs
+
+    filesystem, fspath = pafs.FileSystem.from_uri(path)
+    return filesystem, fspath.rstrip("/")
+
+
+def _read_pointer(filesystem, root: str) -> str | None:
+    from pyarrow import fs as pafs
+
+    ptr = root + "/" + _POINTER
+    info = filesystem.get_file_info(ptr)
+    if info.type != pafs.FileType.File:
+        return None
+    with filesystem.open_input_stream(ptr) as f:
+        return f.read().decode("utf-8").strip()
+
+
+def _flip_pointer(filesystem, root: str, version: str, tag: str) -> None:
+    """Publish ``version`` as live: write a temp pointer file, then
+    one rename onto ``_current``. On POSIX/HDFS the rename is atomic —
+    a reader sees either the old pointer or the new, never a missing
+    or partial one. (On object stores pyarrow's move is copy+delete;
+    there the real fix is a conditional-put manifest — documented
+    limitation, same one every file-pointer layout has.)"""
+    tmp = root + f"/{_POINTER}._tmp_{tag}"
+    with filesystem.open_output_stream(tmp) as f:
+        f.write(version.encode("utf-8"))
+    filesystem.move(tmp, root + "/" + _POINTER)
+
+
+def _gc_versions(filesystem, root: str, live: str, keep_versions: int) -> list[str]:
+    """Delete version dirs superseded by ``live``, retaining the
+    ``keep_versions`` most recent predecessors for in-flight readers
+    that resolved the pointer before the flip. Orphan dirs from
+    crashed compactions (never referenced by the pointer) are also
+    collected. Returns the deleted names."""
+    from pyarrow import fs as pafs
+
+    sel = pafs.FileSelector(root)
+    dirs = sorted(
+        i.base_name
+        for i in filesystem.get_file_info(sel)
+        if i.type == pafs.FileType.Directory and i.base_name.startswith("v_")
+    )
+    if live not in dirs:  # pointer points elsewhere — do not guess
+        return []
+    older = [d for d in dirs if d < live]
+    stale = older[: max(len(older) - keep_versions, 0)]
+    stale += [d for d in dirs if d > live]  # crashed-run orphans
+    for d in stale:
+        filesystem.delete_dir(root + "/" + d)
+    return stale
+
+
+def current_table_path(path: str) -> str:
+    """Resolve a versioned table root to its live data directory (the
+    path ``spark.read.parquet`` should scan). A root without a
+    pointer file is a legacy flat layout and resolves to itself."""
+    filesystem, root = _table_fs(path)
+    v = _read_pointer(filesystem, root)
+    return path.rstrip("/") if v is None else path.rstrip("/") + "/" + v
+
+
+def read_table(spark, path: str) -> DataFrame:
+    """Read a (possibly versioned) parquet table at its live version."""
+    return spark.read.parquet(current_table_path(path))
+
+
 def compact_parquet(
     spark,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_col: str | None = None,
+    keep_versions: int = 1,
 ) -> dict:
     """Small-file compaction — the maintenance job every append-heavy
     100 TB table needs (each streaming trigger / incremental append
     leaves files far below the efficient scan size; thousands of tiny
     files serialize listing and scheduling).
 
-    Reads the directory, sizes the output file count from the actual
-    on-disk bytes (never fewer than 1), rewrites to a temp dir —
-    optionally re-sorted so min/max pruning survives compaction — and
-    swaps via a TWO-STEP rename (old→backup, temp→live). The swap is
-    NOT atomic: a crash between the renames leaves the table path
-    absent with the data intact in the ``._old_*`` backup, and
-    concurrent readers fail during the window — run it as the table's
-    exclusive maintenance job (a lakehouse manifest/pointer is the
-    real fix at 100 TB). The backup is deleted only AFTER the new live
-    listing is verified non-empty; on verification failure the backup
-    is restored and an error raised. Returns before/after file counts.
+    Layout: VERSIONED DIRECTORIES + A POINTER FILE. Live data sits in
+    ``<root>/v_<n>_<tag>/``; ``<root>/_current`` names that directory.
+    Each compaction (1) writes a complete new version dir, (2)
+    verifies its listing is non-empty, (3) publishes it with one
+    atomic pointer rename, (4) garbage-collects superseded versions,
+    retaining ``keep_versions`` predecessors for readers that
+    resolved the pointer just before the flip. Readers go through
+    :func:`read_table` / :func:`current_table_path`.
 
+    Crash-safety at every window (pinned by the crash-window tests):
+    a crash before the flip leaves the pointer (and the data it names)
+    untouched — the orphan new-version dir is GC'd by the next run; a
+    crash during the flip leaves at worst a stray temp pointer file;
+    a crash after the flip but before GC leaves extra old versions
+    that the next run collects. At no point does the live path go
+    missing — the failure mode of the previous two-step-rename swap.
+
+    A FIRST compaction of a legacy flat directory bootstraps the
+    layout: the compacted copy becomes ``v_1``, the pointer is
+    written, and the flat files are deleted after the flip (from then
+    on, read via :func:`read_table`).
+
+    Writers: still one compactor at a time (two concurrent runs could
+    GC each other's unpublished output); readers need no coordination.
     Filesystem access is through ``pyarrow.fs`` resolved from the
-    path's URI (local, HDFS, S3...) — public API only, no Spark
-    ``_jvm`` internals.
+    path's URI — public API only, no Spark ``_jvm`` internals.
     """
     import uuid
 
     from pyarrow import fs as pafs
 
-    filesystem, fspath = pafs.FileSystem.from_uri(path)
-    fspath = fspath.rstrip("/")
+    filesystem, root = _table_fs(path)
 
     def _parquet_infos(p: str):
         sel = pafs.FileSelector(p)
@@ -166,32 +261,46 @@ def compact_parquet(
             if i.type == pafs.FileType.File and i.path.endswith(".parquet")
         ]
 
-    files = _parquet_infos(fspath)
+    live = _read_pointer(filesystem, root)
+    src_fs = root if live is None else root + "/" + live
+    src_spark = path.rstrip("/") if live is None else path.rstrip("/") + "/" + live
+    files = _parquet_infos(src_fs)
     total = sum(i.size for i in files)
-    n_out = max(int(total // target_file_bytes) + (1 if total % target_file_bytes else 0), 1)
+    n_out = max(
+        int(total // target_file_bytes) + (1 if total % target_file_bytes else 0), 1
+    )
 
-    df = spark.read.parquet(path)
+    df = spark.read.parquet(src_spark)
     if sort_col is not None:
         out = df.repartitionByRange(n_out, F.col(sort_col)).sortWithinPartitions(
             sort_col
         )
     else:
         out = df.coalesce(n_out) if n_out < len(files) else df
-    tag = uuid.uuid4().hex[:8]
-    tmp = fspath + f"._compact_{tag}"
-    out.write.mode("overwrite").parquet(path.rstrip("/") + f"._compact_{tag}")
 
-    bak = fspath + f"._old_{tag}"
-    filesystem.move(fspath, bak)
-    filesystem.move(tmp, fspath)
-    after = _parquet_infos(fspath)
+    tag = uuid.uuid4().hex[:8]
+    idx = int(live.split("_")[1]) + 1 if live is not None else 1
+    version = f"v_{idx:08d}_{tag}"
+    out.write.mode("overwrite").parquet(path.rstrip("/") + "/" + version)
+
+    after = _parquet_infos(root + "/" + version)
     if not after:
-        # restore the backup rather than stranding the table
-        filesystem.move(fspath, tmp)
-        filesystem.move(bak, fspath)
+        # never publish an empty listing; the live pointer is untouched
+        filesystem.delete_dir(root + "/" + version)
         raise RuntimeError(
-            f"compact_parquet: swapped-in listing at {fspath} is empty; "
-            f"backup restored, compacted output left at {tmp}"
+            f"compact_parquet: compacted output at {root}/{version} listed "
+            "empty; pointer left on the previous version"
         )
-    filesystem.delete_dir(bak)
-    return {"files_before": len(files), "files_after": len(after), "bytes": total}
+    _flip_pointer(filesystem, root, version, tag)
+    if live is None:
+        # bootstrap: drop the legacy flat files now that v_1 is live
+        for i in files:
+            filesystem.delete_file(i.path)
+    gone = _gc_versions(filesystem, root, version, keep_versions)
+    return {
+        "files_before": len(files),
+        "files_after": len(after),
+        "bytes": total,
+        "version": version,
+        "gc": gone,
+    }

@@ -566,6 +566,69 @@ def test_streaming_incremental_dedup_resumes_from_published_mapping(
     assert m[2] == 2
 
 
+def test_streaming_incremental_dedup_capped_parity(spark, tmp_path):
+    """Capped-mode contract ACROSS micro-batches (VERDICT r7 task #8):
+    with ``max_bucket_size=3``, the streaming twin must match the
+    sequential batch ``dedup_increment`` run shard-for-shard — the
+    same capped semantics ``tests/test_dedup_index.py``'s divergence
+    property pins for batch: a bucket under the cap in micro-batch 1
+    keeps its merge, and a bucket that exceeds the cap ON THE UNION in
+    micro-batch 2 contributes no new pairs (later arrivals at a hot
+    shingle stay singletons instead of exploding the pair stream).
+    Shard order is forced via file mtimes (FileStreamSource picks
+    oldest-first), one query, maxFilesPerTrigger=1 → two batches."""
+    import json
+    import os
+
+    from stock_indicators_etl_spark.llmdata.dedup_index import dedup_increment
+    from stock_indicators_etl_spark.streaming.dedup_stream import (
+        streaming_incremental_dedup,
+    )
+
+    text = "common boilerplate sentence shared by every doc here"
+    src = tmp_path / "shards"
+    src.mkdir()
+    for i, ids in enumerate([(0, 1), (10, 11)]):
+        p = src / f"shard_{i}.jsonl"
+        with open(p, "w") as f:
+            for d in ids:
+                f.write(json.dumps({"doc_id": d, "text": text}) + "\n")
+        os.utime(p, (1_700_000_000 + 100 * i, 1_700_000_000 + 100 * i))
+
+    comp_path = str(tmp_path / "components")
+    q = streaming_incremental_dedup(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src)),
+        index_path=str(tmp_path / "idx"),
+        components_path=comp_path,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        threshold=0.5,
+        max_bucket_size=3,
+    )
+    q.awaitTermination(180)
+    assert q.lastProgress is not None and q.lastProgress["batchId"] >= 1
+
+    got = {
+        r["doc_id"]: r["component"]
+        for r in spark.read.parquet(comp_path).collect()
+    }
+    # micro-batch 1's bucket (size 2 <= cap) merged; micro-batch 2's
+    # docs hit the now-over-cap union bucket and stay singletons
+    assert got == {0: 0, 1: 0, 10: 10, 11: 11}
+
+    # exact parity with the sequential batch increments
+    import pandas as pd
+
+    idx2 = str(tmp_path / "idx_batch")
+    s1 = spark.createDataFrame(pd.DataFrame({"doc_id": [0, 1], "text": [text] * 2}))
+    s2 = spark.createDataFrame(pd.DataFrame({"doc_id": [10, 11], "text": [text] * 2}))
+    c1 = dedup_increment(s1, idx2, None, threshold=0.5, max_bucket_size=3)
+    c2 = dedup_increment(s2, idx2, c1, threshold=0.5, max_bucket_size=3)
+    want = {r["doc_id"]: r["component"] for r in c2.collect()}
+    assert got == want
+
+
 def test_custom_codec_injection_example(spark):
     """examples/custom_codec_injection.py: the documented escape hatch
     for compressed media — an injected adapter decodes a 'video'
