@@ -26,13 +26,18 @@ SFS = [
     ("/root/testdata/sf0.1", 0.1),
 ]
 
-#: sf1 = deterministic 10× upscale of documents/embeddings ONLY
-#: (scripts/make_sf1.py) — one decade beyond the driver testdata, so
-#: the queries whose sf0.01→0.1 exponent is fixed-overhead-flat get
-#: measured where data work should dominate. TPC-H-family tables are
-#: copied unchanged there, so only document/embedding queries get an
-#: sf1 cell (the rest would be a misleading flat line).
+#: sf1 = deterministic 10× upscale of the FACT tables (documents,
+#: embeddings, orders, lineitem, events — scripts/make_sf1.py; r8
+#: added the relational/event decade, VERDICT task #6) — one decade
+#: beyond the driver testdata, so queries whose sf0.01→0.1 exponent
+#: is fixed-overhead-flat get measured where data work dominates.
+#: Dimension tables are copied unchanged.
 SF1_DIR = str(Path(__file__).resolve().parent.parent / "testdata_sf1")
+
+#: tables make_sf1.py upscales — a query gets an sf1 cell iff its
+#: scan set (DataFrame.inputFiles at sf0.01) touches at least one
+#: (detected per run, so new queries are covered automatically).
+SF1_TABLES = {"documents", "embeddings", "orders", "lineitem", "events"}
 
 #: queries that read documents/embeddings — the only ones sf1 upscales.
 #: `ngram_jaccard` (uncapped) is deliberately absent: exact all-pairs
@@ -42,25 +47,13 @@ SF1_DIR = str(Path(__file__).resolve().parent.parent / "testdata_sf1")
 #: scale default) is what gets measured at this decade. Probing the
 #: uncapped form at sf1 is what exposed the mis-broadcast pair-stream
 #: OOM fixed in dedup.ngram_jaccard_pairs.
-SF1_QUERIES = {
-    "dedup_exact", "minhash_lsh_candidates",
-    "dedup_pipeline", "neardup_components", "cosine_topk",
-    "embedding_neardup_scaled", "ivf_topk", "pq_topk", "ivfpq_topk", "corpus_prep",
-    "ngram_jaccard_capped", "bm25_topk", "chunk_documents",
-    "kmeans", "semantic_neardup_scaled", "semdedup_production",
-    "unigram_surprisal",
-    "span_dedup", "tfidf_keywords", "leakage_split",
-    "heavy_hitters", "audio_stats", "dedup_incremental", "pack_sequences",
-    "canonicalize", "pagerank", "bpe_merges", "collocations",
-    "neardup_best", "snapshot_diff",
-    "triangles", "rrf_fusion", "mix_domains", "bigram_surprisal",
-    "cdc_merge", "pivot_matrix", "curation_funnel", "vocab_index",
-    "kmv_distinct", "hll_distinct", "kmv_overlap", "kcore",
-    "label_prop", "sq_topk", "ivfsq_topk",
-    "rp_topk", "knn_label", "link_predict", "readability",
-    "dedup_eval", "balanced_sample", "contrastive_pairs", "allpairs_join",
-    "perceptron", "multiprobe_lsh", "ann_eval",
-}
+#: sf1 opt-outs — queries whose sf1 run is KNOWN quadratic by design
+#: and already has a measured scale substitute (the `_scaled` /
+#: capped variants in this table):
+#:   ngram_jaccard       — uncapped O(Σ d²) posting-pair stream
+#:   embedding_neardup   — fixed 4-bucket blocking (N²/4 candidates)
+#:   semantic_neardup    — fixed-k SemDeDup (N²/k pairing)
+SF1_SKIP = {"ngram_jaccard", "embedding_neardup", "semantic_neardup"}
 
 # one representative per plan family
 QUERIES = [
@@ -206,12 +199,26 @@ def main() -> int:
     if not have_sf1:
         print(f"note: {SF1_DIR} absent — run scripts/make_sf1.py for the sf1 decade")
 
+    def _reads_upscaled(fn) -> bool:
+        """sf1-eligible iff the query scans at least one fact table
+        make_sf1.py upscales (detected from the real scan set, so new
+        queries are covered without touching this script)."""
+        try:
+            files = fn(spark, SFS[1][0]).inputFiles()
+        except Exception:
+            return False
+        return any(
+            Path(f).name.split(".")[0] in SF1_TABLES
+            or Path(f).parent.name.split(".")[0] in SF1_TABLES
+            for f in files
+        )
+
     results: dict[str, list[float | None]] = {}
     for name in QUERIES:
         fn = queries[name]
         times: list[float | None] = []
         sf_dirs = [d for d, _ in SFS]
-        if have_sf1 and name in SF1_QUERIES:
+        if have_sf1 and name not in SF1_SKIP and _reads_upscaled(fn):
             sf_dirs.append(SF1_DIR)
         for sf_dir in sf_dirs:
             df = fn(spark, sf_dir)
@@ -236,9 +243,10 @@ def main() -> int:
         "warm JIT, cold cache). `exp` = log-slope of runtime between",
         "adjacent decades (1.0 = linear in data, ~0 = fixed-overhead",
         "dominated; the design target at scale is ≤ 1). The sf1 column",
-        "is the deterministic 10× document/embedding upscale from",
-        "`scripts/make_sf1.py`; TPC-H-family queries have no sf1 cell",
-        "because that decade does not upscale their tables.",
+        "is the deterministic 10× upscale of the fact tables",
+        "(documents, embeddings, orders, lineitem, events) from",
+        "`scripts/make_sf1.py`; a query gets an sf1 cell iff its scan",
+        "set touches an upscaled table (dims are copied unchanged).",
         "",
         "| query | sf0.001 | sf0.01 | sf0.1 | sf1 | exp(0.01→0.1) | exp(0.1→1) |",
         "|---|---|---|---|---|---|---|",
@@ -267,9 +275,11 @@ def main() -> int:
         "  many llmdata queries are fixed-overhead-dominated (job launch,",
         "  lambda-tree eval), so their 0.01→0.1 exponents understate how",
         "  the plan behaves when data work dominates.",
-        "- TPC-H-family rows have no sf1 cell: `make_sf1.py` upscales",
-        "  only `documents`/`embeddings`; a flat line on unchanged",
-        "  tables would be noise presented as signal.",
+        "- r8 extended the decade to the relational/event facts:",
+        "  orders/lineitem re-key orderkeys in lockstep (join structure",
+        "  per replica intact, 10× fan-out per unchanged dim key) and",
+        "  events re-keys users (more users, same series length). Rows",
+        "  whose scans touch no upscaled table still have no sf1 cell.",
         "- `semantic_neardup_scaled`'s sf1 exponent is expected to sit",
         "  well above 1 and is an HONEST cost, not a plan bug: Lloyd",
         "  assignment is O(N·k), and pinning cluster SIZE makes k ∝ N —",
