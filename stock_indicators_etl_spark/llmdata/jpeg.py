@@ -26,8 +26,12 @@ transcription is involved anywhere; the zigzag order is generated
 programmatically from the diagonal traversal definition and pinned by
 a unit test.
 
-Arithmetic coding (SOF9/SOF10), hierarchical (SOF5–7, SOF13–15), and
-12-bit precision raise ``NotImplementedError`` honestly.
+Arithmetic entropy coding (SOF9 sequential / SOF10 progressive, r8)
+decodes and encodes for real through the T.81 Annex D coder + Annex
+F/G conditioning models in ``llmdata/jpeg_arith.py`` — same MCU/scan
+walk, different entropy layer. Lossless (SOF3/SOF11), hierarchical
+(SOF5–7, SOF13–15), and 12-bit precision raise
+``NotImplementedError`` honestly.
 
 Scale: decode runs inside the same Arrow-batched ``mapInPandas``
 plumbing as every other media kernel (multimodal.extract_media_
@@ -76,8 +80,9 @@ def _fdct2(block: np.ndarray) -> np.ndarray:
 # markers
 SOI, EOI, SOS, DQT, DHT, DRI = 0xD8, 0xD9, 0xDA, 0xDB, 0xC4, 0xDD
 SOF0, SOF1, SOF2 = 0xC0, 0xC1, 0xC2
-SOF_UNSUPPORTED = {0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
-                   0xCB, 0xCD, 0xCE, 0xCF}
+SOF9, SOF10, DAC = 0xC9, 0xCA, 0xCC
+# lossless (SOF3/SOF11), hierarchical (SOF5-7, SOF13-15)
+SOF_UNSUPPORTED = {0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF}
 
 
 # ---------------------------------------------------------------------------
@@ -274,13 +279,18 @@ def _decode_ac_refine(reader, ac_tab, coef, ss, se, al, state) -> None:
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """JFIF/JPEG bytes → (H, W) uint8 gray or (H, W, 3) RGB.
-    Sequential (SOF0/SOF1) and progressive (SOF2) Huffman modes."""
+    Huffman sequential (SOF0/SOF1) and progressive (SOF2), plus
+    arithmetic sequential (SOF9) and progressive (SOF10) — the
+    Annex D coder and Annex F/G conditioning live in
+    ``llmdata/jpeg_arith.py``."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) → table
+    cond: dict[tuple[int, int], int] = {}  # DAC (class, id) → value
     frame = None
     progressive = False
+    arith = False
     restart_interval = 0
     i = 2
     scans: list[dict] = []
@@ -330,11 +340,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 symbols = seg[j + 17 : j + 17 + n]
                 huff[(tc, th)] = _build_huff(counts, symbols)
                 j += 17 + n
-        elif marker in (SOF0, SOF1, SOF2):
+        elif marker in (SOF0, SOF1, SOF2, SOF9, SOF10):
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG precision")
-            progressive = marker == SOF2
+            progressive = marker in (SOF2, SOF10)
+            arith = marker in (SOF9, SOF10)
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
@@ -344,10 +355,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             frame = {"h": h, "w": w, "comps": comps}
         elif marker in SOF_UNSUPPORTED:
             raise NotImplementedError(
-                "only Huffman sequential (SOF0/SOF1) and progressive "
-                "(SOF2) JPEG are supported — not arithmetic-coded or "
-                "hierarchical modes"
+                "only DCT-based 8-bit JPEG is supported (Huffman or "
+                "arithmetic, sequential or progressive) — not lossless "
+                "or hierarchical modes"
             )
+        elif marker == DAC:
+            j = 0
+            while j + 1 < len(seg):
+                cond[(seg[j] >> 4, seg[j] & 15)] = seg[j + 1]
+                j += 2
         elif marker == DRI:
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == SOS:
@@ -374,8 +390,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     "al": ahl & 15,
                     "data": payload[i:j],
                     "dri": restart_interval,
-                    # tables snapshot: DHT may redefine ids per scan
+                    # tables snapshot: DHT/DAC may redefine ids per scan
                     "huff": dict(huff),
+                    "cond": dict(cond),
                 }
             )
             i = j
@@ -401,7 +418,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         c["rbw"] = -(-samp_w // 8)
 
     for scan in scans:
-        _decode_one_scan(scan, by_id, mcux, mcuy, progressive)
+        if arith:
+            _decode_one_scan_arith(scan, by_id, mcux, mcuy, progressive)
+        else:
+            _decode_one_scan(scan, by_id, mcux, mcuy, progressive)
 
     h, w = frame["h"], frame["w"]
     planes = []
@@ -515,6 +535,85 @@ def _decode_one_scan(scan, by_id, mcux, mcuy, progressive) -> None:
             in_interval += 1
 
 
+def _decode_one_scan_arith(scan, by_id, mcux, mcuy, progressive) -> None:
+    """Arithmetic twin of :func:`_decode_one_scan` (SOF9/SOF10): same
+    MCU/block walk, entropy decisions through the Annex D coder with
+    the Annex F/G conditioning contexts. Statistics, the coder state,
+    and DC predictions all reset per scan and at every restart marker
+    (T.81 F.1.4.4 / D.2)."""
+    from stock_indicators_etl_spark.llmdata import jpeg_arith as ja
+
+    order = [by_id[sc["id"]] for sc in scan["comps"]]
+    for c, sc in zip(order, scan["comps"]):
+        c["td"], c["ta"] = sc["td"], sc["ta"]
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    interleaved = len(order) > 1
+
+    if interleaved or not progressive:
+        units_total = mcux * mcuy
+    else:
+        units_total = order[0]["rbh"] * order[0]["rbw"]
+    per_interval = scan["dri"] if scan["dri"] else units_total
+
+    intervals = _split_entropy(scan["data"])
+    dc_ids = sorted({c["td"] for c in order})
+    ac_ids = sorted({c["ta"] for c in order})
+
+    def fresh_ctxs():
+        for c in order:
+            c["dc"] = 0
+            c["dcctx"] = 0
+        return ja.new_contexts(dc_ids, ac_ids, scan["cond"])
+
+    interval_idx = 0
+    dec = ja.ArithDecoder(intervals[0])
+    ctxs = fresh_ctxs()
+    in_interval = 0
+
+    def maybe_restart():
+        nonlocal interval_idx, dec, ctxs, in_interval
+        if in_interval == per_interval:
+            interval_idx += 1
+            dec = ja.ArithDecoder(intervals[interval_idx])
+            ctxs = fresh_ctxs()
+            in_interval = 0
+
+    if interleaved or not progressive:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for c in order:
+                    for vy in range(c["v"]):
+                        for vx in range(c["h"]):
+                            by, bx = my * c["v"] + vy, mx * c["h"] + vx
+                            coef = c["coef"][by, bx]
+                            if not progressive:
+                                ja.decode_block_seq(dec, ctxs, c, coef)
+                            elif ah == 0:  # DC first
+                                ja.decode_dc_first(dec, ctxs, c, coef, al)
+                            else:  # DC refine
+                                ja.decode_dc_refine(dec, ctxs, coef, al)
+                in_interval += 1
+        return
+
+    # non-interleaved progressive scan (single component)
+    c = order[0]
+    for by in range(c["rbh"]):
+        for bx in range(c["rbw"]):
+            maybe_restart()
+            coef = c["coef"][by, bx]
+            if ss == 0:
+                if ah == 0:
+                    ja.decode_dc_first(dec, ctxs, c, coef, al)
+                else:
+                    ja.decode_dc_refine(dec, ctxs, coef, al)
+            elif ah == 0:
+                ja.decode_ac_first(dec, ctxs, c, coef, ss, se, al)
+            else:
+                ja.decode_ac_refine(dec, ctxs, c, coef, ss, se, al)
+            in_interval += 1
+
+
 # ---------------------------------------------------------------------------
 # encoder (fixture generator; any spec-valid table works — DHT/DQT
 # carry them, so nothing is transcribed from Annex K)
@@ -600,19 +699,25 @@ def encode_jpeg(
     force_16bit_qt: bool = False,
     progressive: bool = False,
     successive: bool = True,
+    arithmetic: bool = False,
 ) -> bytes:
     """(H, W) gray or (H, W, 3) RGB uint8 → baseline or progressive
     JFIF bytes.
 
     ``subsample``: "444" (no chroma subsampling) or "420" (2×2 mean).
     ``restart_interval`` > 0 emits DRI + RSTn markers every that many
-    MCUs (baseline only). ``force_16bit_qt`` writes pq=1 DQT segments
-    (decoder branch coverage). ``progressive=True`` emits SOF2 with a
-    scan script: spectral selection only (``successive=False`` — DC,
-    AC 1–5, AC 6–63 per component) or spectral selection + successive
-    approximation (``successive=True`` — DC at Al=1, AC bands at Al=1,
-    then DC and AC refinement scans at Al=0, exercising the T.81
-    G.1.2 point transforms and correction-bit paths)."""
+    MCUs (sequential only). ``force_16bit_qt`` writes pq=1 DQT
+    segments (decoder branch coverage). ``progressive=True`` emits
+    SOF2 with a scan script: spectral selection only
+    (``successive=False`` — DC, AC 1–5, AC 6–63 per component) or
+    spectral selection + successive approximation (``successive=True``
+    — DC at Al=1, AC bands at Al=1, then DC and AC refinement scans at
+    Al=0, exercising the T.81 G.1.2 point transforms and
+    correction-bit paths). ``arithmetic=True`` swaps the entropy
+    coder for the Annex D arithmetic coder (SOF9, or SOF10 when
+    combined with ``progressive``): a DAC segment carries the default
+    conditioning, no DHT is emitted, and the same scan scripts /
+    restart semantics apply."""
     img = np.asarray(img, dtype=np.float64)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -669,7 +774,12 @@ def encode_jpeg(
             )
         return _emit_progressive(
             gray, h, w, samps, qids, qts, comp_blocks, mcux, mcuy,
-            force_16bit_qt, successive,
+            force_16bit_qt, successive, arithmetic,
+        )
+    if arithmetic:
+        return _emit_arith_sequential(
+            gray, h, w, samps, qids, qts, comp_blocks, mcux, mcuy,
+            force_16bit_qt, restart_interval,
         )
 
     # first pass: gather symbols per table class (luma=0, chroma=1)
@@ -777,6 +887,108 @@ def encode_jpeg(
     bw.flush()
     out.extend(bw.out)
     out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+def _jfif_headers(seg, qts, force_16bit_qt, sof_marker, h, w, samps, qids):
+    """Shared APP0 + DQT + SOF emission."""
+    seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, q in qts.items():
+        q_zz = q[ZIGZAG]  # DQT carries zigzag order (T.81 B.2.4.1)
+        if force_16bit_qt:
+            seg(DQT, bytes([16 | tq]) + q_zz.astype(">u2").tobytes())
+        else:
+            seg(DQT, bytes([tq]) + q_zz.astype(np.uint8).tobytes())
+    ncomp = len(samps)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (samps[ci][0] << 4) | samps[ci][1], qids[ci]])
+    seg(sof_marker, sof)
+
+
+def _dac_body(classes) -> bytes:
+    """DAC segment with the T.81 default conditioning (explicit for
+    decoder coverage — the same values apply when DAC is absent)."""
+    from stock_indicators_etl_spark.llmdata import jpeg_arith as ja
+
+    body = b""
+    for cls in classes:
+        body += bytes([cls, (ja.DEFAULT_DC_U << 4) | ja.DEFAULT_DC_L])
+        body += bytes([(1 << 4) | cls, ja.DEFAULT_AC_KX])
+    return body
+
+
+def _nat_block(zz_coef: np.ndarray) -> np.ndarray:
+    """Stream-order (zigzag) coefficients → natural-order block."""
+    nat = np.zeros(64, dtype=np.int64)
+    nat[ZIGZAG] = zz_coef
+    return nat
+
+
+def _emit_arith_sequential(
+    gray, h, w, samps, qids, qts, comp_blocks, mcux, mcuy,
+    force_16bit_qt, restart_interval,
+) -> bytes:
+    """SOF9: one interleaved sequential scan through the Annex D
+    coder. Restart markers flush the coder and reset statistics + DC
+    predictions, mirroring the decoder."""
+    from stock_indicators_etl_spark.llmdata import jpeg_arith as ja
+
+    ncomp = len(samps)
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend(struct.pack(">H", len(body) + 2))
+        out.extend(body)
+
+    _jfif_headers(seg, qts, force_16bit_qt, SOF9, h, w, samps, qids)
+    classes = [0] if gray else [0, 1]
+    seg(DAC, _dac_body(classes))
+    if restart_interval:
+        seg(DRI, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        cls = 0 if ci == 0 or gray else 1
+        sos += bytes([ci + 1, (cls << 4) | cls])
+    sos += bytes([0, 63, 0])
+    seg(SOS, sos)
+
+    comp_state = [
+        {"td": 0 if ci == 0 or gray else 1,
+         "ta": 0 if ci == 0 or gray else 1,
+         "dc": 0, "dcctx": 0}
+        for ci in range(ncomp)
+    ]
+
+    def fresh():
+        for cs in comp_state:
+            cs["dc"] = 0
+            cs["dcctx"] = 0
+        return ja.ArithEncoder(), ja.new_contexts(classes, classes, None)
+
+    per_interval = restart_interval if restart_interval else mcux * mcuy
+    enc, ctxs = fresh()
+    rst = 0
+    count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if count == per_interval:
+                out.extend(ja.stuff(enc.flush()))
+                out.extend(b"\xff" + bytes([0xD0 + (rst % 8)]))
+                rst += 1
+                enc, ctxs = fresh()
+                count = 0
+            for ci, (sh, sv) in enumerate(samps):
+                for vy in range(sv):
+                    for vx in range(sh):
+                        nat = _nat_block(
+                            comp_blocks[ci][(my * sv + vy, mx * sh + vx)]
+                        )
+                        ja.encode_block_seq(enc, ctxs, comp_state[ci], nat)
+            count += 1
+    out.extend(ja.stuff(enc.flush()))
+    out.extend(b"\xff\xd9")
     return bytes(out)
 
 
@@ -985,7 +1197,7 @@ def _tokens_ac_refine(blocks, rbh, rbw, ss, se, al) -> _Tokens:
 
 def _emit_progressive(
     gray, h, w, samps, qids, qts, comp_blocks, mcux, mcuy,
-    force_16bit_qt, successive,
+    force_16bit_qt, successive, arithmetic=False,
 ) -> bytes:
     hmax = max(s[0] for s in samps)
     vmax = max(s[1] for s in samps)
@@ -997,17 +1209,15 @@ def _emit_progressive(
         out.extend(struct.pack(">H", len(body) + 2))
         out.extend(body)
 
-    seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    for tq, q in qts.items():
-        q_zz = q[ZIGZAG]
-        if force_16bit_qt:
-            seg(DQT, bytes([16 | tq]) + q_zz.astype(">u2").tobytes())
-        else:
-            seg(DQT, bytes([tq]) + q_zz.astype(np.uint8).tobytes())
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for ci in range(ncomp):
-        sof += bytes([ci + 1, (samps[ci][0] << 4) | samps[ci][1], qids[ci]])
-    seg(SOF2, sof)
+    _jfif_headers(
+        seg, qts, force_16bit_qt, SOF10 if arithmetic else SOF2,
+        h, w, samps, qids,
+    )
+    if arithmetic:
+        return _emit_arith_progressive(
+            out, seg, gray, h, w, samps, comp_blocks, mcux, mcuy,
+            successive,
+        )
 
     # per-component REAL block dims (non-interleaved AC scan coverage)
     rdims = []
@@ -1093,6 +1303,115 @@ def _emit_progressive(
             entropy = write_tokens(tk, tc=1)
             seg(SOS, sos_header([ci + 1], [0], [0], 1, 63, 1, 0))
             out.extend(entropy)
+
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def _emit_arith_progressive(
+    out, seg, gray, h, w, samps, comp_blocks, mcux, mcuy, successive,
+) -> bytes:
+    """SOF10: the same scan script as the Huffman progressive path
+    (interleaved DC first, per-component AC bands, then DC/AC
+    refinement when ``successive``), entropy-coded with the Annex D
+    coder + G.2 conditioning. Fresh coder and statistics per scan."""
+    from stock_indicators_etl_spark.llmdata import jpeg_arith as ja
+
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    ncomp = len(samps)
+    classes = [0] if gray else [0, 1]
+    cls_of = [0 if ci == 0 or gray else 1 for ci in range(ncomp)]
+    seg(DAC, _dac_body(classes))
+
+    nat_blocks = [
+        {k: _nat_block(v) for k, v in blocks.items()} for blocks in comp_blocks
+    ]
+    rdims = []
+    for sh, sv in samps:
+        samp_h = -(-(h * sv) // vmax)
+        samp_w = -(-(w * sh) // hmax)
+        rdims.append((-(-samp_h // 8), -(-samp_w // 8)))
+
+    def sos_header(comp_ids, tds, tas, ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid, td, ta in zip(comp_ids, tds, tas):
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return body
+
+    def fresh():
+        return ja.ArithEncoder(), ja.new_contexts(classes, classes, None)
+
+    al1 = 1 if successive else 0
+
+    # scan 1: interleaved DC first
+    enc, ctxs = fresh()
+    comp_state = [
+        {"td": cls_of[ci], "ta": cls_of[ci], "dc": 0, "dcctx": 0}
+        for ci in range(ncomp)
+    ]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (sh, sv) in enumerate(samps):
+                for vy in range(sv):
+                    for vx in range(sh):
+                        ja.encode_dc_first(
+                            enc, ctxs, comp_state[ci],
+                            nat_blocks[ci][(my * sv + vy, mx * sh + vx)],
+                            al1,
+                        )
+    seg(SOS, sos_header(
+        list(range(1, ncomp + 1)), cls_of, [0] * ncomp, 0, 0, 0, al1,
+    ))
+    out.extend(ja.stuff(enc.flush()))
+
+    # AC first scans: two spectral bands per component
+    for ci in range(ncomp):
+        rbh, rbw = rdims[ci]
+        for ss, se in ((1, 5), (6, 63)):
+            enc, ctxs = fresh()
+            cs = {"td": cls_of[ci], "ta": cls_of[ci]}
+            for by in range(rbh):
+                for bx in range(rbw):
+                    ja.encode_ac_first(
+                        enc, ctxs, cs, nat_blocks[ci][(by, bx)], ss, se, al1
+                    )
+            seg(SOS, sos_header(
+                [ci + 1], [0], [cls_of[ci]], ss, se, 0, al1,
+            ))
+            out.extend(ja.stuff(enc.flush()))
+
+    if successive:
+        # DC refinement (fixed-bin decisions)
+        enc, ctxs = fresh()
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (sh, sv) in enumerate(samps):
+                    for vy in range(sv):
+                        for vx in range(sh):
+                            ja.encode_dc_refine(
+                                enc, ctxs,
+                                nat_blocks[ci][(my * sv + vy, mx * sh + vx)],
+                                0,
+                            )
+        seg(SOS, sos_header(
+            list(range(1, ncomp + 1)), [0] * ncomp, [0] * ncomp, 0, 0, 1, 0,
+        ))
+        out.extend(ja.stuff(enc.flush()))
+
+        # AC refinement per component over the full band
+        for ci in range(ncomp):
+            rbh, rbw = rdims[ci]
+            enc, ctxs = fresh()
+            cs = {"td": cls_of[ci], "ta": cls_of[ci]}
+            for by in range(rbh):
+                for bx in range(rbw):
+                    ja.encode_ac_refine(
+                        enc, ctxs, cs, nat_blocks[ci][(by, bx)], 1, 63, 0
+                    )
+            seg(SOS, sos_header([ci + 1], [0], [cls_of[ci]], 1, 63, 1, 0))
+            out.extend(ja.stuff(enc.flush()))
 
     out.extend(b"\xff\xd9")
     return bytes(out)

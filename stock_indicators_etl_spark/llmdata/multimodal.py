@@ -740,7 +740,7 @@ def _probe_jpeg(p: bytes) -> dict:
         seglen = int.from_bytes(p[i + 2 : i + 4], "big")
         if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):  # SOFn
             return {
-                "fmt": "jpeg_progressive" if m == 0xC2 else "jpeg",
+                "fmt": "jpeg_progressive" if m in (0xC2, 0xCA) else "jpeg",
                 "width": int.from_bytes(p[i + 7 : i + 9], "big"),
                 "height": int.from_bytes(p[i + 5 : i + 7], "big"),
                 "bit_depth": p[i + 4],

@@ -123,10 +123,10 @@ def test_higher_quality_means_higher_psnr():
 # ---------------------------------------------------------------------------
 
 
-def test_arithmetic_and_hierarchical_rejected():
-    """Progressive (SOF2) now decodes; the honest rejection narrows to
-    arithmetic-coded and hierarchical modes."""
-    for sof in (0xC9, 0xCA, 0xC3, 0xCE):
+def test_lossless_and_hierarchical_rejected():
+    """Arithmetic modes (SOF9/SOF10) now decode; the honest rejection
+    narrows to lossless and hierarchical modes."""
+    for sof in (0xC3, 0xC5, 0xC7, 0xCB, 0xCE, 0xCF):
         enc = bytearray(J.encode_jpeg(_gradient_rgb(16, 16)))
         i = enc.index(b"\xff\xc0")
         enc[i + 1] = sof
@@ -225,3 +225,129 @@ def test_image_resize_on_jpeg():
     out = image_resize(payload, 8, 8)
     assert out[:2] == b"P6"
     assert decode_image(out).shape == (8, 8, 3)
+
+
+# ---------------------------------------------------------------------------
+# arithmetic entropy coding (SOF9/SOF10, llmdata/jpeg_arith.py)
+# ---------------------------------------------------------------------------
+
+
+def test_arith_coder_roundtrip_property():
+    """The raw Annex D coder pair: any context-tagged decision
+    sequence must decode to itself (200 randomized trials over biased
+    per-context bit distributions)."""
+    import random
+
+    from stock_indicators_etl_spark.llmdata.jpeg_arith import (
+        ArithDecoder,
+        ArithEncoder,
+    )
+
+    rng = random.Random(7)
+    for _ in range(200):
+        n_ctx = rng.randint(1, 8)
+        probs = [rng.random() for _ in range(n_ctx)]
+        seq = [
+            (c := rng.randrange(n_ctx), 1 if rng.random() < probs[c] else 0)
+            for _ in range(rng.randint(1, 2000))
+        ]
+        enc = ArithEncoder()
+        st = bytearray(n_ctx)
+        for c, b in seq:
+            enc.encode(st, c, b)
+        dec = ArithDecoder(enc.flush())
+        st2 = bytearray(n_ctx)
+        assert all(dec.decode(st2, c) == b for c, b in seq)
+
+
+def test_arith_qe_table_structure():
+    """Structural pins on the transcribed T.81 Table D.3: 114 entries,
+    Qe in (0, 0x8000), successor indices in range, the fast-attack
+    states are exactly the SWITCH states, and the fixed bin self-loops."""
+    from stock_indicators_etl_spark.llmdata.jpeg_arith import (
+        FIXED_BIN,
+        QE_TABLE,
+    )
+
+    assert len(QE_TABLE) == 114
+    switches = []
+    for i, (qe, nmps, nlps, sw) in enumerate(QE_TABLE):
+        assert 0 < qe < 0x8000
+        assert 0 <= nmps < 114 and 0 <= nlps < 114
+        if sw:
+            switches.append(i)
+    assert switches == [0, 14, 36, 64, 80, 88, 95, 105, 110, 112]
+    qe, nmps, nlps, sw = QE_TABLE[FIXED_BIN]
+    assert (nmps, nlps, sw) == (FIXED_BIN, FIXED_BIN, 0)
+
+
+@pytest.mark.parametrize(
+    "shape,sub,kw",
+    [
+        ((40, 56), None, {}),
+        ((33, 47, 3), "444", {}),
+        ((50, 62, 3), "420", {}),
+        ((40, 56), None, {"restart_interval": 3}),
+        ((34, 42, 3), "420", {"restart_interval": 2}),
+        ((8, 8), None, {}),
+    ],
+)
+def test_arith_sequential_decodes_identical_to_huffman(shape, sub, kw):
+    """SOF9 must decode to EXACTLY the pixels the Huffman encoding of
+    the same quantized coefficients produces — entropy layer only."""
+    img = _gradient_rgb(*shape[:2]) if len(shape) == 3 else (
+        _gradient_rgb(*shape)[..., 0]
+    )
+    skw = {"subsample": sub} if sub else {}
+    a = J.decode_jpeg(J.encode_jpeg(img, arithmetic=True, **skw, **kw))
+    hf = J.decode_jpeg(J.encode_jpeg(img, arithmetic=False, **skw, **kw))
+    assert np.array_equal(a, hf)
+
+
+@pytest.mark.parametrize("successive", [False, True])
+@pytest.mark.parametrize(
+    "shape,sub",
+    [((41, 53), None), ((33, 47, 3), "444"), ((50, 62, 3), "420")],
+)
+def test_arith_progressive_decodes_identical_to_huffman(
+    shape, sub, successive
+):
+    """SOF10 (progressive arithmetic, G.2): same scan script as the
+    Huffman progressive path, identical decoded pixels."""
+    img = _gradient_rgb(*shape[:2]) if len(shape) == 3 else (
+        _gradient_rgb(*shape)[..., 0]
+    )
+    skw = {"subsample": sub} if sub else {}
+    a = J.decode_jpeg(
+        J.encode_jpeg(img, arithmetic=True, progressive=True,
+                      successive=successive, **skw)
+    )
+    hf = J.decode_jpeg(
+        J.encode_jpeg(img, arithmetic=False, progressive=True,
+                      successive=successive, **skw)
+    )
+    assert np.array_equal(a, hf)
+
+
+def test_arith_beats_huffman_size_on_smooth_images():
+    """Not a spec requirement, but a strong sanity signal that the
+    adaptive probability estimation actually adapts: arithmetic output
+    should be smaller than the Huffman encoding of the same image."""
+    img = _gradient_rgb(48, 64)
+    a = J.encode_jpeg(img, arithmetic=True)
+    hf = J.encode_jpeg(img, arithmetic=False)
+    assert len(a) < len(hf)
+
+
+def test_arith_stream_has_dac_and_no_dht():
+    payload = J.encode_jpeg(_gradient_rgb(16, 16), arithmetic=True)
+    assert b"\xff\xcc" in payload  # DAC
+    assert b"\xff\xc4" not in payload[: payload.index(b"\xff\xda")]  # no DHT
+    assert b"\xff\xc9" in payload  # SOF9
+
+
+def test_arith_multimodal_dispatch():
+    """decode_image / media stats route SOF9/SOF10 like any JPEG."""
+    rgb = _gradient_rgb(16, 24)
+    dec = decode_image(J.encode_jpeg(rgb, arithmetic=True))
+    assert dec.shape == rgb.shape
