@@ -492,6 +492,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     variants, the newer extension operators not yet rotated in, and
     the long-stable entries rotated out (VERDICT r5 #3)."""
     from stock_indicators_etl_spark.queries import (
+        q_benford_check,
+        q_bloom_join,
         q_customer_orders_hist,
         q_disjunctive_parts,
         q_distinct_users_cube,
@@ -640,6 +642,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         # r8: sampled production form of the dedup evaluation harness
         "dedup_eval_sampled": q_dedup_eval_sampled,
+        # r8 new operators
+        "benford_check": q_benford_check,
+        "bloom_join": q_bloom_join,
     }
     for name in ROTATED_OUT:
         if name in base:  # non-base rotated-out names are added above
@@ -652,6 +657,8 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_ADX_FAMILY,
         SQL_ASOF_JOIN,
         SQL_ATTRIBUTION,
+        SQL_BENFORD_CHECK,
+        SQL_BLOOM_JOIN,
         SQL_CMO_WILDER,
         SQL_FORECAST_REVENUE,
         SQL_FUNNEL,
@@ -795,6 +802,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "tfidf_keywords": SQL_TFIDF_KEYWORDS,
         "winsorize": SQL_WINSORIZE,
         "dedup_eval_sampled": SQL_DEDUP_EVAL_SAMPLED,
+        "benford_check": SQL_BENFORD_CHECK,
+        "bloom_join": SQL_BLOOM_JOIN,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

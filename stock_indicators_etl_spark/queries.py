@@ -4818,6 +4818,123 @@ FROM packed
 """
 
 
+# Benford expected first-digit probabilities, in ppm, computed once in
+# Python and inlined as LITERALS in both engines (log10 differs by
+# ulps across math libraries — a literal table cannot).
+_BENFORD_PPM = {
+    d: int(__import__("math").log10(1 + 1 / d) * 1_000_000 + 0.5)
+    for d in range(1, 10)
+}
+
+
+def q_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance test on ``l_extendedprice`` — the
+    classic data-quality screen for fabricated or truncated monetary
+    columns. First significant digit is extracted via STRING of the
+    integer part (no float log10 anywhere — cross-engine log ulps
+    would flip boundary digits); expected probabilities are a 9-row
+    Python-computed literal table inlined identically in the oracle.
+    One combinable 9-group aggregate; the chi-square contribution per
+    digit is one IEEE expression over exact integer counts."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    digit = F.substring(
+        F.floor(F.col("l_extendedprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        li.filter(F.col("l_extendedprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("_t"))
+    exp_ppm = F.element_at(
+        F.array(*[F.lit(_BENFORD_PPM[d]) for d in range(1, 10)]),
+        F.col("digit"),
+    )
+    exp_n = F.col("_t").cast("double") * exp_ppm.cast("double") / F.lit(1e6)
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            exp_ppm.alias("expected_ppm"),
+            F.expr("n * 1000000 div _t").alias("observed_ppm"),
+            _rc((F.col("n").cast("double") - exp_n) ** 2 / exp_n).alias(
+                "chi2_term"
+            ),
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {_BENFORD_PPM[d]}" for d in range(1, 10)
+)
+
+SQL_BENFORD_CHECK = f"""
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         count(*) AS n
+  FROM lineitem WHERE l_extendedprice >= 1
+  GROUP BY 1
+),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS _t FROM c)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       CAST(CASE digit {_BENFORD_CASE} END AS BIGINT) AS expected_ppm,
+       n * 1000000 // _t AS observed_ppm,
+       {R6('power(CAST(n AS DOUBLE) - CAST(_t AS DOUBLE) * (CASE digit ' + _BENFORD_CASE + ' END) / 1e6, 2) / (CAST(_t AS DOUBLE) * (CASE digit ' + _BENFORD_CASE + ' END) / 1e6)')} AS chi2_term
+FROM c CROSS JOIN t
+ORDER BY digit
+"""
+
+
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned join (``operators/bloom.py``): orders of
+    negative-balance customers, revenue per order month. The customer
+    key set compresses into a 16384-bit Bloom filter (256 literal
+    int64 words — built by one combinable ``bit_or`` aggregate and a
+    FILTER-SIZE-bounded collect), and the orders scan drops
+    non-members BEFORE the shuffle, so the exchange carries only the
+    ~selectivity + false-positive fraction of the fact table. The
+    join still verifies exactly — the oracle is the PLAIN join SQL,
+    which is the whole point: Bloom pruning must be invisible in the
+    result at any false-positive rate."""
+    from stock_indicators_etl_spark.operators.bloom import bloom_pruned_join
+
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_acctbal") < 0)
+        .select("c_custkey")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    j = bloom_pruned_join(orders, cust, "o_custkey", "c_custkey", m_bits=16384)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return (
+        j.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            cents.alias("_c"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _rc(F.sum("_c").cast("double") / 100.0).alias("revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+SQL_BLOOM_JOIN = f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       count(*) AS n_orders,
+       {R6("CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0")} AS revenue
+FROM orders
+JOIN (SELECT c_custkey FROM customer WHERE c_acctbal < 0) c
+  ON o_custkey = c_custkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "market_hours_filter": q_market_hours,
     "rocp_mom": q_rocp,

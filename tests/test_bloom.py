@@ -1,0 +1,95 @@
+"""Bloom-filter join pruning (operators/bloom.py): no false
+negatives ever, measured false-positive rate near theory, join
+equivalence, and the plan-shape guarantee (the membership test sits
+on the big-side SCAN, before any exchange)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from stock_indicators_etl_spark.operators.bloom import (
+    bloom_build,
+    bloom_might_contain,
+    bloom_pruned_join,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_no_false_negatives_and_bounded_fpp(spark):
+    keys = spark.createDataFrame(
+        pd.DataFrame({"k": [f"key{i}" for i in range(500)]})
+    )
+    words = bloom_build(keys, "k", m_bits=16384, k=5)
+    assert len(words) == 16384 // 64
+    # every inserted key MUST pass (Bloom's contract)
+    hits = keys.filter(bloom_might_contain(F.col("k"), words)).count()
+    assert hits == 500
+    # disjoint probe set: fpp ~ (1 - e^(-kn/m))^k ≈ 0.35% here; allow 4x
+    probe = spark.createDataFrame(
+        pd.DataFrame({"k": [f"other{i}" for i in range(4000)]})
+    )
+    fp = probe.filter(bloom_might_contain(F.col("k"), words)).count()
+    assert fp / 4000 < 0.015
+
+
+def test_pruned_join_equals_plain_join(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cust = (
+        spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .filter(F.col("c_acctbal") < 0)
+        .select("c_custkey")
+    )
+    got = (
+        bloom_pruned_join(orders, cust, "o_custkey", "c_custkey", m_bits=4096)
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("s"))
+        .collect()[0]
+    )
+    want = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("s"))
+        .collect()[0]
+    )
+    assert (got["n"], got["s"]) == (want["n"], want["s"])
+
+
+def test_filter_actually_prunes_before_the_shuffle(spark):
+    """The point of the operator: the big side shrinks AT THE SCAN.
+    Row-count check: the pruned stream is close to the true match
+    fraction, far below the full table; plan check: the membership
+    probes (shiftrightunsigned over the literal words) appear in a
+    Filter, not post-join."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cust = (
+        spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .filter(F.col("c_acctbal") < 0)
+        .select("c_custkey")
+    )
+    words = bloom_build(cust, "c_custkey", m_bits=16384)
+    pruned = orders.filter(bloom_might_contain(F.col("o_custkey"), words))
+    n_all = orders.count()
+    n_true = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).count()
+    n_pruned = pruned.count()
+    assert n_true <= n_pruned  # no false negatives
+    assert n_pruned < n_all * 0.5  # real pruning (selective dim)
+    # connect-safe plan text
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pruned.explain(True)
+    txt = buf.getvalue()
+    assert "shiftrightunsigned" in txt
+    assert "Filter" in txt
+
+
+@pytest.mark.parametrize("bad_m", [0, 100])
+def test_m_bits_validation(spark, bad_m):
+    keys = spark.createDataFrame(pd.DataFrame({"k": ["a"]}))
+    with pytest.raises(ValueError):
+        bloom_build(keys, "k", m_bits=bad_m)
