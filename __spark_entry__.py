@@ -539,9 +539,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     from stock_indicators_etl_spark.queries_llm import (
         q_audio_stats,
+        q_bpe_encode,
         q_bpe_merges,
         q_balanced_sample,
         q_bm25_topk,
+        q_pca_power,
         q_chunk_documents,
         q_collocations,
         q_curation_funnel,
@@ -645,6 +647,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8 new operators
         "benford_check": q_benford_check,
         "bloom_join": q_bloom_join,
+        "bpe_encode": q_bpe_encode,
+        "pca_power": q_pca_power,
     }
     for name in ROTATED_OUT:
         if name in base:  # non-base rotated-out names are added above
@@ -705,9 +709,11 @@ def extra_oracle_sql() -> dict[str, str]:
     )
     from stock_indicators_etl_spark.queries_llm import (
         SQL_AUDIO_STATS,
+        SQL_BPE_ENCODE,
         SQL_BPE_MERGES,
         SQL_BALANCED_SAMPLE,
         SQL_BM25_TOPK,
+        SQL_PCA_POWER,
         SQL_CHUNK_DOCUMENTS,
         SQL_COLLOCATIONS,
         SQL_CURATION_FUNNEL,
@@ -804,6 +810,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "dedup_eval_sampled": SQL_DEDUP_EVAL_SAMPLED,
         "benford_check": SQL_BENFORD_CHECK,
         "bloom_join": SQL_BLOOM_JOIN,
+        "bpe_encode": SQL_BPE_ENCODE,
+        "pca_power": SQL_PCA_POWER,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -73,6 +73,11 @@ EAGER_CONSTRUCTION = frozenset(
         "kcore",
         # pins the doubled edge list eagerly before the label rounds
         "label_prop",
+        # r8: bloom filter words / BPE merge argmaxes / power-iteration
+        # rounds all collect at construction — that IS the operator
+        "bloom_join",
+        "bpe_encode",
+        "pca_power",
     }
 )
 

@@ -164,6 +164,35 @@ def sql_bpe_oracle(n_merges: int, docs_cte: str, min_step: int = 1) -> str:
     pairs (pair counts → 1-row best → replace), exactly the k-means
     oracle strategy. Both engines' ``replace`` is greedy
     left-to-right non-overlapping, so every round is bit-identical."""
+    ctes = _bpe_ctes(n_merges, docs_cte)
+    selects = [
+        f'SELECT {i + 1} AS step, l AS "left", r AS "right", '
+        f"cnt AS pair_count FROM b{i}"
+        for i in range(min_step - 1, n_merges)
+    ]
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+def sql_bpe_encode_oracle(n_merges: int, docs_cte: str) -> str:
+    """DuckDB twin of train-then-:func:`bpe_encode` token counts: the
+    final round's word table ALREADY holds every distinct word's
+    encoded symbol string, so corpus token counts are one unnest of
+    ``w{n}.syms`` weighted by word frequency — no second encode pass
+    needed (the same identity the Spark side exploits structurally:
+    encoding is a pure per-word function of the merge list)."""
+    ctes = _bpe_ctes(n_merges, docs_cte)
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+SELECT tok AS token, CAST(sum(c) AS BIGINT) AS n
+FROM (SELECT c, unnest(string_split(trim(syms), ' ')) AS tok FROM w{n_merges})
+GROUP BY tok
+"""
+    )
+
+
+def _bpe_ctes(n_merges: int, docs_cte: str) -> list[str]:
     ctes = [
         docs_cte,
         """
@@ -193,9 +222,4 @@ w{i + 1} AS (
                  ' ' || b.l || b.r || ' ') AS syms
   FROM w{i} CROSS JOIN b{i} b
 )""")
-    selects = [
-        f'SELECT {i + 1} AS step, l AS "left", r AS "right", '
-        f"cnt AS pair_count FROM b{i}"
-        for i in range(min_step - 1, n_merges)
-    ]
-    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+    return ctes

@@ -1,0 +1,202 @@
+"""Distributed PCA (top principal direction) via power iteration.
+
+North-star LLM-data surface (reference N/A — the reference computes
+per-ticker indicators in pandas, no linear algebra): the leading
+principal direction of an embedding corpus is the workhorse of
+embedding diagnostics (anisotropy measurement, "all-but-the-top"
+post-processing, drift detection between corpus snapshots) and must
+run as a SCAN, not a collect — the matrix never fits anywhere.
+
+Spark-first shape, following the perceptron/k-means/BPE pattern for
+iterative algorithms (`llmdata/classifier.py`, `clustering.py`,
+`bpe.py`): per power-iteration round
+
+- ``s_i = ⟨x_i, v⟩`` is SCAN-LOCAL — v is a 64-long literal array,
+  the dot product a ``zip_with`` + left-fold, no join;
+- ``w = Σ_i s_i·x_i`` is ONE combinable shuffle (posexplode to
+  (j, x·s), groupBy j) producing exactly ``dim`` rows;
+- the collect is dim-bounded (64 rows/round — the same bounded-
+  collect class as centroids and BPE argmaxes), and the
+  normalization happens driver-side on exact integers.
+
+Bit-exactness discipline (the repo's integer-sums rule): vectors are
+int8-quantized by the ``sq_topk`` convention (⌊x/‖x‖·127+0.5⌋) and v
+is carried as ×2^20 scaled integers, so every distributed sum is an
+exact BIGINT — order-free, identical in DuckDB. The only floats are
+the driver-side normalization (one correctly-rounded int→double
+conversion, one sqrt, one divide — mirrored operation-for-operation
+in the SQL oracle) and the final 6dp-rounded loadings. The result is
+the top singular direction of the QUANTIZED, UNCENTERED matrix —
+the documented contract (centering would break integer exactness;
+callers who need centered PCA subtract the mean column first and
+re-quantize).
+
+Magnitude bounds: |code| ≤ 127, |v| ≤ 2^20 ⇒ |s| ≤ 127·2^20·dim
+(≈2^33 at dim 64), |w_j| ≤ 127·|s|·N — int64-safe to N ≈ 2^23 rows
+and hugeint-safe in the oracle; beyond that drop the v-scale to 2^12
+(the knob exists for exactly this reason).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _int_codes(emb: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """int8 quantization, identical to the ``sq_topk`` convention
+    (and its SQL twin): ⌊x/‖x‖·127+0.5⌋, zero vector → all-zero."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+        )
+    )
+    code = F.when(nrm == 0, F.transform(v, lambda x: F.lit(0).cast("long"))).otherwise(
+        F.transform(v, lambda x: F.floor(x / nrm * 127.0 + F.lit(0.5)).cast("long"))
+    )
+    return emb.select(F.col(id_col).alias("id"), code.alias("cv"))
+
+
+def pca_power(
+    emb: DataFrame,
+    dim: int = 64,
+    iters: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    v_scale: int = 1 << 20,
+) -> DataFrame:
+    """Top principal direction of the quantized embedding matrix.
+
+    Returns ``(j, loading, eigenvalue)`` — dim rows, the unit-norm
+    loading per dimension (6dp) and the Rayleigh-quotient eigenvalue
+    estimate of XᵀX from the final round (same value on every row; it
+    is a scalar). Deterministic: the start vector is all-ones, every
+    distributed sum is integer-exact, and the driver-side float ops
+    are mirrored one-for-one by the SQL oracle.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    codes = _int_codes(emb, vec_col, id_col).persist()
+    try:
+        v = [int(v_scale)] * dim
+        w: list[int] = []
+        for _ in range(iters):
+            v_lit = F.array(*[F.lit(int(x)).cast("long") for x in v])
+            s = F.aggregate(
+                F.zip_with(F.col("cv"), v_lit, lambda c, vv: c * vv),
+                F.lit(0).cast("long"),
+                lambda a, b: a + b,
+            )
+            rows = (
+                codes.select(s.alias("_s"), F.posexplode("cv").alias("j", "x"))
+                .groupBy("j")
+                .agg(F.sum(F.col("x") * F.col("_s")).alias("w"))
+                .collect()
+            )
+            w = [0] * dim
+            for r in rows:
+                w[int(r["j"])] = int(r["w"])
+            # driver-side normalization — every op mirrored in the
+            # oracle: one exact-int→double conversion, sqrt, divide
+            ss = float(sum(x * x for x in w))
+            nrm = math.sqrt(ss)
+            if nrm == 0:
+                raise ValueError("pca_power: zero matrix")
+            v_next = [
+                int(math.floor(float(x) / nrm * float(v_scale) + 0.5)) for x in w
+            ]
+            dot = sum(a * b for a, b in zip(v, w))
+            vv = sum(a * a for a in v)
+            v = v_next
+        lam = (
+            math.floor(float(dot) / float(vv) * 1_000_000 + 0.5) / 1_000_000
+        )
+        loadings = [
+            math.floor(float(x) / nrm * 1_000_000 + 0.5) / 1_000_000 for x in w
+        ]
+    finally:
+        codes.unpersist()
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(j, loadings[j], lam) for j in range(dim)],
+        "j int, loading double, eigenvalue double",
+    )
+
+
+def sql_pca_oracle(
+    dim: int = 64, iters: int = 4, v_scale: int = 1 << 20, emb_table: str = "embeddings"
+) -> str:
+    """DuckDB replay of :func:`pca_power`: the rounds unroll as CTEs
+    (the k-means/BPE oracle strategy); all interior sums are
+    HUGEINT-exact, the normalizations use the same
+    int→double / sqrt / divide operation order as the driver."""
+    p = float(v_scale)
+    ctes = [
+        f"e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {emb_table})",
+        f"""
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(0.0,
+             list_transform(generate_series(1, {dim}), i -> v[i] * v[i])),
+             (a, b) -> a + b)) AS nrm
+  FROM e
+)""",
+        f"""
+cc AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, {dim}), j ->
+           CASE WHEN nrm = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(v[j] / nrm * 127.0 + 0.5) AS BIGINT)
+           END) AS cv
+  FROM n
+)""",
+        f"""
+v0 AS (
+  SELECT j, CAST({int(v_scale)} AS HUGEINT) AS vj
+  FROM (SELECT unnest(generate_series(1, {dim})) AS j)
+)""",
+    ]
+    for i in range(iters):
+        ctes.append(f"""
+vl{i} AS (SELECT list(vj ORDER BY j) AS vl FROM v{i})""")
+        ctes.append(f"""
+s{i} AS (
+  SELECT vec_id, cv,
+         CAST(list_sum(list_transform(generate_series(1, {dim}),
+              j -> cv[j] * vl[j])) AS HUGEINT) AS s
+  FROM cc CROSS JOIN vl{i}
+)""")
+        ctes.append(f"""
+w{i} AS (
+  SELECT j, CAST(sum(cv[j] * s) AS HUGEINT) AS w
+  FROM s{i} CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS j) t
+  GROUP BY j
+)""")
+        ctes.append(f"""
+nn{i} AS (SELECT sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm FROM w{i})""")
+        ctes.append(f"""
+r{i} AS (
+  SELECT CAST(sum(v.vj * w.w) AS HUGEINT) AS dot,
+         (SELECT CAST(sum(vj * vj) AS HUGEINT) FROM v{i}) AS vv
+  FROM v{i} v JOIN w{i} w ON v.j = w.j
+)""")
+        ctes.append(f"""
+v{i + 1} AS (
+  SELECT j, CAST(floor(CAST(w AS DOUBLE) / nrm * {p!r} + 0.5) AS HUGEINT) AS vj
+  FROM w{i} CROSS JOIN nn{i}
+)""")
+    last = iters - 1
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+SELECT CAST(w.j - 1 AS INTEGER) AS j,
+       floor(CAST(w.w AS DOUBLE) / nn.nrm * 1000000 + 0.5) / 1000000 AS loading,
+       floor(CAST(r.dot AS DOUBLE) / CAST(r.vv AS DOUBLE) * 1000000 + 0.5)
+         / 1000000 AS eigenvalue
+FROM w{last} w CROSS JOIN nn{last} nn CROSS JOIN r{last} r
+"""
+    )

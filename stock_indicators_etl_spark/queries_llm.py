@@ -2072,6 +2072,66 @@ def _sql_bpe() -> str:
 SQL_BPE_MERGES = _sql_bpe()
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the LEARNED BPE merges — the serving
+    half of the tokenizer story (``bpe_merges`` trains; this encodes).
+    Training runs first (same per-round 1-row argmax collects), then
+    :func:`llmdata.bpe.bpe_encode` applies the merge list scan-locally
+    (a fold of ``replace``s per word — no shuffle, no Python stage,
+    embarrassingly parallel over shards, which is what a 100 TB
+    tokenization pass needs). Output: corpus token frequencies of the
+    encoded stream. EAGER: training's argmax collects ARE the
+    sequential dependency."""
+    from stock_indicators_etl_spark.llmdata.bpe import bpe_encode, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, n_merges=BPE_MERGES).collect()
+    ]
+    enc = bpe_encode(docs, merges)
+    return (
+        enc.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _sql_bpe_encode() -> str:
+    from stock_indicators_etl_spark.llmdata.bpe import sql_bpe_encode_oracle
+
+    return sql_bpe_encode_oracle(BPE_MERGES, DOCS_CTE)
+
+
+SQL_BPE_ENCODE = _sql_bpe_encode()
+
+
+PCA_ITERS = 4
+
+
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by distributed
+    power iteration (``llmdata/pca.py``): per round one scan-local
+    literal-array dot product + one combinable dim-row shuffle + a
+    64-row collect; every distributed sum is an exact BIGINT over the
+    int8-quantized matrix, so the whole iteration — including the
+    driver-side normalizations — replays bit-identically in the SQL
+    oracle. EAGER: the per-round collect is the power method's
+    sequential dependency."""
+    from stock_indicators_etl_spark.llmdata.pca import pca_power
+
+    return pca_power(_emb(spark, sf_dir), iters=PCA_ITERS)
+
+
+def _sql_pca() -> str:
+    from stock_indicators_etl_spark.llmdata.pca import sql_pca_oracle
+
+    return sql_pca_oracle(iters=PCA_ITERS)
+
+
+SQL_PCA_POWER = _sql_pca()
+
+
 KMEANS_K = 8
 KMEANS_ITERS = 2
 
