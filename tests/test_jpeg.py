@@ -351,3 +351,44 @@ def test_arith_multimodal_dispatch():
     rgb = _gradient_rgb(16, 24)
     dec = decode_image(J.encode_jpeg(rgb, arithmetic=True))
     assert dec.shape == rgb.shape
+
+
+def test_arith_jpeg_through_spark_media_path(spark):
+    """The new SOF9/SOF10 decoders must work inside the DISTRIBUTED
+    media path (Arrow-batched mapInPandas), not just as local calls:
+    a mixed media table of baseline / arithmetic-sequential /
+    arithmetic-progressive JPEGs feature-extracts with the real
+    decoder, and identical pixels give identical feature vectors
+    across entropy codings."""
+    import pandas as pd
+
+    from stock_indicators_etl_spark.llmdata.multimodal import (
+        extract_media_features,
+    )
+
+    rgb = _gradient_rgb(24, 32)
+    payloads = {
+        1: J.encode_jpeg(rgb),
+        2: J.encode_jpeg(rgb, arithmetic=True),
+        3: J.encode_jpeg(rgb, arithmetic=True, progressive=True),
+    }
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": list(payloads),
+                "kind": ["image"] * 3,
+                "payload": [bytearray(p) for p in payloads.values()],
+                "meta": [None] * 3,
+            }
+        )
+    )
+    feats = (
+        extract_media_features(media, decoder=real_decoder)
+        .orderBy("media_id")
+        .collect()
+    )
+    assert len(feats) == 3
+    assert all(len(r["features"]) == FEATURE_DIM for r in feats)
+    # same quantized coefficients -> same pixels -> same features
+    assert feats[0]["features"] == feats[1]["features"]
+    assert feats[0]["features"] == feats[2]["features"]
