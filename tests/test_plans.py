@@ -473,6 +473,14 @@ GOLDEN_FINGERPRINTS = {
     # unpartitioned window runs over the distinct-(n, prefix)
     # bucket-count frame, never the vocabulary
     "vocab_index": {"exchange": 7, "bexchange": 1, "bhj": 1, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 2},
+    # r8 new operators: bloom probe rides the scan filter (2 exchanges
+    # = month agg + the key-side semi reduction; the filter-build
+    # aggregate runs at CONSTRUCTION, bounded by filter size);
+    # bpe_encode's serving pass is shuffle-free per word (2 exchanges
+    # = word explode groupBys), zero Python stages in both
+    "bloom_join": {"exchange": 2, "bexchange": 1, "bhj": 1, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 1},
+    "bpe_encode": {"exchange": 2, "bexchange": 0, "bhj": 0, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 0},
+    "benford_check": {"exchange": 4, "bexchange": 1, "bhj": 0, "smj": 0, "shj": 0, "python": 0, "nl": 1, "sort": 1},
 }
 
 
@@ -582,8 +590,9 @@ def test_contrastive_rank_no_corpus_global_sort(spark):
     import __spark_entry__ as entry_mod
 
     spark.catalog.clearCache()
-    q = entry_mod.extra_queries()["contrastive_pairs"]
-    plan = plan_of(q(spark, SF_DIR))
+    qs = entry_mod.queries()  # rotated into the registry in r8
+    qs.update(entry_mod.extra_queries())
+    plan = plan_of(qs["contrastive_pairs"](spark, SF_DIR))
     subs = _subtrees(
         plan, "Exchange", detail_filter=lambda d: "SinglePartition" in d
     )
