@@ -542,6 +542,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_bpe_encode,
         q_bpe_merges,
         q_balanced_sample,
+        q_abtt,
         q_bm25_topk,
         q_pca_power,
         q_chunk_documents,
@@ -649,6 +650,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_join": q_bloom_join,
         "bpe_encode": q_bpe_encode,
         "pca_power": q_pca_power,
+        "abtt": q_abtt,
     }
     for name in ROTATED_OUT:
         if name in base:  # non-base rotated-out names are added above
@@ -712,6 +714,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_BPE_ENCODE,
         SQL_BPE_MERGES,
         SQL_BALANCED_SAMPLE,
+        SQL_ABTT,
         SQL_BM25_TOPK,
         SQL_PCA_POWER,
         SQL_CHUNK_DOCUMENTS,
@@ -812,6 +815,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "bloom_join": SQL_BLOOM_JOIN,
         "bpe_encode": SQL_BPE_ENCODE,
         "pca_power": SQL_PCA_POWER,
+        "abtt": SQL_ABTT,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

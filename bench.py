@@ -78,6 +78,7 @@ EAGER_CONSTRUCTION = frozenset(
         "bloom_join",
         "bpe_encode",
         "pca_power",
+        "abtt",
     }
 )
 

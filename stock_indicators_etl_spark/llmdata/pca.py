@@ -77,6 +77,27 @@ def pca_power(
     distributed sum is integer-exact, and the driver-side float ops
     are mirrored one-for-one by the SQL oracle.
     """
+    loadings, lam = _power_direction(
+        emb, dim=dim, iters=iters, vec_col=vec_col, id_col=id_col,
+        v_scale=v_scale,
+    )
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(j, loadings[j], lam) for j in range(dim)],
+        "j int, loading double, eigenvalue double",
+    )
+
+
+def _power_direction(
+    emb: DataFrame,
+    dim: int,
+    iters: int,
+    vec_col: str,
+    id_col: str,
+    v_scale: int,
+) -> tuple[list[float], float]:
+    """The driver-side iteration shared by :func:`pca_power` and
+    :func:`all_but_the_top`: (6dp loadings, 6dp Rayleigh eigenvalue)."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
     codes = _int_codes(emb, vec_col, id_col).persist()
@@ -119,10 +140,111 @@ def pca_power(
         ]
     finally:
         codes.unpersist()
-    spark = emb.sparkSession
-    return spark.createDataFrame(
-        [(j, loadings[j], lam) for j in range(dim)],
-        "j int, loading double, eigenvalue double",
+    return loadings, lam
+
+
+def all_but_the_top(
+    emb: DataFrame,
+    dim: int = 64,
+    iters: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    v_scale: int = 1 << 20,
+) -> DataFrame:
+    """All-but-the-top anisotropy correction (Mu & Viswanath, ICLR'18
+    — remove the dominant common direction from every embedding):
+    per-vector projection onto the power-iteration top component and
+    the norm before/after removing it. The expensive part (the power
+    iteration) is the EAGER construction; the correction itself is a
+    PURE SCAN — the direction is a 64-double literal array, the
+    projection and residual norms are per-row left folds inside
+    codegen, no join, no shuffle. That scan shape is the point: the
+    corrected corpus is written shard-parallel at any size.
+
+    Determinism: codes are exact ints, the direction is the 6dp-
+    rounded loading vector (identical doubles in both engines), and
+    the per-row folds run in fixed dimension order — so the floats
+    match the SQL oracle bit-for-bit before the final 6dp rounding.
+    """
+    loadings, _ = _power_direction(
+        emb, dim=dim, iters=iters, vec_col=vec_col, id_col=id_col,
+        v_scale=v_scale,
+    )
+    codes = _int_codes(emb, vec_col, id_col)
+    v_lit = F.array(*[F.lit(float(x)) for x in loadings])
+    dbl = F.transform(F.col("cv"), lambda c: c.cast("double"))
+    proj = F.aggregate(
+        F.zip_with(dbl, v_lit, lambda c, vv: c * vv),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    norm2_before = F.aggregate(
+        F.transform(dbl, lambda c: c * c), F.lit(0.0), lambda a, b: a + b
+    )
+    out = codes.select("id", proj.alias("_p"), norm2_before.alias("_nb"), "cv")
+    resid = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("cv"), lambda c: c.cast("double")),
+            v_lit,
+            lambda c, vv: (c - F.col("_p") * vv) * (c - F.col("_p") * vv),
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    p6 = F.floor(F.col("_p") * 1_000_000 + F.lit(0.5)) / F.lit(1_000_000.0)
+    nb6 = F.floor(F.sqrt(F.col("_nb")) * 1_000_000 + F.lit(0.5)) / F.lit(
+        1_000_000.0
+    )
+    na6 = F.floor(F.sqrt(resid) * 1_000_000 + F.lit(0.5)) / F.lit(1_000_000.0)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        p6.alias("proj"),
+        nb6.alias("norm_before"),
+        na6.alias("norm_after"),
+    )
+
+
+def sql_abtt_oracle(
+    dim: int = 64, iters: int = 4, v_scale: int = 1 << 20, emb_table: str = "embeddings"
+) -> str:
+    """DuckDB twin of :func:`all_but_the_top`: replays the power
+    iteration CTEs, materializes the 6dp loading list, and applies the
+    same fixed-order per-vector folds."""
+    base = sql_pca_oracle(dim=dim, iters=iters, v_scale=v_scale, emb_table=emb_table)
+    # reuse the pca oracle's CTE chain: swap its final SELECT for the
+    # projection query (the chain ends right before the last SELECT)
+    head, _sep, _tail = base.rpartition("\nSELECT CAST(w.j - 1 AS INTEGER)")
+    last = iters - 1
+    return (
+        head
+        + f""",
+vload AS (
+  SELECT list(floor(CAST(w.w AS DOUBLE) / nn.nrm * 1000000 + 0.5) / 1000000
+              ORDER BY w.j) AS vl
+  FROM w{last} w CROSS JOIN nn{last} nn
+),
+pr AS (
+  SELECT vec_id, cv, vl,
+         list_reduce(list_prepend(0.0,
+             list_transform(generate_series(1, {dim}),
+                            j -> CAST(cv[j] AS DOUBLE) * vl[j])),
+             (a, b) -> a + b) AS p,
+         list_reduce(list_prepend(0.0,
+             list_transform(generate_series(1, {dim}),
+                            j -> CAST(cv[j] AS DOUBLE) * CAST(cv[j] AS DOUBLE))),
+             (a, b) -> a + b) AS nb
+  FROM cc CROSS JOIN vload
+)
+SELECT vec_id,
+       floor(p * 1000000 + 0.5) / 1000000.0 AS proj,
+       floor(sqrt(nb) * 1000000 + 0.5) / 1000000.0 AS norm_before,
+       floor(sqrt(list_reduce(list_prepend(0.0,
+             list_transform(generate_series(1, {dim}),
+                            j -> (CAST(cv[j] AS DOUBLE) - p * vl[j])
+                               * (CAST(cv[j] AS DOUBLE) - p * vl[j]))),
+             (a, b) -> a + b)) * 1000000 + 0.5) / 1000000.0 AS norm_after
+FROM pr
+"""
     )
 
 

@@ -2132,6 +2132,29 @@ def _sql_pca() -> str:
 SQL_PCA_POWER = _sql_pca()
 
 
+def q_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top anisotropy correction (Mu & Viswanath):
+    per-vector projection on the power-iteration top component and
+    the embedding norm before/after removing it — the standard
+    embedding post-process, composed from ``pca_power``'s direction.
+    The correction stage is a PURE SCAN (literal direction array +
+    per-row fixed-order folds), so the corrected corpus writes
+    shard-parallel at any size. EAGER: the power iteration runs at
+    construction."""
+    from stock_indicators_etl_spark.llmdata.pca import all_but_the_top
+
+    return all_but_the_top(_emb(spark, sf_dir), iters=PCA_ITERS)
+
+
+def _sql_abtt() -> str:
+    from stock_indicators_etl_spark.llmdata.pca import sql_abtt_oracle
+
+    return sql_abtt_oracle(iters=PCA_ITERS)
+
+
+SQL_ABTT = _sql_abtt()
+
+
 KMEANS_K = 8
 KMEANS_ITERS = 2
 

@@ -147,3 +147,18 @@ def test_bpe_encode_compresses_token_count(spark):
         .collect()[0][0]
     )
     assert n8 < n0
+
+
+def test_abtt_reduces_norms_on_anisotropic_corpus(spark):
+    """Removing the top component can only shrink (or keep) each
+    vector's norm up to the 6dp rounding; on a corpus with a planted
+    dominant direction the mean reduction is substantial."""
+    from stock_indicators_etl_spark.llmdata.pca import all_but_the_top
+
+    emb, _, _ = _toy_emb(spark, n=200, seed=3)
+    out = all_but_the_top(emb, iters=6).collect()
+    assert len(out) == 200
+    assert all(r["norm_after"] <= r["norm_before"] + 1e-5 for r in out)
+    mean_before = float(np.mean([r["norm_before"] for r in out]))
+    mean_after = float(np.mean([r["norm_after"] for r in out]))
+    assert mean_after < 0.7 * mean_before
