@@ -173,6 +173,13 @@ QUERIES = [
     "kl_drift",               # ordered-fold KL over shared histograms (extra)
     "multiprobe_lsh",         # 1-bit-flip probe fan-out ANN (extra)
     "ann_eval",               # recall@k of the index vs exact (extra)
+    # r8 additions
+    "dedup_eval_sampled",     # sampled-truth dedup grading (extra)
+    "benford_check",          # first-digit DQ screen, 9-group agg (extra)
+    "bloom_join",             # Bloom-pruned join, scan-side probes (extra)
+    "bpe_encode",             # tokenizer serving pass, scan-local (extra)
+    "pca_power",              # integer-exact power iteration (extra)
+    "abtt",                   # top-component removal, pure scan (extra)
 ]
 
 
