@@ -242,7 +242,17 @@ def main() -> int:
         while len(times) < 4:
             times.append(None)
         results[name] = times
+        # checkpoint after every query: a killed/timed-out sweep still
+        # leaves a complete-so-far SCALING.md on disk
+        Path(out_path).write_text(_render(results))
+        print(f"{name}: {[None if t is None else round(t, 2) for t in times]}",
+              flush=True)
 
+    print(f"wrote {out_path}")
+    return 0
+
+
+def _render(results: dict[str, list[float | None]]) -> str:
     lines = [
         "# SCALING — steady-state runtime across 1000× of data",
         "",
@@ -308,9 +318,7 @@ def main() -> int:
         "  the harness.",
         "",
     ]
-    Path(out_path).write_text("\n".join(lines))
-    print(f"wrote {out_path}")
-    return 0
+    return "\n".join(lines)
 
 
 if __name__ == "__main__":
