@@ -228,17 +228,24 @@ def main() -> int:
         if have_sf1 and name not in SF1_SKIP and _reads_upscaled(fn):
             sf_dirs.append(SF1_DIR)
         for sf_dir in sf_dirs:
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()  # warm
-            best = None
-            for _ in range(2):
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                d = fn(spark, sf_dir) if name in EAGER_CONSTRUCTION else df
-                d.write.mode("overwrite").format("noop").save()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            times.append(best)
+            # a single failing cell (e.g. an overflow only the sf1
+            # decade can trigger) must not kill the sweep — record
+            # None, keep the error visible, move on
+            try:
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()  # warm
+                best = None
+                for _ in range(2):
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    d = fn(spark, sf_dir) if name in EAGER_CONSTRUCTION else df
+                    d.write.mode("overwrite").format("noop").save()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                times.append(best)
+            except Exception as exc:  # noqa: BLE001 - sweep resilience
+                print(f"FAIL {name} @ {sf_dir}: {exc}", flush=True)
+                times.append(None)
         while len(times) < 4:
             times.append(None)
         results[name] = times
@@ -268,16 +275,22 @@ def _render(results: dict[str, list[float | None]]) -> str:
         "| query | sf0.001 | sf0.01 | sf0.1 | sf1 | exp(0.01→0.1) | exp(0.1→1) |",
         "|---|---|---|---|---|---|---|",
     ]
+    def _cell(t):
+        return "FAIL" if t is None else f"{t:.2f}s"
+
     for name, ts in results.items():
-        exp = math.log(ts[2] / ts[1], 10) if ts[1] > 0 else float("nan")
-        if ts[3] is not None:
-            exp1 = math.log(ts[3] / ts[2], 10) if ts[2] > 0 else float("nan")
-            sf1_cell, exp1_cell = f"{ts[3]:.2f}s", f"{exp1:.2f}"
+        if ts[1] and ts[2]:
+            exp_cell = f"{math.log(ts[2] / ts[1], 10):.2f}"
+        else:
+            exp_cell = "—"
+        if ts[3] is not None and ts[2]:
+            exp1_cell = f"{math.log(ts[3] / ts[2], 10):.2f}"
+            sf1_cell = f"{ts[3]:.2f}s"
         else:
             sf1_cell, exp1_cell = "—", "—"
         lines.append(
-            f"| {name} | {ts[0]:.2f}s | {ts[1]:.2f}s | {ts[2]:.2f}s | "
-            f"{sf1_cell} | {exp:.2f} | {exp1_cell} |"
+            f"| {name} | {_cell(ts[0])} | {_cell(ts[1])} | {_cell(ts[2])} | "
+            f"{sf1_cell} | {exp_cell} | {exp1_cell} |"
         )
     lines += [
         "",

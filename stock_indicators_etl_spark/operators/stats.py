@@ -33,16 +33,29 @@ def ols_by_key(
     intercept, r). ``x`` must be integer-valued; ``y`` is quantized
     to 1/y_scale units first (slope/intercept are reported in the
     quantized y units per x unit). Degenerate groups (zero x or y
-    variance) get null slope/r."""
+    variance) get null slope/r.
+
+    The product sums accumulate in DECIMAL(38,0) — Spark's exact
+    128-bit integer — NOT BIGINT: x is a raw id-scale integer, so
+    Σx² is ~(max_id)²·n and blows through 2^63 long before the data
+    is big (the sf1 decade caught exactly this: 9×10⁷ ids × 2×10⁵
+    rows/key ≈ 1.6×10²¹). DuckDB already sums BIGINT into HUGEINT,
+    so the oracle was always exact — this makes the Spark side match
+    (both convert the same exact integer to double once, at the
+    end)."""
     x = F.col(x_col).cast("long")
     y = F.floor(F.col(y_col) * y_scale + F.lit(0.5)).cast("long")
+    # decimal(19,0) holds any BIGINT; the product promotes to
+    # decimal(38,0), which holds (2^63)² — the full pairwise range
+    xd = x.cast("decimal(19,0)")
+    yd = y.cast("decimal(19,0)")
     agg = df.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),
         F.sum(y).alias("sy"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(y * y).alias("syy"),
-        F.sum(x * y).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
     )
     nd = F.col("n").cast("double")
     sx = F.col("sx").cast("double")
