@@ -431,6 +431,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.0,
     candidates: DataFrame | None = None,
     max_doc_freq: int | None = None,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Exact Jaccard similarity over word k-gram shingle sets.
 
@@ -484,7 +485,7 @@ def ngram_jaccard_pairs(
                 "path; the candidate path is always exact"
             )
         # persisted because three operators consume it (cand_docs twice
-        # + the broadcast join); the registration lives as long as the
+        # + the pair join); the registration lives as long as the
         # plan — long-lived sessions invoking the pipeline repeatedly
         # should clearCache() between invocations (bench.py does)
         candidates = candidates.select("doc_a", "doc_b").persist()
@@ -493,12 +494,22 @@ def ngram_jaccard_pairs(
             .union(candidates.select(F.col("doc_b").alias("doc_id")))
             .distinct()
         )
+        # broadcast discipline (DESIGN §4.23): the hints below are only
+        # safe when the CANDIDATE SET is bounded by construction —
+        # true for banded-LSH output (bucket caps). Pass
+        # ``broadcast_candidates=False`` when the generator can emit a
+        # pair-stream-sized set (the AllPairs prefix filter at low
+        # thresholds on boilerplate-heavy corpora — the sf1 decade hit
+        # an 8 GB broadcast build there): plain shuffle joins, AQE
+        # still broadcasts at runtime whenever the set is actually
+        # small, results identical.
+        _b = F.broadcast if broadcast_candidates else (lambda d: d)
         # restrict BEFORE the shingle fan-out: only candidate docs pay
         # the explode+distinct (the full-corpus fan-out already ran
         # once, inside LSH candidate generation)
         doc_sets = (
             word_shingles(
-                df.join(F.broadcast(cand_docs), "doc_id", "left_semi"),
+                df.join(_b(cand_docs), "doc_id", "left_semi"),
                 text_col, k, distinct=False,
             )
             .select("doc_id", _h56(F.col("shingle")).alias("h"))
@@ -508,7 +519,7 @@ def ngram_jaccard_pairs(
         a = doc_sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sa"))
         b = doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sb"))
         out = (
-            a.join(F.broadcast(candidates), "doc_a")
+            a.join(_b(candidates), "doc_a")
             .join(b, "doc_b")
             .select(
                 "doc_a",
@@ -1069,8 +1080,13 @@ def allpairs_jaccard_join(
         .select("doc_a", "doc_b")
         .distinct()
     )
+    # prefix-filter candidates are NOT bounded by construction (a
+    # boilerplate-heavy corpus at a low threshold emits a pair-stream-
+    # sized set) — never force-broadcast them; AQE picks broadcast at
+    # runtime whenever the actual set is small
     return ngram_jaccard_pairs(
-        df, text_col, k, threshold=threshold, candidates=cand_lf
+        df, text_col, k, threshold=threshold, candidates=cand_lf,
+        broadcast_candidates=False,
     )
 
 
