@@ -3505,24 +3505,24 @@ def q_dedup_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost more than the pipeline it grades; the uncapped exact-truth
     join was the surface's steepest scaling exponent).
 
-    Ground truth (exact n-gram Jaccard ≥ t) is computed only on a
-    deterministic hash-stratified document sample
-    (``llmdata/sampling.hash_sample``), so the quadratic truth cost
-    shrinks by rate². The PREDICTION side stays the full-corpus
-    MinHash-LSH candidate run (that is the pipeline being graded, at
-    its real cost) filtered to pairs with BOTH endpoints sampled —
-    and because sample membership is a pure integer-hash predicate on
-    the doc id, that filter is scan-local (no join, no second pass).
-    Precision/recall are therefore unbiased estimates over the
-    sampled-pair population, reported with a ±1.96·√(p(1−p)/n) Wald
-    half-width each so the reader knows the resolution. The exact
-    full-corpus form stays available as the oracle twin
-    (``dedup_eval``)."""
+    BOTH sides run on a deterministic hash-stratified document sample
+    (``llmdata/sampling.hash_sample``): the exact truth join shrinks
+    by rate², and — because uncapped MinHash banding is a pure
+    per-document function — the LSH candidate pairs among sampled
+    docs are IDENTICAL whether LSH runs on the sample or on the full
+    corpus and is filtered to sampled endpoints. The sampled scores
+    are therefore unbiased estimates of the production run's
+    precision/recall over the sampled-pair population, at
+    rate-scaled candidate cost and rate²-scaled truth cost (the r8
+    sweep measured exp 1.02 for the filter-the-full-run form — the
+    full LSH pass dominated; this form removes it). Reported with a
+    ±1.96·√(p(1−p)/n) Wald half-width each so the reader knows the
+    resolution. The exact full-corpus form stays available as the
+    oracle twin (``dedup_eval``)."""
     from stock_indicators_etl_spark.llmdata.dedup import (
         minhash_lsh_candidates,
         ngram_jaccard_pairs,
     )
-    from stock_indicators_etl_spark.llmdata.hashing import HASH_DOMAIN, h56
     from stock_indicators_etl_spark.llmdata.sampling import hash_sample
 
     docs = _docs(spark, sf_dir)
@@ -3530,14 +3530,8 @@ def q_dedup_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = ngram_jaccard_pairs(sample, threshold=DEDUP_EVAL_T).select(
         "doc_a", "doc_b", F.lit(1).alias("_t")
     )
-    thr = F.lit(int(DEDUP_EVAL_SAMPLE_RATE * HASH_DOMAIN))
-    pred = (
-        minhash_lsh_candidates(docs)
-        .filter(
-            (h56(F.col("doc_a").cast("string")) < thr)
-            & (h56(F.col("doc_b").cast("string")) < thr)
-        )
-        .select("doc_a", "doc_b", F.lit(1).alias("_p"))
+    pred = minhash_lsh_candidates(sample).select(
+        "doc_a", "doc_b", F.lit(1).alias("_p")
     )
     j = pred.join(truth, ["doc_a", "doc_b"], "full")
     tp = F.sum(F.when(F.col("_p").isNotNull() & F.col("_t").isNotNull(), 1).otherwise(0))
