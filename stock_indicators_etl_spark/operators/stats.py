@@ -509,26 +509,31 @@ def corr_matrix(
     """Per-key Pearson correlation MATRIX over k features in ONE
     combinable aggregate — the feature-redundancy screen run before
     model training. ``feats`` maps output name → (column, integer
-    scale); every feature is quantized to integers first, so all
-    k + k(k+1)/2 running sums are exact BIGINTs (associative,
-    order-free at any group size) and each correlation is the same
-    fixed IEEE expression over identical integers in both engines —
+    scale); every feature is quantized to integers first. The linear
+    sums are exact BIGINTs; the k(k+1)/2 PRODUCT sums accumulate in
+    DECIMAL(38,0) — Spark's exact 128-bit integer, the twin of the
+    HUGEINT DuckDB already sums into — so the operator is exact at
+    ANY group size with no caller-managed scale budget (r8: the same
+    overflow class the sf1 decade caught in ``ols_by_key``; products
+    of two quantized BIGINTs times corpus-scale row counts clear 2⁶³
+    long before the data is big). Each correlation is the same fixed
+    IEEE expression over identical exact integers in both engines —
     bit-exact, including the sqrt (correctly rounded per IEEE 754).
 
     Returns long format ``(key, feat_a, feat_b, n, corr)`` for the
     k(k-1)/2 unordered pairs; degenerate (zero-variance) pairs get
-    NULL. Caller picks scales so ``n · max(x·scale)²`` stays below
-    2⁶³ (the docstring contract of every integer-sum operator here).
+    NULL.
     """
     names = list(feats)
     q = {n: F.floor(F.col(c) * s + F.lit(0.5)).cast("long") for n, (c, s) in feats.items()}
+    qd = {n: q[n].cast("decimal(19,0)") for n in names}
     aggs = [F.count(F.lit(1)).alias("n")]
     for n in names:
         aggs.append(F.sum(q[n]).alias(f"s_{n}"))
-        aggs.append(F.sum(q[n] * q[n]).alias(f"s_{n}_{n}"))
+        aggs.append(F.sum(qd[n] * qd[n]).alias(f"s_{n}_{n}"))
     for i, a in enumerate(names):
         for b in names[i + 1 :]:
-            aggs.append(F.sum(q[a] * q[b]).alias(f"s_{a}_{b}"))
+            aggs.append(F.sum(qd[a] * qd[b]).alias(f"s_{a}_{b}"))
     agg = df.groupBy(key_col).agg(*aggs)
 
     outs = []
