@@ -215,11 +215,19 @@ p{i} AS (
 b{i} AS (
   SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
 )""")
+        # LEFT JOIN ON TRUE, not CROSS JOIN: when training exhausts
+        # pairs before n_merges rounds, b{i} is EMPTY — a cross join
+        # would empty every later w{i+1} (and zero the encode
+        # oracle's token counts), while the Spark side (bpe_train
+        # breaks early, bpe_encode applies only the learned merges)
+        # keeps encoding. The no-match row keeps syms unchanged —
+        # exactly the Spark no-op round.
         ctes.append(f"""
 w{i + 1} AS (
   SELECT word, c,
-         replace(syms, ' ' || b.l || ' ' || b.r || ' ',
-                 ' ' || b.l || b.r || ' ') AS syms
-  FROM w{i} CROSS JOIN b{i} b
+         CASE WHEN b.l IS NULL THEN syms
+              ELSE replace(syms, ' ' || b.l || ' ' || b.r || ' ',
+                           ' ' || b.l || b.r || ' ') END AS syms
+  FROM w{i} LEFT JOIN b{i} b ON TRUE
 )""")
     return ctes

@@ -32,9 +32,14 @@ callers who need centered PCA subtract the mean column first and
 re-quantize).
 
 Magnitude bounds: |code| ≤ 127, |v| ≤ 2^20 ⇒ |s| ≤ 127·2^20·dim
-(≈2^33 at dim 64), |w_j| ≤ 127·|s|·N — int64-safe to N ≈ 2^23 rows
-and hugeint-safe in the oracle; beyond that drop the v-scale to 2^12
-(the knob exists for exactly this reason).
+(≈2^33 at dim 64) — the per-row fold stays in BIGINT. The cross-row
+sums |w_j| ≤ 127·|s|·N are NOT long-safe (overflow at N ≈ 2^23 rows,
+far below corpus scale), so they accumulate in DECIMAL(38,0) —
+Spark's exact 128-bit integer, the same fix class as ``ols_by_key``
+/ ``corr_matrix`` — which holds them to N ≈ 2^87 rows. DuckDB
+already sums BIGINT into HUGEINT, so the oracle was always exact;
+this makes the Spark side match instead of silently wrapping
+(non-ANSI mode) into a plausible-but-wrong direction.
 """
 
 from __future__ import annotations
@@ -111,10 +116,18 @@ def _power_direction(
                 F.lit(0).cast("long"),
                 lambda a, b: a + b,
             )
+            # decimal(19,0) holds any BIGINT; the product promotes to
+            # decimal(38,0) — exact 128-bit accumulation across rows
+            # (a long sum wraps silently beyond ~2^23 rows)
             rows = (
                 codes.select(s.alias("_s"), F.posexplode("cv").alias("j", "x"))
                 .groupBy("j")
-                .agg(F.sum(F.col("x") * F.col("_s")).alias("w"))
+                .agg(
+                    F.sum(
+                        F.col("x").cast("decimal(19,0)")
+                        * F.col("_s").cast("decimal(19,0)")
+                    ).alias("w")
+                )
                 .collect()
             )
             w = [0] * dim

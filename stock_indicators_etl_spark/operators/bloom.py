@@ -77,8 +77,12 @@ def bloom_build(
                 (pos / F.lit(64)).cast("long").alias("w"), mask.alias("m")
             )
         )
+    # NULL keys carry no membership information (might_contain(NULL)
+    # is null → filtered, matching inner-join semantics) but would
+    # propagate null through pos/mask and crash the word fill below
     words = (
-        df.select(F.explode(F.array(*pairs)).alias("p"))
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.explode(F.array(*pairs)).alias("p"))
         .groupBy(F.col("p.w").alias("w"))
         .agg(F.bit_or("p.m").alias("bits"))
         .collect()

@@ -93,3 +93,16 @@ def test_m_bits_validation(spark, bad_m):
     keys = spark.createDataFrame(pd.DataFrame({"k": ["a"]}))
     with pytest.raises(ValueError):
         bloom_build(keys, "k", m_bits=bad_m)
+
+
+def test_null_keys_do_not_crash_build(spark):
+    """ADVICE r8: NULL keys must be dropped at build (they carry no
+    membership info); might_contain(NULL) stays null → filtered,
+    consistent with inner-join semantics."""
+    keys = spark.createDataFrame(
+        pd.DataFrame({"k": ["x", None, "y", None]})
+    )
+    words = bloom_build(keys, "k", m_bits=4096, k=5)
+    probe = spark.createDataFrame(pd.DataFrame({"k": ["x", "y", None]}))
+    hits = probe.filter(bloom_might_contain(F.col("k"), words))
+    assert sorted(r["k"] for r in hits.collect()) == ["x", "y"]

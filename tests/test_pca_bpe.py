@@ -162,3 +162,47 @@ def test_abtt_reduces_norms_on_anisotropic_corpus(spark):
     mean_before = float(np.mean([r["norm_before"] for r in out]))
     mean_after = float(np.mean([r["norm_after"] for r in out]))
     assert mean_after < 0.7 * mean_before
+
+
+def test_bpe_oracle_survives_merge_exhaustion(spark):
+    """ADVICE r8: when training exhausts pairs before n_merges rounds,
+    bpe_train breaks early and bpe_encode still emits tokens — the
+    encode oracle's merge CTEs must pass rows through (LEFT JOIN with
+    a no-op fallback), not empty the word table via a CROSS JOIN
+    against the empty b{i}."""
+    import duckdb
+
+    from stock_indicators_etl_spark.llmdata.bpe import (
+        bpe_encode,
+        bpe_train,
+        sql_bpe_encode_oracle,
+    )
+    from stock_indicators_etl_spark.queries_llm import DOCS_CTE
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2], "lang": ["en", "en"], "text": ["a a a b", "a b"]}
+    )
+    docs = spark.createDataFrame(pdf)
+    n_merges = 5  # only 2 are learnable: (a,</w>) then (b,</w>)
+    trained = bpe_train(docs, n_merges=n_merges).collect()
+    assert len(trained) == 2
+    merges = [(r["left"], r["right"]) for r in trained]
+    got = {
+        r["token"]: r["n"]
+        for r in bpe_encode(docs, merges)
+        .select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    # the oracle unrolls ALL n_merges rounds; rounds past exhaustion
+    # must be no-ops, not row killers
+    oracle = {
+        t: int(n)
+        for t, n in con.execute(
+            sql_bpe_encode_oracle(n_merges, DOCS_CTE)
+        ).fetchall()
+    }
+    assert oracle == got == {"a</w>": 4, "b</w>": 2}
