@@ -187,17 +187,15 @@ ROTATED_IN = (
     # r5 rotation (funnel/retention/asof_join/interval_join rotated
     # back OUT in r7d; bm25_topk/kmeans in r7e — all live in extras now)
     # ...r6: the newest multi-stage operators into the hard signal
-    "span_dedup",
-    "leakage_split",
-    "pq_topk",
-    "ivfpq_topk",
+    # (span_dedup/leakage_split/pq_topk/ivfpq_topk rotated back OUT
+    # in r9 — extras keep them bit-exact)
     "tfidf_keywords",
     "dedup_incremental",
-    # ...r6b: this round's new operator families
+    # ...r6b: this round's new operator families (scd2_history
+    # rotated back OUT in r9)
     "heavy_hitters",
     "fuzzy_join",
     "pack_sequences",
-    "scd2_history",
     "audio_stats",
     "canonicalize",
     # ...r7: graph/stats/DQ/clustering operators into the hard signal
@@ -231,10 +229,12 @@ ROTATED_IN = (
     "corr_matrix",
     "exact_quantiles",
     # ...r7e: the newest composite operators into the hard signal
+    # (dedup_eval rotated back OUT in r9: the exact-truth harness is
+    # the sf0.01-tier check; the SAMPLED form below is the production
+    # gate and takes the registry slot — VERDICT r8 next #4)
     "pit_join",
     "agg_delta",
     "allpairs_join",
-    "dedup_eval",
     # ...r8: the r7f/g wave into the hard signal (tfidf_keywords /
     # heavy_hitters / fuzzy_join / pack_sequences / audio_stats /
     # winsorize above rotated back OUT this round — extras keep them
@@ -249,12 +249,23 @@ ROTATED_IN = (
     "rolling_beta",
     "kl_drift",
     "bollinger",
+    # ...r9: the r8 wave into the hard signal — distributed PCA,
+    # anisotropy correction, BPE corpus encode, Bloom join pruning,
+    # Benford DQ, and the sampled (production) dedup evaluation
+    "abtt",
+    "pca_power",
+    "bpe_encode",
+    "bloom_join",
+    "benford_check",
+    "dedup_eval_sampled",
 )
 
 
 def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from stock_indicators_etl_spark.queries import (
         q_agg_delta,
+        q_benford_check,
+        q_bloom_join,
         q_bollinger,
         q_cdc_merge,
         q_corr_matrix,
@@ -269,14 +280,15 @@ def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         q_ols_by_key,
         q_rolling_beta,
         q_rolling_robust,
-        q_scd2_history,
     )
     from stock_indicators_etl_spark.queries_llm import (
+        q_abtt,
         q_allpairs_join,
         q_ann_eval,
         q_bigram_surprisal,
+        q_bpe_encode,
         q_contrastive_pairs,
-        q_dedup_eval,
+        q_dedup_eval_sampled,
         q_ivfsq_topk,
         q_rp_topk,
         q_kcore,
@@ -286,29 +298,21 @@ def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         q_label_prop,
         q_link_predict,
         q_multiprobe_lsh,
+        q_pca_power,
         q_perceptron,
         q_sq_topk,
         q_canonicalize,
         q_cluster_keywords,
         q_dedup_incremental,
-        q_ivfpq_topk,
-        q_leakage_split,
         q_mix_domains,
         q_pagerank,
-        q_pq_topk,
         q_rrf_fusion,
         q_semantic_neardup_scaled,
-        q_span_dedup,
         q_triangles,
     )
 
     return {
-        "span_dedup": q_span_dedup,
-        "leakage_split": q_leakage_split,
-        "pq_topk": q_pq_topk,
-        "ivfpq_topk": q_ivfpq_topk,
         "dedup_incremental": q_dedup_incremental,
-        "scd2_history": q_scd2_history,
         "canonicalize": q_canonicalize,
         "pagerank": q_pagerank,
         "dq_check": q_dq_check,
@@ -336,7 +340,6 @@ def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "pit_join": q_pit_join,
         "agg_delta": q_agg_delta,
         "allpairs_join": q_allpairs_join,
-        "dedup_eval": q_dedup_eval,
         "link_predict": q_link_predict,
         "contrastive_pairs": q_contrastive_pairs,
         "perceptron": q_perceptron,
@@ -347,12 +350,20 @@ def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "rolling_beta": q_rolling_beta,
         "kl_drift": q_kl_drift,
         "bollinger": q_bollinger,
+        "abtt": q_abtt,
+        "pca_power": q_pca_power,
+        "bpe_encode": q_bpe_encode,
+        "bloom_join": q_bloom_join,
+        "benford_check": q_benford_check,
+        "dedup_eval_sampled": q_dedup_eval_sampled,
     }
 
 
 def _rotated_in_oracles() -> dict[str, str]:
     from stock_indicators_etl_spark.queries import (
         SQL_AGG_DELTA,
+        SQL_BENFORD_CHECK,
+        SQL_BLOOM_JOIN,
         SQL_BOLLINGER,
         SQL_CDC_MERGE,
         SQL_CORR_MATRIX,
@@ -367,14 +378,15 @@ def _rotated_in_oracles() -> dict[str, str]:
         SQL_OLS_BY_KEY,
         SQL_ROLLING_BETA,
         SQL_ROLLING_ROBUST,
-        SQL_SCD2_HISTORY,
     )
     from stock_indicators_etl_spark.queries_llm import (
+        SQL_ABTT,
         SQL_ALLPAIRS_JOIN,
         SQL_ANN_EVAL,
         SQL_BIGRAM_SURPRISAL,
+        SQL_BPE_ENCODE,
         SQL_CONTRASTIVE_PAIRS,
-        SQL_DEDUP_EVAL,
+        SQL_DEDUP_EVAL_SAMPLED,
         SQL_IVFSQ_TOPK,
         SQL_RP_TOPK,
         SQL_KCORE,
@@ -384,29 +396,21 @@ def _rotated_in_oracles() -> dict[str, str]:
         SQL_LABEL_PROP,
         SQL_LINK_PREDICT,
         SQL_MULTIPROBE_LSH,
+        SQL_PCA_POWER,
         SQL_PERCEPTRON,
         SQL_SQ_TOPK,
         SQL_CANONICALIZE,
         SQL_CLUSTER_KEYWORDS,
         SQL_DEDUP_INCREMENTAL,
-        SQL_IVFPQ_TOPK,
-        SQL_LEAKAGE_SPLIT,
         SQL_MIX_DOMAINS,
         SQL_PAGERANK,
-        SQL_PQ_TOPK,
         SQL_RRF_FUSION,
         SQL_SEMANTIC_NEARDUP_SCALED,
-        SQL_SPAN_DEDUP,
         SQL_TRIANGLES,
     )
 
     return {
-        "span_dedup": SQL_SPAN_DEDUP,
-        "leakage_split": SQL_LEAKAGE_SPLIT,
-        "pq_topk": SQL_PQ_TOPK,
-        "ivfpq_topk": SQL_IVFPQ_TOPK,
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,
-        "scd2_history": SQL_SCD2_HISTORY,
         "canonicalize": SQL_CANONICALIZE,
         "pagerank": SQL_PAGERANK,
         "dq_check": SQL_DQ_CHECK,
@@ -434,7 +438,6 @@ def _rotated_in_oracles() -> dict[str, str]:
         "pit_join": SQL_PIT_JOIN,
         "agg_delta": SQL_AGG_DELTA,
         "allpairs_join": SQL_ALLPAIRS_JOIN,
-        "dedup_eval": SQL_DEDUP_EVAL,
         "link_predict": SQL_LINK_PREDICT,
         "contrastive_pairs": SQL_CONTRASTIVE_PAIRS,
         "perceptron": SQL_PERCEPTRON,
@@ -445,6 +448,12 @@ def _rotated_in_oracles() -> dict[str, str]:
         "rolling_beta": SQL_ROLLING_BETA,
         "kl_drift": SQL_KL_DRIFT,
         "bollinger": SQL_BOLLINGER,
+        "abtt": SQL_ABTT,
+        "pca_power": SQL_PCA_POWER,
+        "bpe_encode": SQL_BPE_ENCODE,
+        "bloom_join": SQL_BLOOM_JOIN,
+        "benford_check": SQL_BENFORD_CHECK,
+        "dedup_eval_sampled": SQL_DEDUP_EVAL_SAMPLED,
     }
 
 
@@ -492,8 +501,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     variants, the newer extension operators not yet rotated in, and
     the long-stable entries rotated out (VERDICT r5 #3)."""
     from stock_indicators_etl_spark.queries import (
-        q_benford_check,
-        q_bloom_join,
         q_customer_orders_hist,
         q_disjunctive_parts,
         q_distinct_users_cube,
@@ -533,23 +540,25 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_value_histogram,
         q_volume_shipping,
         q_waiting_suppliers,
+        q_scd2_history,
         q_winsorize,
         q_winsorize_approx,
         q_winsorize_hist,
     )
     from stock_indicators_etl_spark.queries_llm import (
         q_audio_stats,
-        q_bpe_encode,
         q_bpe_merges,
         q_balanced_sample,
-        q_abtt,
         q_bm25_topk,
-        q_pca_power,
         q_chunk_documents,
         q_collocations,
         q_curation_funnel,
-        q_dedup_eval_sampled,
+        q_dedup_eval,
         q_fuzzy_join,
+        q_ivfpq_topk,
+        q_leakage_split,
+        q_pq_topk,
+        q_span_dedup,
         q_heavy_hitters,
         q_pack_sequences,
         q_tfidf_keywords,
@@ -643,14 +652,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_stats": q_audio_stats,
         "tfidf_keywords": q_tfidf_keywords,
         "winsorize": q_winsorize,
-        # r8: sampled production form of the dedup evaluation harness
-        "dedup_eval_sampled": q_dedup_eval_sampled,
-        # r8 new operators
-        "benford_check": q_benford_check,
-        "bloom_join": q_bloom_join,
-        "bpe_encode": q_bpe_encode,
-        "pca_power": q_pca_power,
-        "abtt": q_abtt,
+        # r9 rotation: formerly rotated-in names back to extras (the
+        # exact dedup_eval harness stays the sf0.01-tier check; the
+        # sampled form took its registry slot)
+        "span_dedup": q_span_dedup,
+        "leakage_split": q_leakage_split,
+        "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
+        "scd2_history": q_scd2_history,
+        "dedup_eval": q_dedup_eval,
     }
     for name in ROTATED_OUT:
         if name in base:  # non-base rotated-out names are added above
@@ -663,8 +673,6 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_ADX_FAMILY,
         SQL_ASOF_JOIN,
         SQL_ATTRIBUTION,
-        SQL_BENFORD_CHECK,
-        SQL_BLOOM_JOIN,
         SQL_CMO_WILDER,
         SQL_FORECAST_REVENUE,
         SQL_FUNNEL,
@@ -693,6 +701,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_ROLLUP_AGGREGATE,
         SQL_RSI_WILDER,
         SQL_SALES_CUBE,
+        SQL_SCD2_HISTORY,
         SQL_SHIPPING_PRIORITY,
         SQL_SLIDING_COUNTS,
         SQL_SMALL_QTY_REVENUE,
@@ -711,25 +720,26 @@ def extra_oracle_sql() -> dict[str, str]:
     )
     from stock_indicators_etl_spark.queries_llm import (
         SQL_AUDIO_STATS,
-        SQL_BPE_ENCODE,
         SQL_BPE_MERGES,
         SQL_BALANCED_SAMPLE,
-        SQL_ABTT,
         SQL_BM25_TOPK,
-        SQL_PCA_POWER,
         SQL_CHUNK_DOCUMENTS,
         SQL_COLLOCATIONS,
         SQL_CURATION_FUNNEL,
-        SQL_DEDUP_EVAL_SAMPLED,
+        SQL_DEDUP_EVAL,
         SQL_EMBEDDING_NEARDUP_SCALED,
         SQL_FREQUENT_NGRAMS,
         SQL_FUZZY_JOIN,
         SQL_HEAVY_HITTERS,
         SQL_HLL_DISTINCT,
+        SQL_IVFPQ_TOPK,
         SQL_KMEANS,
+        SQL_LEAKAGE_SPLIT,
         SQL_LENGTH_QUANTILES,
         SQL_NEARDUP_BEST,
         SQL_PACK_SEQUENCES,
+        SQL_PQ_TOPK,
+        SQL_SPAN_DEDUP,
         SQL_TFIDF_KEYWORDS,
         SQL_READABILITY,
         SQL_SEMANTIC_NEARDUP,
@@ -810,12 +820,13 @@ def extra_oracle_sql() -> dict[str, str]:
         "audio_stats": SQL_AUDIO_STATS,
         "tfidf_keywords": SQL_TFIDF_KEYWORDS,
         "winsorize": SQL_WINSORIZE,
-        "dedup_eval_sampled": SQL_DEDUP_EVAL_SAMPLED,
-        "benford_check": SQL_BENFORD_CHECK,
-        "bloom_join": SQL_BLOOM_JOIN,
-        "bpe_encode": SQL_BPE_ENCODE,
-        "pca_power": SQL_PCA_POWER,
-        "abtt": SQL_ABTT,
+        # r9 rotation: formerly rotated-in names back to extras
+        "span_dedup": SQL_SPAN_DEDUP,
+        "leakage_split": SQL_LEAKAGE_SPLIT,
+        "pq_topk": SQL_PQ_TOPK,
+        "ivfpq_topk": SQL_IVFPQ_TOPK,
+        "scd2_history": SQL_SCD2_HISTORY,
+        "dedup_eval": SQL_DEDUP_EVAL,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:
