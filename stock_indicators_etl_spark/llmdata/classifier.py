@@ -82,15 +82,30 @@ def perceptron_train(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
+    _stats: dict | None = None,
 ) -> DataFrame:
-    """Train ``epochs`` of the batch perceptron; returns the final
-    (j, w) weight table with ``n_mis`` (final-epoch misclassified
-    count) attached to every row.
+    """Train up to ``epochs`` of the batch perceptron; returns the
+    final (j, w) weight table with ``n_mis`` (final-epoch
+    misclassified count) attached to every row.
 
     Labels: ``y = +1`` where ``label ≥ positive_min`` else ``−1``.
     Zero-initialized weights: epoch 1's margins are all 0 (≤ 0 ⇒
     every row misclassified), so ``w¹ = Σ y_i·x_i`` — the class-mean
     direction — and later epochs correct it. All-BIGINT state.
+
+    CONVERGENCE EARLY-EXIT (VERDICT r8 next #5): the per-epoch
+    misclassified count rides the delta aggregate (each mis id
+    contributes exactly one row per dimension, so ``count(*)`` per
+    ``j`` IS the mis count — no extra job), read off the 64-row
+    checkpoint. When it hits 0 the update is a no-op and every later
+    epoch is bit-identical, so stopping early returns EXACTLY the
+    fixed-epoch result — the unrolled SQL oracle needs no mode flag.
+    The same carried count replaces the old final ``mis_count``
+    aggregate, which re-ran the last epoch's margins — one full
+    corpus pass saved per training call.
+
+    ``_stats``: test hook — when a dict is passed, ``epochs_run`` is
+    filled in (the separable-fixture test asserts the early exit).
     """
     spark = embeddings.sparkSession
     codes = sq_codes(embeddings, vec_col, id_col, dim)
@@ -103,7 +118,8 @@ def perceptron_train(
     w = spark.range(dim).select(
         F.col("id").alias("j"), F.lit(0).cast("long").alias("w")
     )
-    n_mis = None
+    n_mis_val = 0
+    epochs_run = 0
     for _ in range(epochs):
         margins = (
             xy.join(F.broadcast(w), "j")
@@ -119,21 +135,34 @@ def perceptron_train(
             xy.drop("y")
             .join(mis, "id")
             .groupBy("j")
-            .agg(F.sum(F.col("y") * F.col("x")).alias("_d"))
+            .agg(
+                F.sum(F.col("y") * F.col("x")).alias("_d"),
+                F.count(F.lit(1)).alias("_nm"),
+            )
         )
         w = (
             w.join(delta, "j", "left")
             .select(
                 "j",
                 (F.col("w") + F.coalesce(F.col("_d"), F.lit(0))).alias("w"),
+                F.coalesce(F.col("_nm"), F.lit(0)).alias("_nm"),
             )
         )
-        n_mis = mis
         # 64-row state: pin it so the next epoch's lineage does not
         # replay every earlier epoch's joins
         w = w.localCheckpoint(eager=True)
-    mis_count = n_mis.agg(F.count(F.lit(1)).alias("n_mis"))
-    return w.crossJoin(F.broadcast(mis_count)).select("j", "w", "n_mis")
+        epochs_run += 1
+        # 64-row checkpoint read, no recompute (_nm is identical on
+        # every row; max is just the null-safe reduction)
+        n_mis_val = int(w.agg(F.max("_nm")).collect()[0][0] or 0)
+        w = w.select("j", "w")
+        if n_mis_val == 0:
+            break
+    if _stats is not None:
+        _stats["epochs_run"] = epochs_run
+    return w.select(
+        "j", "w", F.lit(n_mis_val).cast("long").alias("n_mis")
+    )
 
 
 def perceptron_score(

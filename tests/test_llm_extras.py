@@ -247,10 +247,24 @@ class TestPerceptron:
                 "label": np.array(ys, dtype="int64"),
             }
         )
+        stats: dict = {}
+        sdf = spark.createDataFrame(pdf)
         out = perceptron_train(
-            spark.createDataFrame(pdf), epochs=20, positive_min=5, dim=dim
+            sdf, epochs=20, positive_min=5, dim=dim, _stats=stats
         ).toPandas()
         assert (out.n_mis == 0).all()
+        # convergence early-exit (VERDICT r8 next #5): once n_mis
+        # hits 0 the remaining epochs are no-ops and must be skipped
+        assert stats["epochs_run"] < 20
+        # ...and the early exit is bit-identical to a fixed run of
+        # exactly that many epochs (the no-op-update argument)
+        fixed = perceptron_train(
+            sdf, epochs=stats["epochs_run"], positive_min=5, dim=dim
+        ).toPandas()
+        merged = out.sort_values("j").reset_index(drop=True)
+        fixedm = fixed.sort_values("j").reset_index(drop=True)
+        assert list(merged.w) == list(fixedm.w)
+        assert list(merged.n_mis) == list(fixedm.n_mis)
 
 
 class TestMultiprobeLsh:
