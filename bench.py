@@ -79,6 +79,9 @@ EAGER_CONSTRUCTION = frozenset(
         "bpe_encode",
         "pca_power",
         "abtt",
+        # r9: sizes the LSH blocking from a corpus count at
+        # construction (sweep-only entry)
+        "embedding_neardup_production",
     }
 )
 

@@ -79,6 +79,7 @@ QUERIES = [
     "semantic_neardup",       # kmeans blocking + within-cluster cosine (extra)
     "semantic_neardup_scaled",  # auto-k SemDeDup — cluster size pinned, the sf1 variant
     "semdedup_production",    # auto-k SemDeDup at the PRODUCTION default (hier; sweep-only)
+    "embedding_neardup_production",  # LSH near-dup, blocking re-derived per corpus (sweep-only)
     "unigram_surprisal",      # corpus-unigram LM quality proxy (extra)
     "span_dedup",             # C4-style span removal — hash-window keep-first
     "tfidf_keywords",         # tf shuffle + vocab df + per-doc window top-n
@@ -198,9 +199,15 @@ def main() -> int:
         queries.setdefault(_name, _fn)
     # sweep-only entries: no bit-exact oracle by design (order-free
     # float sums), so they live outside the registry/extras contract
-    from stock_indicators_etl_spark.queries_llm import q_semdedup_production
+    from stock_indicators_etl_spark.queries_llm import (
+        q_embedding_neardup_production,
+        q_semdedup_production,
+    )
 
     queries.setdefault("semdedup_production", q_semdedup_production)
+    queries.setdefault(
+        "embedding_neardup_production", q_embedding_neardup_production
+    )
 
     have_sf1 = Path(SF1_DIR, "documents.parquet").exists()
     if not have_sf1:

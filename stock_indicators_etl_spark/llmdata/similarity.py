@@ -377,8 +377,19 @@ def embedding_neardup_pairs(
     n_planes: int = 8,
     band_size: int = 2,
     dim: int = 64,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold (id_a < id_b).
+
+    ``max_bucket_size`` (lsh path only): drop band buckets larger
+    than the cap before the candidate self-join — the same per-task
+    work bound MinHash-LSH's ``max_bucket_size`` gives
+    (``dedup._banded_candidates``). A degenerate embedding cluster
+    (all-zero vectors, boilerplate encodings) lands one hot bucket
+    whose b² pair expansion dominates the whole job; capping trades
+    those pairs away EXPLICITLY (a capped bucket's pairs are only
+    lost if they collide in no other band). ``None`` = exact
+    blocking replay, the oracle-pinned form.
 
     ``method="lsh"`` (default, the 100 TB path): banded random-
     hyperplane blocking — each of the ``n_planes/band_size`` bands is
@@ -407,6 +418,17 @@ def embedding_neardup_pairs(
             F.col(id_col).alias("vid"),
             F.posexplode(F.array(*buckets)).alias("band", "bk"),
         )
+        if max_bucket_size is not None:
+            # combinable count on the SAME (band, bk) keys the join
+            # shuffles on — the exchange is shared, the semi-join
+            # prunes hot buckets before any pair is emitted
+            ok = (
+                banded.groupBy("band", "bk")
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .filter(F.col("_c") <= max_bucket_size)
+                .select("band", "bk")
+            )
+            banded = banded.join(ok, ["band", "bk"], "left_semi")
         a = banded.select(F.col("vid").alias("id_a"), "band", "bk")
         b = banded.select(F.col("vid").alias("id_b"), "band", "bk")
         pairs = (

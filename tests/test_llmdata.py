@@ -155,6 +155,46 @@ def test_embedding_neardup_threshold(spark):
     assert set(zip(out.id_a, out.id_b)) == {(0, 1)}
 
 
+def test_embedding_neardup_bucket_cap_drops_hot_bucket(spark):
+    """max_bucket_size prunes hot buckets BEFORE pair expansion: ten
+    identical vectors land in one bucket per band (size ≥ 10), so a
+    cap of 5 removes every pair, and a cap above the bucket size is
+    a no-op."""
+    vecs = [[1.0, 0.0]] * 10 + [[0.0, 1.0]]
+    df = _emb_df(spark, vecs)
+    base = embedding_neardup_pairs(df, threshold=0.9, dim=2).toPandas()
+    assert len(base) == 45
+    capped = embedding_neardup_pairs(
+        df, threshold=0.9, dim=2, max_bucket_size=5
+    ).toPandas()
+    assert len(capped) == 0
+    nocap = embedding_neardup_pairs(
+        df, threshold=0.9, dim=2, max_bucket_size=50
+    ).toPandas()
+    assert len(nocap) == 45
+
+
+def test_embedding_neardup_production_runs_and_filters(spark):
+    """The sweep-only production twin (runtime-derived blocking +
+    hot-bucket cap): returns real near-dup pairs, every one above
+    the threshold, as a subset of the exact all-pairs result."""
+    from stock_indicators_etl_spark.queries_llm import (
+        NEARDUP_THRESHOLD,
+        q_embedding_neardup_production,
+    )
+
+    out = q_embedding_neardup_production(spark, "/root/testdata/sf0.001").toPandas()
+    assert list(out.columns) == ["id_a", "id_b", "cosine"]
+    assert len(out) > 0
+    assert (out.cosine >= NEARDUP_THRESHOLD - 1e-9).all()
+    exact = embedding_neardup_pairs(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+        threshold=NEARDUP_THRESHOLD,
+        method="sql",
+    ).toPandas()
+    assert set(zip(out.id_a, out.id_b)) <= set(zip(exact.id_a, exact.id_b))
+
+
 def test_lsh_topk_subset_of_exact(spark):
     rng = np.random.default_rng(4)
     vecs = rng.normal(size=(40, 16))
