@@ -186,9 +186,20 @@ def _gc_versions(filesystem, root: str, live: str, keep_versions: int) -> list[s
     )
     if live not in dirs:  # pointer points elsewhere — do not guess
         return []
-    older = [d for d in dirs if d < live]
+
+    def _vidx(name: str) -> int:
+        return int(name.split("_")[1])
+
+    # compare by VERSION INDEX, not by full name: a crashed run's
+    # orphan carries the SAME index as the next successful run's live
+    # dir with a different random tag, and the lexical comparison
+    # collected it only when the tag happened to sort higher (a 50/50
+    # test flake that was a real GC leak — r9)
+    live_idx = _vidx(live)
+    older = [d for d in dirs if _vidx(d) < live_idx]
     stale = older[: max(len(older) - keep_versions, 0)]
-    stale += [d for d in dirs if d > live]  # crashed-run orphans
+    # crashed-run orphans: same-or-higher index, never the live dir
+    stale += [d for d in dirs if _vidx(d) >= live_idx and d != live]
     for d in stale:
         filesystem.delete_dir(root + "/" + d)
     return stale
