@@ -528,16 +528,22 @@ def ngram_jaccard_pairs(
             .union(candidates.select(F.col("doc_b").alias("doc_id")))
             .distinct()
         )
-        # broadcast discipline (DESIGN §4.23): the hints below are only
-        # safe when the CANDIDATE SET is bounded by construction —
+        # broadcast discipline (DESIGN §4.23): the broadcast hint is
+        # only safe when the CANDIDATE SET is bounded by construction —
         # true for banded-LSH output (bucket caps). Pass
         # ``broadcast_candidates=False`` when the generator can emit a
         # pair-stream-sized set (the AllPairs prefix filter at low
         # thresholds on boilerplate-heavy corpora — the sf1 decade hit
-        # an 8 GB broadcast build there): plain shuffle joins, AQE
-        # still broadcasts at runtime whenever the set is actually
-        # small, results identical.
-        _b = F.broadcast if broadcast_candidates else (lambda d: d)
+        # an 8 GB broadcast build there). Merely DROPPING the hint is
+        # not enough: the static planner's size estimate for the
+        # HOF-derived persisted candidate lineage is garbage-tiny, so
+        # it STILL picks BroadcastHashJoin and the build OOMs at sf1
+        # (r9 re-caught this in a fresh JVM — r8's 61 s pass sat just
+        # under the ceiling). ``hint("merge")`` pins the STATIC plan
+        # to a shuffle join; AQE then demotes to broadcast at runtime
+        # using REAL shuffle sizes whenever the set is actually small
+        # — fast at sf0.01, safe at any scale, results identical.
+        _b = F.broadcast if broadcast_candidates else (lambda d: d.hint("merge"))
         # restrict BEFORE the shingle fan-out: only candidate docs pay
         # the explode+distinct (the full-corpus fan-out already ran
         # once, inside LSH candidate generation)
@@ -552,6 +558,15 @@ def ngram_jaccard_pairs(
         )
         a = doc_sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sa"))
         b = doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sb"))
+        if not broadcast_candidates:
+            # doc_sets is ONE ROW PER CANDIDATE DOC — bounded only
+            # when the candidate set is (LSH bucket caps). With an
+            # unbounded generator the static planner still picks a
+            # broadcast build from the garbage HOF-lineage estimate
+            # (the r9 sf1 OOM shape); pin SMJ, let AQE re-broadcast
+            # from real sizes when the frame is actually small.
+            a = a.hint("merge")
+            b = b.hint("merge")
         out = (
             a.join(_b(candidates), "doc_a")
             .join(b, "doc_b")
@@ -1061,7 +1076,12 @@ def allpairs_jaccard_join(
         "doc_id", _h56(F.col("shingle")).alias("h")
     )
     df_tbl = stream.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = stream.join(df_tbl, "h")
+    # df_tbl is one row per DISTINCT SHINGLE — vocabulary-scaling
+    # (billions at corpus scale), and the static planner's estimate
+    # for it is garbage; pin the rank join to SMJ (it shares the
+    # groupBy(h) exchange anyway) and let AQE re-broadcast from real
+    # sizes at small SFs
+    ranked = stream.join(df_tbl.hint("merge"), "h")
     wd = Window.partitionBy("doc_id").orderBy(F.col("_df").asc(), F.col("h").asc())
     sized = ranked.withColumn("_pos", F.row_number().over(wd)).withColumn(
         "_n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
@@ -1208,3 +1228,189 @@ def exact_substring_dedup(
             .alias("n_words_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS-style document fingerprint selection)
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 4, window: int = 5
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the MOSS algorithm): hash every word ``k``-gram in POSITION
+    ORDER, slide a ``window`` over the hash sequence, keep each
+    window's minimum. Guarantees every shared run of at least
+    ``window + k − 1`` words produces a shared fingerprint, at
+    expected density 2/(window+1) of the shingle count — the
+    cheap-at-scale alternative to full-posting Jaccard for overlap
+    detection (contamination scans, boilerplate maps).
+
+    Entirely SCAN-LOCAL per document (HOF sequence/transform/slice/
+    array_min — the word array never explodes before selection);
+    the only shuffle is the final distinct-(doc_id, fp) dedup.
+    Documents with fewer shingles than ``window`` contribute one
+    fingerprint (the min of what exists); documents shorter than
+    ``k`` words contribute none. Reference: N/A (pandas indicator
+    ETL — no text ops); re-derived from the public paper.
+    """
+    wa = words(F.col(text_col))
+    n = F.size(wa)
+    m = n - F.lit(k) + 1  # shingle count
+    hs = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: _h56(F.concat_ws(" ", F.slice(wa, i, F.lit(k)))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    nw = F.size(hs) - F.lit(window) + 1
+    fps = (
+        F.when(
+            nw >= 1,
+            F.transform(
+                F.sequence(F.lit(1), nw),
+                lambda j: F.array_min(F.slice(hs, j, F.lit(window))),
+            ),
+        )
+        .when(F.size(hs) >= 1, F.array(F.array_min(hs)))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return (
+        df.select("doc_id", F.explode(F.array_distinct(fps)).alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_matches(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 5,
+    top_n: int = 20,
+) -> DataFrame:
+    """Top-``top_n`` document pairs by shared winnowing-fingerprint
+    count — the overlap report winnowing exists for. Posting-list
+    pair expansion (:func:`_bucket_pairs`, no self-join) over the
+    fingerprint stream, one combinable pair count, TakeOrdered
+    top-k (never a global sort). Ties break (n_shared desc, doc_a,
+    doc_b) — a total order, so the cut at ``top_n`` is
+    deterministic."""
+    fps = winnow_fingerprints(df, text_col, k, window)
+    posting = fps.groupBy("fp").agg(F.collect_set("doc_id").alias("ids"))
+    return (
+        _bucket_pairs(posting)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy(
+            F.col("n_shared").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+        )
+        .limit(top_n)
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus decontamination (train vs eval/benchmark near-dup removal)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n_hashes: int = 12,
+    band_size: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: find train documents near-duplicate
+    to ANY eval document. Returns ``(train_id, eval_id, n_inter, n_a,
+    n_b, jaccard)`` for every candidate pair with Jaccard ≥
+    ``threshold`` — anti-join ``train`` on ``train_id`` (or call
+    :func:`decontaminate_survivors`) to get the clean training set.
+
+    The cross-corpus twin of the dedup pipeline: banded MinHash on
+    BOTH sides with the same md5 hash family (so near-identical text
+    collides in some band regardless of which side it sits on),
+    candidates from the (band_idx, band_key) equi-join — never
+    train × eval — and exact shingle-set Jaccard verification
+    restricted to candidate docs only. Cost at 100 TB: eval sets are
+    small (benchmarks), so the band join's eval side broadcasts at
+    runtime via AQE (not forced — DESIGN §4.23: train-side candidate
+    counts are corpus-scaling) and the verify stage touches only
+    candidate docs' shingles.
+    """
+    sig_t = minhash_signatures(train, text_col, n_hashes, k)
+    sig_e = minhash_signatures(eval_df, text_col, n_hashes, k)
+    bt = band_rows(sig_t, n_hashes, band_size).withColumnRenamed(
+        "doc_id", "train_id"
+    )
+    be = band_rows(sig_e, n_hashes, band_size).withColumnRenamed(
+        "doc_id", "eval_id"
+    )
+    cand = (
+        bt.join(be, ["band_idx", "band_key"])
+        .select("train_id", "eval_id")
+        .distinct()
+    )
+
+    def _sets(df: DataFrame) -> DataFrame:
+        return (
+            word_shingles(df, text_col, k, distinct=False)
+            .select("doc_id", _h56(F.col("shingle")).alias("h"))
+            .groupBy("doc_id")
+            .agg(F.collect_set("h").alias("hset"))
+        )
+
+    st = _sets(
+        train.join(
+            cand.select(F.col("train_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+    ).select(F.col("doc_id").alias("train_id"), F.col("hset").alias("sa"))
+    se = _sets(
+        eval_df.join(
+            cand.select(F.col("eval_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+    ).select(F.col("doc_id").alias("eval_id"), F.col("hset").alias("sb"))
+    out = (
+        cand.join(st, "train_id")
+        .join(se, "eval_id")
+        .select(
+            "train_id",
+            "eval_id",
+            F.size(F.array_intersect("sa", "sb")).alias("n_inter"),
+            F.size("sa").alias("n_a"),
+            F.size("sb").alias("n_b"),
+        )
+        .filter(F.col("n_inter") > 0)
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("train_id", "eval_id", "n_inter", "n_a", "n_b", "jaccard")
+    )
+    return out
+
+
+def decontaminate_survivors(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n_hashes: int = 12,
+    band_size: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """The clean training set: ``train`` minus every document
+    :func:`decontaminate` flags (left-anti on ``train_id``)."""
+    removed = decontaminate(
+        train, eval_df, text_col, threshold, n_hashes, band_size, k
+    ).select(F.col("train_id").alias("doc_id")).distinct()
+    return train.join(removed, "doc_id", "left_anti")

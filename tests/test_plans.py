@@ -457,11 +457,17 @@ GOLDEN_FINGERPRINTS = {
     "rp_topk": {"exchange": 1, "bexchange": 1, "bhj": 0, "smj": 0, "shj": 0, "python": 0, "nl": 1, "sort": 3},
     "link_predict": {"exchange": 13, "bexchange": 1, "bhj": 1, "smj": 4, "shj": 0, "python": 0, "nl": 0, "sort": 10},
     # r8: allpairs_join carries _n on the posting structs — the two
-    # corpus-sized broadcast joins of r7 are gone (bexchange 9 → 5,
-    # exchange 24 → 14); every remaining broadcast side is a bounded
-    # aggregate (df-count caps), plan-asserted below in
-    # test_allpairs_no_corpus_broadcast.
-    "allpairs_join": {"exchange": 14, "bexchange": 5, "bhj": 5, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 1},
+    # corpus-sized broadcast joins of r7 are gone. r9: EVERY join in
+    # the unbounded-candidate path is hint("merge")-pinned (bhj 5 → 0,
+    # smj 0 → 5 with their sorts): the static planner's garbage
+    # estimates for the HOF/persisted lineages kept picking broadcast
+    # builds that OOM'd at sf1 in a fresh JVM — the candidate pairs
+    # (30.9M rows at sf1/t=0.5), the per-candidate-doc set table, and
+    # the per-distinct-shingle df table are all corpus/vocabulary-
+    # scaling frames. AQE re-broadcasts at runtime from REAL sizes
+    # when a side is actually small (sf0.01/0.1 stay fast); the
+    # static plan stays safe at any scale.
+    "allpairs_join": {"exchange": 19, "bexchange": 0, "bhj": 0, "smj": 5, "shj": 0, "python": 0, "nl": 0, "sort": 11},
     "pit_join": {"exchange": 3, "bexchange": 1, "bhj": 1, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 4},
     "agg_delta": {"exchange": 2, "bexchange": 0, "bhj": 0, "smj": 1, "shj": 0, "python": 0, "nl": 0, "sort": 2},
     # r8: the corpus-wide unpartitioned row_number became the
@@ -705,3 +711,38 @@ def test_runtime_bloom_filter_semi_join_reduction_available(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_winnow_matches_takeordered_no_global_sort(spark):
+    """The winnowing overlap report's top-20 must be TakeOrdered
+    (combinable per-partition top-k), never a single-partition global
+    Sort; the fingerprint selection itself is scan-local HOFs, so the
+    plan has no Python stage and no join before the pair expansion."""
+    from stock_indicators_etl_spark.llmdata.dedup import winnow_matches
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(winnow_matches(docs))
+    assert "TakeOrderedAndProject" in plan
+    assert count_nodes(plan, "Sort") == 0
+    assert count_nodes(plan, "MapInPandas") == 0
+    assert (
+        count_nodes(plan, "BroadcastHashJoin")
+        + count_nodes(plan, "SortMergeJoin")
+        + count_nodes(plan, "ShuffledHashJoin")
+    ) == 0
+
+
+def test_decontaminate_no_cartesian_no_forced_broadcast(spark):
+    """Cross-corpus decontamination must candidate via the banded
+    equi-join — a train×eval cartesian (or a nested-loop fallback)
+    here is the regression this pins. No forced broadcast either:
+    the eval side is small by construction, but the hint is AQE's
+    call (DESIGN §4.23)."""
+    from stock_indicators_etl_spark.llmdata.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    plan = plan_of(decontaminate(train, ev))
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") == 0
