@@ -1195,8 +1195,32 @@ def knn_classify(
     )
 
 
-def multiprobe_lsh_topk(
+def multiprobe_lsh_index(
     embeddings: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The STATIC half of multi-probe LSH serving: the corpus hashed
+    into its hyperplane buckets, with norms precomputed —
+    ``(nbr_id, c_vec, c_norm, bucket)``. Build once (write to parquet
+    or persist), probe many times: the serving shape for both the
+    batch operator and the ``readStream`` twin
+    (:func:`..streaming.ann_serve.streaming_multiprobe_topk`)."""
+    bucket = random_hyperplane_sign_bits(vec_col, n_planes, dim)
+    return with_norm(
+        embeddings.withColumn("bucket", bucket), vec_col, "c_norm"
+    ).select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("c_vec"),
+        "c_norm",
+        "bucket",
+    )
+
+
+def multiprobe_lsh_probe(
+    index: DataFrame,
     queries: DataFrame,
     k: int = 10,
     n_planes: int = 8,
@@ -1205,26 +1229,17 @@ def multiprobe_lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Multi-probe LSH top-k (Lv et al., VLDB'07): each query probes
-    its own hyperplane bucket PLUS every bucket within Hamming
-    distance ``n_flip`` — the standard fix for single-bucket LSH's
-    recall cliff (a true neighbor that lands one sign-bit away is
-    recovered by the flipped probe instead of lost). Candidate cost
-    grows by the probe count (1 + 8 at ``n_flip=1``), still a
-    ~2^planes/9 reduction vs brute force; the corpus side is hashed
-    ONCE — only the broadcast query side fans out, so the big-side
-    scan and shuffle profile are identical to
-    :func:`lsh_bucketed_topk`.
-
-    Deterministic md5-parity planes, (cosine desc, id asc) ties —
-    oracle-replayable like the rest of the family.
-    """
+    """The PROBE half of multi-probe LSH serving against a prebuilt
+    :func:`multiprobe_lsh_index`. Query hashing + probe fan-out are
+    scan-local Column expressions; the only join is the broadcast
+    bucket equi-join — which is why the identical call works on a
+    micro-batch of a probe STREAM (no stateful operator anywhere;
+    the per-query top-k window partitions by qid, and queries never
+    span micro-batches)."""
     if n_flip not in (0, 1):
         raise ValueError("n_flip supports 0 or 1 (probe count 1 or 1+n_planes)")
     bucket = random_hyperplane_sign_bits(vec_col, n_planes, dim)
-    base = with_norm(embeddings.withColumn("bucket", bucket), vec_col, "c_norm").select(
-        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("c_vec"), "c_norm", "bucket"
-    )
+    base = index
     q0 = with_norm(queries.withColumn("bucket", bucket), vec_col, "q_norm").select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec"), "q_norm", "bucket"
     )
@@ -1257,4 +1272,41 @@ def multiprobe_lsh_topk(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("qid", "rk", "nbr_id", "cosine")
+    )
+
+
+def multiprobe_lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_flip: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al., VLDB'07): each query probes
+    its own hyperplane bucket PLUS every bucket within Hamming
+    distance ``n_flip`` — the standard fix for single-bucket LSH's
+    recall cliff (a true neighbor that lands one sign-bit away is
+    recovered by the flipped probe instead of lost). Candidate cost
+    grows by the probe count (1 + 8 at ``n_flip=1``), still a
+    ~2^planes/9 reduction vs brute force; the corpus side is hashed
+    ONCE — only the broadcast query side fans out, so the big-side
+    scan and shuffle profile are identical to
+    :func:`lsh_bucketed_topk`.
+
+    Deterministic md5-parity planes, (cosine desc, id asc) ties —
+    oracle-replayable like the rest of the family. Composition of
+    :func:`multiprobe_lsh_index` + :func:`multiprobe_lsh_probe` (r9
+    split for the streaming serving twin)."""
+    return multiprobe_lsh_probe(
+        multiprobe_lsh_index(embeddings, n_planes, dim, vec_col, id_col),
+        queries,
+        k=k,
+        n_planes=n_planes,
+        dim=dim,
+        n_flip=n_flip,
+        vec_col=vec_col,
+        id_col=id_col,
     )

@@ -894,3 +894,62 @@ def test_streaming_sliding_counts_matches_batch_range_frame(spark, tmp_path):
         sub = got[got.user_id == u]
         assert list(sub.n_win) == list(hi - lo)
         assert list(sub.cents_win) == list(csum[hi] - csum[lo])
+
+
+def test_streaming_ann_serving_matches_batch(spark, tmp_path):
+    """19th streaming twin (VERDICT r8 next #7): drain a 3-shard
+    probe stream (maxFilesPerTrigger=1 → one shard per micro-batch)
+    against a prebuilt multi-probe LSH index; the union of per-batch
+    results equals the batch operator on all probes at once — exact,
+    not approximate, because a query never spans micro-batches."""
+    from stock_indicators_etl_spark.llmdata.similarity import (
+        multiprobe_lsh_index,
+        multiprobe_lsh_topk,
+    )
+    from stock_indicators_etl_spark.streaming.ann_serve import (
+        streaming_multiprobe_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 12).toPandas()
+    src = tmp_path / "probes"
+    src.mkdir()
+    for i in range(3):
+        shard = probes[probes.vec_id % 3 == i]
+        spark.createDataFrame(shard).coalesce(1).write.parquet(
+            str(src / f"shard_{i}"), mode="overwrite"
+        )
+    index = multiprobe_lsh_index(emb).persist()
+    try:
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        results = str(tmp_path / "topk")
+        q = streaming_multiprobe_topk(
+            index,
+            stream,
+            results_path=results,
+            checkpoint_path=str(tmp_path / "ckpt_ann"),
+            k=5,
+        )
+        q.awaitTermination(180)
+        assert q.lastProgress is not None and q.lastProgress["batchId"] >= 2
+
+        got = sorted(
+            (r["qid"], r["rk"], r["nbr_id"], round(r["cosine"], 9))
+            for r in spark.read.parquet(results).collect()
+        )
+        batch = multiprobe_lsh_topk(
+            emb, emb.filter(F.col("vec_id") < 12), k=5
+        )
+        want = sorted(
+            (r["qid"], r["rk"], r["nbr_id"], round(r["cosine"], 9))
+            for r in batch.collect()
+        )
+        assert len(got) > 0
+        assert got == want
+    finally:
+        index.unpersist()
