@@ -553,6 +553,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_chunk_documents,
         q_collocations,
         q_curation_funnel,
+        q_decontaminate,
         q_dedup_eval,
         q_fuzzy_join,
         q_ivfpq_topk,
@@ -574,6 +575,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_unigram_surprisal,
         q_vocab_index,
         q_weighted_sample,
+        q_winnow_matches,
     )
 
     base = dict(QUERIES)
@@ -661,6 +663,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": q_ivfpq_topk,
         "scd2_history": q_scd2_history,
         "dedup_eval": q_dedup_eval,
+        # r9 new operators
+        "winnow_matches": q_winnow_matches,
+        "decontaminate": q_decontaminate,
     }
     for name in ROTATED_OUT:
         if name in base:  # non-base rotated-out names are added above
@@ -726,6 +731,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_CHUNK_DOCUMENTS,
         SQL_COLLOCATIONS,
         SQL_CURATION_FUNNEL,
+        SQL_DECONTAMINATE,
         SQL_DEDUP_EVAL,
         SQL_EMBEDDING_NEARDUP_SCALED,
         SQL_FREQUENT_NGRAMS,
@@ -747,6 +753,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_UNIGRAM_SURPRISAL,
         SQL_VOCAB_INDEX,
         SQL_WEIGHTED_SAMPLE,
+        SQL_WINNOW_MATCHES,
     )
 
     o = {
@@ -827,6 +834,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "ivfpq_topk": SQL_IVFPQ_TOPK,
         "scd2_history": SQL_SCD2_HISTORY,
         "dedup_eval": SQL_DEDUP_EVAL,
+        # r9 new operators
+        "winnow_matches": SQL_WINNOW_MATCHES,
+        "decontaminate": SQL_DECONTAMINATE,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -4159,6 +4159,126 @@ GROUP BY ex.qid
 SQL_ANN_EVAL = _ann_eval_sql()
 
 
+# ---------------------------------------------------------------------------
+# winnowing fingerprints + cross-corpus decontamination (r9 surface)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 4
+WINNOW_W = 5
+
+
+def q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing overlap report (`llmdata.dedup.winnow_matches`):
+    MOSS-style fingerprint selection (min hash per sliding window —
+    expected 2/(w+1) of the shingles) then top-20 doc pairs by shared
+    fingerprints. The cheap-at-scale contamination/boilerplate scan."""
+    from stock_indicators_etl_spark.llmdata.dedup import winnow_matches
+
+    return winnow_matches(
+        _docs(spark, sf_dir), k=WINNOW_K, window=WINNOW_W
+    )
+
+
+SQL_WINNOW_MATCHES = f"""
+WITH {DOCS_CTE},
+wf0 AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) - {WINNOW_K} + 1 >= 1
+      THEN list_transform(range(1, len(ws) - {WINNOW_K} + 2),
+        i -> CAST(concat('0x', substr(md5(array_to_string(
+               list_slice(ws, i, i + {WINNOW_K - 1}), ' ')), 1, 14)) AS BIGINT))
+      ELSE CAST([] AS BIGINT[]) END AS hs
+  FROM wd
+),
+wf1 AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) - {WINNOW_W} + 1 >= 1
+      THEN list_transform(range(1, len(hs) - {WINNOW_W} + 2),
+                          j -> list_min(list_slice(hs, j, j + {WINNOW_W - 1})))
+      WHEN len(hs) >= 1 THEN [list_min(hs)]
+      ELSE CAST([] AS BIGINT[]) END AS fps
+  FROM wf0
+),
+wfp AS (
+  SELECT DISTINCT doc_id, f AS fp
+  FROM (SELECT doc_id, unnest(fps) AS f FROM wf1)
+),
+wpairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM wfp a JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared FROM wpairs
+ORDER BY n_shared DESC, doc_a ASC, doc_b ASC
+LIMIT 20
+"""
+
+
+DECON_THRESHOLD = 0.5
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (`llmdata.dedup.decontaminate`):
+    train = doc_id % 10 != 0, eval = the rest; banded-MinHash
+    cross-corpus candidates + exact Jaccard verify; rows are the
+    REMOVED (train, eval) matches — the anti-join key set."""
+    from stock_indicators_etl_spark.llmdata.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    out = decontaminate(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        threshold=DECON_THRESHOLD,
+    )
+    return out.withColumn("jaccard", _rc(F.col("jaccard")))
+
+
+_DECON_BANDS = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band_idx, "
+    f"concat(mh_{3 * b}, '|', mh_{3 * b + 1}, '|', mh_{3 * b + 2}) AS band_key "
+    "FROM sig"
+    for b in range(4)
+)
+
+SQL_DECONTAMINATE = f"""
+WITH {SIG_CTES},
+dbanded AS (
+{_DECON_BANDS}
+),
+dcand AS (
+  SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+  FROM dbanded t JOIN dbanded e
+    ON t.band_idx = e.band_idx AND t.band_key = e.band_key
+   AND t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
+),
+dshh AS (
+  SELECT DISTINCT doc_id,
+         CAST(concat('0x', substr(md5(shingle), 1, 14)) AS BIGINT) AS h
+  FROM sh
+),
+dsizes AS (SELECT doc_id, count(*) AS n_sh FROM dshh GROUP BY doc_id),
+dinter AS (
+  SELECT c.train_id, c.eval_id, CAST(count(*) AS BIGINT) AS n_inter
+  FROM dcand c
+  JOIN dshh a ON a.doc_id = c.train_id
+  JOIN dshh b ON b.doc_id = c.eval_id AND b.h = a.h
+  GROUP BY 1, 2
+),
+dj AS (
+  SELECT train_id, eval_id, n_inter,
+         sa.n_sh AS n_a, sb.n_sh AS n_b,
+         CAST(n_inter AS DOUBLE)
+           / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+  FROM dinter
+  JOIN dsizes sa ON sa.doc_id = train_id
+  JOIN dsizes sb ON sb.doc_id = eval_id
+)
+SELECT train_id, eval_id, n_inter, n_a, n_b, {R6('jaccard')} AS jaccard
+FROM dj WHERE jaccard >= {DECON_THRESHOLD}
+"""
+
+
 QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "token_counts": q_token_counts,

@@ -1193,3 +1193,72 @@ def test_ivfsq_partial_probe_is_subset_with_true_scores(spark):
     codes = np.floor(vecs / nrm * 127.0 + 0.5).astype(np.int64)
     r = out.iloc[0]
     assert r.score == codes[int(r.qid)] @ codes[int(r.nbr_id)]
+
+
+def test_winnow_guarantee_and_edges(spark):
+    """Winnowing contract (SIGMOD'03): any shared word run of at
+    least window+k−1 words yields at least one shared fingerprint;
+    docs shorter than k words yield none; a doc with exactly k words
+    yields exactly one."""
+    from stock_indicators_etl_spark.llmdata.dedup import winnow_fingerprints
+
+    k, w = 4, 5
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = w+k-1
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                f"one two three {shared} four five",
+                f"{shared} completely different tail words here",
+                "too short",
+                "exactly four word doc",
+            ],
+        }
+    )
+    fps = winnow_fingerprints(
+        spark.createDataFrame(pdf), k=k, window=w
+    ).toPandas()
+    by_doc = {d: set(g.fp) for d, g in fps.groupby("doc_id")}
+    assert by_doc[0] & by_doc[1], "shared run must share a fingerprint"
+    assert 2 not in by_doc  # < k words -> no shingles -> no fps
+    assert len(by_doc[3]) == 1  # one shingle -> one fingerprint
+
+
+def test_winnow_matches_ranks_overlap(spark):
+    from stock_indicators_etl_spark.llmdata.dedup import winnow_matches
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [base, base + " with a small suffix", "entirely unrelated words only"],
+        }
+    )
+    out = winnow_matches(spark.createDataFrame(pdf)).toPandas()
+    assert list(out.columns) == ["doc_a", "doc_b", "n_shared"]
+    assert (out.iloc[0].doc_a, out.iloc[0].doc_b) == (0, 1)
+
+
+def test_decontaminate_flags_planted_contamination(spark):
+    from stock_indicators_etl_spark.llmdata.dedup import (
+        decontaminate,
+        decontaminate_survivors,
+    )
+
+    bench = "which planet is closest to the sun mercury is the answer"
+    train = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [bench, "totally unrelated training document text here"],
+            }
+        )
+    )
+    ev = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100], "text": [bench]})
+    )
+    out = decontaminate(train, ev, threshold=0.5).toPandas()
+    assert set(zip(out.train_id, out.eval_id)) == {(1, 100)}
+    assert (out.jaccard == 1.0).all()
+    surv = decontaminate_survivors(train, ev, threshold=0.5).toPandas()
+    assert list(surv.doc_id) == [2]
