@@ -173,17 +173,23 @@ def run() -> None:
     # The driver keeps only the LAST ~2 kB of stdout, and the full
     # per-query dict (160+ entries) overflows that — r7's record
     # arrived as "parsed": null. So: write the complete dict to a
-    # repo file (BENCHFULL_r{N}.json, N = 1 + latest recorded round)
-    # and print a <1.5 kB summary line LAST — same driver contract
-    # keys, with "queries" holding only the top-10 slowest (rounded)
-    # plus n/file pointers for the rest.
+    # repo file and print a <1.5 kB summary line LAST — same driver
+    # contract keys, with "queries" holding only the top-10 slowest
+    # (rounded) plus n/file pointers for the rest. The file name
+    # carries BOTH the round guess (from BENCH_r*.json the DRIVER
+    # writes — bench.py does not own those) and a UTC timestamp, so
+    # mid-round re-runs never overwrite each other and a run after
+    # the driver records still sorts with its own round (ADVICE r8).
     here = Path(__file__).resolve().parent
     rounds = [
         int(m.group(1))
         for p in here.glob("BENCH_r*.json")
         if (m := re.match(r"BENCH_r(\d+)\.json$", p.name))
     ]
-    full_path = here / f"BENCHFULL_r{(max(rounds, default=0) + 1):02d}.json"
+    stamp = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+    full_path = (
+        here / f"BENCHFULL_r{(max(rounds, default=0) + 1):02d}_{stamp}.json"
+    )
     full_path.write_text(json.dumps(full, indent=1) + "\n")
     top10 = dict(
         sorted(
