@@ -50,8 +50,35 @@ QUERIES = [
 ]
 
 
+def _parse_existing(path: str) -> dict[str, list[float | None]]:
+    """Parse a previously-rendered SCALING_SF10.md back into the
+    results dict so ``--only`` re-runs merge (same contract as
+    scaling_sweep)."""
+    import re as _re
+
+    out: dict[str, list[float | None]] = {}
+    p = Path(path)
+    if not p.exists():
+        return out
+    for line in p.read_text().splitlines():
+        m = _re.match(r"\| (\S+) \| (.+?) \| (.+?) \|", line)
+        if not m or m.group(1) == "query":
+            continue
+        cells = [
+            float(c.strip()[:-1]) if c.strip().endswith("s") else None
+            for c in m.groups()[1:3]
+        ]
+        out[m.group(1)] = cells
+    return out
+
+
 def main() -> int:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else str(ROOT / "SCALING_SF10.md")
+    args = [a for a in sys.argv[1:] if not a.startswith("--only")]
+    only: set[str] | None = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+    out_path = args[0] if args else str(ROOT / "SCALING_SF10.md")
     import __spark_entry__ as entry_mod
     from bench import EAGER_CONSTRUCTION
     from stock_indicators_etl_spark.queries_llm import (
@@ -74,8 +101,10 @@ def main() -> int:
             print(f"missing {d} — run scripts/make_sf1.py / make_sf10.py")
             return 1
 
-    results: dict[str, list[float | None]] = {}
-    for name in QUERIES:
+    results: dict[str, list[float | None]] = (
+        _parse_existing(out_path) if only else {}
+    )
+    for name in [n for n in QUERIES if only is None or n in only]:
         fn = queries[name]
         times: list[float | None] = []
         for sf_dir in (SF1_DIR, SF10_DIR):

@@ -463,7 +463,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.0,
     candidates: DataFrame | None = None,
     max_doc_freq: int | None = None,
-    broadcast_candidates: bool = True,
+    broadcast_candidates: bool = False,
 ) -> DataFrame:
     """Exact Jaccard similarity over word k-gram shingle sets.
 
@@ -471,6 +471,17 @@ def ngram_jaccard_pairs(
     shingle) — never a cross join; optionally restricted to
     ``candidates`` (doc_a, doc_b), e.g. LSH output.
     Jaccard = |∩| / (|A|+|B|−|∩|).
+
+    ``broadcast_candidates`` defaults to ``False`` (r9, the sf10
+    decade's catch): LSH candidate sets are NOT bounded by
+    construction — per-bucket caps bound SKEW, but the total is
+    cap × n_buckets ∝ corpus size, and the forced broadcast OOM'd
+    ``neardup_components`` at 500k docs. False = every
+    candidate-side join is ``hint("merge")``-pinned and AQE
+    re-broadcasts from real sizes when small (identical results,
+    small-SF speed preserved). ``True`` remains for candidate sets
+    bounded by cardinality CLASS — a fixed query list, a small eval
+    corpus — per DESIGN §4.23.
 
     ``max_doc_freq`` drops shingles appearing in more than that many
     docs before pair expansion (a shingle shared by d docs emits d²/2

@@ -410,12 +410,28 @@ def embedding_neardup_pairs(
     """
     if method == "lsh":
         buckets = band_sign_buckets(vec_col, n_planes, band_size, dim)
-        # one row per (vector, band): BOTH sides of the candidate
-        # self-join share this exact subplan, so Catalyst's
-        # ReuseExchange computes the hyperplane projections and the
-        # (band, bucket) shuffle once — not once per band per side
-        banded = embeddings.select(
+        # one row per (vector, band), CARRYING the vector + norm:
+        # BOTH sides of the candidate self-join share this exact
+        # subplan, so Catalyst's ReuseExchange computes the
+        # hyperplane projections and the (band, bucket) shuffle once
+        # — not once per band per side. Scoring happens AT THE BAND
+        # JOIN, where both vectors are already co-located: the only
+        # thing shuffled at candidate scale is the N·bands banded
+        # stream (vectors ride it once, linear in N), never the
+        # candidate PAIR stream with vectors attached. The r9 sf10
+        # decade killed the old join-vectors-back-onto-pairs shape:
+        # 333M candidate pairs × ~1.1 kB of vectors spilled ~230 GB
+        # of shuffle and filled the disk; scoring inside the join
+        # stage keeps the pair stream in codegen until the threshold
+        # filter has cut it to true pairs, and only (id_a, id_b,
+        # cosine) survivors ever shuffle (the dedup across bands).
+        # A pair colliding in b bands is scored b times — compute is
+        # the cheap currency; shuffle bytes are the expensive one.
+        n = with_norm(embeddings, vec_col, "nrm")
+        banded = n.select(
             F.col(id_col).alias("vid"),
+            _as_double(F.col(vec_col)).alias("v"),
+            "nrm",
             F.posexplode(F.array(*buckets)).alias("band", "bk"),
         )
         if max_bucket_size is not None:
@@ -429,28 +445,26 @@ def embedding_neardup_pairs(
                 .select("band", "bk")
             )
             banded = banded.join(ok, ["band", "bk"], "left_semi")
-        a = banded.select(F.col("vid").alias("id_a"), "band", "bk")
-        b = banded.select(F.col("vid").alias("id_b"), "band", "bk")
-        pairs = (
-            a.join(b, ["band", "bk"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
+        a = banded.select(
+            F.col("vid").alias("id_a"), F.col("v").alias("va"),
+            F.col("nrm").alias("na"), "band", "bk",
         )
-        n = with_norm(embeddings, vec_col, "nrm").select(
-            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"), "nrm"
+        b = banded.select(
+            F.col("vid").alias("id_b"), F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"), "band", "bk",
         )
-        va = n.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-        vb = n.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
         dot = _dot(F.col("va"), F.col("vb"))
         den = F.col("na") * F.col("nb")
         cos = F.when(den == 0, F.lit(0.0)).otherwise(dot / den)
         return (
-            pairs.join(va, "id_a")
-            .join(vb, "id_b")
+            a.join(b, ["band", "bk"])
+            .filter(F.col("id_a") < F.col("id_b"))
             .withColumn("cosine", cos)
             .filter(F.col("cosine") >= F.lit(threshold))
             .select("id_a", "id_b", "cosine")
+            # duplicates across bands carry the identical cosine, so
+            # the pair-dedup is a plain distinct on survivors
+            .dropDuplicates(["id_a", "id_b"])
         )
 
     if method == "sql":

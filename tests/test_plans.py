@@ -433,7 +433,12 @@ def plan_fingerprint(plan: str) -> dict:
 
 
 GOLDEN_FINGERPRINTS = {
-    "dedup_pipeline": {"exchange": 10, "bexchange": 4, "bhj": 4, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 0},
+    # r9: the LSH candidate set is corpus-scaling (cap x n_buckets —
+    # per-bucket caps bound skew, not totals), so the candidate-path
+    # joins are merge-pinned like allpairs (bhj 4 -> 0, smj 0 -> 4):
+    # the forced broadcast OOM'd neardup_components at the sf10
+    # decade. AQE re-broadcasts at runtime when genuinely small.
+    "dedup_pipeline": {"exchange": 14, "bexchange": 0, "bhj": 0, "smj": 4, "shj": 0, "python": 0, "nl": 0, "sort": 8},
     # r9: sizes ride the posting entries (AllPairs carry-counts
     # pattern) — the two forced-broadcast sizes joins are gone and the
     # whole posting path is three groupBys, zero joins (exchange
@@ -445,7 +450,13 @@ GOLDEN_FINGERPRINTS = {
     "bm25_topk": {"exchange": 10, "bexchange": 5, "bhj": 3, "smj": 0, "shj": 0, "python": 0, "nl": 2, "sort": 2},
     "ivfpq_topk": {"exchange": 1, "bexchange": 1, "bhj": 1, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 2},
     "pq_topk": {"exchange": 1, "bexchange": 1, "bhj": 0, "smj": 0, "shj": 0, "python": 0, "nl": 1, "sort": 2},
-    "embedding_neardup": {"exchange": 1, "bexchange": 3, "bhj": 3, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 0},
+    # r9: verify-at-the-band-join — vectors ride the banded stream
+    # (linear in N), the scored pair stream stays in codegen until
+    # the threshold filter, and only survivors shuffle for the dedup
+    # (the old join-vectors-back shape spilled ~230 GB at sf10);
+    # bexchange 3 -> 1: the one broadcast left is the banded
+    # self-join side at tiny SF (AQE-size-appropriate)
+    "embedding_neardup": {"exchange": 1, "bexchange": 1, "bhj": 1, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 0},
     "fuzzy_join": {"exchange": 9, "bexchange": 4, "bhj": 3, "smj": 0, "shj": 0, "python": 0, "nl": 1, "sort": 2},
     "indicator_pipeline_grid": {"exchange": 6, "bexchange": 0, "bhj": 0, "smj": 0, "shj": 0, "python": 1, "nl": 0, "sort": 8},
     "pipeline_wilder": {"exchange": 6, "bexchange": 0, "bhj": 0, "smj": 0, "shj": 0, "python": 1, "nl": 0, "sort": 8},
@@ -475,7 +486,10 @@ GOLDEN_FINGERPRINTS = {
     # left feed 1-row/bucket-count aggregates (asserted in
     # test_contrastive_rank_no_corpus_global_sort); node counts rose
     # because the rank adds a bucket groupBy + broadcast join back
-    "contrastive_pairs": {"exchange": 50, "bexchange": 32, "bhj": 30, "smj": 0, "shj": 0, "python": 0, "nl": 2, "sort": 8},
+    # r9: its jaccard verify inherits the merge-pinned candidate
+    # path (bhj 30 -> 6, smj 0 -> 24 with their sorts) — same OOM
+    # class as dedup_pipeline above
+    "contrastive_pairs": {"exchange": 74, "bexchange": 8, "bhj": 6, "smj": 24, "shj": 0, "python": 0, "nl": 2, "sort": 56},
     # r8: global top-10 via TakeOrderedAndProject (sort: 0 — a global
     # window would pin a single-partition Sort here)
     "shipping_priority": {"exchange": 1, "bexchange": 2, "bhj": 2, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 0},
