@@ -555,6 +555,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_curation_funnel,
         q_decontaminate,
         q_dedup_eval,
+        q_dsir_select,
+        q_dup_span_audit,
+        q_gopher_rules,
         q_fuzzy_join,
         q_ivfpq_topk,
         q_leakage_split,
@@ -666,6 +669,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r9 new operators
         "winnow_matches": q_winnow_matches,
         "decontaminate": q_decontaminate,
+        "dsir_select": q_dsir_select,
+        "gopher_rules": q_gopher_rules,
+        "dup_span_audit": q_dup_span_audit,
     }
     for name in ROTATED_OUT:
         if name in base:  # non-base rotated-out names are added above
@@ -733,6 +739,9 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_CURATION_FUNNEL,
         SQL_DECONTAMINATE,
         SQL_DEDUP_EVAL,
+        SQL_DSIR_SELECT,
+        SQL_DUP_SPAN_AUDIT,
+        SQL_GOPHER_RULES,
         SQL_EMBEDDING_NEARDUP_SCALED,
         SQL_FREQUENT_NGRAMS,
         SQL_FUZZY_JOIN,
@@ -837,6 +846,9 @@ def extra_oracle_sql() -> dict[str, str]:
         # r9 new operators
         "winnow_matches": SQL_WINNOW_MATCHES,
         "decontaminate": SQL_DECONTAMINATE,
+        "dsir_select": SQL_DSIR_SELECT,
+        "gopher_rules": SQL_GOPHER_RULES,
+        "dup_span_audit": SQL_DUP_SPAN_AUDIT,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

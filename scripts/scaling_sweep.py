@@ -174,6 +174,9 @@ QUERIES = [
     "dedup_eval",             # LSH-vs-exact precision/recall harness (extra)
     "winnow_matches",         # MOSS winnowing fingerprints + shared-fp top-k (extra)
     "decontaminate",          # cross-corpus banded-MinHash + exact verify (extra)
+    "dsir_select",            # hashed-ngram importance weights + Gumbel top-k (extra)
+    "gopher_rules",           # published quality gate, integer cross-mult (extra)
+    "dup_span_audit",         # maximal duplicated k-gram spans, all copies (extra)
     "balanced_sample",        # per-class quota by hash rank (extra)
     "agg_delta",              # retraction-changelog aggregate maintenance (extra)
     "contrastive_pairs",      # LSH-positive + hash-offset-negative mining (extra)

@@ -1425,3 +1425,88 @@ def decontaminate_survivors(
         train, eval_df, text_col, threshold, n_hashes, band_size, k
     ).select(F.col("train_id").alias("doc_id")).distinct()
     return train.join(removed, "doc_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# maximal duplicated-span audit (Lee et al. 2022 substring dedup, word grain)
+# ---------------------------------------------------------------------------
+
+
+def dup_span_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+    min_words: int = 8,
+) -> DataFrame:
+    """Maximal corpus-duplicated substrings per document — the audit
+    behind suffix-array substring dedup ("Deduplicating Training Data
+    Makes Language Models Better", Lee et al. 2022), re-expressed at
+    word-k-gram grain so it distributes: a word position is COVERED
+    when its k-gram occurs >= 2 times corpus-wide; maximal runs of
+    covered positions are the duplicated spans. Emits one row per
+    span of at least ``min_words`` words:
+    ``(doc_id, span_start, span_end, span_words)`` with start/end as
+    0-based word offsets (end exclusive).
+
+    Companion to :func:`exact_substring_dedup` (which APPLIES the
+    keep-first masking and reassembles clean text): this is the
+    ALL-COPIES measurement — every occurrence reports its span,
+    including the first — i.e. the duplicated-token audit that
+    dataset papers headline, runnable before deciding to dedup.
+
+    Scale shape: posexplode to ~N*W k-gram rows; the duplicated-gram
+    marking is a map-side-combinable groupBy on the 56-bit gram hash
+    (counts collapse before the shuffle) joined back onto the
+    position stream — an equi-join AQE can skew-split when one
+    boilerplate gram goes hot, unlike a count-over-window which pins
+    each hash to a single reducer. The island merge is ONE per-doc
+    window pass (pos - row_number), then a groupBy on the island key.
+    No corpus-sized frame is ever broadcast or collected; suffix
+    arrays (the paper's single-node structure) are replaced by
+    hashing because a distributed suffix array would serialize on a
+    global sort of every suffix.
+    """
+    pre = spread(df).select("doc_id", words(F.col(text_col)).alias("_w"))
+    w = F.col("_w")
+    n = F.size(w)
+    grams = F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(k)),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
+        )
+    )
+    pos = pre.select(
+        "doc_id", F.posexplode(grams).alias("pos", "gram")
+    ).select("doc_id", "pos", _h56(F.col("gram")).alias("gh"))
+    dup = (
+        pos.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("gh")
+    )
+    # the duplicated-hash set scales with the corpus — never a
+    # broadcast CLASS (DESIGN §4.23), and the static planner's size
+    # estimate for it is garbage. Pin to merge; AQE re-broadcasts at
+    # runtime from real shuffle sizes when it is genuinely small.
+    covered = pos.join(dup.hint("merge"), "gh", "left_semi")
+    isl = covered.withColumn(
+        "_grp",
+        F.col("pos")
+        - F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("pos")
+        ),
+    )
+    spans = (
+        isl.groupBy("doc_id", "_grp")
+        .agg(F.min("pos").alias("span_start"), F.max("pos").alias("_last"))
+        .select(
+            "doc_id",
+            "span_start",
+            (F.col("_last") + F.lit(k)).alias("span_end"),
+            (F.col("_last") + F.lit(k) - F.col("span_start")).alias(
+                "span_words"
+            ),
+        )
+        .filter(F.col("span_words") >= min_words)
+    )
+    return spans

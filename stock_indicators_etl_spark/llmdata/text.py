@@ -528,3 +528,103 @@ def collocation_lift(
             lift.alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rule gate (Rae et al. 2021, Appendix A)
+# ---------------------------------------------------------------------------
+
+#: the 8 Gopher "stop words" — a doc must contain >= 2 of them.
+GOPHER_STOPWORDS = "the be to of and that have with".split()
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The published Gopher document-quality gate as a per-doc rule
+    report: one boolean per Appendix-A rule plus the overall pass.
+
+    Rules (thresholds are the published constants):
+
+    - ``r_wordcount``   50 <= word count <= 100,000
+    - ``r_meanwlen``    mean word length in [3, 10] characters
+    - ``r_symbol``      '#' count <= 0.1*words AND '...' count <= 0.1*words
+    - ``r_bullets``     <= 90% of lines start with a bullet marker
+    - ``r_ellipsis``    <= 30% of lines end with an ellipsis
+    - ``r_alpha``       >= 80% of words contain an alphabetic character
+    - ``r_stop``        contains >= 2 of the 8 Gopher stop words
+
+    Distinct from :func:`text_quality` (continuous scores for model
+    features): this is the published BINARY gate a pipeline applies
+    verbatim, with the rule bitmap kept for filter-rate audits.
+
+    Determinism & scale: every ratio threshold is evaluated by exact
+    integer cross-multiplication (e.g. ``5*n_alpha >= 4*n_words``),
+    so the output contains no floats at all; the whole operator is a
+    scan-local projection — zero shuffles, trivially shard-parallel.
+    """
+    pre = spread(df).select(
+        "doc_id",
+        F.col(text_col).alias("_t"),
+        words(F.col(text_col)).alias("_w"),
+    )
+    w = F.col("_w")
+    nw = F.size(w)
+    total_chars = F.coalesce(
+        F.aggregate(
+            F.transform(w, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+        F.lit(0).cast("long"),
+    )
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+    # occurrence counts of the two Gopher symbols in the raw text
+    n_hash = (
+        (F.length("_t") - F.length(F.regexp_replace("_t", r"#", ""))).cast("long")
+    )
+    n_ell = (
+        (F.length("_t") - F.length(F.regexp_replace("_t", r"\.\.\.", "")))
+        / F.lit(3)
+    ).cast("long")
+    lines = F.split("_t", r"\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]"))
+    )
+    n_ell_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"))
+    )
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(
+        F.filter(stop_arr, lambda s: F.array_contains(w, s))
+    )
+    out = pre.select(
+        "doc_id",
+        nw.alias("n_words"),
+        total_chars.alias("n_word_chars"),
+        n_alpha.cast("long").alias("n_alpha_words"),
+        n_stop.cast("long").alias("n_stopwords"),
+        ((nw >= 50) & (nw <= 100_000)).alias("r_wordcount"),
+        # 3 <= total/n <= 10  ==  3n <= total AND total <= 10n (n>0)
+        (
+            (nw > 0)
+            & (F.lit(3) * nw <= total_chars)
+            & (total_chars <= F.lit(10) * nw)
+        ).alias("r_meanwlen"),
+        (
+            (F.lit(10) * n_hash <= nw) & (F.lit(10) * n_ell <= nw)
+        ).alias("r_symbol"),
+        (F.lit(10) * n_bullet <= F.lit(9) * n_lines).alias("r_bullets"),
+        (F.lit(10) * n_ell_lines <= F.lit(3) * n_lines).alias("r_ellipsis"),
+        ((nw > 0) & (F.lit(5) * n_alpha >= F.lit(4) * nw)).alias("r_alpha"),
+        (n_stop >= 2).alias("r_stop"),
+    )
+    return out.withColumn(
+        "passes",
+        F.col("r_wordcount")
+        & F.col("r_meanwlen")
+        & F.col("r_symbol")
+        & F.col("r_bullets")
+        & F.col("r_ellipsis")
+        & F.col("r_alpha")
+        & F.col("r_stop"),
+    )

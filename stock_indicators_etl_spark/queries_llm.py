@@ -4279,6 +4279,209 @@ FROM dj WHERE jaccard >= {DECON_THRESHOLD}
 """
 
 
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+DSIR_K = 50
+DSIR_TARGET_LANG = "en"
+_DSIR_B = 1024
+_G46 = 1 << 46  # Gumbel hash-bit reduction (exact in DOUBLE)
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (`llmdata.dsir.dsir_select`): hashed
+    unigram+bigram importance weights of every document against the
+    English subset as the target distribution, then deterministic
+    Gumbel top-50 resampling — the published recipe for building a
+    domain-matched pretraining mix, with every float quantized to
+    integer micro-nats at birth."""
+    from stock_indicators_etl_spark.llmdata.dsir import dsir_select
+
+    docs = _docs(spark, sf_dir)
+    return dsir_select(
+        docs,
+        docs.filter(F.col("lang") == DSIR_TARGET_LANG),
+        k=DSIR_K,
+        n_buckets=_DSIR_B,
+    )
+
+
+SQL_DSIR_SELECT = f"""
+WITH {DOCS_CTE},
+dsg AS (
+  SELECT doc_id, lang, unnest(list_concat(
+    ws,
+    CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(range(1, len(ws)),
+                             i -> concat(ws[i], ' ', ws[i + 1])) END
+  )) AS gram
+  FROM wd
+),
+dsb AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(gram), 1, 14)) AS BIGINT)
+           % {_DSIR_B} AS bucket
+  FROM dsg
+),
+dsq AS (SELECT bucket, count(*) AS q_cnt FROM dsb GROUP BY 1),
+dsp AS (SELECT bucket, count(*) AS p_cnt FROM dsb
+        WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1),
+dspq AS (
+  SELECT coalesce(dsq.bucket, dsp.bucket) AS bucket,
+         coalesce(q_cnt, 0) AS q_cnt, coalesce(p_cnt, 0) AS p_cnt
+  FROM dsq FULL JOIN dsp ON dsq.bucket = dsp.bucket
+),
+dstot AS (SELECT sum(q_cnt) AS q_tot, sum(p_cnt) AS p_tot FROM dspq),
+dslr AS (
+  SELECT bucket,
+         CAST(floor(ln(
+             (CAST(p_cnt + 1 AS DOUBLE) * CAST(q_tot + {_DSIR_B} AS DOUBLE))
+           / (CAST(q_cnt + 1 AS DOUBLE) * CAST(p_tot + {_DSIR_B} AS DOUBLE))
+         ) * 1000000.0 + 0.5) AS BIGINT) AS lr_unats
+  FROM dspq, dstot
+),
+dssc AS (
+  SELECT b.doc_id, count(*) AS n_grams,
+         CAST(sum(lr_unats) AS BIGINT) AS w_unats
+  FROM dsb b JOIN dslr ON dslr.bucket = b.bucket
+  GROUP BY 1
+),
+dsall AS (
+  SELECT wd.doc_id,
+         coalesce(n_grams, 0) AS n_grams,
+         coalesce(w_unats, 0) AS w_unats
+  FROM wd LEFT JOIN dssc ON dssc.doc_id = wd.doc_id
+),
+dskey AS (
+  SELECT doc_id, n_grams, w_unats,
+         CAST(floor(-ln(-ln(
+             (CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))
+                   AS BIGINT) % {_G46} AS DOUBLE) + 0.5) / {float(_G46)}
+         )) * 1000000.0 + 0.5) AS BIGINT) AS g_unats
+  FROM dsall
+)
+SELECT doc_id, n_grams, w_unats, g_unats,
+       w_unats + g_unats AS key_unats
+FROM dskey
+ORDER BY key_unats DESC, doc_id ASC
+LIMIT {DSIR_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rule gate (Rae et al. 2021)
+# ---------------------------------------------------------------------------
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published Gopher document-quality gate
+    (`llmdata.text.gopher_rules`): the Appendix-A rule bitmap per
+    document plus the overall pass — every ratio threshold evaluated
+    by exact integer cross-multiplication, so the report contains no
+    floats anywhere."""
+    from stock_indicators_etl_spark.llmdata.text import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir))
+
+
+_GOPHER_STOP_SQL = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+
+SQL_GOPHER_RULES = f"""
+WITH {DOCS_CTE},
+gf AS (
+  SELECT doc_id, text, ws,
+    len(ws) AS n_words,
+    CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+         AS BIGINT) AS n_word_chars,
+    len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS n_alpha_words,
+    length(text) - length(replace(text, '#', '')) AS n_hash,
+    CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+      AS n_ell,
+    string_split(text, chr(10)) AS lns,
+    len(list_filter({_GOPHER_STOP_SQL},
+                    s -> list_contains(ws, s))) AS n_stopwords
+  FROM wd
+),
+gg AS (
+  SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_stopwords,
+    (n_words >= 50 AND n_words <= 100000) AS r_wordcount,
+    (n_words > 0 AND 3 * n_words <= n_word_chars
+       AND n_word_chars <= 10 * n_words) AS r_meanwlen,
+    (10 * n_hash <= n_words AND 10 * n_ell <= n_words) AS r_symbol,
+    (10 * len(list_filter(lns, l -> regexp_matches(trim(l), '^[-*•]')))
+       <= 9 * len(lns)) AS r_bullets,
+    (10 * len(list_filter(lns, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$')))
+       <= 3 * len(lns)) AS r_ellipsis,
+    (n_words > 0 AND 5 * n_alpha_words >= 4 * n_words) AS r_alpha,
+    (n_stopwords >= 2) AS r_stop
+  FROM gf
+)
+SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_stopwords,
+       r_wordcount, r_meanwlen, r_symbol, r_bullets, r_ellipsis,
+       r_alpha, r_stop,
+       (r_wordcount AND r_meanwlen AND r_symbol AND r_bullets
+        AND r_ellipsis AND r_alpha AND r_stop) AS passes
+FROM gg
+"""
+
+
+# ---------------------------------------------------------------------------
+# maximal duplicated-span audit (Lee et al. 2022, all-copies grain)
+# ---------------------------------------------------------------------------
+
+SPAN_AUDIT_K = 4
+SPAN_AUDIT_MIN_WORDS = 8
+
+
+def q_dup_span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-span audit (`llmdata.dedup.dup_span_audit`):
+    every maximal run of corpus-duplicated word 4-grams of at least 8
+    words, for ALL copies including the first — the duplicated-token
+    measurement dataset papers headline, the read-only companion to
+    `substr_dedup`'s keep-first masking."""
+    from stock_indicators_etl_spark.llmdata.dedup import dup_span_audit
+
+    return dup_span_audit(
+        _docs(spark, sf_dir), k=SPAN_AUDIT_K, min_words=SPAN_AUDIT_MIN_WORDS
+    )
+
+
+SQL_DUP_SPAN_AUDIT = f"""
+WITH {DOCS_CTE},
+dsa AS (
+  SELECT doc_id, unnest(sl) AS s FROM (
+    SELECT doc_id,
+      CASE WHEN len(ws) >= {SPAN_AUDIT_K}
+        THEN list_transform(range(1, len(ws) - {SPAN_AUDIT_K} + 2),
+          i -> struct_pack(pos := i - 1,
+                 gh := CAST(concat('0x', substr(md5(array_to_string(
+                   list_slice(ws, i, i + {SPAN_AUDIT_K - 1}), ' ')), 1, 14))
+                   AS BIGINT)))
+        ELSE [] END AS sl
+    FROM wd)
+),
+dsapos AS (SELECT doc_id, s.pos AS pos, s.gh AS gh FROM dsa),
+dsadup AS (SELECT gh FROM dsapos GROUP BY gh HAVING count(*) >= 2),
+dsacov AS (
+  SELECT doc_id, pos FROM dsapos
+  WHERE gh IN (SELECT gh FROM dsadup)
+),
+dsaisl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dsacov
+)
+SELECT doc_id,
+       min(pos) AS span_start,
+       max(pos) + {SPAN_AUDIT_K} AS span_end,
+       max(pos) + {SPAN_AUDIT_K} - min(pos) AS span_words
+FROM dsaisl
+GROUP BY doc_id, grp
+HAVING max(pos) + {SPAN_AUDIT_K} - min(pos) >= {SPAN_AUDIT_MIN_WORDS}
+"""
+
+
 QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "token_counts": q_token_counts,

@@ -760,3 +760,57 @@ def test_decontaminate_no_cartesian_no_forced_broadcast(spark):
     plan = plan_of(decontaminate(train, ev))
     assert count_nodes(plan, "CartesianProduct") == 0
     assert count_nodes(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_dsir_select_bounded_broadcasts_and_takeordered(spark):
+    """DSIR's only broadcasts are the ≤n_buckets log-ratio frame and
+    the 1-row totals frame — both bounded BY CONSTRUCTION — and the
+    final selection is TakeOrdered, never a global Sort of the corpus.
+    A corpus-sized broadcast or a Python stage here is the regression
+    this pins."""
+    from stock_indicators_etl_spark.llmdata.dsir import dsir_select
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(
+        dsir_select(docs, docs.filter(F.col("lang") == "en"), k=50)
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert count_nodes(plan, "MapInPandas") == 0
+    # scoring join rides the bounded broadcast; the only SMJ is the
+    # full-outer of the two ≤n_buckets distribution frames
+    assert count_nodes(plan, "BroadcastHashJoin") >= 1
+
+
+def test_gopher_rules_is_pure_scan(spark):
+    """The Gopher gate is a scan-local projection: zero exchanges,
+    zero joins, zero Python — the property that makes it free at
+    100 TB."""
+    from stock_indicators_etl_spark.llmdata.text import gopher_rules
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(gopher_rules(docs))
+    # the only exchange is spread()'s round-robin scan fan-out — no
+    # hash shuffle anywhere (no keyed repartitioning of the corpus)
+    assert count_nodes(plan, "Exchange hashpartitioning") == 0
+    assert count_nodes(plan, "MapInPandas") == 0
+    assert (
+        count_nodes(plan, "BroadcastHashJoin")
+        + count_nodes(plan, "SortMergeJoin")
+        + count_nodes(plan, "ShuffledHashJoin")
+    ) == 0
+
+
+def test_dup_span_audit_no_forced_broadcast(spark):
+    """The duplicated-gram set scales with the corpus, so its semi
+    join must be merge-pinned (AQE re-broadcasts from real sizes when
+    small) — a static BroadcastHashJoin on it is the OOM class the
+    sf10 decade caught in neardup_components."""
+    from stock_indicators_etl_spark.llmdata.dedup import dup_span_audit
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(dup_span_audit(docs))
+    assert count_nodes(plan, "BroadcastHashJoin") == 0
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert count_nodes(plan, "MapInPandas") == 0
+    assert count_nodes(plan, "SortMergeJoin") == 1

@@ -1,0 +1,184 @@
+"""DSIR selection / Gopher rule gate / duplicated-span audit
+(r9 wave) tests."""
+
+from __future__ import annotations
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestGopherRules:
+    def _one(self, spark, text):
+        from stock_indicators_etl_spark.llmdata.text import gopher_rules
+
+        return gopher_rules(_docs(spark, [(1, text)])).toPandas().iloc[0]
+
+    def test_clean_doc_passes(self, spark):
+        text = (
+            "the quick brown fox jumps over that lazy dog and runs to "
+            "the river of gold with great speed " * 6
+        )
+        r = self._one(spark, text)
+        assert bool(r.passes)
+        assert r.n_words >= 50
+        assert r.n_stopwords >= 2
+
+    def test_short_doc_fails_wordcount_only(self, spark):
+        r = self._one(spark, "the cat sat on that mat with all of them")
+        assert not bool(r.r_wordcount)
+        assert bool(r.r_meanwlen) and bool(r.r_alpha) and bool(r.r_stop)
+        assert not bool(r.passes)
+
+    def test_long_words_fail_meanwlen(self, spark):
+        r = self._one(spark, "extraordinarily incomprehensible " * 30)
+        assert not bool(r.r_meanwlen)
+
+    def test_hash_symbols_fail_symbol_rule(self, spark):
+        r = self._one(spark, "alpha # beta # gamma # delta # " * 20)
+        assert not bool(r.r_symbol)
+
+    def test_ellipsis_symbol_counted(self, spark):
+        # one '...' per 4 words -> ratio 0.25 > 0.1
+        r = self._one(spark, "alpha beta... gamma delta " * 20)
+        assert not bool(r.r_symbol)
+
+    def test_bullet_lines_fail(self, spark):
+        text = "\n".join("- item %d" % i for i in range(20))
+        r = self._one(spark, text)
+        assert not bool(r.r_bullets)
+
+    def test_ellipsis_lines_fail(self, spark):
+        text = "\n".join("line %d..." % i for i in range(10))
+        r = self._one(spark, text)
+        assert not bool(r.r_ellipsis)
+
+    def test_numeric_words_fail_alpha(self, spark):
+        r = self._one(spark, "123 456 789 000 111 " * 20)
+        assert not bool(r.r_alpha)
+        assert not bool(r.r_stop)
+
+    def test_empty_doc_no_crash(self, spark):
+        r = self._one(spark, "")
+        assert r.n_words == 0
+        assert not bool(r.r_meanwlen)
+        assert not bool(r.r_alpha)
+        assert not bool(r.passes)
+
+    def test_integer_only_schema(self, spark):
+        """The report must contain no float columns at all."""
+        from stock_indicators_etl_spark.llmdata.text import gopher_rules
+
+        df = gopher_rules(_docs(spark, [(1, "the cat")]))
+        kinds = {f.dataType.simpleString() for f in df.schema.fields}
+        assert not any(k in ("double", "float") for k in kinds)
+
+
+class TestDsir:
+    def test_target_like_docs_rank_higher(self, spark):
+        from stock_indicators_etl_spark.llmdata.dsir import dsir_weights
+
+        target = _docs(
+            spark, [(100 + i, "alpha beta gamma delta " * 5) for i in range(4)]
+        )
+        raw = _docs(
+            spark,
+            [(1, "alpha beta gamma delta alpha beta"),
+             (2, "zeta eta theta iota kappa mu")],
+        )
+        w = (
+            dsir_weights(raw, target)
+            .toPandas()
+            .set_index("doc_id")["w_unats"]
+        )
+        assert w[1] > w[2]
+
+    def test_select_returns_k_and_is_deterministic(self, spark):
+        from stock_indicators_etl_spark.llmdata.dsir import dsir_select
+
+        rows = [
+            (i, ("alpha beta " if i % 2 else "zeta eta ") * (3 + i % 5))
+            for i in range(40)
+        ]
+        raw = _docs(spark, rows)
+        target = _docs(spark, [(999, "alpha beta alpha beta gamma")])
+        a = dsir_select(raw, target, k=10).toPandas()
+        b = dsir_select(raw, target, k=10).toPandas()
+        assert len(a) == 10
+        assert list(a.doc_id) == list(b.doc_id)
+        assert list(a.key_unats) == list(b.key_unats)
+        # keys ordered descending
+        assert list(a.key_unats) == sorted(a.key_unats, reverse=True)
+
+    def test_gramless_doc_gets_zero_weight(self, spark):
+        from stock_indicators_etl_spark.llmdata.dsir import dsir_weights
+
+        raw = _docs(spark, [(1, "alpha beta"), (2, "")])
+        target = _docs(spark, [(9, "alpha")])
+        w = dsir_weights(raw, target).toPandas().set_index("doc_id")
+        assert w.loc[2, "n_grams"] == 0
+        assert w.loc[2, "w_unats"] == 0
+
+    def test_weights_are_integers(self, spark):
+        from stock_indicators_etl_spark.llmdata.dsir import dsir_select
+
+        raw = _docs(spark, [(1, "alpha beta gamma"), (2, "delta eta")])
+        target = _docs(spark, [(9, "alpha beta")])
+        df = dsir_select(raw, target, k=2)
+        kinds = {f.dataType.simpleString() for f in df.schema.fields}
+        assert not any(k in ("double", "float") for k in kinds)
+
+
+class TestDupSpanAudit:
+    def test_shared_phrase_reported_in_all_copies(self, spark):
+        from stock_indicators_etl_spark.llmdata.dedup import dup_span_audit
+
+        phrase = "one two three four five six seven eight nine ten"
+        rows = [
+            (1, "intro words here %s tail words" % phrase),
+            (2, "%s completely different ending text" % phrase),
+            (3, "unrelated content with no repeats at all whatsoever"),
+        ]
+        got = (
+            dup_span_audit(_docs(spark, rows), k=4, min_words=8)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert set(got.doc_id) == {1, 2}
+        d1 = got[got.doc_id == 1].iloc[0]
+        # doc 1: phrase occupies word offsets 3..12 (end-exclusive 13)
+        assert d1.span_start == 3 and d1.span_end == 13 and d1.span_words == 10
+        d2 = got[got.doc_id == 2].iloc[0]
+        assert d2.span_start == 0 and d2.span_end == 10 and d2.span_words == 10
+
+    def test_min_words_filters_short_repeats(self, spark):
+        from stock_indicators_etl_spark.llmdata.dedup import dup_span_audit
+
+        phrase = "aa bb cc dd ee"  # 5-word repeat
+        rows = [(1, phrase + " xx yy zz"), (2, phrase + " pp qq rr")]
+        short = dup_span_audit(_docs(spark, rows), k=4, min_words=8).toPandas()
+        assert len(short) == 0
+        loose = dup_span_audit(_docs(spark, rows), k=4, min_words=5).toPandas()
+        assert set(loose.span_words) == {5}
+
+    def test_two_separate_islands(self, spark):
+        from stock_indicators_etl_spark.llmdata.dedup import dup_span_audit
+
+        p1 = "aa bb cc dd ee ff gg hh"
+        p2 = "qq rr ss tt uu vv ww xx"
+        rows = [
+            (1, "%s gap1x gap2x gap3x gap4x %s" % (p1, p2)),
+            (2, "%s other words entirely here %s" % (p1, p2)),
+        ]
+        got = dup_span_audit(_docs(spark, rows), k=4, min_words=8).toPandas()
+        # two islands per doc
+        assert len(got) == 4
+        assert set(got.span_words) == {8}
+
+    def test_no_duplicates_no_rows(self, spark):
+        from stock_indicators_etl_spark.llmdata.dedup import dup_span_audit
+
+        rows = [(1, "purely unique words in this document body")]
+        got = dup_span_audit(_docs(spark, rows), k=4, min_words=8).toPandas()
+        assert len(got) == 0
