@@ -553,6 +553,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_chunk_documents,
         q_collocations,
         q_curation_funnel,
+        q_cms_freq,
         q_decontaminate,
         q_dedup_eval,
         q_dsir_select,
@@ -672,6 +673,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "gopher_rules": q_gopher_rules,
         "dup_span_audit": q_dup_span_audit,
+        "cms_freq": q_cms_freq,
     }
     for name in ROTATED_OUT:
         if name in base:  # non-base rotated-out names are added above
@@ -737,6 +739,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_CHUNK_DOCUMENTS,
         SQL_COLLOCATIONS,
         SQL_CURATION_FUNNEL,
+        SQL_CMS_FREQ,
         SQL_DECONTAMINATE,
         SQL_DEDUP_EVAL,
         SQL_DSIR_SELECT,
@@ -849,6 +852,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "dsir_select": SQL_DSIR_SELECT,
         "gopher_rules": SQL_GOPHER_RULES,
         "dup_span_audit": SQL_DUP_SPAN_AUDIT,
+        "cms_freq": SQL_CMS_FREQ,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

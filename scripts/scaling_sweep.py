@@ -177,6 +177,7 @@ QUERIES = [
     "dsir_select",            # hashed-ngram importance weights + Gumbel top-k (extra)
     "gopher_rules",           # published quality gate, integer cross-mult (extra)
     "dup_span_audit",         # maximal duplicated k-gram spans, all copies (extra)
+    "cms_freq",               # Count-Min point-frequency estimates vs exact (extra)
     "balanced_sample",        # per-class quota by hash rank (extra)
     "agg_delta",              # retraction-changelog aggregate maintenance (extra)
     "contrastive_pairs",      # LSH-positive + hash-offset-negative mining (extra)
@@ -425,6 +426,27 @@ def _render(results: dict[str, list[float | None]]) -> str:
         "  ~256 at any N) + a 4096 hot-bucket cap — its sweep row",
         "  measures exp ≈ 1.0 (theory bound N^1.22 from the",
         "  recall-holding bands growth; DESIGN §4.25).",
+        "- r9 re-times of the near-dup family carry the",
+        "  score-at-the-band-join rewrite (sf10 catch: the old",
+        "  verify stage shuffled vectors onto a 333M-row pair stream",
+        "  — ~230 GB of spill — so cosine now computes where the",
+        "  vectors are already co-located, once per band collision).",
+        "  The constants grew where band multiplicity is high",
+        "  (`embedding_neardup` sf0.1 2.3 → 13.0 s; the pinned",
+        "  `embedding_neardup_scaled` sf1 exp 1.19 → 1.72 on its",
+        "  frozen quadratic blocking) — bounded recompute traded for",
+        "  never materializing pairs×vectors (DESIGN §4.26).",
+        "  `embedding_neardup_production`, the shipped path, measures",
+        "  exp(0.1→1) 1.19 ≈ the N^1.22 recall-holding theory bound",
+        "  (§4.25) and exp(1→10) 0.50 in SCALING_SF10.md — the decade",
+        "  that used to fill the disk.",
+        "- `winnow_matches` gained a stop-fingerprint cap",
+        "  (max_doc_freq=256, r9): a fingerprint shared by m docs",
+        "  expands to m²/2 pairs inside ONE posting row, and the sf1",
+        "  sweep caught boilerplate fingerprints making that",
+        "  quadratic (>30 min at sf1, vs seconds capped). Ubiquitous",
+        "  fingerprints carry no overlap signal for a top-n report;",
+        "  the cap is MOSS's stop-word treatment (oracle mirrored).",
         "- `allpairs_join`'s sf1 exponent is CANDIDATE growth, not a",
         "  plan bug: at t=0.5 on this fixture (tiny ~40-word",
         "  vocabulary, ' repN' replica markers) the prefix filter's",

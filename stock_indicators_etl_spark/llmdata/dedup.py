@@ -1300,6 +1300,7 @@ def winnow_matches(
     k: int = 4,
     window: int = 5,
     top_n: int = 20,
+    max_doc_freq: int = 256,
 ) -> DataFrame:
     """Top-``top_n`` document pairs by shared winnowing-fingerprint
     count — the overlap report winnowing exists for. Posting-list
@@ -1307,8 +1308,29 @@ def winnow_matches(
     fingerprint stream, one combinable pair count, TakeOrdered
     top-k (never a global sort). Ties break (n_shared desc, doc_a,
     doc_b) — a total order, so the cut at ``top_n`` is
-    deterministic."""
+    deterministic.
+
+    ``max_doc_freq``: STOP-FINGERPRINT cap (r9, caught by the sf1
+    sweep): a fingerprint shared by m documents expands to m²/2
+    pairs inside ONE posting row — corpus-frequent boilerplate
+    fingerprints make that quadratic in the corpus and unbounded per
+    row. Fingerprints with doc-frequency above the cap are dropped
+    BEFORE the collect_set (a combinable count + merge-pinned semi
+    join, so the hot row is never built) — the MOSS stop-word
+    treatment, same class as MinHash's ``max_bucket_size`` and
+    ngram_jaccard's ``max_doc_freq``. A ubiquitous fingerprint
+    carries no overlap signal for a top-n report; the cap changes
+    nothing below it (sf0.01 oracle hashes unchanged)."""
     fps = winnow_fingerprints(df, text_col, k, window)
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_doc_freq)
+        .select("fp")
+    )
+    # the keep set scales with the corpus — merge-pinned (§4.23);
+    # both aggregates and the semi join share the fp partitioning
+    fps = fps.join(keep.hint("merge"), "fp", "left_semi")
     posting = fps.groupBy("fp").agg(F.collect_set("doc_id").alias("ids"))
     return (
         _bucket_pairs(posting)

@@ -80,18 +80,18 @@ def _doc_buckets(df: DataFrame, text_col: str, n_buckets: int) -> DataFrame:
     )
 
 
-def dsir_weights(
+def dsir_model(
     raw: DataFrame,
     target: DataFrame,
     text_col: str = "text",
     n_buckets: int = DSIR_BUCKETS,
 ) -> DataFrame:
-    """Per-document log importance weight in integer micro-nats.
-
-    Returns ``(doc_id, n_grams, w_unats)`` for every raw document —
-    ``w_unats = sum over gram occurrences of the quantized
-    ln(p[bucket]/q[bucket])``; gram-less documents get weight 0.
-    """
+    """The importance MODEL: the ≤``n_buckets``-row quantized
+    log-ratio table ``(bucket, lr_unats)`` — built once from the
+    static raw+target corpora, then served to any number of
+    :func:`dsir_score` calls (batch or per micro-batch: the
+    model/score split is the same build-once-serve-many shape as
+    ``multiprobe_lsh_index`` / ``multiprobe_lsh_probe``)."""
     raw_b = _doc_buckets(raw, text_col, n_buckets)
     tgt_b = _doc_buckets(target, text_col, n_buckets)
 
@@ -135,18 +135,47 @@ def dsir_weights(
             ).alias("lr_unats"),
         )
     )
-    # score: one corpus shuffle (groupBy doc_id); the ≤n_buckets
-    # log-ratio frame is broadcast — bounded BY CONSTRUCTION
-    # (DESIGN §4.23), not by a cardinality guess.
-    scored = (
-        raw_b.join(F.broadcast(lr), "bucket", "left")
+    return lr
+
+
+def dsir_score(
+    docs: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Score any document frame against a prebuilt :func:`dsir_model`.
+
+    Returns ``(doc_id, n_grams, w_unats)`` — ``w_unats = sum over
+    gram occurrences of the quantized ln(p[bucket]/q[bucket])``;
+    gram-less documents get weight 0. One corpus shuffle (the per-doc
+    groupBy); the ≤n_buckets model frame is broadcast — bounded BY
+    CONSTRUCTION (DESIGN §4.23), not by a cardinality guess. Pure
+    function of (docs batch, static model), so it runs unchanged per
+    micro-batch in ``streaming.dsir_stream``.
+    """
+    doc_b = _doc_buckets(docs, text_col, n_buckets)
+    return (
+        doc_b.join(F.broadcast(model), "bucket", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.col("bucket")).alias("n_grams"),
             F.coalesce(F.sum("lr_unats"), F.lit(0)).alias("w_unats"),
         )
     )
-    return scored
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Per-document log importance weight of the raw corpus against
+    its own target subset: :func:`dsir_model` + :func:`dsir_score`
+    composed (the one-shot batch form)."""
+    model = dsir_model(raw, target, text_col=text_col, n_buckets=n_buckets)
+    return dsir_score(raw, model, text_col=text_col, n_buckets=n_buckets)
 
 
 def dsir_select(

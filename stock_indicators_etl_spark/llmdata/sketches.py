@@ -493,3 +493,79 @@ def hll_distinct_cube(
             + (F.lit(HLL_M) - F.col("present")) * F.lit(1 << rmax)
         ).cast("double")).alias("raw_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan, J.Alg'05)
+# ---------------------------------------------------------------------------
+
+#: CM defaults: width 256 (eps = e/w ~ 1.1%), depth 4 (delta = e^-4).
+CMS_W = 256
+CMS_D = 4
+
+
+def _cms_cells(key: F.Column, d: int, w: int) -> F.Column:
+    """The d (row, bucket) cells of a key — row-salted h56, exact in
+    both engines (`bucket_i = h56(concat(i, '|', key)) % w`)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(d - 1)),
+        lambda i: F.struct(
+            i.alias("r"),
+            F.pmod(
+                h56(F.concat(i.cast("string"), F.lit("|"), key)), F.lit(w)
+            ).alias("b"),
+        ),
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    key_col: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build the d×w Count-Min table over a key stream: one explode
+    to d narrow rows per occurrence, then ONE map-side-combinable
+    groupBy into the bounded-by-construction ``(r, b, c)`` frame
+    (d·w rows total, regardless of corpus size) — the mergeable
+    frequency summary that answers point queries the exact
+    heavy-hitters pass cannot afford for NON-heavy keys.
+    """
+    wt = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    cells = (
+        df.select(
+            F.explode(_cms_cells(F.col(key_col), d, w)).alias("cell"),
+            wt.alias("_wt"),
+        )
+        .select("cell.r", "cell.b", "_wt")
+    )
+    return cells.groupBy("r", "b").agg(F.sum("_wt").alias("c"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """Point-frequency estimates for a probe key frame:
+    ``est = min over rows of sketch[r][b_r(key)]`` — never below the
+    true count, above it by ≤ (e/w)·N with probability 1−e^−d. The
+    sketch frame is broadcast (bounded BY CONSTRUCTION at d·w rows,
+    DESIGN §4.23); the estimate is exact integer arithmetic, so the
+    whole operator replays bit-identically in SQL."""
+    cells = probes.select(
+        F.col(key_col),
+        F.explode(_cms_cells(F.col(key_col), d, w)).alias("cell"),
+    ).select(key_col, "cell.r", "cell.b")
+    return (
+        cells.join(F.broadcast(sketch), ["r", "b"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+    )

@@ -4165,6 +4165,7 @@ SQL_ANN_EVAL = _ann_eval_sql()
 
 WINNOW_K = 4
 WINNOW_W = 5
+WINNOW_MAX_DF = 256  # stop-fingerprint cap (default of winnow_matches)
 
 
 def q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4199,9 +4200,15 @@ wf1 AS (
       ELSE CAST([] AS BIGINT[]) END AS fps
   FROM wf0
 ),
-wfp AS (
+wfp0 AS (
   SELECT DISTINCT doc_id, f AS fp
   FROM (SELECT doc_id, unnest(fps) AS f FROM wf1)
+),
+wkeep AS (
+  SELECT fp FROM wfp0 GROUP BY fp HAVING count(*) <= {WINNOW_MAX_DF}
+),
+wfp AS (
+  SELECT wfp0.doc_id, wfp0.fp FROM wfp0 JOIN wkeep ON wkeep.fp = wfp0.fp
 ),
 wpairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -4479,6 +4486,82 @@ SELECT doc_id,
 FROM dsaisl
 GROUP BY doc_id, grp
 HAVING max(pos) + {SPAN_AUDIT_K} - min(pos) >= {SPAN_AUDIT_MIN_WORDS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch point-frequency estimates
+# ---------------------------------------------------------------------------
+
+_CMS_PROBES = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (`llmdata.sketches.cms_sketch/cms_estimate`):
+    the corpus token stream collapses into the bounded 4×256 CM table
+    (one combinable groupBy), then the 8 Gopher stop words are point-
+    queried against it; the exact counts ride along so the row is the
+    overestimate-bound audit ``est >= exact`` — and the whole
+    estimate is integer arithmetic, replayed bit-exactly in SQL."""
+    from stock_indicators_etl_spark.llmdata.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+    from stock_indicators_etl_spark.llmdata.text import words
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(words(F.col("text"))).alias("word"))
+    sketch = cms_sketch(toks, "word")
+    probes = spark.createDataFrame(
+        [(wd,) for wd in _CMS_PROBES], "word string"
+    )
+    est = cms_estimate(sketch, probes, "word")
+    exact = (
+        toks.join(F.broadcast(probes), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return (
+        est.join(exact, "word", "left")
+        .select(
+            "word",
+            F.col("est"),
+            F.coalesce("exact", F.lit(0)).alias("exact"),
+        )
+    )
+
+
+_CMS_PROBE_SQL = "[" + ", ".join(f"'{wd}'" for wd in _CMS_PROBES) + "]"
+
+SQL_CMS_FREQ = f"""
+WITH {DOCS_CTE},
+cmt AS (SELECT unnest(ws) AS w FROM wd),
+cmc AS (
+  SELECT t.r,
+         CAST(concat('0x', substr(md5(concat(CAST(t.r AS VARCHAR), '|', w)),
+              1, 14)) AS BIGINT) % 256 AS b
+  FROM cmt, range(4) t(r)
+),
+cms AS (SELECT r, b, CAST(count(*) AS BIGINT) AS c FROM cmc GROUP BY 1, 2),
+cmp AS (SELECT unnest({_CMS_PROBE_SQL}) AS word),
+cmpc AS (
+  SELECT word, t.r,
+         CAST(concat('0x', substr(md5(concat(CAST(t.r AS VARCHAR), '|',
+              word)), 1, 14)) AS BIGINT) % 256 AS b
+  FROM cmp, range(4) t(r)
+),
+cmest AS (
+  SELECT word, CAST(min(coalesce(c, 0)) AS BIGINT) AS est
+  FROM cmpc LEFT JOIN cms ON cms.r = cmpc.r AND cms.b = cmpc.b
+  GROUP BY 1
+),
+cmex AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS exact
+  FROM cmp JOIN cmt ON cmt.w = cmp.word
+  GROUP BY 1
+)
+SELECT cmest.word, est, coalesce(exact, 0) AS exact
+FROM cmest LEFT JOIN cmex ON cmex.word = cmest.word
 """
 
 

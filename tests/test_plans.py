@@ -731,19 +731,18 @@ def test_winnow_matches_takeordered_no_global_sort(spark):
     """The winnowing overlap report's top-20 must be TakeOrdered
     (combinable per-partition top-k), never a single-partition global
     Sort; the fingerprint selection itself is scan-local HOFs, so the
-    plan has no Python stage and no join before the pair expansion."""
+    ONLY join is the r9 stop-fingerprint semi prune — merge-pinned
+    (the keep set is corpus-scaling, §4.23), never a static
+    broadcast. Its SMJ sorts are fp-partitioned, not global."""
     from stock_indicators_etl_spark.llmdata.dedup import winnow_matches
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = plan_of(winnow_matches(docs))
     assert "TakeOrderedAndProject" in plan
-    assert count_nodes(plan, "Sort") == 0
     assert count_nodes(plan, "MapInPandas") == 0
-    assert (
-        count_nodes(plan, "BroadcastHashJoin")
-        + count_nodes(plan, "SortMergeJoin")
-        + count_nodes(plan, "ShuffledHashJoin")
-    ) == 0
+    assert count_nodes(plan, "BroadcastHashJoin") == 0
+    assert count_nodes(plan, "SortMergeJoin") == 1
+    assert count_nodes(plan, "ShuffledHashJoin") == 0
 
 
 def test_decontaminate_no_cartesian_no_forced_broadcast(spark):
@@ -814,3 +813,22 @@ def test_dup_span_audit_no_forced_broadcast(spark):
     assert count_nodes(plan, "CartesianProduct") == 0
     assert count_nodes(plan, "MapInPandas") == 0
     assert count_nodes(plan, "SortMergeJoin") == 1
+
+
+def test_cms_estimate_broadcasts_bounded_sketch(spark):
+    """The CM table is d*w rows BY CONSTRUCTION — the estimate join
+    must broadcast it (a shuffle of the probe stream onto a 1024-row
+    frame would be a plan regression), and nothing here is Python."""
+    from stock_indicators_etl_spark.llmdata.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+    from stock_indicators_etl_spark.llmdata.text import words
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = docs.select(F.explode(words(F.col("text"))).alias("word"))
+    probes = spark.createDataFrame([("the",), ("of",)], "word string")
+    plan = plan_of(cms_estimate(cms_sketch(toks, "word"), probes, "word"))
+    assert count_nodes(plan, "BroadcastHashJoin") >= 1
+    assert count_nodes(plan, "SortMergeJoin") == 0
+    assert count_nodes(plan, "MapInPandas") == 0

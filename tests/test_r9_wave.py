@@ -182,3 +182,146 @@ class TestDupSpanAudit:
         rows = [(1, "purely unique words in this document body")]
         got = dup_span_audit(_docs(spark, rows), k=4, min_words=8).toPandas()
         assert len(got) == 0
+
+
+class TestStreamingDsir:
+    def test_cross_micro_batch_batch_parity(self, spark, tmp_path):
+        """Union of per-micro-batch scores over a 3-shard stream ==
+        the batch dsir_weights on all docs at once (20th streaming
+        twin; maxFilesPerTrigger=1 pins >=3 micro-batches)."""
+        from pyspark.sql import functions as F
+
+        from stock_indicators_etl_spark.llmdata.dsir import (
+            dsir_model,
+            dsir_weights,
+        )
+        from stock_indicators_etl_spark.streaming.dsir_stream import (
+            streaming_dsir_score,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text", "lang")
+        pdf = docs.toPandas()
+        src = tmp_path / "docs"
+        src.mkdir()
+        for i in range(3):
+            shard = pdf[pdf.doc_id % 3 == i]
+            spark.createDataFrame(shard).coalesce(1).write.parquet(
+                str(src / f"shard_{i}"), mode="overwrite"
+            )
+        model = dsir_model(
+            docs, docs.filter(F.col("lang") == "en")
+        ).persist()
+        try:
+            stream = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .option("recursiveFileLookup", "true")
+                .parquet(str(src))
+            )
+            results = str(tmp_path / "scores")
+            q = streaming_dsir_score(
+                model,
+                stream,
+                results_path=results,
+                checkpoint_path=str(tmp_path / "ckpt_dsir"),
+            )
+            q.awaitTermination(180)
+            assert q.lastProgress is not None and q.lastProgress["batchId"] >= 2
+
+            got = sorted(
+                (r["doc_id"], r["n_grams"], r["w_unats"])
+                for r in spark.read.parquet(results).collect()
+            )
+            want = sorted(
+                (r["doc_id"], r["n_grams"], r["w_unats"])
+                for r in dsir_weights(
+                    docs, docs.filter(F.col("lang") == "en")
+                ).collect()
+            )
+            assert len(got) == len(pdf)
+            assert got == want
+        finally:
+            model.unpersist()
+
+
+class TestCountMin:
+    def test_never_underestimates_and_exact_when_sparse(self, spark):
+        from pyspark.sql import functions as F
+
+        from stock_indicators_etl_spark.llmdata.sketches import (
+            cms_estimate,
+            cms_sketch,
+        )
+
+        rows = [("a",)] * 7 + [("b",)] * 3 + [("c",)] * 1
+        toks = spark.createDataFrame(rows, "word string")
+        sk = cms_sketch(toks, "word")
+        probes = spark.createDataFrame(
+            [("a",), ("b",), ("c",), ("zz",)], "word string"
+        )
+        est = (
+            cms_estimate(sk, probes, "word")
+            .toPandas()
+            .set_index("word")["est"]
+        )
+        # 3 distinct keys in a 4x256 table: collisions impossible to
+        # matter at depth 4 -> estimates are exact; absent key is the
+        # min over its cells, which may alias but never under-counts
+        assert est["a"] == 7 and est["b"] == 3 and est["c"] == 1
+        assert est["zz"] >= 0
+
+    def test_overestimate_bound_under_collisions(self, spark):
+        from stock_indicators_etl_spark.llmdata.sketches import (
+            cms_estimate,
+            cms_sketch,
+        )
+
+        # 2000 distinct keys into a tiny 2x16 table: heavy aliasing,
+        # but est >= exact must hold for EVERY probed key
+        rows = [(f"k{i}",) for i in range(2000)]
+        toks = spark.createDataFrame(rows, "word string")
+        sk = cms_sketch(toks, "word", d=2, w=16)
+        probes = spark.createDataFrame(rows[:50], "word string")
+        est = cms_estimate(sk, probes, "word", d=2, w=16).toPandas()
+        assert (est["est"] >= 1).all()
+
+    def test_sketch_is_mergeable(self, spark):
+        """CM tables merge by cellwise sum: sketch(A ++ B) ==
+        sum-merge of sketch(A) and sketch(B) — the property that
+        makes the summary shard-parallel at any scale."""
+        from pyspark.sql import functions as F
+
+        from stock_indicators_etl_spark.llmdata.sketches import cms_sketch
+
+        a = spark.createDataFrame([("x",)] * 5 + [("y",)] * 2, "word string")
+        b = spark.createDataFrame([("x",)] * 1 + [("z",)] * 4, "word string")
+        whole = cms_sketch(a.union(b), "word").toPandas()
+        merged = (
+            cms_sketch(a, "word")
+            .union(cms_sketch(b, "word"))
+            .groupBy("r", "b")
+            .agg(F.sum("c").alias("c"))
+            .toPandas()
+        )
+        key = lambda df: sorted(map(tuple, df[["r", "b", "c"]].values))
+        assert key(whole) == key(merged)
+
+    def test_weighted_build(self, spark):
+        from stock_indicators_etl_spark.llmdata.sketches import (
+            cms_estimate,
+            cms_sketch,
+        )
+
+        toks = spark.createDataFrame(
+            [("a", 10), ("a", 5), ("b", 2)], "word string, n long"
+        )
+        sk = cms_sketch(toks, "word", weight_col="n")
+        probes = spark.createDataFrame([("a",), ("b",)], "word string")
+        est = (
+            cms_estimate(sk, probes, "word")
+            .toPandas()
+            .set_index("word")["est"]
+        )
+        assert est["a"] == 15 and est["b"] == 2
