@@ -1265,8 +1265,19 @@ def winnow_fingerprints(
     fingerprint (the min of what exists); documents shorter than
     ``k`` words contribute none. Reference: N/A (pandas indicator
     ETL — no text ops); re-derived from the public paper.
+
+    The word and shingle-hash arrays are MATERIALIZED in their own
+    projections before the lambdas that slice them (r9, caught by the
+    sf1 sweep): expressions referenced inside a HOF lambda are not
+    CSE'd, so slicing ``words(text)`` directly re-ran the
+    normalize+split regex once per shingle and the hash array once
+    per window — O(n_words²) work per document, serialized on the
+    single scan split a small parquet arrives as. Materialize +
+    ``spread`` took the sf1 cell from >16 min (killed) to seconds;
+    same trap and fix as ``text.repetition_score``.
     """
-    wa = words(F.col(text_col))
+    pre = spread(df).select("doc_id", words(F.col(text_col)).alias("_w"))
+    wa = F.col("_w")
     n = F.size(wa)
     m = n - F.lit(k) + 1  # shingle count
     hs = F.when(
@@ -1276,20 +1287,22 @@ def winnow_fingerprints(
             lambda i: _h56(F.concat_ws(" ", F.slice(wa, i, F.lit(k)))),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    nw = F.size(hs) - F.lit(window) + 1
+    hpre = pre.select("doc_id", hs.alias("_hs"))
+    hcol = F.col("_hs")
+    nw = F.size(hcol) - F.lit(window) + 1
     fps = (
         F.when(
             nw >= 1,
             F.transform(
                 F.sequence(F.lit(1), nw),
-                lambda j: F.array_min(F.slice(hs, j, F.lit(window))),
+                lambda j: F.array_min(F.slice(hcol, j, F.lit(window))),
             ),
         )
-        .when(F.size(hs) >= 1, F.array(F.array_min(hs)))
+        .when(F.size(hcol) >= 1, F.array(F.array_min(hcol)))
         .otherwise(F.array().cast("array<long>"))
     )
     return (
-        df.select("doc_id", F.explode(F.array_distinct(fps)).alias("fp"))
+        hpre.select("doc_id", F.explode(F.array_distinct(fps)).alias("fp"))
         .distinct()
     )
 
