@@ -47,6 +47,13 @@ QUERIES = [
     "leakage_split",
     "pack_sequences",
     "embedding_neardup_production",
+    # r9 wave: the new corpus operators, pinned at the decade that
+    # keeps catching what sf1 can't (winnow's stop-fingerprint cap
+    # and the HOF-CSE materialization both came out of decade runs)
+    "winnow_matches",
+    "dup_span_audit",
+    "dsir_select",
+    "cms_freq",
 ]
 
 

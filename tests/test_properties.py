@@ -497,3 +497,45 @@ def test_span_dedup_matches_python_replica(spark, word_lists, block):
     }
     for i, clean, n, kept in _span_dedup_replica(texts, block):
         assert got[i] == (clean, n, kept), (i, texts, block)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch invariants (r9)
+# ---------------------------------------------------------------------------
+
+_cms_streams = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=3),
+    min_size=1,
+    max_size=120,
+)
+
+
+@given(_cms_streams)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cms_never_underestimates(spark, stream):
+    """For ANY stream and every key in it, the CM estimate is >= the
+    exact count (one-sided error is the sketch's defining guarantee),
+    even in a deliberately tiny 2x8 table where collisions are
+    certain."""
+    from stock_indicators_etl_spark.llmdata.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    toks = spark.createDataFrame([(s,) for s in stream], "word string")
+    sk = cms_sketch(toks, "word", d=2, w=8)
+    probes = spark.createDataFrame(
+        [(s,) for s in sorted(set(stream))], "word string"
+    )
+    est = (
+        cms_estimate(sk, probes, "word", d=2, w=8)
+        .toPandas()
+        .set_index("word")["est"]
+    )
+    exact = pd.Series(stream).value_counts()
+    for key, true_n in exact.items():
+        assert est[key] >= true_n
