@@ -161,6 +161,25 @@ def _render(results: dict[str, list[float | None]]) -> str:
             e = "—"
         lines.append(f"| {name} | {c[0]} | {c[1]} | {e} |")
     lines.append("")
+    lines += [
+        "Reading notes:",
+        "",
+        "- `winnow_matches`' exp 1.27 is TRUE-pair growth by fixture",
+        "  construction, not a plan defect: the upscale replicates",
+        "  documents, so replica clusters grow with N (max fingerprint",
+        "  doc-freq 60 at sf1 → 600 at sf10) and the shared-fingerprint",
+        "  pairs below the stop-fingerprint cap grow ×95 for ×10 N",
+        "  (5.0M → 476M, DuckDB-measured). Runtime ×18.8 is well",
+        "  SUB-pair-growth — the df>256 cap already trims the hottest",
+        "  fingerprints. On a real corpus (bounded duplicate-cluster",
+        "  size) pairs grow ~linearly; if clusters do scale with the",
+        "  corpus, lower `max_doc_freq` — the knob exists precisely",
+        "  for that.",
+        "- `embedding_neardup_production`'s sf1 cell is slower than",
+        "  SCALING.md's (different method: min-of-2 here vs the",
+        "  sweep's protocol) — compare WITHIN this file only.",
+        "",
+    ]
     return "\n".join(lines)
 
 
