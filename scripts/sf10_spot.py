@@ -54,6 +54,10 @@ QUERIES = [
     "dup_span_audit",
     "dsir_select",
     "cms_freq",
+    # r9b: the remaining cross-corpus / mining / sketch cores
+    "decontaminate",
+    "contrastive_pairs",
+    "heavy_hitters",
 ]
 
 
@@ -175,6 +179,14 @@ def _render(results: dict[str, list[float | None]]) -> str:
         "  size) pairs grow ~linearly; if clusters do scale with the",
         "  corpus, lower `max_doc_freq` — the knob exists precisely",
         "  for that.",
+        "- `contrastive_pairs`' exp 1.29 is the same fixture story:",
+        "  its LSH positive candidates are Spark-measured at 254,646",
+        "  (sf1) → 27,676,928 (sf10) — ×108.7 for ×10 N, because the",
+        "  upscale's replica clusters are the positives and they grow",
+        "  with N. Runtime ×19.5 is well sub-candidate-growth; on a",
+        "  real corpus positives ∝ true duplicate pairs. The",
+        "  `max_bucket_size` knob on `minhash_lsh_candidates` bounds",
+        "  it when mining doesn't need every positive.",
         "- `embedding_neardup_production`'s sf1 cell is slower than",
         "  SCALING.md's (different method: min-of-2 here vs the",
         "  sweep's protocol) — compare WITHIN this file only.",

