@@ -566,6 +566,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_span_dedup,
         q_heavy_hitters,
         q_pack_sequences,
+        q_phash_neardup,
         q_tfidf_keywords,
         q_embedding_neardup_scaled,
         q_frequent_ngrams,
@@ -674,6 +675,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "dup_span_audit": q_dup_span_audit,
         "cms_freq": q_cms_freq,
+        "phash_neardup": q_phash_neardup,
     }
     for name in ROTATED_OUT:
         if name in base:  # non-base rotated-out names are added above
@@ -756,6 +758,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_LENGTH_QUANTILES,
         SQL_NEARDUP_BEST,
         SQL_PACK_SEQUENCES,
+        SQL_PHASH_NEARDUP,
         SQL_PQ_TOPK,
         SQL_SPAN_DEDUP,
         SQL_TFIDF_KEYWORDS,
@@ -853,6 +856,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "gopher_rules": SQL_GOPHER_RULES,
         "dup_span_audit": SQL_DUP_SPAN_AUDIT,
         "cms_freq": SQL_CMS_FREQ,
+        "phash_neardup": SQL_PHASH_NEARDUP,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -863,3 +863,167 @@ def media_headers(media: DataFrame, payload_col: str = "payload") -> DataFrame:
             yield out
 
     return media.mapInPandas(run, schema=MEDIA_HEADER_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash (dHash) image near-dup
+# ---------------------------------------------------------------------------
+
+#: dHash grid: 9 columns x 8 rows of pixels -> 8x8 = 64 difference bits.
+DHASH_COLS = 9
+DHASH_ROWS = 8
+DHASH_MAX_HAMMING = 6
+
+_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("b0", T.LongType()),
+        T.StructField("b1", T.LongType()),
+        T.StructField("b2", T.LongType()),
+        T.StructField("b3", T.LongType()),
+        T.StructField("dhash_hex", T.StringType()),
+    ]
+)
+
+
+def _doc_cell_bytes(text_col: str) -> "F.Column":
+    """The 72 deterministic grayscale cell bytes of a document's
+    9×8 'rendering': cell i = first md5 byte of ``word[i]`` for
+    i < n_words, else of the position-keyed padding ``'#' || i`` —
+    strictly POSITIONAL, so an edit to one word changes exactly one
+    cell (≤2 dHash bits) and an append touches only the cells it
+    occupies: the locality property a PERCEPTUAL hash needs (a
+    modulo-wrapped layout would re-key every cell whenever the word
+    count changes). Engine-exact: md5 + integer ops only."""
+    from stock_indicators_etl_spark.llmdata.text import words
+
+    w = words(F.col(text_col))
+    n = F.size(w)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(DHASH_COLS * DHASH_ROWS - 1)),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(
+                    F.when(
+                        i < n, F.element_at(w, i + F.lit(1))
+                    ).otherwise(F.concat(F.lit("#"), i.cast("string")))
+                ),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("int"),
+    )
+
+
+def doc_image_dhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document 64-bit dHash, THROUGH the real image codec: the
+    cell bytes become an actual 8×9 grayscale PNG (``encode_png``),
+    which is then decoded back (``decode_image``) and difference-
+    hashed — the Spark-side plumbing a crawl-image dedup runs, with
+    the library's own codecs standing in for the decoder. Returns
+    ``(doc_id, b0..b3, dhash_hex)`` — the four 16-bit hash bands
+    (BIGINT-safe) plus the 16-hex-char hash.
+
+    The SQL oracle computes the same bits directly from the cell
+    bytes — legitimate because encode→decode is pixel-identical
+    (pinned by the PNG round-trip tests), so the codec leg is an
+    identity the oracle may skip.
+
+    Scale: cell synthesis is scan-local HOFs; the codec leg is one
+    Arrow-batched ``mapInPandas`` with constant work per doc; no
+    shuffle anywhere."""
+    from stock_indicators_etl_spark.llmdata.text import spread
+
+    pre = spread(docs).select(
+        "doc_id", _doc_cell_bytes(text_col).alias("_cells")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for doc_id, cells in zip(b["doc_id"], b["_cells"]):
+                px = np.asarray(list(cells), dtype=np.uint8).reshape(
+                    DHASH_ROWS, DHASH_COLS
+                )
+                png = encode_png(px)
+                back = decode_image(png)
+                if back.ndim == 3:
+                    back = back[:, :, 0]
+                assert (back == px).all(), "PNG round-trip must be exact"
+                bits = (
+                    back[:, :-1] < back[:, 1:]
+                ).astype(np.uint64).reshape(-1)  # 64 bits, row-major
+                bands = []
+                for k in range(4):
+                    word = 0
+                    for j in range(16):
+                        word = (word << 1) | int(bits[k * 16 + j])
+                    bands.append(word)
+                hex64 = "".join(f"{w:04x}" for w in bands)
+                rows.append(
+                    (int(doc_id), bands[0], bands[1], bands[2], bands[3], hex64)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "b0", "b1", "b2", "b3", "dhash_hex"]
+            )
+
+    return pre.mapInPandas(run, schema=_DHASH_SCHEMA)
+
+
+def dhash_neardup(
+    hashes: DataFrame, max_hamming: int = DHASH_MAX_HAMMING
+) -> DataFrame:
+    """Near-duplicate image pairs by dHash Hamming distance: band the
+    64-bit hash into four 16-bit words — by pigeonhole a pair within
+    distance 3 ALWAYS shares an untouched band (guaranteed recall);
+    at the default radius 6 recall is the standard banded-LSH
+    heuristic (differences clustering in ≤3 bands still collide) —
+    equi-join per band, and verify AT THE BAND JOIN from the carried
+    band words (``bit_count(xor)`` per band — the r9
+    score-where-co-located pattern; a hash is 4 small ints, so
+    carrying it through the banded stream is ~free). Emits
+    ``(doc_a, doc_b, hamming)``, deduped across bands."""
+    bands = hashes.select(
+        "doc_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"), F.col(f"b{k}").alias("band")
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "b0", "b1", "b2", "b3", "bk.k", "bk.band")
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)],
+        "k",
+        "band",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{k}").alias(f"bb{k}") for k in range(4)],
+        "k",
+        "band",
+    )
+    ham = sum(
+        F.bit_count(
+            F.col(f"a{k}").bitwiseXOR(F.col(f"bb{k}"))
+        )
+        for k in range(4)
+    )
+    return (
+        left.join(right.hint("merge"), ["k", "band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -4565,6 +4565,67 @@ FROM cmest LEFT JOIN cmex ON cmex.word = cmest.word
 """
 
 
+# ---------------------------------------------------------------------------
+# perceptual-hash (dHash) image near-dup
+# ---------------------------------------------------------------------------
+
+
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup
+    (`llmdata.multimodal.doc_image_dhash` + `dhash_neardup`): each
+    document renders to a deterministic 9×8 grayscale PNG, goes
+    through the REAL encode→decode codec leg, difference-hashes to 64
+    bits, and pairs within Hamming distance 6 surface via a 4-band
+    16-bit LSH join verified at the band join. The oracle replays the
+    bit arithmetic from the cell bytes directly — legitimate because
+    the PNG round-trip is pixel-identical (pinned in test_jpeg/png
+    round-trip suites)."""
+    from stock_indicators_etl_spark.llmdata.multimodal import (
+        dhash_neardup,
+        doc_image_dhash,
+    )
+
+    return dhash_neardup(doc_image_dhash(_docs(spark, sf_dir)))
+
+
+_PH_CELL = (
+    "list_transform(range(0, 72), i -> CAST(concat('0x', substr(md5("
+    "CASE WHEN i < len(ws) THEN ws[i + 1] "
+    "ELSE concat('#', CAST(i AS VARCHAR)) "
+    "END), 1, 2)) AS INT))"
+)
+
+_PH_BANDS = ", ".join(
+    "CAST(list_sum(list_transform(range(0, 16), j -> "
+    f"CASE WHEN cells[((({k} * 16)) + j) // 8 * 9 + ((({k} * 16)) + j) % 8 + 1]"
+    f" < cells[((({k} * 16)) + j) // 8 * 9 + ((({k} * 16)) + j) % 8 + 2]"
+    " THEN 32768 // (1 << j) ELSE 0 END)) AS BIGINT)"
+    f" AS b{k}"
+    for k in range(4)
+)
+
+SQL_PHASH_NEARDUP = f"""
+WITH {DOCS_CTE},
+phc AS (SELECT doc_id, {_PH_CELL} AS cells FROM wd),
+phb AS (SELECT doc_id, {_PH_BANDS} FROM phc),
+phx AS (
+  SELECT doc_id, t.k,
+         CASE t.k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2
+                  ELSE b3 END AS band,
+         b0, b1, b2, b3
+  FROM phb, range(4) t(k)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+          AS BIGINT) AS hamming
+FROM phx a JOIN phx b ON a.k = b.k AND a.band = b.band
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 6
+"""
+
+
 QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "token_counts": q_token_counts,

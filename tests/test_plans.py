@@ -832,3 +832,25 @@ def test_cms_estimate_broadcasts_bounded_sketch(spark):
     assert count_nodes(plan, "BroadcastHashJoin") >= 1
     assert count_nodes(plan, "SortMergeJoin") == 0
     assert count_nodes(plan, "MapInPandas") == 0
+
+
+def test_phash_neardup_band_join_shape(spark):
+    """dHash near-dup must verify AT the band join (hamming from
+    carried band words, no vector/hash re-join) with the banded
+    stream merge-pinned — a static broadcast of the corpus-scaling
+    banded frame is the sf10 OOM class. One MapInPandas (the codec
+    leg), no cartesian."""
+    from stock_indicators_etl_spark.llmdata.multimodal import (
+        dhash_neardup,
+        doc_image_dhash,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(dhash_neardup(doc_image_dhash(docs)))
+    # the self-join evaluates the (pure, scan-local) codec leg once
+    # per side — the same accepted recompute as every banded
+    # self-join here; >2 would mean an extra Python stage crept in
+    assert count_nodes(plan, "MapInPandas") == 2
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert count_nodes(plan, "BroadcastHashJoin") == 0
+    assert count_nodes(plan, "SortMergeJoin") == 1

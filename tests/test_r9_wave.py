@@ -354,3 +354,58 @@ class TestDataSelectionExample:
         s2 = sel2.toPandas().sort_values("doc_id").reset_index(drop=True)
         assert list(s1.doc_id) == list(s2.doc_id)
         assert list(s1.key_unats) == list(s2.key_unats)
+
+
+class TestPhashNeardup:
+    def _hashes(self, spark, rows):
+        from stock_indicators_etl_spark.llmdata.multimodal import (
+            doc_image_dhash,
+        )
+
+        return doc_image_dhash(_docs(spark, rows)).toPandas().set_index(
+            "doc_id"
+        )
+
+    def test_identical_docs_hash_equal_and_pair_at_zero(self, spark):
+        from stock_indicators_etl_spark.llmdata.multimodal import (
+            dhash_neardup,
+            doc_image_dhash,
+        )
+
+        text = "the quick brown fox jumps over the lazy dog " * 4
+        h = doc_image_dhash(_docs(spark, [(1, text), (2, text)]))
+        pdf = h.toPandas().set_index("doc_id")
+        assert pdf.loc[1, "dhash_hex"] == pdf.loc[2, "dhash_hex"]
+        pairs = dhash_neardup(h).toPandas()
+        assert len(pairs) == 1
+        assert pairs.iloc[0].hamming == 0
+
+    def test_small_edit_small_distance_large_edit_no_pair(self, spark):
+        from stock_indicators_etl_spark.llmdata.multimodal import (
+            dhash_neardup,
+            doc_image_dhash,
+        )
+
+        base = "alpha beta gamma delta epsilon zeta eta theta " * 3
+        rows = [
+            (1, base),
+            (2, base + " tailmarker"),          # near-dup: one word
+            (3, "completely different words entirely unrelated corpus "
+                "content with nothing shared at all " * 2),
+        ]
+        h = doc_image_dhash(_docs(spark, rows))
+        pairs = dhash_neardup(h).toPandas()
+        got = {(a, b): d for a, b, d in pairs.itertuples(index=False)}
+        # one appended word touches one cell -> at most 2 bits
+        assert (1, 2) in got and got[(1, 2)] <= 2
+        assert (1, 3) not in got and (2, 3) not in got
+
+    def test_hash_is_deterministic(self, spark):
+        rows = [(7, "some words for hashing determinism checks here")]
+        a = self._hashes(spark, rows)
+        b = self._hashes(spark, rows)
+        assert a.loc[7, "dhash_hex"] == b.loc[7, "dhash_hex"]
+
+    def test_empty_doc_hashes_without_crash(self, spark):
+        h = self._hashes(spark, [(1, "")])
+        assert len(h.loc[1, "dhash_hex"]) == 16
