@@ -441,6 +441,13 @@ def _render(results: dict[str, list[float | None]]) -> str:
         "  exp(0.1→1) 1.19 ≈ the N^1.22 recall-holding theory bound",
         "  (§4.25) and exp(1→10) 0.50 in SCALING_SF10.md — the decade",
         "  that used to fill the disk.",
+        "- `phash_neardup`'s exp 1.23 is OUTPUT growth by fixture",
+        "  construction: the upscale's replica clusters image",
+        "  identically, so the emitted hamming-0 pair set grows as",
+        "  cluster² (the pairs ARE the answer — no wasted work; the",
+        "  banded join's per-key work is the same quadratic-in-",
+        "  cluster-size truth every near-dup reporter has). Real",
+        "  crawl dedup emits components, not pairs, past this stage.",
         "- `winnow_matches` gained a stop-fingerprint cap",
         "  (max_doc_freq=256, r9): a fingerprint shared by m docs",
         "  expands to m²/2 pairs inside ONE posting row, and the sf1",
