@@ -567,6 +567,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_heavy_hitters,
         q_pack_sequences,
         q_phash_neardup,
+        q_temperature_mix,
         q_tfidf_keywords,
         q_embedding_neardup_scaled,
         q_frequent_ngrams,
@@ -676,6 +677,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_audit": q_dup_span_audit,
         "cms_freq": q_cms_freq,
         "phash_neardup": q_phash_neardup,
+        "temperature_mix": q_temperature_mix,
     }
     for name in ROTATED_OUT:
         if name in base:  # non-base rotated-out names are added above
@@ -759,6 +761,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_NEARDUP_BEST,
         SQL_PACK_SEQUENCES,
         SQL_PHASH_NEARDUP,
+        SQL_TEMPERATURE_MIX,
         SQL_PQ_TOPK,
         SQL_SPAN_DEDUP,
         SQL_TFIDF_KEYWORDS,
@@ -857,6 +860,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "dup_span_audit": SQL_DUP_SPAN_AUDIT,
         "cms_freq": SQL_CMS_FREQ,
         "phash_neardup": SQL_PHASH_NEARDUP,
+        "temperature_mix": SQL_TEMPERATURE_MIX,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

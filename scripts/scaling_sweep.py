@@ -179,6 +179,7 @@ QUERIES = [
     "dup_span_audit",         # maximal duplicated k-gram spans, all copies (extra)
     "cms_freq",               # Count-Min point-frequency estimates vs exact (extra)
     "phash_neardup",          # dHash image near-dup through the real codec leg (extra)
+    "temperature_mix",        # sqrt-temperature domain mixing, in-plan weights (extra)
     "balanced_sample",        # per-class quota by hash rank (extra)
     "agg_delta",              # retraction-changelog aggregate maintenance (extra)
     "contrastive_pairs",      # LSH-positive + hash-offset-negative mining (extra)

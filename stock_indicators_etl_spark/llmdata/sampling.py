@@ -294,3 +294,60 @@ def balanced_sample(
         .filter(F.col("_rk") <= F.col("_m"))
         .drop("_rk", "_m")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    total_out: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    w_scale: int = 1000,
+) -> DataFrame:
+    """Temperature-balanced dataset mixing at α = 1/2 — the
+    multilingual sampling-temperature recipe (domain weight ∝ n_s^α,
+    mT5/XLM-R style): head domains are down-weighted toward the tail
+    without anyone pinning hand-written ratios. Weights are computed
+    IN-PLAN from the per-domain counts (``floor(sqrt(n)·w_scale)``),
+    so nothing is collected and the operator stays one tiny aggregate
+    + a broadcast threshold join + a scan-local filter, exactly like
+    :func:`mix_domains`.
+
+    α is FIXED at 1/2: IEEE-754 requires ``sqrt`` to be correctly
+    rounded, so Spark and DuckDB compute the identical double and the
+    integer weights are engine-exact — a general ``pow(n, α)`` has no
+    such guarantee and would break the oracle contract (same reason
+    the repo quantizes ``ln`` at birth). Keep decisions are the same
+    content-stable hash thresholds as :func:`hash_sample`.
+    """
+    counts = (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_w",
+            F.floor(
+                F.sqrt(F.col("_n").cast("double")) * F.lit(float(w_scale))
+            ).cast("long"),
+        )
+    )
+    tot = counts.agg(F.sum("_w").alias("_wsum"))
+    thr = (
+        counts.crossJoin(F.broadcast(tot))  # 1-row total frame
+        .withColumn(
+            "_quota",
+            F.expr(f"CAST({total_out} AS BIGINT) * _w DIV _wsum"),
+        )
+        .select(
+            strata_col,
+            F.when(F.col("_quota") >= F.col("_n"), F.lit(HASH_DOMAIN))
+            .otherwise(
+                F.expr(f"CAST({HASH_DOMAIN} AS BIGINT) DIV _n")
+                * F.col("_quota")
+            )
+            .alias("_thr"),
+        )
+    )
+    return (
+        df.join(F.broadcast(thr), strata_col)
+        .filter(_id_hash56(F.col(id_col)) < F.col("_thr"))
+        .drop("_thr")
+    )

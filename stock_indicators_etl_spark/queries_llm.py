@@ -4626,6 +4626,56 @@ WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
 """
 
 
+# ---------------------------------------------------------------------------
+# temperature-balanced domain mixing (alpha = 1/2)
+# ---------------------------------------------------------------------------
+
+TEMP_MIX_TOTAL = 120
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing (`llmdata.sampling.temperature_mix`):
+    domain weights ∝ sqrt(n_s) computed IN-PLAN (sqrt is correctly
+    rounded by IEEE-754 in both engines, so the integer weights are
+    engine-exact), then the mix_domains hash-threshold keep — the
+    multilingual sampling-temperature recipe without hand-pinned
+    ratios."""
+    from stock_indicators_etl_spark.llmdata.sampling import temperature_mix
+
+    return temperature_mix(_docs(spark, sf_dir), TEMP_MIX_TOTAL).select(
+        "doc_id", "source"
+    )
+
+
+def _temp_mix_sql() -> str:
+    from stock_indicators_etl_spark.llmdata.hashing import HASH_DOMAIN
+
+    return f"""
+WITH tm_counts AS (
+  SELECT source, count(*) AS n,
+         CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000.0) AS BIGINT) AS w
+  FROM documents GROUP BY 1
+),
+tm_tot AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM tm_counts),
+tm_thr AS (
+  SELECT source,
+         CASE WHEN (CAST({TEMP_MIX_TOTAL} AS BIGINT) * w) // wsum >= n
+              THEN {HASH_DOMAIN}
+              ELSE ({HASH_DOMAIN} // n)
+                   * ((CAST({TEMP_MIX_TOTAL} AS BIGINT) * w) // wsum) END
+           AS thr
+  FROM tm_counts, tm_tot
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN tm_thr ON d.source = tm_thr.source
+WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 14))
+      AS BIGINT) < tm_thr.thr
+"""
+
+
+SQL_TEMPERATURE_MIX = _temp_mix_sql()
+
+
 QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "token_counts": q_token_counts,

@@ -409,3 +409,51 @@ class TestPhashNeardup:
     def test_empty_doc_hashes_without_crash(self, spark):
         h = self._hashes(spark, [(1, "")])
         assert len(h.loc[1, "dhash_hex"]) == 16
+
+
+class TestTemperatureMix:
+    def _mk(self, spark, sizes):
+        rows = []
+        i = 0
+        for src, n in sizes.items():
+            for _ in range(n):
+                rows.append((i, "text %d" % i, src))
+                i += 1
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+
+    def test_tail_domain_overrepresented_vs_proportional(self, spark):
+        """sqrt temperature lifts the tail: the small domain's output
+        share must exceed its corpus share."""
+        from pyspark.sql import functions as F
+
+        from stock_indicators_etl_spark.llmdata.sampling import (
+            temperature_mix,
+        )
+
+        df = self._mk(spark, {"head": 900, "tail": 100})
+        out = (
+            temperature_mix(df, 200)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .toPandas()
+            .set_index("source")["n"]
+        )
+        total = out.sum()
+        assert out.get("tail", 0) / total > 100 / 1000
+        # sqrt weights: tail share should approach sqrt(100)/(sqrt(900)
+        # + sqrt(100)) = 0.25; allow hash-rounding slack
+        assert 0.15 < out.get("tail", 0) / total < 0.40
+
+    def test_deterministic_and_availability_capped(self, spark):
+        from stock_indicators_etl_spark.llmdata.sampling import (
+            temperature_mix,
+        )
+
+        df = self._mk(spark, {"a": 30, "b": 4})
+        o1 = sorted(r.doc_id for r in temperature_mix(df, 500).collect())
+        o2 = sorted(r.doc_id for r in temperature_mix(df, 500).collect())
+        assert o1 == o2
+        # quota above availability: every row survives (cap at n_s)
+        assert len(o1) == 34
