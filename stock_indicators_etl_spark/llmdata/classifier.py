@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from stock_indicators_etl_spark.llmdata.text import spread, words
+
 
 def sq_codes(
     embeddings: DataFrame,
@@ -214,3 +216,173 @@ def perceptron_score(
         margin.alias("margin"),
         (margin > 0).alias("pred"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multinomial Naive Bayes (one-pass counting trainer)
+# ---------------------------------------------------------------------------
+
+
+def nb_train(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    alpha: int = 1,
+) -> tuple[list, DataFrame, DataFrame]:
+    """Multinomial Naive Bayes trained in ONE counting pass — the
+    fastText-style quality/domain classifier shape, and the
+    complement to :func:`perceptron_train`: the perceptron needs an
+    epoch LOOP over the corpus; NB's sufficient statistics are plain
+    (label, word) counts, so training is a single combinable groupBy
+    at any corpus size.
+
+    Float discipline (the dsir/unigram_surprisal convention): each
+    log-probability quantizes to integer MICRO-NATS —
+    ``floor(ln((c+α)/(T_c+α·V))·10⁶ + 0.5)`` where the division is
+    ONE IEEE op over exact integers — so per-document scores are
+    BIGINT sums, immune to fold order, bit-replayable in SQL.
+
+    Only class-bounded scalars are collected (k class token totals +
+    the vocab size — the 64-row-collect precedent); the (vocab × k)
+    weight table stays a DataFrame, DENSE per word (absent (word,
+    class) pairs get the smoothing floor), one row per word carrying
+    the k-array of weights.
+
+    Returns ``(classes, priors, weights)``: the sorted class list,
+    a k-row ``(idx, prior)`` DataFrame (micro-nat log priors,
+    in-plan ``ln`` so the oracle replays it), and the per-word
+    ``(word, w: array<long>)`` weight table.
+    """
+    toks = spread(docs).select(
+        F.col(label_col).alias("_lab"),
+        F.explode(words(F.col(text_col))).alias("word"),
+    )
+    cwc = toks.groupBy("_lab", "word").agg(F.count(F.lit(1)).alias("_c"))
+    # class-bounded scalars: k token totals + vocab size
+    totals = {
+        r["_lab"]: r["t"]
+        for r in toks.groupBy("_lab").agg(F.count(F.lit(1)).alias("t")).collect()
+    }
+    v = toks.select("word").distinct().count()
+    classes = sorted(totals)
+    per_class = [
+        F.max(F.when(F.col("_lab") == c, F.col("_c"))).alias(f"_c{i}")
+        for i, c in enumerate(classes)
+    ]
+    piv = cwc.groupBy("word").agg(*per_class)
+    w_arr = F.array(
+        *[
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col(f"_c{i}"), F.lit(0)) + F.lit(alpha)).cast(
+                        "double"
+                    )
+                    / F.lit(float(totals[c] + alpha * v))
+                )
+                * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            ).cast("long")
+            for i, c in enumerate(classes)
+        ]
+    )
+    weights = piv.select("word", w_arr.alias("w"))
+    n_docs = docs.groupBy(F.col(label_col).alias("_lab")).agg(
+        F.count(F.lit(1)).alias("_nd")
+    )
+    total_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    cls_idx = F.array(*[F.lit(c) for c in classes])
+    priors = (
+        n_docs.crossJoin(F.broadcast(total_docs))
+        .select(
+            (F.array_position(cls_idx, F.col("_lab")) - 1).cast("int").alias("idx"),
+            F.floor(
+                F.log(F.col("_nd").cast("double") / F.col("_n").cast("double"))
+                * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("prior"),
+        )
+    )
+    return classes, priors, weights
+
+
+def nb_score(
+    docs: DataFrame,
+    classes: list,
+    priors: DataFrame,
+    weights: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against a trained NB model: per doc the
+    argmax-class of ``prior_c + Σ_w tf·weight(w,c)`` — all BIGINT
+    micro-nats, deterministic smallest-class-index ties.
+
+    Plan: one (doc, word) tf shuffle, one word equi-join onto the
+    vocab-sized weight table (NOT broadcast-forced — vocab is
+    corpus-derived, AQE decides), a k-wide posexplode, one combinable
+    (doc, class) sum, a k-bounded argmax struct-max, and a broadcast
+    of the k-row prior frame. Words outside the model vocabulary are
+    dropped (inner join) — the standard unseen-token convention.
+
+    Output: ``(doc_id, actual, predicted, score, correct)``; docs
+    with no in-vocab words fall back to the max-prior class.
+    """
+    tf = (
+        spread(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(label_col).alias("actual"),
+            F.explode(words(F.col(text_col))).alias("word"),
+        )
+        .groupBy("doc_id", "actual", "word")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    contrib = (
+        tf.join(weights, "word")
+        .select(
+            "doc_id",
+            "actual",
+            F.col("_tf"),
+            F.posexplode(F.col("w")).alias("idx", "_wt"),
+        )
+        .groupBy("doc_id", "actual", "idx")
+        .agg(F.sum(F.col("_tf") * F.col("_wt")).alias("_s"))
+    )
+    scored = contrib.join(F.broadcast(priors), "idx").withColumn(
+        "_score", F.col("_s") + F.col("prior")
+    )
+    # argmax by (score desc, idx asc) as a combinable struct max
+    best = scored.groupBy("doc_id", "actual").agg(
+        F.max(F.struct(F.col("_score"), (-F.col("idx")).alias("_ni"))).alias("_b")
+    )
+    cls_arr = F.array(*[F.lit(c) for c in classes])
+    # prior-argmax fallback for docs with no in-vocab words
+    fallback = priors.agg(
+        F.max(F.struct(F.col("prior"), (-F.col("idx")).alias("_ni"))).alias("_pb")
+    ).select(
+        (-F.col("_pb._ni")).cast("int").alias("_fb_idx"),
+        F.col("_pb.prior").alias("_fb_score"),
+    )
+    out = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(label_col).alias("actual")
+        )
+        .join(best, ["doc_id", "actual"], "left")
+        .crossJoin(F.broadcast(fallback))
+        .select(
+            "doc_id",
+            "actual",
+            F.element_at(
+                cls_arr,
+                F.coalesce((-F.col("_b._ni")).cast("int"), F.col("_fb_idx")) + 1,
+            ).alias("predicted"),
+            F.coalesce(F.col("_b._score"), F.col("_fb_score"))
+            .cast("long")
+            .alias("score"),
+        )
+        .withColumn("correct", F.col("predicted") == F.col("actual"))
+    )
+    return out

@@ -220,6 +220,99 @@ def span_dedup(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int = 1,
+    block_words: int = 16,
+    sep: str | None = None,
+) -> DataFrame:
+    """CCNet-style boilerplate-span removal by CORPUS FREQUENCY:
+    segment each document into spans (newline/sentence regex via
+    ``sep``, or fixed ``block_words``-word blocks for corpora without
+    structural separators), count each normalized span's DOCUMENT
+    frequency across the corpus, and drop — from EVERY document,
+    including the first — any span appearing in more than
+    ``max_doc_freq`` documents. This is the other dedup grain from
+    :func:`span_dedup`'s keep-first rule: keep-first preserves one
+    copy of genuine content; the doc-frequency rule treats a span
+    repeated across documents as boilerplate (nav bars, cookie
+    banners, license headers) of which the corpus wants ZERO copies
+    (Wenzek et al. 2020's paragraph dedup).
+
+    Scale shape: one ``posexplode`` to span rows, ONE combinable
+    count shuffle on the 16-byte span hash (count(DISTINCT doc) runs
+    as the two-phase distinct aggregate, so the shuffle carries
+    distinct (hash, doc) pairs), a LEFT join of span rows onto the
+    over-threshold hash set (unbounded frame — NOT broadcast-forced;
+    AQE decides, skew-splits the boilerplate hot keys), and one
+    groupBy on ``doc_id`` to reassemble. No iteration.
+
+    Output: ``(doc_id, clean_text, n_spans, n_spans_kept)`` for every
+    input doc (all-boilerplate docs keep an empty ``clean_text``).
+    """
+    if sep is not None:
+        spans = F.filter(
+            F.transform(F.split(F.col(text_col), sep), lambda s: norm_text(s)),
+            lambda s: F.length(s) > 0,
+        )
+    else:
+        ws = words(F.col(text_col))
+        n_blocks = F.ceil(F.size(ws) / F.lit(block_words)).cast("int")
+        spans = F.when(F.size(ws) == 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n_blocks - F.lit(1)),
+                lambda i: F.array_join(
+                    F.slice(ws, i * block_words + F.lit(1), block_words), " "
+                ),
+            )
+        )
+    exploded = spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(spans).alias("pos", "span"),
+    ).withColumn("h", F.md5(F.col("span")))
+    boiler = (
+        exploded.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("_df"))
+        .filter(F.col("_df") > max_doc_freq)
+        .select("h", F.lit(True).alias("_boiler"))
+    )
+    flagged = exploded.join(boiler, "h", "left")
+    keep = F.col("_boiler").isNull()
+    rebuilt = (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count(F.when(keep, 1)).alias("n_spans_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct(F.col("pos"), F.col("span")))
+                        )
+                    ),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    # docs with zero spans (empty text) never exploded — restore them
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce(F.col("n_spans_kept"), F.lit(0))
+            .cast("bigint")
+            .alias("n_spans_kept"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingles + MinHash
 # ---------------------------------------------------------------------------

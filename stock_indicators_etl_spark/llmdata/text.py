@@ -628,3 +628,50 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
         & F.col("r_alpha")
         & F.col("r_stop"),
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style blocklist gate: flag every document containing any
+    term from a curated word blocklist (C4 dropped any page with a
+    "bad words" list hit; the same shape serves license-phrase
+    screens and policy keyword audits). The blocklist is a Python
+    tuple inlined as an array LITERAL — bounded by construction
+    (curated lists are 10²–10⁴ entries), so matching is a PURE SCAN:
+    zero shuffles, zero joins, embarrassingly parallel over shards,
+    and therefore runs unchanged on a ``readStream`` frame with no
+    watermark (the perceptron_score deployment shape).
+
+    Matching is on normalized whitespace tokens (exact word hits, the
+    C4 convention — substring matching would flag "scrapbook" for
+    "rap"). ``matched_terms`` is built by filtering the TERM literal
+    against the doc's token array — deterministic blocklist order,
+    then sorted — rather than ``array_intersect`` (whose result order
+    is engine-internal). Per-doc cost is O(tokens · terms) array
+    containment; for 10⁴⁺-term lists switch the containment side: a
+    map literal lookup per token keeps it O(tokens).
+
+    Output: ``(doc_id, matched_terms, n_hits, keep)`` — ``n_hits``
+    counts occurrences (not distinct terms), ``keep`` is the C4 drop
+    decision (no hits).
+    """
+    lit_terms = F.array(*[F.lit(t) for t in terms])
+    pre = spread(df).select(
+        F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("_w")
+    )
+    matched = F.array_sort(
+        F.filter(lit_terms, lambda t: F.array_contains(F.col("_w"), t))
+    )
+    n_hits = F.size(
+        F.filter(F.col("_w"), lambda x: F.array_contains(lit_terms, x))
+    ).cast("long")
+    return pre.select(
+        "doc_id",
+        matched.alias("matched_terms"),
+        n_hits.alias("n_hits"),
+        (n_hits == 0).alias("keep"),
+    )

@@ -282,3 +282,91 @@ def kl_drift(
         F.col("n_b").cast("long").alias("n_b"),
         kl.alias("kl"),
     )
+
+
+def ks_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key EXACT two-sample Kolmogorov–Smirnov statistic between
+    two snapshots — the bin-free member of the drift family
+    (:func:`histogram_drift` = binned TVD, :func:`kl_drift` = binned
+    KL): ``D = max_x |F_a(x) − F_b(x)|`` over the empirical CDFs,
+    sensitive to location/shape shifts a coarse histogram can smear
+    away, with the classical distribution-free critical values.
+
+    Exactness: the float CDF difference ``|cum_a/n_a − cum_b/n_b|``
+    is engine-order-fragile, so the statistic is the INTEGER
+    ``max |cum_a·n_b − cum_b·n_a|`` over the merged distinct values
+    followed by ONE division — the TVD cross-multiplication
+    discipline. Cross products accumulate in DECIMAL(38,0): at
+    ~10¹² rows/side per key the BIGINT product ``cum·n`` wraps (the
+    ols_by_key overflow class); DuckDB's HUGEINT is already exact.
+    Values quantize to integer cents so group keys are exact.
+
+    Plan: one combinable (key, cents) count carrying both sides, one
+    per-key running-sum window over the DISTINCT-value frame (rows =
+    distinct values per key, not observations), one combinable max.
+    A key with ~billions of distinct values makes the per-key sort
+    the cost — that is inherent to exact KS; cap value cardinality
+    upstream (quantization already does) or fall back to the binned
+    TVD monitor when distinct values ≫ memory.
+
+    Output: ``(keys…, n_a, n_b, n_values, d_num, ks)`` — ``d_num``
+    the exact integer numerator (double after one exact-int cast),
+    ``ks = d_num/(n_a·n_b)``; absent-side keys report 1.0.
+    """
+    from pyspark.sql.window import Window
+
+    keys = list(key_cols)
+    a = df_a.select(*keys, F.col(value_col).alias("_v")).withColumn(
+        "_side", F.lit("a")
+    )
+    b = df_b.select(*keys, F.col(value_col).alias("_v")).withColumn(
+        "_side", F.lit("b")
+    )
+    u = a.unionByName(b).withColumn(
+        "_cents", F.floor(F.col("_v") * 100 + F.lit(0.5)).cast("long")
+    )
+    counts = u.groupBy(*keys, "_cents").agg(
+        F.sum((F.col("_side") == "a").cast("long")).alias("ca"),
+        F.sum((F.col("_side") == "b").cast("long")).alias("cb"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn(
+        "_cuma", F.sum("ca").over(w).cast("decimal(19,0)")
+    ).withColumn("_cumb", F.sum("cb").over(w).cast("decimal(19,0)"))
+    totals = counts.groupBy(*keys).agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    nad = F.col("n_a").cast("decimal(19,0)")
+    nbd = F.col("n_b").cast("decimal(19,0)")
+    stat = (
+        cum.join(F.broadcast(totals), keys)
+        .groupBy(*keys, "n_a", "n_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.max(
+                F.abs(F.col("_cuma") * nbd - F.col("_cumb") * nad)
+            ).alias("_dnum"),
+        )
+    )
+    ks = F.when(
+        (F.col("n_a") == 0) | (F.col("n_b") == 0), F.lit(1.0)
+    ).otherwise(
+        F.col("_dnum").cast("double") / (nad * nbd).cast("double")
+    )
+    return stat.select(
+        *keys,
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_values").cast("long").alias("n_values"),
+        F.col("_dnum").cast("double").alias("d_num"),
+        ks.alias("ks"),
+    )

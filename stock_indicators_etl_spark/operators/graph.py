@@ -364,3 +364,91 @@ def link_prediction_scores(
     return top.withColumn("rk", F.row_number().over(w)).select(
         "rk", "u", "v", "cn", "jaccard"
     )
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    v_col: str = "v",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman modularity report for a vertex partition (e.g. the
+    :func:`label_propagation` communities): per community ``c`` the
+    intra-edge count ``e_c``, degree sum ``d_c``, and its exact
+    contribution to ``Q = Σ_c (e_c/m − (d_c/2m)²)`` — the standard
+    partition-quality gate a template-family detection run publishes
+    before the partition is trusted downstream (Q near 0 ⇒ the
+    "communities" are no better than random; Q ≳ 0.3 ⇒ real block
+    structure).
+
+    Exactness: the float form of Q is a sum of tiny ratios; instead
+    each community's contribution is the INTEGER numerator
+    ``q_num_c = 4·m·e_c − d_c²`` over the common denominator
+    ``(2m)²``, accumulated in DECIMAL(38,0) (at 10¹² edges the
+    BIGINT products wrap — the ols_by_key overflow class), with ONE
+    IEEE division per row at the end; ``Σ q_num_c / 4m²`` is the
+    global Q.
+
+    Plan: edge canonicalization exactly as :func:`label_propagation`
+    (distinct a<b, self-loops out) so the two operators agree on m;
+    two vertex-label equi-joins classify each edge, one combinable
+    count per community, one combinable degree sum; m rides as a
+    1-row broadcast. Vertices the labels frame misses are dropped
+    from both e_c and d_c (they contribute no classified edges).
+
+    Output: ``(label, n_nodes, e_in, deg_sum, m, q_contrib)`` —
+    one row per community.
+    """
+    a = F.least(F.col(src_col), F.col(dst_col))
+    b = F.greatest(F.col(src_col), F.col(dst_col))
+    und = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    lab = labels.select(
+        F.col(v_col).alias("_lv"), F.col(label_col).alias("_lab")
+    )
+    tagged = und.join(
+        lab.select(F.col("_lv").alias("a"), F.col("_lab").alias("_la")), "a"
+    ).join(
+        lab.select(F.col("_lv").alias("b"), F.col("_lab").alias("_lb")), "b"
+    )
+    m_frame = und.agg(F.count(F.lit(1)).alias("m"))
+    e_in = (
+        tagged.filter(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias("label"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    deg = (
+        und.select(F.col("a").alias("_lv"))
+        .unionByName(und.select(F.col("b").alias("_lv")))
+        .join(lab, "_lv")
+        .groupBy(F.col("_lab").alias("label"))
+        .agg(F.count(F.lit(1)).alias("deg_sum"))
+    )
+    nodes = lab.groupBy(F.col("_lab").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    md = F.col("m").cast("decimal(19,0)")
+    dd = F.col("deg_sum").cast("decimal(19,0)")
+    ed = F.coalesce(F.col("e_in"), F.lit(0)).cast("decimal(19,0)")
+    q_num = F.lit(4).cast("decimal(19,0)") * md * ed - dd * dd
+    denom = (F.lit(4).cast("decimal(19,0)") * md * md).cast("double")
+    return (
+        nodes.join(deg, "label", "left")
+        .join(e_in, "label", "left")
+        .crossJoin(F.broadcast(m_frame))
+        .select(
+            "label",
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.coalesce(F.col("e_in"), F.lit(0)).cast("long").alias("e_in"),
+            F.coalesce(F.col("deg_sum"), F.lit(0)).cast("long").alias("deg_sum"),
+            F.col("m").cast("long").alias("m"),
+            F.when(F.col("m") == 0, F.lit(0.0))
+            .otherwise(q_num.cast("double") / denom)
+            .alias("q_contrib"),
+        )
+    )
