@@ -524,6 +524,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_attribution,
         q_funnel,
         q_interval_join,
+        q_ks_drift,
+        q_local_supplier_volume,
         q_retention,
         q_forecast_revenue,
         q_obv,
@@ -562,6 +564,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_fuzzy_join,
         q_ivfpq_topk,
         q_leakage_split,
+        q_line_dedup,
+        q_modularity,
+        q_nb_classify,
+        q_blocklist,
         q_pq_topk,
         q_span_dedup,
         q_heavy_hitters,
@@ -678,6 +684,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_freq": q_cms_freq,
         "phash_neardup": q_phash_neardup,
         "temperature_mix": q_temperature_mix,
+        # r9b new operators
+        "ks_drift": q_ks_drift,
+        "local_supplier_volume": q_local_supplier_volume,
+        "modularity": q_modularity,
+        "line_dedup": q_line_dedup,
+        "blocklist": q_blocklist,
+        "nb_classify": q_nb_classify,
     }
     for name in ROTATED_OUT:
         if name in base:  # non-base rotated-out names are added above
@@ -694,6 +707,8 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_FORECAST_REVENUE,
         SQL_FUNNEL,
         SQL_INTERVAL_JOIN,
+        SQL_KS_DRIFT,
+        SQL_LOCAL_SUPPLIER_VOLUME,
         SQL_OBV,
         SQL_RETENTION,
         SQL_SHIPMODE_PRIORITY,
@@ -758,6 +773,10 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_KMEANS,
         SQL_LEAKAGE_SPLIT,
         SQL_LENGTH_QUANTILES,
+        SQL_LINE_DEDUP,
+        SQL_MODULARITY,
+        SQL_NB_CLASSIFY,
+        SQL_BLOCKLIST,
         SQL_NEARDUP_BEST,
         SQL_PACK_SEQUENCES,
         SQL_PHASH_NEARDUP,
@@ -861,6 +880,13 @@ def extra_oracle_sql() -> dict[str, str]:
         "cms_freq": SQL_CMS_FREQ,
         "phash_neardup": SQL_PHASH_NEARDUP,
         "temperature_mix": SQL_TEMPERATURE_MIX,
+        # r9b new operators
+        "ks_drift": SQL_KS_DRIFT,
+        "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
+        "modularity": SQL_MODULARITY,
+        "line_dedup": SQL_LINE_DEDUP,
+        "blocklist": SQL_BLOCKLIST,
+        "nb_classify": SQL_NB_CLASSIFY,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

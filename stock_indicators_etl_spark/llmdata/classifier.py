@@ -264,7 +264,12 @@ def nb_train(
         for r in toks.groupBy("_lab").agg(F.count(F.lit(1)).alias("t")).collect()
     }
     v = toks.select("word").distinct().count()
-    classes = sorted(totals)
+    # classes from the DOCUMENT labels (a class whose docs are all
+    # empty-text still needs a prior + the smoothing-floor weights)
+    classes = sorted(
+        r["_lab"] for r in docs.select(F.col(label_col).alias("_lab")).distinct().collect()
+    )
+    totals = {c: totals.get(c, 0) for c in classes}
     per_class = [
         F.max(F.when(F.col("_lab") == c, F.col("_c"))).alias(f"_c{i}")
         for i, c in enumerate(classes)

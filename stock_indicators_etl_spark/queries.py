@@ -4935,6 +4935,150 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# exact two-sample Kolmogorov-Smirnov drift
+# ---------------------------------------------------------------------------
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS drift (``operators/dq.ks_drift``): the
+    bin-free member of the drift family — per event type, the exact
+    max CDF gap between the first- and second-half value
+    distributions as the integer statistic ``max|cum_a·n_b −
+    cum_b·n_a|`` (DECIMAL(38,0) cross products) over merged distinct
+    cents, one IEEE division at the end."""
+    from stock_indicators_etl_spark.operators.dq import ks_drift
+
+    ev = _events(spark, sf_dir)
+    day = F.expr(f"ns div {_DAY_NS}")
+    a = ev.filter(day < DRIFT_SPLIT_DAY)
+    b = ev.filter(day >= DRIFT_SPLIT_DAY)
+    out = ks_drift(a, b, ("event_type",), "value")
+    return out.withColumn("ks", _rc(F.col("ks")))
+
+
+SQL_KS_DRIFT = f"""
+WITH u AS (
+  SELECT event_type,
+         CASE WHEN epoch_ns(ts) // {_DAY_NS} < {DRIFT_SPLIT_DAY}
+              THEN 'a' ELSE 'b' END AS side,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+counts AS (
+  SELECT event_type, cents,
+         CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM u GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, ca, cb,
+         sum(ca) OVER (PARTITION BY event_type ORDER BY cents
+                       ROWS UNBOUNDED PRECEDING) AS cuma,
+         sum(cb) OVER (PARTITION BY event_type ORDER BY cents
+                       ROWS UNBOUNDED PRECEDING) AS cumb
+  FROM counts
+),
+tot AS (
+  SELECT event_type, CAST(sum(ca) AS BIGINT) AS n_a,
+         CAST(sum(cb) AS BIGINT) AS n_b
+  FROM counts GROUP BY event_type
+),
+stat AS (
+  SELECT cum.event_type,
+         CAST(count(*) AS BIGINT) AS n_values,
+         max(abs(CAST(cuma AS HUGEINT) * t.n_b
+               - CAST(cumb AS HUGEINT) * t.n_a)) AS dnum,
+         any_value(t.n_a) AS n_a,
+         any_value(t.n_b) AS n_b
+  FROM cum JOIN tot t ON t.event_type = cum.event_type
+  GROUP BY cum.event_type
+)
+SELECT event_type, n_a, n_b, n_values,
+       CAST(dnum AS DOUBLE) AS d_num,
+       CASE WHEN n_a = 0 OR n_b = 0 THEN 1.0
+            ELSE {R6("CAST(dnum AS DOUBLE)"
+                     " / CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE)")}
+       END AS ks
+FROM stat
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5: local supplier volume (completes the 22-query set)
+# ---------------------------------------------------------------------------
+
+Q5_REGION = "ASIA"
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the last of the 22: revenue per nation from
+    orders where the CUSTOMER and the SUPPLIER share the nation,
+    within one region and order year. The six-table join plans as the
+    lineitem ⋈ orders ⋈ customer spine with supplier + the broadcast
+    nation⋈region dim chain; the c_nationkey = s_nationkey
+    equality is applied as a post-join filter on the two small dim
+    columns. Revenue is the Q7/Q9 idiom: per-row floor to integer
+    10⁻⁴ units, then an associative BIGINT sum."""
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == Q5_REGION
+    )
+    n = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    s = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("s_nationkey").alias("_snk"), "n_name")
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", F.col("c_nationkey").alias("_cnk")
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("_cnk") == F.col("_snk"))
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 10000
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        j.select("n_name", cents.alias("cents"))
+        .groupBy("n_name")
+        .agg(
+            (F.sum("cents").cast("double") / F.lit(10000.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = f"""
+SELECT n_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5)
+                     AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = '{Q5_REGION}'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "market_hours_filter": q_market_hours,
     "rocp_mom": q_rocp,

@@ -4676,6 +4676,278 @@ WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 14))
 SQL_TEMPERATURE_MIX = _temp_mix_sql()
 
 
+# ---------------------------------------------------------------------------
+# partition modularity (label-prop communities quality gate)
+# ---------------------------------------------------------------------------
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the 4-round label-propagation communities
+    on the band_size=1 near-dup candidate graph
+    (`operators/graph.modularity`): per community the intra-edge
+    count, degree sum, and exact Q contribution ``(4·m·e_c − d_c²) /
+    4m²`` — DECIMAL(38,0) numerators, ONE IEEE division per row. The
+    partition-quality gate before template families are trusted."""
+    from stock_indicators_etl_spark.operators.graph import (
+        label_propagation,
+        modularity,
+    )
+
+    cand = minhash_lsh_candidates(
+        _docs(spark, sf_dir), band_size=1, max_bucket_size=CAND1_CAP
+    )
+    labels = label_propagation(
+        cand, iters=LPA_ITERS, src_col="doc_a", dst_col="doc_b"
+    )
+    return modularity(cand, labels, src_col="doc_a", dst_col="doc_b")
+
+
+def _sql_modularity() -> str:
+    rounds = []
+    for r in range(1, LPA_ITERS + 1):
+        rounds.append(
+            f"""cnt{r} AS MATERIALIZED (
+  SELECT e.v, l.label AS nbr_label, count(*) AS cnt
+  FROM e2 e JOIN l{r - 1} l ON e.nbr = l.v
+  GROUP BY e.v, l.label
+),
+l{r} AS MATERIALIZED (
+  SELECT v, nbr_label AS label
+  FROM (SELECT v, nbr_label,
+               row_number() OVER (PARTITION BY v
+                                  ORDER BY cnt DESC, nbr_label ASC) AS rk
+        FROM cnt{r})
+  WHERE rk = 1
+)"""
+        )
+    return f"""
+WITH {_cand1_ctes()},
+e2 AS MATERIALIZED (
+  SELECT a AS v, b AS nbr FROM e0
+  UNION ALL
+  SELECT b AS v, a AS nbr FROM e0
+),
+l0 AS MATERIALIZED (SELECT DISTINCT v, v AS label FROM e2),
+{",".join(rounds)},
+mq AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+lab AS (SELECT v, label FROM l{LPA_ITERS}),
+ein AS (
+  SELECT la.label, CAST(count(*) AS BIGINT) AS e_in
+  FROM e0 JOIN lab la ON e0.a = la.v JOIN lab lb ON e0.b = lb.v
+  WHERE la.label = lb.label GROUP BY 1
+),
+mdeg AS (
+  SELECT l.label, CAST(count(*) AS BIGINT) AS deg_sum
+  FROM (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) t
+  JOIN lab l ON t.v = l.v GROUP BY 1
+),
+mnodes AS (SELECT label, CAST(count(*) AS BIGINT) AS n_nodes FROM lab GROUP BY 1)
+SELECT n.label, n.n_nodes,
+       coalesce(e.e_in, 0) AS e_in,
+       coalesce(g.deg_sum, 0) AS deg_sum,
+       mq.m,
+       CASE WHEN mq.m = 0 THEN 0.0
+            ELSE CAST(CAST(4 AS HUGEINT) * mq.m * coalesce(e.e_in, 0)
+                      - CAST(coalesce(g.deg_sum, 0) AS HUGEINT)
+                        * coalesce(g.deg_sum, 0) AS DOUBLE)
+                 / CAST(CAST(4 AS HUGEINT) * mq.m * mq.m AS DOUBLE)
+       END AS q_contrib
+FROM mnodes n
+LEFT JOIN mdeg g ON g.label = n.label
+LEFT JOIN ein e ON e.label = n.label
+CROSS JOIN mq
+"""
+
+
+SQL_MODULARITY = _sql_modularity()
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style corpus-frequency line/block dedup
+# ---------------------------------------------------------------------------
+
+LINE_BLOCK_WORDS = 16
+LINE_MAX_DOC_FREQ = 1
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal (`llmdata.dedup.line_dedup`):
+    drop — from EVERY document — any 16-word block whose normalized
+    content appears in more than one document; the other dedup grain
+    from span_dedup's keep-first (boilerplate wants ZERO copies
+    kept). One combinable doc-frequency shuffle, one left join, one
+    reassembly groupBy."""
+    from stock_indicators_etl_spark.llmdata.dedup import line_dedup
+
+    return line_dedup(
+        _docs(spark, sf_dir),
+        max_doc_freq=LINE_MAX_DOC_FREQ,
+        block_words=LINE_BLOCK_WORDS,
+    )
+
+
+SQL_LINE_DEDUP = f"""
+WITH {DOCS_CTE},
+lnb AS (
+  SELECT doc_id, ws, CAST(ceil(len(ws) / {LINE_BLOCK_WORDS}.0) AS INT) AS n
+  FROM wd WHERE len(ws) > 0
+),
+lblk AS (
+  SELECT doc_id,
+         unnest(generate_series(0, n - 1)) AS pos,
+         unnest(list_transform(generate_series(0, n - 1),
+                i -> array_to_string(list_slice(ws, i * {LINE_BLOCK_WORDS} + 1,
+                                                i * {LINE_BLOCK_WORDS} + {LINE_BLOCK_WORDS}), ' '))) AS span
+  FROM lnb
+),
+ldf AS (
+  SELECT md5(span) AS h, count(DISTINCT doc_id) AS df
+  FROM lblk GROUP BY 1
+),
+lfl AS (
+  SELECT b.doc_id, b.pos, b.span, (ldf.df > {LINE_MAX_DOC_FREQ}) AS boiler
+  FROM lblk b JOIN ldf ON md5(b.span) = ldf.h
+),
+lagg AS (
+  SELECT doc_id,
+         count(*) AS n_spans,
+         count(*) FILTER (WHERE NOT boiler) AS n_spans_kept,
+         coalesce(string_agg(span, ' ' ORDER BY pos) FILTER (WHERE NOT boiler),
+                  '') AS clean_text
+  FROM lfl GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       coalesce(a.n_spans, 0) AS n_spans,
+       coalesce(a.n_spans_kept, 0) AS n_spans_kept
+FROM documents d LEFT JOIN lagg a ON d.doc_id = a.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# C4-style blocklist gate
+# ---------------------------------------------------------------------------
+
+BLOCKLIST_TERMS = ("dup", "slow", "deadlock")
+
+
+def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist gate (`llmdata.text.blocklist_filter`):
+    exact-word blocklist hits per document from an inlined literal
+    list — a PURE SCAN (zero shuffles/joins, plan-asserted), the
+    perceptron_score deployment shape that runs unchanged on a
+    stream. ``matched_terms`` is emitted comma-joined so the harness
+    hashes a scalar string, not an engine-formatted array."""
+    from stock_indicators_etl_spark.llmdata.text import blocklist_filter
+
+    out = blocklist_filter(_docs(spark, sf_dir), BLOCKLIST_TERMS)
+    return out.select(
+        "doc_id",
+        F.array_join("matched_terms", ",").alias("matched_csv"),
+        "n_hits",
+        "keep",
+    )
+
+
+_BL_TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in BLOCKLIST_TERMS) + "]"
+
+SQL_BLOCKLIST = f"""
+WITH {DOCS_CTE}
+SELECT doc_id,
+       coalesce(array_to_string(list_sort(list_filter({_BL_TERMS_SQL},
+                       t -> list_contains(ws, t))), ','), '') AS matched_csv,
+       CAST(len(list_filter(ws,
+                x -> list_contains({_BL_TERMS_SQL}, x))) AS BIGINT) AS n_hits,
+       (len(list_filter(ws, x -> list_contains({_BL_TERMS_SQL}, x))) = 0)
+         AS keep
+FROM wd
+"""
+
+
+# ---------------------------------------------------------------------------
+# multinomial Naive Bayes language classifier (one-pass trainer)
+# ---------------------------------------------------------------------------
+
+
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass multinomial Naive Bayes
+    (`llmdata.classifier.nb_train`/`nb_score`): train lang-prediction
+    counts over the corpus in ONE combinable groupBy (no epoch loop —
+    the counting complement to the perceptron), quantize every
+    log-probability to integer micro-nats, and score each document as
+    a BIGINT sum — argmax class with smallest-index ties, replayed
+    bit-exactly in SQL."""
+    from stock_indicators_etl_spark.llmdata.classifier import nb_score, nb_train
+
+    docs = _docs(spark, sf_dir)
+    classes, priors, weights = nb_train(docs)
+    return nb_score(docs, classes, priors, weights)
+
+
+SQL_NB_CLASSIFY = f"""
+WITH {DOCS_CTE},
+nbt AS (SELECT lang, unnest(ws) AS w FROM wd),
+nbc AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM nbt GROUP BY 1, 2),
+nbtot AS (SELECT lang, CAST(count(*) AS BIGINT) AS t FROM nbt GROUP BY 1),
+nbv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM nbt),
+ncls AS (
+  SELECT lang, CAST(row_number() OVER (ORDER BY lang) - 1 AS INT) AS idx
+  FROM (SELECT DISTINCT lang FROM documents)
+),
+nvocab AS (SELECT DISTINCT w FROM nbt),
+nbw AS (
+  SELECT cl.idx, vb.w,
+         CAST(floor(ln(CAST(coalesce(nbc.c, 0) + 1 AS DOUBLE)
+                       / CAST(coalesce(t.t, 0) + nv.v AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS wt
+  FROM ncls cl
+  CROSS JOIN nvocab vb
+  CROSS JOIN nbv nv
+  LEFT JOIN nbtot t ON t.lang = cl.lang
+  LEFT JOIN nbc ON nbc.lang = cl.lang AND nbc.w = vb.w
+),
+nbp AS (
+  SELECT cl.idx, cl.lang,
+         CAST(floor(ln(CAST(dc.nd AS DOUBLE) / CAST(tt.n AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS p
+  FROM ncls cl
+  JOIN (SELECT lang, count(*) AS nd FROM documents GROUP BY 1) dc
+    ON dc.lang = cl.lang
+  CROSS JOIN (SELECT count(*) AS n FROM documents) tt
+),
+nbtf AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(ws) AS w FROM wd) GROUP BY 1, 2
+),
+nbs AS (
+  SELECT tf.doc_id, w2.idx, sum(tf.tf * w2.wt) AS s
+  FROM nbtf tf JOIN nbw w2 ON w2.w = tf.w GROUP BY 1, 2
+),
+nbsc AS (
+  SELECT doc_id, nbs.idx, s + p.p AS score
+  FROM nbs JOIN nbp p ON p.idx = nbs.idx
+),
+nbbest AS (
+  SELECT doc_id, idx, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, idx ASC) AS rk
+  FROM nbsc
+),
+nbfall AS (
+  SELECT lang AS flang, p AS fscore
+  FROM nbp ORDER BY p DESC, idx ASC LIMIT 1
+)
+SELECT d.doc_id, d.lang AS actual,
+       coalesce(c2.lang, f.flang) AS predicted,
+       CAST(coalesce(b.score, f.fscore) AS BIGINT) AS score,
+       (coalesce(c2.lang, f.flang) = d.lang) AS correct
+FROM documents d
+LEFT JOIN (SELECT * FROM nbbest WHERE rk = 1) b ON b.doc_id = d.doc_id
+LEFT JOIN ncls c2 ON c2.idx = b.idx
+CROSS JOIN nbfall f
+"""
+
+
 QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "token_counts": q_token_counts,
