@@ -660,7 +660,10 @@ def blocklist_filter(
     decision (no hits).
     """
     lit_terms = F.array(*[F.lit(t) for t in terms])
-    pre = spread(df).select(
+    # no spread(): this is a per-row gate with NO fan-out (explode),
+    # so scan parallelism is already the right parallelism — the plan
+    # stays a zero-Exchange scan+project (asserted in tests)
+    pre = df.select(
         F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("_w")
     )
     matched = F.array_sort(

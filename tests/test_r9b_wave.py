@@ -1,0 +1,296 @@
+"""Exact KS drift / modularity / blocklist gate / CCNet line-dedup /
+Naive Bayes (r9b wave) tests."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestKsDrift:
+    def _ks(self, spark, a_vals, b_vals):
+        from stock_indicators_etl_spark.operators.dq import ks_drift
+
+        a = spark.createDataFrame([("k", v) for v in a_vals], "key string, value double")
+        b = spark.createDataFrame([("k", v) for v in b_vals], "key string, value double")
+        return ks_drift(a, b, ("key",), "value").toPandas().iloc[0]
+
+    def test_identical_samples_zero(self, spark):
+        vals = [1.0, 2.0, 3.0, 4.0]
+        r = self._ks(spark, vals, vals)
+        assert r.ks == 0.0 and r.d_num == 0.0
+
+    def test_disjoint_supports_one(self, spark):
+        r = self._ks(spark, [1.0, 2.0], [10.0, 11.0])
+        assert r.ks == 1.0
+
+    def test_known_statistic(self, spark):
+        # a = {1,2,3,4}, b = {3,4,5,6}: max CDF gap at x=2 → |2/4 − 0/4| = 0.5
+        r = self._ks(spark, [1.0, 2.0, 3.0, 4.0], [3.0, 4.0, 5.0, 6.0])
+        assert abs(r.ks - 0.5) < 1e-12
+        assert r.n_a == 4 and r.n_b == 4 and r.n_values == 6
+
+    def test_scipy_free_replica_random(self, spark):
+        # numpy-free exact replica over a deterministic pseudo-sample
+        a = [((i * 37) % 101) / 7.0 for i in range(40)]
+        b = [((i * 53 + 11) % 97) / 5.0 for i in range(60)]
+
+        def cents(v):
+            return math.floor(v * 100 + 0.5)
+
+        ca = sorted(cents(v) for v in a)
+        cb = sorted(cents(v) for v in b)
+        xs = sorted(set(ca) | set(cb))
+        best = 0
+        for x in xs:
+            fa = sum(1 for v in ca if v <= x)
+            fb = sum(1 for v in cb if v <= x)
+            best = max(best, abs(fa * len(cb) - fb * len(ca)))
+        expect = best / (len(ca) * len(cb))
+        r = self._ks(spark, a, b)
+        assert abs(r.ks - expect) < 1e-12
+
+    def test_absent_side_key_reports_one(self, spark):
+        from stock_indicators_etl_spark.operators.dq import ks_drift
+
+        a = spark.createDataFrame(
+            [("k", 1.0), ("only_a", 2.0)], "key string, value double"
+        )
+        b = spark.createDataFrame([("k", 1.0)], "key string, value double")
+        out = {
+            r["key"]: r["ks"]
+            for r in ks_drift(a, b, ("key",), "value").collect()
+        }
+        assert out["only_a"] == 1.0 and out["k"] == 0.0
+
+
+class TestModularity:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src long, dst long")
+
+    def test_two_cliques_positive_q(self, spark):
+        from stock_indicators_etl_spark.operators.graph import modularity
+
+        # two triangles bridged by one edge; communities = the triangles
+        pairs = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+        labels = spark.createDataFrame(
+            [(0, 0), (1, 0), (2, 0), (3, 3), (4, 3), (5, 3)], "v long, label long"
+        )
+        out = modularity(self._edges(spark, pairs), labels).toPandas()
+        m = 7
+        # community 0: e_in=3, deg_sum = 2+2+3 = 7 → (4·7·3 − 49)/(4·49)
+        row0 = out[out.label == 0].iloc[0]
+        assert row0.e_in == 3 and row0.deg_sum == 7 and row0.m == m
+        assert abs(row0.q_contrib - (4 * m * 3 - 49) / (4 * m * m)) < 1e-12
+        q = out.q_contrib.sum()
+        assert 0.3 < q < 0.5  # real block structure
+
+    def test_single_community_zero_q(self, spark):
+        from stock_indicators_etl_spark.operators.graph import modularity
+
+        # all vertices one community: e_in = m, deg_sum = 2m → Q = 0
+        pairs = [(0, 1), (1, 2), (0, 2)]
+        labels = spark.createDataFrame(
+            [(0, 9), (1, 9), (2, 9)], "v long, label long"
+        )
+        out = modularity(self._edges(spark, pairs), labels).toPandas()
+        assert len(out) == 1
+        assert abs(out.iloc[0].q_contrib) < 1e-12
+
+    def test_canonicalization_dedups_edges(self, spark):
+        from stock_indicators_etl_spark.operators.graph import modularity
+
+        # duplicate + reversed + self-loop edges collapse to one edge
+        pairs = [(0, 1), (1, 0), (0, 1), (1, 1)]
+        labels = spark.createDataFrame([(0, 0), (1, 0)], "v long, label long")
+        out = modularity(self._edges(spark, pairs), labels).toPandas()
+        assert out.iloc[0].m == 1 and out.iloc[0].e_in == 1
+
+
+class TestBlocklistFilter:
+    def test_hits_and_keep(self, spark):
+        from stock_indicators_etl_spark.llmdata.text import blocklist_filter
+
+        docs = _docs(
+            spark,
+            [
+                (1, "clean words only here"),
+                (2, "this doc is slow and slow again"),
+                (3, "dup and slow both appear"),
+            ],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in blocklist_filter(docs, ("dup", "slow", "absent")).collect()
+        }
+        assert out[1]["keep"] and out[1]["n_hits"] == 0
+        assert out[1]["matched_terms"] == []
+        assert not out[2]["keep"] and out[2]["n_hits"] == 2
+        assert out[2]["matched_terms"] == ["slow"]
+        assert out[3]["matched_terms"] == ["dup", "slow"]
+
+    def test_word_not_substring(self, spark):
+        from stock_indicators_etl_spark.llmdata.text import blocklist_filter
+
+        docs = _docs(spark, [(1, "scrapbook therapy")])
+        r = blocklist_filter(docs, ("rap",)).collect()[0]
+        assert r["keep"] and r["n_hits"] == 0
+
+    def test_pure_scan_plan(self, spark):
+        from stock_indicators_etl_spark.llmdata.text import blocklist_filter
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = (
+            blocklist_filter(docs, ("dup",))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+
+class TestLineDedup:
+    def test_boilerplate_dropped_everywhere(self, spark):
+        from stock_indicators_etl_spark.llmdata.dedup import line_dedup
+
+        boiler = " ".join(f"b{i}" for i in range(16))
+        uniq = [" ".join(f"u{d}x{i}" for i in range(16)) for d in range(3)]
+        docs = _docs(
+            spark, [(d, boiler + " " + uniq[d]) for d in range(3)]
+        )
+        out = {
+            r["doc_id"]: r
+            for r in line_dedup(docs, max_doc_freq=1, block_words=16).collect()
+        }
+        for d in range(3):
+            assert out[d]["n_spans"] == 2
+            assert out[d]["n_spans_kept"] == 1
+            assert out[d]["clean_text"] == uniq[d]
+
+    def test_unique_content_untouched(self, spark):
+        from stock_indicators_etl_spark.llmdata.dedup import line_dedup
+
+        docs = _docs(spark, [(1, "alpha beta gamma"), (2, "delta epsilon zeta")])
+        out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+        assert out[1]["clean_text"] == "alpha beta gamma"
+        assert out[1]["n_spans_kept"] == 1
+
+    def test_doc_freq_not_occurrence_freq(self, spark):
+        from stock_indicators_etl_spark.llmdata.dedup import line_dedup
+
+        # same 16-word block TWICE within one doc: doc-freq is 1 → kept
+        blk = " ".join(f"w{i}" for i in range(16))
+        docs = _docs(spark, [(1, blk + " " + blk)])
+        r = line_dedup(docs, max_doc_freq=1, block_words=16).collect()[0]
+        assert r["n_spans_kept"] == 2
+
+    def test_empty_doc_survives(self, spark):
+        from stock_indicators_etl_spark.llmdata.dedup import line_dedup
+
+        docs = _docs(spark, [(1, ""), (2, "alpha beta")])
+        out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+        assert out[1]["clean_text"] == "" and out[1]["n_spans"] == 0
+
+    def test_threshold_two(self, spark):
+        from stock_indicators_etl_spark.llmdata.dedup import line_dedup
+
+        blk = " ".join(f"c{i}" for i in range(16))
+        docs = _docs(spark, [(1, blk), (2, blk), (3, blk)])
+        kept2 = {
+            r["doc_id"]: r["n_spans_kept"]
+            for r in line_dedup(docs, max_doc_freq=2, block_words=16).collect()
+        }
+        assert kept2 == {1: 0, 2: 0, 3: 0}
+        docs2 = _docs(spark, [(1, blk), (2, blk)])
+        kept3 = {
+            r["doc_id"]: r["n_spans_kept"]
+            for r in line_dedup(docs2, max_doc_freq=2, block_words=16).collect()
+        }
+        assert kept3 == {1: 1, 2: 1}
+
+
+class TestNaiveBayes:
+    def _train_score(self, spark, rows, score_rows=None):
+        from stock_indicators_etl_spark.llmdata.classifier import nb_score, nb_train
+
+        docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        classes, priors, weights = nb_train(docs)
+        target = docs if score_rows is None else spark.createDataFrame(
+            score_rows, "doc_id long, lang string, text string"
+        )
+        return classes, nb_score(target, classes, priors, weights)
+
+    def test_separable_vocab_perfect(self, spark):
+        rows = [
+            (1, "en", "cat dog cat dog bird"),
+            (2, "en", "dog cat bird dog"),
+            (3, "fr", "chat chien chat oiseau"),
+            (4, "fr", "chien chat chien"),
+        ]
+        classes, out = self._train_score(spark, rows)
+        assert classes == ["en", "fr"]
+        res = out.toPandas()
+        assert bool(res.correct.all())
+
+    def test_python_replica_exact(self, spark):
+        rows = [
+            (1, "a", "x x y"),
+            (2, "a", "x z"),
+            (3, "b", "y y z z z"),
+            (4, "b", "z y"),
+        ]
+        _, out = self._train_score(spark, rows)
+        got = {r["doc_id"]: (r["predicted"], r["score"]) for r in out.collect()}
+
+        # replica: counts, micro-nat weights, priors
+        toks = {"a": "x x y x z".split(), "b": "y y z z z z y".split()}
+        vocab = sorted({w for t in toks.values() for w in t})
+        v = len(vocab)
+        classes = ["a", "b"]
+
+        def unats(x):
+            return math.floor(x * 1e6 + 0.5)
+
+        wt = {
+            (w, c): unats(
+                math.log((toks[c].count(w) + 1) / float(len(toks[c]) + v))
+            )
+            for w in vocab
+            for c in classes
+        }
+        prior = {c: unats(math.log(2 / 4)) for c in classes}
+        for doc_id, _, text in rows:
+            ws = text.split()
+            best = max(
+                ((sum(wt[(w, c)] for w in ws) + prior[c], -i, c)
+                 for i, c in enumerate(classes)),
+            )
+            assert got[doc_id] == (best[2], best[0])
+
+    def test_empty_doc_falls_back_to_max_prior(self, spark):
+        rows = [
+            (1, "en", "cat dog"),
+            (2, "en", "dog bird"),
+            (3, "fr", "chat chien"),
+        ]
+        _, out = self._train_score(
+            spark, rows, score_rows=[(9, "fr", "")]
+        )
+        r = out.collect()[0]
+        assert r["predicted"] == "en"  # majority-prior class
+        assert not r["correct"]
+
+    def test_one_pass_training_no_epoch_loop(self, spark):
+        # train is a counting pass: the weights frame plan contains no
+        # iterative localCheckpoint scans (contrast: perceptron epochs)
+        from stock_indicators_etl_spark.llmdata.classifier import nb_train
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        _, _, weights = nb_train(docs)
+        plan = weights._jdf.queryExecution().executedPlan().toString()
+        assert "Checkpoint" not in plan
