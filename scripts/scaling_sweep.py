@@ -198,6 +198,13 @@ QUERIES = [
     "bpe_encode",             # tokenizer serving pass, scan-local (extra)
     "pca_power",              # integer-exact power iteration (extra)
     "abtt",                   # top-component removal, pure scan (extra)
+    # r9b additions
+    "ks_drift",               # exact two-sample KS, distinct-value windows (extra)
+    "local_supplier_volume",  # TPC-H Q5 six-table spine (extra)
+    "modularity",             # partition-quality gate over LPA communities (extra)
+    "line_dedup",             # CCNet doc-frequency block removal (extra)
+    "blocklist",              # C4 blocklist gate, zero-Exchange scan (extra)
+    "nb_classify",            # one-pass NB train + corpus scoring (extra)
 ]
 
 
