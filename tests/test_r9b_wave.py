@@ -294,3 +294,99 @@ class TestNaiveBayes:
         _, _, weights = nb_train(docs)
         plan = weights._jdf.queryExecution().executedPlan().toString()
         assert "Checkpoint" not in plan
+
+
+class TestStreamingNaiveBayes:
+    def test_cross_micro_batch_batch_parity(self, spark, tmp_path):
+        """Union of per-micro-batch predictions over a 3-shard stream
+        == the batch nb_score on all docs at once (21st streaming
+        twin; maxFilesPerTrigger=1 pins >=3 micro-batches)."""
+        from stock_indicators_etl_spark.llmdata.classifier import (
+            nb_score,
+            nb_train,
+        )
+        from stock_indicators_etl_spark.streaming.nb_stream import (
+            streaming_nb_classify,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "lang", "text")
+        pdf = docs.toPandas()
+        src = tmp_path / "docs"
+        src.mkdir()
+        for i in range(3):
+            shard = pdf[pdf.doc_id % 3 == i]
+            spark.createDataFrame(shard).coalesce(1).write.parquet(
+                str(src / f"shard_{i}"), mode="overwrite"
+            )
+        classes, priors, weights = nb_train(docs)
+        priors = priors.persist()
+        weights = weights.persist()
+        try:
+            stream = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .option("recursiveFileLookup", "true")
+                .parquet(str(src))
+            )
+            results = str(tmp_path / "preds")
+            q = streaming_nb_classify(
+                classes,
+                priors,
+                weights,
+                stream,
+                results_path=results,
+                checkpoint_path=str(tmp_path / "ckpt_nb"),
+            )
+            q.awaitTermination(180)
+            assert q.lastProgress is not None and q.lastProgress["batchId"] >= 2
+
+            key = ["doc_id", "actual", "predicted", "score", "correct"]
+            got = sorted(
+                tuple(r[k] for k in key)
+                for r in spark.read.parquet(results).collect()
+            )
+            want = sorted(
+                tuple(r[k] for k in key)
+                for r in nb_score(docs, classes, priors, weights).collect()
+            )
+            assert len(got) == len(pdf)
+            assert got == want
+        finally:
+            priors.unpersist()
+            weights.unpersist()
+
+
+class TestBlocklistOnStream:
+    def test_pure_scan_runs_unchanged_on_readstream(self, spark, tmp_path):
+        """blocklist_filter is a zero-Exchange per-row gate, so the
+        SAME operator runs on a readStream frame with no watermark —
+        the perceptron_score deployment shape."""
+        from stock_indicators_etl_spark.llmdata.text import blocklist_filter
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        src = str(tmp_path / "bl_docs")
+        docs.write.parquet(src)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        out = blocklist_filter(stream, ("dup", "slow"))
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory")
+            .queryName("bl_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["doc_id"]: (r["n_hits"], r["keep"])
+            for r in spark.sql("select * from bl_stream").collect()
+        }
+        want = {
+            r["doc_id"]: (r["n_hits"], r["keep"])
+            for r in blocklist_filter(docs, ("dup", "slow")).collect()
+        }
+        assert got == want
