@@ -563,6 +563,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_gopher_rules,
         q_fuzzy_join,
         q_ivfpq_topk,
+        q_containment_join,
         q_leakage_split,
         q_line_dedup,
         q_modularity,
@@ -691,6 +692,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "blocklist": q_blocklist,
         "nb_classify": q_nb_classify,
+        "containment_join": q_containment_join,
     }
     for name in ROTATED_OUT:
         if name in base:  # non-base rotated-out names are added above
@@ -771,6 +773,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_HLL_DISTINCT,
         SQL_IVFPQ_TOPK,
         SQL_KMEANS,
+        SQL_CONTAINMENT_JOIN,
         SQL_LEAKAGE_SPLIT,
         SQL_LENGTH_QUANTILES,
         SQL_LINE_DEDUP,
@@ -887,6 +890,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "line_dedup": SQL_LINE_DEDUP,
         "blocklist": SQL_BLOCKLIST,
         "nb_classify": SQL_NB_CLASSIFY,
+        "containment_join": SQL_CONTAINMENT_JOIN,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

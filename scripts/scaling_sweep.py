@@ -205,6 +205,7 @@ QUERIES = [
     "line_dedup",             # CCNet doc-frequency block removal (extra)
     "blocklist",              # C4 blocklist gate, zero-Exchange scan (extra)
     "nb_classify",            # one-pass NB train + corpus scoring (extra)
+    "containment_join",       # asymmetric excerpt-detection join (extra)
 ]
 
 

@@ -94,6 +94,68 @@ def _bucket_pairs_carrying_n(grouped: DataFrame, id_list_col: str = "ids") -> Da
         .select("p.doc_a", "p.doc_b", "p._na", "p._nb")
     )
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.0,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC shingle-set containment join — excerpt/quote
+    detection: ``containment = |A∩B| / min(|A|, |B|)`` over word
+    k-gram shingle sets, the measure that finds a short document
+    embedded inside a long one (their Jaccard is tiny — the union is
+    dominated by the long side — so :func:`ngram_jaccard_pairs`
+    misses exactly the pairs this operator exists for). The
+    corpus-internal counterpart of :func:`ngram_containment` (which
+    scores docs against a BENCHMARK's broadcast shingle set).
+
+    Plan: identical to the Jaccard posting-list path — per-doc set
+    sizes ride every posting entry (:func:`_bucket_pairs_carrying_n`,
+    the AllPairs pattern), so after pair expansion there is ONE
+    combinable aggregate, zero joins, zero broadcasts; the
+    containment denominator is ``least(n_a, n_b)`` read off the pair
+    row, one IEEE division of exact integers. ``max_doc_freq`` caps
+    hot-shingle pair expansion exactly as in the Jaccard form (capped
+    semantics mirror in the oracle); at corpus scale set it
+    (:data:`SCALE_MAX_DOC_FREQ`).
+    """
+    doc_sets = (
+        word_shingles(df, text_col, k, distinct=False)
+        .select("doc_id", _h56(F.col("shingle")).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("hs"))
+    )
+    entries = doc_sets.select(
+        "doc_id", F.size("hs").alias("n_sh"), F.explode("hs").alias("h")
+    )
+    posting = entries.groupBy("h").agg(
+        F.collect_list(
+            F.struct(F.col("doc_id").alias("id"), F.col("n_sh").alias("n"))
+        ).alias("ids")
+    )
+    if max_doc_freq is not None:
+        posting = posting.filter(F.size("ids") <= max_doc_freq)
+    out = (
+        _bucket_pairs_carrying_n(posting)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.max("_na").alias("n_a"),
+            F.max("_nb").alias("n_b"),
+        )
+        .withColumn(
+            "containment",
+            F.col("n_inter").cast("double")
+            / F.least("n_a", "n_b").cast("double"),
+        )
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "containment")
+    )
+    if threshold > 0:
+        out = out.filter(F.col("containment") >= F.lit(threshold))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------

@@ -4948,6 +4948,68 @@ CROSS JOIN nbfall f
 """
 
 
+# ---------------------------------------------------------------------------
+# asymmetric containment join (excerpt / quote detection)
+# ---------------------------------------------------------------------------
+
+CONTAIN_THRESHOLD = 0.6
+
+
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal containment join
+    (`llmdata.dedup.containment_pairs`): pairs where the SMALLER
+    shingle set is ≥60% contained in the other — excerpt/quote
+    detection, the pairs Jaccard structurally misses (a short doc
+    inside a long one has tiny |∩|/|∪| but containment ≈ 1). Same
+    carry-sizes-on-posting-entries plan as the Jaccard path: zero
+    joins after pair expansion, doc-freq cap for hot shingles."""
+    from stock_indicators_etl_spark.llmdata.dedup import (
+        SCALE_MAX_DOC_FREQ,
+        containment_pairs,
+    )
+
+    out = containment_pairs(
+        _docs(spark, sf_dir),
+        threshold=CONTAIN_THRESHOLD,
+        max_doc_freq=SCALE_MAX_DOC_FREQ,
+    )
+    return out.withColumn("containment", _rc(F.col("containment")))
+
+
+def _sql_containment_join() -> str:
+    from stock_indicators_etl_spark.llmdata.dedup import SCALE_MAX_DOC_FREQ
+
+    return f"""
+WITH {SHINGLE_CTES},
+shh AS (
+  SELECT DISTINCT doc_id,
+         CAST(concat('0x', substr(md5(shingle), 1, 14)) AS BIGINT) AS h
+  FROM sh
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+ok AS (SELECT h FROM shh GROUP BY h HAVING count(*) <= {SCALE_MAX_DOC_FREQ}),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+  JOIN ok ON ok.h = a.h
+  GROUP BY 1, 2
+),
+cj AS (
+  SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+         CAST(n_inter AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE)
+           AS containment
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, n_inter, n_a, n_b, {R6('containment')} AS containment
+FROM cj WHERE containment >= {CONTAIN_THRESHOLD}
+"""
+
+
+SQL_CONTAINMENT_JOIN = _sql_containment_join()
+
+
 QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "token_counts": q_token_counts,

@@ -390,3 +390,57 @@ class TestBlocklistOnStream:
             for r in blocklist_filter(docs, ("dup", "slow")).collect()
         }
         assert got == want
+
+
+class TestContainmentJoin:
+    def test_excerpt_found_where_jaccard_misses(self, spark):
+        from stock_indicators_etl_spark.llmdata.dedup import (
+            containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        long = " ".join(f"w{i}" for i in range(100))
+        excerpt = " ".join(f"w{i}" for i in range(40, 52))
+        docs = _docs(spark, [(1, long), (2, excerpt)])
+        c = containment_pairs(docs, threshold=0.9).collect()
+        assert len(c) == 1
+        r = c[0]
+        assert (r["doc_a"], r["doc_b"]) == (1, 2)
+        assert r["containment"] == 1.0  # every excerpt shingle is in the long doc
+        # the same pair's Jaccard is tiny — below any sane dedup threshold
+        j = ngram_jaccard_pairs(docs, threshold=0.3).collect()
+        assert j == []
+
+    def test_disjoint_docs_emit_nothing(self, spark):
+        from stock_indicators_etl_spark.llmdata.dedup import containment_pairs
+
+        docs = _docs(spark, [(1, "a b c d e f"), (2, "x y z p q r")])
+        assert containment_pairs(docs).collect() == []
+
+    def test_denominator_is_smaller_side(self, spark):
+        from stock_indicators_etl_spark.llmdata.dedup import containment_pairs
+
+        # doc 2 shares half its shingles with doc 1
+        docs = _docs(
+            spark,
+            [
+                (1, "a b c d e f g h i j"),
+                (2, "e f g h i j k l m n o p q r s t u v"),
+            ],
+        )
+        r = containment_pairs(docs).collect()[0]
+        assert r["n_a"] == 8 and r["n_b"] == 16
+        assert abs(r["containment"] - r["n_inter"] / 8) < 1e-12
+
+    def test_doc_freq_cap_drops_hot_shingles(self, spark):
+        from stock_indicators_etl_spark.llmdata.dedup import containment_pairs
+
+        hot = "x y z"
+        docs = _docs(
+            spark,
+            [(i, hot + f" tail{i} a{i} b{i}") for i in range(10)],
+        )
+        # uncapped: the shared "x y z" shingle links all 45 pairs
+        assert len(containment_pairs(docs).collect()) == 45
+        # cap 4 < 10 docs sharing the hot shingle: no pairs survive
+        assert containment_pairs(docs, max_doc_freq=4).collect() == []
