@@ -558,6 +558,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_cms_freq,
         q_decontaminate,
         q_dedup_eval,
+        q_dsir_auc,
         q_dsir_select,
         q_dup_span_audit,
         q_gopher_rules,
@@ -693,6 +694,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist": q_blocklist,
         "nb_classify": q_nb_classify,
         "containment_join": q_containment_join,
+        "dsir_auc": q_dsir_auc,
     }
     for name in ROTATED_OUT:
         if name in base:  # non-base rotated-out names are added above
@@ -763,6 +765,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_CMS_FREQ,
         SQL_DECONTAMINATE,
         SQL_DEDUP_EVAL,
+        SQL_DSIR_AUC,
         SQL_DSIR_SELECT,
         SQL_DUP_SPAN_AUDIT,
         SQL_GOPHER_RULES,
@@ -891,6 +894,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "blocklist": SQL_BLOCKLIST,
         "nb_classify": SQL_NB_CLASSIFY,
         "containment_join": SQL_CONTAINMENT_JOIN,
+        "dsir_auc": SQL_DSIR_AUC,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -206,6 +206,7 @@ QUERIES = [
     "blocklist",              # C4 blocklist gate, zero-Exchange scan (extra)
     "nb_classify",            # one-pass NB train + corpus scoring (extra)
     "containment_join",       # asymmetric excerpt-detection join (extra)
+    "dsir_auc",               # exact midrank ROC-AUC of importance weights (extra)
 ]
 
 

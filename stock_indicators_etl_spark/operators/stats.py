@@ -606,3 +606,85 @@ def cusum(
         .withColumn(alarm_col, (s > F.lit(int(h))))
         .drop("_cd", "_cS")
     )
+
+
+def auc_by_key(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    key_cols: tuple[str, ...] = (),
+    score_scale: int = 1,
+) -> DataFrame:
+    """EXACT ROC-AUC (≡ normalized Mann–Whitney U with midrank tie
+    handling) of a score against a boolean label, per key — the
+    standard ranking-quality gate for every scorer this engine
+    produces (classifier scores, DSIR importance weights, quality
+    signals): ``AUC = P(score_pos > score_neg) + ½·P(tie)``.
+
+    Exactness: scores quantize once to integers
+    (``floor(s·scale + 0.5)``; scale=1 leaves already-integer scores
+    — micro-nat outputs — untouched), then the whole statistic is
+    integer arithmetic via the doubled rank-sum
+    ``2R⁺ = Σ_values cp·(2·cum_below + cp + cn + 1)`` (every tied
+    observation shares the midrank, so doubling clears the ½),
+    ``2U = 2R⁺ − n⁺(n⁺+1)``, and ``AUC = 2U / (2·n⁺·n⁻)`` — ONE IEEE
+    division at the end. Products accumulate in DECIMAL(38,0)
+    (``cp·cum`` is rows² — the ols_by_key overflow class).
+
+    Plan: one combinable (keys, value) count carrying both label
+    sides, one per-key running-sum window over the DISTINCT-value
+    frame (the exact-KS shape — cost scales with distinct score
+    values per key, not observations), one combinable sum. Keys with
+    a single class report NULL auc (undefined).
+
+    Output: ``(keys…, n_pos, n_neg, n_values, u2, auc)``.
+    """
+    from pyspark.sql.window import Window
+
+    keys = list(key_cols)
+    lab = F.col(label_col).cast("boolean")
+    s = F.floor(
+        F.col(score_col).cast("double") * F.lit(float(score_scale)) + F.lit(0.5)
+    ).cast("long")
+    counts = df.groupBy(*keys, s.alias("_s")).agg(
+        F.sum(lab.cast("long")).alias("cp"),
+        F.sum((~lab).cast("long")).alias("cn"),
+    )
+    w = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    ).orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = counts.withColumn(
+        "_cb", F.coalesce(F.sum(F.col("cp") + F.col("cn")).over(w), F.lit(0))
+    )
+    cpd = F.col("cp").cast("decimal(19,0)")
+    r2_term = cpd * (
+        F.lit(2).cast("decimal(19,0)") * F.col("_cb").cast("decimal(19,0)")
+        + F.col("cp").cast("decimal(19,0)")
+        + F.col("cn").cast("decimal(19,0)")
+        + F.lit(1).cast("decimal(19,0)")
+    )
+    agg = cum.groupBy(*keys).agg(
+        F.sum("cp").alias("n_pos"),
+        F.sum("cn").alias("n_neg"),
+        F.count(F.lit(1)).alias("n_values"),
+        F.sum(r2_term).alias("_r2"),
+    )
+    npd = F.col("n_pos").cast("decimal(19,0)")
+    nnd = F.col("n_neg").cast("decimal(19,0)")
+    u2 = F.col("_r2") - npd * (npd + F.lit(1).cast("decimal(19,0)"))
+    return agg.select(
+        *keys,
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.col("n_values").cast("long").alias("n_values"),
+        u2.cast("double").alias("u2"),
+        F.when(
+            (F.col("n_pos") == 0) | (F.col("n_neg") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            u2.cast("double")
+            / (F.lit(2).cast("decimal(19,0)") * npd * nnd).cast("double")
+        )
+        .alias("auc"),
+    )

@@ -4314,8 +4314,9 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DSIR_SELECT = f"""
-WITH {DOCS_CTE},
+#: CTE chain up to per-doc importance weights (doc_id, n_grams,
+#: w_unats) — shared by the selection oracle and the AUC oracle.
+_DSIR_W_CTES = f"""{DOCS_CTE},
 dsg AS (
   SELECT doc_id, lang, unnest(list_concat(
     ws,
@@ -4359,7 +4360,10 @@ dsall AS (
          coalesce(n_grams, 0) AS n_grams,
          coalesce(w_unats, 0) AS w_unats
   FROM wd LEFT JOIN dssc ON dssc.doc_id = wd.doc_id
-),
+)"""
+
+SQL_DSIR_SELECT = f"""
+WITH {_DSIR_W_CTES},
 dskey AS (
   SELECT doc_id, n_grams, w_unats,
          CAST(floor(-ln(-ln(
@@ -4373,6 +4377,70 @@ SELECT doc_id, n_grams, w_unats, g_unats,
 FROM dskey
 ORDER BY key_unats DESC, doc_id ASC
 LIMIT {DSIR_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact ROC-AUC of the DSIR importance weights
+# ---------------------------------------------------------------------------
+
+
+def q_dsir_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (`operators.stats.auc_by_key`) of the DSIR
+    importance weight as a ranker of target-language membership —
+    the evaluation a data-selection run publishes before trusting
+    the weights: w_unats trained toward the English subset should
+    rank English docs first (AUC ≫ 0.5). Midrank-exact Mann–Whitney
+    over integer micro-nat scores: the whole statistic is integer
+    arithmetic + ONE division."""
+    from stock_indicators_etl_spark.llmdata.dsir import dsir_weights
+    from stock_indicators_etl_spark.operators.stats import auc_by_key
+
+    docs = _docs(spark, sf_dir)
+    w = dsir_weights(
+        docs,
+        docs.filter(F.col("lang") == DSIR_TARGET_LANG),
+        n_buckets=_DSIR_B,
+    )
+    lab = docs.select(
+        "doc_id", (F.col("lang") == DSIR_TARGET_LANG).alias("is_target")
+    )
+    return auc_by_key(w.join(lab, "doc_id"), "is_target", "w_unats")
+
+
+SQL_DSIR_AUC = f"""
+WITH {_DSIR_W_CTES},
+aucl AS (
+  SELECT dsall.w_unats AS s, (wd.lang = '{DSIR_TARGET_LANG}') AS pos
+  FROM dsall JOIN wd ON wd.doc_id = dsall.doc_id
+),
+acnt AS (
+  SELECT s,
+         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+  FROM aucl GROUP BY 1
+),
+acum AS (
+  SELECT cp, cn,
+         coalesce(sum(cp + cn) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM acnt
+),
+aagg AS (
+  SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+         CAST(sum(cn) AS BIGINT) AS n_neg,
+         CAST(count(*) AS BIGINT) AS n_values,
+         sum(CAST(cp AS HUGEINT)
+             * (2 * CAST(cb AS HUGEINT) + cp + cn + 1)) AS r2
+  FROM acum
+)
+SELECT n_pos, n_neg, n_values,
+       CAST(r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE) AS u2,
+       CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+            ELSE CAST(r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+                 / CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE)
+       END AS auc
+FROM aagg
 """
 
 

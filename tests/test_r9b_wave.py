@@ -444,3 +444,66 @@ class TestContainmentJoin:
         assert len(containment_pairs(docs).collect()) == 45
         # cap 4 < 10 docs sharing the hot shingle: no pairs survive
         assert containment_pairs(docs, max_doc_freq=4).collect() == []
+
+
+class TestAucByKey:
+    def _auc(self, spark, rows):
+        from stock_indicators_etl_spark.operators.stats import auc_by_key
+
+        df = spark.createDataFrame(rows, "label boolean, score double")
+        return auc_by_key(df, "label", "score").toPandas().iloc[0]
+
+    def test_perfect_separation(self, spark):
+        rows = [(True, float(10 + i)) for i in range(5)] + [
+            (False, float(i)) for i in range(5)
+        ]
+        r = self._auc(spark, rows)
+        assert r.auc == 1.0 and r.n_pos == 5 and r.n_neg == 5
+
+    def test_reversed_ranking_zero(self, spark):
+        rows = [(False, float(10 + i)) for i in range(5)] + [
+            (True, float(i)) for i in range(5)
+        ]
+        assert self._auc(spark, rows).auc == 0.0
+
+    def test_all_tied_half(self, spark):
+        rows = [(True, 7.0)] * 4 + [(False, 7.0)] * 6
+        assert self._auc(spark, rows).auc == 0.5
+
+    def test_python_replica_with_ties(self, spark):
+        rows = [
+            (((i * 7) % 3) == 0, float((i * 13) % 5)) for i in range(60)
+        ]
+        r = self._auc(spark, rows)
+        pos = sorted(s for l, s in rows if l)
+        neg = sorted(s for l, s in rows if not l)
+        wins = sum(1 for p in pos for n in neg if p > n)
+        ties = sum(1 for p in pos for n in neg if p == n)
+        expect = (wins + 0.5 * ties) / (len(pos) * len(neg))
+        assert abs(r.auc - expect) < 1e-12
+        assert r.n_pos == len(pos) and r.n_neg == len(neg)
+
+    def test_single_class_key_null(self, spark):
+        from stock_indicators_etl_spark.operators.stats import auc_by_key
+
+        df = spark.createDataFrame(
+            [("k1", True, 1.0), ("k1", False, 2.0), ("k2", True, 3.0)],
+            "key string, label boolean, score double",
+        )
+        out = {
+            r["key"]: r["auc"]
+            for r in auc_by_key(df, "label", "score", ("key",)).collect()
+        }
+        assert out["k2"] is None and out["k1"] == 0.0
+
+    def test_score_scale_quantization(self, spark):
+        from stock_indicators_etl_spark.operators.stats import auc_by_key
+
+        # at scale=1, 0.4 and 0.6 both round to nearest int (0 and 1);
+        # at scale=10 they stay distinct
+        df = spark.createDataFrame(
+            [(True, 0.6), (False, 0.4)], "label boolean, score double"
+        )
+        coarse = auc_by_key(df, "label", "score", score_scale=1).collect()[0]
+        fine = auc_by_key(df, "label", "score", score_scale=10).collect()[0]
+        assert coarse["n_values"] == 2 and fine["auc"] == 1.0
