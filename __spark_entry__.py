@@ -559,6 +559,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_decontaminate,
         q_dedup_eval,
         q_dsir_auc,
+        q_dsir_calibration,
         q_dsir_select,
         q_dup_span_audit,
         q_gopher_rules,
@@ -695,6 +696,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classify": q_nb_classify,
         "containment_join": q_containment_join,
         "dsir_auc": q_dsir_auc,
+        "dsir_calibration": q_dsir_calibration,
     }
     for name in ROTATED_OUT:
         if name in base:  # non-base rotated-out names are added above
@@ -766,6 +768,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_DECONTAMINATE,
         SQL_DEDUP_EVAL,
         SQL_DSIR_AUC,
+        SQL_DSIR_CALIBRATION,
         SQL_DSIR_SELECT,
         SQL_DUP_SPAN_AUDIT,
         SQL_GOPHER_RULES,
@@ -895,6 +898,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "nb_classify": SQL_NB_CLASSIFY,
         "containment_join": SQL_CONTAINMENT_JOIN,
         "dsir_auc": SQL_DSIR_AUC,
+        "dsir_calibration": SQL_DSIR_CALIBRATION,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -207,6 +207,7 @@ QUERIES = [
     "nb_classify",            # one-pass NB train + corpus scoring (extra)
     "containment_join",       # asymmetric excerpt-detection join (extra)
     "dsir_auc",               # exact midrank ROC-AUC of importance weights (extra)
+    "dsir_calibration",       # integer-ppm reliability diagram (extra)
 ]
 
 

@@ -688,3 +688,71 @@ def auc_by_key(
         )
         .alias("auc"),
     )
+
+
+def calibration_by_key(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    key_cols: tuple[str, ...] = (),
+    n_bins: int = 10,
+    score_scale: int = 1,
+) -> DataFrame:
+    """Reliability diagram (calibration curve) of a score against a
+    boolean label, per key — the companion gate to :func:`auc_by_key`:
+    AUC says the scorer RANKS well; calibration says whether the
+    score's LEVEL tracks the positive rate (a quality filter tuned by
+    threshold needs the second, not just the first).
+
+    Scores quantize once to integers (``floor(s·scale + 0.5)``), bin
+    into ``n_bins`` equi-width buckets over the per-key [min, max]
+    (the histogram_drift idiom: integer bucket index via truncating
+    DIV over exact cents-like units, bounds from a 1-row-per-key
+    broadcast), and each bucket reports exact integer counts plus the
+    positive rate in ppm — the whole row is integers, nothing to
+    round.
+
+    Plan: one combinable bounds pass, one combinable (key, bin)
+    count. Output: ``(keys…, bin, score_lo, score_hi, n, n_pos,
+    pos_rate_ppm)``; empty buckets are omitted (a dense frame is one
+    join away if a plot needs it).
+    """
+    keys = list(key_cols)
+    lab = F.col(label_col).cast("boolean")
+    s = F.floor(
+        F.col(score_col).cast("double") * F.lit(float(score_scale)) + F.lit(0.5)
+    ).cast("long")
+    base = df.select(*keys, s.alias("_s"), lab.alias("_l"))
+    bounds = base.groupBy(*keys) if keys else base.groupBy()
+    bounds = bounds.agg(F.min("_s").alias("_mn"), F.max("_s").alias("_mx"))
+    joined = (
+        base.join(F.broadcast(bounds), keys)
+        if keys
+        else base.crossJoin(F.broadcast(bounds))
+    )
+    binned = joined.withColumn(
+        "bin",
+        F.expr(f"(_s - _mn) * {int(n_bins)} div (_mx - _mn + 1)").cast("long"),
+    )
+    return (
+        binned.groupBy(*keys, "bin", "_mn", "_mx")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_l").cast("long")).alias("n_pos"),
+        )
+        .select(
+            *keys,
+            "bin",
+            # integer DIV end to end — a float divide then cast would
+            # truncate differently across engines on negative bounds
+            F.expr(f"_mn + (bin * (_mx - _mn + 1)) div {int(n_bins)}")
+            .cast("long")
+            .alias("score_lo"),
+            F.expr(f"_mn + ((bin + 1) * (_mx - _mn + 1)) div {int(n_bins)}")
+            .cast("long")
+            .alias("score_hi"),
+            F.col("n").cast("long").alias("n"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.expr("n_pos * 1000000 div n").cast("long").alias("pos_rate_ppm"),
+        )
+    )

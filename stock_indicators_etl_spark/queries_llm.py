@@ -4445,6 +4445,61 @@ FROM aagg
 
 
 # ---------------------------------------------------------------------------
+# calibration curve of the DSIR importance weights
+# ---------------------------------------------------------------------------
+
+CALIB_BINS = 10
+
+
+def q_dsir_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (`operators.stats.calibration_by_key`) of
+    the DSIR weight against target-language membership — the
+    threshold-tuning companion to `dsir_auc`: per equi-width weight
+    bucket, exact counts and the positive rate in integer ppm. The
+    whole row is integers; a monotone rate column is what licenses a
+    weight THRESHOLD (not just top-k) as the selection rule."""
+    from stock_indicators_etl_spark.llmdata.dsir import dsir_weights
+    from stock_indicators_etl_spark.operators.stats import calibration_by_key
+
+    docs = _docs(spark, sf_dir)
+    w = dsir_weights(
+        docs,
+        docs.filter(F.col("lang") == DSIR_TARGET_LANG),
+        n_buckets=_DSIR_B,
+    )
+    lab = docs.select(
+        "doc_id", (F.col("lang") == DSIR_TARGET_LANG).alias("is_target")
+    )
+    return calibration_by_key(
+        w.join(lab, "doc_id"), "is_target", "w_unats", n_bins=CALIB_BINS
+    )
+
+
+SQL_DSIR_CALIBRATION = f"""
+WITH {_DSIR_W_CTES},
+cl AS (
+  SELECT dsall.w_unats AS s, (wd.lang = '{DSIR_TARGET_LANG}') AS pos
+  FROM dsall JOIN wd ON wd.doc_id = dsall.doc_id
+),
+cbounds AS (SELECT min(s) AS mn, max(s) AS mx FROM cl),
+cbinned AS (
+  SELECT (s - mn) * {CALIB_BINS} // (mx - mn + 1) AS bin, pos, mn, mx
+  FROM cl, cbounds
+)
+SELECT bin,
+       CAST(mn + (bin * (mx - mn + 1)) // {CALIB_BINS} AS BIGINT) AS score_lo,
+       CAST(mn + ((bin + 1) * (mx - mn + 1)) // {CALIB_BINS} AS BIGINT)
+         AS score_hi,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) * 1000000 // count(*)
+            AS BIGINT) AS pos_rate_ppm
+FROM cbinned
+GROUP BY bin, mn, mx
+"""
+
+
+# ---------------------------------------------------------------------------
 # Gopher quality rule gate (Rae et al. 2021)
 # ---------------------------------------------------------------------------
 

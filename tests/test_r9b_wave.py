@@ -507,3 +507,54 @@ class TestAucByKey:
         coarse = auc_by_key(df, "label", "score", score_scale=1).collect()[0]
         fine = auc_by_key(df, "label", "score", score_scale=10).collect()[0]
         assert coarse["n_values"] == 2 and fine["auc"] == 1.0
+
+
+class TestCalibration:
+    def test_known_buckets(self, spark):
+        from stock_indicators_etl_spark.operators.stats import calibration_by_key
+
+        # scores 0..9, positives exactly at 5..9 → low bins rate 0, high 1e6
+        rows = [(i >= 5, float(i)) for i in range(10)]
+        df = spark.createDataFrame(rows, "label boolean, score double")
+        out = {
+            r["bin"]: r
+            for r in calibration_by_key(df, "label", "score", n_bins=2).collect()
+        }
+        assert out[0]["n"] == 5 and out[0]["pos_rate_ppm"] == 0
+        assert out[1]["n"] == 5 and out[1]["pos_rate_ppm"] == 1_000_000
+        assert out[0]["score_lo"] == 0 and out[1]["score_hi"] == 10
+
+    def test_integer_only_schema(self, spark):
+        from stock_indicators_etl_spark.operators.stats import calibration_by_key
+
+        df = spark.createDataFrame(
+            [(True, 1.0), (False, 2.0), (True, 3.0)],
+            "label boolean, score double",
+        )
+        out = calibration_by_key(df, "label", "score", n_bins=3)
+        assert all(f.dataType.typeName() == "long" for f in out.schema.fields)
+
+    def test_negative_scores_bounds_exact(self, spark):
+        from stock_indicators_etl_spark.operators.stats import calibration_by_key
+
+        df = spark.createDataFrame(
+            [(False, -10.0), (True, -1.0)], "label boolean, score double"
+        )
+        rows = calibration_by_key(df, "label", "score", n_bins=2).collect()
+        los = sorted(r["score_lo"] for r in rows)
+        assert los[0] == -10
+        # bucket edges partition [-10, 0): lo + hi chain is contiguous
+        m = {r["bin"]: r for r in rows}
+        assert m[0]["score_hi"] == m[1]["score_lo"]
+
+    def test_monotone_rate_for_separable(self, spark):
+        from stock_indicators_etl_spark.operators.stats import calibration_by_key
+
+        rows = [(i % 10 < i // 10, float(i)) for i in range(100)]
+        df = spark.createDataFrame(rows, "label boolean, score double")
+        out = sorted(
+            calibration_by_key(df, "label", "score", n_bins=5).collect(),
+            key=lambda r: r["bin"],
+        )
+        rates = [r["pos_rate_ppm"] for r in out]
+        assert rates == sorted(rates)
