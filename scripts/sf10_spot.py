@@ -58,6 +58,10 @@ QUERIES = [
     "decontaminate",
     "contrastive_pairs",
     "heavy_hitters",
+    # r9b wave: the new dedup grains + the one-pass classifier
+    "line_dedup",
+    "containment_join",
+    "nb_classify",
 ]
 
 
