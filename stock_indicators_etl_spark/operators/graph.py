@@ -403,14 +403,19 @@ def modularity(
     """
     a = F.least(F.col(src_col), F.col(dst_col))
     b = F.greatest(F.col(src_col), F.col(dst_col))
+    # both frames feed THREE consumers each (m / tagged / deg;
+    # e_in×2 / deg / nodes) — pin them or the whole upstream lineage
+    # (LSH candidates + 4 LPA rounds) replays per consumer, the
+    # pagerank/kcore localCheckpoint convention
     und = (
         edges.select(a.alias("a"), b.alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     lab = labels.select(
         F.col(v_col).alias("_lv"), F.col(label_col).alias("_lab")
-    )
+    ).localCheckpoint(eager=True)
     tagged = und.join(
         lab.select(F.col("_lv").alias("a"), F.col("_lab").alias("_la")), "a"
     ).join(

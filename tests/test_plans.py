@@ -458,6 +458,25 @@ GOLDEN_FINGERPRINTS = {
     # self-join side at tiny SF (AQE-size-appropriate)
     "embedding_neardup": {"exchange": 1, "bexchange": 1, "bhj": 1, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 0},
     "fuzzy_join": {"exchange": 9, "bexchange": 4, "bhj": 3, "smj": 0, "shj": 0, "python": 0, "nl": 1, "sort": 2},
+    # r9b: the containment join inherits the AllPairs carry-counts
+    # posting path verbatim — zero joins/broadcasts after expansion
+    "containment_join": {"exchange": 4, "bexchange": 0, "bhj": 0, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 0},
+    # r9b: a per-row literal gate is a PURE SCAN — the all-zeros row
+    "blocklist": {"exchange": 0, "bexchange": 0, "bhj": 0, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 0},
+    # r9b: exact KS = one (key, cents) count shuffle + the per-key
+    # running-sum window (the single Sort) + a bounded totals
+    # broadcast
+    "ks_drift": {"exchange": 4, "bexchange": 1, "bhj": 1, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 1},
+    # r9b: CCNet line dedup — one doc-freq count shuffle, the boiler
+    # left join, the reassembly groupBy, the empty-doc restore join
+    "line_dedup": {"exchange": 5, "bexchange": 2, "bhj": 2, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 0},
+    # r9b: modularity over the pinned (localCheckpoint) edge+label
+    # frames — without the pins the LSH+LPA lineage replays per
+    # consumer (58 exchanges measured; 6 pinned)
+    "modularity": {"exchange": 6, "bexchange": 3, "bhj": 2, "smj": 3, "shj": 0, "python": 0, "nl": 1, "sort": 5},
+    # r9b: NB scoring — tf shuffle + weight equi-join; the nl joins
+    # are the three 1-row bounded crossJoins (total, fallback)
+    "nb_classify": {"exchange": 13, "bexchange": 5, "bhj": 2, "smj": 1, "shj": 0, "python": 0, "nl": 3, "sort": 3},
     "indicator_pipeline_grid": {"exchange": 6, "bexchange": 0, "bhj": 0, "smj": 0, "shj": 0, "python": 1, "nl": 0, "sort": 8},
     "pipeline_wilder": {"exchange": 6, "bexchange": 0, "bhj": 0, "smj": 0, "shj": 0, "python": 1, "nl": 0, "sort": 8},
     "corpus_prep": {"exchange": 3, "bexchange": 7, "bhj": 7, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 0},
@@ -854,3 +873,52 @@ def test_phash_neardup_band_join_shape(spark):
     assert count_nodes(plan, "CartesianProduct") == 0
     assert count_nodes(plan, "BroadcastHashJoin") == 0
     assert count_nodes(plan, "SortMergeJoin") == 1
+
+
+def test_containment_posting_path_has_no_joins(spark):
+    """The containment join must inherit the Jaccard posting path's
+    join-free shape: sizes ride the posting entries, so after pair
+    expansion there is ONE combinable aggregate — no sizes table, no
+    broadcast, nothing for the planner to mis-estimate."""
+    from stock_indicators_etl_spark.llmdata.dedup import containment_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for kw in ({}, {"max_doc_freq": 50}):
+        plan = plan_of(containment_pairs(docs, threshold=0.5, **kw))
+        joins = (
+            count_nodes(plan, "BroadcastHashJoin")
+            + count_nodes(plan, "SortMergeJoin")
+            + count_nodes(plan, "ShuffledHashJoin")
+            + count_nodes(plan, "BroadcastNestedLoopJoin")
+            + count_nodes(plan, "CartesianProduct")
+        )
+        assert joins == 0, plan
+        assert count_nodes(plan, "BroadcastExchange") == 0, plan
+
+
+def test_ks_drift_single_sort_bounded_broadcast(spark):
+    """Exact KS: the only Sort is the per-key running-sum window over
+    the DISTINCT-value frame, and the only broadcast is the per-key
+    totals (bounded by key cardinality)."""
+    from stock_indicators_etl_spark.operators.dq import ks_drift
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_type", F.col("value")
+    )
+    plan = plan_of(ks_drift(ev, ev, ("event_type",), "value"))
+    assert count_nodes(plan, "Sort") == 1, plan
+    assert count_nodes(plan, "MapInPandas") == 0
+    assert count_nodes(plan, "CartesianProduct") == 0
+
+
+def test_auc_single_sort_no_python(spark):
+    """auc_by_key shares the exact-KS plan shape: one window sort over
+    distinct score values, everything else combinable aggregates."""
+    from stock_indicators_etl_spark.operators.stats import auc_by_key
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        (F.col("label") > 2).alias("lab"), F.col("vec_id").cast("double").alias("s")
+    )
+    plan = plan_of(auc_by_key(emb, "lab", "s"))
+    assert count_nodes(plan, "Sort") == 1, plan
+    assert count_nodes(plan, "MapInPandas") == 0
