@@ -525,6 +525,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_funnel,
         q_interval_join,
         q_ks_drift,
+        q_skew_report,
         q_local_supplier_volume,
         q_retention,
         q_forecast_revenue,
@@ -697,6 +698,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_join": q_containment_join,
         "dsir_auc": q_dsir_auc,
         "dsir_calibration": q_dsir_calibration,
+        "skew_report": q_skew_report,
     }
     for name in ROTATED_OUT:
         if name in base:  # non-base rotated-out names are added above
@@ -714,6 +716,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_FUNNEL,
         SQL_INTERVAL_JOIN,
         SQL_KS_DRIFT,
+        SQL_SKEW_REPORT,
         SQL_LOCAL_SUPPLIER_VOLUME,
         SQL_OBV,
         SQL_RETENTION,
@@ -899,6 +902,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "containment_join": SQL_CONTAINMENT_JOIN,
         "dsir_auc": SQL_DSIR_AUC,
         "dsir_calibration": SQL_DSIR_CALIBRATION,
+        "skew_report": SQL_SKEW_REPORT,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -82,6 +82,12 @@ EAGER_CONSTRUCTION = frozenset(
         # r9: sizes the LSH blocking from a corpus count at
         # construction (sweep-only entry)
         "embedding_neardup_production",
+        # r9b: LPA labels + canonical edges localCheckpoint(eager) at
+        # construction — that IS the community+modularity work
+        "modularity",
+        # r9b: NB training collects the k class totals + vocab size
+        # at construction — that IS the (one-pass) trainer
+        "nb_classify",
     }
 )
 

@@ -208,6 +208,7 @@ QUERIES = [
     "containment_join",       # asymmetric excerpt-detection join (extra)
     "dsir_auc",               # exact midrank ROC-AUC of importance weights (extra)
     "dsir_calibration",       # integer-ppm reliability diagram (extra)
+    "skew_report",            # key-skew pre-flight, exact Gini (extra)
 ]
 
 

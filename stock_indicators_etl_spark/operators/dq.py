@@ -370,3 +370,105 @@ def ks_drift(
         F.col("_dnum").cast("double").alias("d_num"),
         ks.alias("ks"),
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    top_n: int = 10,
+) -> DataFrame:
+    """Join/aggregation-key skew diagnostic — the pre-flight a 100 TB
+    job runs BEFORE shuffling on a key: per-key row counts reduced to
+    (a) the ``top_n`` heaviest keys with their share in ppm, and (b)
+    one summary row with the key count, row count, max/mean key ratio
+    (in ppm of a uniform share) and the exact Gini coefficient of the
+    key distribution in ppm — the single number that says "salt this
+    key" (Gini → 0 uniform, → 1 one hot key).
+
+    Exactness: Gini over counts ``x₁ ≤ … ≤ xₖ`` is
+    ``Σ(2i − k − 1)·xᵢ / (k·Σx)`` — the numerator is an exact BIGINT
+    over a rank window (DECIMAL(38,0) for the rows² product class),
+    the ppm report is integer DIV. The whole report is integers.
+
+    Plan: one combinable (key) count (the thing being diagnosed costs
+    this anyway), then all further work happens on the KEY-count
+    frame — bounded by key cardinality, not rows: a k-row rank
+    window + one combinable aggregate + a TakeOrdered top_n.
+
+    Output rows: ``kind='top'`` (rank, key string, n_rows, share_ppm)
+    and one ``kind='summary'`` (n_keys, n_rows, max_over_mean_ppm,
+    gini_ppm).
+    """
+    from pyspark.sql.window import Window
+
+    keys = list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    key_str = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    kc = counts.select(key_str.alias("key"), F.col("n").cast("long").alias("n"))
+    totals = kc.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+    )
+    top = (
+        kc.crossJoin(F.broadcast(totals))
+        .orderBy(F.col("n").desc(), F.col("key").asc())
+        .limit(top_n)
+    )
+    wr = Window.orderBy(F.col("n").desc(), F.col("key").asc())
+    top_rows = top.withColumn("rank", F.row_number().over(wr)).select(
+        F.lit("top").alias("kind"),
+        F.col("rank").cast("long").alias("rank"),
+        "key",
+        F.col("n").alias("n_rows"),
+        F.expr("n * 1000000 div n_rows").cast("long").alias("share_ppm"),
+        F.lit(None).cast("long").alias("n_keys"),
+        F.lit(None).cast("long").alias("max_over_mean_ppm"),
+        F.lit(None).cast("long").alias("gini_ppm"),
+    )
+    # Gini numerator over ascending counts (ties broken by key for a
+    # deterministic-but-irrelevant order: the numerator value is
+    # tie-order-invariant because tied x contribute linearly in i)
+    wg = Window.orderBy(F.col("n").asc(), F.col("key").asc())
+    ranked = kc.withColumn("_i", F.row_number().over(wg))
+    gsum = ranked.crossJoin(F.broadcast(totals)).agg(
+        F.sum(
+            (
+                F.lit(2).cast("decimal(19,0)") * F.col("_i").cast("decimal(19,0)")
+                - F.col("n_keys").cast("decimal(19,0)")
+                - F.lit(1).cast("decimal(19,0)")
+            )
+            * F.col("n").cast("decimal(19,0)")
+        ).alias("_gnum"),
+        F.max("n").alias("_mx"),
+        F.max("n_keys").alias("n_keys"),
+        F.max("n_rows").alias("n_rows"),
+    )
+    # ratio outputs go through ONE cast-to-double per exact-integer
+    # operand + one division + floor — a fixed correctly-rounded IEEE
+    # sequence, engine-exact at any magnitude (decimal-quotient
+    # rounding would HALF_UP at the result scale before a floor)
+    mom = F.floor(
+        (F.col("_mx").cast("decimal(19,0)") * F.col("n_keys").cast("decimal(19,0)"))
+        .cast("double")
+        * F.lit(1_000_000.0)
+        / F.col("n_rows").cast("double")
+    )
+    gini = F.floor(
+        F.col("_gnum").cast("double")
+        * F.lit(1_000_000.0)
+        / (
+            F.col("n_keys").cast("decimal(19,0)")
+            * F.col("n_rows").cast("decimal(19,0)")
+        ).cast("double")
+    )
+    summary = gsum.select(
+        F.lit("summary").alias("kind"),
+        F.lit(None).cast("long").alias("rank"),
+        F.lit(None).cast("string").alias("key"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.lit(None).cast("long").alias("share_ppm"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        mom.cast("long").alias("max_over_mean_ppm"),
+        gini.cast("long").alias("gini_ppm"),
+    )
+    return top_rows.unionByName(summary)

@@ -5079,6 +5079,77 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# shuffle-key skew diagnostic
+# ---------------------------------------------------------------------------
+
+SKEW_TOP_N = 10
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew pre-flight (``operators/dq.skew_report``) on the
+    orders→customer key: top-10 heaviest customers with ppm shares
+    plus the summary row (key count, max/mean ratio, exact Gini of
+    the key distribution in ppm) — the report that decides salting
+    BEFORE a 100 TB shuffle. Everything after the one (key) count
+    shuffle is bounded by KEY cardinality."""
+    from stock_indicators_etl_spark.operators.dq import skew_report
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return skew_report(orders, ("o_custkey",), top_n=SKEW_TOP_N)
+
+
+SQL_SKEW_REPORT = f"""
+WITH kc AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows
+  FROM kc
+),
+topk AS (
+  SELECT 'top' AS kind,
+         CAST(row_number() OVER (ORDER BY n DESC, key ASC) AS BIGINT) AS rank,
+         key, n AS n_rows,
+         CAST(n * 1000000 // t.n_rows AS BIGINT) AS share_ppm,
+         CAST(NULL AS BIGINT) AS n_keys,
+         CAST(NULL AS BIGINT) AS max_over_mean_ppm,
+         CAST(NULL AS BIGINT) AS gini_ppm
+  FROM kc, tot t
+  ORDER BY n DESC, key ASC
+  LIMIT {SKEW_TOP_N}
+),
+grk AS (
+  SELECT n, row_number() OVER (ORDER BY n ASC, key ASC) AS i FROM kc
+),
+gg AS (
+  SELECT sum((2 * CAST(i AS HUGEINT) - t.n_keys - 1) * n) AS gnum,
+         max(n) AS mx,
+         any_value(t.n_keys) AS n_keys,
+         any_value(t.n_rows) AS n_rows
+  FROM grk, tot t
+),
+summ AS (
+  SELECT 'summary' AS kind,
+         CAST(NULL AS BIGINT) AS rank,
+         CAST(NULL AS VARCHAR) AS key,
+         n_rows,
+         CAST(NULL AS BIGINT) AS share_ppm,
+         n_keys,
+         CAST(floor(CAST(CAST(mx AS HUGEINT) * n_keys AS DOUBLE) * 1000000.0
+                    / CAST(n_rows AS DOUBLE)) AS BIGINT) AS max_over_mean_ppm,
+         CAST(floor(CAST(gnum AS DOUBLE) * 1000000.0
+                    / CAST(CAST(n_keys AS HUGEINT) * n_rows AS DOUBLE))
+              AS BIGINT) AS gini_ppm
+  FROM gg
+)
+SELECT * FROM topk
+UNION ALL
+SELECT * FROM summ
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "market_hours_filter": q_market_hours,
     "rocp_mom": q_rocp,

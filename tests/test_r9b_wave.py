@@ -558,3 +558,42 @@ class TestCalibration:
         )
         rates = [r["pos_rate_ppm"] for r in out]
         assert rates == sorted(rates)
+
+
+class TestSkewReport:
+    def _report(self, spark, counts, top_n=3):
+        from stock_indicators_etl_spark.operators.dq import skew_report
+
+        rows = [(f"k{i}",) for i, c in enumerate(counts) for _ in range(c)]
+        df = spark.createDataFrame(rows, "key string")
+        out = skew_report(df, ("key",), top_n=top_n).collect()
+        summary = [r for r in out if r["kind"] == "summary"][0]
+        top = sorted(
+            (r for r in out if r["kind"] == "top"), key=lambda r: r["rank"]
+        )
+        return top, summary
+
+    def test_uniform_keys_gini_zero(self, spark):
+        top, s = self._report(spark, [4, 4, 4, 4])
+        assert s["gini_ppm"] == 0
+        assert s["n_keys"] == 4 and s["n_rows"] == 16
+        assert s["max_over_mean_ppm"] == 1_000_000
+        assert top[0]["share_ppm"] == 250_000
+
+    def test_hot_key_dominates(self, spark):
+        top, s = self._report(spark, [97, 1, 1, 1])
+        assert top[0]["key"] == "k0" and top[0]["n_rows"] == 97
+        assert top[0]["share_ppm"] == 970_000
+        assert s["max_over_mean_ppm"] == 3_880_000  # 97/(100/4)
+        # python replica of the exact Gini
+        xs = sorted([97, 1, 1, 1])
+        k, n = len(xs), sum(xs)
+        gnum = sum((2 * (i + 1) - k - 1) * x for i, x in enumerate(xs))
+        import math
+
+        assert s["gini_ppm"] == math.floor(gnum * 1e6 / (k * n))
+
+    def test_top_n_bounded_and_ranked(self, spark):
+        top, s = self._report(spark, [5, 4, 3, 2, 1], top_n=2)
+        assert len(top) == 2
+        assert [r["key"] for r in top] == ["k0", "k1"]
