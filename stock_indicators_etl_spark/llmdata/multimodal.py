@@ -448,10 +448,15 @@ def decode_image(payload: bytes) -> np.ndarray:
         from .gif import decode_gif
 
         return decode_gif(payload)[0][0]  # first frame
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from .avi import decode_avi
+
+        return decode_avi(payload)[0][0]  # first frame
     raise NotImplementedError(
-        "video-container decode needs codec libraries not present in "
-        "this environment; PPM/PGM/uncompressed-BMP/PNG/JPEG(SOF0/1/2)/"
-        "GIF decode natively (animated GIF via gif.sample_gif_frames)"
+        "codec-compressed video needs libraries not present in this "
+        "environment; PPM/PGM/uncompressed-BMP/PNG/JPEG(SOF0/1/2)/GIF/"
+        "uncompressed-AVI decode natively (animation via "
+        "gif.sample_gif_frames, video via avi.sample_avi_frames)"
     )
 
 
@@ -509,6 +514,9 @@ def real_decoder(payload: bytes, kind: str) -> np.ndarray:
         from .audio import audio_decoder
 
         return audio_decoder(payload, kind)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        # uncompressed AVI decodes natively — features of frame 0
+        return image_decoder(payload, "image")
     raise NotImplementedError(
         "video/compressed-audio decode libraries are not available "
         "in this environment; inject a decoder (worked example: "
@@ -795,7 +803,11 @@ def probe_media_header(payload: bytes) -> dict:
         "duration_ms": None,
     }
     try:
-        if payload[:2] in (b"P6", b"P5"):
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            from .avi import probe_avi
+
+            out.update(probe_avi(payload))
+        elif payload[:2] in (b"P6", b"P5"):
             out.update(_probe_ppm(payload))
         elif payload[:2] == b"BM":
             out.update(
