@@ -3,13 +3,20 @@
 Makes the VIDEO frame-sampling leg real end-to-end the way
 ``gif.py`` did for animation: the container walk (RIFF LIST tree,
 ``hdrl`` headers, ``movi`` frame chunks) and the frame decode are
-implemented here for the one video format that needs no codec
-mathematics — DIB/BI_RGB (``biCompression = 0``) streams, i.e.
-24-bit bottom-up BGR rows padded to 4 bytes inside ``00db`` chunks
-(the same raster layout as uncompressed BMP, re-derived from the
-public RIFF/AVI and BITMAPINFOHEADER layouts). Compressed codecs
-(MJPEG/H.264/...) still raise honestly — real codec libraries are
-absent here — with the tested ``decoder=`` injection escape hatch
+implemented here for the two video formats this repo can decode with
+its own mathematics:
+
+- DIB/BI_RGB (``biCompression = 0``) — 24-bit bottom-up BGR rows
+  padded to 4 bytes inside ``00db`` chunks (the uncompressed-BMP
+  raster layout, re-derived from the public RIFF/AVI and
+  BITMAPINFOHEADER layouts);
+- MJPEG (``biCompression = 'MJPG'``) — one standalone JFIF image per
+  ``00dc`` chunk, decoded by the repo's own pure-numpy ITU-T T.81
+  decoder (``llmdata/jpeg.py``) — a genuinely compressed video leg
+  with no external codec library.
+
+Other codecs (H.264/VP9/...) still raise honestly with the tested
+``decoder=`` injection escape hatch
 (``examples/custom_codec_injection.py``).
 
 Reference: N/A (the reference repo is a pandas indicator ETL with no
@@ -80,10 +87,11 @@ def _parse_headers(buf: bytes, off: int, end: int) -> dict:
 
 
 def decode_avi(payload: bytes) -> tuple[list[np.ndarray], int]:
-    """Decode an uncompressed AVI → (frames, usec_per_frame); each
-    frame is (H, W, 3) uint8 RGB. Raises :class:`AviError` for
-    non-AVI payloads and ``NotImplementedError`` for compressed
-    streams (``biCompression != 0``)."""
+    """Decode a DIB (uncompressed) or MJPEG AVI →
+    (frames, usec_per_frame); each frame is (H, W, 3) uint8 RGB.
+    Raises :class:`AviError` for non-AVI payloads and
+    ``NotImplementedError`` for codec fourccs other than BI_RGB /
+    'MJPG'."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise AviError("not a RIFF/AVI payload")
     end = min(len(payload), 8 + _u32(payload, 4))
@@ -98,26 +106,39 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], int]:
         elif list_type == b"movi":
             for f2, p2, s2 in _walk_chunks(payload, po + 4, po + sz):
                 # '##db' = uncompressed DIB, '##dc' = compressed
-                if f2[2:4] == b"db":
-                    raw_frames.append(payload[p2 : p2 + s2])
-                elif f2[2:4] == b"dc":
-                    raise NotImplementedError(
-                        "compressed AVI stream ('##dc' chunks) needs codec "
-                        "libraries not present here; inject a decoder "
-                        "(examples/custom_codec_injection.py) — only "
-                        "DIB/BI_RGB AVIs decode natively"
-                    )
+                if f2[2:4] in (b"db", b"dc"):
+                    raw_frames.append((f2[2:4], payload[p2 : p2 + s2]))
     if not hdr or "width" not in hdr:
         raise AviError("AVI missing hdrl/avih headers")
-    if hdr.get("compression", 0) != 0 or hdr.get("bit_count", 24) != 24:
+    comp = hdr.get("compression", 0)
+    # biCompression is BI_RGB (0) for DIB streams or a codec fourcc;
+    # MJPEG ('MJPG') decodes natively through the repo's own T.81
+    # JPEG decoder (llmdata/jpeg.py) — each '##dc' chunk is one
+    # standalone JFIF image
+    mjpg = comp == int.from_bytes(b"MJPG", _U32)
+    if not mjpg and (comp != 0 or hdr.get("bit_count", 24) != 24):
         raise NotImplementedError(
-            "only 24-bit BI_RGB (biCompression=0) AVI streams decode "
-            "natively; inject a decoder for codec formats"
+            "only 24-bit BI_RGB (biCompression=0) and MJPG AVI streams "
+            "decode natively; inject a decoder for other codecs"
         )
     w, h = hdr["width"], hdr["height"]
     row = (w * 3 + 3) // 4 * 4
     frames = []
-    for raw in raw_frames:
+    for kind, raw in raw_frames:
+        if mjpg:
+            from .jpeg import decode_jpeg
+
+            img = decode_jpeg(raw)
+            if img.ndim == 2:  # grayscale JPEG → RGB frame contract
+                img = np.repeat(img[..., None], 3, axis=2)
+            frames.append(img)
+            continue
+        if kind != b"db":
+            raise NotImplementedError(
+                "compressed AVI stream ('##dc' chunks) under a non-MJPG "
+                "fourcc needs codec libraries not present here; inject a "
+                "decoder (examples/custom_codec_injection.py)"
+            )
         if len(raw) < row * h:
             raise AviError("frame chunk shorter than one DIB raster")
         arr = np.frombuffer(raw[: row * h], dtype=np.uint8).reshape(h, row)
@@ -129,10 +150,19 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], int]:
     return frames, (usec or 40_000)  # default 25 fps if headers omit it
 
 
-def encode_avi(frames: list[np.ndarray], usec_per_frame: int = 40_000) -> bytes:
-    """Fixture encoder: (H, W, 3) uint8 RGB frames → uncompressed
-    24-bit BI_RGB AVI bytes (the exact layout :func:`decode_avi`
-    consumes — round-trip pinned in tests)."""
+def encode_avi(
+    frames: list[np.ndarray],
+    usec_per_frame: int = 40_000,
+    mjpeg: bool = False,
+    quality: int = 90,
+) -> bytes:
+    """Fixture encoder: (H, W, 3) uint8 RGB frames → AVI bytes in the
+    exact layouts :func:`decode_avi` consumes — uncompressed 24-bit
+    BI_RGB ``00db`` chunks by default, or MJPEG (``mjpeg=True``): one
+    JFIF image per ``00dc`` chunk from the repo's own JPEG encoder.
+    Round-trips pinned in tests (pixel-identical for DIB; identical
+    to the JPEG path's own decode for MJPEG — JPEG is lossy, so the
+    pin is parity with ``decode_jpeg``, not the raw input)."""
     if not frames:
         raise AviError("need at least one frame")
     h, w = frames[0].shape[:2]
@@ -174,7 +204,7 @@ def encode_avi(frames: list[np.ndarray], usec_per_frame: int = 40_000) -> bytes:
         (40).to_bytes(4, _U32)
         + w.to_bytes(4, _U32) + h.to_bytes(4, _U32)
         + (1).to_bytes(2, _U32) + (24).to_bytes(2, _U32)
-        + (0).to_bytes(4, _U32)  # BI_RGB
+        + (b"MJPG" if mjpeg else (0).to_bytes(4, _U32))  # biCompression
         + (row * h).to_bytes(4, _U32)
         + (0).to_bytes(4, _U32) * 4
     )
@@ -183,7 +213,20 @@ def encode_avi(frames: list[np.ndarray], usec_per_frame: int = 40_000) -> bytes:
         chunk(b"avih", avih)
         + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
-    movi = lst(b"movi", b"".join(chunk(b"00db", dib(fr)) for fr in frames))
+    if mjpeg:
+        from .jpeg import encode_jpeg
+
+        movi = lst(
+            b"movi",
+            b"".join(
+                chunk(b"00dc", encode_jpeg(fr, quality=quality))
+                for fr in frames
+            ),
+        )
+    else:
+        movi = lst(
+            b"movi", b"".join(chunk(b"00db", dib(fr)) for fr in frames)
+        )
     body = b"AVI " + hdrl + movi
     return b"RIFF" + len(body).to_bytes(4, _U32) + body
 

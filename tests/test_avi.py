@@ -160,3 +160,53 @@ class TestAviSampling:
         )
         out = sample_avi_frames(media, every_ms=10, max_frames=5).collect()
         assert len(out) == 5
+
+
+class TestMjpegAvi:
+    def test_mjpeg_parity_with_jpeg_path(self):
+        # JPEG is lossy: the pin is exact parity with the repo's own
+        # T.81 decode of the same per-frame JFIF bytes
+        from stock_indicators_etl_spark.llmdata.avi import decode_avi, encode_avi
+        from stock_indicators_etl_spark.llmdata.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        frames = _frames(3, h=16, w=24, seed=5)
+        out, usec = decode_avi(
+            encode_avi(frames, usec_per_frame=50_000, mjpeg=True)
+        )
+        assert len(out) == 3 and usec == 50_000
+        for fr, got in zip(frames, out):
+            assert (got == decode_jpeg(encode_jpeg(fr, quality=90))).all()
+
+    def test_mjpeg_quality_close_to_source(self):
+        from stock_indicators_etl_spark.llmdata.avi import decode_avi, encode_avi
+
+        # smooth gradient survives JPEG at q=90 within a few levels
+        g = np.tile(np.arange(64, dtype=np.uint8), (16, 1))
+        fr = np.stack([g, g, g], axis=2)
+        out, _ = decode_avi(encode_avi([fr], mjpeg=True, quality=90))
+        assert np.mean(np.abs(out[0].astype(int) - fr.astype(int))) < 4.0
+
+    def test_mjpeg_sampling_through_spark(self, spark):
+        from stock_indicators_etl_spark.llmdata.avi import (
+            encode_avi,
+            sample_avi_frames,
+        )
+
+        payload = encode_avi(_frames(6, seed=9), usec_per_frame=100_000, mjpeg=True)
+        media = spark.createDataFrame(
+            [(1, bytearray(payload))], "media_id long, payload binary"
+        )
+        out = sample_avi_frames(media, every_ms=200, max_frames=3).collect()
+        assert [r["ts_ms"] for r in out] == [0, 200, 400]
+
+    def test_unknown_codec_still_raises(self):
+        from stock_indicators_etl_spark.llmdata.avi import decode_avi, encode_avi
+
+        payload = bytearray(encode_avi(_frames(1), mjpeg=True))
+        i = payload.find(b"MJPG")
+        payload[i : i + 4] = b"H264"
+        with pytest.raises(NotImplementedError, match="inject"):
+            decode_avi(bytes(payload))
