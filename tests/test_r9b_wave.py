@@ -597,3 +597,24 @@ class TestSkewReport:
         top, s = self._report(spark, [5, 4, 3, 2, 1], top_n=2)
         assert len(top) == 2
         assert [r["key"] for r in top] == ["k0", "k1"]
+
+
+def test_drift_monitoring_example(spark):
+    """examples/drift_monitoring.py end-to-end on sf0.001: the three
+    drift statistics join onto one row per event type, the KS alarm
+    column evaluates, and the skew pre-flight carries its summary."""
+    import sys
+
+    sys.path.insert(0, "examples")
+    from drift_monitoring import drift_report
+
+    drift, skew = drift_report(spark, "/root/testdata/sf0.001")
+    rows = drift.collect()
+    assert len(rows) == 5  # one per event type
+    for r in rows:
+        assert 0.0 <= r["tvd"] <= 1.0
+        assert r["kl"] >= 0.0
+        assert 0.0 <= r["ks"] <= 1.0
+        assert r["ks_alarm"] in (True, False)
+    summary = [r for r in skew.collect() if r["kind"] == "summary"]
+    assert summary and summary[0]["gini_ppm"] >= 0
