@@ -526,6 +526,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_interval_join,
         q_ks_drift,
         q_skew_report,
+        q_welch_drift,
         q_local_supplier_volume,
         q_retention,
         q_forecast_revenue,
@@ -570,6 +571,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_leakage_split,
         q_line_dedup,
         q_modularity,
+        q_mutual_info,
         q_nb_classify,
         q_blocklist,
         q_pq_topk,
@@ -699,6 +701,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_auc": q_dsir_auc,
         "dsir_calibration": q_dsir_calibration,
         "skew_report": q_skew_report,
+        "welch_drift": q_welch_drift,
+        "mutual_info": q_mutual_info,
     }
     for name in ROTATED_OUT:
         if name in base:  # non-base rotated-out names are added above
@@ -717,6 +721,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_INTERVAL_JOIN,
         SQL_KS_DRIFT,
         SQL_SKEW_REPORT,
+        SQL_WELCH_DRIFT,
         SQL_LOCAL_SUPPLIER_VOLUME,
         SQL_OBV,
         SQL_RETENTION,
@@ -787,6 +792,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_LENGTH_QUANTILES,
         SQL_LINE_DEDUP,
         SQL_MODULARITY,
+        SQL_MUTUAL_INFO,
         SQL_NB_CLASSIFY,
         SQL_BLOCKLIST,
         SQL_NEARDUP_BEST,
@@ -903,6 +909,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "dsir_auc": SQL_DSIR_AUC,
         "dsir_calibration": SQL_DSIR_CALIBRATION,
         "skew_report": SQL_SKEW_REPORT,
+        "welch_drift": SQL_WELCH_DRIFT,
+        "mutual_info": SQL_MUTUAL_INFO,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

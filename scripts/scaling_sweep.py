@@ -209,6 +209,8 @@ QUERIES = [
     "dsir_auc",               # exact midrank ROC-AUC of importance weights (extra)
     "dsir_calibration",       # integer-ppm reliability diagram (extra)
     "skew_report",            # key-skew pre-flight, exact Gini (extra)
+    "welch_drift",            # parametric mean-shift leg, one aggregate (extra)
+    "mutual_info",            # categorical MI, ordered-fold cells (extra)
 ]
 
 

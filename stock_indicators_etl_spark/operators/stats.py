@@ -756,3 +756,147 @@ def calibration_by_key(
             F.expr("n_pos * 1000000 div n").cast("long").alias("pos_rate_ppm"),
         )
     )
+
+
+def welch_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_cols: tuple[str, ...] = (),
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key Welch two-sample t statistic between two snapshots —
+    the PARAMETRIC leg of the drift family (TVD/KL/KS are
+    distribution-shape monitors; Welch answers the narrower, more
+    sensitive question "did the MEAN move relative to the noise",
+    without assuming equal variances).
+
+    Exactness: both samples reduce to exact BIGINT Σc / Σc² over
+    integer cents (DECIMAL(38,0) squares — the ols_by_key class);
+    means, sample variances (n−1), the pooled standard error and
+    ``t = (m_a − m_b)/se`` are one FIXED sequence of IEEE divisions,
+    subtractions and a correctly-rounded sqrt — engine-exact, then
+    6dp-quantized for the report. Welch–Satterthwaite dof rides
+    along (same fixed-sequence discipline). Degenerate keys (either
+    side n < 2 or zero pooled variance) report NULL t.
+
+    Plan: ONE combinable aggregate over the union (map-side partial
+    sums carry both sides), nothing key-ordered, no windows — the
+    cheapest drift monitor of the four.
+    """
+    keys = list(key_cols)
+    a = df_a.select(*keys, F.col(value_col).alias("_v")).withColumn(
+        "_side", F.lit("a")
+    )
+    b = df_b.select(*keys, F.col(value_col).alias("_v")).withColumn(
+        "_side", F.lit("b")
+    )
+    u = a.unionByName(b).withColumn(
+        "_c", F.floor(F.col("_v") * 100 + F.lit(0.5)).cast("long")
+    )
+    cd = F.col("_c").cast("decimal(19,0)")
+    is_a = (F.col("_side") == "a").cast("long")
+    is_b = (F.col("_side") == "b").cast("long")
+    agg = u.groupBy(*keys).agg(
+        F.sum(is_a).alias("n_a"),
+        F.sum(is_b).alias("n_b"),
+        F.sum(F.col("_c") * is_a).alias("sa"),
+        F.sum(F.col("_c") * is_b).alias("sb"),
+        F.sum(cd * cd * is_a.cast("decimal(19,0)")).alias("ssa"),
+        F.sum(cd * cd * is_b.cast("decimal(19,0)")).alias("ssb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ma = F.col("sa").cast("double") / na
+    mb = F.col("sb").cast("double") / nb
+    # sample variance via the exact-integer numerator n·Σc² − (Σc)²
+    va = (
+        na * F.col("ssa").cast("double")
+        - F.col("sa").cast("double") * F.col("sa").cast("double")
+    ) / (na * (na - F.lit(1.0)))
+    vb = (
+        nb * F.col("ssb").cast("double")
+        - F.col("sb").cast("double") * F.col("sb").cast("double")
+    ) / (nb * (nb - F.lit(1.0)))
+    se2 = va / na + vb / nb
+    t = (ma - mb) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (va / na) * (va / na) / (na - F.lit(1.0))
+        + (vb / nb) * (vb / nb) / (nb - F.lit(1.0))
+    )
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0)
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        *keys,
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        r6(ma - mb).alias("mean_shift_cents"),
+        F.when(ok, r6(t)).alias("t_stat"),
+        F.when(ok, r6(dof)).alias("dof"),
+    )
+
+
+def mutual_info(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Mutual information between two categorical columns in NATS —
+    the feature-selection / redundancy gate (is ``y`` worth keeping
+    next to ``x``; does a pipeline stage leak a label into a
+    feature): ``I(X;Y) = Σ_xy (c_xy/N)·ln(c_xy·N/(c_x·c_y))``.
+
+    Float discipline (the kl_drift convention): the log terms fold
+    over a (x, y)-SORTED array with a 0.0 seed — the
+    ``aggregate``/``list_reduce`` sequence both engines replay
+    identically — with every count an exact integer. The cell frame
+    is bounded by |X|·|Y| (category product), so the packed array is
+    a bounded row, not corpus-sized.
+
+    Output: one row — ``(n, n_x, n_y, n_cells, mi_nats)``; also
+    useful normalized downstream (mi / ln(min(|X|,|Y|))).
+
+    Plan: one combinable (x, y) count, two tiny marginal re-aggs on
+    the CELL frame (not the corpus), one bounded collect_list fold.
+    """
+    cells = (
+        df.select(
+            F.col(x_col).cast("string").alias("_x"),
+            F.col(y_col).cast("string").alias("_y"),
+        )
+        .groupBy("_x", "_y")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mx = cells.groupBy("_x").agg(F.sum("c").alias("cx"))
+    my = cells.groupBy("_y").agg(F.sum("c").alias("cy"))
+    joined = cells.join(F.broadcast(mx), "_x").join(F.broadcast(my), "_y")
+    packed = joined.agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("_x").alias("n_x"),
+        F.countDistinct("_y").alias("n_y"),
+        F.array_sort(
+            F.collect_list(F.struct("_x", "_y", "c", "cx", "cy"))
+        ).alias("_arr"),
+    )
+    nd = F.col("n").cast("double")
+    mi = F.aggregate(
+        F.col("_arr"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + (s.getField("c").cast("double") / nd)
+        * F.log(
+            s.getField("c").cast("double")
+            * nd
+            / (
+                s.getField("cx").cast("double")
+                * s.getField("cy").cast("double")
+            )
+        ),
+    )
+    return packed.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_x").cast("long").alias("n_x"),
+        F.col("n_y").cast("long").alias("n_y"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.floor(mi * F.lit(1e6) + F.lit(0.5)).cast("long").alias("mi_unats"),
+    )

@@ -5005,6 +5005,76 @@ FROM stat
 
 
 # ---------------------------------------------------------------------------
+# Welch two-sample t drift (parametric leg)
+# ---------------------------------------------------------------------------
+
+
+def q_welch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch t drift (``operators/stats.welch_drift``): the parametric
+    leg of the drift family — per event type, did the MEAN move
+    relative to the noise between the two snapshot halves. Exact
+    BIGINT/DECIMAL(38,0) sums, one fixed IEEE tail, ONE combinable
+    aggregate over the union — the cheapest monitor of the four."""
+    from stock_indicators_etl_spark.operators.stats import welch_drift
+
+    ev = _events(spark, sf_dir)
+    day = F.expr(f"ns div {_DAY_NS}")
+    a = ev.filter(day < DRIFT_SPLIT_DAY)
+    b = ev.filter(day >= DRIFT_SPLIT_DAY)
+    return welch_drift(a, b, ("event_type",), "value")
+
+
+SQL_WELCH_DRIFT = f"""
+WITH u AS (
+  SELECT event_type,
+         CASE WHEN epoch_ns(ts) // {_DAY_NS} < {DRIFT_SPLIT_DAY}
+              THEN 'a' ELSE 'b' END AS side,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+agg AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN side = 'a' THEN c ELSE 0 END) AS BIGINT) AS sa,
+         CAST(sum(CASE WHEN side = 'b' THEN c ELSE 0 END) AS BIGINT) AS sb,
+         sum(CASE WHEN side = 'a' THEN CAST(c AS HUGEINT) * c
+                  ELSE 0 END) AS ssa,
+         sum(CASE WHEN side = 'b' THEN CAST(c AS HUGEINT) * c
+                  ELSE 0 END) AS ssb
+  FROM u GROUP BY event_type
+),
+w AS (
+  SELECT event_type, n_a, n_b,
+         CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+         CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
+         CAST(ssa AS DOUBLE) AS ssad, CAST(ssb AS DOUBLE) AS ssbd
+  FROM agg
+),
+v AS (
+  SELECT event_type, n_a, n_b, na, nb,
+         sad / na AS ma, sbd / nb AS mb,
+         (na * ssad - sad * sad) / (na * (na - 1.0)) AS va,
+         (nb * ssbd - sbd * sbd) / (nb * (nb - 1.0)) AS vb
+  FROM w
+),
+s AS (
+  SELECT event_type, n_a, n_b, na, nb, ma, mb, va, vb,
+         va / na + vb / nb AS se2
+  FROM v
+)
+SELECT event_type, n_a, n_b,
+       {R6("ma - mb")} AS mean_shift_cents,
+       CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0
+            THEN {R6("(ma - mb) / sqrt(se2)")} END AS t_stat,
+       CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0
+            THEN {R6("(se2 * se2) / ((va / na) * (va / na) / (na - 1.0)"
+                     " + (vb / nb) * (vb / nb) / (nb - 1.0))")} END AS dof
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q5: local supplier volume (completes the 22-query set)
 # ---------------------------------------------------------------------------
 

@@ -4500,6 +4500,60 @@ GROUP BY bin, mn, mx
 
 
 # ---------------------------------------------------------------------------
+# categorical mutual information
+# ---------------------------------------------------------------------------
+
+
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical columns
+    (`operators.stats.mutual_info`): I(lang; source) over documents —
+    the feature-selection / leakage gate (is a metadata column
+    informative about the label, or redundant next to another). The
+    log terms fold over a cell-SORTED array (the kl_drift
+    convention); cells are bounded by the category product."""
+    from stock_indicators_etl_spark.operators.stats import mutual_info
+
+    return mutual_info(_docs(spark, sf_dir), "lang", "source")
+
+
+_MI_FOLD = (
+    "list_reduce(list_prepend(0.0, list_transform(arr, s -> "
+    "(CAST(s.c AS DOUBLE) / nd) * ln(CAST(s.c AS DOUBLE) * nd "
+    "/ (CAST(s.cx AS DOUBLE) * CAST(s.cy AS DOUBLE))))), "
+    "(a, b) -> a + b)"
+)
+
+SQL_MUTUAL_INFO = f"""
+WITH micells AS (
+  SELECT CAST(lang AS VARCHAR) AS x, CAST(source AS VARCHAR) AS y,
+         CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+),
+mix AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM micells GROUP BY 1),
+miy AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM micells GROUP BY 1),
+mij AS (
+  SELECT micells.x, micells.y, c, cx, cy
+  FROM micells JOIN mix ON mix.x = micells.x JOIN miy ON miy.y = micells.y
+),
+mip AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(count(DISTINCT x) AS BIGINT) AS n_x,
+         CAST(count(DISTINCT y) AS BIGINT) AS n_y,
+         list({{'x': x, 'y': y, 'c': c, 'cx': cx, 'cy': cy}}
+              ORDER BY x, y) AS arr
+  FROM mij
+),
+mif AS (
+  SELECT n, n_x, n_y, n_cells, CAST(n AS DOUBLE) AS nd, arr FROM mip
+)
+SELECT n, n_x, n_y, n_cells,
+       CAST(floor({_MI_FOLD} * 1000000.0 + 0.5) AS BIGINT) AS mi_unats
+FROM mif
+"""
+
+
+# ---------------------------------------------------------------------------
 # Gopher quality rule gate (Rae et al. 2021)
 # ---------------------------------------------------------------------------
 

@@ -618,3 +618,81 @@ def test_drift_monitoring_example(spark):
         assert r["ks_alarm"] in (True, False)
     summary = [r for r in skew.collect() if r["kind"] == "summary"]
     assert summary and summary[0]["gini_ppm"] >= 0
+
+
+class TestWelchDrift:
+    def _welch(self, spark, a_vals, b_vals):
+        from stock_indicators_etl_spark.operators.stats import welch_drift
+
+        a = spark.createDataFrame([("k", v) for v in a_vals], "key string, value double")
+        b = spark.createDataFrame([("k", v) for v in b_vals], "key string, value double")
+        return welch_drift(a, b, ("key",), "value").toPandas().iloc[0]
+
+    def test_identical_samples_t_zero(self, spark):
+        vals = [1.0, 2.0, 3.0, 4.0]
+        r = self._welch(spark, vals, vals)
+        assert r.t_stat == 0.0 and r.mean_shift_cents == 0.0
+
+    def test_python_replica(self, spark):
+        a = [1.0, 2.0, 3.0, 4.0, 5.0]
+        b = [3.5, 4.5, 5.5, 8.0]
+        r = self._welch(spark, a, b)
+        ca = [round(v * 100) for v in a]
+        cb = [round(v * 100) for v in b]
+        na, nb = float(len(ca)), float(len(cb))
+        ma, mb = sum(ca) / na, sum(cb) / nb
+        va = (na * sum(c * c for c in ca) - sum(ca) ** 2) / (na * (na - 1))
+        vb = (nb * sum(c * c for c in cb) - sum(cb) ** 2) / (nb * (nb - 1))
+        se2 = va / na + vb / nb
+        t = (ma - mb) / math.sqrt(se2)
+        assert abs(r.t_stat - t) < 2e-6  # 6dp quantization
+        assert abs(r.mean_shift_cents - (ma - mb)) < 2e-6
+
+    def test_degenerate_null(self, spark):
+        r = self._welch(spark, [1.0], [2.0, 3.0])
+        assert r.t_stat is None or (r.t_stat != r.t_stat)  # NULL/NaN
+        r2 = self._welch(spark, [5.0, 5.0], [5.0, 5.0])
+        assert r2.t_stat is None or (r2.t_stat != r2.t_stat)
+
+    def test_obvious_shift_large_t(self, spark):
+        a = [float(i % 3) for i in range(60)]
+        b = [10.0 + float(i % 3) for i in range(60)]
+        r = self._welch(spark, a, b)
+        assert r.t_stat < -50  # mean moved ~10 units vs tiny noise
+
+
+class TestMutualInfo:
+    def _mi(self, spark, pairs):
+        from stock_indicators_etl_spark.operators.stats import mutual_info
+
+        df = spark.createDataFrame(pairs, "x string, y string")
+        return mutual_info(df, "x", "y").toPandas().iloc[0]
+
+    def test_independent_zero(self, spark):
+        pairs = [(f"x{i % 2}", f"y{j % 3}") for i in range(2) for j in range(3)]
+        r = self._mi(spark, pairs * 5)
+        assert r.mi_unats == 0
+
+    def test_deterministic_map_equals_entropy(self, spark):
+        # y = f(x), uniform over 4 classes: MI = H(X) = ln 4
+        pairs = [(f"x{i}", f"y{i}") for i in range(4)] * 3
+        r = self._mi(spark, pairs)
+        assert abs(r.mi_unats / 1e6 - math.log(4)) < 1e-5
+        assert r.n_x == 4 and r.n_y == 4 and r.n_cells == 4
+
+    def test_python_replica(self, spark):
+        pairs = [
+            (f"x{(i * 3) % 4}", f"y{(i * 7) % 3}") for i in range(60)
+        ] + [("x0", "y0")] * 10
+        r = self._mi(spark, pairs)
+        from collections import Counter
+
+        cxy = Counter(pairs)
+        cx = Counter(x for x, _ in pairs)
+        cy = Counter(y for _, y in pairs)
+        n = len(pairs)
+        mi = sum(
+            (c / n) * math.log(c * n / (cx[x] * cy[y]))
+            for (x, y), c in cxy.items()
+        )
+        assert abs(r.mi_unats / 1e6 - mi) < 1e-5
