@@ -696,3 +696,81 @@ class TestMutualInfo:
             for (x, y), c in cxy.items()
         )
         assert abs(r.mi_unats / 1e6 - mi) < 1e-5
+
+
+def test_streaming_welch_drift_batch_parity(spark, tmp_path):
+    """22nd streaming twin: the freshest streaming Welch emission
+    EQUALS the batch welch_drift on (baseline, full prefix) — exact
+    equality (same fixed IEEE sequence over the same exact
+    integers), two keys, state = three ints per key."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from stock_indicators_etl_spark.operators.stats import welch_drift
+    from stock_indicators_etl_spark.streaming.welch import (
+        streaming_welch_drift,
+        welch_baseline,
+    )
+
+    rng = np.random.default_rng(17)
+    base_rows = pd.DataFrame(
+        {
+            "event_type": ["x"] * 100 + ["y"] * 80,
+            "value": list(rng.uniform(10, 20, 100)) + list(rng.uniform(5, 9, 80)),
+        }
+    )
+    stream_rows = pd.DataFrame(
+        {
+            "doc_id": range(150),
+            "event_type": ["x"] * 70 + ["y"] * 80,
+            "value": list(rng.uniform(12, 24, 70))  # x mean shifted up
+            + list(rng.uniform(5, 9, 80)),          # y unchanged
+        }
+    )
+    base_df = spark.createDataFrame(base_rows)
+    prof = welch_baseline(base_df, "event_type", "value")
+
+    src = tmp_path / "welch_src"
+    src.mkdir()
+    f0, f1, f2 = (str(src / f"p{i}.parquet") for i in range(3))
+    stream_rows.iloc[:50].to_parquet(f0)
+    stream_rows.iloc[50:100].to_parquet(f1)
+    stream_rows.iloc[100:].to_parquet(f2)
+    for i, f in enumerate((f0, f1, f2)):
+        os.utime(f, (1_000_000_000 + i * 100,) * 2)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_welch_drift(stream, prof, "event_type", "value")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("swelch")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_swelch"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from swelch").toPandas()
+    last = {
+        k: got[(got.key == k) & (got.n_b == got[got.key == k].n_b.max())].iloc[0]
+        for k in ("x", "y")
+    }
+    batch = {
+        r["event_type"]: r
+        for r in welch_drift(
+            base_df, spark.createDataFrame(stream_rows), ("event_type",), "value"
+        ).collect()
+    }
+    for k in ("x", "y"):
+        assert int(last[k].n_b) == batch[k]["n_b"]
+        assert float(last[k].t_stat) == batch[k]["t_stat"]
+        assert float(last[k].mean_shift_cents) == batch[k]["mean_shift_cents"]
+        assert float(last[k].dof) == batch[k]["dof"]
+    assert float(last["x"].t_stat) < -3  # the planted x shift alarms
+    assert abs(float(last["y"].t_stat)) < 3
