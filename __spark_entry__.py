@@ -524,6 +524,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_attribution,
         q_funnel,
         q_interval_join,
+        q_equidepth_bins,
         q_ks_drift,
         q_skew_report,
         q_welch_drift,
@@ -703,6 +704,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "welch_drift": q_welch_drift,
         "mutual_info": q_mutual_info,
+        "equidepth_bins": q_equidepth_bins,
     }
     for name in ROTATED_OUT:
         if name in base:  # non-base rotated-out names are added above
@@ -719,6 +721,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_FORECAST_REVENUE,
         SQL_FUNNEL,
         SQL_INTERVAL_JOIN,
+        SQL_EQUIDEPTH_BINS,
         SQL_KS_DRIFT,
         SQL_SKEW_REPORT,
         SQL_WELCH_DRIFT,
@@ -911,6 +914,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "skew_report": SQL_SKEW_REPORT,
         "welch_drift": SQL_WELCH_DRIFT,
         "mutual_info": SQL_MUTUAL_INFO,
+        "equidepth_bins": SQL_EQUIDEPTH_BINS,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -211,6 +211,7 @@ QUERIES = [
     "skew_report",            # key-skew pre-flight, exact Gini (extra)
     "welch_drift",            # parametric mean-shift leg, one aggregate (extra)
     "mutual_info",            # categorical MI, ordered-fold cells (extra)
+    "equidepth_bins",         # NTILE at scale: histogram cuts, scan assignment (extra)
 ]
 
 

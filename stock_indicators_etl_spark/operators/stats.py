@@ -900,3 +900,53 @@ def mutual_info(
         F.col("n_cells").cast("long").alias("n_cells"),
         F.floor(mi * F.lit(1e6) + F.lit(0.5)).cast("long").alias("mi_unats"),
     )
+
+
+def equidepth_bins(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+    n_bins: int = 8,
+    bin_width: int = 100,
+) -> DataFrame:
+    """Equi-depth (quantile) binning WITHOUT a per-key sort — the
+    scale-correct alternative to ``NTILE`` that the ``ntile_buckets``
+    query's docstring promises: cut points are the exact discrete
+    quantiles at ``i/n_bins`` from the two-pass histogram
+    (:func:`exact_quantiles_hist` — combinable, selection restricted
+    to rank-holding bins), broadcast back as a keys-bounded frame,
+    and each row's bin is the count of cuts strictly below its value
+    — a pure scan expression.
+
+    Semantics note (deliberate): the bin is a FUNCTION OF THE VALUE —
+    tied values always share a bin, so depths equalize only up to
+    tie mass (NTILE splits ties across buckets by row order, which
+    is exactly what cannot be reproduced without a global sort, and
+    is row-order-dependent anyway). The GBDT-style feature-binning
+    prep wants the value-deterministic form.
+
+    Output: ``(keys…, bin, n, min_cents, max_cents, sum_cents)`` —
+    all exact integers. Dyadic ``n_bins`` (4/8/16) keeps the oracle's
+    float quantile probabilities exactly representable.
+    """
+    keys = list(key_cols)
+    probs = [(i, n_bins) for i in range(1, n_bins)]
+    cuts = exact_quantiles_hist(df, keys, value_col, probs, bin_width)
+    cut_arr = F.array(
+        *[F.col(f"q{i}_{n_bins}_cents") for i in range(1, n_bins)]
+    )
+    cframe = cuts.select(*keys, cut_arr.alias("_cuts"))
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    base = df.select(*keys, cents.alias("_cents"))
+    joined = base.join(F.broadcast(cframe), keys)
+    b = F.size(F.filter(F.col("_cuts"), lambda c: F.col("_cents") > c))
+    return (
+        joined.withColumn("bin", b.cast("long"))
+        .groupBy(*keys, "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_cents").alias("min_cents"),
+            F.max("_cents").alias("max_cents"),
+            F.sum("_cents").alias("sum_cents"),
+        )
+    )

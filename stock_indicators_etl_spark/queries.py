@@ -5005,6 +5005,44 @@ FROM stat
 
 
 # ---------------------------------------------------------------------------
+# equi-depth binning without a per-key sort (NTILE at scale)
+# ---------------------------------------------------------------------------
+
+
+def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth octile binning (``operators/stats.equidepth_bins``):
+    the scale-correct NTILE — cuts from the two-pass histogram
+    quantiles (no per-key sort anywhere), assignment a pure scan
+    expression, ties value-deterministic. The fix the
+    ``ntile_buckets`` scale note promises, as a first-class
+    operator."""
+    from stock_indicators_etl_spark.operators.stats import equidepth_bins
+
+    ev = _events(spark, sf_dir)
+    return equidepth_bins(ev, ("event_type",), "value", n_bins=8)
+
+
+SQL_EQUIDEPTH_BINS = """
+WITH eb AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+ebcuts AS (
+  SELECT event_type, [quantile_disc(c, 1/8), quantile_disc(c, 2/8), quantile_disc(c, 3/8), quantile_disc(c, 4/8), quantile_disc(c, 5/8), quantile_disc(c, 6/8), quantile_disc(c, 7/8)] AS cuts
+  FROM eb GROUP BY 1
+)
+SELECT eb.event_type,
+       CAST(len(list_filter(cuts, x -> c > x)) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       min(c) AS min_cents,
+       max(c) AS max_cents,
+       CAST(sum(c) AS BIGINT) AS sum_cents
+FROM eb JOIN ebcuts ON ebcuts.event_type = eb.event_type
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Welch two-sample t drift (parametric leg)
 # ---------------------------------------------------------------------------
 

@@ -774,3 +774,45 @@ def test_streaming_welch_drift_batch_parity(spark, tmp_path):
         assert float(last[k].dof) == batch[k]["dof"]
     assert float(last["x"].t_stat) < -3  # the planted x shift alarms
     assert abs(float(last["y"].t_stat)) < 3
+
+
+class TestEquidepthBins:
+    def test_near_equal_depths_no_ties(self, spark):
+        from stock_indicators_etl_spark.operators.stats import equidepth_bins
+
+        rows = [("k", float(i)) for i in range(80)]
+        df = spark.createDataFrame(rows, "key string, value double")
+        out = equidepth_bins(df, ("key",), "value", n_bins=8).collect()
+        depths = sorted((r["bin"], r["n"]) for r in out)
+        assert [d for _, d in depths] == [10] * 8
+        # bins partition the range in order
+        assert [b for b, _ in depths] == list(range(8))
+
+    def test_ties_share_a_bin(self, spark):
+        from stock_indicators_etl_spark.operators.stats import equidepth_bins
+
+        # one massive tie: every equal value lands in ONE bin
+        rows = [("k", 5.0)] * 50 + [("k", float(100 + i)) for i in range(30)]
+        df = spark.createDataFrame(rows, "key string, value double")
+        out = equidepth_bins(df, ("key",), "value", n_bins=4).collect()
+        tie_bins = [r for r in out if r["min_cents"] == 500]
+        assert len(tie_bins) == 1 and tie_bins[0]["n"] == 50
+
+    def test_no_sort_in_assignment_plan(self, spark):
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_plans import count_nodes, plan_of
+
+        from stock_indicators_etl_spark.operators.stats import equidepth_bins
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        plan = plan_of(equidepth_bins(ev, ("event_type",), "value"))
+        # every Sort/Window sits over a HISTOGRAM-BIN frame (one cum
+        # branch per cut in exact_quantiles_hist) — bounded by the
+        # value range / bin_width, never a corpus-row NTILE sort; the
+        # row-sized side of the plan (assignment) is scan + broadcast
+        # join + aggregate only
+        assert count_nodes(plan, "Sort") <= 7, plan
+        assert count_nodes(plan, "Window") <= 7, plan
+        assert count_nodes(plan, "SortMergeJoin") == 0, plan
