@@ -477,6 +477,21 @@ GOLDEN_FINGERPRINTS = {
     # r9b: NB scoring — tf shuffle + weight equi-join; the nl joins
     # are the three 1-row bounded crossJoins (total, fallback)
     "nb_classify": {"exchange": 13, "bexchange": 5, "bhj": 2, "smj": 1, "shj": 0, "python": 0, "nl": 3, "sort": 3},
+    # r9b: Welch t drift is ONE combinable aggregate over the union —
+    # the cheapest drift monitor's plan is the proof
+    "welch_drift": {"exchange": 1, "bexchange": 0, "bhj": 0, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 0},
+    # r9b: MI — one (x, y) cell shuffle + two CELL-frame marginal
+    # re-aggs (broadcast) + the bounded packed fold
+    "mutual_info": {"exchange": 7, "bexchange": 2, "bhj": 2, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 0},
+    # r9b: equi-depth cuts — every Sort/Window over histogram-BIN
+    # frames (7 cut branches), assignment a broadcast join + scan
+    "equidepth_bins": {"exchange": 24, "bexchange": 9, "bhj": 9, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 7},
+    # r9b: skew pre-flight — one key-count shuffle; everything after
+    # is KEY-frame-sized (rank window = the 1 sort; totals = the nl
+    # bounded crossJoins)
+    "skew_report": {"exchange": 7, "bexchange": 2, "bhj": 0, "smj": 0, "shj": 0, "python": 0, "nl": 2, "sort": 1},
+    # r9b: TPC-H Q5 — broadcast dim chain + the one big-big SMJ spine
+    "local_supplier_volume": {"exchange": 3, "bexchange": 4, "bhj": 4, "smj": 1, "shj": 0, "python": 0, "nl": 0, "sort": 2},
     "indicator_pipeline_grid": {"exchange": 6, "bexchange": 0, "bhj": 0, "smj": 0, "shj": 0, "python": 1, "nl": 0, "sort": 8},
     "pipeline_wilder": {"exchange": 6, "bexchange": 0, "bhj": 0, "smj": 0, "shj": 0, "python": 1, "nl": 0, "sort": 8},
     "corpus_prep": {"exchange": 3, "bexchange": 7, "bhj": 7, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 0},
