@@ -3819,8 +3819,10 @@ def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the window order carries an ``o_orderkey`` tie-break so equal
     totals land deterministically. Per-decile count + exact-cents sum
     + min/max boundaries. One global window over a BOUNDED sort —
-    fine here; at corpus scale the same binning comes from
-    ``approx_percentile`` range-partitioned cuts instead."""
+    fine here; the SCALE form is implemented as
+    ``operators/stats.equidepth_bins`` (r9b): histogram-quantile cuts
+    + scan-side assignment, no global sort, value-deterministic ties
+    — `equidepth_bins` in the harness, oracle-checked."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
