@@ -580,6 +580,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_heavy_hitters,
         q_pack_sequences,
         q_phash_neardup,
+        q_simhash_neardup,
         q_temperature_mix,
         q_tfidf_keywords,
         q_embedding_neardup_scaled,
@@ -705,6 +706,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_drift": q_welch_drift,
         "mutual_info": q_mutual_info,
         "equidepth_bins": q_equidepth_bins,
+        "simhash_neardup": q_simhash_neardup,
     }
     for name in ROTATED_OUT:
         if name in base:  # non-base rotated-out names are added above
@@ -801,6 +803,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_NEARDUP_BEST,
         SQL_PACK_SEQUENCES,
         SQL_PHASH_NEARDUP,
+        SQL_SIMHASH_NEARDUP,
         SQL_TEMPERATURE_MIX,
         SQL_PQ_TOPK,
         SQL_SPAN_DEDUP,
@@ -915,6 +918,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "welch_drift": SQL_WELCH_DRIFT,
         "mutual_info": SQL_MUTUAL_INFO,
         "equidepth_bins": SQL_EQUIDEPTH_BINS,
+        "simhash_neardup": SQL_SIMHASH_NEARDUP,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

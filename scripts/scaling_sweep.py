@@ -212,6 +212,7 @@ QUERIES = [
     "welch_drift",            # parametric mean-shift leg, one aggregate (extra)
     "mutual_info",            # categorical MI, ordered-fold cells (extra)
     "equidepth_bins",         # NTILE at scale: histogram cuts, scan assignment (extra)
+    "simhash_neardup",        # banded SimHash pairs, verify at the band join (extra)
 ]
 
 

@@ -851,6 +851,71 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     return sums.select("doc_id", fingerprint.alias("simhash"))
 
 
+def simhash_neardup(
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs from SimHash fingerprints via banded LSH — the
+    pair surface the fingerprint operator was always for (Charikar
+    2002 / Manku et al. 2007's dedup shape): split the 28-bit
+    fingerprint into ``bands`` windows, equi-join docs sharing any
+    window, verify Hamming distance AT the band join from the two
+    carried fingerprints (``bit_count(xor)`` — integer arithmetic,
+    nothing recomputed).
+
+    Pigeonhole guarantee: with 28/bands-bit windows, any pair within
+    Hamming ``bands − 1`` shares at least one intact window — so the
+    default (4 bands, max_hamming 3) has GUARANTEED recall, not
+    heuristic recall (the dhash_neardup story at word-feature grain).
+
+    Plan: one scan-local band explode (bands× rows of two BIGINTs),
+    one equi-join on (band_idx, band_value), DISTINCT to collapse
+    multi-band hits. Skew note: a degenerate band value shared by m
+    docs emits m²/2 candidate pairs — at corpus scale cap hot band
+    buckets exactly like :func:`minhash_lsh_candidates`'s
+    ``max_bucket_size`` (same failure mode, same knob shape).
+    """
+    from stock_indicators_etl_spark.llmdata.dedup import SIMHASH_BITS
+
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    banded = fingerprints.select(
+        F.col("doc_id"),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), k * width).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for k in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("_fa"),
+        "band_idx",
+        "band_val",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("_fb"),
+        "band_idx",
+        "band_val",
+    )
+    ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(ham <= max_hamming)
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination (n-gram containment)
 # ---------------------------------------------------------------------------

@@ -835,8 +835,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(_docs(spark, sf_dir))
 
 
-SQL_SIMHASH = f"""
-WITH {DOCS_CTE},
+_SIMHASH_CTES = f"""{DOCS_CTE},
 toks AS (SELECT DISTINCT doc_id, unnest(ws) AS w FROM wd),
 h AS (
   SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 7)) AS BIGINT) AS h FROM toks
@@ -848,12 +847,49 @@ s AS (
   SELECT doc_id, bit,
          sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
   FROM bits GROUP BY doc_id, bit
+),
+fpx AS (
+  SELECT doc_id,
+         -- CAST: DuckDB widens integer sum() to HUGEINT; Spark emits
+         -- BIGINT, and the driver hash sees the rendering (VERDICT r1 #2)
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+  FROM s GROUP BY doc_id
+)"""
+
+SQL_SIMHASH = f"""
+WITH {_SIMHASH_CTES}
+SELECT doc_id, simhash FROM fpx
+"""
+
+SH_ND_HAMMING = 3
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup pairs
+    (`llmdata.dedup.simhash_neardup`): 4×7-bit windows over the
+    28-bit fingerprints, Hamming verified at the band join —
+    GUARANTEED recall at distance ≤ 3 by pigeonhole (the fingerprint
+    operator's missing pair surface)."""
+    from stock_indicators_etl_spark.llmdata.dedup import simhash_neardup
+
+    fp = simhash_fingerprints(_docs(spark, sf_dir))
+    return simhash_neardup(fp, max_hamming=SH_ND_HAMMING)
+
+
+SQL_SIMHASH_NEARDUP = f"""
+WITH {_SIMHASH_CTES},
+shb AS (
+  SELECT doc_id, simhash, t.k AS band_idx,
+         (simhash >> (t.k * 7)) & 127 AS band_val
+  FROM fpx, range(4) t(k)
 )
-SELECT doc_id,
-       -- CAST: DuckDB widens integer sum() to HUGEINT; Spark emits
-       -- BIGINT, and the driver hash sees the rendering (VERDICT r1 #2)
-       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
-FROM s GROUP BY doc_id
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM shb a JOIN shb b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SH_ND_HAMMING}
 """
 
 # ---------------------------------------------------------------------------

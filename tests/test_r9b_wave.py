@@ -816,3 +816,54 @@ class TestEquidepthBins:
         assert count_nodes(plan, "Sort") <= 7, plan
         assert count_nodes(plan, "Window") <= 7, plan
         assert count_nodes(plan, "SortMergeJoin") == 0, plan
+
+
+class TestSimhashNeardup:
+    def _pairs(self, spark, rows, max_hamming=3):
+        from stock_indicators_etl_spark.llmdata.dedup import (
+            simhash_fingerprints,
+            simhash_neardup,
+        )
+
+        fp = simhash_fingerprints(_docs(spark, rows))
+        return simhash_neardup(fp, max_hamming=max_hamming).collect()
+
+    def test_identical_docs_pair_at_zero(self, spark):
+        t = "alpha beta gamma delta epsilon zeta eta theta"
+        out = self._pairs(spark, [(1, t), (2, t), (3, "totally different words here")])
+        assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in out] == [(1, 2, 0)]
+
+    def test_pigeonhole_guarantee_exhaustive(self, spark):
+        # every pair within hamming <= 3 MUST be emitted (4 bands of 7
+        # bits: <=3 flipped bits leave >=1 band intact) — verify against
+        # the brute-force all-pairs on real fingerprints
+        from stock_indicators_etl_spark.llmdata.dedup import (
+            simhash_fingerprints,
+            simhash_neardup,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(200)
+        fp = simhash_fingerprints(docs).collect()
+        want = set()
+        for i in range(len(fp)):
+            for j in range(i + 1, len(fp)):
+                a, b = fp[i], fp[j]
+                h = bin(a["simhash"] ^ b["simhash"]).count("1")
+                if h <= 3:
+                    key = (min(a["doc_id"], b["doc_id"]), max(a["doc_id"], b["doc_id"]))
+                    want.add(key)
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in simhash_neardup(
+                simhash_fingerprints(docs), max_hamming=3
+            ).collect()
+        }
+        assert want <= got or want == got
+        assert want == got  # at <=bands-1 the band join is EXACT, both ways
+
+    def test_threshold_respected(self, spark):
+        rows = [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "p q r s t u v w")]
+        out = self._pairs(spark, rows, max_hamming=0)
+        assert all(r["hamming"] == 0 for r in out)
