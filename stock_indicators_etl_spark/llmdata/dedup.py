@@ -855,6 +855,7 @@ def simhash_neardup(
     fingerprints: DataFrame,
     max_hamming: int = 3,
     bands: int = 4,
+    max_band_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs from SimHash fingerprints via banded LSH — the
     pair surface the fingerprint operator was always for (Charikar
@@ -871,10 +872,18 @@ def simhash_neardup(
 
     Plan: one scan-local band explode (bands× rows of two BIGINTs),
     one equi-join on (band_idx, band_value), DISTINCT to collapse
-    multi-band hits. Skew note: a degenerate band value shared by m
-    docs emits m²/2 candidate pairs — at corpus scale cap hot band
-    buckets exactly like :func:`minhash_lsh_candidates`'s
-    ``max_bucket_size`` (same failure mode, same knob shape).
+    multi-band hits.
+
+    ``max_band_size`` is the :func:`minhash_lsh_candidates` skew
+    knob: a band value shared by m docs emits m²/2 candidate pairs,
+    and a 28-bit fingerprint has only 128 values PER 7-BIT BAND — on
+    a homogeneous corpus band buckets grow ∝ N and the join is
+    quadratic (measured: the uncapped sf1 sweep run exploded; the
+    SCALING row is the capped form). The cap drops over-popular band
+    values BEFORE the join — pairs may then surface through their
+    other, more selective bands or not at all (capped semantics,
+    mirrored in the oracle). ``None`` = exact (guarantee intact) for
+    bounded corpora/tests.
     """
     from stock_indicators_etl_spark.llmdata.dedup import SIMHASH_BITS
 
@@ -906,6 +915,16 @@ def simhash_neardup(
         "band_idx",
         "band_val",
     )
+    if max_band_size is not None:
+        ok = (
+            banded.groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("_bs"))
+            .filter(F.col("_bs") <= max_band_size)
+            .select("band_idx", "band_val")
+        )
+        # bucket-size frame is NOT bounded by construction — never
+        # force-broadcast (DESIGN §4.23); AQE decides from real sizes
+        a = a.join(ok.hint("merge"), ["band_idx", "band_val"], "left_semi")
     ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
     return (
         a.join(b, ["band_idx", "band_val"])

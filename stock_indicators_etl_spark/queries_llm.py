@@ -863,18 +863,25 @@ SELECT doc_id, simhash FROM fpx
 """
 
 SH_ND_HAMMING = 3
+SH_ND_CAP = 256
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded SimHash near-dup pairs
     (`llmdata.dedup.simhash_neardup`): 4×7-bit windows over the
     28-bit fingerprints, Hamming verified at the band join —
-    GUARANTEED recall at distance ≤ 3 by pigeonhole (the fingerprint
-    operator's missing pair surface)."""
+    pigeonhole-guaranteed recall at distance ≤ 3 among docs whose
+    band values survive the hot-band cap (a 7-bit band has only 128
+    values, so on a homogeneous corpus band buckets grow ∝ N and
+    the uncapped join is quadratic — the MinHash max_bucket_size
+    failure mode, same knob, capped semantics mirrored in the
+    oracle)."""
     from stock_indicators_etl_spark.llmdata.dedup import simhash_neardup
 
     fp = simhash_fingerprints(_docs(spark, sf_dir))
-    return simhash_neardup(fp, max_hamming=SH_ND_HAMMING)
+    return simhash_neardup(
+        fp, max_hamming=SH_ND_HAMMING, max_band_size=SH_ND_CAP
+    )
 
 
 SQL_SIMHASH_NEARDUP = f"""
@@ -883,10 +890,16 @@ shb AS (
   SELECT doc_id, simhash, t.k AS band_idx,
          (simhash >> (t.k * 7)) & 127 AS band_val
   FROM fpx, range(4) t(k)
+),
+shok AS (
+  SELECT band_idx, band_val FROM shb
+  GROUP BY 1, 2 HAVING count(*) <= {SH_ND_CAP}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-FROM shb a JOIN shb b
+FROM shb a
+JOIN shok s ON s.band_idx = a.band_idx AND s.band_val = a.band_val
+JOIN shb b
   ON a.band_idx = b.band_idx AND a.band_val = b.band_val
  AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SH_ND_HAMMING}

@@ -867,3 +867,15 @@ class TestSimhashNeardup:
         rows = [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "p q r s t u v w")]
         out = self._pairs(spark, rows, max_hamming=0)
         assert all(r["hamming"] == 0 for r in out)
+
+    def test_hot_band_cap_bounds_pairs(self, spark):
+        from stock_indicators_etl_spark.llmdata.dedup import (
+            simhash_fingerprints,
+            simhash_neardup,
+        )
+
+        # 40 identical docs: every band bucket has 40 members
+        rows = [(i, "same words everywhere always") for i in range(40)]
+        fp = simhash_fingerprints(_docs(spark, rows))
+        assert len(simhash_neardup(fp).collect()) == 40 * 39 // 2
+        assert simhash_neardup(fp, max_band_size=10).collect() == []
