@@ -471,6 +471,15 @@ def _render(results: dict[str, list[float | None]]) -> str:
         "  quadratic (>30 min at sf1, vs seconds capped). Ubiquitous",
         "  fingerprints carry no overlap signal for a top-n report;",
         "  the cap is MOSS's stop-word treatment (oracle mirrored).",
+        "- `simhash_neardup`'s sweep row is the CAPPED form",
+        "  (max_band_size=256, oracle-mirrored): a 28-bit fingerprint",
+        "  has only 128 values per 7-bit band, so on a homogeneous",
+        "  corpus band buckets grow ~N/512 and the uncapped join is",
+        "  quadratic (the uncapped sf1 probe ran away; the MinHash",
+        "  max_bucket_size failure mode). The production answer for",
+        "  corpora where the cap bites is a WIDER fingerprint —",
+        "  64-bit simhash gives 16-bit bands — traded here for the",
+        "  28-bit md5-prefix portability convention the oracle needs.",
         "- `allpairs_join`'s sf1 exponent is CANDIDATE growth, not a",
         "  plan bug: at t=0.5 on this fixture (tiny ~40-word",
         "  vocabulary, ' repN' replica markers) the prefix filter's",
