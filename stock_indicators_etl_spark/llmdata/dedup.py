@@ -885,8 +885,6 @@ def simhash_neardup(
     mirrored in the oracle). ``None`` = exact (guarantee intact) for
     bounded corpora/tests.
     """
-    from stock_indicators_etl_spark.llmdata.dedup import SIMHASH_BITS
-
     width = SIMHASH_BITS // bands
     mask = (1 << width) - 1
     banded = fingerprints.select(
