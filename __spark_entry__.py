@@ -564,6 +564,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_dsir_auc,
         q_dsir_calibration,
         q_dsir_select,
+        q_dup_fraction,
         q_dup_span_audit,
         q_gopher_rules,
         q_fuzzy_join,
@@ -707,6 +708,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info": q_mutual_info,
         "equidepth_bins": q_equidepth_bins,
         "simhash_neardup": q_simhash_neardup,
+        "dup_fraction": q_dup_fraction,
     }
     for name in ROTATED_OUT:
         if name in base:  # non-base rotated-out names are added above
@@ -783,6 +785,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_DSIR_AUC,
         SQL_DSIR_CALIBRATION,
         SQL_DSIR_SELECT,
+        SQL_DUP_FRACTION,
         SQL_DUP_SPAN_AUDIT,
         SQL_GOPHER_RULES,
         SQL_EMBEDDING_NEARDUP_SCALED,
@@ -919,6 +922,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "mutual_info": SQL_MUTUAL_INFO,
         "equidepth_bins": SQL_EQUIDEPTH_BINS,
         "simhash_neardup": SQL_SIMHASH_NEARDUP,
+        "dup_fraction": SQL_DUP_FRACTION,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

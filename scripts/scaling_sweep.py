@@ -213,6 +213,7 @@ QUERIES = [
     "mutual_info",            # categorical MI, ordered-fold cells (extra)
     "equidepth_bins",         # NTILE at scale: histogram cuts, scan assignment (extra)
     "simhash_neardup",        # banded SimHash pairs, verify at the band join (extra)
+    "dup_fraction",           # per-doc duplication scalar, one df shuffle (extra)
 ]
 
 

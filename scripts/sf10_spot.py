@@ -62,6 +62,7 @@ QUERIES = [
     "line_dedup",
     "containment_join",
     "nb_classify",
+    "simhash_neardup",
 ]
 
 

@@ -933,6 +933,60 @@ def simhash_neardup(
     )
 
 
+def dup_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+) -> DataFrame:
+    """Per-document duplication fraction — the selection-friendly
+    SCALAR form of the duplicated-span measurements (Lee et al. 2022
+    headline the distribution of exactly this number): the fraction
+    of a doc's distinct word k-grams whose corpus document frequency
+    exceeds 1. A data-selection pass thresholds or down-weights on
+    it directly, where :func:`dup_span_audit` reports offsets for
+    inspection.
+
+    Plan: distinct (doc, gram-hash) stream → ONE combinable count
+    per hash for doc frequency → LEFT join of the duplicated-hash
+    set back (merge-pinned — the set is corpus-derived, never
+    force-broadcast; AQE re-broadcasts when genuinely small) → one
+    per-doc combinable aggregate. ``dup_frac`` is one IEEE division
+    of exact integers; empty/short docs report 0 grams and NULL
+    fraction.
+    """
+    grams = (
+        word_shingles(df, text_col, k, distinct=False)
+        .select("doc_id", _h56(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > 1)
+        .select("h", F.lit(True).alias("_dup"))
+    )
+    per_doc = (
+        grams.join(dup.hint("merge"), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("_dup"), 1)).alias("n_dup"),
+        )
+    )
+    frac = F.col("n_dup").cast("double") / F.col("n_grams").cast("double")
+    r6 = F.floor(frac * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        df.select(F.col("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup"),
+            F.when(F.coalesce("n_grams", F.lit(0)) > 0, r6).alias("dup_frac"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination (n-gram containment)
 # ---------------------------------------------------------------------------

@@ -4603,6 +4603,59 @@ FROM mif
 
 
 # ---------------------------------------------------------------------------
+# per-doc duplication fraction
+# ---------------------------------------------------------------------------
+
+DUPFRAC_K = 4
+
+
+def q_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplication fraction (`llmdata.dedup.dup_fraction`):
+    the fraction of each doc's distinct word 4-grams that appear in
+    another document — the selection-friendly scalar behind the Lee
+    et al. duplication measurements (threshold/down-weight on it
+    directly; `dup_span_audit` is the offset-level view)."""
+    from stock_indicators_etl_spark.llmdata.dedup import dup_fraction
+
+    return dup_fraction(_docs(spark, sf_dir), k=DUPFRAC_K)
+
+
+SQL_DUP_FRACTION = f"""
+WITH {DOCS_CTE},
+dfg AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+      unnest(CASE WHEN len(ws) < {DUPFRAC_K} THEN [array_to_string(ws, ' ')]
+        ELSE list_transform(generate_series(0, len(ws) - {DUPFRAC_K}),
+          i -> array_to_string(list_slice(ws, i + 1, i + {DUPFRAC_K}), ' '))
+        END) AS g
+    FROM wd)
+  WHERE length(g) > 0
+),
+dfh AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(g), 1, 14)) AS BIGINT) AS h
+  FROM dfg
+),
+dfd AS (SELECT h FROM dfh GROUP BY h HAVING count(*) > 1),
+dfp AS (
+  SELECT dfh.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(dfd.h) AS BIGINT) AS n_dup
+  FROM dfh LEFT JOIN dfd ON dfd.h = dfh.h
+  GROUP BY dfh.doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_grams, 0) AS n_grams,
+       coalesce(n_dup, 0) AS n_dup,
+       CASE WHEN coalesce(n_grams, 0) > 0
+            THEN {R6("CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE)")}
+       END AS dup_frac
+FROM documents d LEFT JOIN dfp ON dfp.doc_id = d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Gopher quality rule gate (Rae et al. 2021)
 # ---------------------------------------------------------------------------
 

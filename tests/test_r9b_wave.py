@@ -879,3 +879,44 @@ class TestSimhashNeardup:
         fp = simhash_fingerprints(_docs(spark, rows))
         assert len(simhash_neardup(fp).collect()) == 40 * 39 // 2
         assert simhash_neardup(fp, max_band_size=10).collect() == []
+
+
+class TestDupFraction:
+    def test_replica_vs_unique(self, spark):
+        from stock_indicators_etl_spark.llmdata.dedup import dup_fraction
+
+        shared = " ".join(f"s{i}" for i in range(10))
+        docs = _docs(
+            spark,
+            [
+                (1, shared),                      # full replica of 2
+                (2, shared),
+                (3, " ".join(f"u{i}" for i in range(10))),  # unique
+            ],
+        )
+        out = {r["doc_id"]: r for r in dup_fraction(docs, k=4).collect()}
+        assert out[1]["dup_frac"] == 1.0 and out[2]["dup_frac"] == 1.0
+        assert out[3]["dup_frac"] == 0.0
+        assert out[3]["n_grams"] == 7  # 10 words, k=4 → 7 grams
+
+    def test_partial_overlap_fraction(self, spark):
+        from stock_indicators_etl_spark.llmdata.dedup import dup_fraction
+
+        # doc 1: 8 words; doc 2 shares its first 4-gram only
+        docs = _docs(
+            spark,
+            [
+                (1, "a b c d e f g h"),
+                (2, "a b c d x y z w"),
+            ],
+        )
+        out = {r["doc_id"]: r for r in dup_fraction(docs, k=4).collect()}
+        assert out[1]["n_grams"] == 5 and out[1]["n_dup"] == 1
+        assert abs(out[1]["dup_frac"] - 0.2) < 1e-9
+
+    def test_empty_doc_null_fraction(self, spark):
+        from stock_indicators_etl_spark.llmdata.dedup import dup_fraction
+
+        docs = _docs(spark, [(1, ""), (2, "alpha beta gamma delta")])
+        out = {r["doc_id"]: r for r in dup_fraction(docs).collect()}
+        assert out[1]["n_grams"] == 0 and out[1]["dup_frac"] is None
