@@ -597,6 +597,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_vocab_index,
         q_weighted_sample,
         q_winnow_matches,
+        q_zipf_fit,
     )
 
     base = dict(QUERIES)
@@ -709,6 +710,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_bins": q_equidepth_bins,
         "simhash_neardup": q_simhash_neardup,
         "dup_fraction": q_dup_fraction,
+        "zipf_fit": q_zipf_fit,
     }
     for name in ROTATED_OUT:
         if name in base:  # non-base rotated-out names are added above
@@ -818,6 +820,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_VOCAB_INDEX,
         SQL_WEIGHTED_SAMPLE,
         SQL_WINNOW_MATCHES,
+        SQL_ZIPF_FIT,
     )
 
     o = {
@@ -923,6 +926,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "equidepth_bins": SQL_EQUIDEPTH_BINS,
         "simhash_neardup": SQL_SIMHASH_NEARDUP,
         "dup_fraction": SQL_DUP_FRACTION,
+        "zipf_fit": SQL_ZIPF_FIT,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -214,6 +214,7 @@ QUERIES = [
     "equidepth_bins",         # NTILE at scale: histogram cuts, scan assignment (extra)
     "simhash_neardup",        # banded SimHash pairs, verify at the band join (extra)
     "dup_fraction",           # per-doc duplication scalar, one df shuffle (extra)
+    "zipf_fit",               # vocab rank-frequency OLS, micro-nat logs (extra)
 ]
 
 

@@ -4656,6 +4656,85 @@ FROM documents d LEFT JOIN dfp ON dfp.doc_id = d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Zipf rank-frequency fit (corpus profiling)
+# ---------------------------------------------------------------------------
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf law fit (corpus-profiling composition): OLS of
+    ``ln(count) ~ ln(rank)`` over the vocabulary's rank-frequency
+    table — slope ≈ −1 on natural language; a corpus whose slope
+    collapses toward 0 is template spam, one diving below −1.5 is
+    vocabulary-starved. Pure operator REUSE: the vocab count is the
+    vocab_index shuffle, the rank window is VOCABULARY-bounded, both
+    logs quantize to integer micro-nats (the dsir convention) and
+    feed `operators/stats.ols_by_key` unchanged — its exact
+    DECIMAL(38,0) sums + fixed IEEE tail make even r engine-exact."""
+    from stock_indicators_etl_spark.llmdata.text import words
+    from stock_indicators_etl_spark.operators.stats import ols_by_key
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    vocab = (
+        docs.select(F.explode(words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wr = Window.orderBy(F.col("c").desc(), F.col("w").asc())
+    ranked = vocab.withColumn("rank", F.row_number().over(wr))
+    unats = lambda col: F.floor(F.log(col.cast("double")) * 1e6 + F.lit(0.5)).cast("long")  # noqa: E731
+    frame = ranked.select(
+        F.lit("corpus").alias("zkey"),
+        unats(F.col("rank")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    return ols_by_key(frame, "zkey", "x", "y", y_scale=1_000_000)
+
+
+SQL_ZIPF_FIT = f"""
+WITH {DOCS_CTE},
+zv AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(ws) AS w FROM wd) GROUP BY 1
+),
+zr AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rank FROM zv
+),
+zq AS (
+  SELECT 'corpus' AS zkey,
+         CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS y
+  FROM zr
+),
+zs AS (
+  SELECT zkey, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+  FROM zq GROUP BY zkey
+)
+SELECT zkey, n,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS slope,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+            THEN (CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) END AS intercept,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS r
+FROM zs
+"""
+
+
+# ---------------------------------------------------------------------------
 # Gopher quality rule gate (Rae et al. 2021)
 # ---------------------------------------------------------------------------
 

@@ -920,3 +920,36 @@ class TestDupFraction:
         docs = _docs(spark, [(1, ""), (2, "alpha beta gamma delta")])
         out = {r["doc_id"]: r for r in dup_fraction(docs).collect()}
         assert out[1]["n_grams"] == 0 and out[1]["dup_frac"] is None
+
+
+def test_zipf_fit_slope_on_synthetic_zipf(spark):
+    """zipf_fit recovers the exponent of a planted rank-frequency
+    law: counts c_r = floor(3000/r) give ln c ≈ ln 3000 − 1·ln r —
+    slope ≈ −1 in micro-nat units (slope is y-unats per x-unat, so
+    the ratio is dimensionless)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from stock_indicators_etl_spark.queries_llm import q_zipf_fit
+    import pandas as pd
+
+    # synthesize docs whose vocab follows Zipf exactly: word w_r
+    # appears floor(3000/r) times, r = 1..60
+    rows, doc_id = [], 0
+    words_stream = []
+    for r in range(1, 61):
+        words_stream += [f"w{r:03d}"] * (3000 // r)
+    # chunk into docs of 200 words
+    for i in range(0, len(words_stream), 200):
+        rows.append((doc_id, " ".join(words_stream[i : i + 200])))
+        doc_id += 1
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            os.path.join(td, "documents.parquet")
+        )
+        out = q_zipf_fit(spark, td).collect()[0]
+    assert out["n"] == 60
+    assert -1.05 < out["slope"] < -0.95
+    assert out["r"] < -0.99  # near-perfect log-log line
