@@ -148,3 +148,63 @@ class TestForwardBackward:
         )
 
         assert _forward_backward("xyz", {"a": 0.0}, 1) == {}
+
+
+class TestUnigramOnStream:
+    def test_encode_runs_unchanged_on_readstream(self, spark, tmp_path):
+        """unigram_encode is scan-shaped (mapInPandas with a bounded
+        static vocab in the closure, no shuffle), so the SAME
+        operator runs on a readStream frame — the
+        perceptron_score/blocklist deployment shape for tokenizer
+        serving."""
+        from stock_indicators_etl_spark.llmdata.unigram_lm import (
+            train_unigram_lm,
+            unigram_encode,
+        )
+
+        docs = _docs(spark, CORPUS)
+        vocab = train_unigram_lm(docs, vocab_size=40, n_rounds=2)
+        src = str(tmp_path / "udocs")
+        docs.write.parquet(src)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        out = unigram_encode(stream, vocab)
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory")
+            .queryName("uni_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["doc_id"]: r["tokens"]
+            for r in spark.sql("select * from uni_stream").collect()
+        }
+        want = {
+            r["doc_id"]: r["tokens"]
+            for r in unigram_encode(docs, vocab).collect()
+        }
+        assert got == want
+
+
+def test_tokenizer_training_example(spark):
+    """examples/tokenizer_training.py end-to-end on sf0.001: both
+    trainers run on the same corpus, every language gets a fertility
+    row, and both tokenizers compress (fertility ≥ 1 token/word by
+    construction, and finite)."""
+    import sys
+
+    sys.path.insert(0, "examples")
+    from tokenizer_training import tokenizer_report
+
+    rep = tokenizer_report(
+        spark, "/root/testdata/sf0.001", vocab_size=48, n_merges=8
+    ).collect()
+    langs = {r["lang"] for r in rep}
+    assert langs == {"en", "de", "es", "fr", "zh"}
+    for r in rep:
+        assert r["n_words"] > 0
+        assert r["bpe_fertility_ppm"] >= 1_000_000  # >= 1 token per word
+        assert r["uni_fertility_ppm"] >= 1_000_000
+        assert r["uni_tokens"] > 0 and r["bpe_tokens"] > 0
