@@ -527,6 +527,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_equidepth_bins,
         q_ks_drift,
         q_skew_report,
+        q_target_encode,
         q_welch_drift,
         q_local_supplier_volume,
         q_retention,
@@ -711,6 +712,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "dup_fraction": q_dup_fraction,
         "zipf_fit": q_zipf_fit,
+        "target_encode": q_target_encode,
     }
     for name in ROTATED_OUT:
         if name in base:  # non-base rotated-out names are added above
@@ -730,6 +732,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_EQUIDEPTH_BINS,
         SQL_KS_DRIFT,
         SQL_SKEW_REPORT,
+        SQL_TARGET_ENCODE,
         SQL_WELCH_DRIFT,
         SQL_LOCAL_SUPPLIER_VOLUME,
         SQL_OBV,
@@ -927,6 +930,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "simhash_neardup": SQL_SIMHASH_NEARDUP,
         "dup_fraction": SQL_DUP_FRACTION,
         "zipf_fit": SQL_ZIPF_FIT,
+        "target_encode": SQL_TARGET_ENCODE,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

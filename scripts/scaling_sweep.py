@@ -215,6 +215,7 @@ QUERIES = [
     "simhash_neardup",        # banded SimHash pairs, verify at the band join (extra)
     "dup_fraction",           # per-doc duplication scalar, one df shuffle (extra)
     "zipf_fit",               # vocab rank-frequency OLS, micro-nat logs (extra)
+    "target_encode",          # LOO mean encoding, scan-side expression (extra)
 ]
 
 

@@ -950,3 +950,51 @@ def equidepth_bins(
             F.sum("_cents").alias("sum_cents"),
         )
     )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: int = 20,
+    y_scale: int = 100,
+) -> DataFrame:
+    """Leakage-safe LEAVE-ONE-OUT target encoding of a categorical
+    column — the classic high-cardinality feature-prep op done the
+    only way that doesn't leak the row's own label into its feature:
+    each row's encoding is ``(Σy_cat − y_row + m·ȳ) / (n_cat − 1 + m)``
+    (category sum EXCLUDING the row, shrunk toward the global mean by
+    ``smoothing = m`` pseudo-observations). Naive per-category means
+    leak; LOO + smoothing is the production form.
+
+    Exactness: targets quantize to integer ``1/y_scale`` units; the
+    per-category Σ and n and the global Σ are exact BIGINTs; each
+    row's encoding is ONE fixed IEEE expression over those integers
+    (two multiplies, two adds, one division) — engine-exact, then
+    6dp-quantized for the report. Singleton categories (n = 1) fall
+    back to the smoothed prior alone (their LOO set is empty).
+
+    Plan: one combinable category aggregate + a 1-row global
+    aggregate, both broadcast back onto the SCAN — the base table is
+    never shuffled; the encoding is a scan expression. Output: the
+    input rows' keys + ``(n_cat, te)``.
+    """
+    y = F.floor(F.col(target_col) * y_scale + F.lit(0.5)).cast("long")
+    base = df.withColumn("_y", y)
+    per_cat = base.groupBy(cat_col).agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_s")
+    )
+    glob = base.agg(
+        F.count(F.lit(1)).alias("_gn"), F.sum("_y").alias("_gs")
+    )
+    j = base.join(F.broadcast(per_cat), cat_col).crossJoin(F.broadcast(glob))
+    m = F.lit(float(smoothing))
+    gmean = F.col("_gs").cast("double") / F.col("_gn").cast("double")
+    num = (F.col("_s") - F.col("_y")).cast("double") + m * gmean
+    den = (F.col("_n") - F.lit(1)).cast("double") + m
+    te = F.floor(num / den * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return j.select(
+        *df.columns,
+        F.col("_n").cast("long").alias("n_cat"),
+        te.alias("te"),
+    )

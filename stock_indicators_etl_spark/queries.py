@@ -5045,6 +5045,55 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# leakage-safe leave-one-out target encoding
+# ---------------------------------------------------------------------------
+
+TE_SMOOTHING = 20
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOO target encoding (``operators/stats.target_encode_loo``) of
+    the high-cardinality customer key by order total: each order's
+    feature is its customer's smoothed mean total EXCLUDING itself —
+    the leakage-safe production form of mean encoding. Exact BIGINT
+    sums broadcast onto the scan; the encoding is a scan expression,
+    the base table never shuffles."""
+    from stock_indicators_etl_spark.operators.stats import target_encode_loo
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return target_encode_loo(
+        o, "o_custkey", "o_totalprice", smoothing=TE_SMOOTHING
+    )
+
+
+SQL_TARGET_ENCODE = f"""
+WITH teb AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+  FROM orders
+),
+tec AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS s
+  FROM teb GROUP BY 1
+),
+teg AS (
+  SELECT CAST(count(*) AS BIGINT) AS gn, CAST(sum(y) AS BIGINT) AS gs
+  FROM teb
+)
+SELECT b.o_orderkey, b.o_custkey, b.o_totalprice,
+       c.n AS n_cat,
+       floor((CAST(c.s - b.y AS DOUBLE)
+              + {float(TE_SMOOTHING)} * (CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE)))
+             / (CAST(c.n - 1 AS DOUBLE) + {float(TE_SMOOTHING)})
+             * 1000000 + 0.5) / 1000000 AS te
+FROM teb b JOIN tec c ON c.o_custkey = b.o_custkey CROSS JOIN teg
+"""
+
+
+# ---------------------------------------------------------------------------
 # Welch two-sample t drift (parametric leg)
 # ---------------------------------------------------------------------------
 

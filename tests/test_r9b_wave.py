@@ -953,3 +953,69 @@ def test_zipf_fit_slope_on_synthetic_zipf(spark):
     assert out["n"] == 60
     assert -1.05 < out["slope"] < -0.95
     assert out["r"] < -0.99  # near-perfect log-log line
+
+
+class TestTargetEncodeLoo:
+    def test_known_answer_loo(self, spark):
+        from stock_indicators_etl_spark.operators.stats import target_encode_loo
+
+        rows = [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)]
+        df = spark.createDataFrame(rows, "id long, cat string, y double")
+        out = {
+            r["id"]: r
+            for r in target_encode_loo(df, "cat", "y", smoothing=2).collect()
+        }
+        gmean = (1000 + 2000 + 3000) / 3  # cents
+        # row 1: category sum minus itself = 2000; n-1 = 1
+        want1 = (2000 + 2 * gmean) / (1 + 2)
+        assert abs(out[1]["te"] - round(want1, 4)) < 1e-6 or abs(
+            out[1]["te"] - want1
+        ) < 1e-4
+        # row 3 is a singleton: pure smoothed prior
+        want3 = (0 + 2 * gmean) / (0 + 2)
+        assert abs(out[3]["te"] - want3) < 1e-4
+        assert out[3]["n_cat"] == 1
+
+    def test_own_label_excluded(self, spark):
+        from stock_indicators_etl_spark.operators.stats import target_encode_loo
+
+        # two categories with same composition; bump ONE row's target:
+        # its own te must move only via the GLOBAL mean, its
+        # category-mate's te moves via the category sum
+        base = [(1, "a", 10.0), (2, "a", 10.0), (3, "b", 10.0), (4, "b", 10.0)]
+        bumped = [(1, "a", 110.0), (2, "a", 10.0), (3, "b", 10.0), (4, "b", 10.0)]
+        s = "id long, cat string, y double"
+        te0 = {
+            r["id"]: r["te"]
+            for r in target_encode_loo(
+                spark.createDataFrame(base, s), "cat", "y", smoothing=0
+            ).collect()
+        }
+        te1 = {
+            r["id"]: r["te"]
+            for r in target_encode_loo(
+                spark.createDataFrame(bumped, s), "cat", "y", smoothing=0
+            ).collect()
+        }
+        # smoothing=0: row 1's LOO encoding is exactly its mate's y —
+        # unchanged by its OWN bump (the no-leak property)
+        assert te1[1] == te0[1] == 1000.0
+        # but its mate row 2 sees the bump
+        assert te1[2] == 11000.0 and te0[2] == 1000.0
+
+    def test_base_table_not_shuffled(self, spark):
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_plans import count_nodes, plan_of
+
+        from stock_indicators_etl_spark.operators.stats import target_encode_loo
+
+        o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        plan = plan_of(target_encode_loo(o, "o_custkey", "o_totalprice"))
+        # the only exchanges feed the two broadcast aggregates; the
+        # encoding itself is scan + broadcast joins
+        assert count_nodes(plan, "SortMergeJoin") == 0, plan
+        assert count_nodes(plan, "Sort") == 0, plan
