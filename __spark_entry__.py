@@ -528,6 +528,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_ks_drift,
         q_skew_report,
         q_target_encode,
+        q_temporal_split,
         q_welch_drift,
         q_local_supplier_volume,
         q_retention,
@@ -713,6 +714,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_fraction": q_dup_fraction,
         "zipf_fit": q_zipf_fit,
         "target_encode": q_target_encode,
+        "temporal_split": q_temporal_split,
     }
     for name in ROTATED_OUT:
         if name in base:  # non-base rotated-out names are added above
@@ -733,6 +735,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_KS_DRIFT,
         SQL_SKEW_REPORT,
         SQL_TARGET_ENCODE,
+        SQL_TEMPORAL_SPLIT,
         SQL_WELCH_DRIFT,
         SQL_LOCAL_SUPPLIER_VOLUME,
         SQL_OBV,
@@ -931,6 +934,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "dup_fraction": SQL_DUP_FRACTION,
         "zipf_fit": SQL_ZIPF_FIT,
         "target_encode": SQL_TARGET_ENCODE,
+        "temporal_split": SQL_TEMPORAL_SPLIT,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -216,6 +216,7 @@ QUERIES = [
     "dup_fraction",           # per-doc duplication scalar, one df shuffle (extra)
     "zipf_fit",               # vocab rank-frequency OLS, micro-nat logs (extra)
     "target_encode",          # LOO mean encoding, scan-side expression (extra)
+    "temporal_split",         # purged time split + audit counts (extra)
 ]
 
 

@@ -351,3 +351,37 @@ def temperature_mix(
         .filter(_id_hash56(F.col(id_col)) < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_ns_col: str,
+    train_end_ns: int,
+    embargo_ns: int = 0,
+) -> DataFrame:
+    """Purged time-based train/test split — the temporal counterpart
+    of :func:`leakage_safe_split` (which guards CONTENT leakage via
+    dedup components; this guards TEMPORAL leakage): rows strictly
+    before ``train_end_ns`` are ``train``; rows inside the embargo
+    window ``[train_end, train_end + embargo)`` are tagged
+    ``embargo`` and DROPPED from both sides (autocorrelated
+    features straddling the boundary would leak future information
+    into training — the purged-split rule from financial ML); the
+    rest are ``test``.
+
+    Integer-ns comparisons only (floats would ulp-flip rows at the
+    boundary), a PURE SCAN — zero shuffles, runs unchanged on a
+    stream, and the split is stable under corpus growth (a row's tag
+    is a function of its own timestamp alone).
+
+    Output: the input rows + ``split`` ∈ {train, embargo, test}.
+    """
+    ts = F.col(ts_ns_col).cast("long")
+    split = (
+        F.when(ts < F.lit(int(train_end_ns)), F.lit("train"))
+        .when(
+            ts < F.lit(int(train_end_ns) + int(embargo_ns)), F.lit("embargo")
+        )
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)

@@ -5094,6 +5094,58 @@ FROM teb b JOIN tec c ON c.o_custkey = b.o_custkey CROSS JOIN teg
 
 
 # ---------------------------------------------------------------------------
+# purged temporal split (embargo window)
+# ---------------------------------------------------------------------------
+
+SPLIT_EMBARGO_DAYS = 2
+
+
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged time-based split (``llmdata/sampling.temporal_split``):
+    train strictly before the boundary day, a 2-day embargo dropped
+    from both sides (autocorrelated features straddling the boundary
+    leak future information into training — the financial-ML purged
+    rule), test after. Per event type, exact counts + cents sums per
+    split — the audit a temporal-split run publishes. Integer-ns
+    comparisons, pure scan + one combinable aggregate."""
+    from stock_indicators_etl_spark.llmdata.sampling import temporal_split
+
+    ev = _events(spark, sf_dir)
+    out = temporal_split(
+        ev,
+        "ns",
+        train_end_ns=DRIFT_SPLIT_DAY * _DAY_NS,
+        embargo_ns=SPLIT_EMBARGO_DAYS * _DAY_NS,
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (
+        out.select("event_type", "split", cents.alias("_c"))
+        .groupBy("event_type", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_c").alias("sum_cents"),
+        )
+    )
+
+
+SQL_TEMPORAL_SPLIT = f"""
+WITH tsp AS (
+  SELECT event_type,
+         CASE WHEN epoch_ns(ts) < {DRIFT_SPLIT_DAY} * {_DAY_NS} THEN 'train'
+              WHEN epoch_ns(ts) < ({DRIFT_SPLIT_DAY} + {SPLIT_EMBARGO_DAYS})
+                                  * {_DAY_NS} THEN 'embargo'
+              ELSE 'test' END AS split,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+)
+SELECT event_type, split,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(c) AS BIGINT) AS sum_cents
+FROM tsp GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Welch two-sample t drift (parametric leg)
 # ---------------------------------------------------------------------------
 

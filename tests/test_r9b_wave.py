@@ -1019,3 +1019,42 @@ class TestTargetEncodeLoo:
         # encoding itself is scan + broadcast joins
         assert count_nodes(plan, "SortMergeJoin") == 0, plan
         assert count_nodes(plan, "Sort") == 0, plan
+
+
+class TestTemporalSplit:
+    def test_boundary_and_embargo_tags(self, spark):
+        from stock_indicators_etl_spark.llmdata.sampling import temporal_split
+
+        rows = [(i, i * 100) for i in range(10)]
+        df = spark.createDataFrame(rows, "id long, ns long")
+        out = {
+            r["id"]: r["split"]
+            for r in temporal_split(df, "ns", train_end_ns=500, embargo_ns=200).collect()
+        }
+        assert out[4] == "train"       # 400 < 500
+        assert out[5] == "embargo"     # 500 in [500, 700)
+        assert out[6] == "embargo"     # 600
+        assert out[7] == "test"        # 700 >= 700
+        assert out[0] == "train" and out[9] == "test"
+
+    def test_zero_embargo_two_way(self, spark):
+        from stock_indicators_etl_spark.llmdata.sampling import temporal_split
+
+        df = spark.createDataFrame([(1, 10), (2, 20)], "id long, ns long")
+        tags = {
+            r["split"]
+            for r in temporal_split(df, "ns", train_end_ns=15).collect()
+        }
+        assert tags == {"train", "test"}
+
+    def test_pure_scan(self, spark):
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_plans import count_nodes, plan_of
+
+        from stock_indicators_etl_spark.llmdata.sampling import temporal_split
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        plan = plan_of(temporal_split(ev, "event_id", 100, 10))
+        assert count_nodes(plan, "Exchange") == 0, plan
