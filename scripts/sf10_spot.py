@@ -63,6 +63,7 @@ QUERIES = [
     "containment_join",
     "nb_classify",
     "simhash_neardup",
+    "dup_fraction",
 ]
 
 

@@ -492,6 +492,20 @@ GOLDEN_FINGERPRINTS = {
     "skew_report": {"exchange": 7, "bexchange": 2, "bhj": 0, "smj": 0, "shj": 0, "python": 0, "nl": 2, "sort": 1},
     # r9b: TPC-H Q5 — broadcast dim chain + the one big-big SMJ spine
     "local_supplier_volume": {"exchange": 3, "bexchange": 4, "bhj": 4, "smj": 1, "shj": 0, "python": 0, "nl": 0, "sort": 2},
+    # r9b: duplication scalar — one doc-freq shuffle, merge-pinned
+    # left join (the smj), per-doc agg + restore join
+    "dup_fraction": {"exchange": 7, "bexchange": 1, "bhj": 1, "smj": 1, "shj": 0, "python": 0, "nl": 0, "sort": 2},
+    # r9b: Zipf fit — vocab count shuffle + the vocabulary-bounded
+    # rank window (the 1 sort) feeding ols_by_key's one aggregate
+    "zipf_fit": {"exchange": 2, "bexchange": 0, "bhj": 0, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 1},
+    # r9b: LOO target encoding — category + 1-row global aggregates
+    # broadcast onto the scan; the base table never shuffles
+    "target_encode": {"exchange": 2, "bexchange": 2, "bhj": 1, "smj": 0, "shj": 0, "python": 0, "nl": 1, "sort": 0},
+    # r9b: purged split audit — pure scan + ONE combinable aggregate
+    "temporal_split": {"exchange": 1, "bexchange": 0, "bhj": 0, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 0},
+    # r9b: banded SimHash pairs — fingerprint shuffle + capped band
+    # join (merge-pinned ok-semi = the smj) + DISTINCT
+    "simhash_neardup": {"exchange": 9, "bexchange": 1, "bhj": 1, "smj": 1, "shj": 0, "python": 0, "nl": 0, "sort": 2},
     "indicator_pipeline_grid": {"exchange": 6, "bexchange": 0, "bhj": 0, "smj": 0, "shj": 0, "python": 1, "nl": 0, "sort": 8},
     "pipeline_wilder": {"exchange": 6, "bexchange": 0, "bhj": 0, "smj": 0, "shj": 0, "python": 1, "nl": 0, "sort": 8},
     "corpus_prep": {"exchange": 3, "bexchange": 7, "bhj": 7, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 0},
