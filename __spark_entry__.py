@@ -522,9 +522,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_sales_cube,
         q_asof_join,
         q_attribution,
+        q_column_profile,
         q_funnel,
         q_interval_join,
         q_equidepth_bins,
+        q_json_props,
         q_ks_drift,
         q_skew_report,
         q_target_encode,
@@ -715,6 +717,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "target_encode": q_target_encode,
         "temporal_split": q_temporal_split,
+        "json_props": q_json_props,
+        "column_profile": q_column_profile,
     }
     for name in ROTATED_OUT:
         if name in base:  # non-base rotated-out names are added above
@@ -732,6 +736,8 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_FUNNEL,
         SQL_INTERVAL_JOIN,
         SQL_EQUIDEPTH_BINS,
+        SQL_COLUMN_PROFILE,
+        SQL_JSON_PROPS,
         SQL_KS_DRIFT,
         SQL_SKEW_REPORT,
         SQL_TARGET_ENCODE,
@@ -935,6 +941,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "zipf_fit": SQL_ZIPF_FIT,
         "target_encode": SQL_TARGET_ENCODE,
         "temporal_split": SQL_TEMPORAL_SPLIT,
+        "json_props": SQL_JSON_PROPS,
+        "column_profile": SQL_COLUMN_PROFILE,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

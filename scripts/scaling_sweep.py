@@ -217,6 +217,8 @@ QUERIES = [
     "zipf_fit",               # vocab rank-frequency OLS, micro-nat logs (extra)
     "target_encode",          # LOO mean encoding, scan-side expression (extra)
     "temporal_split",         # purged time split + audit counts (extra)
+    "json_props",             # schema'd from_json parse + per-type agg (extra)
+    "column_profile",         # one-pass unpivot profiler (extra)
 ]
 
 

@@ -472,3 +472,64 @@ def skew_report(
         gini.cast("long").alias("gini_ppm"),
     )
     return top_rows.unionByName(summary)
+
+
+def column_profile(
+    df: DataFrame,
+    cols: tuple[str, ...],
+    top_n: int = 5,
+) -> DataFrame:
+    """One-pass column profiler — per column the row count, null
+    count, distinct count and the ``top_n`` most frequent values:
+    the first look a data engineer takes at an unknown table, and
+    the ops artifact a pipeline publishes next to a new dataset.
+
+    Plan: ONE ``stack`` unpivot (N columns → N rows per input row,
+    scan-local) + one combinable (column, value) count; everything
+    after — the per-column top window, the distinct/null summary —
+    operates on the VALUE-COUNT frame, bounded by Σ per-column
+    cardinalities, never the table. Adding a column adds an unpivot
+    arm, not a scan. Values profile as strings (the display form);
+    NULLs are counted per column, not ranked.
+
+    Output rows: ``kind='top'`` (col, rank, value, n) and one
+    ``kind='summary'`` per column (n_rows, n_null, n_distinct).
+    """
+    from pyspark.sql.window import Window
+
+    n_rows = df.count()  # one cheap count job; reused as a literal
+    arms = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    unpiv = df.selectExpr(f"stack({len(cols)}, {arms}) AS (col, val)")
+    counts = (
+        unpiv.filter(F.col("val").isNotNull())
+        .groupBy("col", "val")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("col").orderBy(F.col("n").desc(), F.col("val").asc())
+    top = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            F.lit("top").alias("kind"),
+            "col",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("val").alias("value"),
+            F.col("n").cast("long").alias("n"),
+            F.lit(None).cast("long").alias("n_rows"),
+            F.lit(None).cast("long").alias("n_null"),
+            F.lit(None).cast("long").alias("n_distinct"),
+        )
+    )
+    summary = counts.groupBy("col").agg(
+        F.sum("n").alias("_nn"), F.count(F.lit(1)).alias("_nd")
+    ).select(
+        F.lit("summary").alias("kind"),
+        "col",
+        F.lit(None).cast("long").alias("rank"),
+        F.lit(None).cast("string").alias("value"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(int(n_rows)).alias("n_rows"),
+        (F.lit(int(n_rows)) - F.col("_nn")).cast("long").alias("n_null"),
+        F.col("_nd").cast("long").alias("n_distinct"),
+    )
+    return top.unionByName(summary)

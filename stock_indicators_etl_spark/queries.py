@@ -5094,6 +5094,107 @@ FROM teb b JOIN tec c ON c.o_custkey = b.o_custkey CROSS JOIN teg
 
 
 # ---------------------------------------------------------------------------
+# semi-structured JSON property parsing
+# ---------------------------------------------------------------------------
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema'd semi-structured parsing (the production JSON column
+    pattern): ``from_json`` with an EXPLICIT schema — one parse pass,
+    no schema inference scan, malformed rows become NULL structs
+    counted as a QA column instead of killing the batch — then a
+    combinable per-type aggregate over the extracted integer. The
+    `events.props` column is the testdata's semi-structured payload."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    parsed = ev.withColumn("_p", F.from_json(F.col("props"), "k BIGINT"))
+    k = F.col("_p.k")
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k.isNull().cast("long")).alias("n_unparsed"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN json_extract(props, '$.k') IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_unparsed,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# one-pass column profiler
+# ---------------------------------------------------------------------------
+
+PROFILE_TOP_N = 3
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler (``operators/dq.column_profile``):
+    per column the row/null/distinct counts and the top-3 most
+    frequent values — the first thing a data engineer asks of an
+    unknown table, as ONE unpivot + one combinable (column, value)
+    count instead of N separate scans."""
+    from stock_indicators_etl_spark.operators.dq import column_profile
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return column_profile(
+        o, ("o_orderstatus", "o_orderpriority", "o_custkey"), top_n=PROFILE_TOP_N
+    )
+
+
+SQL_COLUMN_PROFILE = f"""
+WITH cpv AS (
+  SELECT col, val FROM (
+    SELECT unnest(['o_orderstatus', 'o_orderpriority', 'o_custkey']) AS col,
+           unnest([CAST(o_orderstatus AS VARCHAR),
+                   CAST(o_orderpriority AS VARCHAR),
+                   CAST(o_custkey AS VARCHAR)]) AS val
+    FROM orders)
+),
+cpc AS (
+  SELECT col, val, CAST(count(*) AS BIGINT) AS n
+  FROM cpv WHERE val IS NOT NULL GROUP BY 1, 2
+),
+cptop AS (
+  SELECT 'top' AS kind, col,
+         CAST(row_number() OVER (PARTITION BY col
+                                 ORDER BY n DESC, val ASC) AS BIGINT) AS rank,
+         val AS value, n,
+         CAST(NULL AS BIGINT) AS n_rows,
+         CAST(NULL AS BIGINT) AS n_null,
+         CAST(NULL AS BIGINT) AS n_distinct
+  FROM cpc
+  QUALIFY rank <= {PROFILE_TOP_N}
+),
+cpsum AS (
+  SELECT 'summary' AS kind, col,
+         CAST(NULL AS BIGINT) AS rank,
+         CAST(NULL AS VARCHAR) AS value,
+         CAST(NULL AS BIGINT) AS n,
+         (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+         (SELECT CAST(count(*) AS BIGINT) FROM orders) - CAST(sum(n) AS BIGINT)
+           AS n_null,
+         CAST(count(*) AS BIGINT) AS n_distinct
+  FROM cpc GROUP BY col
+)
+SELECT * FROM cptop
+UNION ALL
+SELECT * FROM cpsum
+"""
+
+
+# ---------------------------------------------------------------------------
 # purged temporal split (embargo window)
 # ---------------------------------------------------------------------------
 

@@ -1058,3 +1058,45 @@ class TestTemporalSplit:
         ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
         plan = plan_of(temporal_split(ev, "event_id", 100, 10))
         assert count_nodes(plan, "Exchange") == 0, plan
+
+
+class TestColumnProfile:
+    def test_counts_and_top_values(self, spark):
+        from stock_indicators_etl_spark.operators.dq import column_profile
+
+        rows = [
+            ("a", 1), ("a", 1), ("a", 2), ("b", None), ("b", 3), (None, 3)
+        ]
+        df = spark.createDataFrame(rows, "s string, x int")
+        out = column_profile(df, ("s", "x"), top_n=2).collect()
+        summ = {r["col"]: r for r in out if r["kind"] == "summary"}
+        assert summ["s"]["n_rows"] == 6 and summ["s"]["n_null"] == 1
+        assert summ["s"]["n_distinct"] == 2
+        assert summ["x"]["n_null"] == 1 and summ["x"]["n_distinct"] == 3
+        top_s = sorted(
+            ((r["rank"], r["value"], r["n"]) for r in out
+             if r["kind"] == "top" and r["col"] == "s")
+        )
+        assert top_s[0] == (1, "a", 3) and top_s[1] == (2, "b", 2)
+
+    def test_top_n_bound(self, spark):
+        from stock_indicators_etl_spark.operators.dq import column_profile
+
+        df = spark.createDataFrame([(i % 7,) for i in range(70)], "v int")
+        out = [r for r in column_profile(df, ("v",), top_n=3).collect()
+               if r["kind"] == "top"]
+        assert len(out) == 3
+
+
+def test_json_props_parse(spark):
+    from stock_indicators_etl_spark.queries import q_json_props
+    import json
+
+    out = q_json_props(spark, "/root/testdata/sf0.001").collect()
+    assert all(r["n_unparsed"] == 0 for r in out)  # testdata is clean JSON
+    # cross-check one type against a driver-side parse
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").collect()
+    want = sum(
+        json.loads(r["props"])["k"] for r in ev if r["event_type"] == out[0]["event_type"]
+    )
+    assert out[0]["sum_k"] == want
