@@ -284,6 +284,11 @@ def sample_avi_frames(
             rows = []
             for mid, payload in zip(b["media_id"], b["payload"]):
                 frames, usec = decode_avi(bytes(payload))
+                if not frames:
+                    # structurally valid AVI whose movi list holds
+                    # zero frame chunks — nothing to sample; skip the
+                    # media row rather than index frames[0]
+                    continue
                 ms_per = max(usec // 1000, 1)
                 total = ms_per * len(frames)
                 picked = []

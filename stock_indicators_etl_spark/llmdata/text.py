@@ -648,7 +648,10 @@ def blocklist_filter(
 
     Matching is on normalized whitespace tokens (exact word hits, the
     C4 convention — substring matching would flag "scrapbook" for
-    "rap"). ``matched_terms`` is built by filtering the TERM literal
+    "rap"). Because ``words()`` lowercases the document side, the
+    blocklist is normalized with the SAME convention
+    (``lower().strip()``, blanks and duplicates dropped) so a
+    miscurated mixed-case list cannot silently never-match. ``matched_terms`` is built by filtering the TERM literal
     against the doc's token array — deterministic blocklist order,
     then sorted — rather than ``array_intersect`` (whose result order
     is engine-internal). Per-doc cost is O(tokens · terms) array
@@ -659,7 +662,11 @@ def blocklist_filter(
     counts occurrences (not distinct terms), ``keep`` is the C4 drop
     decision (no hits).
     """
-    lit_terms = F.array(*[F.lit(t) for t in terms])
+    # words() lowercases tokens, so an uppercase blocklist entry can
+    # NEVER match — normalize terms to the same convention (and drop
+    # blank/duplicate entries) instead of silently weakening the gate
+    norm = tuple(dict.fromkeys(t.lower().strip() for t in terms if t.strip()))
+    lit_terms = F.array(*[F.lit(t) for t in norm])
     # no spread(): this is a per-row gate with NO fan-out (explode),
     # so scan parallelism is already the right parallelism — the plan
     # stays a zero-Exchange scan+project (asserted in tests)

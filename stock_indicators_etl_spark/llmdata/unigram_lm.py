@@ -225,6 +225,7 @@ def train_unigram_lm(
                 T.StructField("ec_micro", T.LongType()),
             ]
         )
+        last_ec: dict = {}  # n_rounds=0 → seed vocab with zero counts
         for _ in range(n_rounds):
             cur = dict(logp)  # closure snapshot for this round
 
@@ -274,9 +275,13 @@ def train_unigram_lm(
             logp,
             key=lambda p: (-(last_ec.get(p, 0)), p),
         )
-        final = [p for p in keep if len(p) > 1][: max(vocab_size - 0, 0)]
+        final = [p for p in keep if len(p) > 1]
         singles = [p for p in logp if len(p) == 1]
-        vocab = sorted(set(final[: vocab_size - len(singles)]) | set(singles))
+        # singles are never dropped (coverage); clamp the multi-char
+        # budget at 0 so singles > vocab_size cannot flip the slice
+        # negative and keep all-but-last-N pieces
+        n_multi = max(vocab_size - len(singles), 0)
+        vocab = sorted(set(final[:n_multi]) | set(singles))
         return pd.DataFrame(
             {
                 "piece": vocab,
@@ -315,7 +320,7 @@ def unigram_encode(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
-            for doc_id, text in zip(b["doc_id"], b["text"]):
+            for doc_id, text in zip(b["doc_id"], b[text_col]):
                 toks: list[str] = []
                 for word in str(text).lower().split():
                     toks += _viterbi(word, logp, max_len)

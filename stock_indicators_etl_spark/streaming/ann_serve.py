@@ -58,14 +58,19 @@ def streaming_multiprobe_topk(
     :func:`..llmdata.similarity.multiprobe_lsh_index` frame (persist
     it or read it from parquet — it is scanned per micro-batch);
     ``probe_stream`` is any streaming DataFrame with (``id_col``,
-    ``vec_col``). Results are appended to ``results_path`` as parquet
-    ``(qid, rk, nbr_id, cosine)`` — append is idempotent-safe here
-    because a replayed micro-batch rewrites the same deterministic
-    rows (the operator is a pure function of the probe batch and the
-    static index).
+    ``vec_col``). Results land at ``results_path`` as parquet
+    ``(qid, rk, nbr_id, cosine)`` partitioned by ``batch_id``,
+    written with :func:`.sink.write_batch_idempotent` — a
+    checkpoint-replayed micro-batch dynamically OVERWRITES its own
+    ``batch_id`` partition (same deterministic rows, pure function of
+    probe batch + static index), so the sink is exactly-once, not
+    at-least-once append.
     """
     from stock_indicators_etl_spark.llmdata.similarity import (
         multiprobe_lsh_probe,
+    )
+    from stock_indicators_etl_spark.streaming.sink import (
+        write_batch_idempotent,
     )
 
     def _serve(batch_df: DataFrame, batch_id: int) -> None:
@@ -81,7 +86,7 @@ def streaming_multiprobe_topk(
             vec_col=vec_col,
             id_col=id_col,
         )
-        out.write.mode("append").parquet(results_path)
+        write_batch_idempotent(out, results_path, batch_id)
 
     writer = (
         probe_stream.writeStream.foreachBatch(_serve)

@@ -45,12 +45,17 @@ def streaming_dsir_score(
     ``StreamingQuery``. ``model`` is a prebuilt
     :func:`..llmdata.dsir.dsir_model` frame (persist it or read it
     from parquet); ``doc_stream`` is any streaming DataFrame with
-    (``doc_id``, ``text_col``). Results are appended to
-    ``results_path`` as parquet ``(doc_id, n_grams, w_unats)`` —
-    append is idempotent-safe because a replayed micro-batch rewrites
-    the same deterministic rows (pure function of batch + static
-    model)."""
+    (``doc_id``, ``text_col``). Results land at ``results_path`` as
+    parquet ``(doc_id, n_grams, w_unats)`` partitioned by
+    ``batch_id``, written with :func:`.sink.write_batch_idempotent` —
+    a checkpoint-replayed micro-batch dynamically OVERWRITES its own
+    ``batch_id`` partition (same deterministic rows, pure function of
+    batch + static model), so the sink is exactly-once, not
+    at-least-once append."""
     from stock_indicators_etl_spark.llmdata.dsir import dsir_score
+    from stock_indicators_etl_spark.streaming.sink import (
+        write_batch_idempotent,
+    )
 
     def _score(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -58,7 +63,7 @@ def streaming_dsir_score(
         out = dsir_score(
             batch_df, model, text_col=text_col, n_buckets=n_buckets
         )
-        out.write.mode("append").parquet(results_path)
+        write_batch_idempotent(out, results_path, batch_id)
 
     writer = (
         doc_stream.writeStream.foreachBatch(_score)

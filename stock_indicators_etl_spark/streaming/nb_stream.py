@@ -49,12 +49,17 @@ def streaming_nb_classify(
     :func:`..llmdata.classifier.nb_train` model (persist the frames —
     they are re-read per micro-batch, never re-trained);
     ``doc_stream`` is any streaming DataFrame with (``doc_id``,
-    ``label_col``, ``text_col``). Predictions are appended to
-    ``results_path`` as parquet ``(doc_id, actual, predicted, score,
-    correct)`` — append is idempotent-safe because a replayed
-    micro-batch rewrites the same deterministic rows (pure function
-    of batch + static model)."""
+    ``label_col``, ``text_col``). Predictions land at ``results_path``
+    as parquet ``(doc_id, actual, predicted, score, correct)``
+    partitioned by ``batch_id``, written with
+    :func:`.sink.write_batch_idempotent` — a checkpoint-replayed
+    micro-batch dynamically OVERWRITES its own ``batch_id`` partition
+    (same deterministic rows, pure function of batch + static model),
+    so the sink is exactly-once, not at-least-once append."""
     from stock_indicators_etl_spark.llmdata.classifier import nb_score
+    from stock_indicators_etl_spark.streaming.sink import (
+        write_batch_idempotent,
+    )
 
     def _classify(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -67,7 +72,7 @@ def streaming_nb_classify(
             label_col=label_col,
             text_col=text_col,
         )
-        out.write.mode("append").parquet(results_path)
+        write_batch_idempotent(out, results_path, batch_id)
 
     writer = (
         doc_stream.writeStream.foreachBatch(_classify)
