@@ -182,6 +182,12 @@ ROTATED_OUT = (
     "neardup_components",
     "neardup_survivors",
     "ivf_topk",
+    # r10 rotation: long-stable base entry out for the r9/r9b wave
+    # (the other nine r10 outgoing — mad_outliers, triangles,
+    # kmv_distinct, kmv_overlap, rrf_fusion, bigram_surprisal, cusum,
+    # histogram_drift, exact_quantiles — were rotated-in names, so
+    # they simply moved back to the extras dict below)
+    "dedup_exact",
 )
 ROTATED_IN = (
     # r5 rotation (funnel/retention/asof_join/interval_join rotated
@@ -205,29 +211,25 @@ ROTATED_IN = (
     "ols_by_key",
     "cluster_keywords",
     "semantic_neardup_scaled",
-    # ...r7b: this session's new operator families
+    # ...r7b: this session's new operator families (mad_outliers /
+    # triangles / rrf_fusion / bigram_surprisal rotated back OUT in
+    # r10 — extras keep them bit-exact)
     "cdc_merge",
-    "mad_outliers",
-    "triangles",
-    "rrf_fusion",
     "mix_domains",
-    "bigram_surprisal",
     # ...r7c: distinct sketches, graph communities/cores, int8 ANN,
-    # robust rolling stats into the hard signal
-    "kmv_distinct",
-    "kmv_overlap",
+    # robust rolling stats into the hard signal (kmv_distinct /
+    # kmv_overlap rotated back OUT in r10)
     "kcore",
     "label_prop",
     "sq_topk",
     "rolling_robust",
     # ...r7d: CUSUM closed form, JL-projection ANN, IVF×SQ, drift,
     # correlation matrix, exact quantiles into the hard signal
-    "cusum",
+    # (cusum / histogram_drift / exact_quantiles rotated back OUT in
+    # r10)
     "rp_topk",
     "ivfsq_topk",
-    "histogram_drift",
     "corr_matrix",
-    "exact_quantiles",
     # ...r7e: the newest composite operators into the hard signal
     # (dedup_eval rotated back OUT in r9: the exact-truth harness is
     # the sf0.01-tier check; the SAMPLED form below is the production
@@ -258,6 +260,20 @@ ROTATED_IN = (
     "bloom_join",
     "benford_check",
     "dedup_eval_sampled",
+    # ...r10: the strongest r9/r9b newcomers into the hard signal —
+    # SimHash near-dup, winnowing (MOSS), benchmark decontamination,
+    # DSIR selection, containment join, modularity, Naive Bayes,
+    # purged temporal split, LOO target encoding, one-pass profiler
+    "simhash_neardup",
+    "winnow_matches",
+    "decontaminate",
+    "dsir_select",
+    "containment_join",
+    "modularity",
+    "nb_classify",
+    "temporal_split",
+    "target_encode",
+    "column_profile",
 )
 
 
@@ -268,47 +284,48 @@ def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         q_bloom_join,
         q_bollinger,
         q_cdc_merge,
+        q_column_profile,
         q_corr_matrix,
-        q_cusum,
         q_drawdown,
         q_pit_join,
         q_dq_check,
-        q_exact_quantiles,
-        q_histogram_drift,
         q_kl_drift,
-        q_mad_outliers,
         q_ols_by_key,
         q_rolling_beta,
         q_rolling_robust,
+        q_target_encode,
+        q_temporal_split,
     )
     from stock_indicators_etl_spark.queries_llm import (
         q_abtt,
         q_allpairs_join,
         q_ann_eval,
-        q_bigram_surprisal,
         q_bpe_encode,
+        q_containment_join,
         q_contrastive_pairs,
+        q_decontaminate,
         q_dedup_eval_sampled,
+        q_dsir_select,
         q_ivfsq_topk,
         q_rp_topk,
         q_kcore,
-        q_kmv_distinct,
-        q_kmv_overlap,
         q_knn_label,
         q_label_prop,
         q_link_predict,
+        q_modularity,
         q_multiprobe_lsh,
+        q_nb_classify,
         q_pca_power,
         q_perceptron,
+        q_simhash_neardup,
         q_sq_topk,
         q_canonicalize,
         q_cluster_keywords,
         q_dedup_incremental,
         q_mix_domains,
         q_pagerank,
-        q_rrf_fusion,
         q_semantic_neardup_scaled,
-        q_triangles,
+        q_winnow_matches,
     )
 
     return {
@@ -320,23 +337,14 @@ def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "cluster_keywords": q_cluster_keywords,
         "semantic_neardup_scaled": q_semantic_neardup_scaled,
         "cdc_merge": q_cdc_merge,
-        "mad_outliers": q_mad_outliers,
-        "triangles": q_triangles,
-        "rrf_fusion": q_rrf_fusion,
         "mix_domains": q_mix_domains,
-        "bigram_surprisal": q_bigram_surprisal,
-        "kmv_distinct": q_kmv_distinct,
-        "kmv_overlap": q_kmv_overlap,
         "kcore": q_kcore,
         "label_prop": q_label_prop,
         "sq_topk": q_sq_topk,
         "rolling_robust": q_rolling_robust,
-        "cusum": q_cusum,
         "rp_topk": q_rp_topk,
         "ivfsq_topk": q_ivfsq_topk,
-        "histogram_drift": q_histogram_drift,
         "corr_matrix": q_corr_matrix,
-        "exact_quantiles": q_exact_quantiles,
         "pit_join": q_pit_join,
         "agg_delta": q_agg_delta,
         "allpairs_join": q_allpairs_join,
@@ -356,6 +364,16 @@ def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "bloom_join": q_bloom_join,
         "benford_check": q_benford_check,
         "dedup_eval_sampled": q_dedup_eval_sampled,
+        "simhash_neardup": q_simhash_neardup,
+        "winnow_matches": q_winnow_matches,
+        "decontaminate": q_decontaminate,
+        "dsir_select": q_dsir_select,
+        "containment_join": q_containment_join,
+        "modularity": q_modularity,
+        "nb_classify": q_nb_classify,
+        "temporal_split": q_temporal_split,
+        "target_encode": q_target_encode,
+        "column_profile": q_column_profile,
     }
 
 
@@ -366,47 +384,48 @@ def _rotated_in_oracles() -> dict[str, str]:
         SQL_BLOOM_JOIN,
         SQL_BOLLINGER,
         SQL_CDC_MERGE,
+        SQL_COLUMN_PROFILE,
         SQL_CORR_MATRIX,
-        SQL_CUSUM,
         SQL_DRAWDOWN,
         SQL_PIT_JOIN,
         SQL_DQ_CHECK,
-        SQL_EXACT_QUANTILES,
-        SQL_HISTOGRAM_DRIFT,
         SQL_KL_DRIFT,
-        SQL_MAD_OUTLIERS,
         SQL_OLS_BY_KEY,
         SQL_ROLLING_BETA,
         SQL_ROLLING_ROBUST,
+        SQL_TARGET_ENCODE,
+        SQL_TEMPORAL_SPLIT,
     )
     from stock_indicators_etl_spark.queries_llm import (
         SQL_ABTT,
         SQL_ALLPAIRS_JOIN,
         SQL_ANN_EVAL,
-        SQL_BIGRAM_SURPRISAL,
         SQL_BPE_ENCODE,
+        SQL_CONTAINMENT_JOIN,
         SQL_CONTRASTIVE_PAIRS,
+        SQL_DECONTAMINATE,
         SQL_DEDUP_EVAL_SAMPLED,
+        SQL_DSIR_SELECT,
         SQL_IVFSQ_TOPK,
         SQL_RP_TOPK,
         SQL_KCORE,
-        SQL_KMV_DISTINCT,
-        SQL_KMV_OVERLAP,
         SQL_KNN_LABEL,
         SQL_LABEL_PROP,
         SQL_LINK_PREDICT,
+        SQL_MODULARITY,
         SQL_MULTIPROBE_LSH,
+        SQL_NB_CLASSIFY,
         SQL_PCA_POWER,
         SQL_PERCEPTRON,
+        SQL_SIMHASH_NEARDUP,
         SQL_SQ_TOPK,
         SQL_CANONICALIZE,
         SQL_CLUSTER_KEYWORDS,
         SQL_DEDUP_INCREMENTAL,
         SQL_MIX_DOMAINS,
         SQL_PAGERANK,
-        SQL_RRF_FUSION,
         SQL_SEMANTIC_NEARDUP_SCALED,
-        SQL_TRIANGLES,
+        SQL_WINNOW_MATCHES,
     )
 
     return {
@@ -418,23 +437,14 @@ def _rotated_in_oracles() -> dict[str, str]:
         "cluster_keywords": SQL_CLUSTER_KEYWORDS,
         "semantic_neardup_scaled": SQL_SEMANTIC_NEARDUP_SCALED,
         "cdc_merge": SQL_CDC_MERGE,
-        "mad_outliers": SQL_MAD_OUTLIERS,
-        "triangles": SQL_TRIANGLES,
-        "rrf_fusion": SQL_RRF_FUSION,
         "mix_domains": SQL_MIX_DOMAINS,
-        "bigram_surprisal": SQL_BIGRAM_SURPRISAL,
-        "kmv_distinct": SQL_KMV_DISTINCT,
-        "kmv_overlap": SQL_KMV_OVERLAP,
         "kcore": SQL_KCORE,
         "label_prop": SQL_LABEL_PROP,
         "sq_topk": SQL_SQ_TOPK,
         "rolling_robust": SQL_ROLLING_ROBUST,
-        "cusum": SQL_CUSUM,
         "rp_topk": SQL_RP_TOPK,
         "ivfsq_topk": SQL_IVFSQ_TOPK,
-        "histogram_drift": SQL_HISTOGRAM_DRIFT,
         "corr_matrix": SQL_CORR_MATRIX,
-        "exact_quantiles": SQL_EXACT_QUANTILES,
         "pit_join": SQL_PIT_JOIN,
         "agg_delta": SQL_AGG_DELTA,
         "allpairs_join": SQL_ALLPAIRS_JOIN,
@@ -454,6 +464,16 @@ def _rotated_in_oracles() -> dict[str, str]:
         "bloom_join": SQL_BLOOM_JOIN,
         "benford_check": SQL_BENFORD_CHECK,
         "dedup_eval_sampled": SQL_DEDUP_EVAL_SAMPLED,
+        "simhash_neardup": SQL_SIMHASH_NEARDUP,
+        "winnow_matches": SQL_WINNOW_MATCHES,
+        "decontaminate": SQL_DECONTAMINATE,
+        "dsir_select": SQL_DSIR_SELECT,
+        "containment_join": SQL_CONTAINMENT_JOIN,
+        "modularity": SQL_MODULARITY,
+        "nb_classify": SQL_NB_CLASSIFY,
+        "temporal_split": SQL_TEMPORAL_SPLIT,
+        "target_encode": SQL_TARGET_ENCODE,
+        "column_profile": SQL_COLUMN_PROFILE,
     }
 
 
@@ -522,15 +542,16 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_sales_cube,
         q_asof_join,
         q_attribution,
-        q_column_profile,
+        q_cusum,
+        q_exact_quantiles,
         q_funnel,
+        q_histogram_drift,
         q_interval_join,
         q_equidepth_bins,
         q_json_props,
         q_ks_drift,
+        q_mad_outliers,
         q_skew_report,
-        q_target_encode,
-        q_temporal_split,
         q_welch_drift,
         q_local_supplier_volume,
         q_retention,
@@ -562,32 +583,31 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_chunk_documents,
         q_collocations,
         q_curation_funnel,
+        q_bigram_surprisal,
         q_cms_freq,
-        q_decontaminate,
         q_dedup_eval,
         q_dsir_auc,
         q_dsir_calibration,
-        q_dsir_select,
         q_dup_fraction,
         q_dup_span_audit,
         q_gopher_rules,
         q_fuzzy_join,
         q_ivfpq_topk,
-        q_containment_join,
+        q_kmv_distinct,
+        q_kmv_overlap,
         q_leakage_split,
         q_line_dedup,
-        q_modularity,
         q_mutual_info,
-        q_nb_classify,
         q_blocklist,
         q_pq_topk,
+        q_rrf_fusion,
         q_span_dedup,
         q_heavy_hitters,
         q_pack_sequences,
         q_phash_neardup,
-        q_simhash_neardup,
         q_temperature_mix,
         q_tfidf_keywords,
+        q_triangles,
         q_embedding_neardup_scaled,
         q_frequent_ngrams,
         q_hll_distinct,
@@ -689,36 +709,40 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": q_ivfpq_topk,
         "scd2_history": q_scd2_history,
         "dedup_eval": q_dedup_eval,
-        # r9 new operators
-        "winnow_matches": q_winnow_matches,
-        "decontaminate": q_decontaminate,
-        "dsir_select": q_dsir_select,
+        # r9 new operators (winnow_matches / decontaminate /
+        # dsir_select / simhash_neardup rotated IN in r10)
         "gopher_rules": q_gopher_rules,
         "dup_span_audit": q_dup_span_audit,
         "cms_freq": q_cms_freq,
         "phash_neardup": q_phash_neardup,
         "temperature_mix": q_temperature_mix,
-        # r9b new operators
+        # r9b new operators (modularity / nb_classify /
+        # containment_join / temporal_split / target_encode /
+        # column_profile rotated IN in r10)
         "ks_drift": q_ks_drift,
         "local_supplier_volume": q_local_supplier_volume,
-        "modularity": q_modularity,
         "line_dedup": q_line_dedup,
         "blocklist": q_blocklist,
-        "nb_classify": q_nb_classify,
-        "containment_join": q_containment_join,
         "dsir_auc": q_dsir_auc,
         "dsir_calibration": q_dsir_calibration,
         "skew_report": q_skew_report,
         "welch_drift": q_welch_drift,
         "mutual_info": q_mutual_info,
         "equidepth_bins": q_equidepth_bins,
-        "simhash_neardup": q_simhash_neardup,
         "dup_fraction": q_dup_fraction,
         "zipf_fit": q_zipf_fit,
-        "target_encode": q_target_encode,
-        "temporal_split": q_temporal_split,
         "json_props": q_json_props,
-        "column_profile": q_column_profile,
+        # r10 rotation: formerly rotated-in names back to extras
+        # (dedup_exact re-enters via the ROTATED_OUT base loop below)
+        "mad_outliers": q_mad_outliers,
+        "triangles": q_triangles,
+        "kmv_distinct": q_kmv_distinct,
+        "kmv_overlap": q_kmv_overlap,
+        "rrf_fusion": q_rrf_fusion,
+        "bigram_surprisal": q_bigram_surprisal,
+        "cusum": q_cusum,
+        "histogram_drift": q_histogram_drift,
+        "exact_quantiles": q_exact_quantiles,
     }
     for name in ROTATED_OUT:
         if name in base:  # non-base rotated-out names are added above
@@ -732,16 +756,17 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_ASOF_JOIN,
         SQL_ATTRIBUTION,
         SQL_CMO_WILDER,
+        SQL_CUSUM,
+        SQL_EXACT_QUANTILES,
         SQL_FORECAST_REVENUE,
         SQL_FUNNEL,
+        SQL_HISTOGRAM_DRIFT,
         SQL_INTERVAL_JOIN,
         SQL_EQUIDEPTH_BINS,
-        SQL_COLUMN_PROFILE,
         SQL_JSON_PROPS,
         SQL_KS_DRIFT,
+        SQL_MAD_OUTLIERS,
         SQL_SKEW_REPORT,
-        SQL_TARGET_ENCODE,
-        SQL_TEMPORAL_SPLIT,
         SQL_WELCH_DRIFT,
         SQL_LOCAL_SUPPLIER_VOLUME,
         SQL_OBV,
@@ -787,6 +812,7 @@ def extra_oracle_sql() -> dict[str, str]:
     )
     from stock_indicators_etl_spark.queries_llm import (
         SQL_AUDIO_STATS,
+        SQL_BIGRAM_SURPRISAL,
         SQL_BPE_MERGES,
         SQL_BALANCED_SAMPLE,
         SQL_BM25_TOPK,
@@ -794,11 +820,9 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_COLLOCATIONS,
         SQL_CURATION_FUNNEL,
         SQL_CMS_FREQ,
-        SQL_DECONTAMINATE,
         SQL_DEDUP_EVAL,
         SQL_DSIR_AUC,
         SQL_DSIR_CALIBRATION,
-        SQL_DSIR_SELECT,
         SQL_DUP_FRACTION,
         SQL_DUP_SPAN_AUDIT,
         SQL_GOPHER_RULES,
@@ -809,29 +833,28 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_HLL_DISTINCT,
         SQL_IVFPQ_TOPK,
         SQL_KMEANS,
-        SQL_CONTAINMENT_JOIN,
+        SQL_KMV_DISTINCT,
+        SQL_KMV_OVERLAP,
         SQL_LEAKAGE_SPLIT,
         SQL_LENGTH_QUANTILES,
         SQL_LINE_DEDUP,
-        SQL_MODULARITY,
         SQL_MUTUAL_INFO,
-        SQL_NB_CLASSIFY,
         SQL_BLOCKLIST,
         SQL_NEARDUP_BEST,
         SQL_PACK_SEQUENCES,
         SQL_PHASH_NEARDUP,
-        SQL_SIMHASH_NEARDUP,
         SQL_TEMPERATURE_MIX,
         SQL_PQ_TOPK,
+        SQL_RRF_FUSION,
         SQL_SPAN_DEDUP,
         SQL_TFIDF_KEYWORDS,
+        SQL_TRIANGLES,
         SQL_READABILITY,
         SQL_SEMANTIC_NEARDUP,
         SQL_SUBSTR_DEDUP,
         SQL_UNIGRAM_SURPRISAL,
         SQL_VOCAB_INDEX,
         SQL_WEIGHTED_SAMPLE,
-        SQL_WINNOW_MATCHES,
         SQL_ZIPF_FIT,
     )
 
@@ -913,36 +936,36 @@ def extra_oracle_sql() -> dict[str, str]:
         "ivfpq_topk": SQL_IVFPQ_TOPK,
         "scd2_history": SQL_SCD2_HISTORY,
         "dedup_eval": SQL_DEDUP_EVAL,
-        # r9 new operators
-        "winnow_matches": SQL_WINNOW_MATCHES,
-        "decontaminate": SQL_DECONTAMINATE,
-        "dsir_select": SQL_DSIR_SELECT,
+        # r9 new operators (four rotated IN in r10)
         "gopher_rules": SQL_GOPHER_RULES,
         "dup_span_audit": SQL_DUP_SPAN_AUDIT,
         "cms_freq": SQL_CMS_FREQ,
         "phash_neardup": SQL_PHASH_NEARDUP,
         "temperature_mix": SQL_TEMPERATURE_MIX,
-        # r9b new operators
+        # r9b new operators (six rotated IN in r10)
         "ks_drift": SQL_KS_DRIFT,
         "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
-        "modularity": SQL_MODULARITY,
         "line_dedup": SQL_LINE_DEDUP,
         "blocklist": SQL_BLOCKLIST,
-        "nb_classify": SQL_NB_CLASSIFY,
-        "containment_join": SQL_CONTAINMENT_JOIN,
         "dsir_auc": SQL_DSIR_AUC,
         "dsir_calibration": SQL_DSIR_CALIBRATION,
         "skew_report": SQL_SKEW_REPORT,
         "welch_drift": SQL_WELCH_DRIFT,
         "mutual_info": SQL_MUTUAL_INFO,
         "equidepth_bins": SQL_EQUIDEPTH_BINS,
-        "simhash_neardup": SQL_SIMHASH_NEARDUP,
         "dup_fraction": SQL_DUP_FRACTION,
         "zipf_fit": SQL_ZIPF_FIT,
-        "target_encode": SQL_TARGET_ENCODE,
-        "temporal_split": SQL_TEMPORAL_SPLIT,
         "json_props": SQL_JSON_PROPS,
-        "column_profile": SQL_COLUMN_PROFILE,
+        # r10 rotation: formerly rotated-in names back to extras
+        "mad_outliers": SQL_MAD_OUTLIERS,
+        "triangles": SQL_TRIANGLES,
+        "kmv_distinct": SQL_KMV_DISTINCT,
+        "kmv_overlap": SQL_KMV_OVERLAP,
+        "rrf_fusion": SQL_RRF_FUSION,
+        "bigram_surprisal": SQL_BIGRAM_SURPRISAL,
+        "cusum": SQL_CUSUM,
+        "histogram_drift": SQL_HISTOGRAM_DRIFT,
+        "exact_quantiles": SQL_EXACT_QUANTILES,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:
