@@ -143,19 +143,33 @@ def bpe_encode(
 ) -> DataFrame:
     """Apply learned merges to a corpus: (doc_id, tokens array) —
     scan-local (a fold of ``replace``s per word, merge order
-    preserved), no shuffle, no Python stage. The serving path: train
-    once, encode any number of shards embarrassingly parallel."""
+    preserved), no Python stage. The serving path: train once, encode
+    any number of shards embarrassingly parallel.
+
+    Word order is carried explicitly (``posexplode`` + sort on the
+    word index inside the per-doc aggregate): ``collect_list`` alone
+    returns rows in shuffle-arrival order, which is partitioning-
+    dependent — the r10 streaming twin caught the batch and streamed
+    encodings of the SAME doc disagreeing on token order. A tokenizer
+    that scrambles word order is wrong regardless of the count-based
+    oracle, so the order is pinned structurally."""
     from stock_indicators_etl_spark.llmdata.text import words
 
     sym = _symbolize(F.col("_w"))
     for left, right in merges:
         sym = F.replace(sym, F.lit(f" {left} {right} "), F.lit(f" {left}{right} "))
     per_word = F.split(F.trim(sym), " ")
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("_i").alias("i"), per_word.alias("t")))
+    )
     return (
-        docs.select("doc_id", F.explode(words(F.col(text_col))).alias("_w"))
-        .select("doc_id", per_word.alias("_toks"))
+        docs.select(
+            "doc_id", F.posexplode(words(F.col(text_col))).alias("_i", "_w")
+        )
         .groupBy("doc_id")
-        .agg(F.flatten(F.collect_list("_toks")).alias("tokens"))
+        .agg(
+            F.flatten(F.transform(ordered, lambda s: s["t"])).alias("tokens")
+        )
     )
 
 
