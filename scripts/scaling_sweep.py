@@ -499,6 +499,30 @@ def _render(results: dict[str, list[float | None]]) -> str:
         "  ceiling). AQE re-broadcasts from real sizes at small SFs.",
         "  The scale default for exact similarity remains",
         "  `ngram_jaccard_capped` (doc-freq cap, exp 0.16).",
+        "- `dedup_eval_sampled`'s exp ~1.1 (r9 wrong #1, triaged r10 —",
+        "  `scripts/triage_dedup_eval.py` instrumented both sides at",
+        "  sf0.1 and sf1): the cost is OUTPUT-PAIR growth by fixture",
+        "  construction, not a stage defect. For ×10 docs the sample",
+        "  and its posting entries grow ×10.0/×10.2 (linear — sampling",
+        "  and shingling are fine), but make_sf1's replica upscale",
+        "  grows every duplicate cluster 10×, so within-cluster TRUE",
+        "  pairs grow ~quadratically: measured truth pairs 61 →",
+        "  62,133 (×1019), LSH candidates 74 → 63,524 (×858), posting",
+        "  pairs Σ C(df,2) 315,128 → 34.7M (×110). Runtime grows only",
+        "  ×5.8 (truth side) / ×7.5 (full-outer compare) against that",
+        "  ×1000 output growth — each emitted pair costs LESS at sf1.",
+        "  Same class as `winnow_matches` / `contrastive_pairs` /",
+        "  `phash_neardup`: the pairs ARE the answer. On a real crawl",
+        "  (bounded cluster sizes) both sides are ∝ sampled docs and",
+        "  the rate²-truth/rate-candidate economics hold. `dedup_eval`",
+        "  (exp 1.27) inherits the identical fixture growth without",
+        "  the sampling discount.",
+        "- `dedup_incremental`'s r9 bench creep (12.8 → 14-16 s on",
+        "  unchanged code) is the cross-run noise class VERDICT r9",
+        "  wrong #2 names, not a plan change: its SCALING cells stay",
+        "  healthy (sf1 exp ≤0.54 across re-times) and bench.py's r10",
+        "  outlier pass (re-time vs cross-stamp median) now bounds",
+        "  what gets recorded.",
         "- r9 detection fix (r8 wrong #3): sf1 eligibility now",
         "  intercepts the `spark.read.parquet` CALLS made during",
         "  construction instead of reading the final plan's scan set,",
