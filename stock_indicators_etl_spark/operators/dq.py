@@ -474,26 +474,46 @@ def skew_report(
     return top_rows.unionByName(summary)
 
 
+#: quantile marks for the profiler's numeric leg, in parts-per-million
+#: (0 = min, 1000000 = max — one selection rule covers the extremes)
+PROFILE_Q_PPM = (0, 250_000, 500_000, 750_000, 1_000_000)
+
+
 def column_profile(
     df: DataFrame,
     cols: tuple[str, ...],
     top_n: int = 5,
+    num_cols: tuple[str, ...] = (),
+    q_ppm: tuple[int, ...] = PROFILE_Q_PPM,
 ) -> DataFrame:
     """One-pass column profiler — per column the row count, null
-    count, distinct count and the ``top_n`` most frequent values:
-    the first look a data engineer takes at an unknown table, and
-    the ops artifact a pipeline publishes next to a new dataset.
+    count, distinct count, the ``top_n`` most frequent values, and
+    (for ``num_cols``) exact discrete quantiles: the first look a
+    data engineer takes at an unknown table, and the ops artifact a
+    pipeline publishes next to a new dataset.
 
     Plan: ONE ``stack`` unpivot (N columns → N rows per input row,
     scan-local) + one combinable (column, value) count; everything
-    after — the per-column top window, the distinct/null summary —
-    operates on the VALUE-COUNT frame, bounded by Σ per-column
-    cardinalities, never the table. Adding a column adds an unpivot
-    arm, not a scan. Values profile as strings (the display form);
-    NULLs are counted per column, not ranked.
+    after — the per-column top window, the distinct/null summary,
+    the quantile selection — operates on the VALUE-COUNT frame,
+    bounded by Σ per-column cardinalities, never the table. Adding a
+    column adds an unpivot arm, not a scan; adding the quantile leg
+    adds one cardinality-bounded window, not a second pass (r9
+    VERDICT next #8 — at 100 TB a numeric column wants its quantiles
+    from the same pass that counted it).
 
-    Output rows: ``kind='top'`` (col, rank, value, n) and one
-    ``kind='summary'`` per column (n_rows, n_null, n_distinct).
+    Quantiles are EXACT discrete (type-1) order statistics computed
+    from the value counts by running-sum rank containment: for each
+    mark q the target rank is ``max(1, ⌈q·n/10⁶⌉)`` (pure integer
+    ceiling-division — engine-exact) and the emitted value is the one
+    whose cumulative count first covers that rank. q=0 is the min and
+    q=10⁶ the max under the same rule. Values order numerically
+    (string casts would rank "10" < "2").
+
+    Output rows: ``kind='top'`` (col, rank, value, n), one
+    ``kind='summary'`` per column (n_rows, n_null, n_distinct), and
+    ``kind='quantile'`` per (numeric col, mark) with ``rank`` holding
+    the mark in ppm and ``value`` the selected element.
     """
     from pyspark.sql.window import Window
 
@@ -532,4 +552,45 @@ def column_profile(
         (F.lit(int(n_rows)) - F.col("_nn")).cast("long").alias("n_null"),
         F.col("_nd").cast("long").alias("n_distinct"),
     )
-    return top.unionByName(summary)
+    out = top.unionByName(summary)
+    if not num_cols:
+        return out
+    # quantile leg: running count over the numerically-ordered value
+    # counts; the mark's value is the row whose cumulative count
+    # first covers the target rank (cum−n < t ≤ cum). Everything is
+    # BIGINT (ceiling division via (q·nn + 10⁶−1) div 10⁶), so both
+    # engines select the identical element.
+    wq = Window.partitionBy("col").orderBy(
+        F.col("val").cast("double").asc(), F.col("val").asc()
+    )
+    nums = (
+        counts.filter(F.col("col").isin(list(num_cols)))
+        .withColumn("cum", F.sum("n").over(wq))
+        .join(
+            counts.groupBy("col").agg(F.sum("n").alias("_nn")),
+            "col",
+        )
+    )
+    marks = F.explode(
+        F.array(*[F.lit(int(q)).cast("long") for q in q_ppm])
+    ).alias("q")
+    t = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr("(q * _nn + 999999) div 1000000"),
+    )
+    quant = (
+        nums.select("col", "val", "n", "cum", "_nn", marks)
+        .withColumn("_t", t)
+        .filter((F.col("cum") >= F.col("_t")) & (F.col("cum") - F.col("n") < F.col("_t")))
+        .select(
+            F.lit("quantile").alias("kind"),
+            "col",
+            F.col("q").alias("rank"),
+            F.col("val").alias("value"),
+            F.lit(None).cast("long").alias("n"),
+            F.lit(None).cast("long").alias("n_rows"),
+            F.lit(None).cast("long").alias("n_null"),
+            F.lit(None).cast("long").alias("n_distinct"),
+        )
+    )
+    return out.unionByName(quant)

@@ -5141,15 +5141,20 @@ PROFILE_TOP_N = 3
 
 def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass column profiler (``operators/dq.column_profile``):
-    per column the row/null/distinct counts and the top-3 most
-    frequent values — the first thing a data engineer asks of an
-    unknown table, as ONE unpivot + one combinable (column, value)
-    count instead of N separate scans."""
+    per column the row/null/distinct counts, the top-3 most frequent
+    values, and — for the numeric column — exact discrete quantiles
+    (min/quartiles/median/max) from the SAME value-count frame — the
+    first thing a data engineer asks of an unknown table, as ONE
+    unpivot + one combinable (column, value) count instead of N
+    separate scans (quantile leg: r9 VERDICT next #8)."""
     from stock_indicators_etl_spark.operators.dq import column_profile
 
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     return column_profile(
-        o, ("o_orderstatus", "o_orderpriority", "o_custkey"), top_n=PROFILE_TOP_N
+        o,
+        ("o_orderstatus", "o_orderpriority", "o_custkey"),
+        top_n=PROFILE_TOP_N,
+        num_cols=("o_custkey",),
     )
 
 
@@ -5187,10 +5192,32 @@ cpsum AS (
            AS n_null,
          CAST(count(*) AS BIGINT) AS n_distinct
   FROM cpc GROUP BY col
+),
+cpnum AS (
+  SELECT col, val, n,
+         CAST(sum(n) OVER (PARTITION BY col
+                           ORDER BY CAST(val AS DOUBLE) ASC, val ASC)
+              AS BIGINT) AS cum,
+         CAST(sum(n) OVER (PARTITION BY col) AS BIGINT) AS nn
+  FROM cpc WHERE col = 'o_custkey'
+),
+cpq AS (
+  SELECT 'quantile' AS kind, col, CAST(q AS BIGINT) AS rank,
+         val AS value,
+         CAST(NULL AS BIGINT) AS n,
+         CAST(NULL AS BIGINT) AS n_rows,
+         CAST(NULL AS BIGINT) AS n_null,
+         CAST(NULL AS BIGINT) AS n_distinct
+  FROM cpnum
+  CROSS JOIN (SELECT unnest([0, 250000, 500000, 750000, 1000000]) AS q)
+  WHERE cum >= greatest(1, (q * nn + 999999) // 1000000)
+    AND cum - n < greatest(1, (q * nn + 999999) // 1000000)
 )
 SELECT * FROM cptop
 UNION ALL
 SELECT * FROM cpsum
+UNION ALL
+SELECT * FROM cpq
 """
 
 

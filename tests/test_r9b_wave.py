@@ -1087,6 +1087,38 @@ class TestColumnProfile:
                if r["kind"] == "top"]
         assert len(out) == 3
 
+    def test_quantile_leg_exact(self, spark):
+        """Discrete quantiles from the value-count frame: rank target
+        t = max(1, ceil(q·n/10⁶)), value = the element whose
+        cumulative count covers t. On 1..10 that's min=1, q25=3
+        (t=ceil(2.5)=3), median=5, q75=8, max=10; ordering must be
+        NUMERIC (strings would put "10" before "2")."""
+        from stock_indicators_etl_spark.operators.dq import column_profile
+
+        df = spark.createDataFrame([(i,) for i in range(1, 11)], "v int")
+        qs = {
+            r["rank"]: r["value"]
+            for r in column_profile(df, ("v",), num_cols=("v",)).collect()
+            if r["kind"] == "quantile"
+        }
+        assert qs == {
+            0: "1", 250000: "3", 500000: "5", 750000: "8", 1000000: "10"
+        }
+
+    def test_quantile_leg_weighted_and_default_off(self, spark):
+        """Repeated values weight the rank (counts, not distincts);
+        no num_cols → no quantile rows (backward compatible)."""
+        from stock_indicators_etl_spark.operators.dq import column_profile
+
+        rows = [(1,)] * 8 + [(100,)] * 2
+        df = spark.createDataFrame(rows, "v int")
+        out = column_profile(df, ("v",), num_cols=("v",)).collect()
+        qs = {r["rank"]: r["value"] for r in out if r["kind"] == "quantile"}
+        # t(500000) = 5 ≤ cum(1)=8 → median is 1; t(1000000)=10 → 100
+        assert qs[500000] == "1" and qs[1000000] == "100"
+        plain = column_profile(df, ("v",)).collect()
+        assert not [r for r in plain if r["kind"] == "quantile"]
+
 
 def test_json_props_parse(spark):
     from stock_indicators_etl_spark.queries import q_json_props
