@@ -208,22 +208,26 @@ def _render(results: dict[str, list[float | None]]) -> str:
         "- `embedding_neardup_production`'s sf1 cell is slower than",
         "  SCALING.md's (different method: min-of-2 here vs the",
         "  sweep's protocol) — compare WITHIN this file only.",
-        "- graph family (r10): the substrate is the MinHash-LSH",
-        "  candidate graph, whose edges are Spark-measured at",
-        "  254,646 (sf1) → 27,676,928 (sf10) — ×108.7 for ×10 docs,",
-        "  the same replica-cluster growth as contrastive_pairs (the",
-        "  upscale's duplicate clusters are near-cliques and grow",
-        "  with N). Read the graph exponents against EDGE growth,",
-        "  not doc growth: per-round cost is one equi-join + one",
-        "  combinable aggregate over the edge list, so runtime",
-        "  ∝ rounds × edges; an exp ≤ ~2.0 here is SUB-edge-growth.",
-        "  On a real crawl (bounded cluster sizes) edges ∝ docs and",
-        "  the same plans are linear. link_predict's substrate is",
-        "  the deg≤2k kNN graph instead (wedges ≤ |V|·4k² — linear",
-        "  in vectors); its cost is dominated by the LSH-bucketed",
-        "  top-k build, whose fixed-plane buckets grow ∝ N (the",
-        "  Σ n_b² story every fixed-blocking ANN row in this file",
-        "  shares).",
+        "- graph family (r10), three distinct substrates — read each",
+        "  exponent against ITS edge growth, not doc growth:",
+        "  `pagerank` runs the UNCAPPED default MinHash-LSH graph,",
+        "  whose edges are Spark-measured at 254,646 (sf1) →",
+        "  27,676,928 (sf10) — ×108.7 for ×10 docs, the replica-",
+        "  cluster growth every corpus operator on this fixture sees",
+        "  — and its ×8 runtime (exp 0.90) is deeply SUB-edge-growth:",
+        "  per-iteration cost is one equi-join + one combinable sum,",
+        "  and the 5 localCheckpointed rounds amortize the edge scan.",
+        "  `kcore`/`label_prop`/`modularity` run the band_size=1",
+        "  graph WITH the max_bucket_size=24 hot-bucket cap (the",
+        "  production posture): replica clusters outgrow the cap and",
+        "  their buckets drop, so edges saturate and the flat",
+        "  exponents (0.52/0.47/0.02) are the CAP working as designed",
+        "  — on a real crawl the cap trims only boilerplate buckets.",
+        "  `link_predict`'s substrate is the deg≤2k kNN graph",
+        "  (wedges ≤ |V|·4k² — linear in vectors); its cost is the",
+        "  LSH-bucketed top-k build, whose fixed-plane buckets grow",
+        "  ∝ N (the Σ n_b² story every fixed-blocking ANN row in",
+        "  this file shares).",
         "",
     ]
     return "\n".join(lines)
