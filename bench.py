@@ -218,8 +218,11 @@ def run() -> None:
     for name, vals in prior.items():
         if name not in timings or len(vals) < 1:
             continue
-        ref = sorted(vals + [timings[name]])
-        med = ref[len(ref) // 2]
+        # median of the PRIOR stamps only (lower middle on even
+        # counts): including the fresh value would let a single
+        # outlier raise its own reference and never trigger
+        ref = sorted(vals)
+        med = ref[(len(ref) - 1) // 2]
         if med > 0.05 and timings[name] > 1.4 * med:
             fn = queries[name]
             df = fn(spark, sf_dir)

@@ -517,12 +517,22 @@ def _render(results: dict[str, list[float | None]]) -> str:
         "  the rate²-truth/rate-candidate economics hold. `dedup_eval`",
         "  (exp 1.27) inherits the identical fixture growth without",
         "  the sampling discount.",
-        "- `dedup_incremental`'s r9 bench creep (12.8 → 14-16 s on",
-        "  unchanged code) is the cross-run noise class VERDICT r9",
-        "  wrong #2 names, not a plan change: its SCALING cells stay",
-        "  healthy (sf1 exp ≤0.54 across re-times) and bench.py's r10",
-        "  outlier pass (re-time vs cross-stamp median) now bounds",
-        "  what gets recorded.",
+        "- `dedup_incremental`'s r9→r10 bench creep (12.8 → 15-17 s)",
+        "  is PARTLY real, not only the cross-run noise class VERDICT",
+        "  r9 wrong #2 names: the r10 exclusive-machine steady state",
+        "  is ~17 s, and the sweep cells inflated UNIFORMLY across",
+        "  sfs (sf0.001 9.96 → 13.33 s alongside sf0.1 10.16 →",
+        "  15.72 s) — a fixed per-increment overhead grew, not the",
+        "  data path (exponents unchanged: sf1 exp 0.40-0.54; the",
+        "  operator is fixed-overhead-dominated at these SFs, ~30",
+        "  Spark jobs per eager build: index writes, two shard",
+        "  increments, quotient-CC rounds, checkpoints). Candidate",
+        "  attribution is the r9-era safety work in the shared",
+        "  machinery (unconditional localCheckpoint pinning, SMJ",
+        "  pinning with AQE demotion) each adding per-job constants.",
+        "  At corpus scale the per-increment constant is amortized",
+        "  over the shard; the O(new shard + collisions) contract is",
+        "  what the sf1/sf10 cells verify.",
         "- r9 detection fix (r8 wrong #3): sf1 eligibility now",
         "  intercepts the `spark.read.parquet` CALLS made during",
         "  construction instead of reading the final plan's scan set,",
