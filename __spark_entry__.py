@@ -607,6 +607,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_phash_neardup,
         q_temperature_mix,
         q_tfidf_keywords,
+        q_tokenizer_fertility,
         q_triangles,
         q_embedding_neardup_scaled,
         q_frequent_ngrams,
@@ -732,6 +733,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_fraction": q_dup_fraction,
         "zipf_fit": q_zipf_fit,
         "json_props": q_json_props,
+        # r10 new operator: tokenizer-fertility evaluation gate
+        "tokenizer_fertility": q_tokenizer_fertility,
         # r10 rotation: formerly rotated-in names back to extras
         # (dedup_exact re-enters via the ROTATED_OUT base loop below)
         "mad_outliers": q_mad_outliers,
@@ -844,6 +847,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_PACK_SEQUENCES,
         SQL_PHASH_NEARDUP,
         SQL_TEMPERATURE_MIX,
+        SQL_TOKENIZER_FERTILITY,
         SQL_PQ_TOPK,
         SQL_RRF_FUSION,
         SQL_SPAN_DEDUP,
@@ -956,6 +960,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "dup_fraction": SQL_DUP_FRACTION,
         "zipf_fit": SQL_ZIPF_FIT,
         "json_props": SQL_JSON_PROPS,
+        # r10 new operator
+        "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
         # r10 rotation: formerly rotated-in names back to extras
         "mad_outliers": SQL_MAD_OUTLIERS,
         "triangles": SQL_TRIANGLES,

@@ -77,6 +77,9 @@ EAGER_CONSTRUCTION = frozenset(
         # rounds all collect at construction — that IS the operator
         "bloom_join",
         "bpe_encode",
+        # r10: trains the BPE merges at construction (same argmax
+        # collects as bpe_encode) before the fertility aggregate
+        "tokenizer_fertility",
         "pca_power",
         "abtt",
         # r9: sizes the LSH blocking from a corpus count at

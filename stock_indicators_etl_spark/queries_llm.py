@@ -2197,6 +2197,117 @@ def _sql_bpe_encode() -> str:
 SQL_BPE_ENCODE = _sql_bpe_encode()
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — the evaluation gate a
+    tokenizer team tracks before shipping a vocabulary: per ``lang``
+    the doc/word/token/char totals and tokens-per-million-chars
+    (``n_tokens·10⁶ div n_chars``, pure BIGINT division). A
+    vocabulary trained on one language mix over-fragments the others;
+    this surfaces that as ONE number per language, composing the
+    trainer (``bpe_merges``) and the serving encoder (``bpe_encode``)
+    into a gate the way ``ann_eval``/``dedup_eval`` gate their
+    operators.
+
+    Plan: training's per-round argmax collects (eager, the sequential
+    dependency), then ONE scan-local encode pass → per-doc
+    ``size(tokens)`` + per-doc word/char counts from the same
+    normalization — a left join back to docs (empty-word docs count 0
+    tokens) and one combinable per-lang aggregate. 100 TB shape: the
+    encode is embarrassingly parallel; everything after is a
+    lang-cardinality frame.
+
+    Oracle: the shared BPE CTEs' FINAL word table already holds every
+    word's encoded symbol string, so per-word token counts are
+    ``len(string_split(syms))`` and per-doc totals are one
+    unnest-join — the same identity ``sql_bpe_encode_oracle``
+    exploits. Reference: N/A (pandas ETL — no tokenizer surface).
+    """
+    from stock_indicators_etl_spark.llmdata.bpe import bpe_encode, bpe_train
+    from stock_indicators_etl_spark.llmdata.text import norm_text, words
+
+    docs = _docs(spark, sf_dir)
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, n_merges=BPE_MERGES).collect()
+    ]
+    enc = bpe_encode(docs, merges).select(
+        "doc_id", F.size("tokens").cast("long").alias("_t")
+    )
+    per = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.size(words(F.col("text"))).cast("long").alias("_w"),
+            F.length(
+                F.regexp_replace(norm_text(F.col("text")), " ", "")
+            ).cast("long").alias("_c"),
+        )
+        .join(enc, "doc_id", "left")
+        .na.fill({"_t": 0})
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_w").alias("n_words"),
+            F.sum("_t").alias("n_tokens"),
+            F.sum("_c").alias("n_chars"),
+        )
+        .filter(F.col("n_chars") > 0)
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            F.expr("n_tokens * 1000000 div n_chars").alias(
+                "tokens_per_mchar"
+            ),
+        )
+    )
+
+
+def _sql_tokenizer_fertility() -> str:
+    from stock_indicators_etl_spark.llmdata.bpe import _bpe_ctes
+
+    ctes = _bpe_ctes(BPE_MERGES, DOCS_CTE)
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f""",
+tfw AS (
+  SELECT word,
+         CAST(length(string_split(trim(syms), ' ')) AS BIGINT) AS tpw
+  FROM w{BPE_MERGES}
+),
+tfd AS (
+  SELECT dw.doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(tfw.tpw) AS BIGINT) AS n_tokens,
+         CAST(sum(length(dw.word)) AS BIGINT) AS n_chars
+  FROM (SELECT doc_id, unnest(ws) AS word FROM wd) dw
+  JOIN tfw USING (word)
+  GROUP BY dw.doc_id
+),
+tff AS (
+  SELECT wd.lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(coalesce(sum(tfd.n_words), 0) AS BIGINT) AS n_words,
+         CAST(coalesce(sum(tfd.n_tokens), 0) AS BIGINT) AS n_tokens,
+         CAST(coalesce(sum(tfd.n_chars), 0) AS BIGINT) AS n_chars
+  FROM wd LEFT JOIN tfd USING (doc_id)
+  GROUP BY wd.lang
+)
+SELECT lang, n_docs, n_words, n_tokens, n_chars,
+       n_tokens * 1000000 // n_chars AS tokens_per_mchar
+FROM tff WHERE n_chars > 0
+"""
+    )
+
+
+SQL_TOKENIZER_FERTILITY = _sql_tokenizer_fertility()
+
+
 PCA_ITERS = 4
 
 
