@@ -239,12 +239,22 @@ def run() -> None:
             timings[name] = new
 
     total = round(sum(timings.values()), 4)
+    # noise-free cross-stamp reference (VERDICT r9 wrong #2's second
+    # remedy): per-query MIN across this round's stamps including
+    # this run. Not a single real run — a floor for regression
+    # analysis when co-tenant load inflates a whole stamp by 10-15%
+    # without any query crossing the 1.4× re-time trigger.
+    min_stamps = {
+        k: round(min(prior.get(k, []) + [v]), 4) for k, v in timings.items()
+    }
     full = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "outlier_retimed": retimed,
+        "queries_min_stamps": min_stamps,
+        "total_min_stamps": round(sum(min_stamps.values()), 4),
         "sf": sf,
     }
     # The driver keeps only the LAST ~2 kB of stdout, and the full
