@@ -139,17 +139,60 @@ def _timed_min(spark, sf_dir: str, name: str, fn, df) -> float:
     return min(runs)
 
 
-def _prior_stamp_timings(here: Path, this_round: int) -> dict[str, list]:
+def _retime_handle(spark, sf_dir: str, name: str, fn):
+    """DataFrame handle for an outlier re-time, matching the main
+    loop's protocol (ADVICE r10): eager-construction queries rebuild
+    INSIDE ``_timed_min``, so an outer ``fn()`` here would run a full
+    build whose result is discarded — return None instead; non-eager
+    queries get one untimed warm (noop) save before timing, exactly
+    like the main loop's warm pass."""
+    if name in EAGER_CONSTRUCTION:
+        return None
+    df = fn(spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    return df
+
+
+def _git_rev(here: Path) -> str:
+    """Current commit hash, '' when git is unavailable. Stamped into
+    every BENCHFULL file so cross-stamp minima only fold runs of the
+    SAME code (ADVICE r10: earlier stamps from superseded mid-round
+    revisions would otherwise masquerade as the current code's
+    noise-free floor)."""
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=here,
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip()
+    except (OSError, subprocess.SubprocessError):
+        return ""
+
+
+def _prior_stamp_timings(
+    here: Path, this_round: int, git_rev: str
+) -> dict[str, list]:
     """Per-query timing lists from this round's earlier BENCHFULL
-    stamps (same code, earlier wall-clock) — the cross-run reference
-    the outlier pass compares against."""
+    stamps — the cross-run reference the outlier pass compares
+    against. Only stamps recorded at the SAME git revision are folded
+    in (ADVICE r10): a stamp from an earlier mid-round code revision
+    can be faster than current code for real reasons (a correctness
+    fix adding a sort), and folding it in would record a floor the
+    shipped code cannot reproduce. Stamps without a git_rev field
+    (pre-r11 format) are excluded for the same reason."""
     out: dict[str, list] = {}
     for p in sorted(here.glob(f"BENCHFULL_r{this_round:02d}_*.json")):
         try:
-            qs = json.loads(p.read_text()).get("queries", {})
+            d = json.loads(p.read_text())
         except (OSError, json.JSONDecodeError):
             continue
-        for k, v in qs.items():
+        if not git_rev or d.get("git_rev") != git_rev:
+            continue
+        for k, v in d.get("queries", {}).items():
             out.setdefault(k, []).append(float(v))
     return out
 
@@ -216,7 +259,8 @@ def run() -> None:
         if (m := re.match(r"BENCH_r(\d+)\.json$", p.name))
     ]
     this_round = max(rounds, default=0) + 1
-    prior = _prior_stamp_timings(here, this_round)
+    git_rev = _git_rev(here)
+    prior = _prior_stamp_timings(here, this_round, git_rev)
     retimed: dict[str, dict] = {}
     for name, vals in prior.items():
         if name not in timings or len(vals) < 1:
@@ -228,7 +272,7 @@ def run() -> None:
         med = ref[(len(ref) - 1) // 2]
         if med > 0.05 and timings[name] > 1.4 * med:
             fn = queries[name]
-            df = fn(spark, sf_dir)
+            df = _retime_handle(spark, sf_dir, name, fn)
             fresh = _timed_min(spark, sf_dir, name, fn, df)
             new = round(min(timings[name], fresh), 4)
             retimed[name] = {
@@ -247,14 +291,25 @@ def run() -> None:
     min_stamps = {
         k: round(min(prior.get(k, []) + [v]), 4) for k, v in timings.items()
     }
+    total_min_stamps = round(sum(min_stamps.values()), 4)
+    # VERDICT r10 next #6: the HEADLINE value the driver's acceptance
+    # band reads is the noise-robust cross-stamp minimum total (same-
+    # git-revision stamps only), not this stamp's raw sum — otherwise
+    # the r10 noise work never reaches the acceptance signal. On the
+    # first stamp of a revision the two are identical by construction.
     full = {
         "metric": "headline_queries_total_sec",
-        "value": total,
+        "value": total_min_stamps,
+        "value_note": "per-query min across this round's same-revision "
+        "stamps (incl. this run); this stamp's own sum is "
+        "recorded_total",
+        "recorded_total": total,
         "unit": "sec",
+        "git_rev": git_rev,
         "queries": timings,
         "outlier_retimed": retimed,
         "queries_min_stamps": min_stamps,
-        "total_min_stamps": round(sum(min_stamps.values()), 4),
+        "total_min_stamps": total_min_stamps,
         "sf": sf,
     }
     # The driver keeps only the LAST ~2 kB of stdout, and the full
@@ -280,11 +335,13 @@ def run() -> None:
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
-                "value": total,
+                "value": total_min_stamps,
+                "recorded_total": total,
                 "unit": "sec",
                 "n_queries": len(timings),
                 "queries": top10,
-                "queries_note": "top-10 slowest; full dict in "
+                "queries_note": "top-10 slowest (this stamp); value is "
+                "the cross-stamp same-revision min total; full dict in "
                 + full_path.name,
                 "sf": sf,
             }

@@ -630,6 +630,18 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def normalize_blocklist(terms: tuple[str, ...]) -> tuple[str, ...]:
+    """Canonical blocklist normalization: ``words()`` lowercases
+    document tokens, so an uppercase blocklist entry can NEVER match —
+    lower/strip every term, drop blanks and duplicates (first
+    occurrence wins, so the deterministic list order survives). Shared
+    by ``blocklist_filter`` AND the DuckDB oracle's literal builder
+    (ADVICE r10: the oracle embedding raw terms would diverge from
+    the engine on exactly the mixed-case input the engine-side
+    normalization was added for)."""
+    return tuple(dict.fromkeys(t.lower().strip() for t in terms if t.strip()))
+
+
 def blocklist_filter(
     df: DataFrame,
     terms: tuple[str, ...],
@@ -662,10 +674,7 @@ def blocklist_filter(
     counts occurrences (not distinct terms), ``keep`` is the C4 drop
     decision (no hits).
     """
-    # words() lowercases tokens, so an uppercase blocklist entry can
-    # NEVER match — normalize terms to the same convention (and drop
-    # blank/duplicate entries) instead of silently weakening the gate
-    norm = tuple(dict.fromkeys(t.lower().strip() for t in terms if t.strip()))
+    norm = normalize_blocklist(terms)
     lit_terms = F.array(*[F.lit(t) for t in norm])
     # no spread(): this is a per-row gate with NO fan-out (explode),
     # so scan parallelism is already the right parallelism — the plan

@@ -559,15 +559,23 @@ def column_profile(
     # counts; the mark's value is the row whose cumulative count
     # first covers the target rank (cum−n < t ≤ cum). Everything is
     # BIGINT (ceiling division via (q·nn + 10⁶−1) div 10⁶), so both
-    # engines select the identical element.
+    # engines select the identical element. Unparseable values are
+    # EXCLUDED before ranking via try_cast (ADVICE r10): a plain cast
+    # either throws (ANSI mode, Spark 4 default) or yields NULLs that
+    # sort first — both diverge from a strict-SQL oracle; instead both
+    # sides drop non-castable rows and compute nn over the castable
+    # population only.
     wq = Window.partitionBy("col").orderBy(
-        F.col("val").cast("double").asc(), F.col("val").asc()
+        F.col("val").try_cast("double").asc(), F.col("val").asc()
+    )
+    castable = counts.filter(
+        F.col("col").isin(list(num_cols))
+        & F.col("val").try_cast("double").isNotNull()
     )
     nums = (
-        counts.filter(F.col("col").isin(list(num_cols)))
-        .withColumn("cum", F.sum("n").over(wq))
+        castable.withColumn("cum", F.sum("n").over(wq))
         .join(
-            counts.groupBy("col").agg(F.sum("n").alias("_nn")),
+            castable.groupBy("col").agg(F.sum("n").alias("_nn")),
             "col",
         )
     )

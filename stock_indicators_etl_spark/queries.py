@@ -5194,12 +5194,15 @@ cpsum AS (
   FROM cpc GROUP BY col
 ),
 cpnum AS (
+  -- TRY_CAST + IS NOT NULL mirrors the engine's drop-unparseable
+  -- rule: both sides rank and count only the castable population
   SELECT col, val, n,
          CAST(sum(n) OVER (PARTITION BY col
-                           ORDER BY CAST(val AS DOUBLE) ASC, val ASC)
+                           ORDER BY TRY_CAST(val AS DOUBLE) ASC, val ASC)
               AS BIGINT) AS cum,
          CAST(sum(n) OVER (PARTITION BY col) AS BIGINT) AS nn
-  FROM cpc WHERE col = 'o_custkey'
+  FROM cpc
+  WHERE col = 'o_custkey' AND TRY_CAST(val AS DOUBLE) IS NOT NULL
 ),
 cpq AS (
   SELECT 'quantile' AS kind, col, CAST(q AS BIGINT) AS rank,

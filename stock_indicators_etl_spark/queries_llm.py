@@ -30,6 +30,7 @@ from stock_indicators_etl_spark.llmdata.similarity import (
 from stock_indicators_etl_spark.llmdata.text import (
     doc_fingerprint,
     language_id,
+    normalize_blocklist,
     text_quality,
     token_counts,
 )
@@ -5318,7 +5319,13 @@ def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BL_TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in BLOCKLIST_TERMS) + "]"
+# the oracle literal is built from the SAME normalization the engine
+# applies (ADVICE r10): a mixed-case or duplicate curated entry must
+# reach both sides identically, or the oracle diverges on exactly the
+# input the engine-side normalization was added to handle
+_BL_TERMS_SQL = (
+    "[" + ", ".join(f"'{t}'" for t in normalize_blocklist(BLOCKLIST_TERMS)) + "]"
+)
 
 SQL_BLOCKLIST = f"""
 WITH {DOCS_CTE}
