@@ -608,6 +608,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_temperature_mix,
         q_tfidf_keywords,
         q_tokenizer_fertility,
+        q_tokenizer_fertility_unigram,
         q_triangles,
         q_embedding_neardup_scaled,
         q_frequent_ngrams,
@@ -735,6 +736,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         # r10 new operator: tokenizer-fertility evaluation gate
         "tokenizer_fertility": q_tokenizer_fertility,
+        # r11: unigram-LM serving leg of the same gate
+        "tokenizer_fertility_unigram": q_tokenizer_fertility_unigram,
         # r10 rotation: formerly rotated-in names back to extras
         # (dedup_exact re-enters via the ROTATED_OUT base loop below)
         "mad_outliers": q_mad_outliers,
@@ -848,6 +851,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_PHASH_NEARDUP,
         SQL_TEMPERATURE_MIX,
         SQL_TOKENIZER_FERTILITY,
+        SQL_TOKENIZER_FERTILITY_UNIGRAM,
         SQL_PQ_TOPK,
         SQL_RRF_FUSION,
         SQL_SPAN_DEDUP,
@@ -962,6 +966,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "json_props": SQL_JSON_PROPS,
         # r10 new operator
         "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
+        # r11: unigram-LM serving leg
+        "tokenizer_fertility_unigram": SQL_TOKENIZER_FERTILITY_UNIGRAM,
         # r10 rotation: formerly rotated-in names back to extras
         "mad_outliers": SQL_MAD_OUTLIERS,
         "triangles": SQL_TRIANGLES,

@@ -2224,7 +2224,6 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploits. Reference: N/A (pandas ETL — no tokenizer surface).
     """
     from stock_indicators_etl_spark.llmdata.bpe import bpe_encode, bpe_train
-    from stock_indicators_etl_spark.llmdata.text import norm_text, words
 
     docs = _docs(spark, sf_dir)
     merges = [
@@ -2234,6 +2233,18 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = bpe_encode(docs, merges).select(
         "doc_id", F.size("tokens").cast("long").alias("_t")
     )
+    return _fertility_frame(docs, enc)
+
+
+def _fertility_frame(docs: DataFrame, enc: DataFrame) -> DataFrame:
+    """Per-language fertility aggregate shared by BOTH tokenizer
+    gates (BPE and unigram — VERDICT r10 next #8): ``enc`` is any
+    ``(doc_id, _t)`` per-doc token-count frame; word/char counts come
+    from the same normalization, empty-word docs count 0 tokens via
+    the left join, and the output is one combinable per-lang
+    aggregate with BIGINT fertility."""
+    from stock_indicators_etl_spark.llmdata.text import norm_text, words
+
     per = (
         docs.select(
             "doc_id",
@@ -2268,19 +2279,9 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_tokenizer_fertility() -> str:
-    from stock_indicators_etl_spark.llmdata.bpe import _bpe_ctes
-
-    ctes = _bpe_ctes(BPE_MERGES, DOCS_CTE)
-    return (
-        "WITH "
-        + ",".join(ctes)
-        + f""",
-tfw AS (
-  SELECT word,
-         CAST(length(string_split(trim(syms), ' ')) AS BIGINT) AS tpw
-  FROM w{BPE_MERGES}
-),
+# per-lang fertility aggregate over a per-WORD token-count CTE named
+# ``tfw(word, tpw)`` — shared tail of both tokenizer-gate oracles
+_SQL_FERTILITY_TAIL = """
 tfd AS (
   SELECT dw.doc_id,
          CAST(count(*) AS BIGINT) AS n_words,
@@ -2303,10 +2304,170 @@ SELECT lang, n_docs, n_words, n_tokens, n_chars,
        n_tokens * 1000000 // n_chars AS tokens_per_mchar
 FROM tff WHERE n_chars > 0
 """
+
+
+def _sql_tokenizer_fertility() -> str:
+    from stock_indicators_etl_spark.llmdata.bpe import _bpe_ctes
+
+    ctes = _bpe_ctes(BPE_MERGES, DOCS_CTE)
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f""",
+tfw AS (
+  SELECT word,
+         CAST(length(string_split(trim(syms), ' ')) AS BIGINT) AS tpw
+  FROM w{BPE_MERGES}
+),"""
+        + _SQL_FERTILITY_TAIL
     )
 
 
 SQL_TOKENIZER_FERTILITY = _sql_tokenizer_fertility()
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility, unigram-LM serving leg (VERDICT r10 next #8)
+# ---------------------------------------------------------------------------
+
+# Fixed serving vocabulary for the unigram fertility gate: (piece,
+# logp micro-nats). The TRAINED-vocab composition stays pytest-pinned
+# (the lattice EM trainer is not SQL-expressible — documented weaker-
+# check class), but the SERVING encoder + gate are oracle-checked
+# bit-exact against a recursive-CTE Viterbi by fixing the vocabulary
+# as a literal, the way BPE_MERGES fixes the BPE leg's depth. Every
+# logp is a multiple of 62_500 µnats (= 1/16 nat, exactly
+# representable in binary), so Viterbi path sums are EXACT doubles in
+# both engines and tie-breaks are deterministic, not last-ulp
+# accidents. Three corpus words are deliberate ties ("table",
+# "window", "order": whole-piece vs two-piece paths with equal total
+# logp) so a wrong tie-break rule (max-i instead of min-i) changes
+# token counts and fails the oracle.
+UF_VOCAB: tuple[tuple[str, int], ...] = tuple(
+    [(c, -4_000_000) for c in "abcdefghijklmnopqrstuvwxyz"]
+    + [
+        ("ta", -2_250_000), ("ble", -2_500_000), ("table", -4_750_000),
+        ("dat", -2_750_000), ("data", -2_000_000), ("at", -2_250_000),
+        ("row", -2_250_000), ("scan", -2_250_000), ("slow", -2_250_000),
+        ("fast", -2_250_000), ("val", -2_500_000), ("ue", -2_000_000),
+        ("value", -2_250_000), ("part", -2_250_000), ("hash", -2_500_000),
+        ("mer", -2_750_000), ("ge", -2_000_000), ("merge", -2_250_000),
+        ("bat", -2_750_000), ("ch", -2_000_000), ("batch", -2_000_000),
+        ("spark", -2_000_000), ("the", -1_750_000), ("line", -2_250_000),
+        ("sort", -2_500_000), ("wi", -1_500_000), ("nd", -1_500_000),
+        ("wind", -3_000_000), ("ow", -2_000_000), ("window", -5_000_000),
+        ("or", -1_750_000), ("der", -2_250_000), ("order", -4_000_000),
+        ("col", -2_500_000), ("umn", -2_750_000), ("jo", -2_250_000),
+        ("in", -1_750_000), ("join", -2_000_000), ("small", -2_250_000),
+        ("cust", -2_750_000), ("om", -2_000_000), ("er", -1_750_000),
+        ("custom", -3_000_000), ("que", -2_500_000), ("ry", -2_000_000),
+        ("query", -2_000_000), ("big", -2_250_000), ("vec", -2_750_000),
+        ("tor", -2_500_000), ("group", -2_250_000), ("st", -2_000_000),
+        ("ream", -2_500_000), ("fil", -2_750_000), ("ter", -2_250_000),
+        ("key", -2_250_000), ("agg", -2_250_000),
+    ]
+)
+
+
+def q_tokenizer_fertility_unigram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unigram-LM leg of the tokenizer-fertility gate: Viterbi-encode
+    the corpus with the fixed ``UF_VOCAB`` serving vocabulary
+    (``llmdata.unigram_lm.unigram_encode`` — scan-local
+    ``mapInPandas``, the bpe_encode shape) and aggregate the SAME
+    per-language fertility frame as the BPE leg
+    (``_fertility_frame``), so the repo evaluates both trained
+    tokenizer families with one gate (VERDICT r10 next #8).
+
+    100 TB shape: identical to the BPE leg — the encode is
+    embarrassingly parallel with the bounded vocabulary in the
+    closure; everything after is a lang-cardinality frame.
+
+    Oracle: the Viterbi DP is replayed in DuckDB as a recursive CTE
+    over the DISTINCT corpus words — per word an accumulating
+    (bests, cnts) list pair, candidate pieces via list comprehension
+    over the literal vocabulary, max-logp / min-start-index tie-break
+    matching ``_viterbi`` exactly (all path sums are exact doubles by
+    vocabulary construction). Reference: N/A (pandas ETL — no
+    tokenizer surface)."""
+    from stock_indicators_etl_spark.llmdata.unigram_lm import unigram_encode
+
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir)
+    vocab = pd.DataFrame(
+        {
+            "piece": [p for p, _ in UF_VOCAB],
+            "logp_unats": [u for _, u in UF_VOCAB],
+        }
+    )
+    enc = unigram_encode(docs, vocab).select(
+        "doc_id", F.col("n_tokens").alias("_t")
+    )
+    return _fertility_frame(docs, enc)
+
+
+def _sql_tokenizer_fertility_unigram() -> str:
+    """Recursive-CTE Viterbi replica of ``_viterbi`` (unigram_lm):
+    iterate positions j = 1..len(word) carrying the whole DP state as
+    two lists — ``bests[i+1]`` the best path logp reaching position i
+    (−1e30 = unreachable, skipped when ≤ −5e29 exactly like the
+    python kernel), ``cnts[i+1]`` the token count along that path.
+    Candidates at j: every start i in [j−max_len, j−1] whose piece
+    ``substr(word, i+1, j−i)`` is in the vocabulary and whose start is
+    reachable; best_v = max candidate logp, back_i = MIN i among
+    equal-best candidates (the python loop keeps the FIRST i on
+    ties). Unsegmentable words fall back to one whole-word token."""
+    pieces_sql = "[" + ", ".join(f"'{p}'" for p, _ in UF_VOCAB) + "]"
+    logps_sql = (
+        "CAST(["
+        + ", ".join(repr(u / 1_000_000.0) for _, u in UF_VOCAB)
+        + "] AS DOUBLE[])"
+    )
+    max_len = max(len(p) for p, _ in UF_VOCAB)
+    return f"""
+WITH RECURSIVE {DOCS_CTE},
+uw AS (SELECT DISTINCT unnest(ws) AS word FROM wd),
+dp AS (
+  SELECT word, 0 AS j, [CAST(0.0 AS DOUBLE)] AS bests,
+         [CAST(0 AS BIGINT)] AS cnts
+  FROM uw
+  UNION ALL
+  SELECT word, j,
+         list_append(bests, best_v) AS bests,
+         list_append(cnts, CASE WHEN best_v <= -5e29 THEN CAST(0 AS BIGINT)
+                                ELSE cnts[back_i + 1] + 1 END) AS cnts
+  FROM (
+    SELECT word, j, bests, cnts,
+           coalesce(list_max([x.v FOR x IN cand]),
+                    CAST(-1e30 AS DOUBLE)) AS best_v,
+           list_min([x.i FOR x IN cand
+                     IF x.v = list_max([y.v FOR y IN cand])]) AS back_i
+    FROM (
+      SELECT word, jn AS j, bests, cnts,
+             [ {{'v': bests[i + 1]
+                      + {logps_sql}[list_position({pieces_sql},
+                                        substr(word, i + 1, jn - i))],
+                 'i': i}}
+               FOR i IN generate_series(greatest(0, jn - {max_len}), jn - 1)
+               IF list_position({pieces_sql},
+                                substr(word, i + 1, jn - i)) > 0
+                  AND bests[i + 1] > -5e29 ] AS cand
+      FROM (SELECT word, j + 1 AS jn, bests, cnts
+            FROM dp WHERE j < length(word))
+    )
+  )
+),
+tfw AS (
+  SELECT word,
+         CASE WHEN bests[length(word) + 1] <= -5e29 THEN CAST(1 AS BIGINT)
+              ELSE cnts[length(word) + 1] END AS tpw
+  FROM dp WHERE j = length(word)
+),{_SQL_FERTILITY_TAIL}"""
+
+
+SQL_TOKENIZER_FERTILITY_UNIGRAM = _sql_tokenizer_fertility_unigram()
 
 
 PCA_ITERS = 4

@@ -79,3 +79,93 @@ class TestTokenizerFertility:
         )
         assert f["aa"]["n_docs"] == 2
         assert f["aa"]["n_words"] == 2  # empty doc adds nothing
+
+
+class TestUnigramFertilityLeg:
+    """Unigram-LM leg of the gate (VERDICT r10 next #8): the serving
+    encoder on the fixed UF_VOCAB, gated through the SAME per-lang
+    frame as the BPE leg."""
+
+    def _gate(self, spark, rows):
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from stock_indicators_etl_spark.llmdata.unigram_lm import (
+            unigram_encode,
+        )
+        from stock_indicators_etl_spark.queries_llm import (
+            UF_VOCAB,
+            _fertility_frame,
+        )
+
+        docs = spark.createDataFrame(
+            rows, "doc_id long, lang string, text string"
+        )
+        vocab = pd.DataFrame(
+            {
+                "piece": [p for p, _ in UF_VOCAB],
+                "logp_unats": [u for _, u in UF_VOCAB],
+            }
+        )
+        enc = unigram_encode(docs, vocab).select(
+            "doc_id", F.col("n_tokens").alias("_t")
+        )
+        return {
+            r["lang"]: r for r in _fertility_frame(docs, enc).collect()
+        }
+
+    def test_tie_break_and_fallback_counts(self, spark):
+        """'table'/'window'/'order' are constructed ties (whole-piece
+        vs two-piece paths with equal logp): the min-start-index rule
+        must pick the whole piece (1 token each); a word with a
+        character outside the vocabulary falls back to one whole-word
+        token."""
+        got = self._gate(
+            spark,
+            [
+                (1, "en", "table window order"),  # 3 ties -> 3 tokens
+                (2, "de", "stream filter"),  # 2 words -> 4 tokens
+                (3, "fr", "xyzzy!"),  # fallback -> 1 token
+            ],
+        )
+        assert got["en"]["n_tokens"] == 3 and got["en"]["n_words"] == 3
+        assert got["de"]["n_tokens"] == 4
+        assert got["fr"]["n_tokens"] == 1 and got["fr"]["n_words"] == 1
+
+    def test_matches_duckdb_recursive_viterbi(self, spark, tmp_path):
+        """Bit-exact parity of the full gate against the recursive-CTE
+        oracle on a crafted corpus that exercises ties, composites,
+        unsegmentable-char fallback, and an empty-text doc."""
+        import duckdb
+
+        from stock_indicators_etl_spark.queries_llm import (
+            SQL_TOKENIZER_FERTILITY_UNIGRAM,
+            q_tokenizer_fertility_unigram,
+        )
+
+        rows = [
+            (1, "en", "table window order customer"),
+            (2, "en", "the quick zebra!! jumps"),
+            (3, "de", "stream stream filter column vector"),
+            (4, "de", ""),
+            (5, "fr", "a dup query merge batch value"),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, lang string, text string"
+        )
+        p = str(tmp_path / "documents.parquet")
+        docs.write.parquet(p)
+        got = sorted(
+            tuple(r) for r in q_tokenizer_fertility_unigram(
+                spark, str(tmp_path)
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{p}/*.parquet')"
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(SQL_TOKENIZER_FERTILITY_UNIGRAM).fetchall()
+        )
+        assert got == want
