@@ -207,35 +207,25 @@ ROTATED_IN = (
     # ...r7: graph/stats/DQ/clustering operators into the hard signal
     "pagerank",
     "winsorize",
-    "dq_check",
-    "ols_by_key",
-    "cluster_keywords",
     "semantic_neardup_scaled",
     # ...r7b: this session's new operator families (mad_outliers /
     # triangles / rrf_fusion / bigram_surprisal rotated back OUT in
     # r10 — extras keep them bit-exact)
-    "cdc_merge",
-    "mix_domains",
     # ...r7c: distinct sketches, graph communities/cores, int8 ANN,
     # robust rolling stats into the hard signal (kmv_distinct /
     # kmv_overlap rotated back OUT in r10)
     "kcore",
     "label_prop",
-    "sq_topk",
-    "rolling_robust",
     # ...r7d: CUSUM closed form, JL-projection ANN, IVF×SQ, drift,
     # correlation matrix, exact quantiles into the hard signal
     # (cusum / histogram_drift / exact_quantiles rotated back OUT in
     # r10)
     "rp_topk",
     "ivfsq_topk",
-    "corr_matrix",
     # ...r7e: the newest composite operators into the hard signal
     # (dedup_eval rotated back OUT in r9: the exact-truth harness is
     # the sf0.01-tier check; the SAMPLED form below is the production
     # gate and takes the registry slot — VERDICT r8 next #4)
-    "pit_join",
-    "agg_delta",
     "allpairs_join",
     # ...r8: the r7f/g wave into the hard signal (tfidf_keywords /
     # heavy_hitters / fuzzy_join / pack_sequences / audio_stats /
@@ -274,30 +264,48 @@ ROTATED_IN = (
     "temporal_split",
     "target_encode",
     "column_profile",
+    # ...r11: the ten newest never-driver-checked entries into the
+    # hard signal (dq_check / ols_by_key / cluster_keywords /
+    # cdc_merge / mix_domains / rolling_robust / corr_matrix /
+    # pit_join / agg_delta / sq_topk rotated back OUT this round —
+    # extras keep them bit-exact)
+    "tokenizer_fertility",
+    "substr_dedup",
+    "dup_span_audit",
+    "json_props",
+    "equidepth_bins",
+    "zipf_fit",
+    "ks_drift",
+    "mutual_info",
+    "line_dedup",
+    "gopher_rules",
 )
 
 
 def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from stock_indicators_etl_spark.queries import (
-        q_agg_delta,
         q_benford_check,
+        q_json_props,
+        q_equidepth_bins,
+        q_ks_drift,
         q_bloom_join,
         q_bollinger,
-        q_cdc_merge,
         q_column_profile,
-        q_corr_matrix,
         q_drawdown,
-        q_pit_join,
-        q_dq_check,
         q_kl_drift,
-        q_ols_by_key,
         q_rolling_beta,
-        q_rolling_robust,
         q_target_encode,
         q_temporal_split,
     )
     from stock_indicators_etl_spark.queries_llm import (
         q_abtt,
+        q_tokenizer_fertility,
+        q_substr_dedup,
+        q_dup_span_audit,
+        q_zipf_fit,
+        q_mutual_info,
+        q_line_dedup,
+        q_gopher_rules,
         q_allpairs_join,
         q_ann_eval,
         q_bpe_encode,
@@ -318,11 +326,8 @@ def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         q_pca_power,
         q_perceptron,
         q_simhash_neardup,
-        q_sq_topk,
         q_canonicalize,
-        q_cluster_keywords,
         q_dedup_incremental,
-        q_mix_domains,
         q_pagerank,
         q_semantic_neardup_scaled,
         q_winnow_matches,
@@ -332,21 +337,11 @@ def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "dedup_incremental": q_dedup_incremental,
         "canonicalize": q_canonicalize,
         "pagerank": q_pagerank,
-        "dq_check": q_dq_check,
-        "ols_by_key": q_ols_by_key,
-        "cluster_keywords": q_cluster_keywords,
         "semantic_neardup_scaled": q_semantic_neardup_scaled,
-        "cdc_merge": q_cdc_merge,
-        "mix_domains": q_mix_domains,
         "kcore": q_kcore,
         "label_prop": q_label_prop,
-        "sq_topk": q_sq_topk,
-        "rolling_robust": q_rolling_robust,
         "rp_topk": q_rp_topk,
         "ivfsq_topk": q_ivfsq_topk,
-        "corr_matrix": q_corr_matrix,
-        "pit_join": q_pit_join,
-        "agg_delta": q_agg_delta,
         "allpairs_join": q_allpairs_join,
         "link_predict": q_link_predict,
         "contrastive_pairs": q_contrastive_pairs,
@@ -374,30 +369,43 @@ def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "temporal_split": q_temporal_split,
         "target_encode": q_target_encode,
         "column_profile": q_column_profile,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "substr_dedup": q_substr_dedup,
+        "dup_span_audit": q_dup_span_audit,
+        "json_props": q_json_props,
+        "equidepth_bins": q_equidepth_bins,
+        "zipf_fit": q_zipf_fit,
+        "ks_drift": q_ks_drift,
+        "mutual_info": q_mutual_info,
+        "line_dedup": q_line_dedup,
+        "gopher_rules": q_gopher_rules,
     }
 
 
 def _rotated_in_oracles() -> dict[str, str]:
     from stock_indicators_etl_spark.queries import (
-        SQL_AGG_DELTA,
         SQL_BENFORD_CHECK,
+        SQL_JSON_PROPS,
+        SQL_EQUIDEPTH_BINS,
+        SQL_KS_DRIFT,
         SQL_BLOOM_JOIN,
         SQL_BOLLINGER,
-        SQL_CDC_MERGE,
         SQL_COLUMN_PROFILE,
-        SQL_CORR_MATRIX,
         SQL_DRAWDOWN,
-        SQL_PIT_JOIN,
-        SQL_DQ_CHECK,
         SQL_KL_DRIFT,
-        SQL_OLS_BY_KEY,
         SQL_ROLLING_BETA,
-        SQL_ROLLING_ROBUST,
         SQL_TARGET_ENCODE,
         SQL_TEMPORAL_SPLIT,
     )
     from stock_indicators_etl_spark.queries_llm import (
         SQL_ABTT,
+        SQL_TOKENIZER_FERTILITY,
+        SQL_SUBSTR_DEDUP,
+        SQL_DUP_SPAN_AUDIT,
+        SQL_ZIPF_FIT,
+        SQL_MUTUAL_INFO,
+        SQL_LINE_DEDUP,
+        SQL_GOPHER_RULES,
         SQL_ALLPAIRS_JOIN,
         SQL_ANN_EVAL,
         SQL_BPE_ENCODE,
@@ -418,11 +426,8 @@ def _rotated_in_oracles() -> dict[str, str]:
         SQL_PCA_POWER,
         SQL_PERCEPTRON,
         SQL_SIMHASH_NEARDUP,
-        SQL_SQ_TOPK,
         SQL_CANONICALIZE,
-        SQL_CLUSTER_KEYWORDS,
         SQL_DEDUP_INCREMENTAL,
-        SQL_MIX_DOMAINS,
         SQL_PAGERANK,
         SQL_SEMANTIC_NEARDUP_SCALED,
         SQL_WINNOW_MATCHES,
@@ -432,21 +437,11 @@ def _rotated_in_oracles() -> dict[str, str]:
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,
         "canonicalize": SQL_CANONICALIZE,
         "pagerank": SQL_PAGERANK,
-        "dq_check": SQL_DQ_CHECK,
-        "ols_by_key": SQL_OLS_BY_KEY,
-        "cluster_keywords": SQL_CLUSTER_KEYWORDS,
         "semantic_neardup_scaled": SQL_SEMANTIC_NEARDUP_SCALED,
-        "cdc_merge": SQL_CDC_MERGE,
-        "mix_domains": SQL_MIX_DOMAINS,
         "kcore": SQL_KCORE,
         "label_prop": SQL_LABEL_PROP,
-        "sq_topk": SQL_SQ_TOPK,
-        "rolling_robust": SQL_ROLLING_ROBUST,
         "rp_topk": SQL_RP_TOPK,
         "ivfsq_topk": SQL_IVFSQ_TOPK,
-        "corr_matrix": SQL_CORR_MATRIX,
-        "pit_join": SQL_PIT_JOIN,
-        "agg_delta": SQL_AGG_DELTA,
         "allpairs_join": SQL_ALLPAIRS_JOIN,
         "link_predict": SQL_LINK_PREDICT,
         "contrastive_pairs": SQL_CONTRASTIVE_PAIRS,
@@ -474,6 +469,16 @@ def _rotated_in_oracles() -> dict[str, str]:
         "temporal_split": SQL_TEMPORAL_SPLIT,
         "target_encode": SQL_TARGET_ENCODE,
         "column_profile": SQL_COLUMN_PROFILE,
+        "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
+        "substr_dedup": SQL_SUBSTR_DEDUP,
+        "dup_span_audit": SQL_DUP_SPAN_AUDIT,
+        "json_props": SQL_JSON_PROPS,
+        "equidepth_bins": SQL_EQUIDEPTH_BINS,
+        "zipf_fit": SQL_ZIPF_FIT,
+        "ks_drift": SQL_KS_DRIFT,
+        "mutual_info": SQL_MUTUAL_INFO,
+        "line_dedup": SQL_LINE_DEDUP,
+        "gopher_rules": SQL_GOPHER_RULES,
     }
 
 
@@ -521,6 +526,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     variants, the newer extension operators not yet rotated in, and
     the long-stable entries rotated out (VERDICT r5 #3)."""
     from stock_indicators_etl_spark.queries import (
+        q_agg_delta,
+        q_cdc_merge,
+        q_corr_matrix,
+        q_pit_join,
+        q_dq_check,
+        q_ols_by_key,
+        q_rolling_robust,
         q_customer_orders_hist,
         q_disjunctive_parts,
         q_distinct_users_cube,
@@ -547,9 +559,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_funnel,
         q_histogram_drift,
         q_interval_join,
-        q_equidepth_bins,
-        q_json_props,
-        q_ks_drift,
         q_mad_outliers,
         q_skew_report,
         q_welch_drift,
@@ -576,6 +585,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_winsorize_hist,
     )
     from stock_indicators_etl_spark.queries_llm import (
+        q_sq_topk,
+        q_cluster_keywords,
+        q_mix_domains,
         q_audio_stats,
         q_bpe_merges,
         q_balanced_sample,
@@ -589,15 +601,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_dsir_auc,
         q_dsir_calibration,
         q_dup_fraction,
-        q_dup_span_audit,
-        q_gopher_rules,
         q_fuzzy_join,
         q_ivfpq_topk,
         q_kmv_distinct,
         q_kmv_overlap,
         q_leakage_split,
-        q_line_dedup,
-        q_mutual_info,
         q_blocklist,
         q_pq_topk,
         q_rrf_fusion,
@@ -607,7 +615,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_phash_neardup,
         q_temperature_mix,
         q_tfidf_keywords,
-        q_tokenizer_fertility,
         q_tokenizer_fertility_unigram,
         q_triangles,
         q_embedding_neardup_scaled,
@@ -618,12 +625,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_neardup_best,
         q_readability,
         q_semantic_neardup,
-        q_substr_dedup,
         q_unigram_surprisal,
         q_vocab_index,
         q_weighted_sample,
         q_winnow_matches,
-        q_zipf_fit,
     )
 
     base = dict(QUERIES)
@@ -638,7 +643,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,
         "chunk_documents": q_chunk_documents,
         "semantic_neardup": q_semantic_neardup,
-        "substr_dedup": q_substr_dedup,
         "unigram_surprisal": q_unigram_surprisal,
         "weighted_sample": q_weighted_sample,
         "embedding_neardup_scaled": q_embedding_neardup_scaled,
@@ -713,29 +717,19 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_eval": q_dedup_eval,
         # r9 new operators (winnow_matches / decontaminate /
         # dsir_select / simhash_neardup rotated IN in r10)
-        "gopher_rules": q_gopher_rules,
-        "dup_span_audit": q_dup_span_audit,
         "cms_freq": q_cms_freq,
         "phash_neardup": q_phash_neardup,
         "temperature_mix": q_temperature_mix,
         # r9b new operators (modularity / nb_classify /
         # containment_join / temporal_split / target_encode /
         # column_profile rotated IN in r10)
-        "ks_drift": q_ks_drift,
         "local_supplier_volume": q_local_supplier_volume,
-        "line_dedup": q_line_dedup,
         "blocklist": q_blocklist,
         "dsir_auc": q_dsir_auc,
         "dsir_calibration": q_dsir_calibration,
         "skew_report": q_skew_report,
         "welch_drift": q_welch_drift,
-        "mutual_info": q_mutual_info,
-        "equidepth_bins": q_equidepth_bins,
         "dup_fraction": q_dup_fraction,
-        "zipf_fit": q_zipf_fit,
-        "json_props": q_json_props,
-        # r10 new operator: tokenizer-fertility evaluation gate
-        "tokenizer_fertility": q_tokenizer_fertility,
         # r11: unigram-LM serving leg of the same gate
         "tokenizer_fertility_unigram": q_tokenizer_fertility_unigram,
         # r10 rotation: formerly rotated-in names back to extras
@@ -749,6 +743,17 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum": q_cusum,
         "histogram_drift": q_histogram_drift,
         "exact_quantiles": q_exact_quantiles,
+        # r11 rotation: formerly rotated-in names back to extras
+        "dq_check": q_dq_check,
+        "ols_by_key": q_ols_by_key,
+        "cluster_keywords": q_cluster_keywords,
+        "cdc_merge": q_cdc_merge,
+        "mix_domains": q_mix_domains,
+        "rolling_robust": q_rolling_robust,
+        "corr_matrix": q_corr_matrix,
+        "pit_join": q_pit_join,
+        "agg_delta": q_agg_delta,
+        "sq_topk": q_sq_topk,
     }
     for name in ROTATED_OUT:
         if name in base:  # non-base rotated-out names are added above
@@ -758,6 +763,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def extra_oracle_sql() -> dict[str, str]:
     from stock_indicators_etl_spark.queries import (
+        SQL_AGG_DELTA,
+        SQL_CDC_MERGE,
+        SQL_CORR_MATRIX,
+        SQL_PIT_JOIN,
+        SQL_DQ_CHECK,
+        SQL_OLS_BY_KEY,
+        SQL_ROLLING_ROBUST,
         SQL_ADX_FAMILY,
         SQL_ASOF_JOIN,
         SQL_ATTRIBUTION,
@@ -768,9 +780,6 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_FUNNEL,
         SQL_HISTOGRAM_DRIFT,
         SQL_INTERVAL_JOIN,
-        SQL_EQUIDEPTH_BINS,
-        SQL_JSON_PROPS,
-        SQL_KS_DRIFT,
         SQL_MAD_OUTLIERS,
         SQL_SKEW_REPORT,
         SQL_WELCH_DRIFT,
@@ -817,6 +826,9 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_WINSORIZE_HIST,
     )
     from stock_indicators_etl_spark.queries_llm import (
+        SQL_SQ_TOPK,
+        SQL_CLUSTER_KEYWORDS,
+        SQL_MIX_DOMAINS,
         SQL_AUDIO_STATS,
         SQL_BIGRAM_SURPRISAL,
         SQL_BPE_MERGES,
@@ -830,8 +842,6 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_DSIR_AUC,
         SQL_DSIR_CALIBRATION,
         SQL_DUP_FRACTION,
-        SQL_DUP_SPAN_AUDIT,
-        SQL_GOPHER_RULES,
         SQL_EMBEDDING_NEARDUP_SCALED,
         SQL_FREQUENT_NGRAMS,
         SQL_FUZZY_JOIN,
@@ -843,14 +853,11 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_KMV_OVERLAP,
         SQL_LEAKAGE_SPLIT,
         SQL_LENGTH_QUANTILES,
-        SQL_LINE_DEDUP,
-        SQL_MUTUAL_INFO,
         SQL_BLOCKLIST,
         SQL_NEARDUP_BEST,
         SQL_PACK_SEQUENCES,
         SQL_PHASH_NEARDUP,
         SQL_TEMPERATURE_MIX,
-        SQL_TOKENIZER_FERTILITY,
         SQL_TOKENIZER_FERTILITY_UNIGRAM,
         SQL_PQ_TOPK,
         SQL_RRF_FUSION,
@@ -859,11 +866,9 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_TRIANGLES,
         SQL_READABILITY,
         SQL_SEMANTIC_NEARDUP,
-        SQL_SUBSTR_DEDUP,
         SQL_UNIGRAM_SURPRISAL,
         SQL_VOCAB_INDEX,
         SQL_WEIGHTED_SAMPLE,
-        SQL_ZIPF_FIT,
     )
 
     o = {
@@ -876,7 +881,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "length_quantiles": SQL_LENGTH_QUANTILES,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "semantic_neardup": SQL_SEMANTIC_NEARDUP,
-        "substr_dedup": SQL_SUBSTR_DEDUP,
         "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "embedding_neardup_scaled": SQL_EMBEDDING_NEARDUP_SCALED,
@@ -945,27 +949,17 @@ def extra_oracle_sql() -> dict[str, str]:
         "scd2_history": SQL_SCD2_HISTORY,
         "dedup_eval": SQL_DEDUP_EVAL,
         # r9 new operators (four rotated IN in r10)
-        "gopher_rules": SQL_GOPHER_RULES,
-        "dup_span_audit": SQL_DUP_SPAN_AUDIT,
         "cms_freq": SQL_CMS_FREQ,
         "phash_neardup": SQL_PHASH_NEARDUP,
         "temperature_mix": SQL_TEMPERATURE_MIX,
         # r9b new operators (six rotated IN in r10)
-        "ks_drift": SQL_KS_DRIFT,
         "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
-        "line_dedup": SQL_LINE_DEDUP,
         "blocklist": SQL_BLOCKLIST,
         "dsir_auc": SQL_DSIR_AUC,
         "dsir_calibration": SQL_DSIR_CALIBRATION,
         "skew_report": SQL_SKEW_REPORT,
         "welch_drift": SQL_WELCH_DRIFT,
-        "mutual_info": SQL_MUTUAL_INFO,
-        "equidepth_bins": SQL_EQUIDEPTH_BINS,
         "dup_fraction": SQL_DUP_FRACTION,
-        "zipf_fit": SQL_ZIPF_FIT,
-        "json_props": SQL_JSON_PROPS,
-        # r10 new operator
-        "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
         # r11: unigram-LM serving leg
         "tokenizer_fertility_unigram": SQL_TOKENIZER_FERTILITY_UNIGRAM,
         # r10 rotation: formerly rotated-in names back to extras
@@ -978,6 +972,17 @@ def extra_oracle_sql() -> dict[str, str]:
         "cusum": SQL_CUSUM,
         "histogram_drift": SQL_HISTOGRAM_DRIFT,
         "exact_quantiles": SQL_EXACT_QUANTILES,
+        # r11 rotation: formerly rotated-in names back to extras
+        "dq_check": SQL_DQ_CHECK,
+        "ols_by_key": SQL_OLS_BY_KEY,
+        "cluster_keywords": SQL_CLUSTER_KEYWORDS,
+        "cdc_merge": SQL_CDC_MERGE,
+        "mix_domains": SQL_MIX_DOMAINS,
+        "rolling_robust": SQL_ROLLING_ROBUST,
+        "corr_matrix": SQL_CORR_MATRIX,
+        "pit_join": SQL_PIT_JOIN,
+        "agg_delta": SQL_AGG_DELTA,
+        "sq_topk": SQL_SQ_TOPK,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

@@ -30,6 +30,32 @@ def test_registry_is_at_the_driver_cap_with_oracles():
     assert not set(xq) & set(q)
 
 
+def test_rotation_invariants():
+    """Full rotation contract (VERDICT r10 next #7), previously
+    verified by an ad-hoc per-round script: a bad rotation must fail
+    the suite, not the driver."""
+    e = _entry()
+    q = set(e.queries())
+    xq = set(e.extra_queries())
+    # a name can appear in at most one of the two rotation tuples
+    assert not set(e.ROTATED_IN) & set(e.ROTATED_OUT)
+    assert len(set(e.ROTATED_IN)) == len(e.ROTATED_IN)  # no duplicates
+    assert len(set(e.ROTATED_OUT)) == len(e.ROTATED_OUT)
+    # ROTATED_IN is the historical log: a name rotated in and later
+    # back out moves to extras — every logged name must still be
+    # covered on ONE of the two surfaces, never dropped
+    assert set(e.ROTATED_IN) <= q | xq, set(e.ROTATED_IN) - (q | xq)
+    # the LIVE rotated-in set (the override dict) must sit in the
+    # hard-signal registry in full
+    assert set(e._rotated_in_queries()) <= q
+    assert set(e._rotated_in_queries()) == set(e._rotated_in_oracles())
+    # every rotated-out name keeps bit-exact coverage via extras
+    assert set(e.ROTATED_OUT) <= xq, set(e.ROTATED_OUT) - xq
+    # every entry on both surfaces is oracle-backed by a real SQL text
+    for name, sql in {**e.oracle_sql(), **e.extra_oracle_sql()}.items():
+        assert isinstance(sql, str) and sql.strip(), name
+
+
 @pytest.mark.parametrize("which", ["main", "extras"])
 def test_every_query_analyzes_against_current_testdata(spark, which):
     e = _entry()
