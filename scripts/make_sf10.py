@@ -1,10 +1,11 @@
 #!/usr/bin/env python
 """Generate a deterministic ~100× upscale of the sf0.1 corpus tables
-at testdata_sf10/ — `documents` and `embeddings` only (VERDICT r8
-next #8: the sf10 spot-decade targets the dedup/ANN core, which scans
-only the corpus facts; the relational decade stays at sf1). Other
-tables are copied unchanged so the directory satisfies any helper
-that probes them.
+at testdata_sf10/ — `documents` and `embeddings` (VERDICT r8 next #8:
+the sf10 spot-decade targets the dedup/ANN core), plus — since r11
+(VERDICT r10 next #4) — `orders` and `events` so the training/eval
+family (target_encode, temporal_split, column_profile) gets a real
+sf1→sf10 decade too. Remaining dims are copied unchanged so the
+directory satisfies any helper that probes them.
 
 Same upscale rules as scripts/make_sf1.py (pure function of
 (row, replica), no RNG state): re-keyed ids at KEY_STRIDE, per-replica
@@ -70,7 +71,40 @@ def main() -> int:
         ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
         """
     )
-    upscaled = ("documents", "embeddings")
+    # r11 (VERDICT r10 next #4): the training/eval family decade needs
+    # the RELATIONAL facts these queries scan upscaled too —
+    # target_encode reads orders, temporal_split reads events. The
+    # shapes EXTEND testdata_sf1's conventions so sf1→sf10 is a clean
+    # ×10-rows decade: sf1 keeps o_custkey across its 10 replicas
+    # (customer groups grow to ~100 orders), so sf10 rekeys custkey
+    # once per TEN replicas — ×10 the customers, group size pinned at
+    # sf1's ~100; events rekey user_id per replica exactly as sf1
+    # does (more users, same per-user activity).
+    con.execute(
+        f"""
+        COPY (
+          SELECT o.o_orderkey + r.rep * {KEY_STRIDE} AS o_orderkey,
+                 o.o_custkey + (r.rep // 10) * {KEY_STRIDE} AS o_custkey,
+                 o.o_orderstatus, o.o_totalprice, o.o_orderdate,
+                 o.o_orderpriority
+          FROM '{SRC}/orders.parquet' o CROSS JOIN reps r
+          ORDER BY o_orderkey
+        ) TO '{out}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT e.event_id + r.rep * {KEY_STRIDE} AS event_id,
+                 e.ts,
+                 e.user_id + r.rep * {KEY_STRIDE} AS user_id,
+                 e.event_type, e.value, e.props
+          FROM '{SRC}/events.parquet' e CROSS JOIN reps r
+          ORDER BY event_id
+        ) TO '{out}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    upscaled = ("documents", "embeddings", "orders", "events")
     for f in SRC.glob("*.parquet"):
         if f.stem not in upscaled:
             shutil.copyfile(f, out / f.name)

@@ -110,6 +110,7 @@ QUERIES = [
     "fuzzy_join",             # q-gram prefix filter + levenshtein verify (extra)
     "ols_by_key",             # integer-exact statistical sums (extra)
     "tokenizer_fertility",    # BPE train + encode + per-lang gate (extra)
+    "tokenizer_fertility_unigram",  # Viterbi serving encode + same gate (extra)
     "winsorize",              # exact quantile bounds + broadcast clip (extra)
     "winsorize_approx",       # GK-sketch bounds — the combinable production path (extra)
     "dq_check",               # one-pass rules + anti-join referential (extra)

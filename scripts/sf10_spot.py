@@ -76,7 +76,33 @@ QUERIES = [
     "kcore",
     "label_prop",
     "link_predict",
+    # r11: the training/eval family (VERDICT r10 next #4) — the last
+    # extrapolated-from-one-decade group. perceptron is the bench's
+    # slowest entry (epoch loop × linear-in-data); target_encode /
+    # temporal_split / column_profile scan the newly-upscaled
+    # relational facts (orders 1.5M→15M, events 1M→10M — sf1-shape
+    # extended: ×10 keys, fixed group sizes); the two fertility gates
+    # compose train+encode / encode over documents
+    "perceptron",
+    "dedup_eval_sampled",
+    "dedup_eval_sampled_fixed",
+    "target_encode",
+    "temporal_split",
+    "column_profile",
+    "tokenizer_fertility",
+    "tokenizer_fertility_unigram",
 ]
+
+#: per-query (sf1_dir, sf10_dir) overrides: the fixed-cluster decade
+#: runs dedup_eval_sampled against the make_fixed_clusters.py corpora,
+#: where N grows ×10 but duplicate-cluster sizes are pinned at sf0.1's
+#: — the direct test of the r10 triage's "bounded clusters ⇒ linear"
+DIR_OVERRIDES = {
+    "dedup_eval_sampled_fixed": (
+        str(ROOT / "testdata_sf1_fixed"),
+        str(ROOT / "testdata_sf10_fixed"),
+    ),
+}
 
 
 def _parse_existing(path: str) -> dict[str, list[float | None]]:
@@ -124,6 +150,9 @@ def main() -> int:
     queries.setdefault(
         "embedding_neardup_production", q_embedding_neardup_production
     )
+    queries.setdefault(
+        "dedup_eval_sampled_fixed", queries["dedup_eval_sampled"]
+    )
 
     for d in (SF1_DIR, SF10_DIR):
         if not Path(d, "documents.parquet").exists():
@@ -136,7 +165,7 @@ def main() -> int:
     for name in [n for n in QUERIES if only is None or n in only]:
         fn = queries[name]
         times: list[float | None] = []
-        for sf_dir in (SF1_DIR, SF10_DIR):
+        for sf_dir in DIR_OVERRIDES.get(name, (SF1_DIR, SF10_DIR)):
             try:
                 df = fn(spark, sf_dir)
                 df.write.mode("overwrite").format("noop").save()  # warm
