@@ -261,6 +261,13 @@ def dedup_increment(
         .filter(F.col("doc_a") != F.col("doc_b"))
         .distinct()
     )
+    # pin the quotient edge list ONCE (lazy — materialized inside the
+    # CC fixpoint's own edge pin, no extra job): q_vertices AND the
+    # CC loop both derive from it, and unpinned it would re-run the
+    # whole band-join → Jaccard-verify → quotient chain a second time
+    # when the final mapping materializes (measured 2.1-3.6 s per
+    # increment at sf0.1 — the bulk of the r10 fixed-overhead growth)
+    q_edges = q_edges.localCheckpoint(eager=False)
     q_vertices = (
         q_edges.select(F.col("doc_a").alias("doc_id"))
         .union(q_edges.select(F.col("doc_b").alias("doc_id")))
