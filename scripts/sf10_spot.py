@@ -84,7 +84,13 @@ QUERIES = [
     # extended: ×10 keys, fixed group sizes); the two fertility gates
     # compose train+encode / encode over documents
     "perceptron",
-    "dedup_eval_sampled",
+    # dedup_eval_sampled (the UNFIXED upscale fixture) is deliberately
+    # absent from re-runs, like allpairs_join: its sf10 cell is
+    # infeasible BY FIXTURE CONSTRUCTION — replica duplicate clusters
+    # grow with N, so sampled true pairs grow ~quadratically and the
+    # r11 attempt filled 78 GB of shuffle spill before dying (the
+    # FAIL row in the file is that run, kept visible). The _fixed
+    # fixture below is the production-shaped decade.
     "dedup_eval_sampled_fixed",
     "target_encode",
     "temporal_split",
@@ -281,15 +287,20 @@ def _render(results: dict[str, list[float | None]]) -> str:
         "  ~100; events 1M→10M with user_id rekeyed per replica).",
         "- `dedup_eval_sampled` vs `dedup_eval_sampled_fixed`: the",
         "  same query on two fixtures. The standard upscale grows",
-        "  duplicate clusters with N (replica clusters — its exp >1 is",
-        "  measured TRUE-PAIR growth, triaged in",
-        "  scripts/triage_dedup_eval.py); the `_fixed` fixture",
+        "  duplicate clusters with N (replica clusters — sampled true",
+        "  pairs ~quadratic, the r10 triage's measured ×1019), and its",
+        "  sf10 cell DEMONSTRATED it: the run filled 78 GB of shuffle",
+        "  spill and died — the FAIL row is that run, kept visible;",
+        "  the fixture is adversarial by construction, not the",
+        "  production shape. The `_fixed` fixture",
         "  (scripts/make_fixed_clusters.py) suffixes odd-position",
         "  words per replica so clusters stay at sf0.1 sizes while N",
-        "  grows ×10 — the direct test of the 'bounded clusters ⇒",
-        "  linear' claim. Read the `_fixed` exponent as the production",
-        "  prediction; the unfixed one as the adversarial-fixture",
-        "  bound.",
+        "  grows ×10 — the direct test of the r10 triage's 'bounded",
+        "  clusters ⇒ linear' claim, and it HOLDS on counts AND time:",
+        "  sampled docs ×9.98, LSH candidates ×11.2, true pairs ×10.8",
+        "  for ×10 N (Spark-measured), runtime exp 0.79 (a first",
+        "  attempt read 1.36, remeasured 0.79 in a clean JVM — the",
+        "  inflated cell ran right after the disk-fill abort).",
         "",
     ]
     return "\n".join(lines)
