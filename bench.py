@@ -154,21 +154,32 @@ def _retime_handle(spark, sf_dir: str, name: str, fn):
 
 
 def _git_rev(here: Path) -> str:
-    """Current commit hash, '' when git is unavailable. Stamped into
+    """Code-revision fingerprint, '' when unavailable. Stamped into
     every BENCHFULL file so cross-stamp minima only fold runs of the
     SAME code (ADVICE r10: earlier stamps from superseded mid-round
     revisions would otherwise masquerade as the current code's
-    noise-free floor)."""
+    noise-free floor). Deliberately the git TREE hashes of the source
+    paths that affect timings — not HEAD — so committing a stamp file
+    or a doc between runs doesn't orphan earlier same-code stamps. A
+    dirty working tree on those paths returns '' (nothing folds: an
+    uncommitted edit is an unknown revision)."""
     import subprocess
 
+    paths = ["stock_indicators_etl_spark", "__spark_entry__.py", "bench.py"]
     try:
-        return subprocess.run(
-            ["git", "rev-parse", "HEAD"],
-            cwd=here,
-            capture_output=True,
-            text=True,
-            timeout=10,
-        ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "--"] + paths,
+            cwd=here, capture_output=True, text=True, timeout=10,
+        )
+        if dirty.returncode != 0 or dirty.stdout.strip():
+            return ""
+        out = subprocess.run(
+            ["git", "rev-parse"] + [f"HEAD:{p}" for p in paths],
+            cwd=here, capture_output=True, text=True, timeout=10,
+        )
+        if out.returncode != 0:
+            return ""
+        return "-".join(h[:12] for h in out.stdout.split())
     except (OSError, subprocess.SubprocessError):
         return ""
 
