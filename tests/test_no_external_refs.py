@@ -50,6 +50,13 @@ ALLOWED_THIRD_PARTY = {
     "bench",
 }
 
+#: repo-local module names are not third-party either: every *.py at
+#: the repo root or under scripts/ is importable by sibling scripts
+#: (e.g. check_invariance reuses check_oracle's canonical renderer)
+ALLOWED_THIRD_PARTY |= {
+    p.stem for p in list(REPO.glob("*.py")) + list((REPO / "scripts").glob("*.py"))
+}
+
 LEAK_PATTERNS = {
     "network-url": re.compile(r"https?://", re.IGNORECASE),
     "bucket-uri": re.compile(
