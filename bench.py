@@ -208,10 +208,49 @@ def _prior_stamp_timings(
     return out
 
 
+def _summary_line(full: dict, full_path_name: str) -> dict:
+    """The <1.5 kB dict printed as bench's LAST stdout line — the
+    only part of the run the driver reliably captures. Must carry
+    BOTH totals (ADVICE r11): ``value`` is the composite same-revision
+    cross-stamp min (a noise floor no single run achieved) and
+    ``recorded_total`` is this stamp's actual measured sum — the
+    acceptance signal needs the measured number alongside the floor.
+    """
+    top10 = dict(
+        sorted(
+            ((k, round(v, 2)) for k, v in full["queries"].items()),
+            key=lambda kv: -kv[1],
+        )[:10]
+    )
+    return {
+        "metric": full["metric"],
+        "value": full["value"],
+        "recorded_total": full["recorded_total"],
+        "unit": full["unit"],
+        "n_queries": len(full["queries"]),
+        "queries": top10,
+        "queries_note": "top-10 slowest (this stamp); value is "
+        "the cross-stamp same-revision min total; this stamp's own "
+        "measured sum is recorded_total; full dict in " + full_path_name,
+        "sf": full["sf"],
+    }
+
+
 def run() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    # --only=a,b: clean-JVM forensic re-measure of named queries
+    # (VERDICT r11 next #4 protocol — timing cells lie after heavy
+    # runs in the same JVM). Diagnostic mode: prints per-query
+    # timings, writes NO BENCHFULL stamp, so every stamp on disk
+    # remains a full-suite run and cross-stamp minima keep their
+    # like-for-like meaning.
+    only: set[str] | None = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = {s for s in a.split("=", 1)[1].split(",") if s}
 
     import __spark_entry__ as entry_mod
 
@@ -233,6 +272,11 @@ def run() -> None:
             if _name not in queries and _name not in _dup_kernels:
                 queries[_name] = _fn
     headline = list(queries)
+    if only is not None:
+        missing = only - set(headline)
+        if missing:
+            raise SystemExit(f"--only names not in the surface: {sorted(missing)}")
+        headline = [n for n in headline if n in only]
 
     timings: dict[str, float] = {}
     for name in headline:
@@ -252,6 +296,21 @@ def run() -> None:
         # hiding any real work (each timed run is still a full cold
         # execution — see clearCache below)
         timings[name] = round(_timed_min(spark, sf_dir, name, fn, df), 4)
+
+    if only is not None:
+        print(
+            json.dumps(
+                {
+                    "metric": "only_queries_sec",
+                    "queries": {k: round(v, 4) for k, v in timings.items()},
+                    "total": round(sum(timings.values()), 4),
+                    "unit": "sec",
+                    "sf": sf,
+                    "note": "diagnostic --only run; no stamp written",
+                }
+            )
+        )
+        return
 
     # --- outlier re-run pass (VERDICT r9 wrong #2) -----------------
     # min-of-2 WITHIN a run does not defend against end-of-suite JVM
@@ -336,28 +395,7 @@ def run() -> None:
     stamp = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
     full_path = here / f"BENCHFULL_r{this_round:02d}_{stamp}.json"
     full_path.write_text(json.dumps(full, indent=1) + "\n")
-    top10 = dict(
-        sorted(
-            ((k, round(v, 2)) for k, v in timings.items()),
-            key=lambda kv: -kv[1],
-        )[:10]
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total_min_stamps,
-                "recorded_total": total,
-                "unit": "sec",
-                "n_queries": len(timings),
-                "queries": top10,
-                "queries_note": "top-10 slowest (this stamp); value is "
-                "the cross-stamp same-revision min total; full dict in "
-                + full_path.name,
-                "sf": sf,
-            }
-        )
-    )
+    print(json.dumps(_summary_line(full, full_path.name)))
 
 
 if __name__ == "__main__":

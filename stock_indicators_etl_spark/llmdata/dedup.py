@@ -1138,6 +1138,45 @@ def _cc_star_labels(edges: DataFrame, max_iter: int) -> DataFrame:
     ).distinct()
 
 
+class _PinLedger:
+    """Unpersist schedule for iterative pin-per-round loops.
+
+    Encodes the ADVICE-r11 rule as a testable policy: a persisted
+    round frame may only be released once a frame WITHOUT cache
+    lineage (a materialized ``localCheckpoint``) supersedes it,
+    because ``unpersist`` clears the buffers of every cached plan
+    still embedding the released plan as a subtree — releasing the
+    previous persist round right after pinning the current one (the
+    pre-r12 behavior) therefore invalidated the cache the next
+    iteration was about to read. Releases come newest-first so no
+    surviving pin ever embeds a released subtree.
+    """
+
+    def __init__(self) -> None:
+        self._pending: list = []
+
+    def pin(self, frame, released_by_this_pin: bool) -> list:
+        """Record this round's pinned frame; return the frames that
+        are now safe to unpersist (newest-first, possibly empty).
+
+        ``released_by_this_pin=True`` means ``frame`` is (about to be)
+        a materialized checkpoint with no cache lineage — every older
+        pending pin becomes releasable. ``False`` means ``frame`` is a
+        plain ``persist()`` whose plan embeds the previous pins; they
+        all stay pinned.
+        """
+        if released_by_this_pin:
+            stale = list(reversed(self._pending))
+            self._pending = []
+            return stale
+        self._pending.append(frame)
+        return []
+
+    @property
+    def still_pinned(self) -> list:
+        return list(self._pending)
+
+
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame,
@@ -1173,7 +1212,12 @@ def connected_components(
     the convergence probe is a one-row type-agnostic checksum
     aggregate (sum of xxhash64 over the label rows; the id set is
     fixed across rounds, so an unchanged sum means unchanged labels up
-    to a ~2^-64 collision).
+    to a ~2^-64 collision). Stale round pins are released only at
+    checkpoint rounds (:class:`_PinLedger`, ADVICE r11) — at most
+    three small ``(id, component)`` tables are pinned at once, and up
+    to three may remain pinned at convergence (the returned frame's
+    own cache chain; the session's LRU store evicts them under
+    pressure).
 
     ``method="star"`` switches to large-star/small-star
     (:func:`_cc_star_labels`, Kiveris et al.) — O(log²) rounds instead
@@ -1214,7 +1258,7 @@ def connected_components(
     )
     prev_sum = None
     converged = False
-    prev_pinned: DataFrame | None = None
+    ledger = _PinLedger()
     for _it in range(max_iter):
         msgs = (
             e.join(labels, e["_s"] == labels["_id"])
@@ -1236,7 +1280,8 @@ def connected_components(
         # and saves it in the same job). Near-dup components are
         # clique-ish (diameter 2-3), so the common case runs entirely
         # on the cheap persist path.
-        if (_it + 1) % 3 == 0:
+        is_ckpt_round = (_it + 1) % 3 == 0
+        if is_ckpt_round:
             labels = labels.localCheckpoint(eager=False)
         else:
             labels = labels.persist()
@@ -1265,12 +1310,20 @@ def connected_components(
                 F.lit(0).cast("decimal(38,0)"),
             ).alias("s")
         ).collect()[0]["s"]
-        # the new round is materialized (probe above) — the previous
-        # round's cache is dead weight now; dropping it keeps the
-        # loop's executor-storage footprint at one label table
-        if prev_pinned is not None:
-            prev_pinned.unpersist()
-        prev_pinned = labels
+        # Release older pins ONLY at checkpoint rounds (ADVICE r11):
+        # Spark's unpersist is non-cascading but INVALIDATING — it
+        # lazily re-caches (i.e. clears the buffers of) every cached
+        # plan that still contains the unpersisted plan as a logical
+        # subtree, and on persist rounds the just-materialized current
+        # cache is exactly such a dependent, so an eager unpersist here
+        # forced the next probe to recompute back to the last
+        # checkpoint. A materialized localCheckpoint is a LogicalRDD
+        # with no cache lineage, so right after a checkpoint round's
+        # probe every older persist-round frame can go — newest-first,
+        # so no surviving entry ever embeds an unpersisted subtree.
+        # Footprint: ≤ 3 small (id, component) tables instead of 1.
+        for stale in ledger.pin(labels, released_by_this_pin=is_ckpt_round):
+            stale.unpersist()
         if prev_sum is not None and cur_sum == prev_sum:
             converged = True
             break

@@ -320,10 +320,11 @@ def unigram_encode(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
-            for doc_id, text in zip(b["doc_id"], b[text_col]):
+            for doc_id, ws in zip(b["doc_id"], b["_ws"]):
                 toks: list[str] = []
-                for word in str(text).lower().split():
-                    toks += _viterbi(word, logp, max_len)
+                for word in [] if ws is None else ws:
+                    if word:
+                        toks += _viterbi(str(word), logp, max_len)
                 rows.append(
                     {
                         "doc_id": int(doc_id),
@@ -333,4 +334,15 @@ def unigram_encode(
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "n_tokens", "tokens"])
 
-    return spread(docs).select("doc_id", text_col).mapInPandas(run, schema=schema)
+    # Word-split Spark-side with the SHARED words() normalization
+    # (ADVICE r11): the previous str(text).lower().split() diverged
+    # from the trainer, _fertility_frame's word counts, and the DuckDB
+    # oracles on Unicode whitespace (Python str.split splits on \xa0,
+    # Java \s+ does not) and rendered null text as the literal word
+    # 'none'. Feeding pre-split words keeps ONE tokenization
+    # convention across train / serve / count / oracle.
+    return (
+        spread(docs)
+        .select("doc_id", words(F.col(text_col)).alias("_ws"))
+        .mapInPandas(run, schema=schema)
+    )

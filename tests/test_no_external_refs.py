@@ -50,12 +50,12 @@ ALLOWED_THIRD_PARTY = {
     "bench",
 }
 
-#: repo-local module names are not third-party either: every *.py at
-#: the repo root or under scripts/ is importable by sibling scripts
-#: (e.g. check_invariance reuses check_oracle's canonical renderer)
-ALLOWED_THIRD_PARTY |= {
-    p.stem for p in list(REPO.glob("*.py")) + list((REPO / "scripts").glob("*.py"))
-}
+#: sibling-script imports (e.g. check_invariance reuses check_oracle's
+#: canonical renderer) are repo-local — but ONLY when the importing
+#: file itself lives under scripts/ (ADVICE r11: auto-allowing these
+#: stems everywhere would let a genuinely external import that happens
+#: to collide with a script name slip through the package scan)
+SCRIPT_LOCAL_STEMS = {p.stem for p in (REPO / "scripts").glob("*.py")}
 
 LEAK_PATTERNS = {
     "network-url": re.compile(r"https?://", re.IGNORECASE),
@@ -97,6 +97,9 @@ def test_only_public_imports():
         except SyntaxError as e:  # a syntax error is its own failure
             bad.append(f"{path.relative_to(REPO)}: syntax error {e}")
             continue
+        allowed = ALLOWED_THIRD_PARTY
+        if (REPO / "scripts") in path.parents:
+            allowed = ALLOWED_THIRD_PARTY | SCRIPT_LOCAL_STEMS
         for node in ast.walk(tree):
             names = []
             if isinstance(node, ast.Import):
@@ -104,7 +107,7 @@ def test_only_public_imports():
             elif isinstance(node, ast.ImportFrom) and node.level == 0 and node.module:
                 names = [node.module.split(".")[0]]
             for name in names:
-                if name not in stdlib and name not in ALLOWED_THIRD_PARTY:
+                if name not in stdlib and name not in allowed:
                     bad.append(
                         f"{path.relative_to(REPO)}:{node.lineno} imports {name!r}"
                     )
