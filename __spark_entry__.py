@@ -198,14 +198,13 @@ ROTATED_IN = (
     "tfidf_keywords",
     "dedup_incremental",
     # ...r6b: this round's new operator families (scd2_history
-    # rotated back OUT in r9)
+    # rotated back OUT in r9; canonicalize in r12)
     "heavy_hitters",
     "fuzzy_join",
     "pack_sequences",
     "audio_stats",
-    "canonicalize",
     # ...r7: graph/stats/DQ/clustering operators into the hard signal
-    "pagerank",
+    # (pagerank rotated back OUT in r12 — extras keep it bit-exact)
     "winsorize",
     "semantic_neardup_scaled",
     # ...r7b: this session's new operator families (mad_outliers /
@@ -213,34 +212,24 @@ ROTATED_IN = (
     # r10 — extras keep them bit-exact)
     # ...r7c: distinct sketches, graph communities/cores, int8 ANN,
     # robust rolling stats into the hard signal (kmv_distinct /
-    # kmv_overlap rotated back OUT in r10)
-    "kcore",
-    "label_prop",
+    # kmv_overlap rotated back OUT in r10; kcore / label_prop in r12)
     # ...r7d: CUSUM closed form, JL-projection ANN, IVF×SQ, drift,
     # correlation matrix, exact quantiles into the hard signal
     # (cusum / histogram_drift / exact_quantiles rotated back OUT in
-    # r10)
-    "rp_topk",
-    "ivfsq_topk",
+    # r10; rp_topk / ivfsq_topk in r12)
     # ...r7e: the newest composite operators into the hard signal
     # (dedup_eval rotated back OUT in r9: the exact-truth harness is
     # the sf0.01-tier check; the SAMPLED form below is the production
-    # gate and takes the registry slot — VERDICT r8 next #4)
-    "allpairs_join",
+    # gate and takes the registry slot — VERDICT r8 next #4;
+    # allpairs_join rotated back OUT in r12)
     # ...r8: the r7f/g wave into the hard signal (tfidf_keywords /
     # heavy_hitters / fuzzy_join / pack_sequences / audio_stats /
-    # winsorize above rotated back OUT this round — extras keep them
-    # bit-exact)
-    "link_predict",
+    # winsorize above rotated back OUT in r8; link_predict /
+    # multiprobe_lsh / ann_eval / knn_label / drawdown / rolling_beta
+    # / kl_drift / bollinger — each with 4 straight green hard checks
+    # — rotated back OUT in r12; extras keep them all bit-exact)
     "contrastive_pairs",
     "perceptron",
-    "multiprobe_lsh",
-    "ann_eval",
-    "knn_label",
-    "drawdown",
-    "rolling_beta",
-    "kl_drift",
-    "bollinger",
     # ...r9: the r8 wave into the hard signal — distributed PCA,
     # anisotropy correction, BPE corpus encode, Bloom join pruning,
     # Benford DQ, and the sampled (production) dedup evaluation
@@ -279,6 +268,29 @@ ROTATED_IN = (
     "mutual_info",
     "line_dedup",
     "gopher_rules",
+    # ...r12: fifteen never-driver-checked entries into the hard
+    # signal (VERDICT r11 next #2 — retiring the backlog at 15/round),
+    # prioritizing the LLM-ops surface: the unigram fertility gate,
+    # the semantic/embedding/perceptual near-dup family, the sketch
+    # gates, the DSIR evaluation legs, curation filters, and the
+    # corpus-stat drift/skew reports. Fifteen long-stable entries
+    # (3-4 straight green hard checks each) rotated out above —
+    # extras keep every one bit-exact.
+    "tokenizer_fertility_unigram",
+    "semantic_neardup",
+    "embedding_neardup_scaled",
+    "phash_neardup",
+    "cms_freq",
+    "hll_distinct",
+    "dup_fraction",
+    "skew_report",
+    "welch_drift",
+    "unigram_surprisal",
+    "dsir_auc",
+    "dsir_calibration",
+    "blocklist",
+    "temperature_mix",
+    "neardup_best",
 )
 
 
@@ -289,70 +301,55 @@ def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         q_equidepth_bins,
         q_ks_drift,
         q_bloom_join,
-        q_bollinger,
         q_column_profile,
-        q_drawdown,
-        q_kl_drift,
-        q_rolling_beta,
+        q_skew_report,
         q_target_encode,
         q_temporal_split,
+        q_welch_drift,
     )
     from stock_indicators_etl_spark.queries_llm import (
         q_abtt,
         q_tokenizer_fertility,
+        q_tokenizer_fertility_unigram,
         q_substr_dedup,
         q_dup_span_audit,
         q_zipf_fit,
         q_mutual_info,
         q_line_dedup,
         q_gopher_rules,
-        q_allpairs_join,
-        q_ann_eval,
         q_bpe_encode,
         q_containment_join,
         q_contrastive_pairs,
         q_decontaminate,
         q_dedup_eval_sampled,
         q_dsir_select,
-        q_ivfsq_topk,
-        q_rp_topk,
-        q_kcore,
-        q_knn_label,
-        q_label_prop,
-        q_link_predict,
+        q_dsir_auc,
+        q_dsir_calibration,
         q_modularity,
-        q_multiprobe_lsh,
         q_nb_classify,
         q_pca_power,
         q_perceptron,
         q_simhash_neardup,
-        q_canonicalize,
         q_dedup_incremental,
-        q_pagerank,
+        q_semantic_neardup,
         q_semantic_neardup_scaled,
+        q_embedding_neardup_scaled,
+        q_phash_neardup,
+        q_cms_freq,
+        q_hll_distinct,
+        q_dup_fraction,
+        q_unigram_surprisal,
+        q_blocklist,
+        q_temperature_mix,
+        q_neardup_best,
         q_winnow_matches,
     )
 
     return {
         "dedup_incremental": q_dedup_incremental,
-        "canonicalize": q_canonicalize,
-        "pagerank": q_pagerank,
         "semantic_neardup_scaled": q_semantic_neardup_scaled,
-        "kcore": q_kcore,
-        "label_prop": q_label_prop,
-        "rp_topk": q_rp_topk,
-        "ivfsq_topk": q_ivfsq_topk,
-        "allpairs_join": q_allpairs_join,
-        "link_predict": q_link_predict,
         "contrastive_pairs": q_contrastive_pairs,
         "perceptron": q_perceptron,
-        "multiprobe_lsh": q_multiprobe_lsh,
-        "ann_eval": q_ann_eval,
-        "knn_label": q_knn_label,
-        "drawdown": q_drawdown,
-        "rolling_beta": q_rolling_beta,
-        "kl_drift": q_kl_drift,
-        "bollinger": q_bollinger,
         "abtt": q_abtt,
         "pca_power": q_pca_power,
         "bpe_encode": q_bpe_encode,
@@ -379,6 +376,22 @@ def _rotated_in_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "mutual_info": q_mutual_info,
         "line_dedup": q_line_dedup,
         "gopher_rules": q_gopher_rules,
+        # r12 rotation: fifteen never-driver-checked entries in
+        "tokenizer_fertility_unigram": q_tokenizer_fertility_unigram,
+        "semantic_neardup": q_semantic_neardup,
+        "embedding_neardup_scaled": q_embedding_neardup_scaled,
+        "phash_neardup": q_phash_neardup,
+        "cms_freq": q_cms_freq,
+        "hll_distinct": q_hll_distinct,
+        "dup_fraction": q_dup_fraction,
+        "skew_report": q_skew_report,
+        "welch_drift": q_welch_drift,
+        "unigram_surprisal": q_unigram_surprisal,
+        "dsir_auc": q_dsir_auc,
+        "dsir_calibration": q_dsir_calibration,
+        "blocklist": q_blocklist,
+        "temperature_mix": q_temperature_mix,
+        "neardup_best": q_neardup_best,
     }
 
 
@@ -389,70 +402,55 @@ def _rotated_in_oracles() -> dict[str, str]:
         SQL_EQUIDEPTH_BINS,
         SQL_KS_DRIFT,
         SQL_BLOOM_JOIN,
-        SQL_BOLLINGER,
         SQL_COLUMN_PROFILE,
-        SQL_DRAWDOWN,
-        SQL_KL_DRIFT,
-        SQL_ROLLING_BETA,
+        SQL_SKEW_REPORT,
         SQL_TARGET_ENCODE,
         SQL_TEMPORAL_SPLIT,
+        SQL_WELCH_DRIFT,
     )
     from stock_indicators_etl_spark.queries_llm import (
         SQL_ABTT,
         SQL_TOKENIZER_FERTILITY,
+        SQL_TOKENIZER_FERTILITY_UNIGRAM,
         SQL_SUBSTR_DEDUP,
         SQL_DUP_SPAN_AUDIT,
         SQL_ZIPF_FIT,
         SQL_MUTUAL_INFO,
         SQL_LINE_DEDUP,
         SQL_GOPHER_RULES,
-        SQL_ALLPAIRS_JOIN,
-        SQL_ANN_EVAL,
         SQL_BPE_ENCODE,
         SQL_CONTAINMENT_JOIN,
         SQL_CONTRASTIVE_PAIRS,
         SQL_DECONTAMINATE,
         SQL_DEDUP_EVAL_SAMPLED,
         SQL_DSIR_SELECT,
-        SQL_IVFSQ_TOPK,
-        SQL_RP_TOPK,
-        SQL_KCORE,
-        SQL_KNN_LABEL,
-        SQL_LABEL_PROP,
-        SQL_LINK_PREDICT,
+        SQL_DSIR_AUC,
+        SQL_DSIR_CALIBRATION,
         SQL_MODULARITY,
-        SQL_MULTIPROBE_LSH,
         SQL_NB_CLASSIFY,
         SQL_PCA_POWER,
         SQL_PERCEPTRON,
         SQL_SIMHASH_NEARDUP,
-        SQL_CANONICALIZE,
         SQL_DEDUP_INCREMENTAL,
-        SQL_PAGERANK,
+        SQL_SEMANTIC_NEARDUP,
         SQL_SEMANTIC_NEARDUP_SCALED,
+        SQL_EMBEDDING_NEARDUP_SCALED,
+        SQL_PHASH_NEARDUP,
+        SQL_CMS_FREQ,
+        SQL_HLL_DISTINCT,
+        SQL_DUP_FRACTION,
+        SQL_UNIGRAM_SURPRISAL,
+        SQL_BLOCKLIST,
+        SQL_TEMPERATURE_MIX,
+        SQL_NEARDUP_BEST,
         SQL_WINNOW_MATCHES,
     )
 
     return {
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,
-        "canonicalize": SQL_CANONICALIZE,
-        "pagerank": SQL_PAGERANK,
         "semantic_neardup_scaled": SQL_SEMANTIC_NEARDUP_SCALED,
-        "kcore": SQL_KCORE,
-        "label_prop": SQL_LABEL_PROP,
-        "rp_topk": SQL_RP_TOPK,
-        "ivfsq_topk": SQL_IVFSQ_TOPK,
-        "allpairs_join": SQL_ALLPAIRS_JOIN,
-        "link_predict": SQL_LINK_PREDICT,
         "contrastive_pairs": SQL_CONTRASTIVE_PAIRS,
         "perceptron": SQL_PERCEPTRON,
-        "multiprobe_lsh": SQL_MULTIPROBE_LSH,
-        "ann_eval": SQL_ANN_EVAL,
-        "knn_label": SQL_KNN_LABEL,
-        "drawdown": SQL_DRAWDOWN,
-        "rolling_beta": SQL_ROLLING_BETA,
-        "kl_drift": SQL_KL_DRIFT,
-        "bollinger": SQL_BOLLINGER,
         "abtt": SQL_ABTT,
         "pca_power": SQL_PCA_POWER,
         "bpe_encode": SQL_BPE_ENCODE,
@@ -479,6 +477,22 @@ def _rotated_in_oracles() -> dict[str, str]:
         "mutual_info": SQL_MUTUAL_INFO,
         "line_dedup": SQL_LINE_DEDUP,
         "gopher_rules": SQL_GOPHER_RULES,
+        # r12 rotation: fifteen never-driver-checked entries in
+        "tokenizer_fertility_unigram": SQL_TOKENIZER_FERTILITY_UNIGRAM,
+        "semantic_neardup": SQL_SEMANTIC_NEARDUP,
+        "embedding_neardup_scaled": SQL_EMBEDDING_NEARDUP_SCALED,
+        "phash_neardup": SQL_PHASH_NEARDUP,
+        "cms_freq": SQL_CMS_FREQ,
+        "hll_distinct": SQL_HLL_DISTINCT,
+        "dup_fraction": SQL_DUP_FRACTION,
+        "skew_report": SQL_SKEW_REPORT,
+        "welch_drift": SQL_WELCH_DRIFT,
+        "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
+        "dsir_auc": SQL_DSIR_AUC,
+        "dsir_calibration": SQL_DSIR_CALIBRATION,
+        "blocklist": SQL_BLOCKLIST,
+        "temperature_mix": SQL_TEMPERATURE_MIX,
+        "neardup_best": SQL_NEARDUP_BEST,
     }
 
 
@@ -560,8 +574,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_histogram_drift,
         q_interval_join,
         q_mad_outliers,
-        q_skew_report,
-        q_welch_drift,
+        q_bollinger,
+        q_drawdown,
+        q_kl_drift,
+        q_rolling_beta,
         q_local_supplier_volume,
         q_retention,
         q_forecast_revenue,
@@ -596,39 +612,37 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_collocations,
         q_curation_funnel,
         q_bigram_surprisal,
-        q_cms_freq,
         q_dedup_eval,
-        q_dsir_auc,
-        q_dsir_calibration,
-        q_dup_fraction,
         q_fuzzy_join,
         q_ivfpq_topk,
         q_kmv_distinct,
         q_kmv_overlap,
         q_leakage_split,
-        q_blocklist,
         q_pq_topk,
         q_rrf_fusion,
         q_span_dedup,
         q_heavy_hitters,
         q_pack_sequences,
-        q_phash_neardup,
-        q_temperature_mix,
         q_tfidf_keywords,
-        q_tokenizer_fertility_unigram,
         q_triangles,
-        q_embedding_neardup_scaled,
         q_frequent_ngrams,
-        q_hll_distinct,
         q_kmeans,
         q_length_quantiles,
-        q_neardup_best,
         q_readability,
-        q_semantic_neardup,
-        q_unigram_surprisal,
         q_vocab_index,
         q_weighted_sample,
         q_winnow_matches,
+        q_canonicalize,
+        q_pagerank,
+        q_kcore,
+        q_label_prop,
+        q_rp_topk,
+        q_ivfsq_topk,
+        q_allpairs_join,
+        q_link_predict,
+        q_multiprobe_lsh,
+        q_ann_eval,
+        q_knn_label,
     )
 
     base = dict(QUERIES)
@@ -642,17 +656,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_aggregate": q_rollup_aggregate,
         "length_quantiles": q_length_quantiles,
         "chunk_documents": q_chunk_documents,
-        "semantic_neardup": q_semantic_neardup,
-        "unigram_surprisal": q_unigram_surprisal,
         "weighted_sample": q_weighted_sample,
-        "embedding_neardup_scaled": q_embedding_neardup_scaled,
         "frequent_ngrams": q_frequent_ngrams,
         "volume_shipping": q_volume_shipping,
         "large_orders": q_large_orders,
         "order_priority_check": q_order_priority_check,
         "dormant_customers": q_dormant_customers,
         "winsorize_approx": q_winsorize_approx,
-        "neardup_best": q_neardup_best,
         "collocations": q_collocations,
         "bpe_merges": q_bpe_merges,
         "small_qty_revenue": q_small_qty_revenue,
@@ -680,7 +690,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "standardize": q_standardize,
         "vocab_index": q_vocab_index,
         "sales_cube": q_sales_cube,
-        "hll_distinct": q_hll_distinct,
         "exact_median": q_exact_median,
         "winsorize_hist": q_winsorize_hist,
         "distinct_users_cube": q_distinct_users_cube,
@@ -715,23 +724,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": q_ivfpq_topk,
         "scd2_history": q_scd2_history,
         "dedup_eval": q_dedup_eval,
-        # r9 new operators (winnow_matches / decontaminate /
-        # dsir_select / simhash_neardup rotated IN in r10)
-        "cms_freq": q_cms_freq,
-        "phash_neardup": q_phash_neardup,
-        "temperature_mix": q_temperature_mix,
-        # r9b new operators (modularity / nb_classify /
-        # containment_join / temporal_split / target_encode /
-        # column_profile rotated IN in r10)
+        # (the r9/r9b/r11 new-operator names formerly here —
+        # cms_freq / phash_neardup / temperature_mix / blocklist /
+        # dsir_auc / dsir_calibration / skew_report / welch_drift /
+        # dup_fraction / tokenizer_fertility_unigram, plus
+        # semantic_neardup / unigram_surprisal /
+        # embedding_neardup_scaled / neardup_best / hll_distinct
+        # above — rotated IN in r12)
         "local_supplier_volume": q_local_supplier_volume,
-        "blocklist": q_blocklist,
-        "dsir_auc": q_dsir_auc,
-        "dsir_calibration": q_dsir_calibration,
-        "skew_report": q_skew_report,
-        "welch_drift": q_welch_drift,
-        "dup_fraction": q_dup_fraction,
-        # r11: unigram-LM serving leg of the same gate
-        "tokenizer_fertility_unigram": q_tokenizer_fertility_unigram,
         # r10 rotation: formerly rotated-in names back to extras
         # (dedup_exact re-enters via the ROTATED_OUT base loop below)
         "mad_outliers": q_mad_outliers,
@@ -754,6 +754,23 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_join": q_pit_join,
         "agg_delta": q_agg_delta,
         "sq_topk": q_sq_topk,
+        # r12 rotation: formerly rotated-in names back to extras
+        # (each left the hard signal after 3-4 straight green checks)
+        "canonicalize": q_canonicalize,
+        "pagerank": q_pagerank,
+        "kcore": q_kcore,
+        "label_prop": q_label_prop,
+        "rp_topk": q_rp_topk,
+        "ivfsq_topk": q_ivfsq_topk,
+        "allpairs_join": q_allpairs_join,
+        "link_predict": q_link_predict,
+        "multiprobe_lsh": q_multiprobe_lsh,
+        "ann_eval": q_ann_eval,
+        "knn_label": q_knn_label,
+        "drawdown": q_drawdown,
+        "rolling_beta": q_rolling_beta,
+        "kl_drift": q_kl_drift,
+        "bollinger": q_bollinger,
     }
     for name in ROTATED_OUT:
         if name in base:  # non-base rotated-out names are added above
@@ -781,8 +798,10 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_HISTOGRAM_DRIFT,
         SQL_INTERVAL_JOIN,
         SQL_MAD_OUTLIERS,
-        SQL_SKEW_REPORT,
-        SQL_WELCH_DRIFT,
+        SQL_BOLLINGER,
+        SQL_DRAWDOWN,
+        SQL_KL_DRIFT,
+        SQL_ROLLING_BETA,
         SQL_LOCAL_SUPPLIER_VOLUME,
         SQL_OBV,
         SQL_RETENTION,
@@ -837,38 +856,36 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_CHUNK_DOCUMENTS,
         SQL_COLLOCATIONS,
         SQL_CURATION_FUNNEL,
-        SQL_CMS_FREQ,
         SQL_DEDUP_EVAL,
-        SQL_DSIR_AUC,
-        SQL_DSIR_CALIBRATION,
-        SQL_DUP_FRACTION,
-        SQL_EMBEDDING_NEARDUP_SCALED,
         SQL_FREQUENT_NGRAMS,
         SQL_FUZZY_JOIN,
         SQL_HEAVY_HITTERS,
-        SQL_HLL_DISTINCT,
         SQL_IVFPQ_TOPK,
         SQL_KMEANS,
         SQL_KMV_DISTINCT,
         SQL_KMV_OVERLAP,
         SQL_LEAKAGE_SPLIT,
         SQL_LENGTH_QUANTILES,
-        SQL_BLOCKLIST,
-        SQL_NEARDUP_BEST,
         SQL_PACK_SEQUENCES,
-        SQL_PHASH_NEARDUP,
-        SQL_TEMPERATURE_MIX,
-        SQL_TOKENIZER_FERTILITY_UNIGRAM,
         SQL_PQ_TOPK,
         SQL_RRF_FUSION,
         SQL_SPAN_DEDUP,
         SQL_TFIDF_KEYWORDS,
         SQL_TRIANGLES,
         SQL_READABILITY,
-        SQL_SEMANTIC_NEARDUP,
-        SQL_UNIGRAM_SURPRISAL,
         SQL_VOCAB_INDEX,
         SQL_WEIGHTED_SAMPLE,
+        SQL_CANONICALIZE,
+        SQL_PAGERANK,
+        SQL_KCORE,
+        SQL_LABEL_PROP,
+        SQL_RP_TOPK,
+        SQL_IVFSQ_TOPK,
+        SQL_ALLPAIRS_JOIN,
+        SQL_LINK_PREDICT,
+        SQL_MULTIPROBE_LSH,
+        SQL_ANN_EVAL,
+        SQL_KNN_LABEL,
     )
 
     o = {
@@ -880,17 +897,13 @@ def extra_oracle_sql() -> dict[str, str]:
         "rollup_aggregate": SQL_ROLLUP_AGGREGATE,
         "length_quantiles": SQL_LENGTH_QUANTILES,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
-        "semantic_neardup": SQL_SEMANTIC_NEARDUP,
-        "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
-        "embedding_neardup_scaled": SQL_EMBEDDING_NEARDUP_SCALED,
         "frequent_ngrams": SQL_FREQUENT_NGRAMS,
         "volume_shipping": SQL_VOLUME_SHIPPING,
         "large_orders": SQL_LARGE_ORDERS,
         "order_priority_check": SQL_ORDER_PRIORITY_CHECK,
         "dormant_customers": SQL_DORMANT_CUSTOMERS,
         "winsorize_approx": SQL_WINSORIZE_APPROX,
-        "neardup_best": SQL_NEARDUP_BEST,
         "collocations": SQL_COLLOCATIONS,
         "bpe_merges": SQL_BPE_MERGES,
         "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
@@ -918,7 +931,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "standardize": SQL_STANDARDIZE,
         "vocab_index": SQL_VOCAB_INDEX,
         "sales_cube": SQL_SALES_CUBE,
-        "hll_distinct": SQL_HLL_DISTINCT,
         "exact_median": SQL_EXACT_MEDIAN,
         "winsorize_hist": SQL_WINSORIZE_HIST,
         "distinct_users_cube": SQL_DISTINCT_USERS_CUBE,
@@ -948,20 +960,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "ivfpq_topk": SQL_IVFPQ_TOPK,
         "scd2_history": SQL_SCD2_HISTORY,
         "dedup_eval": SQL_DEDUP_EVAL,
-        # r9 new operators (four rotated IN in r10)
-        "cms_freq": SQL_CMS_FREQ,
-        "phash_neardup": SQL_PHASH_NEARDUP,
-        "temperature_mix": SQL_TEMPERATURE_MIX,
-        # r9b new operators (six rotated IN in r10)
+        # (the r9/r9b/r11 new-operator names formerly here rotated IN
+        # in r12 — see _rotated_in_oracles)
         "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
-        "blocklist": SQL_BLOCKLIST,
-        "dsir_auc": SQL_DSIR_AUC,
-        "dsir_calibration": SQL_DSIR_CALIBRATION,
-        "skew_report": SQL_SKEW_REPORT,
-        "welch_drift": SQL_WELCH_DRIFT,
-        "dup_fraction": SQL_DUP_FRACTION,
-        # r11: unigram-LM serving leg
-        "tokenizer_fertility_unigram": SQL_TOKENIZER_FERTILITY_UNIGRAM,
         # r10 rotation: formerly rotated-in names back to extras
         "mad_outliers": SQL_MAD_OUTLIERS,
         "triangles": SQL_TRIANGLES,
@@ -983,6 +984,22 @@ def extra_oracle_sql() -> dict[str, str]:
         "pit_join": SQL_PIT_JOIN,
         "agg_delta": SQL_AGG_DELTA,
         "sq_topk": SQL_SQ_TOPK,
+        # r12 rotation: formerly rotated-in names back to extras
+        "canonicalize": SQL_CANONICALIZE,
+        "pagerank": SQL_PAGERANK,
+        "kcore": SQL_KCORE,
+        "label_prop": SQL_LABEL_PROP,
+        "rp_topk": SQL_RP_TOPK,
+        "ivfsq_topk": SQL_IVFSQ_TOPK,
+        "allpairs_join": SQL_ALLPAIRS_JOIN,
+        "link_predict": SQL_LINK_PREDICT,
+        "multiprobe_lsh": SQL_MULTIPROBE_LSH,
+        "ann_eval": SQL_ANN_EVAL,
+        "knn_label": SQL_KNN_LABEL,
+        "drawdown": SQL_DRAWDOWN,
+        "rolling_beta": SQL_ROLLING_BETA,
+        "kl_drift": SQL_KL_DRIFT,
+        "bollinger": SQL_BOLLINGER,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

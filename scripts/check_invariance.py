@@ -20,10 +20,20 @@ every cell repr-rendered, ARRAYS COMPARED IN ORDER) are bit-equal.
 Any query whose output is a sequence assembled nondeterministically
 fails here even though its count-based oracle stays green.
 
-Usage: python scripts/check_invariance.py [sf_dir] [query ...]
+Usage: python scripts/check_invariance.py [--axis=fold] [sf_dir] [query ...]
 Default sf_dir is /root/testdata/sf0.001 (the sweep is a determinism
 check, not a throughput check — the smallest tier keeps the 2×199
 executions fast). Exit code 1 on any mismatch.
+
+``--axis=fold`` (VERDICT r11 next #6) adds a SECOND perturbation
+axis to the perturbed leg: ``spark.sql.adaptive.enabled`` is FLIPPED
+from the session default, so AQE's runtime partition coalescing (or
+its absence) changes the number and layout of reduce partitions —
+the task-layout change that would expose an IEEE left-fold stable
+under partition COUNT but not under partition GROUPING (a float
+``sum()`` consumed by a threshold). The file-layout + shuffle-width
+perturbation is kept, so the fold leg strictly dominates the default
+leg's perturbation.
 """
 
 from __future__ import annotations
@@ -59,18 +69,32 @@ def build_perturbed_copy(spark, sf_dir: str, out_dir: str) -> None:
         )
 
 
-def run_canon(spark, fn, sf_dir: str, shuffle_partitions: int | None):
-    """Execute one query at an optionally-overridden shuffle width and
-    return its canonical frame (sorted rows/cols, repr-rendered cells,
-    arrays in order)."""
+def run_canon(
+    spark,
+    fn,
+    sf_dir: str,
+    shuffle_partitions: int | None,
+    flip_aqe: bool = False,
+):
+    """Execute one query at an optionally-overridden shuffle width
+    (and, for the fold axis, with AQE flipped from the session
+    default) and return its canonical frame (sorted rows/cols,
+    repr-rendered cells, arrays in order)."""
     key = "spark.sql.shuffle.partitions"
+    aqe_key = "spark.sql.adaptive.enabled"
     prev = spark.conf.get(key)
+    prev_aqe = spark.conf.get(aqe_key)
     try:
         if shuffle_partitions is not None:
             spark.conf.set(key, str(shuffle_partitions))
+        if flip_aqe:
+            spark.conf.set(
+                aqe_key, "false" if prev_aqe == "true" else "true"
+            )
         return canon(fn(spark, sf_dir).toPandas())
     finally:
         spark.conf.set(key, prev)
+        spark.conf.set(aqe_key, prev_aqe)
 
 
 def diff_frames(a, b) -> list[str]:
@@ -93,7 +117,12 @@ def diff_frames(a, b) -> list[str]:
     return problems
 
 
-def sweep(spark, sf_dir: str, only: set[str] | None = None) -> dict[str, list[str]]:
+def sweep(
+    spark,
+    sf_dir: str,
+    only: set[str] | None = None,
+    fold_axis: bool = False,
+) -> dict[str, list[str]]:
     """Run the full invariance sweep; returns {query: problems} for
     every failing query (empty dict = all invariant)."""
     import __spark_entry__ as entry_mod
@@ -110,7 +139,9 @@ def sweep(spark, sf_dir: str, only: set[str] | None = None) -> dict[str, list[st
                 continue
             try:
                 base = run_canon(spark, fn, sf_dir, None)
-                pert = run_canon(spark, fn, tmp, PERTURB_SHUFFLE)
+                pert = run_canon(
+                    spark, fn, tmp, PERTURB_SHUFFLE, flip_aqe=fold_axis
+                )
             except Exception as e:  # noqa: BLE001 - collect, keep sweeping
                 failures[name] = [f"error: {type(e).__name__}: {e}"]
                 print(f"ERR  {name}: {failures[name][0][:160]}")
@@ -129,18 +160,22 @@ def sweep(spark, sf_dir: str, only: set[str] | None = None) -> dict[str, list[st
 
 
 def main() -> int:
-    argv = sys.argv[1:]
+    argv = [a for a in sys.argv[1:] if not a.startswith("--axis")]
+    fold_axis = any(
+        a == "--axis=fold" for a in sys.argv[1:] if a.startswith("--axis")
+    )
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     only = set(argv[1:]) or None
 
     from stock_indicators_etl_spark.session import get_spark
 
     spark = get_spark(app_name="check_invariance")
-    failures = sweep(spark, sf_dir, only)
+    failures = sweep(spark, sf_dir, only, fold_axis=fold_axis)
+    axis = "fold (perturbed + AQE flipped)" if fold_axis else "partitioning"
     if failures:
-        print(f"\n{len(failures)} NON-INVARIANT: {sorted(failures)}")
+        print(f"\n{len(failures)} NON-INVARIANT [{axis}]: {sorted(failures)}")
         return 1
-    print("\nALL INVARIANT")
+    print(f"\nALL INVARIANT [{axis}]")
     return 0
 
 

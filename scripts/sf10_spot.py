@@ -84,14 +84,20 @@ QUERIES = [
     # extended: ×10 keys, fixed group sizes); the two fertility gates
     # compose train+encode / encode over documents
     "perceptron",
-    # dedup_eval_sampled (the UNFIXED upscale fixture) is deliberately
-    # absent from re-runs, like allpairs_join: its sf10 cell is
-    # infeasible BY FIXTURE CONSTRUCTION — replica duplicate clusters
-    # grow with N, so sampled true pairs grow ~quadratically and the
-    # r11 attempt filled 78 GB of shuffle spill before dying (the
-    # FAIL row in the file is that run, kept visible). The _fixed
-    # fixture below is the production-shaped decade.
+    # r12: dedup_eval_sampled is BACK on the standard (adversarial)
+    # upscale — the truth join now runs under the
+    # DEDUP_EVAL_TRUTH_MAX_DF doc-freq cap (VERDICT r11 wrong #1), so
+    # the replica-cluster fixture that previously filled 78 GB of
+    # shuffle spill and died must now complete with the cap binding
+    # (n_capped_shingles > 0) — graceful degradation, measured.
+    "dedup_eval_sampled",
     "dedup_eval_sampled_fixed",
+    # r12 (VERDICT r11 next #3): the two remaining exp>1 rows re-run
+    # on the bounded-cluster fixture where output CAN'T grow
+    # superlinearly — the constructive form of the fixture-growth
+    # attribution (the dedup_eval_sampled_fixed template)
+    "winnow_matches_fixed",
+    "contrastive_pairs_fixed",
     "target_encode",
     "temporal_split",
     "column_profile",
@@ -112,6 +118,14 @@ SINGLE_RUN = {"perceptron"}
 #: — the direct test of the r10 triage's "bounded clusters ⇒ linear"
 DIR_OVERRIDES = {
     "dedup_eval_sampled_fixed": (
+        str(ROOT / "testdata_sf1_fixed"),
+        str(ROOT / "testdata_sf10_fixed"),
+    ),
+    "winnow_matches_fixed": (
+        str(ROOT / "testdata_sf1_fixed"),
+        str(ROOT / "testdata_sf10_fixed"),
+    ),
+    "contrastive_pairs_fixed": (
         str(ROOT / "testdata_sf1_fixed"),
         str(ROOT / "testdata_sf10_fixed"),
     ),
@@ -166,6 +180,10 @@ def main() -> int:
     queries.setdefault(
         "dedup_eval_sampled_fixed", queries["dedup_eval_sampled"]
     )
+    queries.setdefault("winnow_matches_fixed", queries["winnow_matches"])
+    queries.setdefault(
+        "contrastive_pairs_fixed", queries["contrastive_pairs"]
+    )
 
     for d in (SF1_DIR, SF10_DIR):
         if not Path(d, "documents.parquet").exists():
@@ -194,7 +212,10 @@ def main() -> int:
                 for _ in range(2):
                     spark.catalog.clearCache()
                     t0 = time.perf_counter()
-                    d = fn(spark, sf_dir) if name in EAGER_CONSTRUCTION else df
+                    # _fixed fixture variants share their base
+                    # query's construction protocol
+                    eager = name.removesuffix("_fixed") in EAGER_CONSTRUCTION
+                    d = fn(spark, sf_dir) if eager else df
                     d.write.mode("overwrite").format("noop").save()
                     best_c = time.perf_counter() - t0
                     best = best_c if best is None else min(best, best_c)
@@ -288,11 +309,16 @@ def _render(results: dict[str, list[float | None]]) -> str:
         "- `dedup_eval_sampled` vs `dedup_eval_sampled_fixed`: the",
         "  same query on two fixtures. The standard upscale grows",
         "  duplicate clusters with N (replica clusters — sampled true",
-        "  pairs ~quadratic, the r10 triage's measured ×1019), and its",
-        "  sf10 cell DEMONSTRATED it: the run filled 78 GB of shuffle",
-        "  spill and died — the FAIL row is that run, kept visible;",
-        "  the fixture is adversarial by construction, not the",
-        "  production shape. The `_fixed` fixture",
+        "  pairs ~quadratic, the r10 triage's measured ×1019). In r11",
+        "  the UNCAPPED truth join demonstrated that: its sf10 cell",
+        "  filled 78 GB of shuffle spill and died. r12 added the",
+        "  DEDUP_EVAL_TRUTH_MAX_DF=64 doc-freq cap to the truth side",
+        "  (VERDICT r11 wrong #1) and the SAME adversarial cell now",
+        "  completes — graceful degradation, with the bias visible:",
+        "  n_capped_shingles is Spark-measured at 4,525 (sf1) /",
+        "  27,007 (sf10) — the replica-cluster shingles are capped,",
+        "  so the scores read over the capped pair population (the",
+        "  row above). The `_fixed` fixture",
         "  (scripts/make_fixed_clusters.py) suffixes odd-position",
         "  words per replica so clusters stay at sf0.1 sizes while N",
         "  grows ×10 — the direct test of the r10 triage's 'bounded",
@@ -300,7 +326,25 @@ def _render(results: dict[str, list[float | None]]) -> str:
         "  sampled docs ×9.98, LSH candidates ×11.2, true pairs ×10.8",
         "  for ×10 N (Spark-measured), runtime exp 0.79 (a first",
         "  attempt read 1.36, remeasured 0.79 in a clean JVM — the",
-        "  inflated cell ran right after the disk-fill abort).",
+        "  inflated cell ran right after the disk-fill abort). On the",
+        "  fixed fixture the cap does NOT bind (clusters ≤ 64 docs):",
+        "  n_capped_shingles = 0 at both scales, so the _fixed row's",
+        "  scores are the exact sampled-population estimates.",
+        "- `winnow_matches_fixed` / `contrastive_pairs_fixed`",
+        "  (VERDICT r11 next #3): the two attributed exp>1 rows",
+        "  re-measured on the bounded-cluster fixture where output",
+        "  CANNOT grow superlinearly — replicas never share a",
+        "  2-plus-word shingle (every odd-position word is suffixed),",
+        "  so winnow fingerprint postings and LSH positive clusters",
+        "  stay at sf0.1 sizes while N grows ×10. Counts",
+        "  (Spark-measured on the fixed decade,",
+        "  scripts/count_fixed_growth.py): winnow shared-fingerprint",
+        "  pairs 50,423 → 465,495 (×9.23), contrastive LSH candidates",
+        "  2,835 → 29,715 (×10.48) for ×10 N — both ~linear, vs ×95 /",
+        "  ×108.7 on the standard upscale. With output growth pinned",
+        "  ~linear, the runtime exponents above are the operators'",
+        "  own — the constructive complement to the standard-fixture",
+        "  rows' measured-output-growth attribution.",
         "",
     ]
     return "\n".join(lines)

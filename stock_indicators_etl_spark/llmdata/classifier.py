@@ -115,33 +115,60 @@ def perceptron_train(
     labels = embeddings.select(
         F.col(id_col).alias("id"), y.cast("long").alias("y")
     )
-    xy = codes.join(labels, "id")
+    # Pin the joined code stream ONCE (r12, VERDICT r11 next #4's
+    # job accounting): every epoch consumes xy twice (margin pass +
+    # delta pass), and an unpinned xy re-ran the parquet scan, the
+    # normalize/quantize arithmetic, the posexplode, and the
+    # codes⋈labels shuffle in EVERY epoch's job — a per-epoch
+    # constant, the dedup_incremental lesson again. persist()
+    # (MEMORY_AND_DISK) keeps the 100 TB posture sane: the code
+    # stream is 4× smaller than the float vectors and spills rather
+    # than OOMs; epoch 1's job is the materializing action, so no
+    # extra job is spent pinning. Released after the loop — the
+    # returned weight table is checkpointed, so nothing cached
+    # depends on it (the _PinLedger invalidation rule).
+    xy = codes.join(labels, "id").persist()
 
     w = spark.range(dim).select(
         F.col("id").alias("j"), F.lit(0).cast("long").alias("w")
     )
     n_mis_val = 0
     epochs_run = 0
-    for _ in range(epochs):
-        margins = (
-            xy.join(F.broadcast(w), "j")
-            .groupBy("id", "y")
-            .agg(F.sum(F.col("w") * F.col("x")).alias("_dot"))
-            .withColumn("_mis", (F.col("y") * F.col("_dot") <= 0))
-        )
-        mis = margins.filter(F.col("_mis")).select("id", "y")
-        # plain equi-join on id — the misclassified set can be
-        # corpus-sized (epoch 1 it IS the corpus), so never broadcast
-        # it; AQE picks the strategy
-        delta = (
-            xy.drop("y")
-            .join(mis, "id")
-            .groupBy("j")
-            .agg(
+    for _it in range(epochs):
+        if _it == 0:
+            # Zero-initialized weights make epoch 1 degenerate BY
+            # CONSTRUCTION: every margin is y·0 = 0 ≤ 0, so the
+            # misclassified set IS the corpus and w¹ = Σ y_i·x_i.
+            # Computing that directly skips a full broadcast-join +
+            # groupBy(id) margin pass AND the corpus-sized delta
+            # join — the single most expensive join of the run
+            # (epoch 1's mis set is the whole corpus). Bit-identical
+            # to the general path (the unrolled SQL oracle keeps its
+            # plain epoch-1 round and stays hash-green).
+            delta = xy.groupBy("j").agg(
                 F.sum(F.col("y") * F.col("x")).alias("_d"),
                 F.count(F.lit(1)).alias("_nm"),
             )
-        )
+        else:
+            margins = (
+                xy.join(F.broadcast(w), "j")
+                .groupBy("id", "y")
+                .agg(F.sum(F.col("w") * F.col("x")).alias("_dot"))
+                .withColumn("_mis", (F.col("y") * F.col("_dot") <= 0))
+            )
+            mis = margins.filter(F.col("_mis")).select("id", "y")
+            # plain equi-join on id — the misclassified set can be
+            # corpus-sized, so never broadcast it; AQE picks the
+            # strategy
+            delta = (
+                xy.drop("y")
+                .join(mis, "id")
+                .groupBy("j")
+                .agg(
+                    F.sum(F.col("y") * F.col("x")).alias("_d"),
+                    F.count(F.lit(1)).alias("_nm"),
+                )
+            )
         w = (
             w.join(delta, "j", "left")
             .select(
@@ -162,6 +189,9 @@ def perceptron_train(
             break
     if _stats is not None:
         _stats["epochs_run"] = epochs_run
+    # safe to release: w is a checkpointed LogicalRDD — no surviving
+    # cached plan embeds xy as a subtree
+    xy.unpersist()
     return w.select(
         "j", "w", F.lit(n_mis_val).cast("long").alias("n_mis")
     )

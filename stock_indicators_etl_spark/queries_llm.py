@@ -3862,6 +3862,14 @@ FROM a
 #: endpoints must survive the Bernoulli filter).
 DEDUP_EVAL_SAMPLE_RATE = 0.5
 
+#: truth-side doc-frequency cap (VERDICT r11 wrong #1): bounds the
+#: sampled exact-Jaccard join's per-shingle pair fan-out on skewed
+#: duplicate clusters — the demonstrated 78 GB sf10 disk-fill mode.
+#: Same knob class as dedup.SCALE_MAX_DOC_FREQ; kept as its own
+#: constant because the EVAL population definition (not just cost)
+#: depends on it, and the DuckDB oracle embeds the same literal.
+DEDUP_EVAL_TRUTH_MAX_DF = 64
+
 
 def q_dedup_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAMPLED dedup-quality evaluation — the production form of
@@ -3882,17 +3890,50 @@ def q_dedup_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     full LSH pass dominated; this form removes it). Reported with a
     ±1.96·√(p(1−p)/n) Wald half-width each so the reader knows the
     resolution. The exact full-corpus form stays available as the
-    oracle twin (``dedup_eval``)."""
+    oracle twin (``dedup_eval``).
+
+    TRUTH-SIDE GUARD (VERDICT r11 wrong #1): sampling bounds the
+    truth join's INPUT, not its pair fan-out — on skewed duplicate
+    clusters (boilerplate-heavy crawls) the sampled exact join still
+    went ~quadratic and disk-filled 78 GB at sf10. The truth side now
+    runs under the same doc-frequency cap machinery as
+    ``ngram_jaccard_capped`` (``max_doc_freq=DEDUP_EVAL_TRUTH_MAX_DF``):
+    a shingle held by d sampled docs emits d²/2 truth pairs, so
+    dropping shingles with d > cap bounds per-shingle fan-out by
+    construction. Semantics when the cap binds: truth becomes
+    "Jaccard ≥ T over the cap-surviving shingle postings" — pairs
+    whose overlap lives only in ultra-common shingles leave the truth
+    population, so precision/recall are scored over the CAPPED pair
+    population (a documented bias, visible to the reader via
+    ``n_capped_shingles`` — the count of distinct sampled shingle
+    hashes whose doc frequency exceeded the cap; 0 ⇒ the scores are
+    the exact sampled-population estimates). The bounded-cluster
+    linearity claim itself is proved constructively by the ``_fixed``
+    fixture row in SCALING_SF10.md (exp 0.79, measured pair counts)."""
     from stock_indicators_etl_spark.llmdata.dedup import (
+        _h56,
         minhash_lsh_candidates,
         ngram_jaccard_pairs,
+        word_shingles,
     )
     from stock_indicators_etl_spark.llmdata.sampling import hash_sample
 
     docs = _docs(spark, sf_dir)
     sample = hash_sample(docs, DEDUP_EVAL_SAMPLE_RATE)
-    truth = ngram_jaccard_pairs(sample, threshold=DEDUP_EVAL_T).select(
-        "doc_a", "doc_b", F.lit(1).alias("_t")
+    truth = ngram_jaccard_pairs(
+        sample, threshold=DEDUP_EVAL_T, max_doc_freq=DEDUP_EVAL_TRUTH_MAX_DF
+    ).select("doc_a", "doc_b", F.lit(1).alias("_t"))
+    # cap-bind indicator: distinct sampled shingle hashes dropped by
+    # the doc-freq cap — one combinable count over the same postings
+    # the truth join dedups (cheap next to the pair join it guards)
+    n_capped = (
+        word_shingles(sample, distinct=False)
+        .select("doc_id", _h56(F.col("shingle")).alias("h"))
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > DEDUP_EVAL_TRUTH_MAX_DF)
+        .agg(F.count(F.lit(1)).alias("n_capped_shingles"))
     )
     pred = minhash_lsh_candidates(sample).select(
         "doc_a", "doc_b", F.lit(1).alias("_p")
@@ -3907,7 +3948,7 @@ def q_dedup_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_den = (F.col("tp") + F.col("fn")).cast("double")
     prec = F.col("tp").cast("double") / p_den
     rec = F.col("tp").cast("double") / r_den
-    return agg.crossJoin(n_docs).select(
+    return agg.crossJoin(n_docs).crossJoin(n_capped).select(
         "n_docs",
         "tp",
         "fp",
@@ -3920,6 +3961,7 @@ def q_dedup_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rc(
             F.when(r_den > 0, F.lit(1.96) * F.sqrt(rec * (1 - rec) / r_den))
         ).alias("pm_recall"),
+        "n_capped_shingles",
     )
 
 
@@ -3938,9 +3980,21 @@ shh AS (
   FROM sh s JOIN samp ON samp.doc_id = s.doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+-- truth-side doc-freq cap (VERDICT r11 wrong #1): only shingles held
+-- by <= DEDUP_EVAL_TRUTH_MAX_DF sampled docs contribute to |inter|;
+-- per-doc sizes stay exact (computed before the cap), mirroring
+-- ngram_jaccard_pairs(max_doc_freq=...)
+okh AS (SELECT h FROM shh GROUP BY h
+        HAVING count(*) <= {DEDUP_EVAL_TRUTH_MAX_DF}),
+capn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_capped_shingles
+  FROM (SELECT h FROM shh GROUP BY h
+        HAVING count(*) > {DEDUP_EVAL_TRUTH_MAX_DF})
+),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
   FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+  JOIN okh ON okh.h = a.h
   GROUP BY 1, 2
 ),
 truth AS (
@@ -3974,8 +4028,9 @@ SELECT n_docs, tp, fp, fn,
        CASE WHEN tp + fp > 0 THEN {R6('CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)')} END AS precision,
        CASE WHEN tp + fn > 0 THEN {R6('CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)')} END AS recall,
        CASE WHEN tp + fp > 0 THEN {R6('1.96 * sqrt((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)) * (1 - CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)) / CAST(tp + fp AS DOUBLE))')} END AS pm_precision,
-       CASE WHEN tp + fn > 0 THEN {R6('1.96 * sqrt((CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)) * (1 - CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)) / CAST(tp + fn AS DOUBLE))')} END AS pm_recall
-FROM a CROSS JOIN nd
+       CASE WHEN tp + fn > 0 THEN {R6('1.96 * sqrt((CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)) * (1 - CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)) / CAST(tp + fn AS DOUBLE))')} END AS pm_recall,
+       n_capped_shingles
+FROM a CROSS JOIN nd CROSS JOIN capn
 """
 
 
