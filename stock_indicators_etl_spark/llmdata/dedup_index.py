@@ -288,10 +288,36 @@ def dedup_increment(
             F.coalesce("_c", prev_components["component"]).alias("component"),
         )
     )
-    # new docs: every new id is a quotient vertex
-    new_out = new_ids.join(q_comp, new_ids["doc_id"] == q_comp["_l"]).select(
-        new_ids["doc_id"], F.col("_c").alias("component")
+    # new docs: every new id is a quotient vertex — but ONLY the
+    # genuinely-new ones take this path. Under at-least-once replay
+    # (a foreachBatch crash after the index append / mapping publish
+    # but before the checkpoint commit — tests/
+    # test_r12_streaming_restart.py), the "new" shard's docs are
+    # ALREADY in prev_components: their prior labels make every
+    # replayed edge contract to la == lb (dropped), so the replayed
+    # doc's own-id quotient vertex comes back as a SINGLETON and the
+    # naive union would publish both (doc → merged label) from
+    # old_out and a conflicting (doc → doc) from new_out. Replayed
+    # docs are old docs — prev_components already carries them
+    # through old_out; the anti-join makes the increment
+    # replay-IDEMPOTENT (r12, VERDICT r11 next #5).
+    #
+    # Join shape, chosen for the 100 TB steady state: a direct
+    # new_ids LEFT ANTI prev_components cannot broadcast (only the
+    # RIGHT side of an anti builds the hash table, and that side is
+    # the O(corpus) mapping) — it would sort-merge-SHUFFLE the whole
+    # mapping on doc_id every increment just to discover that,
+    # normally, nothing was replayed. Inverted, the corpus side is
+    # only SCANNED: the semi-join's broadcastable side is the
+    # micro-batch's id list, and the result (empty except during a
+    # replay) is the tiny anti side AQE broadcasts back.
+    replayed_ids = prev_components.select("doc_id").join(
+        new_ids, "doc_id", "left_semi"
     )
+    genuinely_new = new_ids.join(replayed_ids, "doc_id", "left_anti")
+    new_out = genuinely_new.join(
+        q_comp, genuinely_new["doc_id"] == q_comp["_l"]
+    ).select(genuinely_new["doc_id"], F.col("_c").alias("component"))
     out = old_out.unionByName(new_out)
 
     # pin the result BEFORE unpersisting its inputs (and, when

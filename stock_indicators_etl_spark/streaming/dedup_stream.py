@@ -84,7 +84,7 @@ def streaming_incremental_dedup(
         )
         # comp is localCheckpoint-pinned by dedup_increment, so
         # overwriting the path it may have lazily read from is safe
-        comp.write.mode("overwrite").parquet(components_path)
+        _publish(comp, components_path, batch_id)
         state["comp"] = comp
 
     writer = (
@@ -94,6 +94,15 @@ def streaming_incremental_dedup(
     )
     writer = writer.trigger(**(trigger or {"availableNow": True}))
     return writer.start()
+
+
+def _publish(comp: DataFrame, components_path: str, batch_id: int) -> None:
+    """Atomically republish the full mapping (parquet overwrite of an
+    O(corpus) narrow frame). Module-level seam so the restart proof
+    (tests/test_r12_streaming_restart.py) can inject a crash AFTER
+    the publish and BEFORE the checkpoint commit — the at-least-once
+    window whose replay this sink's set semantics absorb."""
+    comp.write.mode("overwrite").parquet(components_path)
 
 
 def _components_exist(spark, components_path: str) -> bool:
