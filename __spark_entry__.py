@@ -601,6 +601,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_winsorize_hist,
     )
     from stock_indicators_etl_spark.queries_llm import (
+        q_pair_budget,
         q_sq_topk,
         q_cluster_keywords,
         q_mix_domains,
@@ -771,6 +772,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_beta": q_rolling_beta,
         "kl_drift": q_kl_drift,
         "bollinger": q_bollinger,
+        # r12 new operator: self-join pair-budget preflight (the
+        # measure-before-submit report generalized from this round's
+        # wedge preflight; VERDICT r11 wrong #1's missing artifact)
+        "pair_budget": q_pair_budget,
     }
     for name in ROTATED_OUT:
         if name in base:  # non-base rotated-out names are added above
@@ -845,6 +850,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SQL_WINSORIZE_HIST,
     )
     from stock_indicators_etl_spark.queries_llm import (
+        SQL_PAIR_BUDGET,
         SQL_SQ_TOPK,
         SQL_CLUSTER_KEYWORDS,
         SQL_MIX_DOMAINS,
@@ -1000,6 +1006,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "rolling_beta": SQL_ROLLING_BETA,
         "kl_drift": SQL_KL_DRIFT,
         "bollinger": SQL_BOLLINGER,
+        # r12 new operator
+        "pair_budget": SQL_PAIR_BUDGET,
     }
     base = {**ORACLES, **ORACLES_LLM}
     for name in ROTATED_OUT:

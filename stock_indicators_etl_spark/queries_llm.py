@@ -4557,9 +4557,10 @@ def q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_WINNOW_MATCHES = f"""
-WITH {DOCS_CTE},
-wf0 AS (
+# the fingerprint-extraction chain (shingle-hash sequence → window
+# minima → distinct (doc_id, fp)), shared by the winnow_matches
+# oracle and the pair-budget preflight's winnow_fp family (r12)
+WINNOW_FP_CTES = f"""wf0 AS (
   SELECT doc_id,
     CASE WHEN len(ws) - {WINNOW_K} + 1 >= 1
       THEN list_transform(range(1, len(ws) - {WINNOW_K} + 2),
@@ -4580,7 +4581,11 @@ wf1 AS (
 wfp0 AS (
   SELECT DISTINCT doc_id, f AS fp
   FROM (SELECT doc_id, unnest(fps) AS f FROM wf1)
-),
+)"""
+
+SQL_WINNOW_MATCHES = f"""
+WITH {DOCS_CTE},
+{WINNOW_FP_CTES},
 wkeep AS (
   SELECT fp FROM wfp0 GROUP BY fp HAVING count(*) <= {WINNOW_MAX_DF}
 ),
@@ -5700,6 +5705,103 @@ FROM cj WHERE containment >= {CONTAIN_THRESHOLD}
 
 
 SQL_CONTAINMENT_JOIN = _sql_containment_join()
+
+
+def q_pair_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join pair-budget preflight (``llmdata.preflight``): one
+    row per candidate-generation family (MinHash-LSH buckets, n-gram
+    postings, winnowing fingerprints, embedding sign-LSH buckets)
+    with the exact Σ C(n_unit, 2) the family's self-join would emit,
+    uncapped and under the family's documented cap knob — the
+    measure-before-submit report that decides whether an expensive
+    join is runnable at all (the r11 disk-fill's missing artifact).
+    All-integer (DECIMAL(38,0) budgets: a stop-shingle posting over a
+    10^11-doc corpus predicts ~5·10^21 pairs, past BIGINT), so the
+    oracle replays the shared shingle/signature/hyperplane CTEs and
+    matches bit-for-bit."""
+    from stock_indicators_etl_spark.llmdata.preflight import (
+        pair_budget_report,
+    )
+
+    return pair_budget_report(
+        _docs(spark, sf_dir),
+        _emb(spark, sf_dir),
+        winnow_k=WINNOW_K,
+        winnow_window=WINNOW_W,
+        winnow_cap=WINNOW_MAX_DF,
+    )
+
+
+def _sql_pair_budget(
+    n_planes: int = 8, band_size: int = 2, dim: int = 64
+) -> str:
+    from stock_indicators_etl_spark.llmdata.dedup import (
+        SCALE_MAX_BUCKET_SIZE,
+        SCALE_MAX_DOC_FREQ,
+    )
+    from stock_indicators_etl_spark.llmdata.similarity import (
+        hyperplane_matrix,
+    )
+
+    # same hyperplane/band-bucket construction as the embedding
+    # near-dup oracle (identical literals, 0.0-seeded left-assoc
+    # projections) — only the bucket ids are consumed here
+    planes = hyperplane_matrix(n_planes, dim)
+    band_exprs = []
+    for b in range(n_planes // band_size):
+        bits = []
+        for j in range(band_size):
+            terms = " + ".join(
+                f"v[{i + 1}] * {planes[b * band_size + j][i]:.1f}"
+                for i in range(dim)
+            )
+            bits.append(
+                f"CASE WHEN 0.0 + {terms} > 0 THEN {1 << j} ELSE 0 END"
+            )
+        band_exprs.append(f"CAST({' + '.join(bits)} AS BIGINT) AS bk_{b}")
+    bands_sel = ",\n         ".join(band_exprs)
+    eb_arms = "\n  UNION ALL\n".join(
+        f"  SELECT {b} AS band, bk_{b} AS bk FROM en"
+        for b in range(n_planes // band_size)
+    )
+
+    def fam(tag: str, cte: str, cap: int) -> str:
+        p = "CAST(n AS HUGEINT) * (n - 1) // 2"
+        return f"""SELECT '{tag}' AS family, CAST({cap} AS BIGINT) AS cap,
+       CAST(count(*) AS BIGINT) AS n_units,
+       CAST(max(n) AS BIGINT) AS max_unit,
+       CAST(sum({p}) AS DECIMAL(38,0)) AS pairs_budget,
+       CAST(sum(CASE WHEN n <= {cap} THEN {p} ELSE 0 END)
+            AS DECIMAL(38,0)) AS pairs_budget_capped
+FROM {cte}"""
+
+    return f"""
+WITH {LSH_CTES},
+{WINNOW_FP_CTES},
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+en AS (
+  SELECT vec_id,
+         {bands_sel}
+  FROM ev
+),
+eb AS (
+{eb_arms}
+),
+mhu AS (SELECT band_idx, band_key, count(*) AS n FROM banded GROUP BY 1, 2),
+pu AS (SELECT shingle, count(*) AS n FROM sh GROUP BY 1),
+wu AS (SELECT fp, count(*) AS n FROM wfp0 GROUP BY 1),
+eu AS (SELECT band, bk, count(*) AS n FROM eb GROUP BY 1, 2)
+{fam('minhash_lsh', 'mhu', SCALE_MAX_BUCKET_SIZE)}
+UNION ALL
+{fam('ngram_postings', 'pu', SCALE_MAX_DOC_FREQ)}
+UNION ALL
+{fam('winnow_fp', 'wu', WINNOW_MAX_DF)}
+UNION ALL
+{fam('embed_lsh', 'eu', SCALE_MAX_BUCKET_SIZE)}
+"""
+
+
+SQL_PAIR_BUDGET = _sql_pair_budget()
 
 
 QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
