@@ -79,8 +79,13 @@ QUERIES = [
     # r12 (VERDICT r11 next #7): triangles is in the judge's DuckDB
     # top-4 pathological replays but had no sf10 row (its r10 graph
     # pinning predated the r11 fixture rework) — one row completes
-    # the graph-family table
+    # the graph-family table. Its substrate is pagerank's uncapped
+    # LSH graph, so the replica-cluster wedge population grows ×1253
+    # for ×10 N (preflight-measured; reading notes) — the _fixed row
+    # is the bounded-cluster complement, same template as
+    # dedup_eval_sampled_fixed
     "triangles",
+    "triangles_fixed",
     # r11: the training/eval family (VERDICT r10 next #4) — the last
     # extrapolated-from-one-decade group. perceptron is the bench's
     # slowest entry (epoch loop × linear-in-data); target_encode /
@@ -131,6 +136,10 @@ DIR_OVERRIDES = {
         str(ROOT / "testdata_sf10_fixed"),
     ),
     "contrastive_pairs_fixed": (
+        str(ROOT / "testdata_sf1_fixed"),
+        str(ROOT / "testdata_sf10_fixed"),
+    ),
+    "triangles_fixed": (
         str(ROOT / "testdata_sf1_fixed"),
         str(ROOT / "testdata_sf10_fixed"),
     ),
@@ -189,6 +198,7 @@ def main() -> int:
     queries.setdefault(
         "contrastive_pairs_fixed", queries["contrastive_pairs"]
     )
+    queries.setdefault("triangles_fixed", queries["triangles"])
 
     for d in (SF1_DIR, SF10_DIR):
         if not Path(d, "documents.parquet").exists():
@@ -335,6 +345,24 @@ def _render(results: dict[str, list[float | None]]) -> str:
         "  fixed fixture the cap does NOT bind (clusters ≤ 64 docs):",
         "  n_capped_shingles = 0 at both scales, so the _fixed row's",
         "  scores are the exact sampled-population estimates.",
+        "- `triangles` (r12) completes the graph family and its",
+        "  exp 1.86 is the uncapped substrate's WEDGE growth, not a",
+        "  plan defect: it runs on pagerank's uncapped MinHash-LSH",
+        "  graph, where the compact-forward wedge population is",
+        "  Spark-measured at 906,454 (sf1) → 1,135,725,796 (sf10) —",
+        "  ×1253 for ×10 N, because replica clusters are near-",
+        "  cliques and wedges grow ~cubically with cluster size",
+        "  (max oriented out-degree 49 → 493). Runtime ×72.8 is",
+        "  deeply SUB-wedge-growth (the degree-ordered orientation",
+        "  working as designed). The `_fixed` row is the",
+        "  constructive complement: on the bounded-cluster fixture",
+        "  the wedge population CANNOT grow with cluster size",
+        "  (Spark-measured: 242 → 4,284 wedges, max oriented",
+        "  out-degree 4 → 9 — vs 1.1 BILLION wedges on the standard",
+        "  upscale), so its runtime is the LSH candidate build and",
+        "  the exponent is the operator's own. Production posture",
+        "  for boilerplate-heavy corpora is the same hot-bucket cap",
+        "  the kcore/label_prop/modularity rows already measure.",
         "- `winnow_matches_fixed` / `contrastive_pairs_fixed`",
         "  (VERDICT r11 next #3): the two attributed exp>1 rows",
         "  re-measured on the bounded-cluster fixture where output",
