@@ -239,8 +239,13 @@ def dedup_increment(
     doc_sets = all_sets.join(F.broadcast(cand_docs), "doc_id", "left_semi")
     edges = _verify_pairs(doc_sets, cand, threshold)
 
-    # quotient: contract old endpoints to their prior component label
-    new_ids = new_docs.select("doc_id")
+    # quotient: contract old endpoints to their prior component label.
+    # new_ids reads the PINNED per_doc frame, not new_docs: it is
+    # consumed four times per increment (quotient vertices, the
+    # replay semi/anti pair, the new_out join) and deriving it from
+    # new_docs would re-run the shard's parquet scan + filter on
+    # every consumption (measured +0.3-0.5 s per shard at sf0.1)
+    new_ids = per_doc.select("doc_id")
     if prev_components is None:
         prev_components = spark.createDataFrame(
             [], "doc_id long, component long"
