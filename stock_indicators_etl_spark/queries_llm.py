@@ -5723,12 +5723,23 @@ def q_pair_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair_budget_report,
     )
 
-    return pair_budget_report(
+    out = pair_budget_report(
         _docs(spark, sf_dir),
         _emb(spark, sf_dir),
         winnow_k=WINNOW_K,
         winnow_window=WINNOW_W,
         winnow_cap=WINNOW_MAX_DF,
+    )
+    # budgets cross the query surface as exact decimal STRINGS: the
+    # operator's DECIMAL(38,0) reaches pandas as decimal.Decimal while
+    # DuckDB's .df() narrows its DECIMAL(38,0) to float64 — the two
+    # render differently (and lossily past 2^53) in any value-hash.
+    # A digit string is exact at every magnitude on both engines.
+    return out.withColumns(
+        {
+            c: F.col(c).cast("string")
+            for c in ("pairs_budget", "pairs_budget_capped")
+        }
     )
 
 
@@ -5770,9 +5781,9 @@ def _sql_pair_budget(
         return f"""SELECT '{tag}' AS family, CAST({cap} AS BIGINT) AS cap,
        CAST(count(*) AS BIGINT) AS n_units,
        CAST(max(n) AS BIGINT) AS max_unit,
-       CAST(sum({p}) AS DECIMAL(38,0)) AS pairs_budget,
-       CAST(sum(CASE WHEN n <= {cap} THEN {p} ELSE 0 END)
-            AS DECIMAL(38,0)) AS pairs_budget_capped
+       CAST(CAST(sum({p}) AS DECIMAL(38,0)) AS VARCHAR) AS pairs_budget,
+       CAST(CAST(sum(CASE WHEN n <= {cap} THEN {p} ELSE 0 END)
+            AS DECIMAL(38,0)) AS VARCHAR) AS pairs_budget_capped
 FROM {cte}"""
 
     return f"""
