@@ -7,17 +7,24 @@ embedding diagnostics (anisotropy measurement, "all-but-the-top"
 post-processing, drift detection between corpus snapshots) and must
 run as a SCAN, not a collect — the matrix never fits anywhere.
 
-Spark-first shape, following the perceptron/k-means/BPE pattern for
-iterative algorithms (`llmdata/classifier.py`, `clustering.py`,
-`bpe.py`): per power-iteration round
+Spark-first shape (r12: ONE distributed pass, not one per round —
+guide §1.2 step 1): every power-iteration quantity is a linear
+function of the Gram matrix ``G = XᵀX`` of the int8 codes, and every
+distributed sum is EXACT integer arithmetic, so
 
-- ``s_i = ⟨x_i, v⟩`` is SCAN-LOCAL — v is a 64-long literal array,
-  the dot product a ``zip_with`` + left-fold, no join;
-- ``w = Σ_i s_i·x_i`` is ONE combinable shuffle (posexplode to
-  (j, x·s), groupBy j) producing exactly ``dim`` rows;
-- the collect is dim-bounded (64 rows/round — the same bounded-
-  collect class as centroids and BPE argmaxes), and the
-  normalization happens driver-side on exact integers.
+- ``G`` is computed in a single scan: double ``posexplode`` to
+  (j, k, x·y) and ONE combinable groupBy(j, k) sum — dim² = 4096
+  result rows, a bounded collect (same class as centroids and BPE
+  argmaxes);
+- every round's ``w = G·v`` is then a driver-side exact-bigint
+  matvec, BIT-IDENTICAL to a distributed ``Σ_i x_i·⟨x_i, v⟩`` round
+  (integer addition is associative; the float normalization between
+  rounds was always driver-side and is unchanged);
+- cost trade: dim²·N multiplies in one pass vs iters·2·dim·N over
+  ``iters`` passes — ~8× the arithmetic for 1/``iters`` the scans
+  and job launches, the right trade locally (job launch dominates)
+  and at 100 TB (scans dominate; tall-skinny Gram is the textbook
+  shape).
 
 Bit-exactness discipline (the repo's integer-sums rule): vectors are
 int8-quantized by the ``sq_topk`` convention (⌊x/‖x‖·127+0.5⌋) and v
@@ -105,54 +112,58 @@ def _power_direction(
     :func:`all_but_the_top`: (6dp loadings, 6dp Rayleigh eigenvalue)."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    codes = _int_codes(emb, vec_col, id_col).persist()
-    try:
-        v = [int(v_scale)] * dim
-        w: list[int] = []
-        for _ in range(iters):
-            v_lit = F.array(*[F.lit(int(x)).cast("long") for x in v])
-            s = F.aggregate(
-                F.zip_with(F.col("cv"), v_lit, lambda c, vv: c * vv),
-                F.lit(0).cast("long"),
-                lambda a, b: a + b,
-            )
-            # decimal(19,0) holds any BIGINT; the product promotes to
-            # decimal(38,0) — exact 128-bit accumulation across rows
-            # (a long sum wraps silently beyond ~2^23 rows)
-            rows = (
-                codes.select(s.alias("_s"), F.posexplode("cv").alias("j", "x"))
-                .groupBy("j")
-                .agg(
-                    F.sum(
-                        F.col("x").cast("decimal(19,0)")
-                        * F.col("_s").cast("decimal(19,0)")
-                    ).alias("w")
-                )
-                .collect()
-            )
-            w = [0] * dim
-            for r in rows:
-                w[int(r["j"])] = int(r["w"])
-            # driver-side normalization — every op mirrored in the
-            # oracle: one exact-int→double conversion, sqrt, divide
-            ss = float(sum(x * x for x in w))
-            nrm = math.sqrt(ss)
-            if nrm == 0:
-                raise ValueError("pca_power: zero matrix")
-            v_next = [
-                int(math.floor(float(x) / nrm * float(v_scale) + 0.5)) for x in w
-            ]
-            dot = sum(a * b for a, b in zip(v, w))
-            vv = sum(a * a for a in v)
-            v = v_next
-        lam = (
-            math.floor(float(dot) / float(vv) * 1_000_000 + 0.5) / 1_000_000
-        )
-        loadings = [
-            math.floor(float(x) / nrm * 1_000_000 + 0.5) / 1_000_000 for x in w
+    codes = _int_codes(emb, vec_col, id_col)
+    # ONE distributed pass instead of one per iteration (r12, guide
+    # §1.2 step 1 — remove passes): every per-round quantity is a
+    # linear function of the Gram matrix G = XᵀX of the int8 codes,
+    # and every distributed sum here is EXACT integer arithmetic, so
+    # w(round r) = G·v(r) computed driver-side on Python bigints is
+    # BIT-IDENTICAL to the old per-round scan (integer + is
+    # associative; the float normalization between rounds was always
+    # driver-side and is unchanged — oracle stays hash-green). Cost
+    # trade: dim²·N multiplies in one scan vs iters·2·dim·N over
+    # iters scans — at dim 64 / iters 4 that is ~8× the arithmetic
+    # for 1/4 the passes and 1/4 the job launches, the right trade
+    # both locally (job launch dominates) and at 100 TB (scans
+    # dominate; the tall-skinny Gram pass is the textbook shape).
+    # G rows are (j, Σ_i cv_i[j]·cv_i[k] for all k): the explode is
+    # dim×N rows; per-row products stay in BIGINT (|cv|≤127 ⇒
+    # |cv_j·cv_k| ≤ 16129); cross-row sums accumulate in
+    # DECIMAL(38,0) (long sums would wrap beyond ~5·10¹⁴ rows).
+    g_rows = (
+        codes.select(F.posexplode("cv").alias("j", "x"), "cv")
+        .select("j", "x", F.posexplode("cv").alias("k", "y"))
+        .groupBy("j", "k")
+        .agg(F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("g"))
+        .collect()
+    )
+    G: list[list[int]] = [[0] * dim for _ in range(dim)]
+    for r in g_rows:
+        G[int(r["j"])][int(r["k"])] = int(r["g"])
+    v = [int(v_scale)] * dim
+    w: list[int] = []
+    for _ in range(iters):
+        # exact bigint matvec — identical integers to the old
+        # distributed Σ_i cv_i[j]·⟨cv_i, v⟩ round
+        w = [sum(G[j][k] * v[k] for k in range(dim)) for j in range(dim)]
+        # driver-side normalization — every op mirrored in the
+        # oracle: one exact-int→double conversion, sqrt, divide
+        ss = float(sum(x * x for x in w))
+        nrm = math.sqrt(ss)
+        if nrm == 0:
+            raise ValueError("pca_power: zero matrix")
+        v_next = [
+            int(math.floor(float(x) / nrm * float(v_scale) + 0.5)) for x in w
         ]
-    finally:
-        codes.unpersist()
+        dot = sum(a * b for a, b in zip(v, w))
+        vv = sum(a * a for a in v)
+        v = v_next
+    lam = (
+        math.floor(float(dot) / float(vv) * 1_000_000 + 0.5) / 1_000_000
+    )
+    loadings = [
+        math.floor(float(x) / nrm * 1_000_000 + 0.5) / 1_000_000 for x in w
+    ]
     return loadings, lam
 
 

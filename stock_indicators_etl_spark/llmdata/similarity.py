@@ -453,11 +453,51 @@ def embedding_neardup_pairs(
             F.col("vid").alias("id_b"), F.col("v").alias("vb"),
             F.col("nrm").alias("nb"), "band", "bk",
         )
+        # Key-space deficit salt (r12, guide §2.5): the band join's
+        # static key space is bands × 2^band_size. When that is
+        # SMALLER than the session's shuffle parallelism the pair
+        # expansion cannot spread — under the broadcast join AQE
+        # picks here at small N, the probe side keeps the scan's
+        # partitioning and ONE task scores every candidate pair
+        # (measured: this query ran 3 tasks / 20 s at sf0.1 on the
+        # 16-key default blocking, ~10 s of it the single-threaded
+        # cosine evaluation). Fix: salt side a by
+        # pmod(xxhash64(id), S), replicate side b across the S salt
+        # values, and hash-repartition side a on the salted key so
+        # the probe parallelizes under either join strategy. The
+        # pair set is UNCHANGED — every (a, b) still meets exactly
+        # once per band, at a's salt (measured 20.0 → 3.4 s, same
+        # rows). Properly-sized blocking (recommended_lsh_blocking
+        # keeps expected bucket ≈ 256, so the key space exceeds any
+        # real cluster's parallelism) takes salt_n = 1 and this
+        # branch adds NOTHING to the 100 TB plan: the S× replication
+        # of side b only ever happens where the key space — and
+        # hence the corpus — is small.
+        par = int(
+            embeddings.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions", "200"
+            )
+        )
+        n_keys = (n_planes // band_size) * (1 << band_size)
+        salt_n = max(1, -(-4 * par // n_keys)) if n_keys < par else 1
+        join_keys = ["band", "bk"]
+        if salt_n > 1:
+            a = a.withColumn(
+                "_sj", F.pmod(F.xxhash64(F.col("id_a")), F.lit(salt_n))
+            )
+            b = b.withColumn(
+                "_sj",
+                F.explode(
+                    F.array(*[F.lit(i).cast("long") for i in range(salt_n)])
+                ),
+            )
+            join_keys = ["band", "bk", "_sj"]
+            a = a.repartition(par, *join_keys)
         dot = _dot(F.col("va"), F.col("vb"))
         den = F.col("na") * F.col("nb")
         cos = F.when(den == 0, F.lit(0.0)).otherwise(dot / den)
         return (
-            a.join(b, ["band", "bk"])
+            a.join(b, join_keys)
             .filter(F.col("id_a") < F.col("id_b"))
             .withColumn("cosine", cos)
             .filter(F.col("cosine") >= F.lit(threshold))

@@ -195,6 +195,37 @@ def test_embedding_neardup_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embedding_neardup_salt_gate(spark):
+    """r12 key-space-deficit salt: when the session's shuffle
+    parallelism exceeds the blocking's static key space
+    (bands × 2^band_size), the band self-join salts side a and
+    repartitions the probe so the pair scoring spreads across tasks
+    (the 16-key default previously scored every candidate pair in one
+    task — 15.6 → 2.4 s at sf0.1). The salt must (1) fire exactly on
+    the deficit condition, and (2) leave the output rows bit-identical
+    — each pair still meets exactly once per band, at side a's salt."""
+    from stock_indicators_etl_spark.llmdata.similarity import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # fixture default (4) <= 16 keys: gate off, no extra exchange
+        plan_off = plan_of(embedding_neardup_pairs(emb, threshold=0.5))
+        rows_off = sorted(
+            embedding_neardup_pairs(emb, threshold=0.5).collect()
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        plan_on = plan_of(embedding_neardup_pairs(emb, threshold=0.5))
+        rows_on = sorted(
+            embedding_neardup_pairs(emb, threshold=0.5).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert count_nodes(plan_on, "Exchange") == count_nodes(plan_off, "Exchange") + 1
+    assert "_sj" in plan_on and "_sj" not in plan_off
+    assert rows_on == rows_off
+
+
 def test_chunk_documents_is_scan_local(spark):
     """Context packing must compile to per-row generators over the
     scan — no Exchange, no Window, no Python stage."""
@@ -455,7 +486,13 @@ GOLDEN_FINGERPRINTS = {
     # the threshold filter, and only survivors shuffle for the dedup
     # (the old join-vectors-back shape spilled ~230 GB at sf10);
     # bexchange 3 -> 1: the one broadcast left is the banded
-    # self-join side at tiny SF (AQE-size-appropriate)
+    # self-join side at tiny SF (AQE-size-appropriate).
+    # r12 note: under a session whose shuffle parallelism exceeds the
+    # blocking's 16-key space, a key-space-deficit salt adds one
+    # probe-side repartition (exchange 2) — see
+    # test_embedding_neardup_salt_gate; at this fixture's
+    # shuffle_partitions=4 the gate stays off and the plan is the r9
+    # shape below.
     "embedding_neardup": {"exchange": 1, "bexchange": 1, "bhj": 1, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 0},
     "fuzzy_join": {"exchange": 9, "bexchange": 4, "bhj": 3, "smj": 0, "shj": 0, "python": 0, "nl": 1, "sort": 2},
     # r9b: the containment join inherits the AllPairs carry-counts
