@@ -8,13 +8,16 @@ replays bit-exactly in SQL (the pagerank/k-means unrolled-oracle
 strategy), where float logistic regression would drift on ``exp``
 in the last ulp.
 
-Shape per epoch: one broadcast join of the (dim)-row weight table
-against the exploded code stream + one combinable groupBy(j) — the
-classic data-parallel full-batch update. Nothing is collected: the
-weight state stays a 64-row DataFrame, and at 100 TB the per-epoch
-cost is exactly two scans of the (quantized, 4× smaller than float)
-code stream. Quantization reuses the ``sq_topk`` code expression, so
-codes here rank-match the ANN family's.
+Shape per epoch (r12): ONE scan of the pinned (y, code-array) stream
+— margins are scan-local folds against the weight LITERAL, the
+update is one combinable 64-group aggregate, and the only collect is
+dim-bounded (64 rows/epoch; the weight state is 64 exact Python ints,
+the same bounded-driver-state class as centroids and BPE argmaxes).
+At 100 TB the per-epoch cost is exactly one scan of the (quantized,
+4× smaller than float) code stream with nothing corpus-sized ever
+shuffled — the old shape broadcast-joined a weight table and shuffled
+N margin rows per epoch. Quantization reuses the ``sq_topk`` code
+expression, so codes here rank-match the ANN family's.
 
 The batch perceptron is not logistic regression — it is the honest
 integer-exact member of the linear-classifier family, converging on
@@ -110,28 +113,56 @@ def perceptron_train(
     filled in (the separable-fixture test asserts the early exit).
     """
     spark = embeddings.sparkSession
-    codes = sq_codes(embeddings, vec_col, id_col, dim)
+    # r12 epoch shape (guide §1.2 step 1 + §2.3 "aggregate before you
+    # shuffle"): codes stay ONE ARRAY ROW PER DOC — (y, cv) — instead
+    # of the exploded (id, j, x) stream, and the weight state lives on
+    # the driver as 64 exact Python ints (the perceptron_score /
+    # centroid / BPE-argmax bounded-state precedent). Each epoch is
+    # then a single job over the pinned code stream:
+    #   margin_i = Σ_j w_j·cv_ij  — scan-local fold against the w
+    #     LITERAL (no broadcast-join of a weight table, no groupBy(id)
+    #     shuffle of N margin rows — the old shape's per-epoch
+    #     corpus-sized exchange);
+    #   delta_j  = Σ_{mis} y_i·cv_ij — posexplode of ONLY the
+    #     misclassified rows into one combinable 64-group aggregate,
+    #     collected dim-bounded (64 rows/epoch).
+    # Every quantity is BIGINT and integer addition is associative, so
+    # the regrouping is BIT-IDENTICAL to the old join shape (the
+    # unrolled SQL oracle is unchanged and stays hash-green).
+    # Job accounting at sf0.1: 46 stage-jobs → ~7 (one per epoch +
+    # the pin), 7.4 s → see OPTIMIZATION_r12.md.
     y = F.when(F.col(label_col) >= positive_min, 1).otherwise(-1)
-    labels = embeddings.select(
-        F.col(id_col).alias("id"), y.cast("long").alias("y")
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with(v, v, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
     )
-    # Pin the joined code stream ONCE (r12, VERDICT r11 next #4's
-    # job accounting): every epoch consumes xy twice (margin pass +
-    # delta pass), and an unpinned xy re-ran the parquet scan, the
-    # normalize/quantize arithmetic, the posexplode, and the
-    # codes⋈labels shuffle in EVERY epoch's job — a per-epoch
-    # constant, the dedup_incremental lesson again. persist()
-    # (MEMORY_AND_DISK) keeps the 100 TB posture sane: the code
-    # stream is 4× smaller than the float vectors and spills rather
-    # than OOMs; epoch 1's job is the materializing action, so no
-    # extra job is spent pinning. Released after the loop — the
-    # returned weight table is checkpointed, so nothing cached
-    # depends on it (the _PinLedger invalidation rule).
-    xy = codes.join(labels, "id").persist()
+    code = F.transform(
+        v,
+        lambda x: F.when(nrm == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(x / nrm * 127.0 + F.lit(0.5)).cast("long")
+        ),
+    )
+    checked = F.when(
+        F.size(F.col(vec_col)) != F.lit(int(dim)),
+        F.raise_error(
+            F.format_string(
+                f"perceptron_train: expected {int(dim)}-dim vectors, got %s",
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        ).cast("array<long>"),
+    ).otherwise(code)
+    # persist() (MEMORY_AND_DISK): the code stream is 4× smaller than
+    # the float vectors and spills rather than OOMs; epoch 1's job is
+    # the materializing action, so no extra job is spent pinning.
+    base = embeddings.select(
+        y.cast("long").alias("y"), checked.alias("cv")
+    ).persist()
 
-    w = spark.range(dim).select(
-        F.col("id").alias("j"), F.lit(0).cast("long").alias("w")
-    )
+    w = [0] * dim
     n_mis_val = 0
     epochs_run = 0
     for _it in range(epochs):
@@ -139,61 +170,38 @@ def perceptron_train(
             # Zero-initialized weights make epoch 1 degenerate BY
             # CONSTRUCTION: every margin is y·0 = 0 ≤ 0, so the
             # misclassified set IS the corpus and w¹ = Σ y_i·x_i.
-            # Computing that directly skips a full broadcast-join +
-            # groupBy(id) margin pass AND the corpus-sized delta
-            # join — the single most expensive join of the run
-            # (epoch 1's mis set is the whole corpus). Bit-identical
-            # to the general path (the unrolled SQL oracle keeps its
-            # plain epoch-1 round and stays hash-green).
-            delta = xy.groupBy("j").agg(
+            mis = base
+        else:
+            w_lit = F.array(*[F.lit(int(x)).cast("long") for x in w])
+            dot = F.aggregate(
+                F.zip_with(F.col("cv"), w_lit, lambda c, ww: c * ww),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            mis = base.filter(F.col("y") * dot <= 0)
+        rows = (
+            mis.select("y", F.posexplode("cv").alias("j", "x"))
+            .groupBy("j")
+            .agg(
                 F.sum(F.col("y") * F.col("x")).alias("_d"),
                 F.count(F.lit(1)).alias("_nm"),
             )
-        else:
-            margins = (
-                xy.join(F.broadcast(w), "j")
-                .groupBy("id", "y")
-                .agg(F.sum(F.col("w") * F.col("x")).alias("_dot"))
-                .withColumn("_mis", (F.col("y") * F.col("_dot") <= 0))
-            )
-            mis = margins.filter(F.col("_mis")).select("id", "y")
-            # plain equi-join on id — the misclassified set can be
-            # corpus-sized, so never broadcast it; AQE picks the
-            # strategy
-            delta = (
-                xy.drop("y")
-                .join(mis, "id")
-                .groupBy("j")
-                .agg(
-                    F.sum(F.col("y") * F.col("x")).alias("_d"),
-                    F.count(F.lit(1)).alias("_nm"),
-                )
-            )
-        w = (
-            w.join(delta, "j", "left")
-            .select(
-                "j",
-                (F.col("w") + F.coalesce(F.col("_d"), F.lit(0))).alias("w"),
-                F.coalesce(F.col("_nm"), F.lit(0)).alias("_nm"),
-            )
+            .collect()
         )
-        # 64-row state: pin it so the next epoch's lineage does not
-        # replay every earlier epoch's joins
-        w = w.localCheckpoint(eager=True)
+        # every mis doc contributes exactly one row per dimension, so
+        # _nm is the mis count (identical across j)
+        n_mis_val = int(rows[0]["_nm"]) if rows else 0
+        for r in rows:
+            w[int(r["j"])] += int(r["_d"])
         epochs_run += 1
-        # 64-row checkpoint read, no recompute (_nm is identical on
-        # every row; max is just the null-safe reduction)
-        n_mis_val = int(w.agg(F.max("_nm")).collect()[0][0] or 0)
-        w = w.select("j", "w")
         if n_mis_val == 0:
             break
     if _stats is not None:
         _stats["epochs_run"] = epochs_run
-    # safe to release: w is a checkpointed LogicalRDD — no surviving
-    # cached plan embeds xy as a subtree
-    xy.unpersist()
-    return w.select(
-        "j", "w", F.lit(n_mis_val).cast("long").alias("n_mis")
+    base.unpersist()
+    return spark.createDataFrame(
+        [(j, w[j], n_mis_val) for j in range(dim)],
+        "j long, w long, n_mis long",
     )
 
 

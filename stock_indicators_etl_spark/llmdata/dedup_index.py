@@ -334,8 +334,25 @@ def dedup_increment(
     # for the session lifetime in the append=False path.
     out = out.localCheckpoint()
     if append:
-        new_bands.write.mode("append").parquet(index_path + "/bands")
-        new_sets.write.mode("append").parquet(index_path + "/shingles")
+        # overlap the two independent appends (guide §2.6): both read
+        # the pinned per_doc cache and write disjoint directories, so
+        # the second write's tasks back-fill the first's tail instead
+        # of waiting for it
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fb = pool.submit(
+                lambda: new_bands.write.mode("append").parquet(
+                    index_path + "/bands"
+                )
+            )
+            fs = pool.submit(
+                lambda: new_sets.write.mode("append").parquet(
+                    index_path + "/shingles"
+                )
+            )
+            fb.result()
+            fs.result()
     per_doc.unpersist()
     cand.unpersist()
     return out

@@ -48,19 +48,37 @@ def pagerank(
     the simplest published formulation — deterministic either way."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # Pin the edge list ONCE before anything derives from it (r12,
+    # guide §1.2 step 1): verts is referenced in EVERY iteration's
+    # rank join (iters+1 subtrees in the final plan) and e_deg in
+    # every contrib join — unpinned, each reference re-ran the whole
+    # upstream candidate-generation lineage (q_pagerank feeds the
+    # LSH chain here). O(E) narrow rows, the same class the CC
+    # fixpoint pins.
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
     verts = (
         e.select(F.col("src").alias("v"))
         .union(e.select(F.col("dst").alias("v")))
         .distinct()
+        # referenced iters+1 times; pinning makes each reference an
+        # in-memory scan instead of a repeated distinct shuffle
+        .localCheckpoint(eager=True)
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     e_deg = e.join(deg, "src").persist()
-    n_frame = verts.agg(F.count(F.lit(1)).alias("n"))
+    # |V| is a 1-row aggregate — lift it to a DRIVER literal (the
+    # bounded-collect class: one long). The previous 1-row frame was
+    # crossJoin-broadcast into every iteration: iters+1 broadcast
+    # exchanges (= AQE stage-jobs) for one integer. Integer division
+    # by a literal is the identical arithmetic.
+    n = verts.count()
+    if n == 0:
+        n = 1  # no edges ⇒ no ranks; keeps the div well-defined
 
-    ranks = verts.crossJoin(F.broadcast(n_frame)).select(
-        "v", F.expr(f"{scale} div n").alias("rank")
-    )
+    ranks = verts.select("v", F.lit(scale // n).cast("long").alias("rank"))
+    teleport = (scale * (damping_den - damping_num)) // (damping_den * n)
     for it in range(1, iters + 1):
         contrib = (
             e_deg.join(ranks, e_deg["src"] == ranks["v"])
@@ -70,11 +88,10 @@ def pagerank(
         )
         ranks = (
             verts.join(contrib, verts["v"] == contrib["dst"], "left")
-            .crossJoin(F.broadcast(n_frame))
             .select(
                 "v",
                 F.expr(
-                    f"{scale} * {damping_den - damping_num} div ({damping_den} * n)"
+                    f"{teleport}"
                     f" + {damping_num} * coalesce(inflow, 0) div {damping_den}"
                 ).alias("rank"),
             )

@@ -4098,7 +4098,12 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     cand = minhash_lsh_candidates(docs)
-    jac = ngram_jaccard_pairs(docs, candidates=cand)
+    # pin the verified pair list ONCE (r12 job accounting: this query
+    # ran 99 AQE stage-jobs because sym feeds BOTH the positive window
+    # and the negatives' anti-join, and pos feeds BOTH the anchor rank
+    # join and the final union — each unpinned consumer re-ran the
+    # LSH → semi-join → shingle-set → verify chain)
+    jac = ngram_jaccard_pairs(docs, candidates=cand).persist()
     sym = jac.select(
         F.col("doc_a").alias("anchor"),
         F.col("doc_b").alias("other"),
@@ -4123,6 +4128,7 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "other",
             _rc(F.col("jaccard")).alias("jaccard"),
         )
+        .persist()
     )
     keyed = docs.select(
         "doc_id", h56(F.col("doc_id").cast("string")).alias("_hk")
@@ -4139,6 +4145,9 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.join(F.broadcast(bucket_offsets), "_bkt")
         .withColumn("rk", (F.col("_boff") + F.row_number().over(iw)).cast("long"))
         .select("doc_id", "rk")
+        # consumed twice (anchor ranks + negative-slot lookup) — pin
+        # the two-level prefix-sum rank instead of re-ranking per use
+        .persist()
     )
     n_docs = ranked.agg(F.count(F.lit(1)).alias("_N"))
     slots = spark.range(1, CONTRAST_NEG_K + 1).select(
@@ -5384,9 +5393,12 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         modularity,
     )
 
+    # pin the candidate chain ONCE (r12): label_propagation and
+    # modularity each eagerly checkpoint a frame derived from cand,
+    # and unpinned the whole MinHash-LSH lineage ran twice
     cand = minhash_lsh_candidates(
         _docs(spark, sf_dir), band_size=1, max_bucket_size=CAND1_CAP
-    )
+    ).localCheckpoint(eager=True)
     labels = label_propagation(
         cand, iters=LPA_ITERS, src_col="doc_a", dst_col="doc_b"
     )
