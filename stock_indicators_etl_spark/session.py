@@ -43,19 +43,6 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Spark's own tuning guidance: parallelismFirst=true (the
-        # default) makes AQE ignore the advisory target size and keep
-        # ~defaultParallelism partitions "to avoid perf regressions
-        # when enabling AQE"; the docs recommend setting it false so
-        # coalescing respects the size target. At 100 TB this is the
-        # production-correct setting (big shuffles still split by
-        # SIZE into many partitions); on small inputs it stops every
-        # tiny exchange from scheduling cores×~1-row tasks (r12
-        # job-accounting: the suite is fixed-overhead-bound, ~25
-        # near-empty tasks per AQE stage). minPartitionSize stays at
-        # its 1 MB default — the floor that decides how far a tiny
-        # shuffle coalesces.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
