@@ -574,7 +574,11 @@ GOLDEN_FINGERPRINTS = {
     # r9: its jaccard verify inherits the merge-pinned candidate
     # path (bhj 30 -> 6, smj 0 -> 24 with their sorts) — same OOM
     # class as dedup_pipeline above
-    "contrastive_pairs": {"exchange": 74, "bexchange": 8, "bhj": 6, "smj": 24, "shj": 0, "python": 0, "nl": 2, "sort": 56},
+    # r12: jac / pos / ranked each feed two consumers and are now
+    # persist()-pinned — the duplicated LSH→verify / window / rank
+    # subtrees collapse to InMemoryTableScans (exchange 74 → 19,
+    # smj 24 → 4, sort 56 → 12; 99 AQE stage-jobs before the pins)
+    "contrastive_pairs": {"exchange": 19, "bexchange": 6, "bhj": 4, "smj": 4, "shj": 0, "python": 0, "nl": 2, "sort": 12},
     # r8: global top-10 via TakeOrderedAndProject (sort: 0 — a global
     # window would pin a single-partition Sort here)
     "shipping_priority": {"exchange": 1, "bexchange": 2, "bhj": 2, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 0},
