@@ -185,7 +185,7 @@ def _git_rev(here: Path) -> str:
 
 
 def _prior_stamp_timings(
-    here: Path, this_round: int, git_rev: str
+    here: Path, this_round: int, git_rev: str, cpus: str
 ) -> dict[str, list]:
     """Per-query timing lists from this round's earlier BENCHFULL
     stamps — the cross-run reference the outlier pass compares
@@ -194,7 +194,13 @@ def _prior_stamp_timings(
     can be faster than current code for real reasons (a correctness
     fix adding a sort), and folding it in would record a floor the
     shipped code cannot reproduce. Stamps without a git_rev field
-    (pre-r11 format) are excluded for the same reason."""
+    (pre-r11 format) are excluded for the same reason. r13: only
+    stamps at the SAME core count fold — the driver also benches at a
+    lower $SPARK_GRAFT_CPUS to measure scaling, and several queries
+    are FASTER at 8 cores than 32 at this SF (BENCH_r12_c8:
+    dedup_incremental 7.97 vs 11.15), so folding across core counts
+    would record a floor the benched configuration cannot reproduce.
+    Stamps without a cpus field (pre-r13 format) are excluded."""
     out: dict[str, list] = {}
     for p in sorted(here.glob(f"BENCHFULL_r{this_round:02d}_*.json")):
         try:
@@ -202,6 +208,8 @@ def _prior_stamp_timings(
         except (OSError, json.JSONDecodeError):
             continue
         if not git_rev or d.get("git_rev") != git_rev:
+            continue
+        if d.get("cpus") != cpus:
             continue
         for k, v in d.get("queries", {}).items():
             out.setdefault(k, []).append(float(v))
@@ -330,7 +338,10 @@ def run() -> None:
     ]
     this_round = max(rounds, default=0) + 1
     git_rev = _git_rev(here)
-    prior = _prior_stamp_timings(here, this_round, git_rev)
+    # same default as session.get_spark so the stamp records the
+    # core count the run actually used
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    prior = _prior_stamp_timings(here, this_round, git_rev, cpus)
     retimed: dict[str, dict] = {}
     for name, vals in prior.items():
         if name not in timings or len(vals) < 1:
@@ -376,6 +387,7 @@ def run() -> None:
         "recorded_total": total,
         "unit": "sec",
         "git_rev": git_rev,
+        "cpus": cpus,
         "queries": timings,
         "outlier_retimed": retimed,
         "queries_min_stamps": min_stamps,

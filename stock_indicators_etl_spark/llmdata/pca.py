@@ -126,20 +126,36 @@ def _power_direction(
     # for 1/4 the passes and 1/4 the job launches, the right trade
     # both locally (job launch dominates) and at 100 TB (scans
     # dominate; the tall-skinny Gram pass is the textbook shape).
-    # G rows are (j, Σ_i cv_i[j]·cv_i[k] for all k): the explode is
-    # dim×N rows; per-row products stay in BIGINT (|cv|≤127 ⇒
-    # |cv_j·cv_k| ≤ 16129); cross-row sums accumulate in
-    # DECIMAL(38,0) (long sums would wrap beyond ~5·10¹⁴ rows).
+    # G rows are (j, Σ_i cv_i[j]·cv_i[k]): the explode is dim×N rows;
+    # per-row products stay in BIGINT (|cv|≤127 ⇒ |cv_j·cv_k| ≤
+    # 16129); cross-row sums accumulate in DECIMAL(38,0) (long sums
+    # would wrap beyond ~5·10¹⁴ rows). r13 (guide §1.2 step 2): G is
+    # EXACTLY symmetric in integers, so only the upper triangle
+    # k ≥ j is computed — the inner explode runs over slice(cv, j+1)
+    # instead of the full vector, halving the expanded row count and
+    # the aggregate work (dim²·N/2 products) — and the driver mirrors
+    # G[k][j] = G[j][k]. Bit-identical: each (j, k ≥ j) sum is the
+    # same integer sum as before, and the mirror copies exact ints.
     g_rows = (
         codes.select(F.posexplode("cv").alias("j", "x"), "cv")
-        .select("j", "x", F.posexplode("cv").alias("k", "y"))
-        .groupBy("j", "k")
+        .select(
+            "j",
+            "x",
+            F.posexplode(
+                F.slice(F.col("cv"), F.col("j") + F.lit(1), F.lit(dim))
+            ).alias("k0", "y"),
+        )
+        .groupBy("j", "k0")
         .agg(F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("g"))
         .collect()
     )
     G: list[list[int]] = [[0] * dim for _ in range(dim)]
     for r in g_rows:
-        G[int(r["j"])][int(r["k"])] = int(r["g"])
+        j = int(r["j"])
+        k = j + int(r["k0"])
+        g = int(r["g"])
+        G[j][k] = g
+        G[k][j] = g
     v = [int(v_scale)] * dim
     w: list[int] = []
     for _ in range(iters):

@@ -228,8 +228,12 @@ def kcore(
     for rnd in range(1, max_rounds + 1):
         # materialize the (small) degree table once per round: the
         # probe and the keep-list read it without re-running the
-        # degree shuffle twice
-        deg = degrees(e).localCheckpoint(eager=True)
+        # degree shuffle twice. r13 (guide §5, the CC-fixpoint r10
+        # lesson): the checkpoint is LAZY and the probe count is the
+        # materializing action — the eager form spent a separate
+        # materialization job per peel round on top of the probe,
+        # a pure per-round constant (2 jobs/round → 1)
+        deg = degrees(e).localCheckpoint(eager=False)
         dropped = deg.filter(F.col("core_deg") < k).count()  # 1-row probe
         if dropped == 0:
             break

@@ -196,20 +196,25 @@ def test_embedding_neardup_no_cartesian(spark):
 
 
 def test_embedding_neardup_salt_gate(spark):
-    """r12 key-space-deficit salt: when the session's shuffle
-    parallelism exceeds the blocking's static key space
-    (bands × 2^band_size), the band self-join salts side a and
-    repartitions the probe so the pair scoring spreads across tasks
-    (the 16-key default previously scored every candidate pair in one
-    task — 15.6 → 2.4 s at sf0.1). The salt must (1) fire exactly on
-    the deficit condition, and (2) leave the output rows bit-identical
-    — each pair still meets exactly once per band, at side a's salt."""
+    """r12 key-space-deficit salt, r13 unconditional probe spread:
+    the band self-join's pair scoring must spread across tasks at ANY
+    parallelism. When shuffle parallelism exceeds the blocking's
+    static key space (bands × 2^band_size) side a is salted and
+    repartitioned on the salted key (the 16-key default previously
+    scored every candidate pair in one task — 15.6 → 2.4 s at sf0.1);
+    when par <= n_keys (VERDICT r12 wrong #1: embedding_neardup was
+    15.45 s at cpus=8 because the gate stayed off and the broadcast
+    probe kept the scan's 1-partition layout) no salt is needed but
+    the probe must STILL be hash-repartitioned on the band keys. The
+    output rows must be bit-identical in both regimes — each pair
+    still meets exactly once per band, at side a's salt."""
     from stock_indicators_etl_spark.llmdata.similarity import embedding_neardup_pairs
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        # fixture default (4) <= 16 keys: gate off, no extra exchange
+        # fixture default (4) <= 16 keys: salt off — but the probe is
+        # still spread on the raw band keys (the r13 low-par case)
         plan_off = plan_of(embedding_neardup_pairs(emb, threshold=0.5))
         rows_off = sorted(
             embedding_neardup_pairs(emb, threshold=0.5).collect()
@@ -221,8 +226,16 @@ def test_embedding_neardup_salt_gate(spark):
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
-    assert count_nodes(plan_on, "Exchange") == count_nodes(plan_off, "Exchange") + 1
     assert "_sj" in plan_on and "_sj" not in plan_off
+    # both regimes carry the probe-spread exchange: salted keys when
+    # the key space is deficient, raw band keys otherwise
+    assert re.search(
+        r"hashpartitioning\(band.*?bk.*?_sj", plan_on
+    ), "salted probe repartition missing from the deficit plan"
+    assert re.search(
+        r"hashpartitioning\(band.*?bk", plan_off
+    ), "probe repartition missing from the par<=n_keys plan"
+    assert count_nodes(plan_on, "Exchange") == count_nodes(plan_off, "Exchange")
     assert rows_on == rows_off
 
 
@@ -488,12 +501,13 @@ GOLDEN_FINGERPRINTS = {
     # bexchange 3 -> 1: the one broadcast left is the banded
     # self-join side at tiny SF (AQE-size-appropriate).
     # r12 note: under a session whose shuffle parallelism exceeds the
-    # blocking's 16-key space, a key-space-deficit salt adds one
-    # probe-side repartition (exchange 2) — see
-    # test_embedding_neardup_salt_gate; at this fixture's
-    # shuffle_partitions=4 the gate stays off and the plan is the r9
-    # shape below.
-    "embedding_neardup": {"exchange": 1, "bexchange": 1, "bhj": 1, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 0},
+    # blocking's 16-key space, a key-space-deficit salt salts the
+    # probe repartition — see test_embedding_neardup_salt_gate.
+    # r13 (VERDICT r12 wrong #1): the probe-side repartition is now
+    # UNCONDITIONAL (exchange 1 → 2) — at par <= n_keys the broadcast
+    # probe kept the scan's 1-partition layout and one task scored
+    # every candidate pair (15.45 s at cpus=8 vs 2.28 at 32).
+    "embedding_neardup": {"exchange": 2, "bexchange": 1, "bhj": 1, "smj": 0, "shj": 0, "python": 0, "nl": 0, "sort": 0},
     "fuzzy_join": {"exchange": 9, "bexchange": 4, "bhj": 3, "smj": 0, "shj": 0, "python": 0, "nl": 1, "sort": 2},
     # r9b: the containment join inherits the AllPairs carry-counts
     # posting path verbatim — zero joins/broadcasts after expansion
